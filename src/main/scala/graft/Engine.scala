@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * Design notes (SURVEY.md §7): AQE on (runtime shuffle coalescing +
+  * skew-join handling matter at 100 TB), UTC session (oracle parity),
+  * shuffle partitions sized for the local harness via env — on a real
+  * cluster this is `spark.sql.shuffle.partitions` ~ 2-3x total cores and
+  * AQE coalesces down per-stage.
+  */
+object Engine {
+
+  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+
+  def session(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Loader for the driver-generated parquet tables (TESTDATA.md). Path =
+  * table identity, mirroring the reference's container+folder namespace
+  * (SURVEY.md §1.1, `adffunction/__init__.py:64-67`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (the engine's replacement for the
+    * reference's `information_schema`-backed catalog, SURVEY.md §1.1).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

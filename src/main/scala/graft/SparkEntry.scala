@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator-coverage surface (one entry per implemented
+  * operator from SURVEY.md §2); `oracleSql` carries the DuckDB-equivalent
+  * SQL for hash-compare. Queries without an oracle entry get a weaker
+  * rows-only check (non-SQL-expressible ops: MinHash/SimHash etc.).
+  */
 object SparkEntry {
+
+  private val modules: Seq[QueryModule] = Seq(
+    _root_.graft.queries.AggQueries)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracle).toMap
+}
+
+/** One per query file under graft.queries. */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2 Tier C "Aggregations").
+  *
+  * Oracle-stability design: every floating-point aggregate is routed
+  * through an exact `decimal` cast before SUM so the result is independent
+  * of partial-aggregation order (Spark) vs single-threaded order (DuckDB).
+  * All monetary/measure columns in the testdata carry <= 2 decimal digits,
+  * so decimal(18,2)/(18,4)/(18,6) casts are lossless. Final values are cast
+  * back to double (exact, both engines pick the nearest double).
+  */
+object AggQueries extends graft.QueryModule {
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: scan -> filter -> partial+final agg
+    // -> sort. Filter pushes to the parquet scan; aggregation is
+    // map-side-partial then final (Catalyst does this automatically).
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity", 2).as("sum_qty"),
+          dsum($"l_extendedprice", 2).as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("sum_charge"),
+          (dsum($"l_quantity", 2) / count(lit(1))).as("avg_qty"),
+          (dsum($"l_extendedprice", 2) / count(lit(1))).as("avg_price"),
+          (dsum($"l_discount", 2) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // count(distinct) + plain counts per group.
+    "q_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // string_agg parity (SURVEY B1): deterministic via sort_array before
+    // concat_ws — collect_list order is nondeterministic post-shuffle.
+    "q_string_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "nation")
+        .groupBy($"n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy($"n_regionkey")
+    }),
+
+    // ROLLUP over two group keys with exact decimal sums.
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity", 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // CUBE over two group keys.
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(dsum($"o_totalprice", 2).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // GROUPING SETS via SQL over the registered catalog (SURVEY B5's
+    // named-SQL surface runs through spark.sql).
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+          |       COUNT(1) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    // Per-group min/max/avg over a join-free scan: exercises pushdown —
+    // only 3 of 11 lineitem columns should appear in ReadSchema.
+    "q_minmax" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          min($"l_shipdate").as("min_ship"),
+          max($"l_shipdate").as("max_ship"))
+        .orderBy($"l_linestatus")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS decimal(30,2))) AS double) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS decimal(30,2))) AS double) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0::double - l_discount) AS decimal(30,4))) AS double) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0::double - l_discount) * (1.0::double + l_tax) AS decimal(30,6))) AS double) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS decimal(30,2))) AS double) / COUNT(1) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS decimal(30,2))) AS double) / COUNT(1) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS decimal(30,2))) AS double) / COUNT(1) AS avg_disc,
+        |  COUNT(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+        |  COUNT(1) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(1) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS decimal(30,2))) AS double) AS sum_qty,
+        |  COUNT(1) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  COUNT(1) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  COUNT(1) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_minmax" ->
+      """SELECT l_linestatus,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  MIN(l_shipdate) AS min_ship,
+        |  MAX(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+}

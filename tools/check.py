@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local oracle check mirroring the driver's DuckDB compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with views
+registered over <sfDir>/*.parquet, reads the Spark result parquet from
+<verifyOutDir>/<name>/, sorts columns by name and rows by all columns, and
+compares cell values exactly. Dev-only tool (driver-side python env).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    # sort columns by name, then rows by stringified values
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda t: tuple("\0" if v is None else str(v) for v in t))
+    return [cols[i] for i in order], out
+
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return str(a) == str(b)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            want = con.execute(sql)
+            wcols = [d[0] for d in want.description]
+            wrows = want.fetchall()
+            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        wcols, wrows = canon(wrows, wcols)
+        gcols, grows = canon(grows, gcols)
+        if wcols != gcols:
+            print(f"FAIL {name}: columns differ spark={gcols} oracle={wcols}")
+            n_fail += 1
+            continue
+        if len(wrows) != len(grows):
+            print(f"FAIL {name}: rowcount spark={len(grows)} oracle={len(wrows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (wr, gr) in enumerate(zip(wrows, grows)):
+            for c, (wv, gv) in enumerate(zip(wr, gr)):
+                if not eq(wv, gv):
+                    bad = (i, wcols[c], gv, wv)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, gv, wv = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={gv!r} oracle={wv!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(grows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
