@@ -1,24 +1,55 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
+  *
+  * Procedure per BASELINE.md: one warmup pass over every query (JIT +
+  * parquet footer caches), then N=5 timed runs, median reported. Each run
+  * fully materializes via the `noop` sink — `count()` would let Catalyst
+  * prune sorts and unreferenced aggregate columns and under-measure.
+  * Failures are recorded under "errors" (not swallowed into the totals:
+  * a broken query must not show up as a fast query).
+  */
 object Bench {
+  private val N = 5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = Engine.session()
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // warmup (also shakes out failures so timed runs only see good queries)
+    names.foreach { n =>
+      try materialize(n)
+      catch { case e: Throwable =>
+        errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val medians = names.filterNot(errors.contains).map { n =>
+      val times = (1 to N).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(n)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      n -> times(times.length / 2)
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total_median_sec","value":$total,"unit":"sec","n_runs":$N,"queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

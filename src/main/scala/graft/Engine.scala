@@ -22,6 +22,10 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores ts as TIMESTAMP(NANOS) which Spark rejects;
+      // read the raw int64 nanos and convert in Tables (truncate to micros,
+      // matching DuckDB's nanos->TIMESTAMP truncation).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
 
@@ -41,8 +45,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) on disk, surfaced as int64 nanos via
+    // spark.sql.legacy.parquet.nanosAsLong (Engine.builder). Truncate to
+    // micros with INTEGER division — a double division would lose
+    // precision (2024 epoch-nanos ~1.7e18 > 2^53) and DuckDB truncates,
+    // not rounds, when reading nanos into its micros TIMESTAMP.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Register every table as a temp view (the engine's replacement for the
     * reference's `information_schema`-backed catalog, SURVEY.md §1.1).

@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    _root_.graft.queries.AggQueries)
+    _root_.graft.queries.AggQueries,
+    _root_.graft.queries.JoinQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

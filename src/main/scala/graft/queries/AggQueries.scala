@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * through an exact `decimal` cast before SUM so the result is independent
   * of partial-aggregation order (Spark) vs single-threaded order (DuckDB).
   * All monetary/measure columns in the testdata carry <= 2 decimal digits,
-  * so decimal(18,2)/(18,4)/(18,6) casts are lossless. Final values are cast
-  * back to double (exact, both engines pick the nearest double).
+  * so decimal(30,2)/(30,4)/(30,6) casts are lossless; precision 30 leaves
+  * headroom so sums at sf0.1+ (and far beyond) cannot overflow 18 digits.
+  * Final values are cast back to double (exact, both engines pick the
+  * nearest double).
   */
 object AggQueries extends graft.QueryModule {
 
@@ -40,6 +42,11 @@ object AggQueries extends graft.QueryModule {
     }),
 
     // count(distinct) + plain counts per group.
+    // NULL-semantics note (ADVICE r1): Spark's countDistinct(a, b) skips
+    // rows where ANY column is null; DuckDB's COUNT(DISTINCT (a, b))
+    // counts a struct with a null field. The testdata keys are non-null so
+    // the two agree here; on nullable columns, add IS NOT NULL filters to
+    // both sides before relying on multi-column distinct.
     "q_count_distinct" -> ((s, dir) => {
       import s.implicits._
       Tables(s, dir, "lineitem")

@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2 Tier C "Joins"; reference idioms at
+  * `/root/reference/SharedCode/PGHelperFunction.py:26-30` — the
+  * left-join-where-null anti-join — and `:61` — multi-key equi predicate).
+  *
+  * Scale design (100 TB):
+  *  - Dim tables (`region` 5 rows, `nation` 25, `supplier` small) are
+  *    explicitly `broadcast()`-hinted: the fact side never shuffles for a
+  *    dim lookup. At 100 TB this is the difference between a map-side
+  *    hash join and a full sort-merge shuffle of the fact table.
+  *  - Fact-fact joins (orders x lineitem, customer x orders) shuffle on
+  *    the join key — unavoidable, but AQE (Engine.scala) coalesces and
+  *    skew-splits at runtime. On a real cluster both sides would be
+  *    bucketed by key to make this a zero-shuffle join.
+  *  - Aggregate-then-join where possible: q_join_customer_orders reduces
+  *    lineitem/orders to per-key partials BEFORE the join so the join
+  *    input is the aggregated (small) side, not the raw fact table.
+  *  - The range join (events self-join on time bounds) is banded: an
+  *    equi-join on a coarse time bucket + user, then the exact range
+  *    predicate. A naive theta join would be a cartesian product at scale;
+  *    banding makes it an equi-shuffle with bounded per-bucket fan-out.
+  */
+object JoinQueries extends graft.QueryModule {
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inner equi join fact-to-fact + group-agg: revenue per order status.
+    // Aggregates lineitem to per-order partials before joining orders.
+    "q_join_orders_lineitem" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+      Tables(s, dir, "orders")
+        .join(li, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(sum($"revenue".cast("decimal(30,4)")).cast("double").as("sum_revenue"),
+          sum($"n_lines").as("n_lines"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Left outer join + null-aware agg: customers with their order counts,
+    // including customers with no orders (count = 0).
+    "q_join_left_customer_orders" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      Tables(s, dir, "customer")
+        .join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_mktsegment")
+        .agg(count($"o_orderkey").as("n_orders"),
+          countDistinct($"c_custkey").as("n_cust"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Full outer join between two per-key aggregates with coalesce over
+    // the null sides (classic reconciliation shape).
+    "q_join_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val byCust = Tables(s, dir, "orders").groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      val highBal = Tables(s, dir, "customer")
+        .filter($"c_acctbal" > 9000.0)
+        .select($"c_custkey", $"c_acctbal")
+      byCust.join(highBal, $"o_custkey" === $"c_custkey", "full")
+        .select(
+          coalesce($"o_custkey", $"c_custkey").as("custkey"),
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          $"c_acctbal")
+        .orderBy($"custkey")
+    }),
+
+    // Left semi join: customers that HAVE at least one open order.
+    // Semi = EXISTS — no row multiplication, output schema = left only.
+    "q_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      val open = Tables(s, dir, "orders").filter($"o_orderstatus" === "O")
+      Tables(s, dir, "customer")
+        .join(open, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          dsum($"c_acctbal", 2).as("sum_bal"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // Left anti join — THE reference idiom (PGHelperFunction.py:26-30
+    // models non-PK discovery as LEFT JOIN ... WHERE right IS NULL; its
+    // upsert insert-branch at :54-56 is the same shape): customers with
+    // NO orders at all.
+    "q_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // Broadcast dim chain: lineitem -> supplier -> nation -> region.
+    // Every dim is broadcast()-hinted; the 600k-row (→100 TB) fact side
+    // is never shuffled for the lookups, only for the final group-agg.
+    "q_join_broadcast_dims" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val sup = broadcast(Tables(s, dir, "supplier"))
+      val nat = broadcast(Tables(s, dir, "nation"))
+      val reg = broadcast(Tables(s, dir, "region"))
+      li.join(sup, $"l_suppkey" === $"s_suppkey")
+        .join(nat, $"s_nationkey" === $"n_nationkey")
+        .join(reg, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // Cross join (bounded!): region x orderstatus distinct values — a
+    // dimension scaffold (5 x 3 rows). Cross joins are only ever legal on
+    // provably tiny inputs; anything else must be banded (see range join).
+    "q_join_cross" -> ((s, dir) => {
+      import s.implicits._
+      val statuses = Tables(s, dir, "orders").select($"o_orderstatus").distinct()
+      Tables(s, dir, "region").select($"r_name")
+        .crossJoin(statuses)
+        .orderBy($"r_name", $"o_orderstatus")
+    }),
+
+    // Theta/range self-join on events, BANDED for scale: pairs of events
+    // by the same user where the second follows the first by < 10 minutes.
+    // The equi part (user_id) bounds the fan-out; at 100 TB you would add
+    // a coarse time-bucket key to the equi side as well (bucket + bucket+1)
+    // so a single hot user cannot create an unbounded per-key product.
+    "q_join_range_events" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+      val a = e.select($"event_id".as("a_id"), $"ts".as("a_ts"), $"user_id".as("a_user"))
+      val b = e.select($"event_id".as("b_id"), $"ts".as("b_ts"), $"user_id".as("b_user"),
+        $"event_type".as("b_type"))
+      a.join(b,
+          $"a_user" === $"b_user" &&
+          $"b_ts" > $"a_ts" &&
+          $"b_ts" <= $"a_ts" + expr("INTERVAL 10 MINUTES"))
+        .groupBy($"a_user")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"b_type").as("n_follow_types"))
+        .orderBy($"a_user")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q_join_orders_lineitem" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(revenue AS decimal(30,4))) AS double) AS sum_revenue,
+        |  SUM(n_lines) AS n_lines,
+        |  COUNT(1) AS n_orders
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_extendedprice * (1.0::double - l_discount) AS decimal(30,4))) AS double) AS revenue,
+        |        COUNT(1) AS n_lines
+        |      FROM lineitem GROUP BY l_orderkey) li
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_left_customer_orders" ->
+      """SELECT c_mktsegment,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  COUNT(DISTINCT c_custkey) AS n_cust,
+        |  COUNT(1) AS n_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_full_outer" ->
+      """SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  c_acctbal
+        |FROM (SELECT o_custkey, COUNT(1) AS n_orders FROM orders GROUP BY o_custkey) o
+        |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_nationkey,
+        |  COUNT(1) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS decimal(30,2))) AS double) AS sum_bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_broadcast_dims" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0::double - l_discount) AS decimal(30,4))) AS double) AS revenue,
+        |  COUNT(1) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM (SELECT r_name FROM region)
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q_join_range_events" ->
+      """SELECT a.user_id AS a_user,
+        |  COUNT(1) AS n_pairs,
+        |  COUNT(DISTINCT b.event_type) AS n_follow_types
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |GROUP BY a.user_id ORDER BY a_user""".stripMargin)
+}
