@@ -32,13 +32,21 @@ object Bench {
       }
     }
 
-    val medians = names.filterNot(errors.contains).map { n =>
-      val times = (1 to N).map { _ =>
-        val t0 = System.nanoTime()
-        materialize(n)
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      n -> times(times.length / 2)
+    // A query that survived warmup can still fail a timed run (OOM,
+    // transient FS error); demote it to `errors` instead of letting the
+    // exception destroy every other query's medians (ADVICE r2).
+    val medians = names.filterNot(errors.contains).flatMap { n =>
+      try {
+        val times = (1 to N).map { _ =>
+          val t0 = System.nanoTime()
+          materialize(n)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Some(n -> times(times.length / 2))
+      } catch { case e: Throwable =>
+        errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+      }
     }
 
     def jstr(s: String): String =

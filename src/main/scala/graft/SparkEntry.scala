@@ -13,7 +13,11 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     _root_.graft.queries.AggQueries,
-    _root_.graft.queries.JoinQueries)
+    _root_.graft.queries.JoinQueries,
+    _root_.graft.queries.UpsertQueries,
+    _root_.graft.queries.WindowQueries,
+    _root_.graft.queries.SetOpQueries,
+    _root_.graft.queries.FunctionQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Upsert (MERGE) module — the heart of reference parity (SURVEY.md M3).
+  *
+  * Re-expresses the reference's Postgres MERGE template
+  * (`/root/reference/SharedCode/PGHelperFunction.py:44-57`: CTE UPDATE ...
+  * RETURNING pk, then INSERT ... LEFT JOIN updates WHERE pk IS NULL GROUP
+  * BY s_pk) as DataFrame algebra:
+  *
+  *   merged = dedup(source, keys) UNION ALL (target ANTI-JOIN source ON keys)
+  *
+  * which is equivalent: matched keys take the source row (the UPDATE
+  * branch), unmatched target rows survive, unmatched source rows insert.
+  *
+  * Semantics pinned from the reference:
+  *  - Key validation: empty/missing key columns raise, mirroring the
+  *    "no primary key" error at `PGHelperFunction.py:22-23`.
+  *  - Source dedup: Postgres relies on `GROUP BY s_pk` + PK functional
+  *    dependency (`:56`, temp table clones constraints via `LIKE ...
+  *    INCLUDING ALL`, `:74`). Spark has no PK-dependency shortcut, so we
+  *    pick a DETERMINISTIC representative per key: `row_number()` over the
+  *    keys ordered by every non-key column (SURVEY §7 last risk).
+  *  - Column-list projection (B6, `PGHelperFunction.py:63-64`): the source
+  *    is projected to the target's column list/order before the union.
+  *
+  * Scale design (100 TB): one shuffle on the key columns for the window
+  * dedup, one for the anti-join — and with AQE both reuse the same
+  * hash-partitioning. The anti-join build side is only the DISTINCT KEYS
+  * of the (usually much smaller) source, not its payload. On a real
+  * cluster the target table would be bucketed by the keys, turning the
+  * anti-join into a zero-shuffle per-bucket merge; the algebra here is
+  * unchanged.
+  */
+object Upsert {
+
+  final case class KeyError(message: String) extends IllegalArgumentException(message)
+
+  private def validateKeys(target: DataFrame, source: DataFrame, keys: Seq[String]): Unit = {
+    // Mirrors PGHelperFunction.py:22-23 ("no primary key identified").
+    if (keys.isEmpty)
+      throw KeyError("Error - no primary key identified for upsert target")
+    val t = target.columns.toSet
+    val s = source.columns.toSet
+    val missing = keys.filterNot(k => t.contains(k) && s.contains(k))
+    if (missing.nonEmpty)
+      throw KeyError(s"Error - key columns absent from target/source: ${missing.mkString(",")}")
+  }
+
+  /** Deterministic one-row-per-key representative: smallest row under the
+    * ordering of all non-key columns (ascending, nulls first). Declared
+    * semantics for the reference's `GROUP BY s_pk` (SURVEY §7).
+    */
+  def dedupByKey(source: DataFrame, keys: Seq[String]): DataFrame = {
+    val nonKey = source.columns.filterNot(keys.contains)
+    val ordering =
+      if (nonKey.isEmpty) keys.map(col(_).asc) // key-only schema: any row is the row
+      else nonKey.toSeq.map(col(_).asc_nulls_first)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    source
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Pure MERGE algebra — returns the upserted relation (no IO). */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    validateKeys(target, source, keys)
+    val targetCols = target.columns.toSeq
+    // B6 column-list projection: source takes the target's column order.
+    val src = dedupByKey(source, keys).select(targetCols.map(col): _*)
+    val untouched = target.join(src.select(keys.map(col): _*), keys, "left_anti")
+    untouched.unionByName(src)
+  }
+
+  /** Upsert into a parquet table directory with an atomic swap: write the
+    * merged relation to `<path>._staging`, then rename over the target
+    * (SURVEY §7 "upsert atomicity without Delta"). The staging write fully
+    * succeeds before the old data is touched, so a crash mid-run leaves
+    * either the old table or the new one, never a half-written mix.
+    */
+  def run(spark: SparkSession, targetPath: String, source: DataFrame, keys: Seq[String]): Unit = {
+    val target = spark.read.parquet(targetPath)
+    val merged = merge(target, source, keys)
+    val staging = targetPath + "._staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgt = new Path(targetPath)
+    val old = new Path(targetPath + "._old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(tgt, old))
+      throw new java.io.IOException(s"Error - could not stage out old table at $targetPath")
+    if (!fs.rename(new Path(staging), tgt)) {
+      fs.rename(old, tgt) // roll back
+      throw new java.io.IOException(s"Error - could not swap staging into $targetPath")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Plain append sink — the reference's `insert` branch (A11,
+    * `/root/reference/adffunction/__init__.py:166-168`, raw COPY append).
+    */
+  def append(df: DataFrame, targetPath: String): Unit =
+    df.write.mode("append").parquet(targetPath)
+}

@@ -101,6 +101,31 @@ object AggQueries extends graft.QueryModule {
           |""".stripMargin)
     }),
 
+    // HLL sketch count (C5 approx_count_distinct). No oracle entry —
+    // Spark's HLL++ and DuckDB's HLL produce different estimates by
+    // design, so this gets the driver's rows-only check. At 100 TB this
+    // is the right answer for dashboard-class distinct counts: fixed
+    // sketch memory per group vs the exact distinct's full expansion.
+    "q_approx_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Global sort + limit (C7): top-10 orders by price, key tie-break.
+    // Spark plans this as TakeOrderedAndProject — per-partition top-k then
+    // a driver-side merge of k-row heaps, never a full global sort.
+    "q_topn_orders" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
     // Per-group min/max/avg over a join-free scan: exercises pushdown —
     // only 3 of 11 lineitem columns should appear in ReadSchema.
     "q_minmax" -> ((s, dir) => {
@@ -116,6 +141,12 @@ object AggQueries extends graft.QueryModule {
     }))
 
   def oracle: Map[String, String] = Map(
+    // q_approx_count_distinct intentionally absent: sketch estimates are
+    // engine-specific (rows-only check).
+    "q_topn_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS decimal(30,2))) AS double) AS sum_qty,

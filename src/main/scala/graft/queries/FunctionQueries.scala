@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2 Tier C rows "String fns",
+  * "Date/time fns", "Math fns", "Array/map/JSON fns").
+  *
+  * The string chain deliberately exercises the reference's sanitize
+  * building blocks — `translate`, `regexp_replace`, `regexp_extract` —
+  * used by A3/A4/A9 (`/root/reference/SharedCode/HelperFunction.py:36-41`,
+  * `:18-19`, `:94-109`); the date entry includes the A7 archive stamp
+  * format `yyyyMMddHHmm` (`HelperFunction.py:52`).
+  *
+  * All are codegen'd built-ins (no UDFs) — each projection stays inside a
+  * single WholeStageCodegen span over the scan, so at 100 TB these run at
+  * scan speed.
+  */
+object FunctionQueries extends graft.QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // translate / regexp_replace / regexp_extract / split / substring /
+    // upper / trim / length / concat_ws over `part`.
+    "q_string_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "part")
+        .filter($"p_partkey" % 20 === 0)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("name_upper"),
+          length($"p_name").as("name_len"),
+          substring($"p_name", 1, 5).as("name_pfx"),
+          element_at(split($"p_name", " "), 1).as("first_word"),
+          regexp_extract($"p_brand", "\\d+", 0).cast("int").as("brand_num"),
+          regexp_replace($"p_name", "[aeiou]", "").as("name_novowel"),
+          translate($"p_type", "AEO", "aeo").as("type_translated"),
+          trim(concat_ws("|", $"p_brand", $"p_type")).as("brand_type"))
+        .orderBy($"p_partkey")
+    }),
+
+    // date_format (A7 stamp) / year / month / date_add / datediff /
+    // date_trunc / unix epoch over `orders`.
+    "q_date_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 50 === 0)
+        .select(
+          $"o_orderkey",
+          date_format($"o_orderdate", "yyyyMMddHHmm").as("archive_stamp"),
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          date_add($"o_orderdate".cast("date"), 30).as("due_date"),
+          datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          trunc($"o_orderdate".cast("date"), "month").as("month_start"),
+          unix_timestamp($"o_orderdate").as("epoch_sec"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // round (on decimal — HALF_UP in both engines; double round semantics
+    // diverge) / abs / floor / ceil / power / sqrt over `lineitem`.
+    "q_math_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_orderkey" % 100 === 0)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          round(($"l_extendedprice" * $"l_discount").cast("decimal(30,6)"), 2)
+            .cast("double").as("disc_amt"),
+          abs($"l_quantity" - lit(25.0)).as("qty_dev"),
+          floor($"l_extendedprice").cast("long").as("price_floor"),
+          ceil($"l_extendedprice").cast("long").as("price_ceil"),
+          pow($"l_quantity", 2).as("qty_sq"),
+          sqrt($"l_quantity").as("qty_sqrt"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // JSON extraction from events.props (get_json_object) + map building.
+    "q_json_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select(
+          $"event_type",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
+    // explode/unnest + array fns: token arrays from document text.
+    "q_explode_tokens" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 50 === 0)
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"token")
+    }),
+
+    // Array scalar fns over the same token arrays: size / array_contains /
+    // element_at (1-based in both Spark and DuckDB lists).
+    "q_array_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 25 === 0)
+        .select(
+          $"doc_id",
+          size(split($"text", " ")).as("n_tokens"),
+          array_contains(split($"text", " "), "spark").as("has_spark"),
+          element_at(split($"text", " "), 1).as("first_token"),
+          element_at(split($"text", " "), -1).as("last_token"))
+        .orderBy($"doc_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q_string_fns" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_upper,
+        |  LENGTH(p_name) AS name_len,
+        |  SUBSTRING(p_name, 1, 5) AS name_pfx,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  CAST(regexp_extract(p_brand, '\d+', 0) AS int) AS brand_num,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |  translate(p_type, 'AEO', 'aeo') AS type_translated,
+        |  TRIM(concat_ws('|', p_brand, p_type)) AS brand_type
+        |FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""".stripMargin,
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y%m%d%H%M') AS archive_stamp,
+        |  CAST(year(o_orderdate) AS int) AS y,
+        |  CAST(month(o_orderdate) AS int) AS m,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS int) AS days_since,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(epoch(o_orderdate) AS bigint) AS epoch_sec
+        |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(CAST(l_extendedprice * l_discount AS decimal(30,6)), 2) AS double) AS disc_amt,
+        |  ABS(l_quantity - 25.0::double) AS qty_dev,
+        |  CAST(FLOOR(l_extendedprice) AS bigint) AS price_floor,
+        |  CAST(CEIL(l_extendedprice) AS bigint) AS price_ceil,
+        |  POWER(l_quantity, 2) AS qty_sq,
+        |  SQRT(l_quantity) AS qty_sqrt
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json_fns" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type, CAST(props->>'k' AS int) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_explode_tokens" ->
+      """SELECT token, COUNT(1) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents WHERE doc_id % 50 = 0)
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q_array_fns" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS int) AS n_tokens,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  string_split(text, ' ')[1] AS first_token,
+        |  string_split(text, ' ')[-1] AS last_token
+        |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin)
+}

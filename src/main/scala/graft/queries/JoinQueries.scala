@@ -33,16 +33,21 @@ object JoinQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Inner equi join fact-to-fact + group-agg: revenue per order status.
     // Aggregates lineitem to per-order partials before joining orders.
+    // `revenue` stays decimal(30,4) END-TO-END through both aggregation
+    // levels — a double round-trip between the two sums diverges from the
+    // oracle on halfway values (Spark HALF_UP string-cast vs DuckDB exact
+    // binary rounding) and loses precision for no benefit. Single cast to
+    // double in the final projection only.
     "q_join_orders_lineitem" -> ((s, dir) => {
       import s.implicits._
       val li = Tables(s, dir, "lineitem")
         .groupBy($"l_orderkey")
-        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(30,4)")).as("revenue"),
           count(lit(1)).as("n_lines"))
       Tables(s, dir, "orders")
         .join(li, $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_orderstatus")
-        .agg(sum($"revenue".cast("decimal(30,4)")).cast("double").as("sum_revenue"),
+        .agg(sum($"revenue").cast("double").as("sum_revenue"),
           sum($"n_lines").as("n_lines"),
           count(lit(1)).as("n_orders"))
         .orderBy($"o_orderstatus")
@@ -95,11 +100,14 @@ object JoinQueries extends graft.QueryModule {
     // Left anti join — THE reference idiom (PGHelperFunction.py:26-30
     // models non-PK discovery as LEFT JOIN ... WHERE right IS NULL; its
     // upsert insert-branch at :54-56 is the same shape): customers with
-    // NO orders at all.
+    // no FINISHED ('F') order. Anti-joining against the filtered subset
+    // (not all orders) guarantees a non-empty complement at sf0.01, so the
+    // entry actually exercises anti-join semantics (ADVICE r2).
     "q_join_anti" -> ((s, dir) => {
       import s.implicits._
+      val finished = Tables(s, dir, "orders").filter($"o_orderstatus" === "F")
       Tables(s, dir, "customer")
-        .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(finished, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name", $"c_mktsegment")
         .orderBy($"c_custkey")
     }),
@@ -134,19 +142,28 @@ object JoinQueries extends graft.QueryModule {
     }),
 
     // Theta/range self-join on events, BANDED for scale: pairs of events
-    // by the same user where the second follows the first by < 10 minutes.
-    // The equi part (user_id) bounds the fan-out; at 100 TB you would add
-    // a coarse time-bucket key to the equi side as well (bucket + bucket+1)
-    // so a single hot user cannot create an unbounded per-key product.
+    // by the same user where the second follows the first by <= 10 minutes.
+    // The equi key is (user, time-bucket), bucket width = the band width
+    // (10 min), so any qualifying pair has bucket(b) in {bucket(a),
+    // bucket(a)+1}. The left side is exploded to both candidate buckets
+    // (distinct values — no pair dedup needed) and the exact range
+    // predicate filters inside each bucket. One hot user (a bot at 100 TB)
+    // now fans out across time buckets instead of producing a single
+    // unbounded quadratic task; the worst task is O((rows in 10 min)^2)
+    // per user, not O((rows ever)^2).
     "q_join_range_events" -> ((s, dir) => {
       import s.implicits._
+      val bandMicros = 600000000L // 10 min in microseconds
       val e = Tables(s, dir, "events")
-        .select($"event_id", $"ts", $"user_id", $"event_type")
-      val a = e.select($"event_id".as("a_id"), $"ts".as("a_ts"), $"user_id".as("a_user"))
+        .select($"event_id", $"ts", $"user_id", $"event_type",
+          (unix_micros($"ts") / bandMicros).cast("long").as("bucket"))
+      val a = e.select($"event_id".as("a_id"), $"ts".as("a_ts"), $"user_id".as("a_user"),
+          explode(array($"bucket", $"bucket" + 1)).as("a_bucket"))
       val b = e.select($"event_id".as("b_id"), $"ts".as("b_ts"), $"user_id".as("b_user"),
-        $"event_type".as("b_type"))
+        $"event_type".as("b_type"), $"bucket".as("b_bucket"))
       a.join(b,
           $"a_user" === $"b_user" &&
+          $"a_bucket" === $"b_bucket" &&
           $"b_ts" > $"a_ts" &&
           $"b_ts" <= $"a_ts" + expr("INTERVAL 10 MINUTES"))
         .groupBy($"a_user")
@@ -158,12 +175,12 @@ object JoinQueries extends graft.QueryModule {
   def oracle: Map[String, String] = Map(
     "q_join_orders_lineitem" ->
       """SELECT o_orderstatus,
-        |  CAST(SUM(CAST(revenue AS decimal(30,4))) AS double) AS sum_revenue,
+        |  CAST(SUM(revenue) AS double) AS sum_revenue,
         |  SUM(n_lines) AS n_lines,
         |  COUNT(1) AS n_orders
         |FROM orders
         |JOIN (SELECT l_orderkey,
-        |        CAST(SUM(CAST(l_extendedprice * (1.0::double - l_discount) AS decimal(30,4))) AS double) AS revenue,
+        |        SUM(CAST(l_extendedprice * (1.0::double - l_discount) AS decimal(30,4))) AS revenue,
         |        COUNT(1) AS n_lines
         |      FROM lineitem GROUP BY l_orderkey) li
         |  ON o_orderkey = l_orderkey
@@ -194,7 +211,8 @@ object JoinQueries extends graft.QueryModule {
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
     "q_join_broadcast_dims" ->
       """SELECT r_name, n_name,

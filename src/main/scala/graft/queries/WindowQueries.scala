@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2 Tier C "Window functions" +
+  * "Sort / limit / top-k": row_number, rank, dense_rank, lag, lead,
+  * running frames with rowsBetween / rangeBetween, per-group top-k).
+  *
+  * Oracle-stability: every window ORDER BY carries a unique tie-breaker
+  * key (SURVEY §7 "nondeterministic orderings") so row_number/lag/lead are
+  * deterministic in both engines.
+  *
+  * Scale design (100 TB): a window is one shuffle on its partition keys
+  * and a per-partition sort — same cost class as a groupBy. The per-group
+  * top-k pattern (row_number <= k) never materializes the global sort
+  * that a naive orderBy().limit() of the raw fact table would; Spark
+  * additionally pushes a per-partition rank limit (WindowGroupLimit) so
+  * each task keeps only k rows per group before the shuffle.
+  */
+object WindowQueries extends graft.QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-group top-k: top 3 customers by balance per market segment.
+    "q_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      Tables(s, dir, "customer")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"c_mktsegment", $"rk", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_mktsegment", $"rk")
+    }),
+
+    // rank vs dense_rank over part price within brand (ties collapse in
+    // dense_rank, gap in rank — both deterministic under ties).
+    "q_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc)
+      Tables(s, dir, "part")
+        .withColumn("price_rank", rank().over(w))
+        .withColumn("price_dense", dense_rank().over(w))
+        .filter($"price_rank" <= 5)
+        .select($"p_brand", $"p_partkey", $"p_retailprice", $"price_rank", $"price_dense")
+        .orderBy($"p_brand", $"price_rank", $"p_partkey")
+    }),
+
+    // lag/lead over per-user event timelines (event_id tie-break).
+    "q_window_lag_lead" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables(s, dir, "events")
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"user_id" % 50 === 0)
+        .select($"user_id", $"event_id", $"event_type", $"value", $"prev_value", $"next_type")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Running frames: cumulative sum (rowsBetween unbounded→current) and a
+    // sliding 30-day count (rangeBetween over epoch seconds) per customer.
+    "q_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val byDate = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last30d = Window.partitionBy($"o_custkey")
+        .orderBy(unix_timestamp($"o_orderdate").asc)
+        .rangeBetween(-30L * 86400, 0)
+      Tables(s, dir, "orders")
+        .filter($"o_custkey" % 100 === 0)
+        .withColumn("running_spend",
+          sum($"o_totalprice".cast("decimal(30,2)")).over(byDate).cast("double"))
+        .withColumn("n_last_30d", count(lit(1)).over(last30d))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend", $"n_last_30d")
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q_window_topk" ->
+      """SELECT c_mktsegment, rk, c_custkey, c_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        |      FROM customer)
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+    "q_window_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice, price_rank, price_dense
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+        |        DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense
+        |      FROM part)
+        |WHERE price_rank <= 5 ORDER BY p_brand, price_rank, p_partkey""".stripMargin,
+    "q_window_lag_lead" ->
+      """SELECT user_id, event_id, event_type, value, prev_value, next_type
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |        LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+        |        LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+        |      FROM events)
+        |WHERE user_id % 50 = 0 ORDER BY user_id, event_id""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_spend,
+        |  COUNT(1) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_last_30d
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+}
