@@ -17,7 +17,8 @@ object SparkEntry {
     _root_.graft.queries.UpsertQueries,
     _root_.graft.queries.WindowQueries,
     _root_.graft.queries.SetOpQueries,
-    _root_.graft.queries.FunctionQueries)
+    _root_.graft.queries.FunctionQueries,
+    _root_.graft.queries.OpsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,103 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import graft.Tables
+import graft.ops.{CsvIO, QueryCatalog, Retention, Sanitize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked entries for the dataflow-operator layer: sanitize chain
+  * (A3/A4), pipe-CSV staged load (A5/B4), retention predicate (A9), and
+  * the named-query registry (B5).
+  */
+object OpsQueries extends graft.QueryModule {
+
+  // Dirty suffix exercising every sanitize step: comma, quote, slash,
+  // backslash, newline, and non-ASCII (é, emdash). Built identically in
+  // the oracle SQL from chr() codes.
+  private val dirtySuffix = ", it's a/b\\c\nxé—z"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3 chain + A4 filename normalize over derived dirty strings.
+    "q_sanitize_chain" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "part")
+        .filter($"p_partkey" % 40 === 0)
+        .select(
+          $"p_partkey",
+          Sanitize.cell(concat($"p_name", lit(dirtySuffix))).as("clean"),
+          Sanitize.fileNamePrefix(concat($"p_name", lit(" file-2024.xlsx"))).as("fname"))
+        .orderBy($"p_partkey")
+    }),
+
+    // B4 staged load: write a pipe-CSV, read it back with the TARGET's
+    // schema (LIKE target), aggregate — proves the interchange format is
+    // value-stable for strings, doubles, and timestamps.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "orders").filter($"o_orderkey" % 10 === 0)
+      val tmp = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
+      CsvIO.writePipe(src, tmp)
+      CsvIO.readBorrowed(s, tmp, src)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"o_orderdate").as("min_date"),
+          max($"o_orderdate").as("max_date"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // A9 retention predicate over synthesized container names with a FIXED
+    // `today` (1995-06-01, daydiff 0 → stamps in [19950402000000,
+    // 19950601999999]) so the result is deterministic.
+    "q_retention_predicate" -> ((s, dir) => {
+      import s.implicits._
+      val names = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderdate",
+          concat(lit("hdi-ls1-df1-"), date_format($"o_orderdate", "yyyyMMddHHmmss")).as("cname"))
+      names
+        .withColumn("matched",
+          Retention.matches($"cname", "ls1", "df1", 0, LocalDate.of(1995, 6, 1)))
+        .groupBy(year($"o_orderdate").as("y"))
+        .agg(count(lit(1)).as("n_names"),
+          sum(when($"matched", 1L).otherwise(0L)).as("n_matched"))
+        .orderBy($"y")
+    }),
+
+    // B5: run a registered named statement through the catalog's views.
+    "q_named_query" -> ((s, dir) =>
+      QueryCatalog.run(s, dir, "revenue_by_nation")))
+
+  def oracle: Map[String, String] = Map(
+    "q_sanitize_chain" ->
+      """SELECT p_partkey,
+        |  regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      p_name || ',' || ' it' || chr(39) || 's a/b' || chr(92) || 'c' || chr(10) || 'x' || chr(233) || chr(8212) || 'z',
+        |      ',', ''), chr(39), ''), chr(10), ' '), chr(92), ' '), '/', '-'),
+        |    '[^\x00-\x7F]', '', 'g') AS clean,
+        |  regexp_replace(p_name || ' file-2024.xlsx', '[^A-Za-z0-9]+', '', 'g') AS fname
+        |FROM part WHERE p_partkey % 40 = 0 ORDER BY p_partkey""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(1) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(o_orderdate) AS min_date,
+        |  MAX(o_orderdate) AS max_date
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_retention_predicate" ->
+      """SELECT CAST(year(o_orderdate) AS int) AS y, COUNT(1) AS n_names,
+        |  SUM(CASE WHEN CAST(regexp_extract(strftime(o_orderdate, '%Y%m%d%H%M%S'), '\d{14}', 0) AS bigint)
+        |             BETWEEN 19950402000000 AND 19950601999999
+        |           THEN 1 ELSE 0 END) AS n_matched
+        |FROM orders GROUP BY year(o_orderdate) ORDER BY y""".stripMargin,
+    "q_named_query" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0::double - l_discount) AS decimal(30,4))) AS double) AS revenue,
+        |  COUNT(1) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+}
