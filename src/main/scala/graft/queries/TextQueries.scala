@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline text operators over `documents` (SURVEY north-star +
+  * builder mandate): exact dedup, corpus stats, language-ID, quality
+  * scoring, token counting, fingerprinting. All oracle-checked — the
+  * DuckDB SQL reproduces every hash/fold bit-for-bit (md5-derived hashes,
+  * sequential integer folds).
+  */
+object TextQueries extends graft.QueryModule {
+
+  /** documents ∪ a shifted copy of itself — gives exact dedup real
+    * duplicates to collapse (the raw table is all-unique by construction).
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+    d.unionByName(d.withColumn("doc_id", $"doc_id" + 100000L))
+  }
+
+  private val duckNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val duckToks = s"string_split($duckNorm, ' ')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash + deterministic representative; per-lang
+    // input vs kept counts (2x input collapses back to 1x).
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = dupCorpus(s, dir)
+      val kept = Dedup.exact(corpus, "text", "doc_id")
+      corpus.groupBy($"lang").agg(count(lit(1)).as("n_input"))
+        .join(kept.groupBy($"lang").agg(count(lit(1)).as("n_kept")), Seq("lang"))
+        .orderBy($"lang")
+    }),
+
+    // Corpus stats: per (lang, 100-char length bucket) doc counts + mean
+    // length — the length-histogram shape of a data-quality dashboard.
+    "q_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .groupBy($"lang", floor($"n_chars" / 100).as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum($"n_chars").cast("double") / count(lit(1))).as("mean_chars"))
+        .orderBy($"lang", $"len_bucket")
+    }),
+
+    // Language-ID heuristic vs the labeled lang: confusion counts.
+    "q_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"lang", TextOps.langId($"text").as("predicted"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish pre-tokenizer count.
+    "q_token_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 25 === 0)
+        .select($"doc_id",
+          size(TextOps.tokens($"text")).as("n_ws_tokens"),
+          TextOps.bpeTokenCount($"text").as("n_bpe_tokens"),
+          length(TextOps.norm($"text")).as("n_norm_chars"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality-score components + fixed linear composite.
+    "q_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 25 === 0)
+        .select($"doc_id",
+          TextOps.punctRatio($"text").as("punct_ratio"),
+          TextOps.stopRatio($"text").as("stop_ratio"),
+          TextOps.meanTokenLen($"text").as("mean_tok_len"),
+          TextOps.qualityScore($"text").as("score"))
+        .orderBy($"doc_id")
+    }),
+
+    // Fingerprints: rolling token-hash fold + min/max shingle hashes.
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextOps.tokens($"text")
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 25 === 0)
+        .select($"doc_id",
+          TextOps.rollingFingerprint(toks).as("rolling_fp"),
+          array_min(transform(TextOps.shingles3(toks), sh => md5(sh))).as("min_shingle"),
+          array_max(transform(TextOps.shingles3(toks), sh => md5(sh))).as("max_shingle"))
+        .orderBy($"doc_id")
+    }))
+
+  private val stopAll = TextOps.StopWords.values.flatten.toSeq
+    .map(w => s"'$w'").mkString(", ")
+  private def stopList(l: String) = TextOps.StopWords(l).map(w => s"'$w'").mkString(", ")
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH corpus AS (
+         |  SELECT * FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents
+         |),
+         |kept AS (
+         |  SELECT lang FROM (
+         |    SELECT c.lang, ROW_NUMBER() OVER (
+         |      PARTITION BY md5($duckNorm) ORDER BY doc_id ASC) AS rn
+         |    FROM corpus c) WHERE rn = 1
+         |)
+         |SELECT i.lang, i.n_input, k.n_kept
+         |FROM (SELECT lang, COUNT(1) AS n_input FROM corpus GROUP BY lang) i
+         |JOIN (SELECT lang, COUNT(1) AS n_kept FROM kept GROUP BY lang) k USING (lang)
+         |ORDER BY lang""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, CAST(FLOOR(n_chars / 100) AS bigint) AS len_bucket,
+        |  COUNT(1) AS n_docs,
+        |  CAST(SUM(n_chars) AS double) / COUNT(1) AS mean_chars
+        |FROM documents GROUP BY lang, FLOOR(n_chars / 100)
+        |ORDER BY lang, len_bucket""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    CAST(len(list_filter($duckToks, t -> t IN (${stopList("en")}))) AS int) AS h_en,
+         |    CAST(len(list_filter($duckToks, t -> t IN (${stopList("es")}))) AS int) AS h_es,
+         |    CAST(len(list_filter($duckToks, t -> t IN (${stopList("de")}))) AS int) AS h_de,
+         |    CAST(len(list_filter($duckToks, t -> t IN (${stopList("fr")}))) AS int) AS h_fr,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk
+         |  FROM documents
+         |)
+         |SELECT lang,
+         |  CASE WHEN cjk THEN 'zh'
+         |       WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+         |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+         |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+         |       WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+         |       ELSE 'fr' END AS predicted,
+         |  COUNT(1) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($duckToks) AS int) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all($duckNorm, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS int) AS n_bpe_tokens,
+         |  CAST(length($duckNorm) AS int) AS n_norm_chars
+         |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(length(regexp_replace($duckNorm, '[a-z0-9 ]', '', 'g')) AS double)
+         |      / CAST(greatest(length($duckNorm), 1) AS double) AS punct_ratio,
+         |    CAST(len(list_filter($duckToks, t -> t IN ($stopAll))) AS double)
+         |      / CAST(greatest(len($duckToks), 1) AS double) AS stop_ratio,
+         |    CAST(list_sum(list_transform($duckToks, t -> length(t))) AS double)
+         |      / CAST(greatest(len($duckToks), 1) AS double) AS mean_tok_len
+         |  FROM documents WHERE doc_id % 25 = 0
+         |)
+         |SELECT doc_id, punct_ratio, stop_ratio, mean_tok_len,
+         |  0.5::double * stop_ratio - 0.3::double * punct_ratio
+         |    + 0.2::double * least(mean_tok_len / 10.0::double, 1.0::double) AS score
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id % 25 = 0
+         |),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+         |  FROM base
+         |)
+         |SELECT b.doc_id,
+         |  list_reduce(
+         |    list_concat([CAST(0 AS bigint)],
+         |      list_transform(b.toks, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS bigint))),
+         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp,
+         |  list_min(list_transform(s.shingles, x -> md5(x))) AS min_shingle,
+         |  list_max(list_transform(s.shingles, x -> md5(x))) AS max_shingle
+         |FROM base b JOIN sh s USING (doc_id) ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.llm.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Near-dup operator behavior on synthetic corpora with known structure. */
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+      (2L, "a completely different document about spark query engines and shuffles", "en"),
+      (3L, "numbers and tables and columns and rows and joins and aggregates here", "en"))
+    // 101-103: near-copies of 1-3 (one token changed); 201: exact copy of 1.
+    val mutated = Seq(
+      (101L, "the quick brown fox jumps over the lazy cat near the river bank", "en"),
+      (102L, "a completely different document about flink query engines and shuffles", "en"),
+      (103L, "numbers and tables and columns and rows and joins and averages here", "en"),
+      (201L, "the quick brown fox jumps over the lazy dog near the river bank", "en"))
+    (base ++ mutated).toDF("doc_id", "text", "lang")
+  }
+
+  test("exact dedup collapses only the exact copy, keeps min id") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+    import spark.implicits._
+    val ids = kept.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 101L, 102L, 103L), "201 collapses into 1")
+  }
+
+  test("minhash-LSH finds the near-dup pairs and not the unrelated ones") {
+    import spark.implicits._
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 201L)), "exact copy must always collide (all bands)")
+    assert(!cands.contains((1L, 2L)) && !cands.contains((2L, 3L)),
+      "unrelated docs must not be candidates")
+    // one-token mutations share most shingles; with 4x4 bands they should
+    // collide with their original
+    assert(cands.contains((1L, 101L)) || cands.contains((3L, 103L)),
+      "at least one near-copy pair must be found")
+  }
+
+  test("simhash: identical docs get identical hashes; near-copies are close") {
+    import spark.implicits._
+    val sh = Dedup.simhash32(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(201L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(101L))
+    assert(hamming <= 10, s"near-copy hamming was $hamming")
+  }
+
+  test("simhashPairs finds exact+near copies within the block") {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", "lang", maxHamming = 10)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 201L)))
+  }
+
+  test("ngram jaccard: exact copy = 1.0, near copy high, unrelated low") {
+    import spark.implicits._
+    val cands = Seq((1L, 201L), (1L, 101L), (1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, cands, "text", "doc_id")
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 201L)) == 1.0)
+    assert(j((1L, 101L)) > 0.3 && j((1L, 101L)) < 1.0)
+    assert(!j.contains((1L, 2L)) || j((1L, 2L)) < 0.1,
+      "unrelated pair should share ~no shingles (absent row = 0 intersection)")
+  }
+
+  test("documents with fewer than 3 tokens never become candidates") {
+    import spark.implicits._
+    val tiny = Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(tiny, "text", "doc_id").count() == 0)
+  }
+}

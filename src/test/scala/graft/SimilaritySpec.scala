@@ -1,0 +1,62 @@
+package graft
+
+import graft.llm.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** ANN recall vs brute force + multimodal plumbing determinism. */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("srpTopK recall@5 vs bruteTopK is usable (> 0.5 on real embeddings)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 5 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(emb, queries, "embedding", "vec_id", 5))
+    val ann = pairs(Similarity.srpTopK(emb, queries, "embedding", "vec_id", 5))
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall@5 was $recall (brute=${brute.size}, hit=${(brute & ann).size})")
+  }
+
+  test("srp bucket key is deterministic and scale-invariant-ish (sign based)") {
+    import spark.implicits._
+    val planes = (0 until 8).map(Similarity.hyperplane(_, 4))
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, -1.0f, 0.5f)),
+      (2L, Array(2.0f, 4.0f, -2.0f, 1.0f)), // 2x scale: same signs
+      (3L, Array(-1.0f, -2.0f, 1.0f, -0.5f))).toDF("id", "v")
+    val keys = df.select($"id",
+        Similarity.srpKey(transform($"v", x => x.cast("double")), planes).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keys(1L) == keys(2L), "positive scaling preserves all projections' signs")
+    assert(keys(1L) != keys(3L), "negation flips every non-zero sign")
+  }
+
+  test("multimodal: pack → batched feature extraction is deterministic and batch-shaped") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val packed = Multimodal.packText(df, "text").repartition(2)
+    val feats = Multimodal.extractFeaturesBatched(packed, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats(1L) == feats(2L), "same bytes → same features")
+    assert(feats(1L) != feats(3L))
+    assert(feats(1L).forall(f => f >= 0.0 && f < 1.0))
+    // stub Column-expression path agrees with the batched path
+    val exprFeats = packed.select($"doc_id", Multimodal.stubFeatures($"content").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(exprFeats(1L) == feats(1L), "expression stub and batched stub must agree")
+  }
+
+  test("frameSample slices n frames of the requested width") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text")
+    val packed = Multimodal.packText(df, "text")
+    val frames = packed.select(Multimodal.frameSample($"content", 4, 3).as("fr"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(frames.length == 4)
+    assert(frames.forall(_.length == 3))
+    assert(new String(frames.head, "UTF-8") == "abc")
+  }
+}
