@@ -1,0 +1,93 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming entries, oracle-checked for batch equivalence: each runs a
+  * real Structured Streaming query (file source → watermark/window/state →
+  * memory sink) to completion with Trigger.AvailableNow over the static
+  * events table, then compares against the equivalent batch SQL in DuckDB.
+  */
+object StreamQueries extends graft.QueryModule {
+
+  // Memory-sink table names must be fresh per invocation (Bench runs each
+  // entry several times in one session).
+  private val runId = new AtomicLong(0)
+  private def fresh(prefix: String): String = s"${prefix}_${runId.incrementAndGet()}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling event-time windows + watermark over a file-source stream.
+    "q_stream_window_counts" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      Streams.runToTable(s, Streams.windowedCounts(stream),
+          fresh("win_counts"), "complete")
+        .select($"win_start", $"event_type", $"n",
+          $"sum_value".cast("double").as("sum_value"))
+        .orderBy($"win_start", $"event_type")
+    }),
+
+    // Session windows (30-min gap) per user over the stream; final
+    // per-user session stats aggregated from the materialized sessions.
+    "q_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      Streams.runToTable(s, Streams.sessionCounts(stream),
+          fresh("sessions"), "complete")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+        .filter($"user_id" % 10 === 0)
+        .orderBy($"user_id")
+    }),
+
+    // Stateful streaming dedup: the stream is the events table UNIONed
+    // with itself (every row duplicated); dropDuplicatesWithinWatermark
+    // must collapse it back to exactly the batch row set.
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val path = Streams.stageAsDir(s"$dir/events.parquet")
+      val doubled = Streams.eventsFileStream(s, path)
+        .union(Streams.eventsFileStream(s, path))
+      Streams.runToTable(s, Streams.dedupWithinWatermark(doubled),
+          fresh("dedup"), "append")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"event_id").as("n_ids"))
+        .orderBy($"event_type")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q_stream_window_counts" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |),
+        |marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ordered
+        |),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked
+        |)
+        |SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(1) AS n_events
+        |FROM sess WHERE user_id % 10 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(1) AS n, COUNT(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

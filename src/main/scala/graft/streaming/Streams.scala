@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2 Tier C "Streaming"): file-source
+  * micro-batch (with the reference's archive semantics, A7), event-time
+  * tumbling windows + watermark, session windows, and stateful dedup
+  * (`dropDuplicatesWithinWatermark`).
+  *
+  * Scale design: state stores are keyed by (group key, window); the
+  * watermark bounds state size — without it a 100 TB stream accretes
+  * unbounded window/dedup state. All aggs here declare watermarks, and the
+  * batch-equivalence of each streaming query is oracle-checked by running
+  * it with `Trigger.AvailableNow` over the static test tables.
+  */
+object Streams {
+
+  /** The raw parquet schema of the events table (ts as int64 nanos — see
+    * Engine.builder's nanosAsLong note).
+    */
+  val EventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The file source requires a DIRECTORY; the test tables are single
+    * parquet files. Stage a file as a one-entry directory of symlinks
+    * under the JVM tmpdir (idempotent, read-only towards the source).
+    */
+  def stageAsDir(file: String): String = {
+    val src = java.nio.file.Paths.get(file)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_${Integer.toHexString(file.hashCode)}")
+    dir.mkdirs()
+    val link = new java.io.File(dir, src.getFileName.toString).toPath
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    dir.getAbsolutePath
+  }
+
+  /** File-source stream over an events-shaped parquet DIRECTORY.
+    * `archiveDir` turns on the reference's archive-after-processing
+    * semantics (A7, `HelperFunction.py:51-60`) via `cleanSource=archive` —
+    * processed files are MOVED under the archive dir by the source
+    * cleaner (asynchronously, after the batch that read them commits).
+    */
+  def eventsFileStream(spark: SparkSession, path: String,
+      archiveDir: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(EventsRawSchema)
+    val r2 = archiveDir.fold(r)(a =>
+      r.option("cleanSource", "archive").option("sourceArchiveDir", a))
+    r2.parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 10-minute event-time windows with a 10-minute watermark:
+    * counts + value sum per (window, event_type).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows per user: 30-minute gap closes a session. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"))
+
+  /** Stateful streaming dedup by event_id within the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming relation to completion over its (finite) source with
+    * `Trigger.AvailableNow`, materializing into an in-memory table;
+    * returns the table as a batch DataFrame. `complete` mode for
+    * aggregations (emits watermark-pending windows too — needed for
+    * batch-equivalence), `append` for row streams.
+    */
+  def runToTable(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String, checkpoint: Option[String] = None): DataFrame = {
+    val w = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

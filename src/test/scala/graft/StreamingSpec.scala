@@ -1,0 +1,106 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics: A7 archive-on-read, watermark late-data drop,
+  * streaming dedup — the stateful machinery SURVEY §7 flags as the risk.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("file source with cleanSource=archive moves processed files (A7 semantics)") {
+    val root = tmpDir("stream-archive")
+    val in = s"$root/in"
+    val archive = s"$root/archive"
+    val checkpoint = s"$root/ckpt"
+    // copy the events parquet into our own input dir (testdata is read-only)
+    new java.io.File(in).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$in/batch1.parquet"))
+    // Keep ONE continuous query alive: the source cleaner archives a
+    // batch's files asynchronously after a later batch commits, on a
+    // thread pool that dies with the query — so poll while it runs.
+    val stream = Streams.eventsFileStream(spark, in, archiveDir = Some(archive))
+    val q = stream.writeStream.format("memory").queryName("archive_test")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("archive_test").count() > 0, "first file must be processed")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"),
+        java.nio.file.Paths.get(s"$in/batch2.parquet"))
+      q.processAllAvailable()
+      def archived: Boolean = {
+        val d = new java.io.File(archive)
+        d.exists() &&
+          java.nio.file.Files.walk(d.toPath).filter(_.toString.endsWith(".parquet")).count() > 0
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (!archived && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(archived, "batch-1 file should be moved under the archive dir")
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append-mode windowed agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val windowed = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+    val q = windowed.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // batch 1: events at 00:05 and 01:00 — watermark advances to 00:50
+    mem.addData((t(5), "a"), (t(60), "a"))
+    q.processAllAvailable()
+    // batch 2: a LATE event at 00:06 (window [00:00,00:10) < watermark) — dropped
+    mem.addData((t(6), "a"))
+    q.processAllAvailable()
+    // batch 3: advance watermark far so all surviving windows emit
+    mem.addData((t(200), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_test")
+      .select($"window.start".cast("string"), $"n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.getOrElse("2020-01-01 00:00:00", 0L) == 1L,
+      s"late event must NOT be added to the closed 00:00 window (got $rows)")
+  }
+
+  test("dropDuplicatesWithinWatermark collapses duplicate event_ids (batch-equivalent)") {
+    val path = Streams.stageAsDir(s"$sf/events.parquet")
+    val doubled = Streams.eventsFileStream(spark, path)
+      .union(Streams.eventsFileStream(spark, path))
+    val got = Streams.runToTable(spark, Streams.dedupWithinWatermark(doubled),
+      "dedup_test", "append")
+    val expect = spark.read.schema(Streams.EventsRawSchema).parquet(path).count()
+    assert(got.count() == expect)
+  }
+
+  test("streaming windowed counts equal the batch computation (complete mode)") {
+    import spark.implicits._
+    val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
+    val streamed = Streams.runToTable(spark, Streams.windowedCounts(stream),
+        "win_batch_eq", "complete")
+      .select($"win_start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = spark.read.schema(Streams.EventsRawSchema)
+      .parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+}
