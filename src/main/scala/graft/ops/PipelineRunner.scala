@@ -1,0 +1,112 @@
+package graft.ops
+
+import java.time.LocalDate
+
+import graft.sources.ExcelSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Four-verb pipeline runner (A13) + error-as-value with step timing
+  * (A14) — the engine's replacement for the reference's HTTP router
+  * (`/root/reference/adffunction/__init__.py:231-307`): `step` param →
+  * `exceltocsv` | `blobtopostgres` | `callstoredproc` | `cleanup`, JSON
+  * body → typed config; `"Error -..."` substring protocol → a real ADT
+  * (`Either[StepError, StepReport]`), wall-time carried in the report
+  * like the reference's `t2-t1` suffix (`__init__.py:106-111`).
+  */
+object PipelineRunner {
+
+  sealed trait StepConfig
+  /** EP1 (`__init__.py:253-267`): Excel folder → sanitized CSV folder. */
+  final case class ExcelToCsv(fromDir: String, toDir: String,
+    sheetList: String = "all") extends StepConfig
+  /** EP2 (`__init__.py:237-251`): pipe-CSV folder → table dir, insert or
+    * upsert (`UpdateType` branch at `__init__.py:166-172`).
+    */
+  final case class LoadTable(fromDir: String, targetTable: String,
+    updateType: String, keys: Seq[String] = Seq.empty) extends StepConfig
+  /** EP3 (`__init__.py:282-293`): named registered query. */
+  final case class CallQuery(tablesDir: String, name: String) extends StepConfig
+  /** 4th verb (`__init__.py:269-280`): retention sweep + work-dir reset. */
+  final case class Cleanup(workDirs: Seq[String], sweepDir: Option[String],
+    linkedService: String = "ls", dataFactory: String = "df",
+    dayDiff: Int = -5, today: LocalDate = LocalDate.now()) extends StepConfig
+
+  final case class StepError(step: String, message: String)
+  final case class StepReport(step: String, durationMs: Long, detail: String)
+
+  def run(spark: SparkSession, config: StepConfig): Either[StepError, StepReport] = {
+    val name = config.getClass.getSimpleName
+    val t0 = System.nanoTime()
+    try {
+      val detail = config match {
+        case c: ExcelToCsv => excelToCsv(spark, c)
+        case c: LoadTable => loadTable(spark, c)
+        case c: CallQuery =>
+          val n = QueryCatalog.run(spark, c.tablesDir, c.name).count()
+          s"query ${c.name} returned $n rows"
+        case c: Cleanup => cleanup(spark, c)
+      }
+      Right(StepReport(name, (System.nanoTime() - t0) / 1000000L, detail))
+    } catch {
+      // A14: every failure becomes a value (`__init__.py:106-113` catches
+      // everything into an "Error -" string; we keep the type).
+      case e: Throwable =>
+        Left(StepError(name, Option(e.getMessage).getOrElse(e.getClass.getName)))
+    }
+  }
+
+  /** EP1: per workbook and sheet, sanitize every cell (A3) and write one
+    * pipe-CSV per sheet named `<normalized-prefix>_<sheet>.csv` (A4/A5,
+    * `HelperFunction.py:30`).
+    */
+  private def excelToCsv(spark: SparkSession, c: ExcelToCsv): String = {
+    val rows = ExcelSource.read(spark, c.fromDir, c.sheetList).cache()
+    try {
+      val sheets = rows.select(col("file"), col("sheet")).distinct().collect()
+      sheets.foreach { r =>
+        val (file, sheet) = (r.getString(0), r.getString(1))
+        // binaryFile paths are URI-ish but may hold raw spaces — take the
+        // basename textually, not via java.net.URI.
+        val prefix = file.substring(file.lastIndexOf('/') + 1)
+          .replaceAll("\\.[^.]*$", "").replaceAll("[^A-Za-z0-9]+", "")
+        val one = rows
+          .filter(col("file") === file && col("sheet") === sheet)
+          .orderBy(col("row_idx"))
+          .select(concat_ws(CsvIO.Sep,
+            transform(col("cells"), cell => Sanitize.cell(cell))).as("line"))
+        one.coalesce(1).write.mode("overwrite")
+          .text(s"${c.toDir}/${prefix}_$sheet.csv")
+      }
+      s"${sheets.length} sheet csv(s) written"
+    } finally { rows.unpersist(); () }
+  }
+
+  /** EP2: schema-borrowed pipe-CSV staged load (B4) then insert (A11) or
+    * upsert (B3) into a parquet table dir.
+    */
+  private def loadTable(spark: SparkSession, c: LoadTable): String = {
+    val target = spark.read.parquet(c.targetTable)
+    val staged = CsvIO.readBorrowed(spark, c.fromDir, target)
+    c.updateType match {
+      case "insert" =>
+        Upsert.append(staged, c.targetTable)
+        s"appended into ${c.targetTable}"
+      case "upsert" =>
+        Upsert.run(spark, c.targetTable, staged, c.keys)
+        s"upserted into ${c.targetTable} on (${c.keys.mkString(",")})"
+      case other =>
+        throw new IllegalArgumentException(s"Error - unknown UpdateType '$other'")
+    }
+  }
+
+  private def cleanup(spark: SparkSession, c: Cleanup): String = {
+    val swept = c.sweepDir.map { dir =>
+      Retention.sweep(FileOps.listFiles(spark, dir), "name",
+        c.linkedService, c.dataFactory, c.dayDiff, c.today)(
+        name => { FileOps.deletePrefix(spark, s"$dir/$name"); () })
+    }.getOrElse(Seq.empty)
+    FileOps.resetWorkDirs(spark, c.workDirs)
+    s"swept ${swept.length} dir(s), reset ${c.workDirs.length} work dir(s)"
+  }
+}

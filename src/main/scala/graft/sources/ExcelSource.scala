@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Excel (.xlsx) multi-sheet source (A1/A2) — re-expresses the reference's
+  * `xls2csv` scan (`/root/reference/SharedCode/HelperFunction.py:9-43`)
+  * Spark-first: files are distributed to executors via the `binaryFile`
+  * source and parsed per-partition with JDK-only primitives (xlsx = zip +
+  * XML; `java.util.zip` + StAX — no external libs). One output row per
+  * sheet row: (file, sheet, row_idx, cells array).
+  *
+  * Sheet selection mirrors A2 exactly: `"all"` → every sheet, else a
+  * comma-split name list (`HelperFunction.py:22-25`).
+  *
+  * Type behavior mirrors the reference's xlrd semantics (§1.2): every
+  * cell surfaces as a string; numeric cells print like Python's
+  * `str(float)` — `1.0`, not `1` (`Double.toString` matches for the
+  * ranges Excel stores) — pinned in ExcelSourceSpec.
+  *
+  * Scale: one task per file (Excel workbooks are small by construction —
+  * the format itself caps out far below partition size); a folder of
+  * thousands of workbooks parallelizes per-file, which is exactly the
+  * reference's unit of work (one blob at a time, `__init__.py:91-104`).
+  */
+object ExcelSource {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("sheet", StringType),
+    StructField("row_idx", IntegerType),
+    StructField("cells", ArrayType(StringType))))
+
+  def read(spark: SparkSession, path: String, sheets: String = "all"): DataFrame = {
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(path)
+      .select(col("path"), col("content"))
+    val enc = org.apache.spark.sql.Encoders.row(Schema)
+    bin.flatMap { r =>
+      val file = r.getString(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      parseWorkbook(bytes, sheets).map { case (sheet, idx, cells) =>
+        Row(file, sheet, idx, cells)
+      }
+    }(enc)
+  }
+
+  /** Sheet-row iterator over one workbook's bytes. */
+  def parseWorkbook(bytes: Array[Byte], sheets: String): Seq[(String, Int, Seq[String])] = {
+    val entries = readZip(bytes)
+    val shared = entries.get("xl/sharedStrings.xml").map(parseSharedStrings).getOrElse(Vector.empty)
+    val rels = entries.get("xl/_rels/workbook.xml.rels").map(parseRels).getOrElse(Map.empty)
+    val sheetDefs = entries.get("xl/workbook.xml").map(parseSheetDefs).getOrElse(Seq.empty)
+    val wanted: Seq[(String, String)] = // (name, zip path)
+      sheetDefs.flatMap { case (name, rid) =>
+        rels.get(rid).map(t => name -> ("xl/" + t.stripPrefix("/xl/").stripPrefix("xl/")))
+      }
+    val selected =
+      if (sheets == "all") wanted
+      else {
+        val want = sheets.split(",").map(_.trim).toSet
+        wanted.filter { case (n, _) => want.contains(n) }
+      }
+    selected.flatMap { case (name, zipPath) =>
+      entries.get(zipPath).toSeq.flatMap { sheetXml =>
+        parseSheet(sheetXml, shared).zipWithIndex.map { case (cells, i) => (name, i, cells) }
+      }
+    }
+  }
+
+  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = mutable.Map[String, Array[Byte]]()
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out(e.getName) = zin.readAllBytes()
+      e = zin.getNextEntry
+    }
+    out.toMap
+  }
+
+  private def xmlReader(bytes: Array[Byte]) = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes), "UTF-8")
+  }
+
+  /** workbook.xml: <sheet name=".." r:id="rIdN"/> in declared order. */
+  private def parseSheetDefs(bytes: Array[Byte]): Seq[(String, String)] = {
+    val r = xmlReader(bytes)
+    val out = mutable.ArrayBuffer[(String, String)]()
+    while (r.hasNext) {
+      if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "sheet") {
+        var name: String = null; var rid: String = null
+        (0 until r.getAttributeCount).foreach { i =>
+          r.getAttributeLocalName(i) match {
+            case "name" => name = r.getAttributeValue(i)
+            case "id" => rid = r.getAttributeValue(i)
+            case _ =>
+          }
+        }
+        if (name != null && rid != null) out += (name -> rid)
+      }
+    }
+    out.toSeq
+  }
+
+  /** workbook.xml.rels: rId → Target (worksheets/sheetN.xml). */
+  private def parseRels(bytes: Array[Byte]): Map[String, String] = {
+    val r = xmlReader(bytes)
+    val out = mutable.Map[String, String]()
+    while (r.hasNext) {
+      if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "Relationship") {
+        var id: String = null; var target: String = null
+        (0 until r.getAttributeCount).foreach { i =>
+          r.getAttributeLocalName(i) match {
+            case "Id" => id = r.getAttributeValue(i)
+            case "Target" => target = r.getAttributeValue(i)
+            case _ =>
+          }
+        }
+        if (id != null && target != null) out(id) = target
+      }
+    }
+    out.toMap
+  }
+
+  /** sharedStrings.xml: ordered <si><t>..</t></si> values. */
+  private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
+    val r = xmlReader(bytes)
+    val out = mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inSi = false
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; sb.clear()
+            case "t" if inSi => inT = true
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
+          sb.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => inSi = false; out += sb.toString
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    out.toVector
+  }
+
+  /** "B3" → 0-based column index (1 for B). */
+  def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+  }
+
+  /** Numeric cell text → the reference's `str(float)` rendering. */
+  private[sources] def renderNumeric(v: String): String = {
+    val d = v.toDouble
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e16) {
+      // Double.toString gives "1.0" like Python str(1.0)
+      d.toString
+    } else d.toString
+  }
+
+  /** worksheet XML → dense rows of string cells (gaps = ""). */
+  private def parseSheet(bytes: Array[Byte], shared: Vector[String]): Seq[Seq[String]] = {
+    val r = xmlReader(bytes)
+    val rows = mutable.ArrayBuffer[Seq[String]]()
+    var cells: mutable.ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    var inIsT = false
+    val v = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => cells = mutable.ArrayBuffer[String]()
+            case "c" =>
+              cellType = ""
+              cellCol = cells.length
+              (0 until r.getAttributeCount).foreach { i =>
+                r.getAttributeLocalName(i) match {
+                  case "r" => cellCol = colIndex(r.getAttributeValue(i))
+                  case "t" => cellType = r.getAttributeValue(i)
+                  case _ =>
+                }
+              }
+            case "v" => inV = true; v.clear()
+            case "t" => inIsT = true; v.clear()
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
+          if (inV || inIsT) v.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" if inV || inIsT =>
+              val raw = v.toString
+              val value = cellType match {
+                case "s" => shared.lift(raw.trim.toInt).getOrElse("")
+                case "str" | "inlineStr" => raw
+                case "b" => if (raw.trim == "1") "True" else "False" // xlrd bool str()
+                case _ => renderNumeric(raw)
+              }
+              while (cells.length < cellCol) cells += ""
+              if (cells.length == cellCol) cells += value else cells(cellCol) = value
+              inV = false; inIsT = false
+            case "row" => rows += cells.toSeq
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    rows.toSeq
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.ops.{CsvIO, PipelineRunner}
+import graft.sources.ExcelSource
+
+/** Excel source (A1/A2) + full EP1→EP2 pipeline: xlsx fixture → sanitized
+  * pipe-CSV → staged upsert into a parquet table, all through the runner's
+  * error-as-value API.
+  */
+class ExcelPipelineSpec extends SparkSpec {
+
+  /** Minimal valid xlsx: 2 sheets, shared strings, numerics, dirty cells. */
+  private def writeXlsx(path: String): Unit = {
+    def sheetXml(rows: Seq[Seq[(String, String)]]): String = {
+      // rows of (type, value): type "s"=shared idx, "n"=numeric, "is"=inline
+      val body = rows.zipWithIndex.map { case (cells, ri) =>
+        val cellXml = cells.zipWithIndex.map { case ((t, v), ci) =>
+          val ref = s"${('A' + ci).toChar}${ri + 1}"
+          t match {
+            case "s" => s"""<c r="$ref" t="s"><v>$v</v></c>"""
+            case "is" => s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+            case _ => s"""<c r="$ref"><v>$v</v></c>"""
+          }
+        }.mkString
+        s"<row r=\"${ri + 1}\">$cellXml</row>"
+      }.mkString
+      s"""<?xml version="1.0" encoding="UTF-8"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>"""
+    }
+    val shared = Seq("k", "s", "v", "alpha, one", "beta'two", "gamma/three")
+    val sharedXml =
+      """<?xml version="1.0" encoding="UTF-8"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        shared.map(s => s"<si><t>$s</t></si>").mkString + "</sst>"
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="data" sheetId="1" r:id="rId1"/><sheet name="extra" sheetId="2" r:id="rId2"/></sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>"""
+    val sheet1 = sheetXml(Seq(
+      Seq(("s", "0"), ("s", "1"), ("s", "2")),            // header k|s|v
+      Seq(("n", "1"), ("s", "3"), ("n", "10.5")),          // 1.0|alpha, one|10.5
+      Seq(("n", "2"), ("s", "4"), ("n", "20")),            // 2.0|beta'two|20.0
+      Seq(("n", "4"), ("is", "deltaéx"), ("n", "40")))) // non-ascii é dropped
+    val sheet2 = sheetXml(Seq(Seq(("s", "5"), ("n", "3.25"))))
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml", workbook)
+    put("xl/_rels/workbook.xml.rels", rels)
+    put("xl/sharedStrings.xml", sharedXml)
+    put("xl/worksheets/sheet1.xml", sheet1)
+    put("xl/worksheets/sheet2.xml", sheet2)
+    zos.close()
+  }
+
+  test("ExcelSource reads sheets, shared strings, numerics as str(float), sheet selector") {
+    import spark.implicits._
+    val dir = tmpDir("xlsx")
+    writeXlsx(s"$dir/My Book-2024.xlsx")
+    val all = ExcelSource.read(spark, dir, "all")
+    assert(all.select($"sheet").distinct().collect().map(_.getString(0)).toSet ==
+      Set("data", "extra"))
+    val rows = all.filter($"sheet" === "data").orderBy($"row_idx")
+      .select($"cells").collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("k", "s", "v"))
+    assert(rows(1) == Seq("1.0", "alpha, one", "10.5"), "ints render as 1.0 like str(float)")
+    assert(rows(2) == Seq("2.0", "beta'two", "20.0"))
+    assert(rows(3) == Seq("4.0", "deltaéx", "40.0"))
+    val one = ExcelSource.read(spark, dir, "extra")
+    assert(one.select($"sheet").distinct().collect().map(_.getString(0)).toSeq == Seq("extra"))
+  }
+
+  test("colIndex: A=0, Z=25, AA=26, AB27") {
+    assert(ExcelSource.colIndex("A1") == 0)
+    assert(ExcelSource.colIndex("Z9") == 25)
+    assert(ExcelSource.colIndex("AA3") == 26)
+    assert(ExcelSource.colIndex("AB12") == 27)
+  }
+
+  test("EP1 excelToCsv: sanitized pipe-CSV per sheet with normalized names") {
+    val root = tmpDir("ep1")
+    val in = s"$root/in"; val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    writeXlsx(s"$in/My Book-2024.xlsx")
+    val res = PipelineRunner.run(spark, PipelineRunner.ExcelToCsv(in, out))
+    assert(res.isRight, s"step failed: $res")
+    val dataCsv = new java.io.File(s"$out/MyBook2024_data.csv")
+    assert(dataCsv.exists(), "A4-normalized prefix + sheet name")
+    val lines = spark.read.text(dataCsv.getAbsolutePath)
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(lines.contains("1.0|alpha one|10.5"), s"sanitize must strip the comma: $lines")
+    assert(lines.contains("2.0|betatwo|20.0"), "quote stripped")
+    assert(lines.contains("4.0|deltax|40.0"), "non-ascii dropped")
+  }
+
+  test("EP1 → EP2: csv staged-load upserts into a parquet table; errors are values") {
+    import spark.implicits._
+    val root = tmpDir("ep2")
+    val table = s"$root/table"
+    Seq((1.0, "old", 1.5), (9.0, "keep", 9.5)).toDF("k", "s", "v")
+      .write.parquet(table)
+    // stage a pipe csv matching the table's schema
+    val csvDir = s"$root/csv"
+    CsvIO.writePipe(Seq((1.0, "new", 2.5), (4.0, "ins", 4.5)).toDF("k", "s", "v"), csvDir)
+    val res = PipelineRunner.run(spark,
+      PipelineRunner.LoadTable(csvDir, table, "upsert", Seq("k")))
+    assert(res.isRight, s"step failed: $res")
+    val got = spark.read.parquet(table).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1.0, "new", 2.5), (4.0, "ins", 4.5), (9.0, "keep", 9.5)))
+    // unknown verb → Left, not an exception (A14)
+    val bad = PipelineRunner.run(spark, PipelineRunner.LoadTable(csvDir, table, "truncate"))
+    assert(bad.isLeft)
+    assert(bad.swap.toOption.get.message.startsWith("Error -"))
+  }
+}
