@@ -45,13 +45,29 @@ object Dedup {
   /** Long-form MinHash signature: one row per (id, seed) with the min
     * seeded-md5 over the document's 3-gram shingles. Docs with < 3 tokens
     * produce no rows (no shingles → no signature → never a candidate).
+    *
+    * One-pass plan: the k mins are k conditional aggregates over a SINGLE
+    * scan of the (id, shingle) rows — k·shingles hashes but no k× row
+    * blowup, and Catalyst's partial aggregation collapses to one row per
+    * doc map-side, so the shuffle carries docs, not docs×shingles×k.
+    * (The naive explode-seeds plan shuffled 16× the shingle volume — at
+    * 100 TB that is the whole job's cost.) The wide row is then unpivoted
+    * with stack() for the band layer.
     */
   def minhashSignature(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Tokens are materialized in their own projection so the shingle
+    // transform's element_at calls hit a bound array attribute — inlining
+    // the split/regex tree would re-run it per element (see TextOps).
     val sh = docs
-      .select(col(idCol), explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
-    sh.select(col(idCol), col("sh"), explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat(lit("s"), col("seed"), lit("|"), col("sh")))).as("mh"))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(TextOps.shingles3(col("__toks"))).as("sh"))
+    val mins = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"s$i|"), col("sh")))).as(s"mh$i"))
+    val stackExpr =
+      s"stack($NumHashes, ${(0 until NumHashes).map(i => s"$i, mh$i").mkString(", ")}) AS (seed, mh)"
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), expr(stackExpr))
   }
 
   /** Band keys: md5 over the band's `RowsPerBand` ordered minhashes. */
@@ -109,29 +125,31 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over DISTINCT
-    * 3-gram shingles. `candidates` must have (id_a, id_b).
+    * 3-gram shingles. `candidates` must have (id_a, id_b); pairs with an
+    * empty intersection (or a missing / shingle-less doc) are dropped.
+    *
+    * Plan: each doc's distinct shingle set stays an ARRAY — two id-keyed
+    * equi-joins attach both sets to each pair, and `array_intersect` does
+    * the set math per row. Cost is linear in candidate volume, the join
+    * keys are always doc ids (a shingle shared by millions of docs never
+    * becomes a join key, let alone a hot one), and there is no explode:
+    * the exploded shingle⋈shingle alternative is quadratic per common
+    * shingle — a scale-killer at 100 TB.
     */
   def ngramJaccard(docs: DataFrame, candidates: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    val sets = docs.select(col(idCol),
-      explode(array_distinct(TextOps.shingles3(TextOps.tokens(col(textCol))))).as("sh"))
-    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    // Restrict the shingle-shingle join to docs that appear in a candidate
-    // pair BEFORE joining — the explosion is bounded by candidate volume,
-    // not corpus volume (candidates are the LSH output: tiny at 100 TB).
-    val setsA = sets
-      .join(candidates.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_semi")
-      .select(col(idCol).as("id_a"), col("sh"))
-    val setsB = sets
-      .join(candidates.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
-      .select(col(idCol).as("id_b"), col("sh"))
-    val inter = setsA.join(setsB, Seq("sh"))
-      .join(candidates, Seq("id_a", "id_b"), "left_semi")
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+    val sets = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        array_distinct(TextOps.shingles3(col("__toks"))).as("shs"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("bigint").as("n_inter"),
+        size(col("shs_a")).cast("bigint").as("n_a"),
+        size(col("shs_b")).cast("bigint").as("n_b"))
+      .filter(col("n_inter") > 0)
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
   }

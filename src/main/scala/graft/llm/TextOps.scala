@@ -27,6 +27,15 @@ object TextOps {
   /** Word-level 3-gram shingles (empty array when < 3 tokens). Element
     * access is 1-based `element_at` to mirror 1-based list indexing in the
     * oracle SQL.
+    *
+    * PERF CONTRACT: pass a *materialized* array column (project
+    * `tokens(...)` into its own column first), never the raw
+    * `tokens(text)` expression tree. The transform lambda references
+    * `toks` ~3×|shingles| times per row; a bound attribute makes each
+    * reference an O(1) array read, while an inlined split/regex tree is
+    * re-evaluated on every reference — ~150 regex runs per row, a
+    * measured 30× slowdown (and CollapseProject will not merge the
+    * guard projection precisely because the reference is non-cheap).
     */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,

@@ -86,13 +86,15 @@ object TextQueries extends graft.QueryModule {
     // Fingerprints: rolling token-hash fold + min/max shingle hashes.
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val toks = TextOps.tokens($"text")
       Tables(s, dir, "documents")
         .filter($"doc_id" % 25 === 0)
+        // tokens and shingles each bound once per row (TextOps perf contract)
+        .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+        .select($"doc_id", $"__toks", TextOps.shingles3($"__toks").as("__shs"))
         .select($"doc_id",
-          TextOps.rollingFingerprint(toks).as("rolling_fp"),
-          array_min(transform(TextOps.shingles3(toks), sh => md5(sh))).as("min_shingle"),
-          array_max(transform(TextOps.shingles3(toks), sh => md5(sh))).as("max_shingle"))
+          TextOps.rollingFingerprint($"__toks").as("rolling_fp"),
+          array_min(transform($"__shs", sh => md5(sh))).as("min_shingle"),
+          array_max(transform($"__shs", sh => md5(sh))).as("max_shingle"))
         .orderBy($"doc_id")
     }))
 
