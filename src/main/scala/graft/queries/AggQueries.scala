@@ -162,9 +162,14 @@ object AggQueries extends graft.QueryModule {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_count_distinct" ->
+      // The CASE guard pins Spark's multi-column NULL semantics (a row with
+      // ANY null key is skipped) instead of relying on null-free testdata:
+      // DuckDB's bare (a, b) struct is non-null when one field is null and
+      // would be counted.
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
-        |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+        |  COUNT(DISTINCT CASE WHEN l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+        |                      THEN (l_suppkey, l_partkey) END) AS n_supp_part,
         |  COUNT(1) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_string_agg" ->

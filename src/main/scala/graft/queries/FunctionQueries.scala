@@ -101,6 +101,22 @@ object FunctionQueries extends graft.QueryModule {
         .orderBy($"token")
     }),
 
+    // Map fns (C12): from_json → map<string,string>, map_keys/map_values
+    // with sorted-key determinism (JSON key order is a parser detail —
+    // never hash-compare on it), dynamic element_at lookup.
+    "q_map_fns" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{MapType, StringType}
+      Tables(s, dir, "events")
+        .filter($"event_id" % 20 === 0)
+        .select($"event_id", from_json($"props", MapType(StringType, StringType)).as("m"))
+        .select($"event_id",
+          sort_array(map_keys($"m")).as("ks"),
+          transform(sort_array(map_keys($"m")), k => element_at($"m", k)).as("vs"),
+          size($"m").as("n_keys"))
+        .orderBy($"event_id")
+    }),
+
     // Array scalar fns over the same token arrays: size / array_contains /
     // element_at (1-based in both Spark and DuckDB lists).
     "q_array_fns" -> ((s, dir) => {
@@ -158,6 +174,13 @@ object FunctionQueries extends graft.QueryModule {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |      FROM documents WHERE doc_id % 50 = 0)
         |GROUP BY token ORDER BY token""".stripMargin,
+    "q_map_fns" ->
+      """SELECT event_id,
+        |  list_sort(json_keys(props)) AS ks,
+        |  list_transform(list_sort(json_keys(props)),
+        |                 k -> json_extract_string(props, '$.' || k)) AS vs,
+        |  CAST(len(json_keys(props)) AS int) AS n_keys
+        |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
     "q_array_fns" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS int) AS n_tokens,

@@ -97,6 +97,21 @@ object JoinQueries extends graft.QueryModule {
         .orderBy($"c_nationkey")
     }),
 
+    // Right outer join: every customer kept from the right side, orders
+    // (filtered to a status so some customers have no match) nulled out.
+    // Catalyst canonicalizes right⟷left, so this pins the API surface and
+    // the null-side semantics, not a distinct physical plan.
+    "q_join_right" -> ((s, dir) => {
+      import s.implicits._
+      val finished = Tables(s, dir, "orders").filter($"o_orderstatus" === "F")
+      finished
+        .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey", "right")
+        .groupBy($"c_mktsegment")
+        .agg(count($"o_orderkey").as("n_finished_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // Left anti join — THE reference idiom (PGHelperFunction.py:26-30
     // models non-PK discovery as LEFT JOIN ... WHERE right IS NULL; its
     // upsert insert-branch at :54-56 is the same shape): customers with
@@ -208,6 +223,13 @@ object JoinQueries extends graft.QueryModule {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_mktsegment,
+        |  COUNT(o_orderkey) AS n_finished_orders,
+        |  COUNT(1) AS n_rows
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer

@@ -77,6 +77,23 @@ object WindowQueries extends graft.QueryModule {
         .withColumn("n_last_30d", count(lit(1)).over(last30d))
         .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend", $"n_last_30d")
         .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
+    // first/last over an explicit whole-partition frame: each order next to
+    // its customer's first and most recent order date (frame must be
+    // unbounded-unbounded — last_value's default frame stops at CURRENT ROW
+    // in both engines, a classic silent-wrong-answer without it).
+    "q_window_first_last" -> ((s, dir) => {
+      import s.implicits._
+      val full = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .filter($"o_custkey" % 100 === 0)
+        .withColumn("first_date", first($"o_orderdate").over(full))
+        .withColumn("last_date", last($"o_orderdate").over(full))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"first_date", $"last_date")
+        .orderBy($"o_custkey", $"o_orderkey")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -110,5 +127,15 @@ object WindowQueries extends graft.QueryModule {
         |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_last_30d
         |FROM orders WHERE o_custkey % 100 = 0
-        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_window_first_last" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  FIRST_VALUE(o_orderdate) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_date,
+        |  LAST_VALUE(o_orderdate) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_date
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }
