@@ -17,6 +17,7 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -27,9 +27,13 @@ object Similarity {
   /** Promote a float array to double. */
   private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two double arrays. Dispatches to the
+    * native codegen'd `graft_dot` expression (see
+    * [[graft.functions.ArrayDotProduct]]) — identical fold order and null
+    * semantics to `aggregate(zip_with(a, b, _ * _), 0d, _ + _)`, without
+    * the per-pair intermediate array.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
@@ -68,11 +72,13 @@ object Similarity {
       u.toDouble / 2147483648.0 - 1.0
     }
 
-  /** SRP bucket key: H sign bits packed into a long. */
+  /** SRP bucket key: H sign bits packed into a long. Each hyperplane
+    * projection is a dot product against a literal plane — same native
+    * `graft_dot` as the scorer.
+    */
   def srpKey(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (pl, i) =>
-      val proj = aggregate(
-        zip_with(v, typedlit(pl.toSeq), (x, p) => x * p), lit(0d), (acc, t) => acc + t)
+      val proj = dot(v, typedlit(pl.toSeq))
       when(proj > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 

@@ -10,13 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  // Derives from Engine.builder so the canonical knobs AND the injected
+  // native functions (GraftExtensions) are present, with small core /
+  // partition counts (specs test semantics, not throughput).
+  lazy val spark: SparkSession = Engine.builder(cores = "4")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   override def afterAll(): Unit = {
