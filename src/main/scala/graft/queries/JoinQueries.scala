@@ -97,6 +97,20 @@ object JoinQueries extends graft.QueryModule {
         .orderBy($"c_nationkey")
     }),
 
+    // Salted skew join (graft.ops.Skew): events (big, skewed user_id) ⋈
+    // customer dim, salt=16. The oracle is the PLAIN join — salting is a
+    // physical rewrite and must be result-identical; this entry proves it.
+    "q_join_salted_skew" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Tables(s, dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      graft.ops.Skew.saltedJoin(Tables(s, dir, "events"), dim, "user_id", 16)
+        .groupBy($"c_mktsegment", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_value"))
+        .orderBy($"c_mktsegment", $"event_type")
+    }),
+
     // Right outer join: every customer kept from the right side, orders
     // (filtered to a status so some customers have no match) nulled out.
     // Catalyst canonicalizes right⟷left, so this pins the API surface and
@@ -223,6 +237,12 @@ object JoinQueries extends graft.QueryModule {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_join_salted_skew" ->
+      """SELECT c_mktsegment, event_type, COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     "q_join_right" ->
       """SELECT c_mktsegment,
         |  COUNT(o_orderkey) AS n_finished_orders,
