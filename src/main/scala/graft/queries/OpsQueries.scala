@@ -65,6 +65,26 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"y")
     }),
 
+    // C2 partitioned sink: write partitionBy(l_returnflag), read back
+    // through a partition-filtered scan — the filter prunes directories
+    // (PartitionFilters in the scan node, zero IO for other partitions),
+    // which is THE layout lever for 100 TB fact tables.
+    "q_partitioned_write" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "lineitem").filter($"l_orderkey" % 10 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+          $"l_quantity", $"l_extendedprice")
+      val tmp = sys.props("java.io.tmpdir") + "/graft_partitioned_write"
+      src.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter($"l_returnflag" === "R")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(30,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // B5: run a registered named statement through the catalog's views.
     "q_named_query" -> ((s, dir) =>
       QueryCatalog.run(s, dir, "revenue_by_nation")))
@@ -92,6 +112,12 @@ object OpsQueries extends graft.QueryModule {
         |             BETWEEN 19950402000000 AND 19950601999999
         |           THEN 1 ELSE 0 END) AS n_matched
         |FROM orders GROUP BY year(o_orderdate) ORDER BY y""".stripMargin,
+    "q_partitioned_write" ->
+      """SELECT l_returnflag, COUNT(1) AS n,
+        |  CAST(SUM(CAST(l_quantity AS decimal(30,2))) AS double) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS decimal(30,2))) AS double) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 10 = 0 AND l_returnflag = 'R'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_named_query" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0::double - l_discount) AS decimal(30,4))) AS double) AS revenue,
