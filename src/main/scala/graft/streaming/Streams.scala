@@ -91,16 +91,32 @@ object Streams {
     * returns the table as a batch DataFrame. `complete` mode for
     * aggregations (emits watermark-pending windows too — needed for
     * batch-equivalence), `append` for row streams.
+    *
+    * `statePartitions` sets the stateful operators' partition count (via
+    * `spark.sql.shuffle.partitions` at query start — that is the knob
+    * Structured Streaming reads; it is then PINNED by the checkpoint for
+    * the query's lifetime). It is a deliberate, separate dial from the
+    * batch shuffle width: state partition count should track state VOLUME
+    * (keys × window span) and executor count at deploy time — each extra
+    * partition costs a state-store instance with per-batch delta/commit IO,
+    * which dominates when state is small, and bounds max parallelism when
+    * state is large. Choose it before first deploy; changing it later
+    * means a new checkpoint.
     */
   def runToTable(spark: SparkSession, stream: DataFrame, name: String,
-      outputMode: String, checkpoint: Option[String] = None): DataFrame = {
-    val w = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
-    q.awaitTermination()
+      outputMode: String, checkpoint: Option[String] = None,
+      statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val w = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+      val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
