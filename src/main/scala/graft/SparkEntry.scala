@@ -23,7 +23,8 @@ object SparkEntry {
     _root_.graft.queries.NearDupQueries,
     _root_.graft.queries.SimilarityQueries,
     _root_.graft.queries.StreamQueries,
-    _root_.graft.queries.UdfQueries)
+    _root_.graft.queries.UdfQueries,
+    _root_.graft.queries.TypedQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
