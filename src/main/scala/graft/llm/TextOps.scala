@@ -52,10 +52,17 @@ object TextOps {
     * lookahead (RE2-compatible so the oracle matches): runs of letters,
     * runs of digits, runs of other non-space chars, each with an optional
     * leading space.
+    *
+    * PERF CONTRACT (applies to every `…OfNorm`/`…OfToks` variant below):
+    * pass MATERIALIZED `norm`/`tokens` columns, projected once per row —
+    * the text-based convenience forms inline the normalize/split tree into
+    * every reference, so a projection computing several stats re-runs the
+    * regex per stat per row (see `shingles3`'s note; same failure mode).
     */
   val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
-  def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(norm(text), lit(BpePattern), lit(0)))
+  def bpeCountOfNorm(normText: Column): Column =
+    size(regexp_extract_all(normText, lit(BpePattern), lit(0)))
+  def bpeTokenCount(text: Column): Column = bpeCountOfNorm(norm(text))
 
   /** n-gram-heuristic language ID: CJK chars → zh, else the language with
     * the most stop-token hits (ties broken by fixed priority en > es > de
@@ -72,42 +79,44 @@ object TextOps {
   def stopHits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isin(StopWords(lang): _*)))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langIdOf(rawText: Column, toks: Column): Column = {
     val hits = StopWords.keys.toSeq.sorted.map(l => l -> stopHits(toks, l)).toMap
     val best = greatest(hits.values.toSeq: _*)
-    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+    when(rawText.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
       .when(best === 0, lit("und"))
       .when(hits("en") === best, lit("en"))
       .when(hits("es") === best, lit("es"))
       .when(hits("de") === best, lit("de"))
       .otherwise(lit("fr"))
   }
+  def langId(text: Column): Column = langIdOf(text, tokens(text))
 
   /** Quality-score components (length, punctuation ratio, stopword ratio,
     * mean token length) and a fixed linear composite. Ratios are double
     * divisions of integer counts — bit-identical across engines.
     */
-  def punctRatio(text: Column): Column =
-    length(regexp_replace(norm(text), "[a-z0-9 ]", "")).cast("double") /
-      greatest(length(norm(text)), lit(1)).cast("double")
+  def punctRatioOfNorm(normText: Column): Column =
+    length(regexp_replace(normText, "[a-z0-9 ]", "")).cast("double") /
+      greatest(length(normText), lit(1)).cast("double")
+  def punctRatio(text: Column): Column = punctRatioOfNorm(norm(text))
 
-  def stopRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopRatioOfToks(toks: Column): Column = {
     val all = StopWords.values.flatten.toSeq
     size(filter(toks, t => t.isin(all: _*))).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
   }
+  def stopRatio(text: Column): Column = stopRatioOfToks(tokens(text))
 
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLenOfToks(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
-  }
+  def meanTokenLen(text: Column): Column = meanTokenLenOfToks(tokens(text))
 
+  def qualityScoreOf(normText: Column, toks: Column): Column =
+    lit(0.5) * stopRatioOfToks(toks) - lit(0.3) * punctRatioOfNorm(normText) +
+      lit(0.2) * least(meanTokenLenOfToks(toks) / lit(10.0), lit(1.0))
   def qualityScore(text: Column): Column =
-    lit(0.5) * stopRatio(text) - lit(0.3) * punctRatio(text) +
-      lit(0.2) * least(meanTokenLen(text) / lit(10.0), lit(1.0))
+    qualityScoreOf(norm(text), tokens(text))
 
   /** Rolling-hash document fingerprint: fold (acc*31 + hash32(token)) mod
     * 1e9+7 over the token stream — shift-sensitive, content-defined, and

@@ -52,7 +52,9 @@ object TextQueries extends graft.QueryModule {
     "q_lang_id" -> ((s, dir) => {
       import s.implicits._
       Tables(s, dir, "documents")
-        .select($"lang", TextOps.langId($"text").as("predicted"))
+        // tokens bound once per row (TextOps perf contract)
+        .select($"lang", $"text", TextOps.tokens($"text").as("__toks"))
+        .select($"lang", TextOps.langIdOf($"text", $"__toks").as("predicted"))
         .groupBy($"lang", $"predicted")
         .agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"predicted")
@@ -63,10 +65,12 @@ object TextQueries extends graft.QueryModule {
       import s.implicits._
       Tables(s, dir, "documents")
         .filter($"doc_id" % 25 === 0)
+        // normalized text bound once per row (TextOps perf contract)
+        .select($"doc_id", TextOps.norm($"text").as("__norm"))
         .select($"doc_id",
-          size(TextOps.tokens($"text")).as("n_ws_tokens"),
-          TextOps.bpeTokenCount($"text").as("n_bpe_tokens"),
-          length(TextOps.norm($"text")).as("n_norm_chars"))
+          size(split($"__norm", " ")).as("n_ws_tokens"),
+          TextOps.bpeCountOfNorm($"__norm").as("n_bpe_tokens"),
+          length($"__norm").as("n_norm_chars"))
         .orderBy($"doc_id")
     }),
 
@@ -75,11 +79,14 @@ object TextQueries extends graft.QueryModule {
       import s.implicits._
       Tables(s, dir, "documents")
         .filter($"doc_id" % 25 === 0)
+        // norm + tokens each bound once per row (TextOps perf contract)
+        .select($"doc_id", TextOps.norm($"text").as("__norm"))
+        .select($"doc_id", $"__norm", split($"__norm", " ").as("__toks"))
         .select($"doc_id",
-          TextOps.punctRatio($"text").as("punct_ratio"),
-          TextOps.stopRatio($"text").as("stop_ratio"),
-          TextOps.meanTokenLen($"text").as("mean_tok_len"),
-          TextOps.qualityScore($"text").as("score"))
+          TextOps.punctRatioOfNorm($"__norm").as("punct_ratio"),
+          TextOps.stopRatioOfToks($"__toks").as("stop_ratio"),
+          TextOps.meanTokenLenOfToks($"__toks").as("mean_tok_len"),
+          TextOps.qualityScoreOf($"__norm", $"__toks").as("score"))
         .orderBy($"doc_id")
     }),
 
