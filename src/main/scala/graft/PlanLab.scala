@@ -10,9 +10,10 @@ package graft
 object PlanLab {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1 && !args(1).startsWith("--")) args(1)
-                else "/root/testdata/sf0.1"
-    val runs = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
+    def isRuns(a: String) = a.nonEmpty && a.forall(_.isDigit)
+    val positional = args.drop(1).filterNot(_.startsWith("--"))
+    val sfDir = positional.find(a => !isRuns(a)).getOrElse("/root/testdata/sf0.1")
+    val runs = positional.find(isRuns).map(_.toInt).getOrElse(3)
     val spark = Engine.session()
 
     def df = SparkEntry.queries(name)(spark, sfDir)

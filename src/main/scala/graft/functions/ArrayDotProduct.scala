@@ -90,5 +90,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot requires exactly 2 arguments, got ${children.length}")
+        ArrayDotProduct(children.head, children(1))
+      }))
 }

@@ -30,10 +30,15 @@ object GraftFunctions {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
-  /** Word bigrams — array-returning UDF used as a generator via explode. */
+  /** Word bigrams — array-returning UDF used as a generator via explode.
+    * Null-safe: Spark passes NULL through to reference-typed UDF inputs.
+    */
   val bigrams: String => Seq[String] = s => {
-    val toks = s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
-    if (toks.length < 2) Seq.empty else toks.sliding(2).map(_.mkString(" ")).toSeq
+    if (s == null) Seq.empty
+    else {
+      val toks = s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.length < 2) Seq.empty else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
   }
 
   /** Scalar UDF: strip vowels (example custom logic). */

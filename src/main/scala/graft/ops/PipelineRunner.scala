@@ -70,11 +70,16 @@ object PipelineRunner {
         // basename textually, not via java.net.URI.
         val prefix = file.substring(file.lastIndexOf('/') + 1)
           .replaceAll("\\.[^.]*$", "").replaceAll("[^A-Za-z0-9]+", "")
+        // The raw .text() writer does no quoting, so the interchange
+        // separator must never survive inside a cell — translate '|' to
+        // space after the sanitize chain (the reference strips its own
+        // CSV-active characters the same way, HelperFunction.py:36-41).
         val one = rows
           .filter(col("file") === file && col("sheet") === sheet)
           .orderBy(col("row_idx"))
           .select(concat_ws(CsvIO.Sep,
-            transform(col("cells"), cell => Sanitize.cell(cell))).as("line"))
+            transform(col("cells"),
+              cell => translate(Sanitize.cell(cell), CsvIO.Sep, " "))).as("line"))
         one.coalesce(1).write.mode("overwrite")
           .text(s"${c.toDir}/${prefix}_$sheet.csv")
       }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,18 +77,26 @@ object Upsert {
     untouched.unionByName(src)
   }
 
-  /** Upsert into a parquet table directory with an atomic swap: write the
-    * merged relation to `<path>._staging`, then rename over the target
-    * (SURVEY §7 "upsert atomicity without Delta"). The staging write fully
-    * succeeds before the old data is touched, so a crash mid-run leaves
-    * either the old table or the new one, never a half-written mix.
+  /** Upsert into a parquet table directory with a staged swap: write the
+    * merged relation to `<path>._staging`, stage the old table out to
+    * `<path>._old`, rename staging in, delete `._old` (SURVEY §7 "upsert
+    * atomicity without Delta"). The staging write fully succeeds before
+    * the old data is touched, so no reader ever sees a half-written MIX —
+    * but the swap itself is two renames, not one atomic operation: a crash
+    * between them leaves the table absent at `targetPath` (with the intact
+    * copy parked at `._old`) until the recovery preamble of the next
+    * `run()` — or any caller invoking `recover()` — restores it. True
+    * single-operation swaps need a metadata/pointer layer (a table format
+    * like Delta/Iceberg); this is the documented non-transactional
+    * approximation over a bare FileSystem.
     */
   def run(spark: SparkSession, targetPath: String, source: DataFrame, keys: Seq[String]): Unit = {
+    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, targetPath)
     val target = spark.read.parquet(targetPath)
     val merged = merge(target, source, keys)
     val staging = targetPath + "._staging"
     merged.write.mode("overwrite").parquet(staging)
-    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tgt = new Path(targetPath)
     val old = new Path(targetPath + "._old")
     if (fs.exists(old)) fs.delete(old, true)
@@ -99,6 +107,16 @@ object Upsert {
       throw new java.io.IOException(s"Error - could not swap staging into $targetPath")
     }
     fs.delete(old, true)
+  }
+
+  /** Restore a table stranded at `._old` by a crash inside `run()`'s
+    * rename window (target absent, old copy present).
+    */
+  def recover(fs: FileSystem, targetPath: String): Unit = {
+    val tgt = new Path(targetPath)
+    val old = new Path(targetPath + "._old")
+    if (!fs.exists(tgt) && fs.exists(old) && !fs.rename(old, tgt))
+      throw new java.io.IOException(s"Error - could not restore $targetPath from ._old")
   }
 
   /** Plain append sink — the reference's `insert` branch (A11,

@@ -79,8 +79,9 @@ object UpsertQueries extends graft.QueryModule {
       |dedup AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       |  FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-      |          ORDER BY o_custkey ASC, o_orderstatus ASC, o_totalprice ASC,
-      |                   o_orderdate ASC, o_orderpriority ASC) AS rn
+      |          ORDER BY o_custkey ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
+      |                   o_totalprice ASC NULLS FIRST, o_orderdate ASC NULLS FIRST,
+      |                   o_orderpriority ASC NULLS FIRST) AS rn
       |        FROM src s)
       |  WHERE rn = 1
       |),

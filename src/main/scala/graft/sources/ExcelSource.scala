@@ -170,22 +170,38 @@ object ExcelSource {
     letters.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
   }
 
-  /** Numeric cell text → the reference's `str(float)` rendering. */
+  /** Numeric cell text → the reference's `str(float)` rendering (xlrd
+    * yields floats; Python never uses scientific notation in
+    * [1e-4, 1e16)). Non-numeric content (formula-error cells like
+    * `#DIV/0!`, ISO date strings from `t="d"`) passes through raw instead
+    * of crashing the task. Magnitudes outside Python's plain-notation
+    * range fall back to Java scientific notation (approximate parity).
+    */
   private[sources] def renderNumeric(v: String): String = {
-    val d = v.toDouble
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e16) {
-      // Double.toString gives "1.0" like Python str(1.0)
-      d.toString
-    } else d.toString
+    val trimmed = v.trim
+    val d = try trimmed.toDouble catch { case _: NumberFormatException => return trimmed }
+    if (d.isInfinite || d.isNaN) return d.toString
+    val abs = math.abs(d)
+    if (d == d.floor && abs < 1e16)
+      java.math.BigDecimal.valueOf(d).toBigInteger.toString + ".0"
+    else if (abs >= 1e-4 && abs < 1e16)
+      java.math.BigDecimal.valueOf(d).stripTrailingZeros.toPlainString
+    else d.toString
   }
 
-  /** worksheet XML → dense rows of string cells (gaps = ""). */
+  /** worksheet XML → dense rows of string cells (gaps = ""). Cell content
+    * accumulates across `<v>`/`<t>` segments and commits at `</c>`, so
+    * rich-text inline strings (`<is><r><t>Hello </t></r><r><t>World</t>
+    * </r></is>`) concatenate their runs instead of keeping only the last,
+    * and empty/self-closed cells commit "".
+    */
   private def parseSheet(bytes: Array[Byte], shared: Vector[String]): Seq[Seq[String]] = {
     val r = xmlReader(bytes)
     val rows = mutable.ArrayBuffer[Seq[String]]()
     var cells: mutable.ArrayBuffer[String] = null
     var cellCol = -1
     var cellType = ""
+    var inCell = false
     var inV = false
     var inIsT = false
     val v = new StringBuilder
@@ -197,6 +213,8 @@ object ExcelSource {
             case "c" =>
               cellType = ""
               cellCol = cells.length
+              inCell = true
+              v.clear()
               (0 until r.getAttributeCount).foreach { i =>
                 r.getAttributeLocalName(i) match {
                   case "r" => cellCol = colIndex(r.getAttributeValue(i))
@@ -204,25 +222,29 @@ object ExcelSource {
                   case _ =>
                 }
               }
-            case "v" => inV = true; v.clear()
-            case "t" => inIsT = true; v.clear()
+            case "v" if inCell => inV = true
+            case "t" if inCell => inIsT = true
             case _ =>
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
           if (inV || inIsT) v.append(r.getText)
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
-            case "v" | "t" if inV || inIsT =>
+            case "v" => inV = false
+            case "t" => inIsT = false
+            case "c" if inCell =>
               val raw = v.toString
               val value = cellType match {
-                case "s" => shared.lift(raw.trim.toInt).getOrElse("")
+                case "s" => raw.trim.toIntOption.flatMap(shared.lift).getOrElse("")
                 case "str" | "inlineStr" => raw
                 case "b" => if (raw.trim == "1") "True" else "False" // xlrd bool str()
+                case "e" | "d" => raw // formula error / ISO date: raw text
+                case _ if raw.trim.isEmpty => "" // empty or self-closed cell
                 case _ => renderNumeric(raw)
               }
               while (cells.length < cellCol) cells += ""
               if (cells.length == cellCol) cells += value else cells(cellCol) = value
-              inV = false; inIsT = false
+              inCell = false
             case "row" => rows += cells.toSeq
             case _ =>
           }

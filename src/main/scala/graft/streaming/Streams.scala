@@ -117,6 +117,12 @@ object Streams {
       val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // DataFrame creation analyzes the plan (it then references the memory
+    // sink's rows directly), so the catalog entry can be dropped right
+    // away — otherwise every invocation leaks a fully-materialized
+    // memory-sink table in the driver for the session's lifetime.
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -74,6 +74,33 @@ class ExcelPipelineSpec extends SparkSpec {
     assert(one.select($"sheet").distinct().collect().map(_.getString(0)).toSeq == Seq("extra"))
   }
 
+  test("cell edge cases: rich-text run concat, error/date raw, empty cell, Python-style numerics") {
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val sheet =
+      s"""<?xml version="1.0" encoding="UTF-8"?><worksheet xmlns="$ns"><sheetData><row r="1">""" +
+        """<c r="A1" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c>""" +
+        """<c r="B1" t="e"><v>#DIV/0!</v></c>""" +
+        """<c r="C1"/>""" +
+        """<c r="D1"><v>0.0001</v></c>""" +
+        """<c r="E1"><v>1000000000000000</v></c>""" +
+        """<c r="F1" t="d"><v>2024-01-02T03:04:05</v></c>""" +
+        "</row></sheetData></worksheet>"
+    val workbook =
+      s"""<?xml version="1.0" encoding="UTF-8"?><workbook xmlns="$ns" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="edge" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    Seq("xl/workbook.xml" -> workbook, "xl/_rels/workbook.xml.rels" -> rels,
+        "xl/worksheets/sheet1.xml" -> sheet).foreach { case (n, c) =>
+      zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    val rows = ExcelSource.parseWorkbook(bos.toByteArray, "all")
+    assert(rows === Seq(("edge", 0, Seq("Hello World", "#DIV/0!", "", "0.0001",
+      "1000000000000000.0", "2024-01-02T03:04:05"))))
+  }
+
   test("colIndex: A=0, Z=25, AA=26, AB27") {
     assert(ExcelSource.colIndex("A1") == 0)
     assert(ExcelSource.colIndex("Z9") == 25)

@@ -66,6 +66,15 @@ class UpsertSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"staging debris: $leftovers")
   }
 
+  test("run() recovers a table stranded at ._old by a crash in the rename window") {
+    val dir = tmpDir("upsert_recover") + "/table"
+    target.write.parquet(dir)
+    // Simulate the crash: old staged out, staging never swapped in.
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "._old")))
+    Upsert.run(spark, dir, source, Seq("k"))
+    assert(rows(spark.read.parquet(dir)) == rows(Upsert.merge(target, source, Seq("k"))))
+  }
+
   test("append keeps duplicate keys (A11 raw COPY semantics)") {
     val dir = tmpDir("append") + "/table"
     target.write.parquet(dir)
