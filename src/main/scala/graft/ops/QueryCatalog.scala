@@ -27,10 +27,16 @@ object QueryCatalog {
       """SELECT o_orderpriority, COUNT(1) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
+  // Registering the views re-reads every table's parquet footer; track the
+  // dir the session's views currently point at and re-register only when
+  // it changes (repeated catalog calls against one dir pay once).
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def run(spark: SparkSession, dir: String, name: String): DataFrame = {
     val sql = statements.getOrElse(name,
       throw new NoSuchElementException(s"Error - no registered query named '$name'"))
-    Tables.registerViews(spark, dir)
+    if (registeredDir.put(spark, dir) != dir) Tables.registerViews(spark, dir)
     spark.sql(sql)
   }
 }
