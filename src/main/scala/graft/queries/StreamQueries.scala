@@ -57,6 +57,17 @@ object StreamQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n"),
           countDistinct($"event_id").as("n_ids"))
         .orderBy($"event_type")
+    }),
+
+    // Custom state via flatMapGroupsWithState: per-user count + first/last
+    // event time; single AvailableNow batch → one emission per user.
+    "q_stream_custom_state" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      Streams.runToTable(s, Streams.userActivityState(s, stream),
+          fresh("custom_state"), "update")
+        .filter($"user_id" % 10 === 0)
+        .orderBy($"user_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -89,5 +100,10 @@ object StreamQueries extends graft.QueryModule {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(1) AS n, COUNT(DISTINCT event_id) AS n_ids
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_custom_state" ->
+      """SELECT user_id, COUNT(1) AS n_events,
+        |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+        |FROM events WHERE user_id % 10 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

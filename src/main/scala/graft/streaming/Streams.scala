@@ -86,6 +86,43 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-user activity state for `flatMapGroupsWithState` — the custom-
+    * state rung of the streaming surface (windows and dedup cover the
+    * built-in state shapes; this is the user-defined one).
+    */
+  case class UserActivity(n: Long, firstUs: Long, lastUs: Long)
+
+  /** Custom stateful op: per-user event count + first/last event time
+    * (epoch micros), maintained in a `GroupState` and emitted in Update
+    * mode — each batch emits the updated state for the users it touched,
+    * so over a finite source the LAST emission per user equals the batch
+    * aggregate (single-batch AvailableNow: the only emission).
+    *
+    * Scale design: state is 24 bytes per user — bounded by |users|, not
+    * event volume; in a long-running deployment a `GroupStateTimeout`
+    * would retire idle users. The in-group fold is order-insensitive
+    * (count/min/max), so shuffle nondeterminism cannot leak into results.
+    */
+  def userActivityState(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserActivity, (Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserActivity]) =>
+          var s = state.getOption.getOrElse(UserActivity(0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, us) =>
+            s = UserActivity(s.n + 1, math.min(s.firstUs, us), math.max(s.lastUs, us))
+          }
+          state.update(s)
+          Iterator((uid, s.n, s.firstUs, s.lastUs))
+      }
+      .toDF("user_id", "n_events", "first_us", "last_us")
+  }
+
   /** Run a streaming relation to completion over its (finite) source with
     * `Trigger.AvailableNow`, materializing into an in-memory table;
     * returns the table as a batch DataFrame. `complete` mode for
