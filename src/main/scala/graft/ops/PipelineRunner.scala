@@ -91,6 +91,10 @@ object PipelineRunner {
     * upsert (B3) into a parquet table dir.
     */
   private def loadTable(spark: SparkSession, c: LoadTable): String = {
+    // A table stranded at ._old by a crash inside a previous upsert's
+    // rename window must heal BEFORE the schema-borrow read, or every
+    // retry dies at read time and never reaches Upsert.run's preamble.
+    Upsert.recover(spark, c.targetTable)
     val target = spark.read.parquet(c.targetTable)
     val staged = CsvIO.readBorrowed(spark, c.fromDir, target)
     c.updateType match {

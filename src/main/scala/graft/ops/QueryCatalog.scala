@@ -29,14 +29,22 @@ object QueryCatalog {
 
   // Registering the views re-reads every table's parquet footer; track the
   // dir the session's views currently point at and re-register only when
-  // it changes (repeated catalog calls against one dir pay once).
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // it changes (repeated catalog calls against one dir pay once). Weak
+  // keys: sessions must stay collectable. The cache is written only AFTER
+  // registration completes — caching first would let a failed/partial
+  // registration poison the cache and silently serve mixed views on retry.
+  private val registeredDir: java.util.Map[SparkSession, String] =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[SparkSession, String]())
 
   def run(spark: SparkSession, dir: String, name: String): DataFrame = {
     val sql = statements.getOrElse(name,
       throw new NoSuchElementException(s"Error - no registered query named '$name'"))
-    if (registeredDir.put(spark, dir) != dir) Tables.registerViews(spark, dir)
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != dir) {
+        Tables.registerViews(spark, dir)
+        registeredDir.put(spark, dir)
+      }
+    }
     spark.sql(sql)
   }
 }

@@ -119,6 +119,10 @@ object Upsert {
       throw new java.io.IOException(s"Error - could not restore $targetPath from ._old")
   }
 
+  def recover(spark: SparkSession, targetPath: String): Unit =
+    recover(new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      targetPath)
+
   /** Plain append sink — the reference's `insert` branch (A11,
     * `/root/reference/adffunction/__init__.py:166-168`, raw COPY append).
     */

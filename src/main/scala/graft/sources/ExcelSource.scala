@@ -142,12 +142,15 @@ object ExcelSource {
     val sb = new StringBuilder
     var inSi = false
     var inT = false
+    var inRPh = false
     while (r.hasNext) {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => inSi = true; sb.clear()
-            case "t" if inSi => inT = true
+            // phonetic (furigana) runs are annotations, not string content
+            case "rPh" => inRPh = true
+            case "t" if inSi && !inRPh => inT = true
             case _ =>
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
@@ -155,6 +158,7 @@ object ExcelSource {
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => inT = false
+            case "rPh" => inRPh = false
             case "si" => inSi = false; out += sb.toString
             case _ =>
           }
@@ -181,6 +185,7 @@ object ExcelSource {
     val trimmed = v.trim
     val d = try trimmed.toDouble catch { case _: NumberFormatException => return trimmed }
     if (d.isInfinite || d.isNaN) return d.toString
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0" // Python str(-0.0)
     val abs = math.abs(d)
     if (d == d.floor && abs < 1e16)
       java.math.BigDecimal.valueOf(d).toBigInteger.toString + ".0"
@@ -204,6 +209,7 @@ object ExcelSource {
     var inCell = false
     var inV = false
     var inIsT = false
+    var inRPh = false
     val v = new StringBuilder
     while (r.hasNext) {
       r.next() match {
@@ -223,7 +229,9 @@ object ExcelSource {
                 }
               }
             case "v" if inCell => inV = true
-            case "t" if inCell => inIsT = true
+            // phonetic (furigana) runs are annotations, not cell content
+            case "rPh" => inRPh = true
+            case "t" if inCell && !inRPh => inIsT = true
             case _ =>
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
@@ -232,6 +240,7 @@ object ExcelSource {
           r.getLocalName match {
             case "v" => inV = false
             case "t" => inIsT = false
+            case "rPh" => inRPh = false
             case "c" if inCell =>
               val raw = v.toString
               val value = cellType match {

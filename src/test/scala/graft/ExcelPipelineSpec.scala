@@ -84,6 +84,8 @@ class ExcelPipelineSpec extends SparkSpec {
         """<c r="D1"><v>0.0001</v></c>""" +
         """<c r="E1"><v>1000000000000000</v></c>""" +
         """<c r="F1" t="d"><v>2024-01-02T03:04:05</v></c>""" +
+        """<c r="G1" t="inlineStr"><is><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></is></c>""" +
+        """<c r="H1"><v>-0</v></c>""" +
         "</row></sheetData></worksheet>"
     val workbook =
       s"""<?xml version="1.0" encoding="UTF-8"?><workbook xmlns="$ns" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="edge" sheetId="1" r:id="rId1"/></sheets></workbook>"""
@@ -98,7 +100,7 @@ class ExcelPipelineSpec extends SparkSpec {
     zos.close()
     val rows = ExcelSource.parseWorkbook(bos.toByteArray, "all")
     assert(rows === Seq(("edge", 0, Seq("Hello World", "#DIV/0!", "", "0.0001",
-      "1000000000000000.0", "2024-01-02T03:04:05"))))
+      "1000000000000000.0", "2024-01-02T03:04:05", "東京", "-0.0"))))
   }
 
   test("colIndex: A=0, Z=25, AA=26, AB27") {
