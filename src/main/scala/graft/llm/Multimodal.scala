@@ -62,6 +62,31 @@ object Multimodal {
     transform(sequence(lit(0), lit(n - 1)), i => content.substr(i * step + 1, lit(width)))
   }
 
+  /** Resize STUB for image-ish payloads: scales the byte payload
+    * proportionally to the pixel-count change and rebuilds the metadata
+    * struct (real impl: decode → scale → re-encode behind the same
+    * (content, meta, w, h) → (content, meta) signature). The byte
+    * truncation and struct rebuild are real Spark plumbing; only the
+    * pixel interpretation is fake.
+    */
+  def resizeStub(content: Column, meta: Column, w: Int, h: Int): Column = {
+    val oldPixels = greatest(
+      meta.getField("width").cast("long") * meta.getField("height"), lit(1L))
+    val newLen = greatest(
+      least(length(content).cast("long"),
+        // Column./ is true (double) division — cast back to a byte count
+        (length(content).cast("long") * (w.toLong * h) / oldPixels).cast("long")),
+      lit(1L))
+    struct(
+      content.substr(lit(1), newLen.cast("int")).as("content"),
+      struct(
+        meta.getField("format").as("format"),
+        newLen.as("byte_len"),
+        lit(w).as("width"),
+        lit(h).as("height"),
+        meta.getField("duration_ms").as("duration_ms")).as("meta"))
+  }
+
   /** Batched per-partition feature extraction — the mapInPandas-shaped
     * path: rows are processed partition-at-a-time through an iterator, the
     * shape a real codec/model batch API needs (vs per-row UDF calls).

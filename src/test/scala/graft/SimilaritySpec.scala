@@ -49,6 +49,23 @@ class SimilaritySpec extends SparkSpec {
     assert(exprFeats(1L) == feats(1L), "expression stub and batched stub must agree")
   }
 
+  test("resizeStub scales payload bytes with the pixel change and rebuilds metadata") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, struct}
+    val df = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text") // 16 bytes
+    val packed = Multimodal.packText(df, "text")
+      .withColumn("meta", struct(
+        lit("img").as("format"), lit(16L).as("byte_len"),
+        lit(4).as("width"), lit(4).as("height"), lit(0L).as("duration_ms")))
+    val out = packed
+      .select(Multimodal.resizeStub($"content", $"meta", 2, 2).as("r"))
+      .select($"r.content", $"r.meta.byte_len", $"r.meta.width", $"r.meta.height")
+      .collect()(0)
+    // 16 px -> 4 px: payload shrinks 16 bytes -> 4 bytes, meta follows
+    assert(new String(out.getAs[Array[Byte]](0), "UTF-8") === "abcd")
+    assert(out.getLong(1) === 4L && out.getInt(2) === 2 && out.getInt(3) === 2)
+  }
+
   test("frameSample slices n frames of the requested width") {
     import spark.implicits._
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text")
