@@ -97,6 +97,61 @@ object Similarity {
     * under-filled return fewer than k rows (multi-probe fills them at
     * scale).
     */
+  /** IVF (inverted-file) ANN — the second standard scale path next to
+    * SRP-LSH: a k-means coarse quantizer partitions the corpus into
+    * `numCells` cells; each query exact-scores only the vectors of its
+    * `nprobe` nearest cells. Recall/cost dial: nprobe/numCells.
+    *
+    * Scale shape: centroids are tiny (numCells × dims) and BROADCAST to
+    * both assignment joins — the corpus shuffles once on `cell` (the
+    * inverted file, bucketed/partitioned by cell on disk in a real
+    * deployment), and the probe join is an equi-join on `cell`, so cost is
+    * Σ probed-cell sizes, never |Q|·|corpus|. Training runs on a sample
+    * at 100 TB (k-means only needs a representative subsample); the model
+    * is deterministic under a fixed seed.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val cPrep = prepared(corpus, vecCol, idCol)
+    val qPrep = prepared(queries, vecCol, idCol)
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(cPrep.select(array_to_vector(col("v")).as("fv")))
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "cv")
+    // Corpus side: one assignment per vector (its own cell).
+    // Squared euclidean MINUS the per-vector constant ||v||² — the ranking
+    // over cells is identical and it saves a dot product per pair.
+    def cellDist(v: Column): Column =
+      dot(col("cv"), col("cv")) - lit(2d) * dot(v, col("cv"))
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("cd").asc, col("cell").asc)
+    val corpusCells = cPrep
+      .join(broadcast(centroids), lit(true))
+      .withColumn("cd", cellDist(col("v")))
+      .withColumn("cr", row_number().over(wAssign))
+      .filter(col("cr") === 1)
+      .select(col(idCol).as("id_b"), col("cell"), col("v").as("v_b"), col("nrm").as("n_b"))
+    // Query side: nprobe nearest cells each.
+    val qCells = qPrep
+      .join(broadcast(centroids), lit(true))
+      .withColumn("cd", cellDist(col("v")))
+      .withColumn("cr", row_number().over(wAssign))
+      .filter(col("cr") <= nprobe)
+      .select(col(idCol).as("id_a"), col("cell"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+    qCells.join(corpusCells, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("rk"), col("id_b"), col("cos"))
+  }
+
   def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, numTables: Int = 8, bitsPerTable: Int = 4,
       dims: Int = 64): DataFrame = {

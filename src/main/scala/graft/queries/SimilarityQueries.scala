@@ -58,6 +58,16 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"rk")
     }),
 
+    // ANN, IVF path: k-means coarse quantizer, nprobe=4 of 16 cells
+    // (rows-only check; recall pinned in SimilaritySpec).
+    "q_cosine_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" % 20 === 0)
+      Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 5)
+        .orderBy($"id_a", $"rk")
+    }),
+
     // Multimodal plumbing: text packed as binary + metadata struct, STUB
     // feature extraction from the payload bytes (md5-derived — DuckDB
     // reproduces it by hashing the same bytes as text).

@@ -20,6 +20,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"recall@5 was $recall (brute=${brute.size}, hit=${(brute & ann).size})")
   }
 
+  test("ivfTopK recall@5 vs bruteTopK is usable (> 0.5 on real embeddings)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 5 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(emb, queries, "embedding", "vec_id", 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 5))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"IVF recall@5 was $recall (brute=${brute.size}, hit=${(brute & ivf).size})")
+  }
+
   test("srp bucket key is deterministic and scale-invariant-ish (sign based)") {
     import spark.implicits._
     val planes = (0 until 8).map(Similarity.hyperplane(_, 4))
