@@ -41,6 +41,17 @@ object NearDupQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // SimHash near-dup pairs, blocked by language (hamming ≤ 16 — loose on
+    // purpose so the tiny sample yields pairs to check).
+    "q_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairs(
+          Tables(s, dir, "documents").filter($"doc_id" % 25 === 0),
+          "text", "doc_id", "lang", maxHamming = 16)
+        .select($"id_a", $"id_b", $"hamming")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Exact n-gram Jaccard over the known near-dup pairs.
     "q_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
@@ -115,6 +126,27 @@ object NearDupQueries extends graft.QueryModule {
          |)
          |SELECT doc_id, CAST($simhashPack AS bigint) AS simhash
          |FROM sums ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t
+         |  FROM documents WHERE doc_id % 25 = 0
+         |),
+         |hashed AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS bigint) AS h FROM tok
+         |),
+         |sums AS (
+         |  SELECT doc_id, $simhashSums
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |sh AS (
+         |  SELECT s.doc_id, CAST($simhashPack AS bigint) AS simhash, d.lang
+         |  FROM sums s JOIN documents d ON s.doc_id = d.doc_id
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $corpusCtes,
          |sets AS (SELECT DISTINCT doc_id, sh FROM shingle),
