@@ -109,11 +109,14 @@ object FunctionQueries extends graft.QueryModule {
       import org.apache.spark.sql.types.{MapType, StringType}
       Tables(s, dir, "events")
         .filter($"event_id" % 20 === 0)
-        .select($"event_id", from_json($"props", MapType(StringType, StringType)).as("m"))
+        .select($"event_id", $"event_type",
+          from_json($"props", MapType(StringType, StringType)).as("m"))
         .select($"event_id",
           sort_array(map_keys($"m")).as("ks"),
           transform(sort_array(map_keys($"m")), k => element_at($"m", k)).as("vs"),
-          size($"m").as("n_keys"))
+          size($"m").as("n_keys"),
+          // to_json of a struct: compact {"k":v} form in both engines
+          to_json(struct($"event_id", $"event_type")).as("js"))
         .orderBy($"event_id")
     }),
 
@@ -179,7 +182,8 @@ object FunctionQueries extends graft.QueryModule {
         |  list_sort(json_keys(props)) AS ks,
         |  list_transform(list_sort(json_keys(props)),
         |                 k -> json_extract_string(props, '$.' || k)) AS vs,
-        |  CAST(len(json_keys(props)) AS int) AS n_keys
+        |  CAST(len(json_keys(props)) AS int) AS n_keys,
+        |  CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS varchar) AS js
         |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
     "q_array_fns" ->
       """SELECT doc_id,
