@@ -70,14 +70,13 @@ object Multimodal {
     * pixel interpretation is fake.
     */
   def resizeStub(content: Column, meta: Column, w: Int, h: Int): Column = {
-    val oldPixels = greatest(
-      meta.getField("width").cast("long") * meta.getField("height"), lit(1L))
+    val oldPixels = meta.getField("width").cast("long") * meta.getField("height")
     val newLen = greatest(
       least(length(content).cast("long"),
         // Column./ is true (double) division — cast back to a byte count
         (length(content).cast("long") * (w.toLong * h) / oldPixels).cast("long")),
       lit(1L))
-    struct(
+    val resized = struct(
       content.substr(lit(1), newLen.cast("int")).as("content"),
       struct(
         meta.getField("format").as("format"),
@@ -85,6 +84,12 @@ object Multimodal {
         lit(w).as("width"),
         lit(h).as("height"),
         meta.getField("duration_ms").as("duration_ms")).as("meta"))
+    // Unknown/zero input dimensions: there is no pixel basis to scale by —
+    // pass the row through untouched rather than stamping target dims on
+    // an unchanged payload (meta must never contradict the bytes).
+    when(oldPixels.isNull || oldPixels <= 0,
+      struct(content.as("content"), meta.as("meta")))
+      .otherwise(resized)
   }
 
   /** Batched per-partition feature extraction — the mapInPandas-shaped

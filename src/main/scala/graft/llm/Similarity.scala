@@ -115,34 +115,33 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
     val cPrep = prepared(corpus, vecCol, idCol)
     val qPrep = prepared(queries, vecCol, idCol)
     val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(cPrep.select(array_to_vector(col("v")).as("fv")))
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray) })
-      .toDF("cell", "cv")
-    // Corpus side: one assignment per vector (its own cell).
-    // Squared euclidean MINUS the per-vector constant ||v||² — the ranking
-    // over cells is identical and it saves a dot product per pair.
-    def cellDist(v: Column): Column =
-      dot(col("cv"), col("cv")) - lit(2d) * dot(v, col("cv"))
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("cd").asc, col("cell").asc)
-    val corpusCells = cPrep
-      .join(broadcast(centroids), lit(true))
-      .withColumn("cd", cellDist(col("v")))
-      .withColumn("cr", row_number().over(wAssign))
-      .filter(col("cr") === 1)
+    // Cell assignment is MAP-SIDE on both sides — the centroids live in
+    // the plan as literals (they are numCells × dims doubles), so neither
+    // side shuffles or expands for assignment; the only shuffle is the
+    // probe equi-join on `cell`.
+    // Corpus: the fitted model's own transform (one narrow pass).
+    val corpusCells = model
+      .transform(cPrep.withColumn("fv", array_to_vector(col("v"))))
       .select(col(idCol).as("id_b"), col("cell"), col("v").as("v_b"), col("nrm").as("n_b"))
-    // Query side: nprobe nearest cells each.
+    // Queries: nprobe nearest cells via a literal-centroid distance array,
+    // sorted per row (struct sort: distance asc, cell asc). ||v||² is
+    // constant per row and cannot change the ranking; ||c||² is computed
+    // once per centroid on the driver.
+    val probeEntries = model.clusterCenters.map(_.toArray).zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2d) * dot(col("v"), typedlit(c.toSeq))).as("cd"),
+        lit(i).as("cell"))
+    }
     val qCells = qPrep
-      .join(broadcast(centroids), lit(true))
-      .withColumn("cd", cellDist(col("v")))
-      .withColumn("cr", row_number().over(wAssign))
-      .filter(col("cr") <= nprobe)
-      .select(col(idCol).as("id_a"), col("cell"), col("v").as("v_a"), col("nrm").as("n_a"))
+      .select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"),
+        explode(slice(array_sort(array(probeEntries.toSeq: _*)), 1, nprobe)).as("probe"))
+      .withColumn("cell", col("probe.cell"))
+      .drop("probe")
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
     qCells.join(corpusCells, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))

@@ -115,8 +115,12 @@ object FunctionQueries extends graft.QueryModule {
           sort_array(map_keys($"m")).as("ks"),
           transform(sort_array(map_keys($"m")), k => element_at($"m", k)).as("vs"),
           size($"m").as("n_keys"),
-          // to_json of a struct: compact {"k":v} form in both engines
-          to_json(struct($"event_id", $"event_type")).as("js"))
+          // to_json of a struct: compact {"k":v} form in both engines.
+          // NULLs are pinned away with coalesce — Spark drops null struct
+          // fields from JSON (ignoreNullFields) while DuckDB emits them,
+          // so a nullable field must never reach the generator.
+          to_json(struct($"event_id",
+            coalesce($"event_type", lit("")).as("event_type"))).as("js"))
         .orderBy($"event_id")
     }),
 
@@ -183,7 +187,7 @@ object FunctionQueries extends graft.QueryModule {
         |  list_transform(list_sort(json_keys(props)),
         |                 k -> json_extract_string(props, '$.' || k)) AS vs,
         |  CAST(len(json_keys(props)) AS int) AS n_keys,
-        |  CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS varchar) AS js
+        |  CAST(to_json(struct_pack(event_id := event_id, event_type := coalesce(event_type, ''))) AS varchar) AS js
         |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
     "q_array_fns" ->
       """SELECT doc_id,

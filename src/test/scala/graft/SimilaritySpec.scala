@@ -8,28 +8,31 @@ class SimilaritySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("srpTopK recall@5 vs bruteTopK is usable (> 0.5 on real embeddings)") {
+  // Shared recall harness: one brute-force baseline, each ANN path
+  // measured against it with the same pair extraction and threshold.
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val (embDf, queryDf) = {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val queries = emb.filter($"vec_id" % 5 === 0)
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = pairs(Similarity.bruteTopK(emb, queries, "embedding", "vec_id", 5))
-    val ann = pairs(Similarity.srpTopK(emb, queries, "embedding", "vec_id", 5))
-    val recall = (brute & ann).size.toDouble / brute.size
-    assert(recall > 0.5, s"recall@5 was $recall (brute=${brute.size}, hit=${(brute & ann).size})")
+    (emb, emb.filter($"vec_id" % 5 === 0))
+  }
+  private lazy val brutePairs =
+    pairs(Similarity.bruteTopK(embDf, queryDf, "embedding", "vec_id", 5))
+
+  private def assertRecall(name: String, ann: org.apache.spark.sql.DataFrame): Unit = {
+    val hit = (brutePairs & pairs(ann)).size
+    val recall = hit.toDouble / brutePairs.size
+    assert(recall > 0.5, s"$name recall@5 was $recall (brute=${brutePairs.size}, hit=$hit)")
+  }
+
+  test("srpTopK recall@5 vs bruteTopK is usable (> 0.5 on real embeddings)") {
+    assertRecall("SRP", Similarity.srpTopK(embDf, queryDf, "embedding", "vec_id", 5))
   }
 
   test("ivfTopK recall@5 vs bruteTopK is usable (> 0.5 on real embeddings)") {
-    import spark.implicits._
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val queries = emb.filter($"vec_id" % 5 === 0)
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = pairs(Similarity.bruteTopK(emb, queries, "embedding", "vec_id", 5))
-    val ivf = pairs(Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 5))
-    val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall > 0.5, s"IVF recall@5 was $recall (brute=${brute.size}, hit=${(brute & ivf).size})")
+    assertRecall("IVF", Similarity.ivfTopK(embDf, queryDf, "embedding", "vec_id", 5))
   }
 
   test("srp bucket key is deterministic and scale-invariant-ish (sign based)") {
