@@ -117,9 +117,15 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val cPrep = prepared(corpus, vecCol, idCol)
     val qPrep = prepared(queries, vecCol, idCol)
+    // The quantizer trains on ~64 vectors per cell — k-means needs a
+    // representative subsample, not the corpus (at 100 TB, training on
+    // everything is pure waste). limit() short-circuits the scan
+    // (LocalLimit per partition), unlike a count()+fraction sample which
+    // would cost a full pass before training even starts.
     val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(cPrep.select(array_to_vector(col("v")).as("fv")))
+      .fit(cPrep.limit(numCells * 64)
+        .select(array_to_vector(col("v")).as("fv")))
     // Cell assignment is MAP-SIDE on both sides — the centroids live in
     // the plan as literals (they are numCells × dims doubles), so neither
     // side shuffles or expands for assignment; the only shuffle is the
