@@ -22,12 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * correct — it is the measured per-pair allocation cost at similarity-join
   * volume that justifies the drop to (b).
   *
-  * Semantics match the sequential left-to-right double fold exactly
+  * Semantics match `aggregate(zip_with(a, b, _ * _), 0d, _ + _)` exactly
   * (floating-point addition is order-sensitive; the DuckDB oracle's
   * `list_dot_product` is the same ascending-index fold, so hash-compare
-  * holds bit-for-bit): sum over i of a[i]*b[i], ascending i, over the
-  * common prefix length; NULL if either array or any visited element is
-  * NULL.
+  * holds bit-for-bit): sum over i of a[i]*b[i], ascending i; NULL if
+  * either array, any element, or the LENGTHS MISMATCH (zip_with pads the
+  * shorter side with nulls → the fold nulls out; a silent common-prefix
+  * product would hide dimension bugs like 128-dim vectors against 64-dim
+  * hyperplanes).
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -48,7 +50,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -65,11 +68,14 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; $sum = 0.0; break; }
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; $sum = 0.0; break; }
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $sum;
        """.stripMargin

@@ -29,10 +29,16 @@ object Dedup {
   /** 128-bit exact-content key of the normalized text. */
   def contentKey(text: Column): Column = md5(TextOps.norm(text))
 
-  /** Exact dedup: keep the smallest `idCol` per content key. */
+  /** Exact dedup: keep the smallest `idCol` per content key. NULL text is
+    * UNKNOWN content, not equal content — each null-text doc keys on its
+    * own id so none of them collapse into each other (unlike empty
+    * strings, which genuinely share `md5("")`).
+    */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__ck")).orderBy(col(idCol).asc)
-    docs.withColumn("__ck", contentKey(col(textCol)))
+    docs.withColumn("__ck",
+        coalesce(contentKey(col(textCol)),
+          concat(lit("__null__"), col(idCol).cast("string"))))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__ck", "__rn")

@@ -106,14 +106,24 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("content")).mapPartitions { it =>
       // Batch shape: pull the partition through one iterator — a real
       // decoder would fill a batch buffer here and run the model per batch.
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        val feats = (0 until 4).map { i =>
-          val u = java.nio.ByteBuffer.wrap(h, 4 * i, 4).getInt.toLong & 0xFFFFFFFFL
-          u.toDouble / 4294967296.0
-        }.toArray
-        Row(r.getLong(0), feats)
+      // Null-safe: a null id row is unkeyable (dropped); null content
+      // yields null features (mirrors the Column-based stubFeatures) —
+      // one bad row must not abort the stage.
+      it.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val feats =
+            if (r.isNullAt(1)) null
+            else {
+              val h = java.security.MessageDigest.getInstance("MD5")
+                .digest(r.getAs[Array[Byte]](1))
+              (0 until 4).map { i =>
+                val u = java.nio.ByteBuffer.wrap(h, 4 * i, 4).getInt.toLong & 0xFFFFFFFFL
+                u.toDouble / 4294967296.0
+              }.toArray
+            }
+          Some(Row(r.getLong(0), feats))
+        }
       }
     }(enc)
   }

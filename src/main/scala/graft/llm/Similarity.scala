@@ -37,10 +37,16 @@ object Similarity {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Vectors with precomputed double array + norm. */
+  /** Vectors with precomputed double array + norm. Zero-norm vectors are
+    * dropped: cosine against them is 0/0 = NaN, and Spark orders NaN as
+    * GREATER than every double, so a single all-zero vector would
+    * otherwise take rank 1 in every top-k (and diverge from the oracle,
+    * which does not share NaN-greatest ordering).
+    */
   def prepared(vectors: DataFrame, vecCol: String, idCol: String): DataFrame =
     vectors.select(col(idCol), dbl(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
+      .filter(col("nrm") > 0d)
 
   /** Exact cosine top-k of `queries` against `corpus` (self-matches
     * excluded by id). Deterministic tie-break on corpus id.
@@ -112,20 +118,24 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, sampleMod: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val cPrep = prepared(corpus, vecCol, idCol)
     val qPrep = prepared(queries, vecCol, idCol)
-    // The quantizer trains on ~64 vectors per cell — k-means needs a
-    // representative subsample, not the corpus (at 100 TB, training on
-    // everything is pure waste). limit() short-circuits the scan
-    // (LocalLimit per partition), unlike a count()+fraction sample which
-    // would cost a full pass before training even starts.
+    // The quantizer trains on a deterministic hash-sample (1 in
+    // `sampleMod` by id hash) — k-means needs a REPRESENTATIVE subsample:
+    // a limit()/prefix would train on whichever partitions scan first,
+    // which on a clustered/sorted corpus covers one region of the space
+    // (skewed centroids, recall collapse) and varies with scheduling. The
+    // id-hash filter is spread across the corpus, reproducible, and needs
+    // no prior count. Raise `sampleMod` with corpus size (or pre-sample
+    // upstream) at 100 TB.
+    val trainSample = cPrep
+      .filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
     val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(cPrep.limit(numCells * 64)
-        .select(array_to_vector(col("v")).as("fv")))
+      .fit(trainSample.select(array_to_vector(col("v")).as("fv")))
     // Cell assignment is MAP-SIDE on both sides — the centroids live in
     // the plan as literals (they are numCells × dims doubles), so neither
     // side shuffles or expands for assignment; the only shuffle is the

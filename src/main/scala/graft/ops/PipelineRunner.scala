@@ -64,12 +64,23 @@ object PipelineRunner {
     val rows = ExcelSource.read(spark, c.fromDir, c.sheetList).cache()
     try {
       val sheets = rows.select(col("file"), col("sheet")).distinct().collect()
+      // The alphanumeric-stripped prefix (A4) can collide across distinct
+      // workbooks ("a-b.xlsx" vs "ab.xlsx") — the reference would silently
+      // overwrite one workbook's CSV with the other's; fail loudly instead
+      // (surfaces through the runner's error-as-value channel).
+      def prefixOf(file: String): String =
+        file.substring(file.lastIndexOf('/') + 1)
+          .replaceAll("\\.[^.]*$", "").replaceAll("[^A-Za-z0-9]+", "")
+      val collisions = sheets.map(_.getString(0)).distinct.groupBy(prefixOf)
+        .filter(_._2.length > 1)
+      if (collisions.nonEmpty)
+        throw new IllegalArgumentException(
+          s"Error - workbook filename prefixes collide after normalization: $collisions")
       sheets.foreach { r =>
         val (file, sheet) = (r.getString(0), r.getString(1))
         // binaryFile paths are URI-ish but may hold raw spaces — take the
         // basename textually, not via java.net.URI.
-        val prefix = file.substring(file.lastIndexOf('/') + 1)
-          .replaceAll("\\.[^.]*$", "").replaceAll("[^A-Za-z0-9]+", "")
+        val prefix = prefixOf(file)
         // The raw .text() writer does no quoting, so the interchange
         // separator must never survive inside a cell — translate '|' to
         // space after the sanitize chain (the reference strips its own

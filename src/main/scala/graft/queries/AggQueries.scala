@@ -90,12 +90,15 @@ object AggQueries extends graft.QueryModule {
     // GROUPING SETS via SQL over the registered catalog (SURVEY B5's
     // named-SQL surface runs through spark.sql).
     "q_grouping_sets" -> ((s, dir) => {
-      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      // Ad-hoc view under its own name — the bare table names belong to
+      // QueryCatalog's registry (clobbering "orders" would poison the
+      // catalog's session-dir memo with a view it didn't register).
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_gsets")
       s.sql(
         """SELECT o_orderstatus, o_orderpriority,
           |       CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
           |       COUNT(1) AS n
-          |FROM orders
+          |FROM orders_gsets
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
           |""".stripMargin)

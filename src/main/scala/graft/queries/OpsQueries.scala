@@ -37,7 +37,10 @@ object OpsQueries extends graft.QueryModule {
     "q_csv_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val src = Tables(s, dir, "orders").filter($"o_orderkey" % 10 === 0)
-      val tmp = sys.props("java.io.tmpdir") + "/graft_csv_roundtrip"
+      // pid-scoped: a fixed path lets two JVMs (e.g. parallel CI jobs)
+      // overwrite each other's round-trip mid-read
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_csv_roundtrip_${ProcessHandle.current().pid()}"
       CsvIO.writePipe(src, tmp)
       CsvIO.readBorrowed(s, tmp, src)
         .groupBy($"o_orderstatus")
@@ -74,7 +77,8 @@ object OpsQueries extends graft.QueryModule {
       val src = Tables(s, dir, "lineitem").filter($"l_orderkey" % 10 === 0)
         .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
           $"l_quantity", $"l_extendedprice")
-      val tmp = sys.props("java.io.tmpdir") + "/graft_partitioned_write"
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_partitioned_write_${ProcessHandle.current().pid()}"
       src.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
       s.read.parquet(tmp)
         .filter($"l_returnflag" === "R")

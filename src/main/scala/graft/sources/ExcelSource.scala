@@ -215,7 +215,15 @@ object ExcelSource {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => cells = mutable.ArrayBuffer[String]()
+            case "row" =>
+              // Excel omits blank rows from the XML but numbers the rest
+              // via r="N"; pad the gap with empty rows so row indices stay
+              // positionally aligned (xlrd iterates every row to nrows).
+              val declared = (0 until r.getAttributeCount)
+                .find(i => r.getAttributeLocalName(i) == "r")
+                .map(i => r.getAttributeValue(i).trim.toInt - 1)
+              declared.foreach { d => while (rows.length < d) rows += Seq.empty }
+              cells = mutable.ArrayBuffer[String]()
             case "c" =>
               cellType = ""
               cellCol = cells.length

@@ -35,8 +35,12 @@ object Streams {
     */
   def stageAsDir(file: String): String = {
     val src = java.nio.file.Paths.get(file)
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream_${Integer.toHexString(file.hashCode)}")
+    // md5 of the full path — String.hashCode is 32-bit and collisions
+    // would merge two sources into one staged dir (the stream would read
+    // both files).
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(file.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_stream_$key")
     dir.mkdirs()
     val link = new java.io.File(dir, src.getFileName.toString).toPath
     if (!java.nio.file.Files.exists(link))

@@ -27,16 +27,16 @@ class ArrayDotProductSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
-  test("null array or null element yields null; unequal lengths use common prefix") {
+  test("null array, null element, or length mismatch yields null (zip_with parity)") {
     val out = spark.sql(
       """SELECT
         |  graft_dot(CAST(NULL AS array<double>), array(1d, 2d)) AS null_arr,
         |  graft_dot(array(1d, CAST(NULL AS double)), array(1d, 2d)) AS null_elem,
-        |  graft_dot(array(1d, 2d, 3d), array(10d, 10d)) AS prefix
+        |  graft_dot(array(1d, 2d, 3d), array(10d, 10d)) AS len_mismatch
         |""".stripMargin).collect()(0)
     assert(out.isNullAt(0))
     assert(out.isNullAt(1))
-    assert(out.getDouble(2) === 30.0)
+    assert(out.isNullAt(2), "length mismatch must be NULL, not a silent prefix product")
   }
 
   test("registered in SQL and survives codegen and interpreted paths") {

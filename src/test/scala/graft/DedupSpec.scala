@@ -69,6 +69,15 @@ class DedupSpec extends SparkSpec {
       "unrelated pair should share ~no shingles (absent row = 0 intersection)")
   }
 
+  test("null-text documents never collapse into each other (unknown ≠ equal)") {
+    import spark.implicits._
+    val withNulls = Seq((1L, "same text"), (2L, "same text"),
+      (10L, null: String), (11L, null: String)).toDF("doc_id", "text")
+    val ids = Dedup.exact(withNulls, "text", "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 10L, 11L), "both null-text docs kept; real dup collapsed")
+  }
+
   test("documents with fewer than 3 tokens never become candidates") {
     import spark.implicits._
     val tiny = Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text")

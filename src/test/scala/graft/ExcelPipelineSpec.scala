@@ -86,7 +86,10 @@ class ExcelPipelineSpec extends SparkSpec {
         """<c r="F1" t="d"><v>2024-01-02T03:04:05</v></c>""" +
         """<c r="G1" t="inlineStr"><is><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></is></c>""" +
         """<c r="H1"><v>-0</v></c>""" +
-        "</row></sheetData></worksheet>"
+        "</row>" +
+        // rows 2-3 blank (omitted from the XML) — must pad, not collapse
+        """<row r="4"><c r="A4" t="str"><v>after-gap</v></c></row>""" +
+        "</sheetData></worksheet>"
     val workbook =
       s"""<?xml version="1.0" encoding="UTF-8"?><workbook xmlns="$ns" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="edge" sheetId="1" r:id="rId1"/></sheets></workbook>"""
     val rels =
@@ -99,8 +102,11 @@ class ExcelPipelineSpec extends SparkSpec {
     }
     zos.close()
     val rows = ExcelSource.parseWorkbook(bos.toByteArray, "all")
-    assert(rows === Seq(("edge", 0, Seq("Hello World", "#DIV/0!", "", "0.0001",
-      "1000000000000000.0", "2024-01-02T03:04:05", "東京", "-0.0"))))
+    assert(rows === Seq(
+      ("edge", 0, Seq("Hello World", "#DIV/0!", "", "0.0001",
+        "1000000000000000.0", "2024-01-02T03:04:05", "東京", "-0.0")),
+      ("edge", 1, Seq.empty), ("edge", 2, Seq.empty),
+      ("edge", 3, Seq("after-gap"))))
   }
 
   test("colIndex: A=0, Z=25, AA=26, AB27") {
