@@ -111,9 +111,14 @@ object FunctionQueries extends graft.QueryModule {
         .filter($"event_id" % 20 === 0)
         .select($"event_id", $"event_type",
           from_json($"props", MapType(StringType, StringType)).as("m"))
+        // Flattened through array_join: the driver harness canonicalizes
+        // results via a pandas sort, which cannot hash raw list cells —
+        // final entry projections must be flat scalars only.
         .select($"event_id",
-          sort_array(map_keys($"m")).as("ks"),
-          transform(sort_array(map_keys($"m")), k => element_at($"m", k)).as("vs"),
+          array_join(sort_array(map_keys($"m")), "|").as("ks"),
+          array_join(
+            transform(sort_array(map_keys($"m")), k => element_at($"m", k)),
+            "|").as("vs"),
           size($"m").as("n_keys"),
           // to_json of a struct: compact {"k":v} form in both engines.
           // NULLs are pinned away with coalesce — Spark drops null struct
@@ -173,7 +178,7 @@ object FunctionQueries extends graft.QueryModule {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_json_fns" ->
       """SELECT event_type, COUNT(1) AS n,
-        |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |  CAST(SUM(k) AS bigint) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM (SELECT event_type, CAST(props->>'k' AS int) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_explode_tokens" ->
@@ -183,9 +188,9 @@ object FunctionQueries extends graft.QueryModule {
         |GROUP BY token ORDER BY token""".stripMargin,
     "q_map_fns" ->
       """SELECT event_id,
-        |  list_sort(json_keys(props)) AS ks,
-        |  list_transform(list_sort(json_keys(props)),
-        |                 k -> json_extract_string(props, '$.' || k)) AS vs,
+        |  array_to_string(list_sort(json_keys(props)), '|') AS ks,
+        |  array_to_string(list_transform(list_sort(json_keys(props)),
+        |                 k -> json_extract_string(props, '$.' || k)), '|') AS vs,
         |  CAST(len(json_keys(props)) AS int) AS n_keys,
         |  CAST(to_json(struct_pack(event_id := event_id, event_type := coalesce(event_type, ''))) AS varchar) AS js
         |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,

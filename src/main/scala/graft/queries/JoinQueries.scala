@@ -205,7 +205,7 @@ object JoinQueries extends graft.QueryModule {
     "q_join_orders_lineitem" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(revenue) AS double) AS sum_revenue,
-        |  SUM(n_lines) AS n_lines,
+        |  CAST(SUM(n_lines) AS bigint) AS n_lines,
         |  COUNT(1) AS n_orders
         |FROM orders
         |JOIN (SELECT l_orderkey,

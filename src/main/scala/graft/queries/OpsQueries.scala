@@ -112,9 +112,9 @@ object OpsQueries extends graft.QueryModule {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_retention_predicate" ->
       """SELECT CAST(year(o_orderdate) AS int) AS y, COUNT(1) AS n_names,
-        |  SUM(CASE WHEN CAST(regexp_extract(strftime(o_orderdate, '%Y%m%d%H%M%S'), '\d{14}', 0) AS bigint)
+        |  CAST(SUM(CASE WHEN CAST(regexp_extract(strftime(o_orderdate, '%Y%m%d%H%M%S'), '\d{14}', 0) AS bigint)
         |             BETWEEN 19950402000000 AND 19950601999999
-        |           THEN 1 ELSE 0 END) AS n_matched
+        |           THEN 1 ELSE 0 END) AS bigint) AS n_matched
         |FROM orders GROUP BY year(o_orderdate) ORDER BY y""".stripMargin,
     "q_partitioned_write" ->
       """SELECT l_returnflag, COUNT(1) AS n,

@@ -35,6 +35,32 @@ def eq(a, b):
     return str(a) == str(b)
 
 
+def dtype_warnings(name, wdf, gdf):
+    """Mirror the driver's pandas pathway: it stringifies cells after a
+    pandas coercion, so equal values with different dtypes (DuckDB HUGEINT
+    -> float64 vs Spark int64: '26133.0' != '26133') hash-mismatch, and
+    list/ndarray cells crash its sort_values. Warn on both so the value-
+    exact compare above can't silently diverge from the driver's verdict."""
+    warns = []
+    for col in sorted(set(wdf.columns) & set(gdf.columns)):
+        wd, gd = wdf[col].dtype, gdf[col].dtype
+        # Same-kind width differences (int32 vs int64) stringify identically;
+        # only a kind change (int vs float: '26133' vs '26133.0', or a fall
+        # to object) alters the driver's stringify-hash.
+        if wd.kind != gd.kind:
+            warns.append(f"dtype kind mismatch col {col}: spark={gd} oracle={wd}"
+                         " (driver stringify-hash may differ; CAST the oracle)")
+        for side, df in (("oracle", wdf), ("spark", gdf)):
+            s = df[col].dropna()
+            if len(s) and isinstance(s.iloc[0], (list, tuple)) or \
+               len(s) and type(s.iloc[0]).__name__ == "ndarray":
+                warns.append(f"non-scalar col {col} on {side} side"
+                             " (driver pandas sort will crash; array_join it)")
+    for w in warns:
+        print(f"WARN {name}: {w}")
+    return warns
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -42,7 +68,7 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_warn = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -53,6 +79,9 @@ def main():
             got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             gcols = [d[0] for d in got.description]
             grows = got.fetchall()
+            wdf = con.execute(sql).df()
+            gdf = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            n_warn += len(dtype_warnings(name, wdf, gdf))
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -82,7 +111,7 @@ def main():
         else:
             print(f"PASS {name} ({len(grows)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail")
+    print(f"== {n_pass} pass / {n_fail} fail / {n_warn} dtype warnings")
     sys.exit(1 if n_fail else 0)
 
 
