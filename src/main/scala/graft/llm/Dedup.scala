@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *    k=16 mins over md5-seeded hashes; 4 bands × 4 rows ⇒ pairs with
   *    Jaccard ≳ 0.7 collide w.h.p. (s-curve (1-(1-s⁴)⁴)).
   *  - SimHash packs a document into one 32-bit value; near-dup = hamming
-  *    distance ≤ r via bit_count(xor). Pair search is banded by language
-  *    here; at 100 TB the standard pigeonhole trick (split the hash into
-  *    r+1 chunks, equi-join on each chunk) makes it a pure equi-join too.
+  *    distance ≤ r via bit_count(xor). Pair search uses the pigeonhole
+  *    trick (split the hash into r+1 chunks; a pair within distance r
+  *    must agree on some chunk), so it is a pure equi-join — no language
+  *    or other attribute blocking that can go quadratic on a skewed block.
   *  - Jaccard verification only ever runs on candidate pairs (the LSH
   *    output), never all pairs.
   */
@@ -115,17 +116,44 @@ object Dedup {
       .select(col(idCol), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within a blocking column (language here; the
-    * pigeonhole chunk join replaces blocking at full scale).
+  /** SimHash near-dup pairs via the pigeonhole chunk join: split the
+    * 32-bit hash into `maxHamming + 1` contiguous chunks — two hashes
+    * within hamming distance `maxHamming` must agree on at least one
+    * chunk (pigeonhole: `maxHamming` differing bits cannot touch all
+    * `maxHamming + 1` chunks) — then equi-join on (chunk_idx, chunk_val),
+    * distinct the candidate pairs, and apply the exact hamming filter.
+    *
+    * Scale: the join is a pure equi-join whose cost is Σ bucket² per
+    * chunk value, not corpus². This replaces the earlier language-blocked
+    * variant, whose biggest block (a 90 %-English corpus) degenerated to
+    * O(block²) in one join key. Selectivity per chunk is 2^(32/(r+1));
+    * keep `maxHamming` small (≤ 7 for 32-bit hashes) — as r approaches
+    * the hash width the chunks thin out and the join approaches all-pairs,
+    * which is inherent to pigeonhole LSH, not this implementation.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      blockCol: String, maxHamming: Int): DataFrame = {
-    val sh = simhash32(docs, textCol, idCol)
-      .join(docs.select(col(idCol), col(blockCol)), idCol)
-    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col(blockCol))
-    val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col(blockCol))
-    a.join(b, Seq(blockCol))
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32) for a 32-bit simhash, got $maxHamming")
+    val nChunks = maxHamming + 1
+    val chunks = array((0 until nChunks).map { i =>
+      val lo = i * 32 / nChunks
+      val hi = (i + 1) * 32 / nChunks
+      struct(lit(i).as("ck"),
+        shiftright(col("simhash"), lo)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("cv"))
+    }: _*)
+    val ch = simhash32(docs, textCol, idCol)
+      .select(col(idCol), col("simhash"), explode(chunks).as("c"))
+      .select(col(idCol), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
+    val a = ch.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("ck"), col("cv"))
+    val b = ch.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("ck"), col("cv"))
+    a.join(b, Seq("ck", "cv"))
       .filter(col("id_a") < col("id_b"))
+      // a close pair collides in several chunks — dedup BEFORE the (cheap)
+      // hamming filter so each candidate is scored once
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
   }

@@ -41,13 +41,12 @@ object NearDupQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     }),
 
-    // SimHash near-dup pairs, blocked by language (hamming ≤ 16 — loose on
-    // purpose so the tiny sample yields pairs to check).
+    // SimHash near-dup pairs via the pigeonhole chunk join (r=3 → 4
+    // 8-bit chunks) over the synthesized near-dup corpus, where the
+    // mutated copies sit at hamming ≤ 3 of their originals.
     "q_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashPairs(
-          Tables(s, dir, "documents").filter($"doc_id" % 25 === 0),
-          "text", "doc_id", "lang", maxHamming = 16)
+      Dedup.simhashPairs(nearDupCorpus(s, dir), "text", "doc_id", maxHamming = 3)
         .select($"id_a", $"id_b", $"hamming")
         .orderBy($"id_a", $"id_b")
     }),
@@ -126,10 +125,13 @@ object NearDupQueries extends graft.QueryModule {
          |)
          |SELECT doc_id, CAST($simhashPack AS bigint) AS simhash
          |FROM sums ORDER BY doc_id""".stripMargin,
+    // Oracle is the brute-force all-pairs hamming filter — the pigeonhole
+    // chunk join must reproduce it exactly (it is a lossless candidate
+    // generator for r ≤ maxHamming, unlike MinHash banding).
     "q_simhash_pairs" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t
-         |  FROM documents WHERE doc_id % 25 = 0
+      s"""WITH $corpusCtes,
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t FROM corpus
          |),
          |hashed AS (
          |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS bigint) AS h FROM tok
@@ -139,13 +141,12 @@ object NearDupQueries extends graft.QueryModule {
          |  FROM hashed GROUP BY doc_id
          |),
          |sh AS (
-         |  SELECT s.doc_id, CAST($simhashPack AS bigint) AS simhash, d.lang
-         |  FROM sums s JOIN documents d ON s.doc_id = d.doc_id
+         |  SELECT doc_id, CAST($simhashPack AS bigint) AS simhash FROM sums
          |)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
-         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $corpusCtes,

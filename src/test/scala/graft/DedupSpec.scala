@@ -50,11 +50,29 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 10, s"near-copy hamming was $hamming")
   }
 
-  test("simhashPairs finds exact+near copies within the block") {
+  test("simhashPairs finds exact+near copies via the pigeonhole chunk join") {
     import spark.implicits._
-    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", "lang", maxHamming = 10)
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 201L)))
+  }
+
+  test("simhashPairs chunked join equals the brute-force all-pairs result") {
+    import spark.implicits._
+    for (r <- Seq(0, 3, 7)) {
+      val chunked = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = r)
+        .select($"id_a", $"id_b", $"hamming").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      val sh = Dedup.simhash32(docs, "text", "doc_id")
+      val brute = sh.select($"doc_id".as("id_a"), $"simhash".as("sh_a"))
+        .crossJoin(sh.select($"doc_id".as("id_b"), $"simhash".as("sh_b")))
+        .filter($"id_a" < $"id_b")
+        .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+        .filter($"hamming" <= r)
+        .select($"id_a", $"id_b", $"hamming").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      assert(chunked === brute, s"pigeonhole must be exact at r=$r")
+    }
   }
 
   test("ngram jaccard: exact copy = 1.0, near copy high, unrelated low") {
