@@ -4,6 +4,7 @@ import java.time.LocalDate
 
 import graft.Tables
 import graft.ops.{CsvIO, QueryCatalog, Retention, Sanitize}
+import graft.sources.ExcelSource
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -91,7 +92,88 @@ object OpsQueries extends graft.QueryModule {
 
     // B5: run a registered named statement through the catalog's views.
     "q_named_query" -> ((s, dir) =>
-      QueryCatalog.run(s, dir, "revenue_by_nation")))
+      QueryCatalog.run(s, dir, "revenue_by_nation")),
+
+    // A1/A2 under the oracle's eye: a deterministic two-sheet workbook is
+    // built from `part` rows, read back through the full ExcelSource path
+    // (zip + StAX + str(float) rendering + sheet selector), then
+    // aggregated per sheet; the oracle reconstructs the same aggregate
+    // straight from the parquet. The fixture build collects ~|part|/40
+    // rows driver-side — bounded fixture construction, not a data path.
+    "q_excel_scan" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables(s, dir, "part")
+        .filter($"p_partkey" % 40 === 0)
+        .select($"p_partkey", $"p_brand", $"p_retailprice")
+        .orderBy($"p_partkey")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val sheet = (pk: Long) => if (pk % 80 == 0) "even" else "odd"
+      val sheets = Seq("even", "odd").map { name =>
+        name -> rows.filter { case (pk, _, _) => sheet(pk) == name }
+          .map { case (pk, brand, price) =>
+            Seq(pk.toString, brand, price.toString) }.toSeq
+      }
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_excel_scan_${ProcessHandle.current().pid()}"
+      new java.io.File(tmp).mkdirs()
+      ExcelSource.writeWorkbook(s"$tmp/parts fixture-2024.xlsx", sheets)
+      ExcelSource.read(s, tmp, "even,odd")
+        .select($"sheet",
+          element_at($"cells", 1).cast("double").cast("bigint").as("k"),
+          element_at($"cells", 2).as("brand"),
+          element_at($"cells", 3).cast("double").as("price"))
+        .groupBy($"sheet")
+        .agg(count(lit(1)).as("n"),
+          min($"k").as("min_k"), max($"k").as("max_k"),
+          sum($"price".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          countDistinct($"brand").as("n_brands"))
+        .orderBy($"sheet")
+    }),
+
+    // C1 JSON source: write line-delimited JSON, read it back with the
+    // source's schema (schema-on-read, no inference pass), aggregate —
+    // proves longs, strings, and doubles are value-stable through the
+    // JSON interchange the same way q_csv_roundtrip proves pipe-CSV.
+    "q_json_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "orders").filter($"o_orderkey" % 20 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_json_roundtrip_${ProcessHandle.current().pid()}"
+      src.write.mode("overwrite").json(tmp)
+      s.read.schema(src.schema).json(tmp)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"o_custkey").as("n_cust"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"o_orderkey").as("min_key"),
+          max($"o_orderkey").as("max_key"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // C1 text source: write one line per document (id TAB newline-scrubbed
+    // text), read back as raw lines, re-split, aggregate. The scrub keeps
+    // the line-oriented format loss-free; the oracle applies the same
+    // scrub to the parquet text.
+    "q_text_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "documents").filter($"doc_id" % 10 === 0)
+        .select(concat($"doc_id".cast("string"), lit("\t"),
+          regexp_replace($"text", "[\\n\\r\\t]", " ")).as("value"))
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_text_roundtrip_${ProcessHandle.current().pid()}"
+      src.write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(
+          split($"value", "\t").getItem(0).cast("bigint").as("doc_id"),
+          split($"value", "\t").getItem(1).as("body"))
+        .groupBy(pmod($"doc_id", lit(3)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"body")).cast("bigint").as("total_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"bucket")
+    }))
 
   def oracle: Map[String, String] = Map(
     "q_sanitize_chain" ->
@@ -129,5 +211,30 @@ object OpsQueries extends graft.QueryModule {
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // The Excel path must be value-transparent: the oracle never sees the
+    // workbook, only the parquet rows the fixture was built from.
+    "q_excel_scan" ->
+      """SELECT CASE WHEN p_partkey % 80 = 0 THEN 'even' ELSE 'odd' END AS sheet,
+        |  COUNT(1) AS n,
+        |  MIN(p_partkey) AS min_k, MAX(p_partkey) AS max_k,
+        |  CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) AS sum_price,
+        |  COUNT(DISTINCT p_brand) AS n_brands
+        |FROM part WHERE p_partkey % 40 = 0
+        |GROUP BY 1 ORDER BY sheet""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(1) AS n,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_text_roundtrip" ->
+      """SELECT CAST(doc_id % 3 AS int) AS bucket,
+        |  COUNT(1) AS n_docs,
+        |  CAST(SUM(LENGTH(regexp_replace(text, '[\n\r\t]', ' ', 'g'))) AS bigint) AS total_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 10 = 0
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)
 }

@@ -38,6 +38,7 @@ object ExcelSource {
     StructField("cells", ArrayType(StringType))))
 
   def read(spark: SparkSession, path: String, sheets: String = "all"): DataFrame = {
+    rejectLegacyXls(spark, path)
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx")
       .load(path)
@@ -50,6 +51,90 @@ object ExcelSource {
         Row(file, sheet, idx, cells)
       }
     }(enc)
+  }
+
+  /** Deviation from the reference, made loud: the reference accepts legacy
+    * `.xls` via xlrd (`/root/reference/adffunction/__init__.py:97-101`,
+    * `SharedCode/HelperFunction.py:20`), but OLE2/BIFF parsing is out of
+    * scope JDK-only — this source is xlsx-only. A folder containing `.xls`
+    * fails fast with a clear error instead of silently skipping files the
+    * glob filter would drop.
+    */
+  private def rejectLegacyXls(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+      val legacy = fs.listStatus(p)
+        .filter(st => !st.isDirectory &&
+          st.getPath.getName.toLowerCase.endsWith(".xls"))
+        .map(_.getPath.getName)
+      if (legacy.nonEmpty) throw new IllegalArgumentException(
+        s"ExcelSource reads .xlsx only (xlsx = zip+XML; legacy .xls is OLE2/BIFF " +
+          s"and not supported) — found .xls file(s) in $path: ${legacy.mkString(", ")}. " +
+          "Convert them to .xlsx or remove them from the input folder.")
+    }
+  }
+
+  private def xmlEscape(s: String): String =
+    s.flatMap { case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+                case '"' => "&quot;"; case c => c.toString }
+
+  /** Minimal deterministic xlsx writer (fixture/sink): one workbook with
+    * the given (sheetName, rows-of-cells). Cells whose text parses as a
+    * number are written as numeric cells (so a read round-trips through
+    * the same str(float) rendering as real workbooks); everything else is
+    * an inline string. No shared-string table — inline strings are valid
+    * OOXML and keep the writer order-independent and tiny.
+    */
+  def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    def sheetXml(rows: Seq[Seq[String]]): String = {
+      val body = rows.zipWithIndex.map { case (cells, ri) =>
+        val cellXml = cells.zipWithIndex.map { case (v, ci) =>
+          val ref = s"${colRef(ci)}${ri + 1}"
+          if (v.nonEmpty && v.toDoubleOption.isDefined)
+            s"""<c r="$ref"><v>${xmlEscape(v)}</v></c>"""
+          else
+            s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
+        }.mkString
+        s"""<row r="${ri + 1}">$cellXml</row>"""
+      }.mkString
+      s"""<?xml version="1.0" encoding="UTF-8"?><worksheet xmlns="$ns"><sheetData>$body</sheetData></worksheet>"""
+    }
+    val sheetTags = sheets.zipWithIndex.map { case ((name, _), i) =>
+      s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    val workbook =
+      s"""<?xml version="1.0" encoding="UTF-8"?><workbook xmlns="$ns" xmlns:r="$rns"><sheets>$sheetTags</sheets></workbook>"""
+    val relTags = sheets.indices.map { i =>
+      s"""<Relationship Id="rId${i + 1}" Type="$rns/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+    }.mkString
+    val rels =
+      s"""<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">$relTags</Relationships>"""
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", rels)
+      sheets.zipWithIndex.foreach { case ((_, rows), i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(rows))
+      }
+    } finally zos.close()
+  }
+
+  /** 0-based column index → Excel letters (0 → A, 26 → AA). */
+  def colRef(idx: Int): String = {
+    var i = idx + 1
+    val sb = new StringBuilder
+    while (i > 0) { sb.insert(0, ('A' + (i - 1) % 26).toChar); i = (i - 1) / 26 }
+    sb.toString
   }
 
   /** Sheet-row iterator over one workbook's bytes. */

@@ -109,11 +109,43 @@ class ExcelPipelineSpec extends SparkSpec {
       ("edge", 3, Seq("after-gap"))))
   }
 
+  test("writeWorkbook round-trips through ExcelSource.read (numeric + string cells)") {
+    import spark.implicits._
+    val dir = tmpDir("wb_roundtrip")
+    ExcelSource.writeWorkbook(s"$dir/gen.xlsx", Seq(
+      "s1" -> Seq(Seq("1", "a<b&c", "10.5"), Seq("2", "plain", "20")),
+      "s2" -> Seq(Seq("3.25", "x\"y"))))
+    val rows = ExcelSource.read(spark, dir, "all")
+      .orderBy($"sheet", $"row_idx")
+      .select($"sheet", $"cells").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(rows === Seq(
+      ("s1", Seq("1.0", "a<b&c", "10.5")),
+      ("s1", Seq("2.0", "plain", "20.0")),
+      ("s2", Seq("3.25", "x\"y"))))
+  }
+
+  test("a folder containing legacy .xls fails loudly (xlsx-only contract)") {
+    val dir = tmpDir("legacy_xls")
+    writeXlsx(s"$dir/ok.xlsx")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/old book.XLS"),
+      Array[Byte](0x01, 0x02))
+    val e = intercept[IllegalArgumentException] {
+      ExcelSource.read(spark, dir, "all")
+    }
+    assert(e.getMessage.contains(".xlsx only"))
+    assert(e.getMessage.contains("old book.XLS"))
+  }
+
   test("colIndex: A=0, Z=25, AA=26, AB27") {
     assert(ExcelSource.colIndex("A1") == 0)
     assert(ExcelSource.colIndex("Z9") == 25)
     assert(ExcelSource.colIndex("AA3") == 26)
     assert(ExcelSource.colIndex("AB12") == 27)
+    // colRef is colIndex's inverse
+    Seq(0, 25, 26, 27, 700, 701, 702).foreach { i =>
+      assert(ExcelSource.colIndex(ExcelSource.colRef(i) + "1") == i)
+    }
   }
 
   test("EP1 excelToCsv: sanitized pipe-CSV per sheet with normalized names") {
