@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   *    bit-for-bit with `list_dot_product(a::DOUBLE[], b::DOUBLE[])`.
   *  - `srpTopK`: sign-random-projection LSH (Charikar hyperplane hashing):
   *    H deterministic pseudo-random hyperplanes → H sign bits → bucket
-  *    key; candidates = bucket collisions (multi-probe over `probes`
-  *    nearest buckets by flipping low-confidence bits is the standard
-  *    extension, omitted here); exact cosine re-rank inside buckets. At
+  *    key; candidates = bucket collisions, with query-side multi-probe
+  *    (`probes` buckets per table via lowest-margin bit flips) to fill
+  *    under-k results; exact cosine re-rank inside buckets. At
   *    100 TB the brute path is O(Q·N) dot products and dies; SRP is
   *    O(Σ bucket²) with the same re-rank — recall vs brute force is
   *    pinned in SimilaritySpec.
@@ -87,6 +87,35 @@ object Similarity {
       val proj = dot(v, typedlit(pl.toSeq))
       when(proj > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Multi-probe key set for one table: the base bucket plus `probes - 1`
+    * neighbor buckets reached by flipping the lowest-|projection| bits —
+    * a vector near a hyperplane could land on either side, so the bucket
+    * differing only in that low-confidence bit is the likeliest home of
+    * its missed neighbors (Lv et al.'s multi-probe LSH, single-bit
+    * perturbations). Probing is QUERY-side only: the corpus keeps one
+    * bucket per table, so the index doesn't grow — only the probe join
+    * fans out, by exactly `probes`.
+    */
+  def srpProbeKeys(v: Column, planes: Seq[Array[Double]], probes: Int): Column = {
+    val projs = planes.zipWithIndex.map { case (pl, i) =>
+      (dot(v, typedlit(pl.toSeq)), i)
+    }
+    val base = projs.map { case (p, i) =>
+      when(p > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    if (probes <= 1) array(base)
+    else {
+      // (|proj|, bitmask) per bit, sorted by margin asc (struct sort uses
+      // the first field; ties break on the mask, deterministically)
+      val flips = projs.map { case (p, i) =>
+        struct(abs(p).as("m"), lit(1L << i).as("mask"))
+      }
+      val lowMargin = slice(array_sort(array(flips: _*)), 1, probes - 1)
+      concat(array(base),
+        transform(lowMargin, f => base.bitwiseXOR(f.getField("mask"))))
+    }
+  }
 
   /** ANN cosine top-k via the OR-construction: `numTables` independent SRP
     * tables of `bitsPerTable` sign bits each; a corpus vector is a
@@ -169,20 +198,24 @@ object Similarity {
 
   def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, numTables: Int = 8, bitsPerTable: Int = 4,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, probes: Int = 1): DataFrame = {
     val tables = (0 until numTables).map { t =>
       (t, (0 until bitsPerTable).map(b => hyperplane(t * bitsPerTable + b, dims)))
     }
-    def keyed(df: DataFrame, id: String): DataFrame = {
+    // Corpus: one bucket per table. Queries: `probes` buckets per table
+    // (base + lowest-margin single-bit flips) — fills under-k results
+    // from under-populated buckets without growing the corpus index.
+    def keyed(df: DataFrame, id: String, nProbes: Int): DataFrame = {
       val keys = tables.map { case (t, planes) =>
-        struct(lit(t).as("tbl"), srpKey(col("v"), planes).as("bk"))
+        transform(srpProbeKeys(col("v"), planes, nProbes),
+          bk => struct(lit(t).as("tbl"), bk.as("bk")))
       }
-      df.select(col(id), explode(array(keys: _*)).as("tk"))
+      df.select(col(id), explode(concat(keys: _*)).as("tk"))
     }
     val cPrep = prepared(corpus, vecCol, idCol)
     val qPrep = prepared(queries, vecCol, idCol)
-    val cand = keyed(qPrep.select(col(idCol).as("id_a"), col("v")), "id_a")
-      .join(keyed(cPrep.select(col(idCol).as("id_b"), col("v")), "id_b"), Seq("tk"))
+    val cand = keyed(qPrep.select(col(idCol).as("id_a"), col("v")), "id_a", probes)
+      .join(keyed(cPrep.select(col(idCol).as("id_b"), col("v")), "id_b", 1), Seq("tk"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)

@@ -48,13 +48,14 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // ANN: SRP-LSH bucketed top-5 (rows-only check; recall pinned in
-    // SimilaritySpec against bruteTopK).
+    // ANN: SRP-LSH bucketed top-5 with query-side multi-probe (2 buckets
+    // per table; rows-only check; recall pinned in SimilaritySpec against
+    // bruteTopK, including probes-monotonicity).
     "q_cosine_ann" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter($"vec_id" % 20 === 0)
-      Similarity.srpTopK(emb, queries, "embedding", "vec_id", 5)
+      Similarity.srpTopK(emb, queries, "embedding", "vec_id", 5, probes = 2)
         .orderBy($"id_a", $"rk")
     }),
 

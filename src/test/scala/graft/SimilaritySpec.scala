@@ -35,6 +35,23 @@ class SimilaritySpec extends SparkSpec {
     assertRecall("IVF", Similarity.ivfTopK(embDf, queryDf, "embedding", "vec_id", 5))
   }
 
+  test("srp multi-probe improves recall at equal table count, never hurts it") {
+    def recallAt(probes: Int): (Double, Long) = {
+      val ann = Similarity.srpTopK(embDf, queryDf, "embedding", "vec_id", 5,
+        probes = probes)
+      val p = pairs(ann)
+      ((brutePairs & p).size.toDouble / brutePairs.size, ann.count())
+    }
+    val (r1, n1) = recallAt(1)
+    val (r3, n3) = recallAt(3)
+    // probe candidates are a superset of the base candidates and the
+    // re-rank is exact cosine, so recall is monotone in probes
+    assert(r3 >= r1, s"multi-probe recall regressed: probes=3 $r3 < probes=1 $r1")
+    assert(n3 >= n1, s"multi-probe must fill under-k result sets: $n3 < $n1")
+    assert(r3 > r1 || n3 > n1,
+      s"probes=3 should change SOMETHING on this corpus (r $r1->$r3, n $n1->$n3)")
+  }
+
   test("srp bucket key is deterministic and scale-invariant-ish (sign based)") {
     import spark.implicits._
     val planes = (0 until 8).map(Similarity.hyperplane(_, 4))
