@@ -4,7 +4,7 @@ import java.time.LocalDate
 
 import graft.Tables
 import graft.ops.{CsvIO, QueryCatalog, Retention, Sanitize}
-import graft.sources.ExcelSource
+import graft.sources.{ExcelSource, XlsSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,12 +94,14 @@ object OpsQueries extends graft.QueryModule {
     "q_named_query" -> ((s, dir) =>
       QueryCatalog.run(s, dir, "revenue_by_nation")),
 
-    // A1/A2 under the oracle's eye: a deterministic two-sheet workbook is
-    // built from `part` rows, read back through the full ExcelSource path
-    // (zip + StAX + str(float) rendering + sheet selector), then
-    // aggregated per sheet; the oracle reconstructs the same aggregate
-    // straight from the parquet. The fixture build collects ~|part|/40
-    // rows driver-side — bounded fixture construction, not a data path.
+    // A1/A2 under the oracle's eye, across BOTH workbook formats: the
+    // "even" sheet goes into a modern .xlsx (zip + StAX path) and the
+    // "odd" sheet into a legacy BIFF8 .xls (OLE2 + record path);
+    // `readAny` unions them — the reference's own `*.xls*` acceptance —
+    // and the per-sheet aggregate must match an oracle computed straight
+    // from the parquet, proving both decoders are value-transparent. The
+    // fixture build collects ~|part|/40 rows driver-side — bounded
+    // fixture construction, not a data path.
     "q_excel_scan" -> ((s, dir) => {
       import s.implicits._
       val rows = Tables(s, dir, "part")
@@ -117,8 +119,11 @@ object OpsQueries extends graft.QueryModule {
       val tmp = sys.props("java.io.tmpdir") +
         s"/graft_excel_scan_${ProcessHandle.current().pid()}"
       new java.io.File(tmp).mkdirs()
-      ExcelSource.writeWorkbook(s"$tmp/parts fixture-2024.xlsx", sheets)
-      ExcelSource.read(s, tmp, "even,odd")
+      ExcelSource.writeWorkbook(s"$tmp/parts fixture-2024.xlsx",
+        sheets.filter(_._1 == "even"))
+      XlsSource.writeWorkbook(s"$tmp/parts legacy-2024.xls",
+        sheets.filter(_._1 == "odd"))
+      ExcelSource.readAny(s, tmp, "even,odd")
         .select($"sheet",
           element_at($"cells", 1).cast("double").cast("bigint").as("k"),
           element_at($"cells", 2).as("brand"),

@@ -39,8 +39,19 @@ object ExcelSource {
 
   def read(spark: SparkSession, path: String, sheets: String = "all"): DataFrame = {
     rejectLegacyXls(spark, path)
+    readXlsx(spark, path, sheets)
+  }
+
+  /** The reference's actual acceptance (`*.xls*`, case-insensitive): both
+    * modern `.xlsx` (this object) and legacy BIFF8 `.xls` ([[XlsSource]])
+    * from one folder, unioned into the shared row schema.
+    */
+  def readAny(spark: SparkSession, path: String, sheets: String = "all"): DataFrame =
+    readXlsx(spark, path, sheets).unionByName(XlsSource.read(spark, path, sheets))
+
+  private def readXlsx(spark: SparkSession, path: String, sheets: String): DataFrame = {
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.xlsx")
+      .option("pathGlobFilter", "*.[xX][lL][sS][xX]")
       .load(path)
       .select(col("path"), col("content"))
     val enc = org.apache.spark.sql.Encoders.row(Schema)
@@ -53,12 +64,12 @@ object ExcelSource {
     }(enc)
   }
 
-  /** Deviation from the reference, made loud: the reference accepts legacy
-    * `.xls` via xlrd (`/root/reference/adffunction/__init__.py:97-101`,
-    * `SharedCode/HelperFunction.py:20`), but OLE2/BIFF parsing is out of
-    * scope JDK-only — this source is xlsx-only. A folder containing `.xls`
-    * fails fast with a clear error instead of silently skipping files the
-    * glob filter would drop.
+  /** `read` is the xlsx-only path; a folder that also contains legacy
+    * `.xls` fails fast with a pointer to the right API instead of
+    * silently skipping files the glob filter would drop (the reference
+    * accepts both via xlrd, `/root/reference/adffunction/__init__.py:
+    * 97-101`, `SharedCode/HelperFunction.py:20` — that behavior lives in
+    * [[readAny]] / [[XlsSource]]).
     */
   private def rejectLegacyXls(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -69,9 +80,9 @@ object ExcelSource {
           st.getPath.getName.toLowerCase.endsWith(".xls"))
         .map(_.getPath.getName)
       if (legacy.nonEmpty) throw new IllegalArgumentException(
-        s"ExcelSource reads .xlsx only (xlsx = zip+XML; legacy .xls is OLE2/BIFF " +
-          s"and not supported) — found .xls file(s) in $path: ${legacy.mkString(", ")}. " +
-          "Convert them to .xlsx or remove them from the input folder.")
+        s"ExcelSource.read parses .xlsx only — found legacy .xls file(s) in $path: " +
+          s"${legacy.mkString(", ")}. Use ExcelSource.readAny (mixed folders) or " +
+          "XlsSource.read (BIFF8 .xls) to read them.")
     }
   }
 
@@ -269,6 +280,14 @@ object ExcelSource {
   private[sources] def renderNumeric(v: String): String = {
     val trimmed = v.trim
     val d = try trimmed.toDouble catch { case _: NumberFormatException => return trimmed }
+    renderDouble(d)
+  }
+
+  /** The same str(float) contract for an already-decoded double (the
+    * BIFF path in [[XlsSource]] decodes NUMBER/RK records straight to
+    * doubles, no text intermediary).
+    */
+  private[sources] def renderDouble(d: Double): String = {
     if (d.isInfinite || d.isNaN) return d.toString
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0" // Python str(-0.0)
     val abs = math.abs(d)

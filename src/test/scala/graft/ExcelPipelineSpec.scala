@@ -137,6 +137,21 @@ class ExcelPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("old book.XLS"))
   }
 
+  test("readAny unions .xlsx and legacy .xls from one folder (reference *.xls* filter)") {
+    import spark.implicits._
+    val dir = tmpDir("mixed_formats")
+    writeXlsx(s"$dir/modern.xlsx")
+    graft.sources.XlsSource.writeWorkbook(s"$dir/legacy.xls",
+      Seq("old" -> Seq(Seq("7", "legacy row", "3.5"))))
+    val all = ExcelSource.readAny(spark, dir, "all")
+    val sheetSet = all.select($"sheet").distinct().collect().map(_.getString(0)).toSet
+    assert(sheetSet == Set("data", "extra", "old"))
+    val legacyRow = all.filter($"sheet" === "old")
+      .select($"cells").collect().map(_.getSeq[String](0))
+    assert(legacyRow === Seq(Seq("7.0", "legacy row", "3.5")),
+      "xls cells must render identically to xlsx (str(float) contract)")
+  }
+
   test("colIndex: A=0, Z=25, AA=26, AB27") {
     assert(ExcelSource.colIndex("A1") == 0)
     assert(ExcelSource.colIndex("Z9") == 25)
