@@ -61,7 +61,9 @@ object PipelineRunner {
     * `HelperFunction.py:30`).
     */
   private def excelToCsv(spark: SparkSession, c: ExcelToCsv): String = {
-    val rows = ExcelSource.read(spark, c.fromDir, c.sheetList).cache()
+    // readAny = the reference's `*.xls*` blob filter: modern .xlsx and
+    // legacy BIFF8 .xls side by side in the input folder.
+    val rows = ExcelSource.readAny(spark, c.fromDir, c.sheetList).cache()
     try {
       val sheets = rows.select(col("file"), col("sheet")).distinct().collect()
       // The alphanumeric-stripped prefix (A4) can collide across distinct

@@ -168,6 +168,8 @@ class ExcelPipelineSpec extends SparkSpec {
     val in = s"$root/in"; val out = s"$root/out"
     new java.io.File(in).mkdirs()
     writeXlsx(s"$in/My Book-2024.xlsx")
+    graft.sources.XlsSource.writeWorkbook(s"$in/Legacy-2024.xls",
+      Seq("ldata" -> Seq(Seq("9", "x,y", "1.5"))))
     val res = PipelineRunner.run(spark, PipelineRunner.ExcelToCsv(in, out))
     assert(res.isRight, s"step failed: $res")
     val dataCsv = new java.io.File(s"$out/MyBook2024_data.csv")
@@ -177,6 +179,11 @@ class ExcelPipelineSpec extends SparkSpec {
     assert(lines.contains("1.0|alpha one|10.5"), s"sanitize must strip the comma: $lines")
     assert(lines.contains("2.0|betatwo|20.0"), "quote stripped")
     assert(lines.contains("4.0|deltax|40.0"), "non-ascii dropped")
+    // the legacy workbook flows through the same sanitize + pipe-CSV path
+    val legacyCsv = new java.io.File(s"$out/Legacy2024_ldata.csv")
+    assert(legacyCsv.exists(), "xls workbook must be picked up by EP1")
+    val llines = spark.read.text(legacyCsv.getAbsolutePath).collect().map(_.getString(0))
+    assert(llines.toSeq == Seq("9.0|xy|1.5"))
   }
 
   test("EP1 → EP2: csv staged-load upserts into a parquet table; errors are values") {
