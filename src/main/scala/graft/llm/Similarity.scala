@@ -98,18 +98,13 @@ object Similarity {
     * fans out, by exactly `probes`.
     */
   def srpProbeKeys(v: Column, planes: Seq[Array[Double]], probes: Int): Column = {
-    val projs = planes.zipWithIndex.map { case (pl, i) =>
-      (dot(v, typedlit(pl.toSeq)), i)
-    }
-    val base = projs.map { case (p, i) =>
-      when(p > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+    val base = srpKey(v, planes) // single source of truth for the bucket key
     if (probes <= 1) array(base)
     else {
       // (|proj|, bitmask) per bit, sorted by margin asc (struct sort uses
       // the first field; ties break on the mask, deterministically)
-      val flips = projs.map { case (p, i) =>
-        struct(abs(p).as("m"), lit(1L << i).as("mask"))
+      val flips = planes.zipWithIndex.map { case (pl, i) =>
+        struct(abs(dot(v, typedlit(pl.toSeq))).as("m"), lit(1L << i).as("mask"))
       }
       val lowMargin = slice(array_sort(array(flips: _*)), 1, probes - 1)
       concat(array(base),

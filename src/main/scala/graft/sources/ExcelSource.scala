@@ -75,10 +75,15 @@ object ExcelSource {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
-      val legacy = fs.listStatus(p)
-        .filter(st => !st.isDirectory &&
-          st.getPath.getName.toLowerCase.endsWith(".xls"))
-        .map(_.getPath.getName)
+      // recursive: binaryFile's file index also descends into
+      // subdirectories, so the guard must see the same file set
+      val it = fs.listFiles(p, true)
+      val legacy = mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.isDirectory && st.getPath.getName.toLowerCase.endsWith(".xls"))
+          legacy += st.getPath.getName
+      }
       if (legacy.nonEmpty) throw new IllegalArgumentException(
         s"ExcelSource.read parses .xlsx only — found legacy .xls file(s) in $path: " +
           s"${legacy.mkString(", ")}. Use ExcelSource.readAny (mixed folders) or " +
@@ -89,6 +94,16 @@ object ExcelSource {
   private def xmlEscape(s: String): String =
     s.flatMap { case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
                 case '"' => "&quot;"; case c => c.toString }
+
+  /** Writer-side numeric-cell test: only plain decimal/scientific literals
+    * count. Java's `parseDouble` additionally accepts `1d`, `2.5f`,
+    * hex-floats, and padded whitespace — text xlrd would keep as text, so
+    * writing those as numeric cells would mutate them on round-trip.
+    */
+  private[sources] def isNumericText(v: String): Boolean =
+    v.nonEmpty &&
+      v.matches("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?") &&
+      v.toDoubleOption.isDefined
 
   /** Minimal deterministic xlsx writer (fixture/sink): one workbook with
     * the given (sheetName, rows-of-cells). Cells whose text parses as a
@@ -104,7 +119,7 @@ object ExcelSource {
       val body = rows.zipWithIndex.map { case (cells, ri) =>
         val cellXml = cells.zipWithIndex.map { case (v, ci) =>
           val ref = s"${colRef(ci)}${ri + 1}"
-          if (v.nonEmpty && v.toDoubleOption.isDefined)
+          if (isNumericText(v))
             s"""<c r="$ref"><v>${xmlEscape(v)}</v></c>"""
           else
             s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
@@ -129,9 +144,18 @@ object ExcelSource {
       zos.write(content.getBytes("UTF-8"))
       zos.closeEntry()
     }
+    val sheetOverrides = sheets.indices.map { i =>
+      s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
+    }.mkString
+    val contentTypes =
+      s"""<?xml version="1.0" encoding="UTF-8"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>$sheetOverrides</Types>"""
+    val rootRels =
+      s"""<?xml version="1.0" encoding="UTF-8"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="$rns/officeDocument" Target="xl/workbook.xml"/></Relationships>"""
     try {
-      put("[Content_Types].xml",
-        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      // full OPC part set so external consumers (Excel, openpyxl) accept
+      // the package, not just the in-repo reader
+      put("[Content_Types].xml", contentTypes)
+      put("_rels/.rels", rootRels)
       put("xl/workbook.xml", workbook)
       put("xl/_rels/workbook.xml.rels", rels)
       sheets.zipWithIndex.foreach { case ((_, rows), i) =>

@@ -293,27 +293,33 @@ object XlsSource {
       val cbExt = if (fExt) rdU32() else 0L
       val sb = new java.lang.StringBuilder(cch)
       var read = 0
-      while (read < cch) {
+      var truncated = false
+      while (read < cch && !truncated) {
         if (remaining == 0) {
-          nextSeg()
-          grbit = rdU8() // continued chunk restates fHighByte
+          if (seg + 1 >= segs.length) truncated = true // ran off the last segment
+          else {
+            nextSeg()
+            grbit = rdU8() // continued chunk restates fHighByte
+          }
         }
-        val wide = (grbit & 1) != 0
-        val unit = if (wide) 2 else 1
-        val canChars = math.min(cch - read, remaining / unit)
-        val base = segs(seg)._1 + off
-        if (wide) {
-          var c = 0
-          while (c < canChars) { sb.append(u16(wb, base + c * 2).toChar); c += 1 }
-        } else {
-          var c = 0
-          while (c < canChars) { sb.append((u8(wb, base + c) & 0xFF).toChar); c += 1 }
-        }
-        off += canChars * unit
-        read += canChars
-        if (read < cch && remaining < unit) {
-          if (seg + 1 < segs.length) { nextSeg(); grbit = rdU8() }
-          else read = cch // truncated stream: stop rather than spin
+        if (!truncated) {
+          val wide = (grbit & 1) != 0
+          val unit = if (wide) 2 else 1
+          val canChars = math.min(cch - read, remaining / unit)
+          val base = segs(seg)._1 + off
+          if (wide) {
+            var c = 0
+            while (c < canChars) { sb.append(u16(wb, base + c * 2).toChar); c += 1 }
+          } else {
+            var c = 0
+            while (c < canChars) { sb.append((u8(wb, base + c) & 0xFF).toChar); c += 1 }
+          }
+          off += canChars * unit
+          read += canChars
+          if (read < cch && remaining < unit) {
+            if (seg + 1 < segs.length) { nextSeg(); grbit = rdU8() }
+            else truncated = true // partial final char: stop rather than spin
+          }
         }
       }
       skip(cRun.toLong * 4 + cbExt)
@@ -424,10 +430,10 @@ object XlsSource {
     * [[ExcelSource.writeWorkbook]]): numeric-looking cells become NUMBER
     * records, everything else a wide-char LABEL (no SST — inline labels
     * keep the writer order-independent). The stream is wrapped in the
-    * smallest valid OLE2 container: one directory sector, one FAT sector,
-    * regular 512-byte sectors (the workbook is zero-padded past the
-    * 4096-byte mini-stream cutoff so no mini-FAT is needed; trailing
-    * zeros after the final EOF are standard BIFF padding).
+    * smallest valid OLE2 container ([[cfbWrap]]): streams under the
+    * 4096-byte cutoff take the spec-mandated mini-stream path, larger
+    * ones regular 512-byte FAT sectors — so fixtures exercise both
+    * reader layouts.
     */
   def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
     val bo = java.nio.ByteOrder.LITTLE_ENDIAN
@@ -444,7 +450,7 @@ object XlsSource {
       rec(RcBof, b.array())
     }
     def cellRec(rw: Int, colIdx: Int, v: String): Array[Byte] =
-      if (v.nonEmpty && v.toDoubleOption.isDefined) {
+      if (ExcelSource.isNumericText(v)) {
         val b = java.nio.ByteBuffer.allocate(14).order(bo)
         b.putShort(rw.toShort).putShort(colIdx.toShort).putShort(0.toShort)
           .putDouble(v.toDouble)

@@ -79,8 +79,11 @@ def main():
             got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             gcols = [d[0] for d in got.description]
             grows = got.fetchall()
-            wdf = con.execute(sql).df()
-            gdf = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # dtype frames are bounded: kind mismatches and non-scalar
+            # cells show up in the first rows, no need to re-pull all
+            wdf = con.execute(f"SELECT * FROM ({sql}) LIMIT 256").df()
+            gdf = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 256").df()
             n_warn += len(dtype_warnings(name, wdf, gdf))
         except Exception as e:
             print(f"FAIL {name}: {e}")
