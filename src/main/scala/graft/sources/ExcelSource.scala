@@ -311,7 +311,7 @@ object ExcelSource {
     * BIFF path in [[XlsSource]] decodes NUMBER/RK records straight to
     * doubles, no text intermediary).
     */
-  private[sources] def renderDouble(d: Double): String = {
+  private[graft] def renderDouble(d: Double): String = {
     if (d.isInfinite || d.isNaN) return d.toString
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0" // Python str(-0.0)
     val abs = math.abs(d)
