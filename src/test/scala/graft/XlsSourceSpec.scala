@@ -157,6 +157,45 @@ class XlsSourceSpec extends SparkSpec {
     assert(bySheet((("craft", 5))) === Seq(""))
   }
 
+  test("SST string changing encoding at a CONTINUE boundary (compressed → wide)") {
+    // one string, cch=4: "ab" compressed in the SST record, "é€" wide in
+    // the CONTINUE — the continued chunk's grbit switches fHighByte on
+    val sst = le(8 + 3 + 2) { b =>
+      b.putInt(1).putInt(1)
+      b.putShort(4.toShort).put(0.toByte) // cch=4, compressed so far
+      b.put("ab".getBytes(StandardCharsets.ISO_8859_1))
+    }
+    val cont = le(1 + 4) { b =>
+      b.put(1.toByte) // restated grbit: wide from here
+      b.put("é€".getBytes(StandardCharsets.UTF_16LE))
+    }
+    val sheet = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(bof(0x0010))
+      out.write(rec(0x00FD, le(10) { b =>
+        b.putShort(0.toShort).putShort(0.toShort).putShort(0.toShort).putInt(0)
+      }))
+      out.write(rec(0x000A, Array.empty))
+      out.toByteArray
+    }
+    def boundsheet(pos: Int) = rec(0x0085, le(6 + 2 + 1) { b =>
+      b.putInt(pos).putShort(0.toShort)
+      b.put(1.toByte).put(0.toByte).put('s'.toByte)
+    })
+    val globalsLen = bof(0x0005).length + boundsheet(0).length +
+      rec(0x00FC, sst).length + rec(0x003C, cont).length +
+      rec(0x000A, Array.empty).length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bof(0x0005))
+    out.write(boundsheet(globalsLen))
+    out.write(rec(0x00FC, sst))
+    out.write(rec(0x003C, cont))
+    out.write(rec(0x000A, Array.empty))
+    out.write(sheet)
+    val rows = XlsSource.parseWorkbook(XlsSource.cfbWrap(out.toByteArray), "all")
+    assert(rows === Seq(("s", 0, Seq("abé€"))))
+  }
+
   test("decodeRk: int30, double, and the /100 flag") {
     assert(XlsSource.decodeRk(((1234L << 2) | 2)) === 1234.0)
     assert(XlsSource.decodeRk(((-5L << 2) | 2) & 0xFFFFFFFFL) === -5.0)
