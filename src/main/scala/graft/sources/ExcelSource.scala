@@ -100,7 +100,7 @@ object ExcelSource {
     * hex-floats, and padded whitespace — text xlrd would keep as text, so
     * writing those as numeric cells would mutate them on round-trip.
     */
-  private[sources] def isNumericText(v: String): Boolean =
+  private[graft] def isNumericText(v: String): Boolean =
     v.nonEmpty &&
       v.matches("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?") &&
       v.toDoubleOption.isDefined

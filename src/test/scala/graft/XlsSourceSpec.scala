@@ -196,6 +196,42 @@ class XlsSourceSpec extends SparkSpec {
     assert(rows === Seq(("s", 0, Seq("abé€"))))
   }
 
+  test("randomized cell grids round-trip through BOTH writer/reader pairs (seeded)") {
+    val rnd = new scala.util.Random(20260812L)
+    // sample by CODE POINT (a per-code-unit pick would split the 🚀
+    // surrogate pair into invalid lone surrogates no real text contains)
+    val alphabets = Seq(
+      "abcdefgh XYZ09._-|,;'\"\\/<>&",      // ASCII incl. XML/CSV-active chars
+      "αβγδεζ héllo wörld 東京 🚀",          // wide + astral
+      "0123456789.eE+-")                    // numeric-looking fragments
+      .map(s => s.codePoints().toArray.map(Character.toString))
+    def randomCell(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until rnd.nextInt(12)).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    def expected(v: String): String =
+      if (graft.sources.ExcelSource.isNumericText(v))
+        graft.sources.ExcelSource.renderDouble(v.toDouble)
+      else v
+    (1 to 5).foreach { trial =>
+      val rows = (0 until 1 + rnd.nextInt(8)).map { _ =>
+        (0 until 1 + rnd.nextInt(6)).map(_ => randomCell())
+      }
+      val want = rows.map(_.map(expected))
+      val dir = tmpDir(s"xls_prop_$trial")
+      XlsSource.writeWorkbook(s"$dir/t.xls", Seq("p" -> rows))
+      val gotXls = XlsSource.parseWorkbook(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.xls")), "all")
+        .map(_._3)
+      assert(gotXls === want, s"xls trial $trial: rows=$rows")
+      graft.sources.ExcelSource.writeWorkbook(s"$dir/t.xlsx", Seq("p" -> rows))
+      val gotXlsx = graft.sources.ExcelSource.parseWorkbook(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.xlsx")), "all")
+        .map(_._3)
+      assert(gotXlsx === want, s"xlsx trial $trial: rows=$rows")
+    }
+  }
+
   test("decodeRk: int30, double, and the /100 flag") {
     assert(XlsSource.decodeRk(((1234L << 2) | 2)) === 1234.0)
     assert(XlsSource.decodeRk(((-5L << 2) | 2) & 0xFFFFFFFFL) === -5.0)
