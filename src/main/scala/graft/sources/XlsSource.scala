@@ -200,14 +200,17 @@ object XlsSource {
 
   // ---------------------------------------------------------------- BIFF
 
-  /** (id, dataOffset, dataLen) for every record in the stream. */
+  /** (id, dataOffset, dataLen) for every record in the stream. A record
+    * whose declared length runs past the stream end (truncated file) stops
+    * the scan instead of letting parsers read out of bounds.
+    */
   private def readRecords(wb: Array[Byte]): Seq[(Int, Int, Int)] = {
     val out = mutable.ArrayBuffer[(Int, Int, Int)]()
     var o = 0
     while (o + 4 <= wb.length) {
       val id = u16(wb, o)
       val len = u16(wb, o + 2)
-      if (id == 0) o = wb.length // trailing zero padding
+      if (id == 0 || o + 4 + len > wb.length) o = wb.length
       else { out += ((id, o + 4, len)); o += 4 + len }
     }
     out.toSeq
@@ -346,7 +349,8 @@ object XlsSource {
       val id = u16(wb, o)
       val len = u16(wb, o + 2)
       val d = o + 4
-      id match {
+      if (d + len > wb.length) done = true // truncated record: stop
+      else id match {
         case RcBof => depth += 1
         case RcEof => depth -= 1; if (depth == 0) done = true
         case RcLabelSst =>

@@ -4,6 +4,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import graft.ops.{CsvIO, PipelineRunner}
 import graft.sources.ExcelSource
+import org.apache.spark.sql.functions.concat_ws
 
 /** Excel source (A1/A2) + full EP1→EP2 pipeline: xlsx fixture → sanitized
   * pipe-CSV → staged upsert into a parquet table, all through the runner's
@@ -135,6 +136,27 @@ class ExcelPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(".xlsx only"))
     assert(e.getMessage.contains("old book.XLS"))
+  }
+
+  test("DSv2 connector: spark.read.format(graft-excel) matches readAny, honors sheets option") {
+    import spark.implicits._
+    val dir = tmpDir("dsv2")
+    writeXlsx(s"$dir/modern.xlsx")
+    graft.sources.XlsSource.writeWorkbook(s"$dir/legacy.xls",
+      Seq("old" -> Seq(Seq("7", "legacy row", "3.5"))))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"file", $"sheet", $"row_idx", concat_ws("", $"cells").as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val viaDsv2 = spark.read.format("graft-excel").load(dir)
+    assert(viaDsv2.schema === graft.sources.ExcelSource.Schema)
+    assert(canon(viaDsv2) === canon(ExcelSource.readAny(spark, dir, "all")),
+      "DSv2 scan and readAny must produce identical rows")
+    val filtered = spark.read.format("graft-excel").option("sheets", "old").load(dir)
+    assert(filtered.select($"sheet").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("old"))
+    // one partition per workbook file
+    assert(viaDsv2.rdd.getNumPartitions === 2)
   }
 
   test("readAny unions .xlsx and legacy .xls from one folder (reference *.xls* filter)") {
