@@ -37,7 +37,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     val salted = big.withColumn(
-      "__salt", pmod(xxhash64(big.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+      "__salt", pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salt.toLong)).cast("int"))
     val replicated = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
