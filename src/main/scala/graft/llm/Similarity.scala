@@ -155,8 +155,13 @@ object Similarity {
     // id-hash filter is spread across the corpus, reproducible, and needs
     // no prior count. Raise `sampleMod` with corpus size (or pre-sample
     // upstream) at 100 TB.
-    val trainSample = cPrep
+    val hashSample = cPrep
       .filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
+    // a small corpus can hash-sample below k (or to zero), which would
+    // fail deep inside MLlib — fall back to training on the full corpus
+    // there; the sample only matters when the corpus is large anyway
+    val trainSample =
+      if (hashSample.limit(numCells).count() < numCells) cPrep else hashSample
     val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(trainSample.select(array_to_vector(col("v")).as("fv")))

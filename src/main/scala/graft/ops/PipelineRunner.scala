@@ -71,8 +71,8 @@ object PipelineRunner {
       // overwrite one workbook's CSV with the other's; fail loudly instead
       // (surfaces through the runner's error-as-value channel).
       def prefixOf(file: String): String =
-        file.substring(file.lastIndexOf('/') + 1)
-          .replaceAll("\\.[^.]*$", "").replaceAll("[^A-Za-z0-9]+", "")
+        Sanitize.fileNamePrefixStr(
+          file.substring(file.lastIndexOf('/') + 1).replaceAll("\\.[^.]*$", ""))
       val collisions = sheets.map(_.getString(0)).distinct.groupBy(prefixOf)
         .filter(_._2.length > 1)
       if (collisions.nonEmpty)

@@ -38,10 +38,20 @@ object Sanitize {
     df.select(cols.toSeq: _*)
   }
 
+  /** The A4 normalization pattern — single source for both the Column and
+    * String forms so the rule can never desynchronize between them.
+    */
+  private val FileNamePattern = "[^A-Za-z0-9]+"
+
   /** Filename normalize (A4, `HelperFunction.py:18-19`): strip every
     * non-alphanumeric run. Used for the `<prefix>_<sheet>.csv` output
     * naming (`HelperFunction.py:30`).
     */
   def fileNamePrefix(c: Column): Column =
-    regexp_replace(c, "[^A-Za-z0-9]+", "")
+    regexp_replace(c, FileNamePattern, "")
+
+  /** Driver-side String form of the same rule (collision checks, output
+    * naming in [[PipelineRunner]]).
+    */
+  def fileNamePrefixStr(s: String): String = s.replaceAll(FileNamePattern, "")
 }

@@ -74,21 +74,28 @@ object ExcelSource {
   private def rejectLegacyXls(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
-      // recursive: binaryFile's file index also descends into
-      // subdirectories, so the guard must see the same file set
-      val it = fs.listFiles(p, true)
-      val legacy = mutable.ArrayBuffer[String]()
-      while (it.hasNext) {
-        val st = it.next()
-        if (!st.isDirectory && st.getPath.getName.toLowerCase.endsWith(".xls"))
-          legacy += st.getPath.getName
-      }
-      if (legacy.nonEmpty) throw new IllegalArgumentException(
-        s"ExcelSource.read parses .xlsx only — found legacy .xls file(s) in $path: " +
-          s"${legacy.mkString(", ")}. Use ExcelSource.readAny (mixed folders) or " +
-          "XlsSource.read (BIFF8 .xls) to read them.")
+    // resolve the path the same way the file source will: a direct file
+    // or a glob expands via globStatus, a directory lists recursively —
+    // the guard must see exactly the file set the reader would consider
+    val roots =
+      if (fs.exists(p)) Seq(fs.getFileStatus(p))
+      else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val legacy = mutable.ArrayBuffer[String]()
+    roots.foreach { root =>
+      if (root.isDirectory) {
+        val it = fs.listFiles(root.getPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (!st.isDirectory && st.getPath.getName.toLowerCase.endsWith(".xls"))
+            legacy += st.getPath.getName
+        }
+      } else if (root.getPath.getName.toLowerCase.endsWith(".xls"))
+        legacy += root.getPath.getName
     }
+    if (legacy.nonEmpty) throw new IllegalArgumentException(
+      s"ExcelSource.read parses .xlsx only — found legacy .xls file(s) in $path: " +
+        s"${legacy.mkString(", ")}. Use ExcelSource.readAny (mixed folders) or " +
+        "XlsSource.read (BIFF8 .xls) to read them.")
   }
 
   private def xmlEscape(s: String): String =

@@ -69,16 +69,28 @@ private final class ExcelScanBuilder(options: CaseInsensitiveStringMap)
     val spark = SparkSession.active
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    // resolve like Spark's file sources: a literal path directly, a glob
+    // via globStatus; matched directories then list recursively
+    val roots =
+      if (fs.exists(p)) Seq(fs.getFileStatus(p))
+      else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    if (roots.isEmpty)
       throw new IllegalArgumentException(s"graft-excel path does not exist: $path")
     val files = {
       val out = Seq.newBuilder[(String, Long)]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
+      def keep(st: org.apache.hadoop.fs.FileStatus): Unit = {
         val n = st.getPath.getName.toLowerCase
-        if (!st.isDirectory && (n.endsWith(".xlsx") || n.endsWith(".xls")))
+        if (n.endsWith(".xlsx") || n.endsWith(".xls"))
           out += ((st.getPath.toString, st.getLen))
+      }
+      roots.foreach { root =>
+        if (root.isDirectory) {
+          val it = fs.listFiles(root.getPath, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (!st.isDirectory) keep(st)
+          }
+        } else keep(root)
       }
       out.result()
     }

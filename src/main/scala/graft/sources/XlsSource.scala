@@ -129,7 +129,12 @@ object XlsSource {
     val fat = new Array[Long](fatSectors.length * perFat)
     fatSectors.zipWithIndex.foreach { case (fs, i) =>
       val base = sectorAt(fs)
-      (0 until perFat).foreach { j => fat(i * perFat + j) = u32(bytes, base + j * 4) }
+      (0 until perFat).foreach { j =>
+        // corrupt DIFAT entries can point past EOF — treat as end-of-chain
+        // so a truncated file degrades to short reads, not a raw AIOOBE
+        fat(i * perFat + j) =
+          if (base + j * 4 + 4 <= bytes.length) u32(bytes, base + j * 4) else EndOfChain
+      }
     }
 
     def chain(start: Long): Seq[Long] = {
@@ -144,21 +149,27 @@ object XlsSource {
       out.toSeq
     }
 
+    /** Clamped sector copy: a truncated file yields short data (the BIFF
+      * record scanner stops gracefully) rather than an out-of-bounds crash.
+      */
+    def writeSector(out: java.io.ByteArrayOutputStream, src: Array[Byte],
+        base: Int, len: Int): Unit =
+      if (base >= 0 && base < src.length)
+        out.write(src, base, math.min(len, src.length - base))
+
     def readChain(start: Long, size: Long): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
-      chain(start).foreach { s =>
-        val base = sectorAt(s)
-        out.write(bytes, base, math.min(sectorSize, bytes.length - base))
-      }
-      java.util.Arrays.copyOf(out.toByteArray, size.toInt)
+      chain(start).foreach(s => writeSector(out, bytes, sectorAt(s), sectorSize))
+      val raw = out.toByteArray
+      // a corrupt directory size can exceed the chain's actual bytes —
+      // never allocate past what the file really holds
+      java.util.Arrays.copyOf(raw, math.min(size, raw.length.toLong).toInt)
     }
 
     // Directory entries are 128 bytes through the directory chain.
     val dir = {
       val out = new java.io.ByteArrayOutputStream()
-      chain(firstDirSector).foreach { s =>
-        out.write(bytes, sectorAt(s), sectorSize)
-      }
+      chain(firstDirSector).foreach(s => writeSector(out, bytes, sectorAt(s), sectorSize))
       out.toByteArray
     }
     case class Entry(name: String, objType: Int, start: Long, size: Long)
@@ -181,19 +192,19 @@ object XlsSource {
         val miniStream = readChain(root.start, root.size)
         val miniFat = {
           val out = new java.io.ByteArrayOutputStream()
-          chain(firstMiniFat).foreach(s => out.write(bytes, sectorAt(s), sectorSize))
+          chain(firstMiniFat).foreach(s => writeSector(out, bytes, sectorAt(s), sectorSize))
           out.toByteArray
         }
         val out = new java.io.ByteArrayOutputStream()
         var s = e.start
         var g = 0
         while (s != EndOfChain && s != FreeSect && g < miniFat.length / 4 + 1) {
-          val off = (s * miniSize).toInt
-          out.write(miniStream, off, math.min(miniSize, miniStream.length - off))
-          s = u32(miniFat, s.toInt * 4)
+          writeSector(out, miniStream, (s * miniSize).toInt, miniSize)
+          s = if (s.toInt * 4 + 4 <= miniFat.length) u32(miniFat, s.toInt * 4) else EndOfChain
           g += 1
         }
-        java.util.Arrays.copyOf(out.toByteArray, e.size.toInt)
+        val raw = out.toByteArray
+        java.util.Arrays.copyOf(raw, math.min(e.size, raw.length.toLong).toInt)
       }
     }
   }
@@ -442,6 +453,13 @@ object XlsSource {
   def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
     val bo = java.nio.ByteOrder.LITTLE_ENDIAN
     def rec(id: Int, data: Array[Byte]): Array[Byte] = {
+      // BIFF8 caps record payloads at 8224 bytes; longer content needs
+      // CONTINUE records, which this minimal writer does not emit — fail
+      // loudly instead of wrapping the u16 length and corrupting the file
+      require(data.length <= 8224,
+        s"cell/record payload of ${data.length} bytes exceeds the BIFF8 " +
+          "8224-byte record cap (strings up to ~4000 chars); split the cell " +
+          "or use the xlsx writer for long content")
       val b = java.nio.ByteBuffer.allocate(4 + data.length).order(bo)
       b.putShort(id.toShort).putShort(data.length.toShort).put(data)
       b.array()
@@ -476,6 +494,8 @@ object XlsSource {
       out.toByteArray
     }
     def boundsheet(name: String, pos: Int): Array[Byte] = {
+      require(name.length <= 31, // Excel's own sheet-name limit; also keeps
+        s"sheet name '$name' exceeds 31 chars") // the u8 cch from wrapping
       val chars = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
       val b = java.nio.ByteBuffer.allocate(8 + chars.length).order(bo)
       b.putInt(pos).putShort(0.toShort)

@@ -136,6 +136,16 @@ class ExcelPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(".xlsx only"))
     assert(e.getMessage.contains("old book.XLS"))
+    // a direct single-file path and a glob must hit the same guard — not
+    // silently return 0 rows because the xlsx glob filtered the file out
+    val direct = intercept[IllegalArgumentException] {
+      ExcelSource.read(spark, s"$dir/old book.XLS", "all")
+    }
+    assert(direct.getMessage.contains(".xlsx only"))
+    val viaGlob = intercept[IllegalArgumentException] {
+      ExcelSource.read(spark, s"$dir/*.XLS", "all")
+    }
+    assert(viaGlob.getMessage.contains(".xlsx only"))
   }
 
   test("DSv2 connector: spark.read.format(graft-excel) matches readAny, honors sheets option") {

@@ -35,6 +35,14 @@ class SimilaritySpec extends SparkSpec {
     assertRecall("IVF", Similarity.ivfTopK(embDf, queryDf, "embedding", "vec_id", 5))
   }
 
+  test("ivfTopK falls back to full-corpus training when the hash sample is too small") {
+    // a sampleMod far above the corpus size guarantees an empty sample;
+    // the guard must fall back instead of crashing inside KMeans.fit
+    val ann = Similarity.ivfTopK(embDf, queryDf, "embedding", "vec_id", 5,
+      sampleMod = 1000000000)
+    assert(ann.count() > 0)
+  }
+
   test("srp multi-probe improves recall at equal table count, never hurts it") {
     def recallAt(probes: Int): (Double, Long) = {
       val ann = Similarity.srpTopK(embDf, queryDf, "embedding", "vec_id", 5,
