@@ -240,6 +240,25 @@ class XlsSourceSpec extends SparkSpec {
     assert(XlsSource.decodeRk(((12345L << 2) | 3) & 0xFFFFFFFFL) === 123.45)
   }
 
+  test("truncated containers never crash: every prefix parses or rejects cleanly") {
+    val dir = tmpDir("xls_trunc")
+    XlsSource.writeWorkbook(s"$dir/t.xls", Seq(
+      "data" -> (0 until 40).map(i => Seq(i.toString, s"row $i text", (i * 1.1).toString))))
+    val full = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/t.xls"))
+    // prefixes stepping through header, directory, FAT, and stream sectors
+    (full.length to 0 by -997) ++ Seq(512, 513, 1024, 1536, 2048) foreach { n =>
+      val cut = java.util.Arrays.copyOf(full, n)
+      try {
+        XlsSource.parseWorkbook(cut, "all") // partial rows are fine
+        ()
+      } catch {
+        case _: IllegalArgumentException => () // clean rejection is fine
+        case e: Throwable =>
+          fail(s"truncation at $n bytes must not leak ${e.getClass.getSimpleName}: $e")
+      }
+    }
+  }
+
   test("BIFF5 'Book' stream and non-OLE2 bytes fail with clear errors") {
     val biff5 = {
       // reuse the CFB wrapper but rename the stream by patching the
