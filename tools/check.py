@@ -69,6 +69,25 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_warn = 0
+    # entries without oracle SQL get the driver's weaker rows-only check
+    import os
+    dumped = {d for d in os.listdir(out_dir)
+              if os.path.isdir(f"{out_dir}/{d}")}
+    for name in sorted(dumped - set(oracle)):
+        if only and name not in only:
+            continue
+        try:
+            n = con.execute(f"SELECT COUNT(1) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name} (rows-only): {e}")
+            n_fail += 1
+            continue
+        if n > 0:
+            print(f"PASS {name} (rows-only, {n} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name} (rows-only): 0 rows")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
