@@ -541,11 +541,16 @@ object XlsSource {
       else java.util.Arrays.copyOf(stream, ((stream.length + 63) / 64) * 64)
     val nPayload = (payload.length + 511) / 512
     val nMiniFat = if (mini) 1 else 0
-    val firstPayload = 2 + nMiniFat
-    require(firstPayload + nPayload <= 128,
-      s"fixture workbook too large for one FAT sector: $nPayload sectors")
+    // FAT sectors map every sector incl. themselves: smallest F with
+    // F*128 >= 1(dir) + F + nMiniFat + nPayload
+    val nFat = (1 + nMiniFat + nPayload + 126) / 127
+    require(nFat <= 109,
+      s"fixture workbook too large for the header DIFAT: $nFat FAT sectors (~7 MB cap)")
+    val firstMiniFatSector = 1 + nFat
+    val firstPayload = 1 + nFat + nMiniFat
+    val nTotalSectors = 1 + nFat + nMiniFat + nPayload
     val total = java.nio.ByteBuffer
-      .allocate(512 * (1 + 2 + nMiniFat + nPayload)).order(bo)
+      .allocate(512 * (1 + nTotalSectors)).order(bo)
     // header
     total.putInt(0xE011CFD0).putInt(0xE11AB1A1).putLong(0L).putLong(0L)
     total.putShort(0x003E.toShort).putShort(0x0003.toShort) // minor/major
@@ -553,16 +558,15 @@ object XlsSource {
     total.putShort(9.toShort).putShort(6.toShort) // sector/mini shifts
     total.put(Array.fill[Byte](6)(0))
     total.putInt(0) // num dir sectors (v3: 0)
-    total.putInt(1) // num FAT sectors
+    total.putInt(nFat)
     total.putInt(0) // first directory sector = sector 0
     total.putInt(0) // transaction
     total.putInt(4096) // mini cutoff
-    total.putInt(if (mini) 2 else EOC) // first mini-FAT sector
+    total.putInt(if (mini) firstMiniFatSector else EOC) // first mini-FAT sector
     total.putInt(nMiniFat)
-    total.putInt(EOC) // first DIFAT sector: none
+    total.putInt(EOC) // first DIFAT sector: none (≤109 FAT ids fit the header)
     total.putInt(0) // num DIFAT sectors
-    total.putInt(1) // DIFAT[0]: FAT lives in sector 1
-    (1 until 109).foreach(_ => total.putInt(FREE))
+    (0 until 109).foreach(i => total.putInt(if (i < nFat) 1 + i else FREE))
     // sector 0: directory (4 × 128-byte entries)
     def dirEntry(name: String, objType: Int, start: Int, size: Int,
         child: Int = -1): Array[Byte] = {
@@ -589,15 +593,17 @@ object XlsSource {
     }
     total.put(dirEntry("", 0, FREE, 0))
     total.put(dirEntry("", 0, FREE, 0))
-    // sector 1: FAT
-    total.putInt(EOC) // sector 0 (directory): end of chain
-    total.putInt(0xFFFFFFFD) // sector 1: FATSECT marker
-    if (mini) total.putInt(EOC) // sector 2: mini-FAT, single-sector chain
-    (0 until nPayload).foreach { i =>
-      total.putInt(if (i == nPayload - 1) EOC else firstPayload + i + 1)
+    // sectors 1..nFat: the FAT, one next-pointer per sector
+    (0 until nFat * 128).foreach { s =>
+      total.putInt(
+        if (s == 0) EOC // directory: single-sector chain
+        else if (s >= 1 && s <= nFat) 0xFFFFFFFD // FATSECT markers
+        else if (mini && s == firstMiniFatSector) EOC // mini-FAT chain
+        else if (s >= firstPayload && s < firstPayload + nPayload)
+          { if (s == firstPayload + nPayload - 1) EOC else s + 1 }
+        else FREE)
     }
-    (2 + nMiniFat + nPayload until 128).foreach(_ => total.putInt(FREE))
-    // sector 2 (mini case): the mini-FAT — chain of 64-byte mini sectors
+    // mini case: the mini-FAT — chain of 64-byte mini sectors
     if (mini) {
       val nMini = (stream.length + 63) / 64
       (0 until nMini).foreach { i =>

@@ -46,6 +46,19 @@ class XlsSourceSpec extends SparkSpec {
     assert(got(199) === Seq("199.0", "name_199", "298.5"))
   }
 
+  test("multi-FAT-sector container round-trips (~1 MB workbook)") {
+    val dir = tmpDir("xls_multifat")
+    val rows = (0 until 15000).map(i => Seq(i.toString, s"payload row $i"))
+    XlsSource.writeWorkbook(s"$dir/wide.xls", Seq("bulk" -> rows))
+    val size = new java.io.File(s"$dir/wide.xls").length()
+    assert(size > 128 * 512, s"must exceed one FAT sector's 64KB mapping: $size")
+    val got = XlsSource.parseWorkbook(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/wide.xls")), "all")
+    assert(got.length == 15000)
+    assert(got.head._3 === Seq("0.0", "payload row 0"))
+    assert(got.last._3 === Seq("14999.0", "payload row 14999"))
+  }
+
   // ---- hand-crafted BIFF stream covering the non-writer record types ----
 
   private def rec(id: Int, data: Array[Byte]): Array[Byte] = {
