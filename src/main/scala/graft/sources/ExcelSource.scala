@@ -71,27 +71,35 @@ object ExcelSource {
     * 97-101`, `SharedCode/HelperFunction.py:20` — that behavior lives in
     * [[readAny]] / [[XlsSource]]).
     */
-  private def rejectLegacyXls(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // resolve the path the same way the file source will: a direct file
-    // or a glob expands via globStatus, a directory lists recursively —
-    // the guard must see exactly the file set the reader would consider
+  /** Resolve a literal path, glob, or directory to its leaf files, the way
+    * Spark's file sources do: a direct file stands alone, a glob expands
+    * via `globStatus`, matched directories list recursively. Shared by the
+    * legacy-`.xls` guard and the DSv2 connector so both always see the
+    * same file set the reader would consider.
+    */
+  private[sources] def resolveInputFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val roots =
       if (fs.exists(p)) Seq(fs.getFileStatus(p))
       else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val legacy = mutable.ArrayBuffer[String]()
-    roots.foreach { root =>
+    roots.flatMap { root =>
       if (root.isDirectory) {
+        val buf = mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
         val it = fs.listFiles(root.getPath, true)
         while (it.hasNext) {
           val st = it.next()
-          if (!st.isDirectory && st.getPath.getName.toLowerCase.endsWith(".xls"))
-            legacy += st.getPath.getName
+          if (!st.isDirectory) buf += st
         }
-      } else if (root.getPath.getName.toLowerCase.endsWith(".xls"))
-        legacy += root.getPath.getName
+        buf.toSeq
+      } else Seq(root)
     }
+  }
+
+  private def rejectLegacyXls(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = resolveInputFiles(fs, p).map(_.getPath.getName)
+      .filter(_.toLowerCase.endsWith(".xls"))
     if (legacy.nonEmpty) throw new IllegalArgumentException(
       s"ExcelSource.read parses .xlsx only — found legacy .xls file(s) in $path: " +
         s"${legacy.mkString(", ")}. Use ExcelSource.readAny (mixed folders) or " +

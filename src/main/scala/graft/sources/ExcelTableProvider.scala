@@ -69,30 +69,13 @@ private final class ExcelScanBuilder(options: CaseInsensitiveStringMap)
     val spark = SparkSession.active
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // resolve like Spark's file sources: a literal path directly, a glob
-    // via globStatus; matched directories then list recursively
-    val roots =
-      if (fs.exists(p)) Seq(fs.getFileStatus(p))
-      else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    if (roots.isEmpty)
+    val resolved = ExcelSource.resolveInputFiles(fs, p)
+    if (resolved.isEmpty && !fs.exists(p))
       throw new IllegalArgumentException(s"graft-excel path does not exist: $path")
-    val files = {
-      val out = Seq.newBuilder[(String, Long)]
-      def keep(st: org.apache.hadoop.fs.FileStatus): Unit = {
-        val n = st.getPath.getName.toLowerCase
-        if (n.endsWith(".xlsx") || n.endsWith(".xls"))
-          out += ((st.getPath.toString, st.getLen))
-      }
-      roots.foreach { root =>
-        if (root.isDirectory) {
-          val it = fs.listFiles(root.getPath, true)
-          while (it.hasNext) {
-            val st = it.next()
-            if (!st.isDirectory) keep(st)
-          }
-        } else keep(root)
-      }
-      out.result()
+    val files = resolved.collect {
+      case st if { val n = st.getPath.getName.toLowerCase
+                   n.endsWith(".xlsx") || n.endsWith(".xls") } =>
+        (st.getPath.toString, st.getLen)
     }
     // deterministic plan order; size recorded for future split heuristics
     files.sortBy(_._1).map { case (f, _) =>

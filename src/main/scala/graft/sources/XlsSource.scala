@@ -248,19 +248,29 @@ object XlsSource {
     0x00 -> "#NULL!", 0x07 -> "#DIV/0!", 0x0F -> "#VALUE!", 0x17 -> "#REF!",
     0x1D -> "#NAME?", 0x24 -> "#NUM!", 0x2A -> "#N/A")
 
+  /** xlrd renders bools via Python str(bool). */
+  private def boolText(v: Int): String = if (v == 1) "True" else "False"
+
+  /** XLUnicodeString body: grbit byte at `grbitOff`, then `cch` chars —
+    * wide UTF-16LE or compressed Latin-1 per the fHighByte bit. `maxBytes`
+    * caps the char read at the record boundary. Shared by BOUNDSHEET
+    * names, LABEL cells, and FORMULA STRING results.
+    */
+  private def xlString(wb: Array[Byte], cch: Int, grbitOff: Int, maxBytes: Int): String =
+    if ((u8(wb, grbitOff) & 1) != 0)
+      new String(wb, grbitOff + 1, math.min(cch * 2, maxBytes),
+        java.nio.charset.StandardCharsets.UTF_16LE)
+    else
+      new String(wb, grbitOff + 1, math.min(cch, maxBytes),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+
   /** Sheet names + absolute BOF offsets from BOUNDSHEET records, in
     * declared order (mirrors the xlsx sheet-order contract).
     */
   private def parseBoundsheets(wb: Array[Byte], records: Seq[(Int, Int, Int)]): Seq[(String, Int)] =
-    records.collect { case (RcBoundsheet, o, _) =>
-      val off = i32(wb, o)
+    records.collect { case (RcBoundsheet, o, len) =>
       // ShortXLUnicodeString: cch u8, grbit u8, chars
-      val cch = u8(wb, o + 6)
-      val high = (u8(wb, o + 7) & 1) != 0
-      val name = if (high)
-        new String(wb, o + 8, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
-      else new String(wb, o + 8, cch, java.nio.charset.StandardCharsets.ISO_8859_1)
-      (name, off)
+      (xlString(wb, u8(wb, o + 6), o + 7, len - 8), i32(wb, o))
     }
 
   /** SST: shared strings, split across CONTINUE records at character
@@ -378,33 +388,26 @@ object XlsSource {
             put(rw, colFirst + k, ExcelSource.renderDouble(decodeRk(u32(wb, d + 4 + k * 6 + 2))))
           }
         case RcLabel =>
-          val cch = u16(wb, d + 6)
-          val high = (u8(wb, d + 8) & 1) != 0
-          val s = if (high)
-            new String(wb, d + 9, math.min(cch * 2, len - 9), java.nio.charset.StandardCharsets.UTF_16LE)
-          else new String(wb, d + 9, math.min(cch, len - 9), java.nio.charset.StandardCharsets.ISO_8859_1)
-          put(u16(wb, d), u16(wb, d + 2), s)
+          put(u16(wb, d), u16(wb, d + 2), xlString(wb, u16(wb, d + 6), d + 8, len - 9))
         case RcBoolErr =>
           val v = u8(wb, d + 6)
-          val s = if (u8(wb, d + 7) == 0) { if (v == 1) "True" else "False" }
+          val s = if (u8(wb, d + 7) == 0) boolText(v)
             else ErrorText.getOrElse(v, s"#ERR$v")
           put(u16(wb, d), u16(wb, d + 2), s)
         case RcFormula =>
           val rw = u16(wb, d); val c = u16(wb, d + 2)
-          if (u16(wb, d + 12) == 0xFFFF) u8(wb, d + 6) match {
-            case 0 => pendingString = Some((rw, c)) // value in next STRING record
-            case 1 => put(rw, c, if (u8(wb, d + 8) == 1) "True" else "False")
-            case 2 => put(rw, c, ErrorText.getOrElse(u8(wb, d + 8), s"#ERR${u8(wb, d + 8)}"))
-            case _ => put(rw, c, "") // cached blank
+          if (u16(wb, d + 12) == 0xFFFF) {
+            val v = u8(wb, d + 8)
+            u8(wb, d + 6) match {
+              case 0 => pendingString = Some((rw, c)) // value in next STRING record
+              case 1 => put(rw, c, boolText(v))
+              case 2 => put(rw, c, ErrorText.getOrElse(v, s"#ERR$v"))
+              case _ => put(rw, c, "") // cached blank
+            }
           } else put(rw, c, ExcelSource.renderDouble(f64(wb, d + 6)))
         case RcString =>
           pendingString.foreach { case (rw, c) =>
-            val cch = u16(wb, d)
-            val high = (u8(wb, d + 2) & 1) != 0
-            val s = if (high)
-              new String(wb, d + 3, math.min(cch * 2, len - 3), java.nio.charset.StandardCharsets.UTF_16LE)
-            else new String(wb, d + 3, math.min(cch, len - 3), java.nio.charset.StandardCharsets.ISO_8859_1)
-            put(rw, c, s)
+            put(rw, c, xlString(wb, u16(wb, d), d + 2, len - 3))
           }
           pendingString = None
         case RcBlank =>
