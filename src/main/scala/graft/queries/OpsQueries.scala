@@ -3,7 +3,7 @@ package graft.queries
 import java.time.LocalDate
 
 import graft.Tables
-import graft.ops.{CsvIO, QueryCatalog, Retention, Sanitize}
+import graft.ops.{CsvIO, PipelineRunner, QueryCatalog, Retention, Sanitize}
 import graft.sources.{ExcelSource, XlsSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -136,6 +136,43 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"sheet")
     }),
 
+    // A13/A14 under the oracle's eye: the full four-verb pipeline — a
+    // mixed xlsx+xls fixture folder flows through ExcelToCsv (A3 sanitize,
+    // A4 naming, A5 pipe-CSV) and then LoadTable upsert (B3/B4) via the
+    // runner's error-as-value API, into a seeded parquet table with one
+    // overlapping key (overwritten) and one disjoint key (survives). The
+    // oracle reconstructs the final table from `part` + the survivor row.
+    "q_pipeline_runner" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_pipeline_${ProcessHandle.current().pid()}"
+      val in = s"$root/in"; val csvOut = s"$root/csv"; val table = s"$root/table"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(in, csvOut)) // A12
+      val rows = Tables(s, dir, "part")
+        .filter($"p_partkey" % 40 === 0)
+        .select($"p_partkey", $"p_brand", $"p_retailprice")
+        .orderBy($"p_partkey").collect()
+        .map(r => Seq(r.getLong(0).toString, r.getString(1), r.getDouble(2).toString))
+      ExcelSource.writeWorkbook(s"$in/Parts Modern-1.xlsx",
+        Seq("even" -> rows.filter(_.head.toDouble % 80 == 0).toSeq))
+      XlsSource.writeWorkbook(s"$in/Parts Legacy-1.xls",
+        Seq("odd" -> rows.filter(_.head.toDouble % 80 != 0).toSeq))
+      Seq((40.0, "seeded-overwritten", -1.0), (-7.0, "survivor", 3.25))
+        .toDF("k", "brand", "price").write.mode("overwrite").parquet(table)
+      val r1 = PipelineRunner.run(s, PipelineRunner.ExcelToCsv(in, csvOut))
+      require(r1.isRight, s"EP1 failed: $r1")
+      val r2 = PipelineRunner.run(s,
+        PipelineRunner.LoadTable(s"$csvOut/*.csv", table, "upsert", Seq("k")))
+      require(r2.isRight, s"EP2 failed: $r2")
+      s.read.parquet(table)
+        .groupBy(($"k" % 80.0 === 0.0).as("even_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"brand").as("n_brands"),
+          sum($"price".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"even_bucket")
+    }),
+
     // C1 JSON source: write line-delimited JSON, read it back with the
     // source's schema (schema-on-read, no inference pass), aggregate —
     // proves longs, strings, and doubles are value-stable through the
@@ -227,6 +264,18 @@ object OpsQueries extends graft.QueryModule {
         |  COUNT(DISTINCT p_brand) AS n_brands
         |FROM part WHERE p_partkey % 40 = 0
         |GROUP BY 1 ORDER BY sheet""".stripMargin,
+    "q_pipeline_runner" ->
+      """WITH fixture AS (
+        |  SELECT CAST(p_partkey AS double) AS k, p_brand AS brand,
+        |         p_retailprice AS price
+        |  FROM part WHERE p_partkey % 40 = 0
+        |  UNION ALL SELECT -7.0::double, 'survivor', 3.25::double
+        |)
+        |SELECT (k % 80.0 = 0.0) AS even_bucket, COUNT(1) AS n,
+        |  COUNT(DISTINCT brand) AS n_brands,
+        |  CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM fixture GROUP BY 1 ORDER BY even_bucket""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT o_orderstatus, COUNT(1) AS n,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
