@@ -173,6 +173,37 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"even_bucket")
     }),
 
+    // A6/A8/A10 under the oracle's eye: stamped container dirs are created
+    // from order dates, the retention sweep (fixed `today` = 1995-06-01,
+    // dayDiff 0 → stamps in [19950402000000, 19950601999999] deleted)
+    // prefix-deletes the matches, and a fresh listing aggregates the
+    // SURVIVORS per year — the oracle recomputes the survivor set from
+    // `orders` with the same bounds.
+    "q_retention_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_sweep_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(root))
+      // stamp + orderkey keeps names unique when dates collide; the A9
+      // regex still extracts the FIRST 14-digit run (the stamp)
+      val names = Tables(s, dir, "orders").filter($"o_orderkey" % 100 === 0)
+        .select(concat(lit("hdi-ls1-df1-"),
+          date_format($"o_orderdate", "yyyyMMddHHmmss"),
+          lit("-"), $"o_orderkey").as("cname"))
+        .collect().map(_.getString(0))
+      names.foreach(n => new java.io.File(s"$root/$n").mkdirs())
+      Retention.sweep(
+        graft.ops.FileOps.listFiles(s, root).filter($"is_dir"),
+        "name", "ls1", "df1", 0, LocalDate.of(1995, 6, 1))(
+        name => { graft.ops.FileOps.deletePrefix(s, s"$root/$name"); () })
+      graft.ops.FileOps.listFiles(s, root)
+        .filter($"is_dir")
+        .select(regexp_extract($"name", "\\d{14}", 0).substr(1, 4).cast("int").as("y"))
+        .groupBy($"y")
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy($"y")
+    }),
+
     // C1 JSON source: write line-delimited JSON, read it back with the
     // source's schema (schema-on-read, no inference pass), aggregate —
     // proves longs, strings, and doubles are value-stable through the
@@ -276,6 +307,14 @@ object OpsQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_price,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM fixture GROUP BY 1 ORDER BY even_bucket""".stripMargin,
+    "q_retention_sweep" ->
+      """SELECT CAST(substr(strftime(o_orderdate, '%Y%m%d%H%M%S'), 1, 4) AS int) AS y,
+        |  COUNT(1) AS n_survivors
+        |FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |  AND NOT (CAST(strftime(o_orderdate, '%Y%m%d%H%M%S') AS bigint)
+        |           BETWEEN 19950402000000 AND 19950601999999)
+        |GROUP BY 1 ORDER BY y""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT o_orderstatus, COUNT(1) AS n,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
