@@ -204,6 +204,35 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"y")
     }),
 
+    // A7 under the oracle's eye: one file per nation is archive-moved with
+    // a FIXED timestamp (deterministic `<archive>/<src-dir>/_<stamp>/`
+    // layout), then the archive folder's listing is aggregated — the
+    // oracle recomputes the same totals from `nation`. Proves the move
+    // really relocated every file into the stamped path.
+    "q_archive_move" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_archive_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(s"$root/in", s"$root/archive"))
+      val rows = Tables(s, dir, "nation")
+        .select($"n_nationkey", $"n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      rows.foreach { case (k, n) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/in/${k}_$n.txt"), s"$k")
+      }
+      val now = java.time.LocalDateTime.of(1995, 6, 1, 12, 34)
+      rows.foreach { case (k, n) =>
+        graft.ops.FileOps.archiveMove(s, s"$root/in/${k}_$n.txt", s"$root/archive", now)
+      }
+      graft.ops.FileOps.listFiles(s, s"$root/archive/in/_199506011234")
+        .filter(!$"is_dir")
+        .select(split($"name", "_").getItem(0).cast("bigint").as("k"))
+        .agg(count(lit(1)).as("n_files"),
+          sum($"k").cast("bigint").as("sum_keys"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+    }),
+
     // C1 JSON source: write line-delimited JSON, read it back with the
     // source's schema (schema-on-read, no inference pass), aggregate —
     // proves longs, strings, and doubles are value-stable through the
@@ -315,6 +344,12 @@ object OpsQueries extends graft.QueryModule {
         |  AND NOT (CAST(strftime(o_orderdate, '%Y%m%d%H%M%S') AS bigint)
         |           BETWEEN 19950402000000 AND 19950601999999)
         |GROUP BY 1 ORDER BY y""".stripMargin,
+    "q_archive_move" ->
+      """SELECT COUNT(1) AS n_files,
+        |  CAST(SUM(n_nationkey) AS bigint) AS sum_keys,
+        |  CAST(MIN(n_nationkey) AS bigint) AS min_k,
+        |  CAST(MAX(n_nationkey) AS bigint) AS max_k
+        |FROM nation""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT o_orderstatus, COUNT(1) AS n,
         |  COUNT(DISTINCT o_custkey) AS n_cust,
