@@ -196,6 +196,25 @@ object Similarity {
       .select(col("id_a"), col("rk"), col("id_b"), col("cos"))
   }
 
+  /** Driver-checkable ANN verification: the EXACT top-k rows (which a SQL
+    * oracle can reproduce) plus `recall_ok` — true iff `ann` recovered at
+    * least `minRecall` of the exact (id_a, id_b) pairs, computed in-query.
+    * The oracle emits the exact rows and literal TRUE, so an ANN recall
+    * regression flips every row's hash red at the driver instead of hiding
+    * behind a rows-only check. The flag is a 1-row broadcast cross join —
+    * no data-path cost beyond the two ANN/exact runs it compares.
+    */
+  def recallChecked(exact: DataFrame, ann: DataFrame, minRecall: Double): DataFrame = {
+    val pairs = exact.select(col("id_a"), col("id_b"))
+    val hits = pairs
+      .join(ann.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("hits"))
+    val tot = pairs.agg(count(lit(1)).cast("double").as("tot"))
+    val flag = hits.crossJoin(tot)
+      .select((col("hits") >= col("tot") * lit(minRecall)).as("recall_ok"))
+    exact.crossJoin(broadcast(flag))
+  }
+
   def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, numTables: Int = 8, bitsPerTable: Int = 4,
       dims: Int = 64, probes: Int = 1): DataFrame = {

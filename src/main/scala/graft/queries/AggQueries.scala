@@ -104,17 +104,27 @@ object AggQueries extends graft.QueryModule {
           |""".stripMargin)
     }),
 
-    // HLL sketch count (C5 approx_count_distinct). No oracle entry —
-    // Spark's HLL++ and DuckDB's HLL produce different estimates by
-    // design, so this gets the driver's rows-only check. At 100 TB this
-    // is the right answer for dashboard-class distinct counts: fixed
-    // sketch memory per group vs the exact distinct's full expansion.
+    // HLL sketch count (C5 approx_count_distinct). Spark's HLL++ and
+    // DuckDB's HLL produce different estimates by design, so the sketch
+    // value itself cannot be oracle-compared — instead the query emits the
+    // EXACT distinct count (oracle-reproducible) plus `within_tol`: the
+    // sketch estimate is within ±5% of exact, checked in-query. The oracle
+    // produces the exact values and literal TRUE, so an HLL accuracy
+    // regression flips every group's hash red at the driver. At 100 TB the
+    // sketch is the right answer for dashboard-class distinct counts:
+    // fixed sketch memory per group vs the exact distinct's full
+    // expansion; the exact anchor here is the verification harness, not
+    // the production path.
     "q_approx_count_distinct" -> ((s, dir) => {
       import s.implicits._
       Tables(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
           count(lit(1)).as("n_rows"))
+        .select($"l_returnflag", $"exact_parts", $"n_rows",
+          (abs($"approx_parts" - $"exact_parts") <=
+            $"exact_parts" * lit(0.05)).as("within_tol"))
         .orderBy($"l_returnflag")
     }),
 
@@ -144,8 +154,14 @@ object AggQueries extends graft.QueryModule {
     }))
 
   def oracle: Map[String, String] = Map(
-    // q_approx_count_distinct intentionally absent: sketch estimates are
-    // engine-specific (rows-only check).
+    // Sketch estimates are engine-specific, so the oracle pins the EXACT
+    // counts and asserts the in-query ±5% tolerance check passed.
+    "q_approx_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(1) AS n_rows,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_topn_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
