@@ -8,17 +8,21 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
-  * so `stubFeatures` derives a deterministic fake feature vector from the
-  * md5 of the bytes (clearly marked; a real deployment swaps in a codec
-  * behind the same schema/signature). Everything around the stub — the
-  * binary+struct schema, batched per-partition processing shape, and
-  * slice-based frame sampling — is real Spark plumbing and is tested.
+  * IMAGE DECODE IS REAL: `imageFeatures` runs the JDK's `javax.imageio`
+  * codecs (PNG/BMP/GIF/JPEG) batched per partition and extracts decoded
+  * dimensions plus exact integer per-channel pixel statistics — chosen
+  * integer so a SQL oracle can reproduce them bit-for-bit from a pixel
+  * formula with no float drift. Audio/video decoding stays out of scope
+  * (no codecs in the JDK); for those, `frameSample`/`resizeStub` keep the
+  * slice/metadata plumbing real while marking the interpretation fake.
   *
   * Scale notes: binary payloads ride the same parquet scans as everything
-  * else; feature extraction is embarrassingly parallel per partition; the
+  * else; decode is embarrassingly parallel per partition (the
+  * mapPartitions iterator is where a batch codec/model API plugs in); the
   * metadata struct (not the bytes) is what joins/filters touch, so
-  * predicate pushdown keeps payload IO proportional to selectivity.
+  * predicate pushdown keeps payload IO proportional to selectivity. One
+  * corrupt file yields a null-feature row, never a failed stage — at
+  * 100 TB some payloads WILL be garbage.
   */
 object Multimodal {
 
@@ -41,16 +45,35 @@ object Multimodal {
         lit(0).as("height"),
         lit(0L).as("duration_ms")))
 
-  /** STUB feature extraction — deterministic fake features from content
-    * md5: 4 doubles in [0, 1), each from one 8-hex-digit slice. A real
-    * implementation replaces this expression with a decoder + model over
-    * the same (binary → array<double>) signature.
+  /** Deterministic fixture pixel for an (id, x, y) cell: three linear
+    * functions of the coordinates mod 256, packed as 0xRRGGBB. Linear in
+    * integers, so the SQL oracle recomputes the exact channel sums with
+    * `(id*31 + x*7 + y*13) % 256`-style expressions — the decode path is
+    * verified against arithmetic, never against itself.
     */
-  def stubFeatures(content: Column): Column = {
-    val h = md5(content)
-    array((0 until 4).map { i =>
-      conv(substring(h, 1 + 8 * i, 8), 16, 10).cast("double") / lit(4294967296.0)
-    }: _*)
+  def fixturePixel(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + x * 11 + y * 5) % 256).toInt
+    val b = ((id * 7 + x * 3 + y * 19) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode a w×h RGB image through `javax.imageio` (executor-side; PNG
+    * and BMP are lossless for TYPE_INT_RGB, so a decode recovers the
+    * exact pixels `rgb` produced).
+    */
+  def encodeImage(w: Int, h: Int, format: String, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
   }
 
   /** Frame sampling STUB for video-ish payloads: n evenly-spaced byte
@@ -92,37 +115,62 @@ object Multimodal {
       .otherwise(resized)
   }
 
-  /** Batched per-partition feature extraction — the mapInPandas-shaped
-    * path: rows are processed partition-at-a-time through an iterator, the
-    * shape a real codec/model batch API needs (vs per-row UDF calls).
-    * Output schema: id, features array<double>.
+  /** REAL image decode + feature extraction, batched per partition — the
+    * mapInPandas-shaped path: rows are processed partition-at-a-time
+    * through an iterator (the shape a batch codec/model API needs, vs
+    * per-row UDF calls). Each `content` payload is decoded with
+    * `javax.imageio` and reduced to decoded dimensions plus exact integer
+    * channel statistics (Σr, Σg, Σb, Σr²) — from which mean/stddev follow,
+    * while staying integer-exact for oracle comparison.
+    *
+    * Null-safety contract: a null id row is unkeyable (dropped); null,
+    * corrupt, or unrecognized-format bytes yield a null-feature row — one
+    * bad payload must not abort the stage.
     */
-  def extractFeaturesBatched(df: DataFrame, idCol: String): DataFrame = {
+  def imageFeatures(df: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     val schema = StructType(Seq(
       StructField("id", LongType),
-      StructField("features", ArrayType(DoubleType))))
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("r_sum", LongType),
+      StructField("g_sum", LongType),
+      StructField("b_sum", LongType),
+      StructField("rr_sum", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.select(col(idCol).cast("long"), col("content")).mapPartitions { it =>
-      // Batch shape: pull the partition through one iterator — a real
-      // decoder would fill a batch buffer here and run the model per batch.
-      // Null-safe: a null id row is unkeyable (dropped); null content
-      // yields null features (mirrors the Column-based stubFeatures) —
-      // one bad row must not abort the stage.
+      // In-memory streams only — keep ImageIO off its temp-file cache.
+      javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { r =>
         if (r.isNullAt(0)) None
         else {
-          val feats =
+          // ImageIO.read returns null on unrecognized containers and
+          // throws on truncated/corrupt ones — both map to the null row
+          // (NonFatal: a malformed payload must never kill the stage,
+          // whatever exception the codec picks for it).
+          val img =
             if (r.isNullAt(1)) null
-            else {
-              val h = java.security.MessageDigest.getInstance("MD5")
-                .digest(r.getAs[Array[Byte]](1))
-              (0 until 4).map { i =>
-                val u = java.nio.ByteBuffer.wrap(h, 4 * i, 4).getInt.toLong & 0xFFFFFFFFL
-                u.toDouble / 4294967296.0
-              }.toArray
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Some(Row(r.getLong(0), null, null, null, null, null, null))
+          else {
+            var rs = 0L; var gs = 0L; var bs = 0L; var rrs = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                val rr = (p >> 16) & 0xFF
+                rs += rr; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+                rrs += rr.toLong * rr
+                x += 1
+              }
+              y += 1
             }
-          Some(Row(r.getLong(0), feats))
+            Some(Row(r.getLong(0), img.getWidth, img.getHeight, rs, gs, bs, rrs))
+          }
         }
       }
     }(enc)

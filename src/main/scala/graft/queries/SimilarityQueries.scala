@@ -79,21 +79,31 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"rk")
     }),
 
-    // Multimodal plumbing: text packed as binary + metadata struct, STUB
-    // feature extraction from the payload bytes (md5-derived — DuckDB
-    // reproduces it by hashing the same bytes as text).
+    // Multimodal: REAL image decode. The fixture encodes one 8×8 RGB
+    // image per sampled document through javax.imageio (png when doc_id %
+    // 50 == 0, bmp otherwise — two distinct JDK codec paths),
+    // executor-side; imageFeatures decodes them back and emits exact
+    // integer channel statistics that the oracle recomputes from the
+    // pixel FORMULA — the codec round-trip is checked against arithmetic,
+    // never against itself. One deliberately corrupt payload (id -1)
+    // pins the bad-file contract: a null-feature row, not a failed stage.
     "q_multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      val packed = Multimodal.packText(
-        Tables(s, dir, "documents").filter($"doc_id" % 25 === 0), "text")
-      packed.select(
-          $"doc_id",
-          $"meta.format".as("format"),
-          $"meta.byte_len".as("byte_len"),
-          Multimodal.stubFeatures($"content").as("f"))
-        .select($"doc_id", $"format", $"byte_len",
-          element_at($"f", 1).as("f0"), element_at($"f", 2).as("f1"),
-          element_at($"f", 3).as("f2"), element_at($"f", 4).as("f3"))
+      val fmt = (id: Long) => if (id % 50 == 0) "png" else "bmp"
+      val packed = Tables(s, dir, "documents").filter($"doc_id" % 25 === 0)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          (id, fmt(id),
+            Multimodal.encodeImage(8, 8, fmt(id),
+              (x, y) => Multimodal.fixturePixel(id, x, y)))
+        })
+        .toDF("doc_id", "format", "content")
+        .unionByName(Seq((-1L, "png", "not an image".getBytes("UTF-8")))
+          .toDF("doc_id", "format", "content"))
+      Multimodal.imageFeatures(packed, "doc_id")
+        .join(packed.select($"doc_id", $"format"), $"id" === $"doc_id")
+        .select($"doc_id", $"format", $"width", $"height",
+          $"r_sum", $"g_sum", $"b_sum", $"rr_sum")
         .orderBy($"doc_id")
     }))
 
@@ -137,12 +147,24 @@ object SimilarityQueries extends graft.QueryModule {
         |FROM prep a JOIN prep b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+    // The oracle never touches a codec: it recomputes the channel sums
+    // from the fixturePixel formula over an 8×8 grid, so only a correct
+    // encode→decode round-trip can match it.
     "q_multimodal_features" ->
-      """SELECT doc_id, 'txt' AS format,
-        |  CAST(octet_length(encode(text)) AS bigint) AS byte_len,
-        |  CAST(('0x' || substr(md5(text), 1, 8)) AS bigint) / 4294967296.0::double AS f0,
-        |  CAST(('0x' || substr(md5(text), 9, 8)) AS bigint) / 4294967296.0::double AS f1,
-        |  CAST(('0x' || substr(md5(text), 17, 8)) AS bigint) / 4294967296.0::double AS f2,
-        |  CAST(('0x' || substr(md5(text), 25, 8)) AS bigint) / 4294967296.0::double AS f3
-        |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin)
+      """WITH px AS (
+        |  SELECT d.doc_id, tx.x, ty.y
+        |  FROM documents d, range(8) tx(x), range(8) ty(y)
+        |  WHERE d.doc_id % 25 = 0
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  8 AS width, 8 AS height,
+        |  CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS bigint) AS r_sum,
+        |  CAST(SUM((doc_id*17 + x*11 + y*5) % 256) AS bigint) AS g_sum,
+        |  CAST(SUM((doc_id*7 + x*3 + y*19) % 256) AS bigint) AS b_sum,
+        |  CAST(SUM(((doc_id*31 + x*7 + y*13) % 256) * ((doc_id*31 + x*7 + y*13) % 256)) AS bigint) AS rr_sum
+        |FROM px GROUP BY doc_id
+        |UNION ALL
+        |SELECT -1, 'png', NULL, NULL, NULL, NULL, NULL, NULL
+        |ORDER BY doc_id""".stripMargin)
 }

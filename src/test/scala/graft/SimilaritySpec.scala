@@ -74,19 +74,45 @@ class SimilaritySpec extends SparkSpec {
     assert(keys(1L) != keys(3L), "negation flips every non-zero sign")
   }
 
-  test("multimodal: pack → batched feature extraction is deterministic and batch-shaped") {
+  test("multimodal: imageFeatures recovers exact pixel sums through png AND bmp codecs") {
     import spark.implicits._
-    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
-    val packed = Multimodal.packText(df, "text").repartition(2)
-    val feats = Multimodal.extractFeaturesBatched(packed, "doc_id")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(feats(1L) == feats(2L), "same bytes → same features")
-    assert(feats(1L) != feats(3L))
-    assert(feats(1L).forall(f => f >= 0.0 && f < 1.0))
-    // stub Column-expression path agrees with the batched path
-    val exprFeats = packed.select($"doc_id", Multimodal.stubFeatures($"content").as("f"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(exprFeats(1L) == feats(1L), "expression stub and batched stub must agree")
+    val ids = Seq(3L, 8L) // one bmp-shaped id, one png-shaped id
+    val fmt = (id: Long) => if (id % 2 == 0) "png" else "bmp"
+    val packed = ids.map { id =>
+      (id, Multimodal.encodeImage(5, 4, fmt(id),
+        (x, y) => Multimodal.fixturePixel(id, x, y)))
+    }.toDF("doc_id", "content").repartition(2)
+    val feats = Multimodal.imageFeatures(packed, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- ids) {
+      // expectations straight from the pixel formula — decode is checked
+      // against arithmetic, not against another ImageIO call
+      val px = for { y <- 0 until 4; x <- 0 until 5 } yield Multimodal.fixturePixel(id, x, y)
+      val r = feats(id)
+      assert(r.getInt(1) == 5 && r.getInt(2) == 4, s"id $id dims")
+      assert(r.getLong(3) == px.map(p => ((p >> 16) & 0xFF).toLong).sum, s"id $id r_sum")
+      assert(r.getLong(4) == px.map(p => ((p >> 8) & 0xFF).toLong).sum, s"id $id g_sum")
+      assert(r.getLong(5) == px.map(p => (p & 0xFF).toLong).sum, s"id $id b_sum")
+      assert(r.getLong(6) == px.map(p => ((p >> 16) & 0xFF).toLong).map(v => v * v).sum,
+        s"id $id rr_sum")
+    }
+  }
+
+  test("multimodal: corrupt/truncated/null payloads yield null features; null id drops") {
+    import spark.implicits._
+    val good = Multimodal.encodeImage(2, 2, "png", (_, _) => 0x010203)
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "junk, not an image".getBytes("UTF-8")),
+      (java.lang.Long.valueOf(2L), good.take(good.length / 2)), // truncated mid-stream
+      (java.lang.Long.valueOf(3L), null: Array[Byte]),
+      (null: java.lang.Long, good),
+      (java.lang.Long.valueOf(5L), good)).toDF("doc_id", "content")
+    val out = Multimodal.imageFeatures(df, "doc_id").collect()
+    assert(out.length == 4, "null-id row must drop")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(byId(id).isNullAt(1), s"id $id must be a null-feature row")
+    assert(byId(5L).getInt(1) == 2 && byId(5L).getLong(3) == 4L) // 4 px of r=1
   }
 
   test("resizeStub scales payload bytes with the pixel change and rebuilds metadata") {
