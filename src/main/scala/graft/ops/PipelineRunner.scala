@@ -56,48 +56,87 @@ object PipelineRunner {
     }
   }
 
-  /** EP1: per workbook and sheet, sanitize every cell (A3) and write one
-    * pipe-CSV per sheet named `<normalized-prefix>_<sheet>.csv` (A4/A5,
-    * `HelperFunction.py:30`).
+  /** EP1: sanitize every cell (A3) and write one pipe-CSV per sheet named
+    * `<normalized-prefix>_<sheet>.csv` (A4/A5, `HelperFunction.py:30`).
+    *
+    * Scale shape: ONE Spark job for the whole folder, not one per sheet —
+    * rows are hash-clustered on (prefix, sheet) and sorted by row_idx,
+    * then a single dynamic-partitioned text write fans them out (one
+    * ordered part file per sheet, since the required partition ordering is
+    * already satisfied no extra sort is inserted), and the driver renames
+    * each partition dir onto the `<prefix>_<sheet>.csv` contract. The old
+    * per-sheet loop launched O(sheets) sequential jobs — driver-bound at
+    * 100× workbook count (measured: 30 workbooks × 2 sheets = 183 jobs /
+    * 19.9 s loop vs 5 jobs / 7.0 s single-job, see COVERAGE.md).
     */
   private def excelToCsv(spark: SparkSession, c: ExcelToCsv): String = {
     // readAny = the reference's `*.xls*` blob filter: modern .xlsx and
     // legacy BIFF8 .xls side by side in the input folder.
-    val rows = ExcelSource.readAny(spark, c.fromDir, c.sheetList).cache()
-    try {
-      val sheets = rows.select(col("file"), col("sheet")).distinct().collect()
-      // The alphanumeric-stripped prefix (A4) can collide across distinct
-      // workbooks ("a-b.xlsx" vs "ab.xlsx") — the reference would silently
-      // overwrite one workbook's CSV with the other's; fail loudly instead
-      // (surfaces through the runner's error-as-value channel).
-      def prefixOf(file: String): String =
-        Sanitize.fileNamePrefixStr(
-          file.substring(file.lastIndexOf('/') + 1).replaceAll("\\.[^.]*$", ""))
-      val collisions = sheets.map(_.getString(0)).distinct.groupBy(prefixOf)
-        .filter(_._2.length > 1)
-      if (collisions.nonEmpty)
-        throw new IllegalArgumentException(
-          s"Error - workbook filename prefixes collide after normalization: $collisions")
-      sheets.foreach { r =>
-        val (file, sheet) = (r.getString(0), r.getString(1))
-        // binaryFile paths are URI-ish but may hold raw spaces — take the
-        // basename textually, not via java.net.URI.
-        val prefix = prefixOf(file)
-        // The raw .text() writer does no quoting, so the interchange
-        // separator must never survive inside a cell — translate '|' to
-        // space after the sanitize chain (the reference strips its own
-        // CSV-active characters the same way, HelperFunction.py:36-41).
-        val one = rows
-          .filter(col("file") === file && col("sheet") === sheet)
-          .orderBy(col("row_idx"))
-          .select(concat_ws(CsvIO.Sep,
-            transform(col("cells"),
-              cell => translate(Sanitize.cell(cell), CsvIO.Sep, " "))).as("line"))
-        one.coalesce(1).write.mode("overwrite")
-          .text(s"${c.toDir}/${prefix}_$sheet.csv")
+    val rows = ExcelSource.readAny(spark, c.fromDir, c.sheetList)
+    // binaryFile paths are URI-ish but may hold raw spaces — take the
+    // basename textually, not via java.net.URI.
+    def prefixOf(file: String): String =
+      Sanitize.fileNamePrefixStr(
+        file.substring(file.lastIndexOf('/') + 1).replaceAll("\\.[^.]*$", ""))
+    // The alphanumeric-stripped prefix (A4) can collide across distinct
+    // workbooks ("a-b.xlsx" vs "ab.xlsx") — the reference would silently
+    // overwrite one workbook's CSV with the other's; fail loudly instead
+    // (surfaces through the runner's error-as-value channel).
+    val files = rows.select(col("file")).distinct().collect().map(_.getString(0))
+    val collisions = files.groupBy(prefixOf).filter(_._2.length > 1)
+    if (collisions.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Error - workbook filename prefixes collide after normalization: $collisions")
+    val mapping = spark.createDataFrame(files.toSeq.map(f => (f, prefixOf(f))))
+      .toDF("file", "prefix")
+    // The raw .text() writer does no quoting, so the interchange separator
+    // must never survive inside a cell — translate '|' to space after the
+    // sanitize chain (the reference strips its own CSV-active characters
+    // the same way, HelperFunction.py:36-41).
+    val staging = s"${c.toDir}/_ep1_staging"
+    rows.join(broadcast(mapping), Seq("file"))
+      .select(col("prefix"), col("sheet"), col("row_idx"),
+        concat_ws(CsvIO.Sep,
+          transform(col("cells"),
+            cell => translate(Sanitize.cell(cell), CsvIO.Sep, " "))).as("line"))
+      .repartition(col("prefix"), col("sheet"))
+      .sortWithinPartitions(col("prefix"), col("sheet"), col("row_idx"))
+      .select(col("prefix"), col("sheet"), col("line"))
+      .write.mode("overwrite").partitionBy("prefix", "sheet").text(staging)
+    // FS renames: staging/prefix=<p>/sheet=<esc> → toDir/<p>_<sheet>.csv.
+    // Pure namespace operations — no data moves, O(sheets) metadata calls.
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val moved = fs.listStatus(stagingPath).filter(_.isDirectory).flatMap { pDir =>
+      val prefix = unescapePathName(pDir.getPath.getName.stripPrefix("prefix="))
+      fs.listStatus(pDir.getPath).filter(_.isDirectory).map { sDir =>
+        val sheet = unescapePathName(sDir.getPath.getName.stripPrefix("sheet="))
+        val dest = new org.apache.hadoop.fs.Path(s"${c.toDir}/${prefix}_$sheet.csv")
+        if (fs.exists(dest)) fs.delete(dest, true)
+        if (!fs.rename(sDir.getPath, dest))
+          throw new java.io.IOException(
+            s"Error - EP1 rename failed: ${sDir.getPath} -> $dest")
+        1
       }
-      s"${sheets.length} sheet csv(s) written"
-    } finally { rows.unpersist(); () }
+    }.sum
+    fs.delete(stagingPath, true)
+    s"$moved sheet csv(s) written"
+  }
+
+  /** Inverse of the writer's partition-dir escaping (`%XX` hex for the
+    * FS-hostile ASCII chars; everything else passes through verbatim).
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** EP2: schema-borrowed pipe-CSV staged load (B4) then insert (A11) or

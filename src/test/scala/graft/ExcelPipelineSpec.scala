@@ -218,6 +218,29 @@ class ExcelPipelineSpec extends SparkSpec {
     assert(llines.toSeq == Seq("9.0|xy|1.5"))
   }
 
+  test("EP1 launches O(1) jobs for a many-sheet folder, not one per sheet") {
+    val root = tmpDir("ep1jobs")
+    val in = s"$root/in"; val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    for (w <- 0 until 6)
+      ExcelSource.writeWorkbook(s"$in/Book$w.xlsx", Seq(
+        "alpha" -> Seq(Seq(s"$w", "a", "1.5")),
+        "beta" -> Seq(Seq(s"$w", "b", "2.5"))))
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val res = PipelineRunner.run(spark, PipelineRunner.ExcelToCsv(in, out))
+    assert(res.isRight, s"step failed: $res")
+    val jobs = tracker.getJobIdsForGroup(null).length - before
+    // scan + distinct-files + one dynamic-partitioned write ≈ 5 jobs; the
+    // old per-sheet loop would need ≥ 12 write jobs alone for 12 sheets
+    assert(jobs <= 8, s"EP1 must be a constant number of jobs, saw $jobs for 12 sheets")
+    val csvs = new java.io.File(out).listFiles().map(_.getName).filter(_.endsWith(".csv"))
+    assert(csvs.length == 12, s"one csv dir per sheet: ${csvs.toSeq.sorted}")
+    assert(csvs.contains("Book3_beta.csv"))
+    // staging namespace must not leak into the output contract
+    assert(!new java.io.File(s"$out/_ep1_staging").exists())
+  }
+
   test("EP1 → EP2: csv staged-load upserts into a parquet table; errors are values") {
     import spark.implicits._
     val root = tmpDir("ep2")
