@@ -41,6 +41,76 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed upsert: the target side never shuffles and the table stays bucketed") {
+    val db = "bucketup"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1 to 20000).map(i => (i.toLong, s"t$i", i * 1.0)).toDF("k", "s", "v")
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(s"$db.t")
+      val source = (19001 to 21000).map(i => (i.toLong, s"n$i", i * 2.0)).toDF("k", "s", "v")
+      // Plan evidence for the Upsert scaladoc claim: the merge's anti-join
+      // takes the bucketed target WITHOUT an Exchange — the only exchanges
+      // are the source's window dedup and the source keys side of the
+      // anti-join (shuffled to the target's 8 buckets).
+      val merged = graft.ops.Upsert.merge(spark.table(s"$db.t"), source, Seq("k"))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"target scan must use the bucketed layout:\n$plan")
+      // structural check: the bucketed target scan feeds the anti-join
+      // through a bucket-local Sort — its parent chain holds no Exchange
+      val lines = plan.linesIterator.toVector
+      val scanIdx = lines.indexWhere(l => l.contains("FileScan") && l.contains("Bucketed: true"))
+      assert(scanIdx > 1, s"bucketed scan not found:\n$plan")
+      assert(lines(scanIdx - 1).contains("Sort") && !lines(scanIdx - 1).contains("Exchange"),
+        s"bucketed target must reach the join without an Exchange:\n$plan")
+      // and every Exchange in the plan is on the SOURCE: the window dedup
+      // subtree (planned twice — both union branches reference it) plus
+      // the anti-join's distinct-keys side; the 20k-row target contributes
+      // none. hashpartitioning is only ever over source attribute ids.
+      val exchanges = "Exchange".r.findAllMatchIn(plan).length
+      assert(exchanges == 3,
+        s"expected exactly the 3 source-side exchanges, got $exchanges:\n$plan")
+      // End-to-end through the staged ALTER-RENAME swap.
+      graft.ops.Upsert.runBucketed(spark, s"$db.t", source, Seq("k"), numBuckets = 8)
+      val after = spark.table(s"$db.t")
+      assert(after.count() === 21000)
+      assert(after.filter($"k" === 19500L).select($"s").head().getString(0) === "n19500",
+        "overlapping key must take the source row")
+      assert(after.filter($"k" === 100L).select($"s").head().getString(0) === "t100",
+        "untouched target row must survive")
+      // The rewritten table must still be bucketed, so the NEXT upsert's
+      // target side is also shuffle-free — bucketing survives the swap.
+      val again = graft.ops.Upsert.merge(spark.table(s"$db.t"), source, Seq("k"))
+      assert(again.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .contains("Bucketed: true"), "bucketing must survive the table swap")
+      // no staging/old tables left behind
+      assert(!spark.catalog.tableExists(s"$db.t_staging"))
+      assert(!spark.catalog.tableExists(s"$db.t_old"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      ()
+    }
+  }
+
+  test("bucketed upsert: recoverTable heals a crash inside the rename window") {
+    val db = "bucketrec"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      (1 to 100).map(i => (i.toLong, s"t$i")).toDF("k", "s")
+        .write.bucketBy(4, "k").saveAsTable(s"$db.t")
+      // simulate the crash window: target staged out, staging never renamed
+      spark.sql(s"ALTER TABLE $db.t RENAME TO $db.t_old")
+      graft.ops.Upsert.recoverTable(spark, s"$db.t")
+      assert(spark.catalog.tableExists(s"$db.t"))
+      assert(!spark.catalog.tableExists(s"$db.t_old"))
+      assert(spark.table(s"$db.t").count() === 100)
+    } finally { spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"); () }
+  }
+
   test("sortWithinPartitions orders rows inside each partition without a global exchange") {
     val df = (1 to 1000).map(i => ((i * 7919) % 1000, i)).toDF("k", "v")
       .repartition(4, $"k" % 4)
