@@ -59,6 +59,45 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"event_type")
     }),
 
+    // EP2-as-stream under the oracle's eye (the reference's ADF-retrigger
+    // loop as ONE continuous pipeline): two pipe-CSV "blobs" (even/odd
+    // halves of the part sample) sit in a staged folder; a checkpointed
+    // file stream merges each micro-batch into a seeded parquet table via
+    // foreachBatch → Upsert.run, maxFilesPerBatch=1 → one MERGE per blob,
+    // exactly the reference's per-trigger load. The blobs touch disjoint
+    // source keys, so batch order cannot change the result; the overlap
+    // key (40) is overwritten, the seeded survivor (-7) endures. The
+    // oracle reconstructs the final table from `part` + the survivor.
+    "q_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_streamup_${ProcessHandle.current().pid()}"
+      val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(in, ckpt, table))
+      val rows = graft.Tables(s, dir, "part")
+        .filter($"p_partkey" % 40 === 0)
+        .select($"p_partkey", $"p_brand", $"p_retailprice")
+        .orderBy($"p_partkey").collect() // bounded fixture build
+      def line(r: org.apache.spark.sql.Row) =
+        s"${r.getLong(0).toDouble}|${r.getString(1)}|${r.getDouble(2)}"
+      val (even, odd) = rows.partition(_.getLong(0) % 80 == 0)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/blob_even.csv"),
+        even.map(line).mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/blob_odd.csv"),
+        odd.map(line).mkString("\n").getBytes("UTF-8"))
+      Seq((40.0, "seeded-overwritten", -1.0), (-7.0, "survivor", 3.25))
+        .toDF("k", "brand", "price").write.mode("overwrite").parquet(table)
+      Streams.csvUpsertStream(s, in, table, Seq("k"), ckpt,
+        maxFilesPerBatch = Some(1))
+      s.read.parquet(table)
+        .groupBy(($"k" % 80.0 === 0.0).as("even_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"brand").as("n_brands"),
+          sum($"price".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"even_bucket")
+    }),
+
     // Custom state via flatMapGroupsWithState: per-user count + first/last
     // event time; single AvailableNow batch → one emission per user.
     "q_stream_custom_state" -> ((s, dir) => {
@@ -101,6 +140,18 @@ object StreamQueries extends graft.QueryModule {
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(1) AS n, COUNT(DISTINCT event_id) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_upsert" ->
+      """WITH fixture AS (
+        |  SELECT CAST(p_partkey AS double) AS k, p_brand AS brand,
+        |         p_retailprice AS price
+        |  FROM part WHERE p_partkey % 40 = 0
+        |  UNION ALL SELECT -7.0::double, 'survivor', 3.25::double
+        |)
+        |SELECT (k % 80.0 = 0.0) AS even_bucket, COUNT(1) AS n,
+        |  COUNT(DISTINCT brand) AS n_brands,
+        |  CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM fixture GROUP BY 1 ORDER BY even_bucket""".stripMargin,
     "q_stream_custom_state" ->
       """SELECT user_id, COUNT(1) AS n_events,
         |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us

@@ -12,6 +12,34 @@ class StreamingSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("csvUpsertStream: checkpointed restarts never re-merge consumed files") {
+    import spark.implicits._
+    val root = tmpDir("stream-upsert")
+    val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    Seq((1.0, "seed-1", 1.5), (9.0, "keep", 9.5)).toDF("k", "s", "v")
+      .write.parquet(table)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/blob1.csv"), "1.0|from-blob1|2.5\n4.0|ins|4.5")
+    Streams.csvUpsertStream(spark, in, table, Seq("k"), ckpt)
+    def snapshot() = spark.read.parquet(table).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSet
+    assert(snapshot() == Set((1.0, "from-blob1", 2.5), (4.0, "ins", 4.5), (9.0, "keep", 9.5)))
+    // plant a marker on a key blob1 owns — if a restart re-read blob1,
+    // the marker would be overwritten back to "from-blob1"
+    graft.ops.Upsert.run(spark, table,
+      Seq((1.0, "marker", 0.0)).toDF("k", "s", "v"), Seq("k"))
+    // restart with the same checkpoint and NO new files: a no-op
+    Streams.csvUpsertStream(spark, in, table, Seq("k"), ckpt)
+    assert(snapshot().contains((1.0, "marker", 0.0)),
+      "restart must not re-merge files the checkpoint already consumed")
+    // a NEW blob after restart is merged exactly once, marker still intact
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/blob2.csv"), "9.0|from-blob2|0.25")
+    Streams.csvUpsertStream(spark, in, table, Seq("k"), ckpt)
+    assert(snapshot() == Set((1.0, "marker", 0.0), (4.0, "ins", 4.5), (9.0, "from-blob2", 0.25)))
+  }
+
   test("file source with cleanSource=archive moves processed files (A7 semantics)") {
     val root = tmpDir("stream-archive")
     val in = s"$root/in"
