@@ -37,6 +37,40 @@ object ExcelSource {
     StructField("row_idx", IntegerType),
     StructField("cells", ArrayType(StringType))))
 
+  /** Workbook ingestion size guard. Both Excel formats require the whole
+    * container in memory (the zip/OLE2 central directory lives at the END
+    * of the file), so a pathological workbook must fail LOUDLY with the
+    * limit named — at plan time on the driver where possible — rather
+    * than as an executor OOM mid-scan. Real workbooks sit orders of
+    * magnitude below this (Excel itself caps a sheet at ~1M rows).
+    */
+  val MaxWorkbookBytes: Long = 256L << 20
+
+  /** Zip-expansion ceiling for one workbook (decompressed, all entries) —
+    * a crafted tiny .xlsx can inflate without bound (zip bomb); cap it
+    * with the limit named instead of exhausting the executor heap.
+    */
+  val MaxInflatedBytes: Long = 1L << 30
+
+  private[graft] def guardSize(file: String, size: Long): Unit =
+    if (size > MaxWorkbookBytes)
+      throw new IllegalArgumentException(
+        s"Error - workbook exceeds the ${MaxWorkbookBytes >> 20} MiB ingestion " +
+          s"limit (ExcelSource.MaxWorkbookBytes): $file is $size bytes. " +
+          "Split the workbook, or convert it to a splittable format.")
+
+  /** Driver-side pre-scan: every matching input file is size-checked
+    * before any executor materializes its bytes.
+    */
+  private[sources] def guardInputSizes(spark: SparkSession, path: String,
+      ext: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolveInputFiles(fs, p)
+      .filter(_.getPath.getName.toLowerCase.endsWith(ext))
+      .foreach(st => guardSize(st.getPath.toString, st.getLen))
+  }
+
   def read(spark: SparkSession, path: String, sheets: String = "all"): DataFrame = {
     rejectLegacyXls(spark, path)
     readXlsx(spark, path, sheets)
@@ -50,6 +84,7 @@ object ExcelSource {
     readXlsx(spark, path, sheets).unionByName(XlsSource.read(spark, path, sheets))
 
   private def readXlsx(spark: SparkSession, path: String, sheets: String): DataFrame = {
+    guardInputSizes(spark, path, ".xlsx")
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.[xX][lL][sS][xX]")
       .load(path)
@@ -110,15 +145,15 @@ object ExcelSource {
     s.flatMap { case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
                 case '"' => "&quot;"; case c => c.toString }
 
-  /** Writer-side numeric-cell test: only plain decimal/scientific literals
-    * count. Java's `parseDouble` additionally accepts `1d`, `2.5f`,
-    * hex-floats, and padded whitespace — text xlrd would keep as text, so
-    * writing those as numeric cells would mutate them on round-trip.
+  /** Writer-side numeric-cell test: only CANONICAL plain decimals count —
+    * optional minus, no leading zeros, no exponent, no bare '.'/trailing
+    * '.'. Non-canonical numeric-looking text (`"00123"`, `"+5"`, `"1e2"`)
+    * stays a text cell and round-trips verbatim; canonical integers are
+    * still normalized to `str(float)` by design (`"20"` reads back as
+    * `"20.0"`), mirroring what a real workbook's numeric cell does.
     */
   private[graft] def isNumericText(v: String): Boolean =
-    v.nonEmpty &&
-      v.matches("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?") &&
-      v.toDoubleOption.isDefined
+    v.matches("-?(0|[1-9]\\d*)(\\.\\d+)?") && v.toDoubleOption.isDefined
 
   /** Minimal deterministic xlsx writer (fixture/sink): one workbook with
     * the given (sheetName, rows-of-cells). Cells whose text parses as a
@@ -210,12 +245,36 @@ object ExcelSource {
     }
   }
 
-  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] =
+    readZip(bytes, MaxInflatedBytes)
+
+  /** Inflation cap injectable for tests (crafting a real >1 GiB bomb in a
+    * spec would be wasteful; the guard logic is what needs pinning).
+    */
+  private[graft] def readZip(bytes: Array[Byte], inflateCap: Long): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = mutable.Map[String, Array[Byte]]()
+    var total = 0L
+    val chunk = new Array[Byte](64 * 1024)
     var e = zin.getNextEntry
     while (e != null) {
-      if (!e.isDirectory) out(e.getName) = zin.readAllBytes()
+      if (!e.isDirectory) {
+        // chunked inflate so the cap trips DURING decompression — a zip
+        // bomb must die at the limit, not after one readAllBytes() OOMs
+        val buf = new java.io.ByteArrayOutputStream()
+        var n = zin.read(chunk)
+        while (n > 0) {
+          total += n
+          if (total > inflateCap)
+            throw new IllegalArgumentException(
+              s"Error - workbook inflates past the ${inflateCap >> 20} MiB " +
+                "zip-expansion limit (ExcelSource.MaxInflatedBytes) — " +
+                "possible zip bomb, refusing to continue")
+          buf.write(chunk, 0, n)
+          n = zin.read(chunk)
+        }
+        out(e.getName) = buf.toByteArray
+      }
       e = zin.getNextEntry
     }
     out.toMap

@@ -38,9 +38,21 @@ final class ExcelTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ExcelSource.Schema
 
+  // Lets a user restate the fixed schema explicitly (skipping inference);
+  // getTable then rejects anything that isn't exactly that schema.
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2 convention for fixed-schema sources: a user-supplied schema
+    // that differs from ours would make the analyzer expect rows this
+    // reader never produces — reject it loudly instead.
+    if (schema != ExcelSource.Schema)
+      throw new IllegalArgumentException(
+        s"graft-excel has a fixed schema ${ExcelSource.Schema.simpleString}; " +
+          s"a user-specified schema (got ${schema.simpleString}) is not supported")
     new ExcelTable(new CaseInsensitiveStringMap(properties))
+  }
 }
 
 private final class ExcelTable(options: CaseInsensitiveStringMap)
@@ -101,6 +113,10 @@ private final class ExcelPartitionReaderFactory(
       private val rows: Iterator[(String, Int, Seq[String])] = {
         val p = new Path(part.file)
         val fs = p.getFileSystem(conf.value)
+        // size guard BEFORE materializing: a pathological workbook fails
+        // with the limit named, not as an executor OOM (whole-container
+        // reads are inherent to zip/OLE2 central-directory formats)
+        ExcelSource.guardSize(part.file, fs.getFileStatus(p).getLen)
         val in = fs.open(p)
         val bytes =
           try in.readAllBytes()

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * `SharedCode/HelperFunction.py:20` opens it with xlrd). Same Spark shape
   * as [[ExcelSource]]: files distributed via `binaryFile`, parsed
   * per-partition with JDK-only primitives, one row per sheet row with the
-  * identical `(file, sheet, row_idx, cells)` schema and the identical
-  * xlrd-compatible cell rendering (`str(float)` numerics, True/False
-  * bools, `#DIV/0!`-style error literals).
+  * identical `(file, sheet, row_idx, cells)` schema and cell rendering.
+  * The rendering contract is the REPO's xlsx contract (`str(float)`
+  * numerics, `True`/`False` bools, `#DIV/0!`-style error literals) so the
+  * two in-repo sources are mutually consistent; note xlrd's raw
+  * `row_values` would instead surface bools as 1.0/0.0 and errors as
+  * numeric codes — the reference pipeline stringifies those differently.
   *
   * Two public formats are parsed from scratch:
   *  - the OLE2/CFB compound container ([MS-CFB]): header → DIFAT → FAT →
@@ -34,6 +37,7 @@ import org.apache.spark.sql.functions._
 object XlsSource {
 
   def read(spark: SparkSession, path: String, sheets: String = "all"): DataFrame = {
+    ExcelSource.guardInputSizes(spark, path, ".xls")
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.[xX][lL][sS]")
       .load(path)
@@ -248,7 +252,9 @@ object XlsSource {
     0x00 -> "#NULL!", 0x07 -> "#DIV/0!", 0x0F -> "#VALUE!", 0x17 -> "#REF!",
     0x1D -> "#NAME?", 0x24 -> "#NUM!", 0x2A -> "#N/A")
 
-  /** xlrd renders bools via Python str(bool). */
+  /** Bool rendering per the repo's xlsx contract (ExcelSource `t="b"` →
+    * `True`/`False`); xlrd's raw row_values would give 1.0/0.0 instead.
+    */
   private def boolText(v: Int): String = if (v == 1) "True" else "False"
 
   /** XLUnicodeString body: grbit byte at `grbitOff`, then `cch` chars —
@@ -294,8 +300,14 @@ object XlsSource {
     def nextSeg(): Unit = { seg += 1; off = 0 }
     def ensure(): Unit = { while (remaining == 0 && seg + 1 < segs.length) nextSeg() }
     def rdU8(): Int = { ensure(); val v = u8(wb, segs(seg)._1 + off); off += 1; v }
-    def rdU16(): Int = { ensure(); val v = u16(wb, segs(seg)._1 + off); off += 2; v }
-    def rdU32(): Long = { ensure(); val v = u32(wb, segs(seg)._1 + off); off += 4; v }
+    // multi-byte header fields assemble BYTE-WISE through the cursor: a
+    // field that straddles a CONTINUE boundary (malformed but possible)
+    // must continue in the next segment, not silently consume the next
+    // record's 4-byte header as data
+    def rdU16(): Int = { val lo = rdU8(); lo | (rdU8() << 8) }
+    def rdU32(): Long = {
+      val lo = rdU16().toLong; lo | (rdU16().toLong << 16)
+    }
     def skip(n: Long): Unit = {
       var left = n
       while (left > 0) {

@@ -184,6 +184,51 @@ class ExcelPipelineSpec extends SparkSpec {
       "xls cells must render identically to xlsx (str(float) contract)")
   }
 
+  test("zip-expansion cap trips during decompression (zip bomb defense)") {
+    // a 4 MB all-zeros entry compresses to ~4 KB; with a 1 MB cap the
+    // inflate must die at the limit, naming it
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    zos.putNextEntry(new ZipEntry("xl/workbook.xml"))
+    zos.write(new Array[Byte](4 << 20))
+    zos.closeEntry()
+    zos.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.ExcelSource.readZip(bos.toByteArray, 1L << 20)
+    }
+    assert(e.getMessage.contains("zip-expansion limit"))
+    assert(e.getMessage.contains("MaxInflatedBytes"))
+  }
+
+  test("DSv2 connector rejects a user-supplied schema that differs from the fixed one") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("dsv2_schema")
+    writeXlsx(s"$dir/wb.xlsx")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-excel")
+        .schema(StructType(Seq(StructField("other", StringType))))
+        .load(dir)
+    }
+    assert(e.getMessage.contains("fixed schema"))
+    // the EXACT fixed schema is accepted (DSv2 convention)
+    val ok = spark.read.format("graft-excel")
+      .schema(graft.sources.ExcelSource.Schema).load(dir)
+    assert(ok.count() > 0)
+  }
+
+  test("writer keeps non-canonical numeric-looking text verbatim; canonical ints normalize") {
+    import spark.implicits._
+    val dir = tmpDir("wb_canonical")
+    ExcelSource.writeWorkbook(s"$dir/c.xlsx", Seq(
+      "s" -> Seq(Seq("00123", "+5", "1e2", "5.", ".5", "20", "-3.25"))))
+    val cells = ExcelSource.read(spark, dir, "all")
+      .orderBy($"row_idx").select($"cells").head().getSeq[String](0)
+    // non-canonical literals are TEXT cells now — verbatim round-trip
+    assert(cells.take(5) === Seq("00123", "+5", "1e2", "5.", ".5"))
+    // canonical numerics still normalize through str(float) by design
+    assert(cells.drop(5) === Seq("20.0", "-3.25"))
+  }
+
   test("colIndex: A=0, Z=25, AA=26, AB27") {
     assert(ExcelSource.colIndex("A1") == 0)
     assert(ExcelSource.colIndex("Z9") == 25)

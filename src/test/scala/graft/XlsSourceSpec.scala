@@ -245,6 +245,71 @@ class XlsSourceSpec extends SparkSpec {
     }
   }
 
+  test("SST header field straddling a CONTINUE boundary assembles byte-wise") {
+    // string 1's cch u16 splits across the record boundary: low byte ends
+    // the SST record, high byte opens the CONTINUE — the cursor must pull
+    // the high byte from the next SEGMENT, not read the CONTINUE's own
+    // 4-byte record header out of the raw stream as data
+    val sst = le(8 + (3 + 2) + 1) { b =>
+      b.putInt(2).putInt(2) // cstTotal, cstUnique
+      b.putShort(2.toShort).put(0.toByte) // string 0: cch=2, compressed
+      b.put("ab".getBytes(StandardCharsets.ISO_8859_1))
+      b.put(3.toByte) // string 1: LOW byte of cch=3
+    }
+    val cont = le(1 + 1 + 3) { b =>
+      b.put(0.toByte) // HIGH byte of cch
+      b.put(0.toByte) // grbit: compressed
+      b.put("xyz".getBytes(StandardCharsets.ISO_8859_1))
+    }
+    val sheet = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(bof(0x0010))
+      out.write(rec(0x00FD, le(10) { b =>
+        b.putShort(0.toShort).putShort(0.toShort).putShort(0.toShort).putInt(0)
+      }))
+      out.write(rec(0x00FD, le(10) { b =>
+        b.putShort(0.toShort).putShort(1.toShort).putShort(0.toShort).putInt(1)
+      }))
+      out.write(rec(0x000A, Array.empty))
+      out.toByteArray
+    }
+    def boundsheet(pos: Int) = rec(0x0085, le(6 + 2 + 1) { b =>
+      b.putInt(pos).putShort(0.toShort)
+      b.put(1.toByte).put(0.toByte).put('s'.toByte)
+    })
+    val globalsLen = bof(0x0005).length + boundsheet(0).length +
+      rec(0x00FC, sst).length + rec(0x003C, cont).length +
+      rec(0x000A, Array.empty).length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bof(0x0005))
+    out.write(boundsheet(globalsLen))
+    out.write(rec(0x00FC, sst))
+    out.write(rec(0x003C, cont))
+    out.write(rec(0x000A, Array.empty))
+    out.write(sheet)
+    val rows = XlsSource.parseWorkbook(XlsSource.cfbWrap(out.toByteArray), "all")
+    assert(rows === Seq(("s", 0, Seq("ab", "xyz"))))
+  }
+
+  test("oversized workbooks fail loudly with the limit named, before any read") {
+    import graft.sources.ExcelSource
+    val direct = intercept[IllegalArgumentException] {
+      ExcelSource.guardSize("big.xlsx", ExcelSource.MaxWorkbookBytes + 1)
+    }
+    assert(direct.getMessage.contains("MaxWorkbookBytes"))
+    assert(direct.getMessage.contains("256 MiB"))
+    // end-to-end: a sparse file over the limit trips the DRIVER-side
+    // pre-scan at DataFrame construction — no executor touches the bytes
+    val dir = tmpDir("xls_big")
+    val raf = new java.io.RandomAccessFile(s"$dir/huge.xls", "rw")
+    try raf.setLength(ExcelSource.MaxWorkbookBytes + 1) finally raf.close()
+    val viaRead = intercept[IllegalArgumentException] {
+      XlsSource.read(spark, dir)
+    }
+    assert(viaRead.getMessage.contains("MaxWorkbookBytes"))
+    assert(viaRead.getMessage.contains("huge.xls"))
+  }
+
   test("decodeRk: int30, double, and the /100 flag") {
     assert(XlsSource.decodeRk(((1234L << 2) | 2)) === 1234.0)
     assert(XlsSource.decodeRk(((-5L << 2) | 2) & 0xFFFFFFFFL) === -5.0)
