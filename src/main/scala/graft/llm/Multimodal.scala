@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
   * codecs (PNG/BMP/GIF/JPEG) batched per partition and extracts decoded
   * dimensions plus exact integer per-channel pixel statistics — chosen
   * integer so a SQL oracle can reproduce them bit-for-bit from a pixel
-  * formula with no float drift. Audio/video decoding stays out of scope
-  * (no codecs in the JDK); for those, `frameSample`/`resizeStub` keep the
-  * slice/metadata plumbing real while marking the interpretation fake.
+  * formula with no float drift; `resizeImages` is the real
+  * decode→transform→re-encode path. Audio/video decoding stays out of
+  * scope (no codecs in the JDK); for those, `frameSample` keeps the
+  * slice plumbing real while marking the interpretation fake.
   *
   * Scale notes: binary payloads ride the same parquet scans as everything
   * else; decode is embarrassingly parallel per partition (the
@@ -85,34 +86,54 @@ object Multimodal {
     transform(sequence(lit(0), lit(n - 1)), i => content.substr(i * step + 1, lit(width)))
   }
 
-  /** Resize STUB for image-ish payloads: scales the byte payload
-    * proportionally to the pixel-count change and rebuilds the metadata
-    * struct (real impl: decode → scale → re-encode behind the same
-    * (content, meta, w, h) → (content, meta) signature). The byte
-    * truncation and struct rebuild are real Spark plumbing; only the
-    * pixel interpretation is fake.
+  /** REAL image resize, batched per partition: decode via javax.imageio,
+    * scale through `Graphics2D.drawImage` (bilinear), re-encode in the
+    * requested format — the decode→transform→re-encode shape every image
+    * pipeline needs, with the same null-row contract as [[imageFeatures]]
+    * (corrupt/undecodable input → null content, never a failed stage).
+    * Output: (id, content, width, height) with the RESIZED payload.
+    *
+    * Scale note: resize is per-row CPU work with no shuffle — cost is
+    * O(pixels in + pixels out) per image and parallelizes per partition.
     */
-  def resizeStub(content: Column, meta: Column, w: Int, h: Int): Column = {
-    val oldPixels = meta.getField("width").cast("long") * meta.getField("height")
-    val newLen = greatest(
-      least(length(content).cast("long"),
-        // Column./ is true (double) division — cast back to a byte count
-        (length(content).cast("long") * (w.toLong * h) / oldPixels).cast("long")),
-      lit(1L))
-    val resized = struct(
-      content.substr(lit(1), newLen.cast("int")).as("content"),
-      struct(
-        meta.getField("format").as("format"),
-        newLen.as("byte_len"),
-        lit(w).as("width"),
-        lit(h).as("height"),
-        meta.getField("duration_ms").as("duration_ms")).as("meta"))
-    // Unknown/zero input dimensions: there is no pixel basis to scale by —
-    // pass the row through untouched rather than stamping target dims on
-    // an unchanged payload (meta must never contradict the bytes).
-    when(oldPixels.isNull || oldPixels <= 0,
-      struct(content.as("content"), meta.as("meta")))
-      .otherwise(resized)
+  def resizeImages(df: DataFrame, idCol: String, w: Int, h: Int,
+      format: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("content", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col("content")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val img =
+            if (r.isNullAt(1)) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Some(Row(r.getLong(0), null, null, null))
+          else {
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, format, buf)
+            Some(Row(r.getLong(0), buf.toByteArray, w, h))
+          }
+        }
+      }
+    }(enc)
   }
 
   /** REAL image decode + feature extraction, batched per partition — the

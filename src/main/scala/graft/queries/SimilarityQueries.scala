@@ -105,6 +105,33 @@ object SimilarityQueries extends graft.QueryModule {
         .select($"doc_id", $"format", $"width", $"height",
           $"r_sum", $"g_sum", $"b_sum", $"rr_sum")
         .orderBy($"doc_id")
+    }),
+
+    // REAL resize pipeline: solid-color 8×8 fixtures (constant fields are
+    // interpolation-invariant — bilinear of equal pixels is that pixel, so
+    // the resized sums are EXACTLY w*h*channel and the oracle needs no
+    // codec) → resizeImages to 4×4 (decode → Graphics2D → re-encode) →
+    // imageFeatures on the RESIZED bytes. A corrupt payload rides along:
+    // resize nulls it, features keep it null — the bad-file contract
+    // composes across operators.
+    "q_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Tables(s, dir, "documents").filter($"doc_id" % 25 === 0)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val px = (((id * 31) % 256).toInt << 16) |
+            (((id * 17) % 256).toInt << 8) | ((id * 7) % 256).toInt
+          (id, Multimodal.encodeImage(8, 8, "png", (_, _) => px))
+        })
+        .toDF("doc_id", "content")
+        .unionByName(Seq((-1L, "garbage bytes".getBytes("UTF-8")))
+          .toDF("doc_id", "content"))
+      val resized = Multimodal.resizeImages(packed, "doc_id", 4, 4, "png")
+        .select($"id".as("doc_id"), $"content")
+      Multimodal.imageFeatures(resized, "doc_id")
+        .select($"id".as("doc_id"), $"width", $"height",
+          $"r_sum", $"g_sum", $"b_sum")
+        .orderBy($"doc_id")
     }))
 
   // Exact brute-force top-5 in DuckDB; `extraCols` lets the ANN entries
@@ -166,5 +193,16 @@ object SimilarityQueries extends graft.QueryModule {
         |FROM px GROUP BY doc_id
         |UNION ALL
         |SELECT -1, 'png', NULL, NULL, NULL, NULL, NULL, NULL
+        |ORDER BY doc_id""".stripMargin,
+    // Constant-color resize: the 4×4 output's channel sums are exactly
+    // 16 × the per-channel color, whatever the interpolation kernel does.
+    "q_multimodal_resize" ->
+      """SELECT doc_id, 4 AS width, 4 AS height,
+        |  CAST(16 * ((doc_id*31) % 256) AS bigint) AS r_sum,
+        |  CAST(16 * ((doc_id*17) % 256) AS bigint) AS g_sum,
+        |  CAST(16 * ((doc_id*7) % 256) AS bigint) AS b_sum
+        |FROM documents WHERE doc_id % 25 = 0
+        |UNION ALL
+        |SELECT -1, NULL, NULL, NULL, NULL, NULL
         |ORDER BY doc_id""".stripMargin)
 }

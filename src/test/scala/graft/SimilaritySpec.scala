@@ -115,21 +115,34 @@ class SimilaritySpec extends SparkSpec {
     assert(byId(5L).getInt(1) == 2 && byId(5L).getLong(3) == 4L) // 4 px of r=1
   }
 
-  test("resizeStub scales payload bytes with the pixel change and rebuilds metadata") {
+  test("resizeImages: real decode→scale→re-encode; solid colors are exact, corrupt stays null") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{lit, struct}
-    val df = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text") // 16 bytes
-    val packed = Multimodal.packText(df, "text")
-      .withColumn("meta", struct(
-        lit("img").as("format"), lit(16L).as("byte_len"),
-        lit(4).as("width"), lit(4).as("height"), lit(0L).as("duration_ms")))
-    val out = packed
-      .select(Multimodal.resizeStub($"content", $"meta", 2, 2).as("r"))
-      .select($"r.content", $"r.meta.byte_len", $"r.meta.width", $"r.meta.height")
-      .collect()(0)
-    // 16 px -> 4 px: payload shrinks 16 bytes -> 4 bytes, meta follows
-    assert(new String(out.getAs[Array[Byte]](0), "UTF-8") === "abcd")
-    assert(out.getLong(1) === 4L && out.getInt(2) === 2 && out.getInt(3) === 2)
+    val solid = Multimodal.encodeImage(8, 8, "png", (_, _) => 0x204060)
+    val df = Seq(
+      (1L, solid),
+      (2L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val resized = Multimodal.resizeImages(df, "doc_id", 4, 4, "png")
+    val feats = Multimodal.imageFeatures(
+      resized.select($"id".as("doc_id"), $"content"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // bilinear over a constant field is that constant: sums are exact
+    assert(feats(1L).getInt(1) == 4 && feats(1L).getInt(2) == 4)
+    assert(feats(1L).getLong(3) == 16L * 0x20)
+    assert(feats(1L).getLong(4) == 16L * 0x40)
+    assert(feats(1L).getLong(5) == 16L * 0x60)
+    assert(feats(2L).isNullAt(1), "corrupt payload must stay a null row through resize")
+    // identity resize preserves even a NON-constant image exactly
+    // (drawImage at source dims is a pixel copy)
+    val patterned = Multimodal.encodeImage(5, 4, "png",
+      (x, y) => Multimodal.fixturePixel(9L, x, y))
+    val ident = Multimodal.resizeImages(
+      Seq((3L, patterned)).toDF("doc_id", "content"), "doc_id", 5, 4, "png")
+    val f0 = Multimodal.imageFeatures(
+      Seq((3L, patterned)).toDF("doc_id", "content"), "doc_id").head()
+    val f1 = Multimodal.imageFeatures(
+      ident.select($"id".as("doc_id"), $"content"), "doc_id").head()
+    assert(f0.getLong(3) == f1.getLong(3) && f0.getLong(4) == f1.getLong(4) &&
+      f0.getLong(5) == f1.getLong(5))
   }
 
   test("frameSample slices n frames of the requested width") {
