@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * dimensions plus exact integer per-channel pixel statistics — chosen
   * integer so a SQL oracle can reproduce them bit-for-bit from a pixel
   * formula with no float drift; `resizeImages` is the real
-  * decode→transform→re-encode path. Audio/video decoding stays out of
-  * scope (no codecs in the JDK); for those, `frameSample` keeps the
-  * slice plumbing real while marking the interpretation fake.
+  * decode→transform→re-encode path. AUDIO DECODE IS REAL for WAV/PCM:
+  * `audioFeatures` runs `javax.sound.sampled` and extracts exact integer
+  * sample statistics the same oracle-friendly way. Compressed audio
+  * (mp3/aac) and video codecs are not in the JDK and stay out of scope;
+  * for video, `frameSample` keeps the slice plumbing real while marking
+  * the interpretation fake.
   *
   * Scale notes: binary payloads ride the same parquet scans as everything
   * else; decode is embarrassingly parallel per partition (the
@@ -75,6 +78,83 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
+  }
+
+  /** Minimal RIFF/WAVE container for 16-bit little-endian mono PCM (the
+    * fixture/sink side of [[audioFeatures]]; real audio arrives as binary
+    * already).
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = rate × block
+      .putShort(2).putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK WAV/AIFF/AU
+    * containers, PCM payloads), batched per partition like
+    * [[imageFeatures]]. Output per row: stream shape (channels, rate,
+    * frames, duration) plus EXACT integer amplitude statistics (Σ|s|,
+    * peak |s|) over 16-bit samples — reproducible by a SQL oracle from a
+    * sample formula, no float drift. Corrupt/unsupported bytes → null
+    * row, never a failed stage.
+    */
+  def audioFeatures(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("abs_sum", LongType),
+      StructField("peak", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col("content")).mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val decoded =
+            if (r.isNullAt(1)) None
+            else
+              try {
+                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+                val fmt = in.getFormat
+                if (fmt.getSampleSizeInBits != 16 ||
+                    fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                  None // only 16-bit signed PCM carries the exact-stat contract
+                else {
+                  val bytes = in.readAllBytes()
+                  val bb = java.nio.ByteBuffer.wrap(bytes).order(
+                    if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                    else java.nio.ByteOrder.LITTLE_ENDIAN)
+                  var absSum = 0L
+                  var peak = 0
+                  while (bb.remaining() >= 2) {
+                    val a = math.abs(bb.getShort.toInt)
+                    absSum += a
+                    if (a > peak) peak = a
+                  }
+                  val frames = bytes.length.toLong / fmt.getFrameSize
+                  Some(Row(r.getLong(0), fmt.getChannels,
+                    fmt.getSampleRate.toInt, frames,
+                    frames * 1000L / fmt.getSampleRate.toInt, absSum, peak))
+                }
+              } catch { case scala.util.control.NonFatal(_) => None }
+          Some(decoded.getOrElse(
+            Row(r.getLong(0), null, null, null, null, null, null)))
+        }
+      }
+    }(enc)
   }
 
   /** Frame sampling STUB for video-ish payloads: n evenly-spaced byte

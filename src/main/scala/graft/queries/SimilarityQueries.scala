@@ -132,6 +132,29 @@ object SimilarityQueries extends graft.QueryModule {
         .select($"id".as("doc_id"), $"width", $"height",
           $"r_sum", $"g_sum", $"b_sum")
         .orderBy($"doc_id")
+    }),
+
+    // REAL audio decode: 400-sample 16-bit mono PCM WAVs (sample i of doc
+    // d = (d*31 + i*7) % 2048 - 1024) are encoded executor-side, decoded
+    // back through javax.sound.sampled, and reduced to exact integer
+    // amplitude stats the oracle recomputes from the sample formula. The
+    // corrupt payload (id -1) pins the bad-file null-row contract.
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Tables(s, dir, "documents").filter($"doc_id" % 25 === 0)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val samples = Array.tabulate(400)(i =>
+            ((id * 31 + i * 7) % 2048 - 1024).toShort)
+          (id, Multimodal.encodeWavPcm16(8000, samples))
+        })
+        .toDF("doc_id", "content")
+        .unionByName(Seq((-1L, "not a wav".getBytes("UTF-8")))
+          .toDF("doc_id", "content"))
+      Multimodal.audioFeatures(packed, "doc_id")
+        .select($"id".as("doc_id"), $"channels", $"sample_rate",
+          $"n_frames", $"duration_ms", $"abs_sum", $"peak")
+        .orderBy($"doc_id")
     }))
 
   // Exact brute-force top-5 in DuckDB; `extraCols` lets the ANN entries
@@ -204,5 +227,20 @@ object SimilarityQueries extends graft.QueryModule {
         |FROM documents WHERE doc_id % 25 = 0
         |UNION ALL
         |SELECT -1, NULL, NULL, NULL, NULL, NULL
+        |ORDER BY doc_id""".stripMargin,
+    // The audio oracle recomputes the PCM sample formula — only a correct
+    // WAV encode→decode round-trip can match the amplitude sums.
+    "q_multimodal_audio" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, t.i FROM documents d, range(400) t(i)
+        |  WHERE d.doc_id % 25 = 0
+        |)
+        |SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
+        |  CAST(400 AS bigint) AS n_frames, CAST(50 AS bigint) AS duration_ms,
+        |  CAST(SUM(ABS((doc_id*31 + i*7) % 2048 - 1024)) AS bigint) AS abs_sum,
+        |  CAST(MAX(ABS((doc_id*31 + i*7) % 2048 - 1024)) AS int) AS peak
+        |FROM s GROUP BY doc_id
+        |UNION ALL
+        |SELECT -1, NULL, NULL, NULL, NULL, NULL, NULL
         |ORDER BY doc_id""".stripMargin)
 }

@@ -145,6 +145,26 @@ class SimilaritySpec extends SparkSpec {
       f0.getLong(5) == f1.getLong(5))
   }
 
+  test("audioFeatures: WAV PCM round-trip recovers exact amplitude stats; junk is null") {
+    import spark.implicits._
+    val samples = Array.tabulate(123)(i => ((i * 37) % 2000 - 1000).toShort)
+    val wav = Multimodal.encodeWavPcm16(16000, samples)
+    val df = Seq(
+      (1L, wav),
+      (2L, "junk audio".getBytes("UTF-8")),
+      (3L, wav.take(20))).toDF("doc_id", "content") // truncated header
+    val out = Multimodal.audioFeatures(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val good = out(1L)
+    assert(good.getInt(1) == 1 && good.getInt(2) == 16000)
+    assert(good.getLong(3) == 123L)
+    assert(good.getLong(4) == 123L * 1000 / 16000)
+    assert(good.getLong(5) == samples.map(s => math.abs(s.toInt).toLong).sum)
+    assert(good.getInt(6) == samples.map(s => math.abs(s.toInt)).max)
+    assert(out(2L).isNullAt(1) && out(3L).isNullAt(1),
+      "undecodable audio must be a null-feature row")
+  }
+
   test("frameSample slices n frames of the requested width") {
     import spark.implicits._
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text")
