@@ -158,6 +158,62 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected pair graph — resolves
+    * near-dup PAIRS into duplicate CLUSTERS, which is what a dedup
+    * pipeline actually deletes against: keep ONE representative per
+    * component, not per pair (pairs (a,b) and (b,c) are one 3-doc
+    * cluster, and pairwise dedup would wrongly keep two of them).
+    * Returns (id, comp) for every id in `pairs`, comp = the component's
+    * minimum id (a deterministic representative).
+    *
+    * Plan: iterative min-label propagation — label(v) ← min(label(v),
+    * min over neighbors' labels) per round; each round is one equi-join
+    * on id plus one aggregate, i.e. a bounded shuffle keyed on id, and
+    * labels only ever decrease, so the fixpoint is the min reachable id.
+    * Rounds = graph diameter (near-dup clusters are short chains);
+    * `maxIter` bounds pathological graphs and non-convergence FAILS
+    * loudly instead of returning wrong components. The driver loop
+    * carries a 1-row convergence probe per round, never data. For
+    * production-length chains swap in large-star/small-star (O(log n)
+    * rounds); the per-round plan shape is identical.
+    *
+    * Each round EAGERLY `localCheckpoint`s the new labels: iterative
+    * algorithms must truncate lineage per round or the plan re-expands
+    * through every previous iteration (a lazy cache materializes only the
+    * partitions the convergence probe touches — the rest recompute the
+    * whole history, exponentially). On a fault-tolerant cluster job,
+    * swap in reliable `checkpoint` to survive executor loss.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("ncomp")).as("nmin"))
+        .select(col("src").as("id"), col("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    labels
+  }
+
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over DISTINCT
     * 3-gram shingles. `candidates` must have (id_a, id_b); pairs with an
     * empty intersection (or a missing / shingle-less doc) are dropped.

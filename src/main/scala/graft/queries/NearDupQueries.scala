@@ -51,6 +51,22 @@ object NearDupQueries extends graft.QueryModule {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Pairs → duplicate CLUSTERS: connected components over the simhash
+    // pair graph (min-label propagation), summarized per component. The
+    // oracle rebuilds the same graph all-pairs and closes it with a
+    // recursive CTE — component membership must match exactly.
+    "q_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup
+        .simhashPairs(nearDupCorpus(s, dir), "text", "doc_id", maxHamming = 3)
+      Dedup.connectedComponents(pairs.select($"id_a", $"id_b"))
+        .groupBy($"comp")
+        .agg(count(lit(1)).as("n_members"),
+          sum($"id").cast("bigint").as("sum_ids"),
+          max($"id").as("max_id"))
+        .orderBy($"comp")
+    }),
+
     // Exact n-gram Jaccard over the known near-dup pairs.
     "q_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
@@ -148,6 +164,42 @@ object NearDupQueries extends graft.QueryModule {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // Transitive closure of the (all-pairs) simhash graph via a recursive
+    // CTE: comp = min reachable doc_id, exactly what min-label
+    // propagation converges to.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusCtes,
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t FROM corpus
+         |),
+         |hashed AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS bigint) AS h FROM tok
+         |),
+         |sums AS (
+         |  SELECT doc_id, $simhashSums
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |sh AS (
+         |  SELECT doc_id, CAST($simhashPack AS bigint) AS simhash FROM sums
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p
+         |),
+         |reach(src, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+         |),
+         |cc AS (SELECT src AS id, MIN(lbl) AS comp FROM reach GROUP BY src)
+         |SELECT comp, COUNT(1) AS n_members,
+         |  CAST(SUM(id) AS bigint) AS sum_ids, MAX(id) AS max_id
+         |FROM cc GROUP BY comp ORDER BY comp""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $corpusCtes,
          |sets AS (SELECT DISTINCT doc_id, sh FROM shingle),

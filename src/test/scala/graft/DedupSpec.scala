@@ -101,4 +101,30 @@ class DedupSpec extends SparkSpec {
     val tiny = Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text")
     assert(Dedup.minhashCandidates(tiny, "text", "doc_id").count() == 0)
   }
+
+  test("connectedComponents: chains merge transitively, islands stay apart") {
+    import spark.implicits._
+    // chain 1-2-3-4 (one cluster, diameter 3), island pair 10-11, and a
+    // triangle 20-21-22 reached through two different pairs
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents fails loudly instead of returning a half-closed graph") {
+    import spark.implicits._
+    // a 6-node chain needs ~5 propagation rounds; maxIter=2 must throw,
+    // never silently emit labels that are not yet components
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+  }
 }
