@@ -44,6 +44,15 @@ object TextOps {
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** Word bigrams of a materialized token array (empty when < 2 tokens;
+    * same perf contract as [[shingles3]]).
+    */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** First 32 bits of md5 as a non-negative long — the shared scalar hash. */
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
@@ -117,6 +126,29 @@ object TextOps {
       lit(0.2) * least(meanTokenLenOfToks(toks) / lit(10.0), lit(1.0))
   def qualityScore(text: Column): Column =
     qualityScoreOf(norm(text), tokens(text))
+
+  /** PII redaction for training corpora: emails, IPv4s, and phone-shaped
+    * number runs are replaced with typed tags, in a FIXED order (emails
+    * first — an email must not be half-eaten by the phone pattern's digit
+    * run). Patterns are RE2-compatible (no lookahead/backreferences) so
+    * the DuckDB oracle applies the identical regexes; input should be
+    * `norm`-ed text (the patterns assume lowercase). A real pipeline
+    * swaps in NER behind the same Column contract; regex is the standard
+    * cheap first pass.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d .-]{7,}\\d"
+
+  def redactPii(normText: Column): Column = {
+    val noEmail = regexp_replace(normText, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  /** Count of pattern hits (for redaction audit columns). */
+  def patternCount(normText: Column, pattern: String): Column =
+    size(regexp_extract_all(normText, lit(pattern), lit(0))).cast("long")
 
   /** Rolling-hash document fingerprint: fold (acc*31 + hash32(token)) mod
     * 1e9+7 over the token stream — shift-sensitive, content-defined, and

@@ -90,6 +90,45 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // PII redaction: deterministic synthetic PII (email, IP, phone) is
+    // appended to each sampled doc — the corpus itself is clean — then
+    // redacted with the fixed-order regex chain; the md5 of the redacted
+    // text pins the rewrite EXACTLY against the oracle's identical RE2
+    // patterns, and the count columns audit what was found.
+    "q_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents").filter($"doc_id" % 25 === 0)
+        .select($"doc_id",
+          TextOps.norm(concat($"text",
+            lit(" contact user"), $"doc_id".cast("string"),
+            lit("@corp.example.com or 10.0."),
+            ($"doc_id" % 256).cast("string"), lit(".7 tel +1 555 010 99"),
+            ($"doc_id" % 10).cast("string"))).as("__norm"))
+        .select($"doc_id",
+          TextOps.patternCount($"__norm", TextOps.EmailPattern).as("n_emails"),
+          TextOps.patternCount($"__norm", TextOps.Ipv4Pattern).as("n_ips"),
+          md5(TextOps.redactPii($"__norm")).as("redacted_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Repetition signal (Gopher-style): the fraction of all word bigrams
+    // taken by the single most frequent one. Shape: one shuffle on
+    // (doc_id, bigram) then a per-doc max/sum — partial aggregation
+    // collapses repeats map-side, no per-doc maps, no explode×explode.
+    "q_repetition_ratio" -> ((s, dir) => {
+      import s.implicits._
+      val grams = Tables(s, dir, "documents").filter($"doc_id" % 10 === 0)
+        .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+        .select($"doc_id", explode(TextOps.bigramsOf($"__toks")).as("bg"))
+      grams.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("n"))
+        .groupBy($"doc_id")
+        .agg(sum($"n").cast("bigint").as("n_bigrams"),
+          max($"n").cast("bigint").as("top_bigram_n"))
+        .withColumn("rep_ratio",
+          $"top_bigram_n".cast("double") / $"n_bigrams".cast("double"))
+        .orderBy($"doc_id")
+    }),
+
     // Fingerprints: rolling token-hash fold + min/max shingle hashes.
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -172,6 +211,37 @@ object TextQueries extends graft.QueryModule {
          |  0.5::double * stop_ratio - 0.3::double * punct_ratio
          |    + 0.2::double * least(mean_tok_len / 10.0::double, 1.0::double) AS score
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(
+         |    text || ' contact user' || doc_id || '@corp.example.com or 10.0.'
+         |      || (doc_id % 256) || '.7 tel +1 555 010 99' || (doc_id % 10)),
+         |    '\\s+', ' ', 'g')) AS nrm
+         |  FROM documents WHERE doc_id % 25 = 0
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(nrm, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS bigint) AS n_emails,
+         |  CAST(len(regexp_extract_all(nrm, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS bigint) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(nrm,
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\+?\\d[\\d .-]{7,}\\d', '<PHONE>', 'g')) AS redacted_md5
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_repetition_ratio" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS tk FROM documents WHERE doc_id % 10 = 0
+         |),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(tk), 1)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM toks
+         |),
+         |cnt AS (SELECT doc_id, bg, COUNT(1) AS n FROM bg GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(n) AS bigint) AS n_bigrams,
+         |  CAST(MAX(n) AS bigint) AS top_bigram_n,
+         |  CAST(MAX(n) AS double) / CAST(SUM(n) AS double) AS rep_ratio
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       s"""WITH base AS (
          |  SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id % 25 = 0

@@ -1,0 +1,49 @@
+package graft
+
+import graft.llm.TextOps
+import org.apache.spark.sql.functions._
+
+/** PII redaction + bigram semantics (the rest of the text layer is pinned
+  * by its oracle entries).
+  */
+class TextOpsSpec extends SparkSpec {
+
+  test("redactPii: email/ip/phone tagged; order keeps the email out of the phone pattern") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "Reach me: John.Doe+x@Corp.Example.COM or 192.168.0.1 or +1 555-010-9999 done"))
+      .toDF("id", "text")
+    val out = df.select(TextOps.redactPii(TextOps.norm($"text")).as("r"))
+      .head().getString(0)
+    assert(out.contains("<EMAIL>") && out.contains("<IP>") && out.contains("<PHONE>"))
+    assert(!out.contains("@") && !out.contains("192.168"), s"raw PII leaked: $out")
+    // the email's digits must not have been half-eaten by the phone pass
+    assert(out.startsWith("reach me: <EMAIL> or <IP> or <PHONE> done"), out)
+  }
+
+  test("redactPii: short digit runs survive; long digit-punct runs redact (recall over precision)") {
+    import spark.implicits._
+    val clean = "a plain sentence with the number 42 and version 1.2.3"
+    val out = Seq((1L, clean)).toDF("id", "text")
+      .select(TextOps.redactPii(TextOps.norm($"text")).as("r"))
+      .head().getString(0)
+    assert(out == clean, s"clean text must round-trip unchanged: $out")
+    // an ISO date IS a ≥9-char digit-punct run — the phone pattern
+    // deliberately takes it (false positives beat leaked numbers in a
+    // training corpus); pinned so the tradeoff is explicit
+    val dated = Seq((1L, "date 2024-01-02 end")).toDF("id", "text")
+      .select(TextOps.redactPii(TextOps.norm($"text")).as("r"))
+      .head().getString(0)
+    assert(dated == "date <PHONE> end", dated)
+  }
+
+  test("bigramsOf: n-1 bigrams, empty under 2 tokens") {
+    import spark.implicits._
+    val out = Seq((1L, "a b c d"), (2L, "solo"), (3L, ""))
+      .toDF("id", "text")
+      .select($"id", TextOps.bigramsOf(TextOps.tokens($"text")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b", "b c", "c d"))
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+}
