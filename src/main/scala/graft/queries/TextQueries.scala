@@ -129,6 +129,50 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic train/valid/test split: bucket = first-32-md5-bits of
+    // the doc id mod 100 → 90/5/5. Content-stable (re-runs and re-shards
+    // never move a doc between splits — the property a training pipeline
+    // needs), pure projection (no shuffle until the audit agg), and at
+    // scale the split column is what you partitionBy so downstream
+    // readers prune to their split.
+    "q_hash_split" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = pmod(TextOps.hash32($"doc_id".cast("string")), lit(100L))
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          when(bucket < 90, "train").when(bucket < 95, "valid")
+            .otherwise("test").as("split"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+          sum($"doc_id").cast("bigint").as("sum_ids"))
+        .orderBy($"split")
+    }),
+
+    // Benchmark-contamination screen: docs sharing ANY 3-gram shingle
+    // with the benchmark set (stand-in: doc_id % 50 == 0) are flagged.
+    // Shape: benchmark shingles are DISTINCT + broadcast (eval sets are
+    // tiny next to a training corpus), so the corpus side is a map-side
+    // semi-join — no corpus shuffle, no hot-shingle key.
+    "q_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Tables(s, dir, "documents")
+        .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+        .select($"doc_id",
+          explode(array_distinct(TextOps.shingles3($"__toks"))).as("sh"))
+      val benchSh = sh.filter($"doc_id" % 50 === 0).select($"sh").distinct()
+      val contaminated = sh.filter($"doc_id" % 50 =!= 0)
+        .join(broadcast(benchSh), Seq("sh"), "left_semi")
+        .select($"doc_id").distinct()
+        .withColumn("hit", lit(1L))
+      Tables(s, dir, "documents").filter($"doc_id" % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"hit", lit(0L))).cast("bigint").as("n_contaminated"))
+        .orderBy($"lang")
+    }),
+
     // Fingerprints: rolling token-hash fold + min/max shingle hashes.
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -211,6 +255,34 @@ object TextQueries extends graft.QueryModule {
          |  0.5::double * stop_ratio - 0.3::double * punct_ratio
          |    + 0.2::double * least(mean_tok_len / 10.0::double, 1.0::double) AS score
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS varchar)), 1, 8)) AS bigint) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+        |  COUNT(1) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(doc_id) AS bigint) AS sum_ids
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+         |  FROM (SELECT doc_id, $duckToks AS tk FROM documents)
+         |),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         |hits AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (sh)
+         |  WHERE s.doc_id % 50 != 0
+         |)
+         |SELECT d.lang, COUNT(1) AS n_docs,
+         |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 50 != 0
+         |GROUP BY d.lang ORDER BY lang""".stripMargin,
     "q_pii_redact" ->
       s"""WITH p AS (
          |  SELECT doc_id, trim(regexp_replace(lower(
