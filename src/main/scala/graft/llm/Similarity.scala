@@ -215,6 +215,22 @@ object Similarity {
     exact.crossJoin(broadcast(flag))
   }
 
+  /** Symmetric int8 scalar quantization of a (double-promoted) embedding
+    * array — the standard memory lever for vector search at 100 TB: 4×
+    * smaller than float32, so IVF/SRP candidate scoring reads quantized
+    * vectors and only the short list re-ranks at full precision.
+    * `scale` = max|x| per vector; q_i = floor(x_i/scale·127 + 0.5) — the
+    * EXPLICIT half-up formula, because engines disagree on round()'s
+    * half rule while floor(+0.5) is bit-identical everywhere the doubles
+    * are. Zero vectors quantize to all zeros.
+    */
+  def quantScale(v: Column): Column = array_max(transform(v, x => abs(x)))
+
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale > 0d, floor(x / scale * lit(127d) + lit(0.5d)).cast("int"))
+        .otherwise(lit(0)))
+
   def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, numTables: Int = 8, bitsPerTable: Int = 4,
       dims: Int = 64, probes: Int = 1): DataFrame = {

@@ -155,6 +155,27 @@ object SimilarityQueries extends graft.QueryModule {
         .select($"id".as("doc_id"), $"channels", $"sample_rate",
           $"n_frames", $"duration_ms", $"abs_sum", $"peak")
         .orderBy($"doc_id")
+    }),
+
+    // int8 scalar quantization of embeddings with an in-query error-bound
+    // check: every dequantized component must sit within one quantization
+    // step (scale/127) of the original — a real regression in the
+    // quantizer flips err_bounded and the driver row goes red. The
+    // integer summaries (Σq, min, max) are exact and oracle-reproducible
+    // from the identical floor(+0.5) formula.
+    "q_embedding_quantize" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings").filter($"vec_id" % 20 === 0)
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+        .withColumn("scale", Similarity.quantScale($"v"))
+        .withColumn("q", Similarity.quantizeInt8($"v", $"scale"))
+      emb.select($"vec_id", $"scale",
+          aggregate($"q", lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+          array_min($"q").as("q_min"), array_max($"q").as("q_max"),
+          (array_max(zip_with($"v", $"q",
+            (x, qi) => abs(x - qi.cast("double") * $"scale" / lit(127d))))
+            <= $"scale" / lit(127d)).as("err_bounded"))
+        .orderBy($"vec_id")
     }))
 
   // Exact brute-force top-5 in DuckDB; `extraCols` lets the ANN entries
@@ -228,6 +249,29 @@ object SimilarityQueries extends graft.QueryModule {
         |UNION ALL
         |SELECT -1, NULL, NULL, NULL, NULL, NULL
         |ORDER BY doc_id""".stripMargin,
+    // Identical floor(x/scale·127 + 0.5) quantization in DuckDB; the
+    // error bound is asserted as literal TRUE (the Spark side computes it).
+    "q_embedding_quantize" ->
+      """WITH p AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id % 20 = 0
+        |),
+        |sc AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM p
+        |),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(v, x -> CASE WHEN scale > 0
+        |      THEN CAST(floor(x / scale * 127 + 0.5) AS int) ELSE 0 END) AS qv
+        |  FROM sc
+        |)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qv) AS bigint) AS q_sum,
+        |  CAST(list_min(qv) AS int) AS q_min,
+        |  CAST(list_max(qv) AS int) AS q_max,
+        |  TRUE AS err_bounded
+        |FROM q ORDER BY vec_id""".stripMargin,
     // The audio oracle recomputes the PCM sample formula — only a correct
     // WAV encode→decode round-trip can match the amplitude sums.
     "q_multimodal_audio" ->
