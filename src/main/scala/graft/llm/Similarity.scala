@@ -231,15 +231,17 @@ object Similarity {
       when(scale > 0d, floor(x / scale * lit(127d) + lit(0.5d)).cast("int"))
         .otherwise(lit(0)))
 
-  def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int, numTables: Int = 8, bitsPerTable: Int = 4,
-      dims: Int = 64, probes: Int = 1): DataFrame = {
+  /** SRP candidate pairs (id_a, id_b), distinct — shared by the
+    * full-precision and quantized scoring paths. Corpus: one bucket per
+    * table. Queries: `probes` buckets per table (base + lowest-margin
+    * single-bit flips) — fills under-k results from under-populated
+    * buckets without growing the corpus index.
+    */
+  private def srpCandidates(cPrep: DataFrame, qPrep: DataFrame, idCol: String,
+      numTables: Int, bitsPerTable: Int, dims: Int, probes: Int): DataFrame = {
     val tables = (0 until numTables).map { t =>
       (t, (0 until bitsPerTable).map(b => hyperplane(t * bitsPerTable + b, dims)))
     }
-    // Corpus: one bucket per table. Queries: `probes` buckets per table
-    // (base + lowest-margin single-bit flips) — fills under-k results
-    // from under-populated buckets without growing the corpus index.
     def keyed(df: DataFrame, id: String, nProbes: Int): DataFrame = {
       val keys = tables.map { case (t, planes) =>
         transform(srpProbeKeys(col("v"), planes, nProbes),
@@ -247,14 +249,64 @@ object Similarity {
       }
       df.select(col(id), explode(concat(keys: _*)).as("tk"))
     }
-    val cPrep = prepared(corpus, vecCol, idCol)
-    val qPrep = prepared(queries, vecCol, idCol)
-    val cand = keyed(qPrep.select(col(idCol).as("id_a"), col("v")), "id_a", probes)
+    keyed(qPrep.select(col(idCol).as("id_a"), col("v")), "id_a", probes)
       .join(keyed(cPrep.select(col(idCol).as("id_b"), col("v")), "id_b", 1), Seq("tk"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  def srpTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, numTables: Int = 8, bitsPerTable: Int = 4,
+      dims: Int = 64, probes: Int = 1): DataFrame = {
+    val cPrep = prepared(corpus, vecCol, idCol)
+    val qPrep = prepared(queries, vecCol, idCol)
+    val cand = srpCandidates(cPrep, qPrep, idCol, numTables, bitsPerTable, dims, probes)
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
     cand
+      .join(qPrep.select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(cPrep.select(col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("rk"), col("id_b"), col("cos"))
+  }
+
+  /** SRP ANN with QUANTIZED candidate scoring: candidates are scored on
+    * int8 vectors (exact integer dot products over the 4×-smaller
+    * representation — at scale that is what lives in memory / rides the
+    * shuffle), then only the top `rerank` per query re-rank at full
+    * precision. With `rerank` ≥ the candidate count this returns exactly
+    * `srpTopK`'s answer (pinned in SimilaritySpec); with a short list it
+    * trades a little recall for reading 8× fewer vector bytes in the
+    * scoring join. Approx ranking key: (q_a·q_b)·s_a·s_b / (n_a·n_b) —
+    * monotone in the dequantized cosine for each pair.
+    */
+  def srpTopKQuantized(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, numTables: Int = 8, bitsPerTable: Int = 4,
+      dims: Int = 64, probes: Int = 1, rerank: Int = 20): DataFrame = {
+    def quantized(prep: DataFrame, suffix: String): DataFrame =
+      prep.withColumn("scale", quantScale(col("v")))
+        .select(col(idCol).as(s"id_$suffix"),
+          quantizeInt8(col("v"), col("scale")).as(s"q_$suffix"),
+          col("scale").as(s"s_$suffix"), col("nrm").as(s"n_$suffix"))
+    val cPrep = prepared(corpus, vecCol, idCol)
+    val qPrep = prepared(queries, vecCol, idCol)
+    val cand = srpCandidates(cPrep, qPrep, idCol, numTables, bitsPerTable, dims, probes)
+    val qdot = aggregate(
+      zip_with(col("q_a"), col("q_b"), (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val wApprox = Window.partitionBy(col("id_a"))
+      .orderBy(col("approx").desc, col("id_b").asc)
+    val shortList = cand
+      .join(quantized(qPrep, "a"), Seq("id_a"))
+      .join(quantized(cPrep, "b"), Seq("id_b"))
+      .withColumn("approx",
+        qdot.cast("double") * col("s_a") * col("s_b") / (col("n_a") * col("n_b")))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= rerank)
+      .select(col("id_a"), col("id_b"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+    shortList
       .join(qPrep.select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
       .join(cPrep.select(col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))

@@ -60,6 +60,21 @@ class SimilaritySpec extends SparkSpec {
       s"probes=3 should change SOMETHING on this corpus (r $r1->$r3, n $n1->$n3)")
   }
 
+  test("quantized SRP scoring: full rerank reproduces srpTopK exactly; short list stays usable") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.select("id_a", "rk", "id_b").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    // rerank ≥ any candidate count ⇒ the quantized pass only reorders the
+    // SHORT-LIST selection, and the exact re-rank must equal srpTopK
+    val full = rows(Similarity.srpTopK(embDf, queryDf, "embedding", "vec_id", 5))
+    val quantFull = rows(Similarity.srpTopKQuantized(
+      embDf, queryDf, "embedding", "vec_id", 5, rerank = 1000000))
+    assert(quantFull == full, "int8 scoring with full rerank must be exact")
+    // a tight short list still clears the recall floor
+    assertRecall("SRPq", Similarity.srpTopKQuantized(
+      embDf, queryDf, "embedding", "vec_id", 5, rerank = 20))
+  }
+
   test("srp bucket key is deterministic and scale-invariant-ish (sign based)") {
     import spark.implicits._
     val planes = (0 until 8).map(Similarity.hyperplane(_, 4))
