@@ -5,12 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional third arg = comma-list of query names (local iteration
+    // only; the driver always passes two args and gets the full dump).
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, c) => (a, b, Some(c.split(",").toSet))
+    }
     // Single canonical session config (Engine.builder): AQE + UTC +
     // shuffle-partition sizing must match what the bench measures.
     val spark = Engine.session()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -98,6 +98,23 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"even_bucket")
     }),
 
+    // Stream-stream interval join: purchases attributed to same-user
+    // clicks within the preceding 30 minutes (both sides are live
+    // streams, state evicted by watermark + range bound); per-user
+    // attribution rollup compared against the batch interval join.
+    "q_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      Streams.runToTable(s, Streams.clickPurchaseJoin(stream),
+          fresh("ss_join"), "append")
+        .groupBy($"c_user".as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"click_id").as("n_clicks"),
+          countDistinct($"purchase_id").as("n_purchases"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_value"))
+        .orderBy($"user_id")
+    }),
+
     // Custom state via flatMapGroupsWithState: per-user count + first/last
     // event time; single AvailableNow batch → one emission per user.
     "q_stream_custom_state" -> ((s, dir) => {
@@ -152,6 +169,16 @@ object StreamQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_price,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM fixture GROUP BY 1 ORDER BY even_bucket""".stripMargin,
+    "q_stream_join" ->
+      """SELECT c.user_id, COUNT(1) AS n_pairs,
+        |  COUNT(DISTINCT c.event_id) AS n_clicks,
+        |  COUNT(DISTINCT p.event_id) AS n_purchases,
+        |  CAST(SUM(CAST(p.value AS decimal(30,6))) AS double) AS sum_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q_stream_custom_state" ->
       """SELECT user_id, COUNT(1) AS n_events,
         |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us

@@ -90,6 +90,33 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: click → purchase attribution — each
+    * purchase pairs with every same-user click in the preceding 30
+    * minutes. Both sides carry watermarks AND the join condition bounds
+    * the event-time gap, which is what lets the join state evict: a
+    * buffered click is dropped once the watermark passes `c_ts + 30 min`
+    * (without the range bound both sides' buffers grow without limit —
+    * the stream-stream analogue of the unwatermarked-agg trap). Inner
+    * joins emit a pair the moment both sides have arrived; the watermark
+    * governs only state eviction, so a finite `AvailableNow` run emits
+    * every pair. State is keyed by user_id — bounded by |users| × the
+    * 30-minute event window, not by stream length.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+  }
+
   /** Per-user activity state for `flatMapGroupsWithState` — the custom-
     * state rung of the streaming surface (windows and dedup cover the
     * built-in state shapes; this is the user-defined one).

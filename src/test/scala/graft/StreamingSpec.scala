@@ -115,6 +115,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == expect)
   }
 
+  test("stream-stream interval join equals the batch interval join, pair-for-pair") {
+    import spark.implicits._
+    val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
+    val streamed = Streams.runToTable(spark, Streams.clickPurchaseJoin(stream),
+        "ss_join_eq", "append")
+      .select($"click_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val events = spark.read.schema(Streams.EventsRawSchema)
+      .parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    val batch = clicks.join(purchases,
+        $"c_user" === $"p_user" && $"p_ts" >= $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr("interval 30 minutes"))
+      .select($"click_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty, "fixture must produce at least one attributed pair")
+    assert(streamed == batch)
+  }
+
   test("streaming windowed counts equal the batch computation (complete mode)") {
     import spark.implicits._
     val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
