@@ -173,6 +173,21 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"lang")
     }),
 
+    // Sequence packing (GPT-style concat-and-chunk): exact global token
+    // offsets in doc_id order via Pack's DISTRIBUTED two-pass prefix sum
+    // (no single-partition window over the data), then 1024-token chunk
+    // stats. Invariant: every chunk except the last packs exactly 1024
+    // tokens. The oracle reproduces the offsets with a plain global
+    // window — same algebra, single-node shape.
+    "q_token_pack" -> ((s, dir) => {
+      import s.implicits._
+      val toks = graft.Tables(s, dir, "documents")
+        .select($"doc_id", TextOps.norm($"text").as("__norm"))
+        .select($"doc_id", graft.llm.Pack.tokenCountOfNorm($"__norm").as("n_tok"))
+      val spans = graft.llm.Pack.packOffsets(toks, "doc_id", "n_tok", bucketWidth = 64L)
+      graft.llm.Pack.chunkStats(spans, budget = 1024L).orderBy($"chunk")
+    }),
+
     // Fingerprints: rolling token-hash fold + min/max shingle hashes.
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -314,6 +329,25 @@ object TextQueries extends graft.QueryModule {
          |  CAST(MAX(n) AS bigint) AS top_bigram_n,
          |  CAST(MAX(n) AS double) / CAST(SUM(n) AS double) AS rep_ratio
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_token_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS bigint) AS n_tok FROM documents
+         |),
+         |o AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS e
+         |  FROM t
+         |),
+         |spans AS (SELECT doc_id, e - n_tok AS s, e FROM o WHERE n_tok > 0),
+         |x AS (
+         |  SELECT s, e,
+         |    unnest(generate_series(s // 1024, (e - 1) // 1024)) AS chunk
+         |  FROM spans
+         |)
+         |SELECT chunk, COUNT(1) AS n_docs,
+         |  CAST(SUM(LEAST(e, (chunk + 1) * 1024) - GREATEST(s, chunk * 1024)) AS bigint) AS n_tokens
+         |FROM x GROUP BY chunk ORDER BY chunk""".stripMargin,
     "q_fingerprint" ->
       s"""WITH base AS (
          |  SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id % 25 = 0
