@@ -173,6 +173,22 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"lang")
     }),
 
+    // Stratified deterministic sampling: rebalance the training mix by
+    // downsampling dominant languages (en to 50%, zh to 80%) with a
+    // salted hash-bucket rule — content-stable membership, zero shuffle
+    // (pure map-side filter; the audit agg below is the only exchange).
+    "q_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val kept = graft.llm.Sample.stratified(docs, "doc_id", "lang",
+        Map("en" -> 500L, "zh" -> 800L), "strat")
+      docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy($"lang").agg(count(lit(1)).as("n_kept"),
+          min($"doc_id").as("min_kept"), max($"doc_id").as("max_kept"),
+          sum($"doc_id").cast("bigint").as("sum_kept")), Seq("lang"))
+        .orderBy($"lang")
+    }),
+
     // Sequence packing (GPT-style concat-and-chunk): exact global token
     // offsets in doc_id order via Pack's DISTRIBUTED two-pass prefix sum
     // (no single-partition window over the data), then 1024-token chunk
@@ -329,6 +345,18 @@ object TextQueries extends graft.QueryModule {
          |  CAST(MAX(n) AS bigint) AS top_bigram_n,
          |  CAST(MAX(n) AS double) / CAST(SUM(n) AS double) AS rep_ratio
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT * FROM documents
+        |  WHERE CAST(('0x' || substr(md5('strat:' || doc_id), 1, 8)) AS bigint) % 1000
+        |    < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 800 ELSE 1000 END
+        |)
+        |SELECT t.lang, t.n_total, s.n_kept, s.min_kept, s.max_kept, s.sum_kept
+        |FROM (SELECT lang, COUNT(1) AS n_total FROM documents GROUP BY lang) t
+        |JOIN (SELECT lang, COUNT(1) AS n_kept, MIN(doc_id) AS min_kept,
+        |        MAX(doc_id) AS max_kept, CAST(SUM(doc_id) AS bigint) AS sum_kept
+        |      FROM k GROUP BY lang) s USING (lang)
+        |ORDER BY t.lang""".stripMargin,
     "q_token_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($duckToks) AS bigint) AS n_tok FROM documents
