@@ -173,6 +173,25 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"lang")
     }),
 
+    // Count-min-sketch heavy hitters: the fixed-memory (3×1024 counters)
+    // frequency summary vs the exact top-10 tokens. Both the exact counts
+    // (the anchor) AND the sketch estimates are in the output — the
+    // estimates are md5-derived so DuckDB rebuilds the identical sketch;
+    // one drifted counter anywhere flips the row red.
+    "q_cms_topk" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select(TextOps.norm($"text").as("__norm"))
+        .select(explode(split($"__norm", " ")).as("tok"))
+      val exact = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      val top = exact.orderBy($"n".desc, $"tok").limit(10)
+      val sketch = graft.llm.Sketch.countMin(toks, "tok", depth = 3, width = 1024)
+      top.join(graft.llm.Sketch.estimate(sketch, top.select($"tok"), "tok", 3, 1024),
+          Seq("tok"))
+        .select($"tok", $"n", $"cms_est".cast("bigint").as("cms_est"))
+        .orderBy($"n".desc, $"tok")
+    }),
+
     // Stratified deterministic sampling: rebalance the training mix by
     // downsampling dominant languages (en to 50%, zh to 80%) with a
     // salted hash-bucket rule — content-stable membership, zero shuffle
@@ -345,6 +364,31 @@ object TextQueries extends graft.QueryModule {
          |  CAST(MAX(n) AS bigint) AS top_bigram_n,
          |  CAST(MAX(n) AS double) / CAST(SUM(n) AS double) AS rep_ratio
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_cms_topk" ->
+      s"""WITH toks AS (
+         |  SELECT unnest($duckToks) AS tok FROM documents
+         |),
+         |cnt AS (SELECT tok, COUNT(1) AS n FROM toks GROUP BY tok),
+         |topk AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 10),
+         |rows3 AS (SELECT unnest([0, 1, 2]) AS i),
+         |sketch AS (
+         |  SELECT i,
+         |    CAST(('0x' || substr(md5('cms' || i || ':' || tok), 1, 8)) AS bigint) % 1024 AS bucket,
+         |    COUNT(1) AS c
+         |  FROM toks, rows3 GROUP BY 1, 2
+         |),
+         |qb AS (
+         |  SELECT tok, i,
+         |    CAST(('0x' || substr(md5('cms' || i || ':' || tok), 1, 8)) AS bigint) % 1024 AS bucket
+         |  FROM topk, rows3
+         |),
+         |est AS (
+         |  SELECT qb.tok, MIN(s.c) AS cms_est
+         |  FROM qb JOIN sketch s ON qb.i = s.i AND qb.bucket = s.bucket
+         |  GROUP BY qb.tok
+         |)
+         |SELECT t.tok, CAST(t.n AS bigint) AS n, CAST(e.cms_est AS bigint) AS cms_est
+         |FROM topk t JOIN est e USING (tok) ORDER BY t.n DESC, t.tok""".stripMargin,
     "q_stratified_sample" ->
       """WITH k AS (
         |  SELECT * FROM documents
