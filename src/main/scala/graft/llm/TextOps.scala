@@ -146,6 +146,31 @@ object TextOps {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
+  /** URL surface for domain-blocklist curation (the standard first pass
+    * on web-crawl corpora). RE2-compatible and lowercase-input (apply to
+    * `norm`-ed text) so the DuckDB oracle extracts identically —
+    * `parse_url` is the built-in alternative but has no oracle-side twin.
+    * The registered domain is approximated as the last two host labels
+    * (a public-suffix list slots in behind the same Column contract).
+    */
+  val UrlPattern = "https?://[a-z0-9.-]+[a-z0-9/._-]*"
+
+  def urlsOf(normText: Column): Column =
+    regexp_extract_all(normText, lit(UrlPattern), lit(0))
+
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "https?://([a-z0-9.-]+)", 1)
+
+  def registeredDomainOf(host: Column): Column = {
+    val parts = split(host, "\\.")
+    // guarded element_at: single-label hosts pass through (ANSI-safe —
+    // CaseWhen evaluates only the branch taken)
+    when(size(parts) >= 2,
+      concat_ws(".",
+        element_at(parts, size(parts) - 1), element_at(parts, size(parts))))
+      .otherwise(host)
+  }
+
   /** Count of pattern hits (for redaction audit columns). */
   def patternCount(normText: Column, pattern: String): Column =
     size(regexp_extract_all(normText, lit(pattern), lit(0))).cast("long")

@@ -173,6 +173,37 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"lang")
     }),
 
+    // Domain-blocklist filter: deterministic synthetic URLs are appended
+    // to each doc (the corpus itself has none), extracted, reduced to
+    // registered domains, and matched against a broadcast blocklist —
+    // the corpus side stays a map-side semi-join (no corpus shuffle; the
+    // per-lang audit agg is the only exchange on the big side).
+    "q_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val block = Seq("src3-mirror.org", "src7-mirror.org", "img2-cdn.net")
+        .toDF("domain")
+      val docs = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          TextOps.norm(concat($"text",
+            lit(" see https://files.src"), ($"doc_id" % 20).cast("string"),
+            lit("-mirror.org/d/"), $"doc_id".cast("string"),
+            lit(" and http://img"), ($"doc_id" % 7).cast("string"),
+            lit("-cdn.net/t.png"))).as("__norm"))
+      val doms = docs
+        .select($"doc_id", $"lang", explode(TextOps.urlsOf($"__norm")).as("url"))
+        .select($"doc_id", $"lang",
+          TextOps.registeredDomainOf(TextOps.hostOf($"url")).as("domain"))
+      val flagged = doms.join(broadcast(block), Seq("domain"), "left_semi")
+        .select($"doc_id").distinct().withColumn("hit", lit(1L))
+      doms.groupBy($"doc_id", $"lang").agg(count(lit(1)).as("nu"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"hit", lit(0L))).cast("bigint").as("n_flagged"),
+          sum($"nu").cast("bigint").as("n_urls"))
+        .orderBy($"lang")
+    }),
+
     // Count-min-sketch heavy hitters: the fixed-memory (3×1024 counters)
     // frequency summary vs the exact top-10 tokens. Both the exact counts
     // (the anchor) AND the sketch estimates are in the output — the
@@ -364,6 +395,40 @@ object TextQueries extends graft.QueryModule {
          |  CAST(MAX(n) AS bigint) AS top_bigram_n,
          |  CAST(MAX(n) AS double) / CAST(SUM(n) AS double) AS rep_ratio
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_url_filter" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, trim(regexp_replace(lower(
+        |    text || ' see https://files.src' || (doc_id % 20) || '-mirror.org/d/' || doc_id
+        |         || ' and http://img' || (doc_id % 7) || '-cdn.net/t.png'),
+        |    '\s+', ' ', 'g')) AS nrm
+        |  FROM documents
+        |),
+        |u AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(nrm, 'https?://[a-z0-9.-]+[a-z0-9/._-]*')) AS url
+        |  FROM p
+        |),
+        |d AS (
+        |  SELECT doc_id, lang,
+        |    string_split(regexp_extract(url, 'https?://([a-z0-9.-]+)', 1), '.') AS hp
+        |  FROM u
+        |),
+        |dom AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(hp) >= 2 THEN hp[len(hp)-1] || '.' || hp[len(hp)]
+        |         ELSE array_to_string(hp, '.') END AS domain
+        |  FROM d
+        |),
+        |flagged AS (
+        |  SELECT DISTINCT doc_id FROM dom
+        |  WHERE domain IN ('src3-mirror.org', 'src7-mirror.org', 'img2-cdn.net')
+        |),
+        |urls_per AS (SELECT doc_id, lang, COUNT(1) AS nu FROM dom GROUP BY 1, 2)
+        |SELECT u.lang, COUNT(1) AS n_docs,
+        |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_flagged,
+        |  CAST(SUM(nu) AS bigint) AS n_urls
+        |FROM urls_per u LEFT JOIN flagged f USING (doc_id)
+        |GROUP BY u.lang ORDER BY u.lang""".stripMargin,
     "q_cms_topk" ->
       s"""WITH toks AS (
          |  SELECT unnest($duckToks) AS tok FROM documents

@@ -37,6 +37,23 @@ class TextOpsSpec extends SparkSpec {
     assert(dated == "date <PHONE> end", dated)
   }
 
+  test("url extraction and registered-domain reduction") {
+    import spark.implicits._
+    val text = "see https://a.b.files.example.org/x/y.html and http://localhost/z " +
+      "plus http://cdn7-img.net/p.png trailing"
+    val doms = Seq((1L, text)).toDF("id", "text")
+      .select(explode(TextOps.urlsOf(TextOps.norm($"text"))).as("url"))
+      .select($"url", TextOps.registeredDomainOf(TextOps.hostOf($"url")).as("dom"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(doms.keySet == Set("https://a.b.files.example.org/x/y.html",
+      "http://localhost/z", "http://cdn7-img.net/p.png"))
+    assert(doms("https://a.b.files.example.org/x/y.html") == "example.org",
+      "deep subdomains reduce to the last two labels")
+    assert(doms("http://localhost/z") == "localhost",
+      "single-label hosts pass through (no ANSI element_at error)")
+    assert(doms("http://cdn7-img.net/p.png") == "cdn7-img.net")
+  }
+
   test("bigramsOf: n-1 bigrams, empty under 2 tokens") {
     import spark.implicits._
     val out = Seq((1L, "a b c d"), (2L, "solo"), (3L, ""))
