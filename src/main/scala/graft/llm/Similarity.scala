@@ -196,6 +196,136 @@ object Similarity {
       .select(col("id_a"), col("rk"), col("id_b"), col("cos"))
   }
 
+  /** Product-quantization codebooks: split the `dims`-dim space into `m`
+    * subspaces of dims/m dims and k-means each to `ksub` centroids. A
+    * vector encodes to m sub-codes — m bytes (ksub ≤ 256) instead of
+    * 8·dims, the 64× compression that lets candidate scoring at 100 TB
+    * move codes instead of vectors. Returns codebooks(j)(c) = centroid c
+    * of subspace j.
+    */
+  def trainPq(sample: DataFrame, dims: Int, m: Int, ksub: Int,
+      seed: Long): Seq[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dims % m == 0, s"dims=$dims must be divisible by m=$m")
+    val sub = dims / m
+    (0 until m).map { j =>
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("c")
+        .fit(sample.select(array_to_vector(slice(col("v"), j * sub + 1, sub)).as("fv")))
+        .clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** Encode a vector into its m PQ codes: per subspace, the centroid
+    * minimizing ‖v_j − c‖² = argmin(‖c‖² − 2·v_j·c). Pure literal-centroid
+    * Column arithmetic — encoding is map-side, nothing shuffles.
+    */
+  def pqCodesCol(v: Column, codebooks: Seq[Array[Array[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val vj = slice(v, j * sub + 1, sub)
+      val entries = cb.zipWithIndex.map { case (c, ci) =>
+        struct((lit(c.map(x => x * x).sum) - lit(2d) * dot(vj, typedlit(c.toSeq))).as("cd"),
+          lit(ci).as("code"))
+      }
+      element_at(array_sort(array(entries.toSeq: _*)), 1).getField("code")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table: lut(j)(c) = q_j · codebook(j)(c), built
+    * once per query row (m × ksub dots against literal centroids).
+    */
+  def pqLutCol(v: Column, codebooks: Seq[Array[Array[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val vj = slice(v, j * sub + 1, sub)
+      array(cb.map(c => dot(vj, typedlit(c.toSeq))).toSeq: _*)
+    }: _*)
+  }
+
+  /** Asymmetric-distance score: Σ_j lut(j)(codes(j)) ≈ q · v. Exactly
+    * q · reconstruct(codes) — the ADC identity SimilaritySpec pins.
+    */
+  def adcScore(lut: Column, codes: Column, m: Int): Column =
+    (0 until m).map(j =>
+      element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))
+      .reduce(_ + _)
+
+  /** IVF-PQ — the composition that runs vector search at extreme scale
+    * (the standard inverted-file + product-quantization architecture,
+    * here expressed as Spark relational ops): the IVF coarse quantizer
+    * prunes the corpus to `nprobe` of `numCells` cells; candidates in
+    * probed cells are scored from their m-byte PQ codes via a per-query
+    * ADC lookup table (the vectors themselves stay out of the scoring
+    * join entirely); only the top `rerank` approximate hits per query
+    * re-rank at full precision.
+    *
+    * Scale shape: the scoring join moves (id, cell, m codes, norm) ≈
+    * 8+8+m+8 bytes a row vs 8·dims+16 for exact IVF — at dims=64/m=16 a
+    * ~13× reduction in the bytes that ride the probe join, on top of
+    * IVF's cell pruning. PQ here quantizes RAW vectors; FAISS-style
+    * residual encoding (quantize v − centroid(cell)) slots into the same
+    * train/encode/LUT shape and buys precision at the same byte budget.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 64, seed: Long = 42L, sampleMod: Int = 4,
+      rerank: Int = 40, dims: Int = 64): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val cPrep = prepared(corpus, vecCol, idCol)
+    val qPrep = prepared(queries, vecCol, idCol)
+    // same deterministic hash-sample + small-corpus fallback as ivfTopK
+    val hashSample = cPrep
+      .filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
+    val trainSample =
+      if (hashSample.limit(math.max(numCells, ksub)).count() < math.max(numCells, ksub)) cPrep
+      else hashSample
+    // clamp k to the sample size — a tiny corpus must degrade (fewer
+    // cells / a smaller codebook), not crash inside KMeans.fit
+    val trainN = trainSample.count().toInt
+    val cellsEff = math.max(1, math.min(numCells, trainN))
+    val ksubEff = math.max(1, math.min(ksub, trainN))
+    val coarse = new KMeans().setK(cellsEff).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(trainSample.select(array_to_vector(col("v")).as("fv")))
+    val codebooks = trainPq(trainSample, dims, m, ksubEff, seed + 1000)
+    // corpus index rows: (id, cell, codes, norm) — NO vectors
+    val corpusCodes = coarse
+      .transform(cPrep.withColumn("fv", array_to_vector(col("v"))))
+      .select(col(idCol).as("id_b"), col("cell"),
+        pqCodesCol(col("v"), codebooks).as("codes"), col("nrm").as("n_b"))
+    val probeEntries = coarse.clusterCenters.map(_.toArray).zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2d) * dot(col("v"), typedlit(c.toSeq))).as("cd"),
+        lit(i).as("cell"))
+    }
+    // query rows carry the LUT, not the vector
+    val qCells = qPrep
+      .select(col(idCol).as("id_a"), col("nrm").as("n_a"),
+        pqLutCol(col("v"), codebooks).as("lut"),
+        explode(slice(array_sort(array(probeEntries.toSeq: _*)), 1, nprobe)).as("probe"))
+      .withColumn("cell", col("probe.cell"))
+      .drop("probe")
+    val wApprox = Window.partitionBy(col("id_a"))
+      .orderBy(col("approx").desc, col("id_b").asc)
+    val shortList = qCells.join(corpusCodes, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("approx", adcScore(col("lut"), col("codes"), m) / (col("n_a") * col("n_b")))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= rerank)
+      .select(col("id_a"), col("id_b"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+    shortList
+      .join(qPrep.select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(cPrep.select(col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("rk"), col("id_b"), col("cos"))
+  }
+
   /** Driver-checkable ANN verification: the EXACT top-k rows (which a SQL
     * oracle can reproduce) plus `recall_ok` — true iff `ann` recovered at
     * least `minRecall` of the exact (id_a, id_b) pairs, computed in-query.

@@ -79,6 +79,21 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"rk")
     }),
 
+    // ANN, IVF-PQ path: coarse cells + 16-byte product-quantization codes
+    // scored via the per-query ADC lookup table, full-precision rerank of
+    // the top-40 short list. Pinned recall ≥ 0.5 (measured 0.688 at
+    // sf0.01, 0.620 at sf0.1 — at the nprobe=4/16 cell-pruning ceiling
+    // that exact-scoring IVF itself reaches: 0.69/0.64).
+    "q_cosine_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" % 20 === 0)
+      val exact = Similarity.bruteTopK(emb, queries, "embedding", "vec_id", 5)
+      val ann = Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id", 5)
+      Similarity.recallChecked(exact, ann, 0.5)
+        .orderBy($"id_a", $"rk")
+    }),
+
     // Multimodal: REAL image decode. The fixture encodes one 8×8 RGB
     // image per sampled document through javax.imageio (png when doc_id %
     // 50 == 0, bmp otherwise — two distinct JDK codec paths),
@@ -202,6 +217,7 @@ object SimilarityQueries extends graft.QueryModule {
     // ANN/exact overlap, so a recall regression is a driver hash mismatch.
     "q_cosine_ann" -> bruteTopkSql(", TRUE AS recall_ok"),
     "q_cosine_ivf" -> bruteTopkSql(", TRUE AS recall_ok"),
+    "q_cosine_ivfpq" -> bruteTopkSql(", TRUE AS recall_ok"),
     "q_embedding_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0
