@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type 2 merge — the warehouse-dimension
+  * counterpart of the plain key upsert (B3): instead of overwriting, a
+  * changed row CLOSES the current version (`eff_to` = batch stamp) and
+  * opens a new one, so every key carries its full version history and a
+  * query can reconstruct the dimension as-of any date.
+  *
+  * Contract: `target` = key cols + attr cols + `eff_from`/`eff_to`
+  * (strings; `eff_to` NULL marks the current version). `updates` = key +
+  * attr cols (one row per key — dedupe upstream, e.g.
+  * `Upsert.dedupByKey`). Keys absent from `updates` stay open (no
+  * delete-detection; a full-snapshot variant would close them the same
+  * way changed rows close).
+  *
+  * Scale shape: ONE full-outer shuffle join on the keys classifies every
+  * row (history rows never enter the join — they are filtered off and
+  * unioned back untouched); the three outcome branches are projections of
+  * that single join, so the whole merge is one exchange on (keys) however
+  * wide the dimension is, and with a key-bucketed target (B3's
+  * `runBucketed` layout) even that exchange drops to a per-bucket merge.
+  */
+object Scd2 {
+
+  def merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      attrs: Seq[String], stamp: String): DataFrame = {
+    val outCols = (keys ++ attrs ++ Seq("eff_from", "eff_to")).map(col)
+    val cur = target.filter(col("eff_to").isNull)
+    val hist = target.filter(col("eff_to").isNotNull).select(outCols: _*)
+    // updates with attrs renamed so the using-columns join keeps both sides
+    val up = updates.select(
+      keys.map(col) ++ attrs.map(a => col(a).as(s"__u_$a")) :+ lit(1).as("__u"): _*)
+    val j = cur.withColumn("__c", lit(1)).join(up, keys, "full_outer")
+    val changed = col("__c").isNotNull && col("__u").isNotNull &&
+      attrs.map(a => !(col(a) <=> col(s"__u_$a"))).reduce(_ || _)
+    // current rows that survive as-is: unmatched, or matched-and-equal
+    val keep = j.filter(col("__c").isNotNull && !changed).select(outCols: _*)
+    // changed rows: the old version closes at the stamp...
+    val closed = j.filter(changed)
+      .withColumn("eff_to", lit(stamp)).select(outCols: _*)
+    // ...and the incoming version opens at it; brand-new keys open too
+    val opened = j.filter(col("__u").isNotNull && (col("__c").isNull || changed))
+      .select(keys.map(col) ++ attrs.map(a => col(s"__u_$a").as(a)) ++
+        Seq(lit(stamp).as("eff_from"), lit(null).cast("string").as("eff_to")): _*)
+    hist.unionByName(keep).unionByName(closed).unionByName(opened)
+  }
+}

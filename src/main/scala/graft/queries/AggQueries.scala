@@ -128,6 +128,33 @@ object AggQueries extends graft.QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // Approximate percentiles (the GK sketch behind approx_percentile —
+    // the third sketch class next to HLL and count-min): exact anchors
+    // (n, min, max) plus in-query RANK checks. The sketch's contract is
+    // rank error ≤ n/accuracy, so the check verifies the rank of each
+    // approximate percentile (count of values ≤ it, over n), not its
+    // value — a broken sketch shifts the rank far outside ±0.01 and
+    // flips the driver row red; the oracle emits the anchors + TRUE.
+    "q_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val ap = Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          min($"value").as("v_min"), max($"value").as("v_max"),
+          expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(value, 0.95, 1000)").as("a95"))
+      Tables(s, dir, "events")
+        .join(broadcast(ap), Seq("event_type"))
+        .groupBy($"event_type", $"n", $"v_min", $"v_max", $"a50", $"a95")
+        .agg(
+          (sum(when($"value" <= $"a50", 1L).otherwise(0L)).cast("double") / $"n").as("r50"),
+          (sum(when($"value" <= $"a95", 1L).otherwise(0L)).cast("double") / $"n").as("r95"))
+        .select($"event_type", $"n", $"v_min", $"v_max",
+          ($"r50" >= 0.49 && $"r50" <= 0.51).as("p50_ok"),
+          ($"r95" >= 0.94 && $"r95" <= 0.96).as("p95_ok"))
+        .orderBy($"event_type")
+    }),
+
     // Global sort + limit (C7): top-10 orders by price, key tie-break.
     // Spark plans this as TakeOrderedAndProject — per-partition top-k then
     // a driver-side merge of k-row heaps, never a full global sort.
@@ -162,6 +189,11 @@ object AggQueries extends graft.QueryModule {
         |  COUNT(1) AS n_rows,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_quantile_sketch" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  MIN(value) AS v_min, MAX(value) AS v_max,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_topn_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
