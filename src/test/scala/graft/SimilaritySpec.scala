@@ -46,7 +46,7 @@ class SimilaritySpec extends SparkSpec {
     val vecs = (1 to 40)
       .map(i => (i.toLong, Array.tabulate(dims)(d => math.sin(i * 31 + d * 7))))
       .toDF("id", "v")
-    val cbs = Similarity.trainPq(vecs, dims, m, ksub, seed = 1L)
+    val cbs = Similarity.trainPq(vecs, "id", dims, m, ksub, seed = 1L)
     val q = Array.tabulate(dims)(d => math.cos(d * 3 + 1))
     val scored = vecs.select($"id",
         Similarity.pqCodesCol($"v", cbs).as("codes"),
