@@ -97,6 +97,25 @@ object JoinQueries extends graft.QueryModule {
         .orderBy($"c_nationkey")
     }),
 
+    // As-of join (ops/AsOf): each purchase picks the most recent click
+    // at-or-before its time per user — the union-and-carry-forward
+    // window, ONE key shuffle, no range fan-out. Oracle: DuckDB's native
+    // ASOF LEFT JOIN (an independent implementation of the semantics).
+    "q_join_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"),
+          $"ts".as("click_ts"))
+      graft.ops.AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "click_ts"), rightTie = "click_id")
+        .select($"purchase_id", $"user_id", $"click_id",
+          (unix_micros($"ts") - unix_micros($"click_ts")).as("gap_us"))
+        .orderBy($"purchase_id")
+    }),
+
     // Salted skew join (graft.ops.Skew): events (big, skewed user_id) ⋈
     // customer dim, salt=16. The oracle is the PLAIN join — salting is a
     // physical rewrite and must be result-identical; this entry proves it.
@@ -237,6 +256,13 @@ object JoinQueries extends graft.QueryModule {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
     "q_join_salted_skew" ->
       """SELECT c_mktsegment, event_type, COUNT(1) AS n,
         |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.AsOf
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics: <= time bound, per-key isolation, no-prior-row
+  * nulls, exact-tie visibility, and deterministic right-side tie-break.
+  */
+class AsOfSpec extends SparkSpec {
+
+  test("picks the latest right row at-or-before each left time, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "p1"), (1L, 250L, "p2"), (1L, 50L, "p0"),
+      (2L, 100L, "p3")) // key 2 has no clicks at all
+      .toDF("k", "t", "pid")
+    val right = Seq(
+      (1L, 60L, "c1"), (1L, 100L, "c2"), (1L, 240L, "c3"), (3L, 10L, "cX"))
+      .toDF("k", "t", "cid")
+      .withColumn("c_t", $"t")
+    val out = AsOf.join(left, right, Seq("k"), "t", "t",
+        Seq("cid", "c_t"), rightTie = "cid")
+      .collect().map(r => r.getString(2) ->
+        (Option(r.getString(3)).orNull, if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out("p0") == (null, -1L), "no right row at or before t=50")
+    assert(out("p1") == ("c2", 100L), "exact tie: right row AT the left time wins (<=)")
+    assert(out("p2") == ("c3", 240L))
+    assert(out("p3") == (null, -1L), "keys never leak across groups")
+  }
+
+  test("exact-time duplicates on the right break ties by rightTie, largest wins") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "pid")
+    val right = Seq((1L, 90L, "ca"), (1L, 90L, "cb")).toDF("k", "t", "cid")
+    val out = AsOf.join(left, right, Seq("k"), "t", "t", Seq("cid"), "cid")
+      .select("cid").head().getString(0)
+    assert(out == "cb")
+  }
+
+  test("carry-column collision with the left schema fails loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, "x")).toDF("k", "t", "cid")
+    intercept[IllegalArgumentException] {
+      AsOf.join(df, df, Seq("k"), "t", "t", Seq("cid"), "cid")
+    }
+  }
+}
