@@ -128,6 +128,20 @@ object AggQueries extends graft.QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // Pivot (C5 extension): event types to columns, counts + value sums
+    // per user decade. Explicit pivot values keep it ONE aggregation pass
+    // — omitting them costs an extra distinct-values job at scale and
+    // makes the output schema data-dependent (a pipeline hazard).
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(($"user_id" % 10).as("user_mod"))
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sv"))
+        .orderBy($"user_mod")
+    }),
+
     // Approximate percentiles (the GK sketch behind approx_percentile —
     // the third sketch class next to HLL and count-min): exact anchors
     // (n, min, max) plus in-query RANK checks. The sketch's contract is
@@ -189,6 +203,15 @@ object AggQueries extends graft.QueryModule {
         |  COUNT(1) AS n_rows,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 10 AS user_mod,
+        |  CAST(COUNT(1) FILTER (event_type = 'click') AS bigint) AS click_n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) FILTER (event_type = 'click') AS double) AS click_sv,
+        |  CAST(COUNT(1) FILTER (event_type = 'purchase') AS bigint) AS purchase_n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) FILTER (event_type = 'purchase') AS double) AS purchase_sv,
+        |  CAST(COUNT(1) FILTER (event_type = 'view') AS bigint) AS view_n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) FILTER (event_type = 'view') AS double) AS view_sv
+        |FROM events GROUP BY 1 ORDER BY user_mod""".stripMargin,
     "q_quantile_sketch" ->
       """SELECT event_type, COUNT(1) AS n,
         |  MIN(value) AS v_min, MAX(value) AS v_max,

@@ -57,6 +57,27 @@ object FunctionQueries extends graft.QueryModule {
         .orderBy($"o_orderkey")
     }),
 
+    // Time-series resample / gap-fill: daily per-user event counts with
+    // missing days ZERO-FILLED from a generated calendar spine
+    // (sequence + explode over each user's own min/max day, left join
+    // back). The spine is generated, never scanned — at 100 TB it is
+    // |keys| × |days| tiny rows joined against pre-aggregated counts,
+    // one shuffle on (user, day).
+    "q_resample" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables(s, dir, "events")
+        .filter($"user_id" % 5 === 0)
+        .groupBy($"user_id", to_date($"ts").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val spine = counts.groupBy($"user_id")
+        .agg(min($"d").as("d0"), max($"d").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1")).as("d"))
+      spine.join(counts, Seq("user_id", "d"), "left")
+        .select($"user_id", $"d".cast("string").as("day"),
+          coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"user_id", $"day")
+    }),
+
     // round (on decimal — HALF_UP in both engines; double round semantics
     // diverge) / abs / floor / ceil / power / sqrt over `lineitem`.
     "q_math_fns" -> ((s, dir) => {
@@ -156,6 +177,21 @@ object FunctionQueries extends graft.QueryModule {
         |  translate(p_type, 'AEO', 'aeo') AS type_translated,
         |  TRIM(concat_ws('|', p_brand, p_type)) AS brand_type
         |FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""".stripMargin,
+    "q_resample" ->
+      """WITH counts AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(1) AS n
+        |  FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2
+        |),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS timestamp),
+        |      CAST(d1 AS timestamp), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM counts GROUP BY 1)
+        |)
+        |SELECT s.user_id, CAST(s.d AS varchar) AS day,
+        |  CAST(COALESCE(c.n, 0) AS bigint) AS n
+        |FROM spine s LEFT JOIN counts c USING (user_id, d)
+        |ORDER BY s.user_id, day""".stripMargin,
     "q_date_fns" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y%m%d%H%M') AS archive_stamp,

@@ -94,9 +94,34 @@ object WindowQueries extends graft.QueryModule {
         .withColumn("last_date", last($"o_orderdate").over(full))
         .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"first_date", $"last_date")
         .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // Distribution functions: ntile / percent_rank / cume_dist over
+    // customer balances per segment. The unique (acctbal, custkey) order
+    // key makes all three engine-identical: percent_rank = (rank-1)/(n-1)
+    // and cume_dist = row/n are exact double divisions of integers.
+    "q_window_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+      Tables(s, dir, "customer")
+        .filter($"c_custkey" % 10 === 0)
+        .select($"c_mktsegment", $"c_custkey",
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy($"c_mktsegment", $"c_custkey")
     }))
 
   def oracle: Map[String, String] = Map(
+    "q_window_distribution" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(NTILE(4) OVER w AS int) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM customer WHERE c_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q_window_topk" ->
       """SELECT c_mktsegment, rk, c_custkey, c_acctbal
         |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
