@@ -128,6 +128,26 @@ object AggQueries extends graft.QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // Incremental aggregate maintenance (ops/Incremental): the rollup is
+    // maintained by MERGING the delta batch's per-group state into the
+    // base's — the base rows are never re-read. Split is 90/10 by key;
+    // the oracle recomputes the whole table from scratch, so the entry
+    // is green iff merge(state(base), state(delta)) == state(all) to the
+    // last decimal digit.
+    "q_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val base = graft.ops.Incremental.state(
+        orders.filter($"o_orderkey" % 10 =!= 0), Seq("o_orderstatus"), "o_totalprice")
+      val delta = graft.ops.Incremental.state(
+        orders.filter($"o_orderkey" % 10 === 0), Seq("o_orderstatus"), "o_totalprice")
+      graft.ops.Incremental.merge(Seq(base, delta), Seq("o_orderstatus"))
+        .select($"o_orderstatus", $"s_cnt".cast("bigint").as("n"),
+          $"s_sum".cast("double").as("sum_price"),
+          $"s_min".as("min_price"), $"s_max".as("max_price"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // Pivot (C5 extension): event types to columns, counts + value sums
     // per user decade. Explicit pivot values keep it ONE aggregation pass
     // — omitting them costs an extra distinct-values job at scale and
@@ -203,6 +223,11 @@ object AggQueries extends graft.QueryModule {
         |  COUNT(1) AS n_rows,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT o_orderstatus, COUNT(1) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 10 AS user_mod,
         |  CAST(COUNT(1) FILTER (event_type = 'click') AS bigint) AS click_n,

@@ -97,6 +97,29 @@ object JoinQueries extends graft.QueryModule {
         .orderBy($"c_nationkey")
     }),
 
+    // Bloom-filter join pruning (ops/Bloom): a 4-Kibit, 3-hash filter
+    // over the dim keys (customers % 3) screens the fact keys (orders'
+    // custkeys). The oracle REBUILDS the identical md5-derived bitset,
+    // so n_false_pos is exact — and no_false_neg is computed on both
+    // sides, not asserted as a literal.
+    "q_bloom_filter" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Tables(s, dir, "customer").filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey".as("k")).distinct()
+      val bloom = graft.ops.Bloom.build(dim, "k", bits = 4096, hashes = 3)
+      val factKeys = Tables(s, dir, "orders").select($"o_custkey".as("k")).distinct()
+      val passed = graft.ops.Bloom.membership(factKeys, "k", bloom, 4096, 3)
+      val truth = factKeys
+        .join(dim.withColumn("__in_dim", lit(1)), Seq("k"), "left")
+        .select($"k", coalesce($"__in_dim", lit(0)).as("is_member"))
+      passed.join(truth, Seq("k"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"bloom_pass").cast("bigint").as("n_pass"),
+          sum($"is_member").cast("bigint").as("n_true"),
+          (sum($"bloom_pass") - sum($"is_member")).cast("bigint").as("n_false_pos"),
+          (min($"bloom_pass" - $"is_member") >= 0).as("no_false_neg"))
+    }),
+
     // As-of join (ops/AsOf): each purchase picks the most recent click
     // at-or-before its time per user — the union-and-carry-forward
     // window, ONE key shuffle, no range fan-out. Oracle: DuckDB's native
@@ -256,6 +279,42 @@ object JoinQueries extends graft.QueryModule {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_bloom_filter" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0
+        |),
+        |hx AS (SELECT unnest([0, 1, 2]) AS i),
+        |words AS (
+        |  SELECT p // 32 AS word,
+        |    bit_or(1::bigint << CAST(p % 32 AS int)) AS bm
+        |  FROM (SELECT CAST(('0x' || substr(md5('bf' || i || ':' || k), 1, 8)) AS bigint) % 4096 AS p
+        |        FROM dim, hx)
+        |  GROUP BY 1
+        |),
+        |fact AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |fpos AS (
+        |  SELECT k, CAST(('0x' || substr(md5('bf' || i || ':' || k), 1, 8)) AS bigint) % 4096 AS p
+        |  FROM fact, hx
+        |),
+        |hits AS (
+        |  SELECT f.k,
+        |    CASE WHEN w.bm IS NOT NULL
+        |              AND (w.bm & (1::bigint << CAST(f.p % 32 AS int)))
+        |                  = (1::bigint << CAST(f.p % 32 AS int))
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM fpos f LEFT JOIN words w ON f.p // 32 = w.word
+        |),
+        |passk AS (SELECT k, MIN(hit) AS bloom_pass FROM hits GROUP BY k),
+        |truth AS (
+        |  SELECT f.k, CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        |  FROM fact f LEFT JOIN dim d USING (k)
+        |)
+        |SELECT COUNT(1) AS n_keys,
+        |  CAST(SUM(p.bloom_pass) AS bigint) AS n_pass,
+        |  CAST(SUM(t.is_member) AS bigint) AS n_true,
+        |  CAST(SUM(p.bloom_pass) - SUM(t.is_member) AS bigint) AS n_false_pos,
+        |  MIN(p.bloom_pass - t.is_member) >= 0 AS no_false_neg
+        |FROM passk p JOIN truth t USING (k)""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
