@@ -90,6 +90,29 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // Z-order clustering (ops/Layout): orders laid out on the Morton
+    // curve of (custkey-low-byte, orderdate-day-byte), cut into 16
+    // "files"; per-file min/max of BOTH dims is the data-skipping
+    // evidence — a single-column sort would leave one dim full-range in
+    // every file. ntile keeps the file cut deterministic for the oracle;
+    // at scale the cut is repartitionByRange(z) (see Layout scaladoc).
+    "q_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "orders")
+        .select($"o_orderkey",
+          ($"o_custkey" % 256).as("ca"),
+          (datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long") % 256).as("cb"))
+        .withColumn("zv", graft.ops.Layout.zValue($"ca", $"cb", 8))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"zv", $"o_orderkey")
+      d.withColumn("file", ntile(16).over(w))
+        .groupBy($"file")
+        .agg(count(lit(1)).as("n"),
+          min($"ca").as("ca_min"), max($"ca").as("ca_max"),
+          min($"cb").as("cb_min"), max($"cb").as("cb_max"))
+        .orderBy($"file")
+    }),
+
     // B5: run a registered named statement through the catalog's views.
     "q_named_query" -> ((s, dir) =>
       QueryCatalog.run(s, dir, "revenue_by_nation")),
@@ -277,7 +300,26 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"bucket")
     }))
 
+  // the 8-bit Morton interleave, generated identically for the oracle
+  private val zvSql: String = (0 until 8).map(i =>
+    s"((ca >> $i) & 1) * ${1L << (2 * i)} + ((cb >> $i) & 1) * ${1L << (2 * i + 1)}")
+    .mkString(" + ")
+
   def oracle: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH d AS (
+         |  SELECT o_orderkey, o_custkey % 256 AS ca,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS bigint) % 256 AS cb
+         |  FROM orders
+         |),
+         |z AS (SELECT o_orderkey, ca, cb, $zvSql AS zv FROM d),
+         |f AS (SELECT ca, cb,
+         |        CAST(NTILE(16) OVER (ORDER BY zv, o_orderkey) AS int) AS file
+         |      FROM z)
+         |SELECT file, COUNT(1) AS n,
+         |  MIN(ca) AS ca_min, MAX(ca) AS ca_max,
+         |  MIN(cb) AS cb_min, MAX(cb) AS cb_max
+         |FROM f GROUP BY file ORDER BY file""".stripMargin,
     "q_sanitize_chain" ->
       """SELECT p_partkey,
         |  regexp_replace(
