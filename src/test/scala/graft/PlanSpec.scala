@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-shape pins for the relational entries whose 100 TB story depends
+  * on a specific physical plan: pushdown reaching the scan, broadcast
+  * joins staying broadcast, WindowGroupLimit firing for per-group top-k,
+  * column pruning, and the as-of join staying join-free. A regression
+  * here (a lost filter, a join that starts shuffling) fails the suite
+  * instead of waiting for a bench diff.
+  *
+  * Only construction-pure entries are planned (streaming/ops entries run
+  * work when their DataFrame is BUILT, so they stay out of this suite).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_pricing_summary: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"expected l_shipdate in PushedFilters:\n${p.take(2000)}")
+  }
+
+  test("q_minmax: column pruning — scan reads only the 3 referenced columns") {
+    val p = plan("q_minmax")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_linestatus") && readSchema.contains("l_extendedprice"),
+      readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"unreferenced columns must be pruned from the scan: $readSchema")
+    val nCols = readSchema.substring(readSchema.indexOf("struct<")).count(_ == ':')
+    assert(nCols == 3, s"expected exactly 3 scanned columns, got $nCols: $readSchema")
+  }
+
+  test("q_join_broadcast_dims: dims broadcast, fact side never sort-merge-joins") {
+    val p = plan("q_join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "a hinted dim join must not degrade to sort-merge")
+  }
+
+  test("q_window_topk: per-group top-k pushes a WindowGroupLimit") {
+    assert(plan("q_window_topk").contains("WindowGroupLimit"))
+  }
+
+  test("q_join_asof: the as-of join plans with NO join node at all") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("Join"),
+      s"as-of is a union + window, a join node means the rewrite regressed:\n${p.take(2000)}")
+    assert(p.contains("Window"), "the carry-forward window must be present")
+  }
+
+  test("q_topn_orders: global sort+limit plans as TakeOrderedAndProject") {
+    assert(plan("q_topn_orders").contains("TakeOrderedAndProject"))
+  }
+}
