@@ -42,12 +42,18 @@ object Sketch {
     * min over the sketch rows of the counter the token hashes to. The
     * sketch is bounded (depth × width rows) so the join broadcasts —
     * estimation is map-side against the query stream.
+    *
+    * The sketch only materializes counters that were HIT, so a counter
+    * row absent from it means count 0 — the join is LEFT and missing
+    * counters coalesce to 0 (standard CMS point-query semantics: a token
+    * with any empty counter, i.e. one the corpus never touched, estimates
+    * 0 rather than being overestimated or dropped; ADVICE r5).
     */
   def estimate(sketch: DataFrame, queries: DataFrame, tokCol: String,
       depth: Int, width: Int): DataFrame =
     queries.select(col(tokCol), ibPairs(col(tokCol), depth, width).as("__ib"))
       .select(col(tokCol), col("__ib.i").as("i"), col("__ib.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("i", "bucket"))
+      .join(broadcast(sketch), Seq("i", "bucket"), "left")
       .groupBy(col(tokCol))
-      .agg(min(col("c")).as("cms_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
 }

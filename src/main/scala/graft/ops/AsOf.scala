@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * `last(ignoreNulls)` — so a right row at exactly the left row's time IS
   * visible (<= semantics: right tag sorts before left on ties).
   *
+  * The carry columns travel as ONE struct, not as independent columns: a
+  * `last(ignoreNulls)` per column would fill a legitimately-NULL carry
+  * value from an OLDER right row, mixing columns across rows. The struct
+  * on a right row is never null (even when every field is), so the window
+  * always lands on the single most recent right row and NULL fields
+  * inside it survive — exactly DuckDB's ASOF LEFT JOIN row semantics.
+  *
   * Scale shape: ONE shuffle on the keys and a per-key sort — cost is
   * |left| + |right| log-sorted, with no possibility of the quadratic
   * blow-up a range-condition join has when a key's history is long (every
@@ -36,29 +43,30 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(carry.contains),
       s"carry columns ${carry.filter(leftCols.contains)} collide with left side")
+    val carryType = org.apache.spark.sql.types.StructType(carry.map(right.schema(_)))
     val lSide = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__side"),
-          lit(null).cast(right.schema(rightTie).dataType).as("__tie")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+          lit(null).cast(right.schema(rightTie).dataType).as("__tie"),
+          lit(null).cast(carryType).as("__carry")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
     val rSide = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-          col(rightTie).as("__tie")) ++
+          col(rightTie).as("__tie"),
+          struct(carry.map(col): _*).as("__carry")) ++
         leftCols.filterNot(keys.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carry.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lSide.unionByName(rSide)
       .select(
         (keys.map(col) ++ Seq(col("__t"), col("__side")) ++
-          leftCols.filterNot(keys.contains).map(col) ++
-          carry.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+          leftCols.filterNot(keys.contains).map(col) :+
+          last(col("__carry"), ignoreNulls = true).over(w).as("__carry")): _*)
     carried.filter(col("__side") === 1)
       .select(keys.map(col) ++ leftCols.filterNot(keys.contains).map(col) ++
-        carry.map(col): _*)
+        carry.map(c => col("__carry").getField(c).as(c)): _*)
   }
 }

@@ -154,11 +154,18 @@ object AggQueries extends graft.QueryModule {
     // makes the output schema data-dependent (a pipeline hazard).
     "q_pivot" -> ((s, dir) => {
       import s.implicits._
-      Tables(s, dir, "events")
+      // Counts coalesce to 0: Spark's pivot emits NULL for a (user_mod,
+      // event_type) combo with no rows, the oracle's COUNT(1) FILTER
+      // emits 0 — without the coalesce the entry only matches while every
+      // combo happens to be populated (ADVICE r5). Sums stay NULL on both
+      // sides (SUM over the empty set is NULL in Spark and DuckDB alike).
+      val pv = Tables(s, dir, "events")
         .groupBy(($"user_id" % 10).as("user_mod"))
         .pivot("event_type", Seq("click", "purchase", "view"))
         .agg(count(lit(1)).as("n"),
           sum($"value".cast("decimal(30,6)")).cast("double").as("sv"))
+      pv.select($"user_mod" +: pv.columns.filter(_ != "user_mod").map(c =>
+          if (c.endsWith("_n")) coalesce(col(c), lit(0L)).as(c) else col(c)): _*)
         .orderBy($"user_mod")
     }),
 

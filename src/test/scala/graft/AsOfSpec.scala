@@ -37,6 +37,21 @@ class AsOfSpec extends SparkSpec {
     assert(out == "cb")
   }
 
+  test("a NULL carry value on the matched row stays NULL (no fill from older rows)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "pid")
+    // most recent right row (t=90) has cid = NULL; an older row (t=50) has
+    // a non-null cid — per-column forward fill would resurrect "old"
+    val right = Seq(
+      (1L, 50L, Option("old"), Option("x50")),
+      (1L, 90L, None: Option[String], Option("x90")))
+      .toDF("k", "t", "cid", "tag")
+    val row = AsOf.join(left, right, Seq("k"), "t", "t",
+      Seq("cid", "tag"), rightTie = "tag").select("cid", "tag").head()
+    assert(row.isNullAt(0), "NULL on the matched row must survive")
+    assert(row.getString(1) == "x90", "all carry columns come from the SAME row")
+  }
+
   test("carry-column collision with the left schema fails loudly") {
     import spark.implicits._
     val df = Seq((1L, 1L, "x")).toDF("k", "t", "cid")

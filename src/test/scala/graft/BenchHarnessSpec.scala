@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench calibration contract (no Spark involved): a machine-load
+  * burst localized MID-suite slows a contiguous block of queries but not
+  * the suite-level pre/post probes — exactly the shape that produced 7
+  * ghost regressions in round 5 (3 in r4, 6 in r3), each costing a judge
+  * re-run. `Bench.timeSuite` takes one probe measurement immediately
+  * before each query's timed block, so the per-query LOCAL ratio
+  * (median / probe_local) absorbs the burst while the global ratio
+  * (median / suite probe) spikes — flagged queries self-adjudicate.
+  */
+class BenchHarnessSpec extends AnyFunSuite {
+
+  test("synthetic mid-suite load burst: local ratios hold, global ratios spike") {
+    // Simulated machine: every unit of work (queries AND probe — a real
+    // burst slows both) takes `load`× longer. The burst covers queries
+    // 3..6 inclusive, turned on/off by the per-query probe call, which
+    // timeSuite guarantees runs first in each block.
+    val blockMs = 12.0
+    var load = 1.0
+    var qIndex = -1
+    def spin(): Double = {
+      val t0 = System.nanoTime()
+      val target = blockMs * load * 1e6
+      while (System.nanoTime() - t0 < target) {}
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probe(): Double = {
+      qIndex += 1
+      load = if (qIndex >= 3 && qIndex <= 6) 3.0 else 1.0
+      spin()
+    }
+    val names = (0 until 10).map(i => f"q$i%02d")
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val timings = Bench.timeSuite(names, _ => spin(), () => probe(), n = 3, errors)
+
+    assert(errors.isEmpty)
+    assert(timings.map(_._1) == names)
+    // suite-level probe taken on the quiet machine (as pre/post probes
+    // would be: the burst is over before the post-probe runs)
+    val suiteProbe = blockMs / 1e3
+    val global = timings.map { case (n, t) => n -> t.median / suiteProbe }.toMap
+    val local = timings.map { case (n, t) => n -> t.median / t.probeLocal }.toMap
+    // every local ratio ≈ 1: the pre-block probe saw the same machine
+    local.foreach { case (n, r) =>
+      assert(r > 0.5 && r < 1.6, s"$n local ratio $r should self-adjudicate")
+    }
+    // the burst block's GLOBAL ratios spike past the 2× regression bar —
+    // this is the false positive the local ratio exists to dismiss
+    Seq("q03", "q04", "q05", "q06").foreach { n =>
+      assert(global(n) > 2.0, s"$n global ratio ${global(n)} should show the burst")
+    }
+    Seq("q00", "q01", "q02", "q07", "q08", "q09").foreach { n =>
+      assert(global(n) < 1.6, s"$n global ratio ${global(n)} is outside the burst")
+    }
+  }
+
+  test("a query failing mid-block is demoted to errors, not propagated") {
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val timings = Bench.timeSuite(Seq("ok", "boom", "ok2"),
+      n => if (n == "boom") sys.error("kaput"),
+      () => 0.001, n = 2, errors)
+    assert(timings.map(_._1) == Seq("ok", "ok2"))
+    assert(errors.keySet == Set("boom") && errors("boom").contains("kaput"))
+  }
+}

@@ -34,6 +34,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("unseen tokens estimate 0 when any of their counters is empty") {
+    import spark.implicits._
+    // tiny stream, huge width: most counters stay empty, so a token the
+    // corpus never saw almost surely maps to at least one empty counter —
+    // the estimate must be 0 (not dropped, not inflated by a collision on
+    // a different row of the sketch)
+    val tiny = Seq("a", "a", "b").toDF("tok")
+    val sketch = Sketch.countMin(tiny, "tok", depth, width = 4096)
+    val unseen = (1 to 20).map(i => s"ghost$i").toDF("tok")
+    val est = Sketch.estimate(sketch, unseen, "tok", depth, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size == 20, "unseen tokens must not vanish from the output")
+    assert(est.values.forall(_ == 0L),
+      s"all-empty or partially-empty counters must floor the min at 0: $est")
+  }
+
   test("sketch is bounded by depth*width counters and conserves mass per row") {
     import spark.implicits._
     val sketch = Sketch.countMin(toks, "tok", depth, width)
