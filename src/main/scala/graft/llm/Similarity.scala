@@ -140,24 +140,43 @@ object Similarity {
     * at 100 TB (k-means only needs a representative subsample); the model
     * is deterministic under a fixed seed.
     */
+  /** Deterministic, ABSOLUTELY-bounded training sample: ~`target` rows by
+    * id-hash threshold, regardless of corpus size. A ratio sample (1 in
+    * `mod` by hash) is representative but unbounded in the 100 TB limit —
+    * the driver-side collects that train the quantizers would OOM. Here
+    * the keep-threshold is derived from one cheap `count()` (a
+    * shuffle-free columnar scan): keep rows whose 62-bit id hash falls
+    * below 2⁶²·target/n, so the expected sample size is `target` with
+    * binomial concentration (±few % at target ≥ 4096) AT ANY CORPUS SIZE.
+    * Hash selection (not limit/prefix) keeps the sample spread across the
+    * corpus — a prefix would train on whichever partitions scan first,
+    * skewing centroids on clustered data — and makes it reproducible
+    * under any partitioning. A corpus at or under `target` passes through
+    * whole.
+    */
+  def boundedSample(df: DataFrame, idCol: String, target: Long): DataFrame = {
+    require(target > 0, s"sample target must be positive, got $target")
+    val n = df.count()
+    if (n <= target) df
+    else {
+      val mod = 1L << 62
+      val keep = (BigInt(mod) * target / n).toLong max 1L
+      df.filter(pmod(xxhash64(col(idCol)), lit(mod)) < lit(keep))
+    }
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L, sampleMod: Int = 4): DataFrame = {
+      seed: Long = 42L, sampleTarget: Int = 4096): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val cPrep = prepared(corpus, vecCol, idCol)
     val qPrep = prepared(queries, vecCol, idCol)
-    // The quantizer trains on a deterministic hash-sample (1 in
-    // `sampleMod` by id hash) — k-means needs a REPRESENTATIVE subsample:
-    // a limit()/prefix would train on whichever partitions scan first,
-    // which on a clustered/sorted corpus covers one region of the space
-    // (skewed centroids, recall collapse) and varies with scheduling. The
-    // id-hash filter is spread across the corpus, reproducible, and needs
-    // no prior count. Raise `sampleMod` with corpus size (or pre-sample
-    // upstream) at 100 TB.
-    val hashSample = cPrep
-      .filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
-    // a small corpus can hash-sample below k (or to zero), which would
+    // k-means needs a REPRESENTATIVE subsample, never the whole corpus:
+    // ~sampleTarget rows by id-hash threshold (see boundedSample — capped
+    // at any scale, deterministic, spread across the corpus).
+    val hashSample = boundedSample(cPrep, idCol, sampleTarget.toLong)
+    // a tiny corpus/target can still sample below numCells, which would
     // fail deep inside MLlib — fall back to training on the full corpus
     // there; the sample only matters when the corpus is large anyway
     val trainSample =
@@ -299,21 +318,30 @@ object Similarity {
     * Scale shape: the scoring join moves (id, cell, m codes, norm) ≈
     * 8+8+m+8 bytes a row vs 8·dims+16 for exact IVF — at dims=64/m=16 a
     * ~13× reduction in the bytes that ride the probe join, on top of
-    * IVF's cell pruning. PQ here quantizes RAW vectors; FAISS-style
-    * residual encoding (quantize v − centroid(cell)) slots into the same
-    * train/encode/LUT shape and buys precision at the same byte budget.
+    * IVF's cell pruning.
+    *
+    * PQ quantizes RESIDUALS (v − centroid(cell)), the FAISS IVFADC
+    * refinement: residuals are clustered near the origin with far less
+    * spread than raw vectors, so the same m×ksub code budget spends its
+    * precision on the part of v the coarse quantizer did NOT already
+    * explain. The approximate score becomes q·v ≈ q·centroid(cell) +
+    * ADC(lut, codes): the first term is EXACT and computed once per
+    * (query, probed cell) — it already falls out of the probe ranking —
+    * and only the residual rides the lossy codes. Same train/encode/LUT
+    * shape, better recall at the same byte budget.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4,
-      m: Int = 16, ksub: Int = 64, seed: Long = 42L, sampleMod: Int = 4,
+      m: Int = 16, ksub: Int = 64, seed: Long = 42L, sampleTarget: Int = 4096,
       rerank: Int = 40, dims: Int = 64): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val cPrep = prepared(corpus, vecCol, idCol)
     val qPrep = prepared(queries, vecCol, idCol)
-    // same deterministic hash-sample + small-corpus fallback as ivfTopK
-    val hashSample = cPrep
-      .filter(pmod(xxhash64(col(idCol)), lit(sampleMod.toLong)) === 0)
+    // same capped deterministic hash-sample + small-corpus fallback as
+    // ivfTopK — and the absolute bound is what makes trainPq's driver
+    // collect O(sampleTarget) at any corpus size
+    val hashSample = boundedSample(cPrep, idCol, sampleTarget.toLong)
     val trainSample =
       if (hashSample.limit(math.max(numCells, ksub)).count() < math.max(numCells, ksub)) cPrep
       else hashSample
@@ -325,29 +353,54 @@ object Similarity {
     val coarse = new KMeans().setK(cellsEff).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(trainSample.select(array_to_vector(col("v")).as("fv")))
-    val codebooks = trainPq(trainSample, idCol, dims, m, ksubEff, seed + 1000)
-    // corpus index rows: (id, cell, codes, norm) — NO vectors
+    // residual of v in its cell: v − centroid(cell), via the centroid
+    // table as ONE literal nested array (numCells × dims doubles living
+    // in the plan — map-side, nothing shuffles for the subtraction)
+    val centLit = typedlit(coarse.clusterCenters.map(_.toArray.toSeq).toSeq)
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centLit, cell + 1), (a, b) => a - b)
+    // PQ codebooks train on the SAMPLE's residuals (same bounded sample
+    // the coarse quantizer trained on, assigned + residualized map-side)
+    val sampleRes = coarse
+      .transform(trainSample.withColumn("fv", array_to_vector(col("v"))))
+      .select(col(idCol), residual(col("v"), col("cell")).as("v"))
+    val codebooks = trainPq(sampleRes, idCol, dims, m, ksubEff, seed + 1000)
+    // corpus index rows: (id, cell, residual codes, norm) — NO vectors.
+    // The residual is PROJECTED into a bound column before pqCodesCol
+    // references it: the encode expression slices its input inside a
+    // per-codebook-entry lambda (m × ksub references), and an inlined
+    // zip_with would re-evaluate per reference — measured ~2× on the
+    // whole entry (the TextOps materialized-tokens contract again).
+    // Referenced m times, the alias is non-cheap, so CollapseProject
+    // keeps the boundary.
     val corpusCodes = coarse
       .transform(cPrep.withColumn("fv", array_to_vector(col("v"))))
-      .select(col(idCol).as("id_b"), col("cell"),
-        pqCodesCol(col("v"), codebooks).as("codes"), col("nrm").as("n_b"))
+      .select(col(idCol).as("id_b"), col("cell"), col("nrm").as("n_b"),
+        residual(col("v"), col("cell")).as("vres"))
+      .select(col("id_b"), col("cell"),
+        pqCodesCol(col("vres"), codebooks).as("codes"), col("n_b"))
+    // probe entries rank cells by ‖q − c‖² ~ ‖c‖² − 2·q·c and carry q·c,
+    // the exact half of the residual score q·v ≈ q·c + q·residual
     val probeEntries = coarse.clusterCenters.map(_.toArray).zipWithIndex.map { case (c, i) =>
+      val qc = dot(col("v"), typedlit(c.toSeq))
       struct(
-        (lit(c.map(x => x * x).sum) - lit(2d) * dot(col("v"), typedlit(c.toSeq))).as("cd"),
-        lit(i).as("cell"))
+        (lit(c.map(x => x * x).sum) - lit(2d) * qc).as("cd"),
+        lit(i).as("cell"), qc.as("qc"))
     }
-    // query rows carry the LUT, not the vector
+    // query rows carry the LUT + per-cell q·c, not the vector
     val qCells = qPrep
       .select(col(idCol).as("id_a"), col("nrm").as("n_a"),
         pqLutCol(col("v"), codebooks).as("lut"),
         explode(slice(array_sort(array(probeEntries.toSeq: _*)), 1, nprobe)).as("probe"))
       .withColumn("cell", col("probe.cell"))
+      .withColumn("qc", col("probe.qc"))
       .drop("probe")
     val wApprox = Window.partitionBy(col("id_a"))
       .orderBy(col("approx").desc, col("id_b").asc)
     val shortList = qCells.join(corpusCodes, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("approx", adcScore(col("lut"), col("codes"), m) / (col("n_a") * col("n_b")))
+      .withColumn("approx",
+        (col("qc") + adcScore(col("lut"), col("codes"), m)) / (col("n_a") * col("n_b")))
       .withColumn("ark", row_number().over(wApprox))
       .filter(col("ark") <= rerank)
       .select(col("id_a"), col("id_b"))

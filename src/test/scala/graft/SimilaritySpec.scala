@@ -65,11 +65,36 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivfTopK falls back to full-corpus training when the hash sample is too small") {
-    // a sampleMod far above the corpus size guarantees an empty sample;
-    // the guard must fall back instead of crashing inside KMeans.fit
+    // a target of 1 row samples far below numCells; the guard must fall
+    // back to full-corpus training instead of crashing inside KMeans.fit
     val ann = Similarity.ivfTopK(embDf, queryDf, "embedding", "vec_id", 5,
-      sampleMod = 1000000000)
+      sampleTarget = 1)
     assert(ann.count() > 0)
+  }
+
+  test("boundedSample: ~target rows at ANY corpus size, deterministic, pass-through when small") {
+    import spark.implicits._
+    // corpus 20× the target: the ratio design this replaces would keep
+    // 1/mod of it (unbounded as the corpus grows); the capped design must
+    // stay ~target — this is what bounds trainPq's driver collect
+    val target = 200L
+    val corpus = spark.range(0, 20 * target).select($"id".as("vec_id"))
+    val n1 = Similarity.boundedSample(corpus, "vec_id", target).count()
+    assert(n1 <= 2 * target, s"sample $n1 must stay near target=$target (got >2x)")
+    assert(n1 >= target / 2, s"sample $n1 collapsed far below target=$target")
+    // deterministic: same corpus → the same rows, not just the same count
+    val s1 = Similarity.boundedSample(corpus, "vec_id", target)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Similarity.boundedSample(corpus.repartition(7), "vec_id", target)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2, "hash-threshold sample must not depend on partitioning")
+    // growing the corpus 5× must NOT grow the sample 5× (the ratio bug)
+    val n5 = Similarity.boundedSample(
+      spark.range(0, 100 * target).select($"id".as("vec_id")), "vec_id", target).count()
+    assert(n5 <= 2 * target, s"5x corpus leaked into the sample: $n5")
+    // at-or-under target passes through whole (small-corpus correctness)
+    val tiny = spark.range(0, 50).select($"id".as("vec_id"))
+    assert(Similarity.boundedSample(tiny, "vec_id", target).count() == 50)
   }
 
   test("srp multi-probe improves recall at equal table count, never hurts it") {
