@@ -166,52 +166,83 @@ object Dedup {
     * Returns (id, comp) for every id in `pairs`, comp = the component's
     * minimum id (a deterministic representative).
     *
-    * Plan: iterative min-label propagation — label(v) ← min(label(v),
-    * min over neighbors' labels) per round; each round is one equi-join
-    * on id plus one aggregate, i.e. a bounded shuffle keyed on id, and
-    * labels only ever decrease, so the fixpoint is the min reachable id.
-    * Rounds = graph diameter (near-dup clusters are short chains);
-    * `maxIter` bounds pathological graphs and non-convergence FAILS
-    * loudly instead of returning wrong components. The driver loop
-    * carries a 1-row convergence probe per round, never data. For
-    * production-length chains swap in large-star/small-star (O(log n)
-    * rounds); the per-round plan shape is identical.
+    * Plan: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm). Large-star re-attaches every neighbor v > u to the
+    * minimum of u's closed neighborhood; small-star does the same for
+    * the neighbors v < u. Each operation is one groupBy(min) plus one
+    * equi-join on the node id — the same bounded per-round shuffle shape
+    * as plain min-label propagation — but the alternation contracts
+    * PATHS exponentially: O(log n) rounds on a chain where label
+    * propagation pays O(diameter). (A 10k-node path converges in ≤ 16
+    * alternations, ~log2(diameter) halvings + the no-change detection
+    * rounds — pinned in DedupSpec — where propagation would need 10k
+    * rounds.) Fixpoint = the round's output edge set equals its input —
+    * ONE set-equality probe per round, sufficient because both star
+    * operations strictly decrease Σ(hi+lo) over the edges on any change
+    * (re-attachment lowers an endpoint, merging drops an edge), so the
+    * composition cannot cycle: output == input forces each step to be the
+    * identity, which holds iff every component is a star around its
+    * minimum id. Labels then read directly off the edges.
+    * Non-convergence within `maxIter` FAILS loudly instead of returning
+    * wrong components; the driver loop carries only the probe, never
+    * data.
     *
-    * Each round EAGERLY `localCheckpoint`s the new labels: iterative
+    * Each round EAGERLY `localCheckpoint`s the new edge set: iterative
     * algorithms must truncate lineage per round or the plan re-expands
     * through every previous iteration (a lazy cache materializes only the
     * partitions the convergence probe touches — the rest recompute the
     * whole history, exponentially). On a fault-tolerant cluster job,
     * swap in reliable `checkpoint` to survive executor loss.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // canonical (hi, lo) undirected edges; self-pairs contribute no edge
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
-        .groupBy(col("src"))
-        .agg(min(col("ncomp")).as("nmin"))
-        .select(col("src").as("id"), col("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") < col("prev")).isEmpty
-      labels = next
+      // LARGE-STAR over both orientations: per node u, m = min(Γ(u) ∪ u);
+      // each neighbor v > u re-attaches as (v, m) — v > u ≥ m keeps the
+      // (hi, lo) canonical form with no re-ordering
+      val dir = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = dir.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val afterLarge = dir.join(mLarge, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      // SMALL-STAR on the canonical edges: per hi-node u, m = min of its
+      // lo-neighbors; u and every lo-neighbor ≠ m re-attach to m
+      val mSmall = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge.join(mSmall, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mSmall.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint(true)
+      // both sides distinct ⇒ set equality = equal counts + one-way anti
+      val nextCount = afterSmall.count()
+      converged = nextCount == edgeCount &&
+        afterSmall.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = afterSmall
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
-    labels
+    // terminal state is a star per component: every non-min node carries
+    // exactly (node, comp-min); the min itself appears only as a lo side
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    nodes.join(
+        edges.groupBy(col("u")).agg(min(col("v")).as("__c"))
+          .select(col("u").as("id"), col("__c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
 
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over DISTINCT

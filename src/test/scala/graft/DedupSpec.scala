@@ -118,11 +118,27 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: a 10k-node PATH converges in <= 14 star rounds") {
+    import spark.implicits._
+    // the pathological case for min-label propagation (rounds = diameter
+    // = 9999); the large-star/small-star alternation HALVES the path per
+    // round, so ⌈log2(9999)⌉ = 14 contraction rounds + 2 no-change
+    // detection rounds must suffice — this pins the O(log n) behavior,
+    // not just correctness
+    val n = 10000L
+    val path = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .repartition(8)
+    val comp = Dedup.connectedComponents(path, maxIter = 16)
+    val distinctComps = comp.select($"comp").distinct().collect().map(_.getLong(0))
+    assert(distinctComps.toSeq == Seq(1L), "one path = one component rooted at min id")
+    assert(comp.count() == n)
+  }
+
   test("connectedComponents fails loudly instead of returning a half-closed graph") {
     import spark.implicits._
-    // a 6-node chain needs ~5 propagation rounds; maxIter=2 must throw,
-    // never silently emit labels that are not yet components
-    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a 200-node chain needs ~log2(200) ≈ 8 star alternations; maxIter=2
+    // must throw, never silently emit labels that are not yet components
+    val chain = (1L to 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIter = 2)
     }
