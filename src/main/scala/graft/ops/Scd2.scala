@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   * Contract: `target` = key cols + attr cols + `eff_from`/`eff_to`
   * (strings; `eff_to` NULL marks the current version). `updates` = key +
   * attr cols (one row per key — dedupe upstream, e.g.
-  * `Upsert.dedupByKey`). Keys absent from `updates` stay open (no
-  * delete-detection; a full-snapshot variant would close them the same
-  * way changed rows close).
+  * `Upsert.dedupByKey`).
+  *
+  * Delete detection is the `closeMissing` flag: with an INCREMENTAL feed
+  * (default, false) keys absent from `updates` stay open — absence means
+  * "no news". With a FULL SNAPSHOT (true) absence means "gone": open
+  * versions whose keys are missing from `updates` CLOSE at the stamp —
+  * one more predicate on the same full-outer join, no extra pass. A
+  * closed key that reappears in a later snapshot simply opens a new
+  * version (its arrival looks brand-new to the open-rows join), so
+  * close/reopen cycles leave a gap in the version timeline — exactly the
+  * dimension's truth.
   *
   * Scale shape: ONE full-outer shuffle join on the keys classifies every
   * row (history rows never enter the join — they are filtered off and
@@ -26,7 +34,8 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   def merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
-      attrs: Seq[String], stamp: String): DataFrame = {
+      attrs: Seq[String], stamp: String,
+      closeMissing: Boolean = false): DataFrame = {
     val outCols = (keys ++ attrs ++ Seq("eff_from", "eff_to")).map(col)
     val cur = target.filter(col("eff_to").isNull)
     val hist = target.filter(col("eff_to").isNotNull).select(outCols: _*)
@@ -36,10 +45,15 @@ object Scd2 {
     val j = cur.withColumn("__c", lit(1)).join(up, keys, "full_outer")
     val changed = col("__c").isNotNull && col("__u").isNotNull &&
       attrs.map(a => !(col(a) <=> col(s"__u_$a"))).reduce(_ || _)
-    // current rows that survive as-is: unmatched, or matched-and-equal
-    val keep = j.filter(col("__c").isNotNull && !changed).select(outCols: _*)
-    // changed rows: the old version closes at the stamp...
-    val closed = j.filter(changed)
+    // snapshot mode: an open row whose key is absent from updates closes
+    val missing = if (closeMissing) col("__c").isNotNull && col("__u").isNull
+      else lit(false)
+    // current rows that survive as-is: matched-and-equal, or unmatched
+    // under an incremental feed
+    val keep = j.filter(col("__c").isNotNull && !changed && !missing)
+      .select(outCols: _*)
+    // changed (and, under a snapshot, vanished) rows close at the stamp...
+    val closed = j.filter(changed || missing)
       .withColumn("eff_to", lit(stamp)).select(outCols: _*)
     // ...and the incoming version opens at it; brand-new keys open too
     val opened = j.filter(col("__u").isNotNull && (col("__c").isNull || changed))

@@ -84,6 +84,40 @@ object UpsertQueries extends graft.QueryModule {
         .orderBy($"eff_from", $"eff_to_b")
     }),
 
+    // SCD2 FULL-SNAPSHOT merge (closeMissing = true): same fixture, but
+    // the batch is a snapshot that DROPS every % 40 = 0 key (and the -5
+    // current row) — their open versions must close at the stamp, the
+    // delete-detection branch an incremental feed never exercises. The
+    // % 60 = 0 price change and the brand-new -9 key ride along so one
+    // entry covers close-by-change, close-by-absence, keep, and open.
+    "q_scd2_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val part = Tables(s, dir, "part").filter($"p_partkey" % 20 === 0)
+        .select($"p_partkey", $"p_brand", $"p_retailprice")
+      val target = part
+        .withColumn("eff_from", lit("2024-01-01"))
+        .withColumn("eff_to", lit(null).cast("string"))
+        .unionByName(Seq(
+          (-5L, "hist-brand", 1.0, "2023-01-01", "2024-01-01"),
+          (-5L, "cur-brand", 2.0, "2024-01-01", null: String))
+          .toDF("p_partkey", "p_brand", "p_retailprice", "eff_from", "eff_to"))
+      val snapshot = part
+        .filter($"p_partkey" % 40 =!= 0) // vanished keys
+        .withColumn("p_retailprice",
+          when($"p_partkey" % 60 === 0, $"p_retailprice" * 2)
+            .otherwise($"p_retailprice"))
+        .unionByName(Seq((-9L, "new-brand", 3.5))
+          .toDF("p_partkey", "p_brand", "p_retailprice"))
+      graft.ops.Scd2.merge(target, snapshot, Seq("p_partkey"),
+          Seq("p_brand", "p_retailprice"), "2024-06-01", closeMissing = true)
+        .groupBy($"eff_from", coalesce($"eff_to", lit("current")).as("eff_to_b"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"p_partkey").as("n_keys"),
+          sum($"p_retailprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"p_partkey").as("min_key"), max($"p_partkey").as("max_key"))
+        .orderBy($"eff_from", $"eff_to_b")
+    }),
+
     // Append sink semantics (A11): raw UNION ALL, duplicate keys retained.
     "q_insert_append" -> ((s, dir) => {
       import s.implicits._
@@ -146,6 +180,32 @@ object UpsertQueries extends graft.QueryModule {
         |  SELECT k, b, pr, '2024-01-01', '2024-06-01' FROM p WHERE k % 60 = 0
         |  UNION ALL
         |  SELECT k, b, pr * 2, '2024-06-01', NULL FROM p WHERE k % 60 = 0
+        |  UNION ALL
+        |  SELECT CAST(-9 AS bigint), 'new-brand', 3.5::double, '2024-06-01', NULL
+        |)
+        |SELECT eff_from, COALESCE(eff_to, 'current') AS eff_to_b, COUNT(1) AS n,
+        |  COUNT(DISTINCT k) AS n_keys,
+        |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM rows GROUP BY 1, 2 ORDER BY eff_from, eff_to_b""".stripMargin,
+    "q_scd2_snapshot" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS k, p_brand AS b, p_retailprice AS pr
+        |  FROM part WHERE p_partkey % 20 = 0
+        |),
+        |rows AS (
+        |  SELECT CAST(-5 AS bigint) AS k, 'hist-brand' AS b, 1.0::double AS pr,
+        |         '2023-01-01' AS eff_from, '2024-01-01' AS eff_to
+        |  UNION ALL
+        |  SELECT CAST(-5 AS bigint), 'cur-brand', 2.0::double, '2024-01-01', '2024-06-01'
+        |  UNION ALL
+        |  SELECT k, b, pr, '2024-01-01', NULL FROM p WHERE k % 40 != 0 AND k % 60 != 0
+        |  UNION ALL
+        |  SELECT k, b, pr, '2024-01-01', '2024-06-01' FROM p WHERE k % 40 = 0
+        |  UNION ALL
+        |  SELECT k, b, pr, '2024-01-01', '2024-06-01' FROM p WHERE k % 40 != 0 AND k % 60 = 0
+        |  UNION ALL
+        |  SELECT k, b, pr * 2, '2024-06-01', NULL FROM p WHERE k % 40 != 0 AND k % 60 = 0
         |  UNION ALL
         |  SELECT CAST(-9 AS bigint), 'new-brand', 3.5::double, '2024-06-01', NULL
         |)

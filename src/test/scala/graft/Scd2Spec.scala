@@ -56,6 +56,36 @@ class Scd2Spec extends SparkSpec {
       "the second merge sees its own values as current and must be a no-op")
   }
 
+  test("closeMissing: full snapshot closes vanished keys; reappearance reopens") {
+    import spark.implicits._
+    // snapshot 1 drops key 2 entirely and changes key 1
+    val snap1 = Seq((1L, "a", 11.0), (3L, "new", 7.0)).toDF("k", "b", "pr")
+    val gen1 = Scd2.merge(target, snap1, keys, attrs, "2024-06-01",
+      closeMissing = true)
+    assert(rows(gen1) == Set(
+      (1L, "a", 10.0, "2024-01-01", "2024-06-01"),
+      (1L, "a", 11.0, "2024-06-01", "OPEN"),
+      (2L, "b", 20.0, "2024-01-01", "2024-06-01"), // closed by absence
+      (3L, "old", 5.0, "2023-01-01", "2024-01-01"),
+      (3L, "new", 7.0, "2024-01-01", "OPEN")))
+    // snapshot 2: key 2 comes back — a NEW version opens, leaving the
+    // 2024-06→09 gap in its timeline (it really was gone)
+    val snap2 = Seq((1L, "a", 11.0), (2L, "b", 21.0), (3L, "new", 7.0))
+      .toDF("k", "b", "pr")
+    val gen2 = Scd2.merge(gen1, snap2, keys, attrs, "2024-09-01",
+      closeMissing = true)
+    assert(rows(gen2) == Set(
+      (1L, "a", 10.0, "2024-01-01", "2024-06-01"),
+      (1L, "a", 11.0, "2024-06-01", "OPEN"),
+      (2L, "b", 20.0, "2024-01-01", "2024-06-01"),
+      (2L, "b", 21.0, "2024-09-01", "OPEN"), // reopened after the gap
+      (3L, "old", 5.0, "2023-01-01", "2024-01-01"),
+      (3L, "new", 7.0, "2024-01-01", "OPEN")))
+    // incremental default is unchanged: absence keeps rows open
+    val inc = Scd2.merge(target, snap1, keys, attrs, "2024-06-01")
+    assert(rows(inc).contains((2L, "b", 20.0, "2024-01-01", "OPEN")))
+  }
+
   test("as-of reconstruction across two generations") {
     import spark.implicits._
     val gen1 = Scd2.merge(target, Seq((1L, "a", 11.0)).toDF("k", "b", "pr"),
