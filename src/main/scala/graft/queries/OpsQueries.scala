@@ -4,7 +4,7 @@ import java.time.LocalDate
 
 import graft.Tables
 import graft.ops.{CsvIO, PipelineRunner, QueryCatalog, Retention, Sanitize}
-import graft.sources.{ExcelSource, XlsSource}
+import graft.sources.{Cell, ExcelSource, XlsSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,41 @@ object OpsQueries extends graft.QueryModule {
           sum($"price".cast("decimal(30,2)")).cast("double").as("sum_price"),
           countDistinct($"brand").as("n_brands"))
         .orderBy($"sheet")
+    }),
+
+    // Bool/error cells through BOTH decoders, oracle-checked (VERDICT r5
+    // task 7): the fixture writes genuinely TYPED cells — xlsx `t="b"`/
+    // `t="e"`, BIFF8 BOOLERR records — derived from `part` keys, and the
+    // oracle recomputes the expected 'True'/'False' and xlrd error
+    // literals with CASE expressions straight from the parquet. This pins
+    // the rendering contract (previously docstring-asserted) as a
+    // hash-compared result.
+    "q_excel_bool_err" -> ((s, dir) => {
+      import s.implicits._
+      val keys = Tables(s, dir, "part")
+        .filter($"p_partkey" % 40 === 0)
+        .select($"p_partkey").orderBy($"p_partkey")
+        .collect().map(_.getLong(0)) // bounded fixture build: |part|/40 keys
+      val errCodes = Seq(0x00, 0x07, 0x0F, 0x17, 0x1D, 0x24, 0x2A)
+      def row(pk: Long): Seq[Cell] = Seq(
+        Cell.Text(pk.toString),
+        Cell.Bool(pk % 3 == 0),
+        Cell.Err(errCodes((pk % 7).toInt)))
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_excel_boolerr_${ProcessHandle.current().pid()}"
+      new java.io.File(tmp).mkdirs()
+      ExcelSource.writeWorkbookCells(s"$tmp/typed modern-2024.xlsx",
+        Seq("even" -> keys.filter(_ % 80 == 0).map(row).toSeq))
+      XlsSource.writeWorkbookCells(s"$tmp/typed legacy-2024.xls",
+        Seq("odd" -> keys.filter(_ % 80 != 0).map(row).toSeq))
+      ExcelSource.readAny(s, tmp, "even,odd")
+        .select(
+          element_at($"cells", 1).cast("double").cast("bigint").as("k"),
+          element_at($"cells", 2).as("bool_txt"),
+          element_at($"cells", 3).as("err_txt"))
+        .groupBy($"bool_txt", $"err_txt")
+        .agg(count(lit(1)).as("n"), min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"bool_txt", $"err_txt")
     }),
 
     // A13/A14 under the oracle's eye: the full four-verb pipeline — a
@@ -366,6 +401,17 @@ object OpsQueries extends graft.QueryModule {
         |  COUNT(DISTINCT p_brand) AS n_brands
         |FROM part WHERE p_partkey % 40 = 0
         |GROUP BY 1 ORDER BY sheet""".stripMargin,
+    // The workbook never reaches the oracle: expected bool/error TEXT is
+    // recomputed from the keys, so a rendering drift in either decoder
+    // (xlsx `t="b"`/`t="e"` or BIFF8 BOOLERR) breaks the hash.
+    "q_excel_bool_err" ->
+      """SELECT CASE WHEN p_partkey % 3 = 0 THEN 'True' ELSE 'False' END AS bool_txt,
+        |  CASE p_partkey % 7 WHEN 0 THEN '#NULL!' WHEN 1 THEN '#DIV/0!'
+        |    WHEN 2 THEN '#VALUE!' WHEN 3 THEN '#REF!' WHEN 4 THEN '#NAME?'
+        |    WHEN 5 THEN '#NUM!' ELSE '#N/A' END AS err_txt,
+        |  COUNT(1) AS n, MIN(p_partkey) AS min_k, MAX(p_partkey) AS max_k
+        |FROM part WHERE p_partkey % 40 = 0
+        |GROUP BY 1, 2 ORDER BY bool_txt, err_txt""".stripMargin,
     "q_pipeline_runner" ->
       """WITH fixture AS (
         |  SELECT CAST(p_partkey AS double) AS k, p_brand AS brand,

@@ -162,17 +162,33 @@ object ExcelSource {
     * an inline string. No shared-string table — inline strings are valid
     * OOXML and keep the writer order-independent and tiny.
     */
-  def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+  def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit =
+    writeWorkbookCells(path, sheets.map { case (n, rows) =>
+      n -> rows.map(_.map(Cell.Text(_): Cell))
+    })
+
+  /** Typed-cell variant of [[writeWorkbook]]: bool cells as `t="b"`,
+    * error cells as `t="e"` holding the xlrd-compatible literal — so the
+    * reader's bool/error rendering contract is exercised by real written
+    * workbooks, not just crafted XML (see [[Cell]]).
+    */
+  def writeWorkbookCells(path: String, sheets: Seq[(String, Seq[Seq[Cell]])]): Unit = {
     val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
     val rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
-    def sheetXml(rows: Seq[Seq[String]]): String = {
+    def sheetXml(rows: Seq[Seq[Cell]]): String = {
       val body = rows.zipWithIndex.map { case (cells, ri) =>
-        val cellXml = cells.zipWithIndex.map { case (v, ci) =>
+        val cellXml = cells.zipWithIndex.map { case (cell, ci) =>
           val ref = s"${colRef(ci)}${ri + 1}"
-          if (isNumericText(v))
-            s"""<c r="$ref"><v>${xmlEscape(v)}</v></c>"""
-          else
-            s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
+          cell match {
+            case Cell.Text(v) if isNumericText(v) =>
+              s"""<c r="$ref"><v>${xmlEscape(v)}</v></c>"""
+            case Cell.Text(v) =>
+              s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
+            case Cell.Bool(b) =>
+              s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+            case Cell.Err(code) =>
+              s"""<c r="$ref" t="e"><v>${xmlEscape(Cell.ErrorLiteral(code))}</v></c>"""
+          }
         }.mkString
         s"""<row r="${ri + 1}">$cellXml</row>"""
       }.mkString

@@ -247,10 +247,10 @@ object XlsSource {
   private val RcBlank = 0x0201
   private val RcMulBlank = 0x00BE
 
-  /** xlrd-compatible error literals for BIFF error codes. */
-  private val ErrorText = Map(
-    0x00 -> "#NULL!", 0x07 -> "#DIV/0!", 0x0F -> "#VALUE!", 0x17 -> "#REF!",
-    0x1D -> "#NAME?", 0x24 -> "#NUM!", 0x2A -> "#N/A")
+  /** xlrd-compatible error literals for BIFF error codes (shared with the
+    * typed writers via [[Cell.ErrorLiteral]]).
+    */
+  private val ErrorText = Cell.ErrorLiteral
 
   /** Bool rendering per the repo's xlsx contract (ExcelSource `t="b"` →
     * `True`/`False`); xlrd's raw row_values would give 1.0/0.0 instead.
@@ -465,7 +465,18 @@ object XlsSource {
     * ones regular 512-byte FAT sectors — so fixtures exercise both
     * reader layouts.
     */
-  def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+  def writeWorkbook(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit =
+    writeWorkbookCells(path, sheets.map { case (n, rows) =>
+      n -> rows.map(_.map(Cell.Text(_): Cell))
+    })
+
+  /** Typed-cell variant of [[writeWorkbook]]: bool and error cells become
+    * BOOLERR records ([MS-XLS] 2.4.24: rw, col, ixfe, bBoolErr, fError) —
+    * the record shape the reader's [[parseSheet]] RcBoolErr branch
+    * decodes — so the 'True'/'False'/error-literal rendering contract is
+    * exercised by real written workbooks (see [[Cell]]).
+    */
+  def writeWorkbookCells(path: String, sheets: Seq[(String, Seq[Seq[Cell]])]): Unit = {
     val bo = java.nio.ByteOrder.LITTLE_ENDIAN
     def rec(id: Int, data: Array[Byte]): Array[Byte] = {
       // BIFF8 caps record payloads at 8224 bytes; longer content needs
@@ -486,19 +497,27 @@ object XlsSource {
         .putInt(0x000000C9).putInt(0x00000206)
       rec(RcBof, b.array())
     }
-    def cellRec(rw: Int, colIdx: Int, v: String): Array[Byte] =
-      if (ExcelSource.isNumericText(v)) {
+    def boolErrRec(rw: Int, colIdx: Int, value: Int, fError: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8).order(bo)
+      b.putShort(rw.toShort).putShort(colIdx.toShort).putShort(0.toShort)
+        .put(value.toByte).put(fError.toByte)
+      rec(RcBoolErr, b.array())
+    }
+    def cellRec(rw: Int, colIdx: Int, cell: Cell): Array[Byte] = cell match {
+      case Cell.Bool(v) => boolErrRec(rw, colIdx, if (v) 1 else 0, 0)
+      case Cell.Err(code) => boolErrRec(rw, colIdx, code, 1)
+      case Cell.Text(v) if ExcelSource.isNumericText(v) =>
         val b = java.nio.ByteBuffer.allocate(14).order(bo)
         b.putShort(rw.toShort).putShort(colIdx.toShort).putShort(0.toShort)
           .putDouble(v.toDouble)
         rec(RcNumber, b.array())
-      } else {
+      case Cell.Text(v) =>
         val chars = v.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
         val b = java.nio.ByteBuffer.allocate(9 + chars.length).order(bo)
         b.putShort(rw.toShort).putShort(colIdx.toShort).putShort(0.toShort)
           .putShort(v.length.toShort).put(1.toByte).put(chars)
         rec(RcLabel, b.array())
-      }
+    }
     val sheetStreams = sheets.map { case (_, rows) =>
       val out = new java.io.ByteArrayOutputStream()
       out.write(bof(0x0010))

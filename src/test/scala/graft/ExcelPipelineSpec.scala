@@ -126,6 +126,22 @@ class ExcelPipelineSpec extends SparkSpec {
       ("s2", Seq("3.25", "x\"y"))))
   }
 
+  test("writeWorkbookCells emits t=\"b\"/t=\"e\" cells the reader renders as True/False/literals") {
+    import spark.implicits._
+    import graft.sources.Cell
+    val dir = tmpDir("wb_boolerr")
+    ExcelSource.writeWorkbookCells(s"$dir/typed.xlsx", Seq(
+      "t" -> Seq(
+        Seq(Cell.Bool(true), Cell.Bool(false), Cell.Text("20")),
+        Seq(Cell.Err(0x07), Cell.Err(0x2A), Cell.Err(0x00)),
+        Seq(Cell.Err(0x0F), Cell.Err(0x17), Cell.Err(0x1D), Cell.Err(0x24)))))
+    val rows = ExcelSource.read(spark, dir, "all")
+      .orderBy($"row_idx").select($"cells").as[Seq[String]].collect()
+    assert(rows(0) === Seq("True", "False", "20.0"))
+    assert(rows(1) === Seq("#DIV/0!", "#N/A", "#NULL!"))
+    assert(rows(2) === Seq("#VALUE!", "#REF!", "#NAME?", "#NUM!"))
+  }
+
   test("a folder containing legacy .xls fails loudly (xlsx-only contract)") {
     val dir = tmpDir("legacy_xls")
     writeXlsx(s"$dir/ok.xlsx")

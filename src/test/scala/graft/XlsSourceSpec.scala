@@ -158,6 +158,24 @@ class XlsSourceSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("writeWorkbookCells emits BOOLERR records the reader renders as True/False/literals") {
+    import spark.implicits._
+    import graft.sources.Cell
+    val dir = tmpDir("xls_boolerr")
+    XlsSource.writeWorkbookCells(s"$dir/typed.xls", Seq(
+      "t" -> Seq(
+        Seq(Cell.Bool(true), Cell.Bool(false), Cell.Text("mix")),
+        Seq(Cell.Err(0x07), Cell.Err(0x2A), Cell.Err(0x00)),
+        Seq(Cell.Err(0x0F), Cell.Err(0x17), Cell.Err(0x1D), Cell.Err(0x24)))))
+    val rows = XlsSource.read(spark, dir, "all")
+      .orderBy($"row_idx").select($"cells").as[Seq[String]].collect()
+    assert(rows(0) === Seq("True", "False", "mix"))
+    assert(rows(1) === Seq("#DIV/0!", "#N/A", "#NULL!"))
+    assert(rows(2) === Seq("#VALUE!", "#REF!", "#NAME?", "#NUM!"))
+    // invalid codes are rejected at construction, not written as garbage
+    assertThrows[IllegalArgumentException](Cell.Err(0x05))
+  }
+
   test("hand-crafted BIFF records: SST+CONTINUE, RK, MULRK, BOOLERR, FORMULA, BLANK") {
     val rows = XlsSource.parseWorkbook(XlsSource.cfbWrap(craftWorkbook()), "all")
     val bySheet = rows.map { case (s, i, c) => (s, i) -> c }.toMap
