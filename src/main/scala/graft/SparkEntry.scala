@@ -19,8 +19,11 @@ object SparkEntry {
     _root_.graft.queries.SetOpQueries,
     _root_.graft.queries.FunctionQueries,
     _root_.graft.queries.OpsQueries,
+    _root_.graft.queries.EventQueries,
+    _root_.graft.queries.ProfileQueries,
     _root_.graft.queries.TextQueries,
     _root_.graft.queries.NearDupQueries,
+    _root_.graft.queries.RetrievalQueries,
     _root_.graft.queries.SimilarityQueries,
     _root_.graft.queries.StreamQueries,
     _root_.graft.queries.UdfQueries,

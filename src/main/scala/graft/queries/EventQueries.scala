@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch analytics over the `events` table: sessionization
+  * (gaps-and-islands), ordered funnel conversion, and cohort retention —
+  * the warehouse-side queries the reference's event pipeline feeds (its
+  * stored procedures stop at load; these are the questions the loaded
+  * table exists to answer).
+  *
+  * Oracle-stability notes shared by all three entries:
+  *  - time arithmetic runs on exact integers (`unix_micros`, day diffs of
+  *    week-truncated dates), never float seconds;
+  *  - double sums go through `decimal` so accumulation order cannot
+  *    change the hash;
+  *  - every window ordering has a unique tie-breaker.
+  *
+  * Scale design (100 TB): sessionize = ONE shuffle on user (see
+  * [[graft.ops.Sessions]]); funnel = per-user min-aggregates (map-side
+  * partial) joined user-to-user — the step frontiers are user-cardinality
+  * relations, orders of magnitude under the fact table, and every join
+  * key is the same `user_id` so AQE reuses one partitioning; cohort =
+  * one aggregate to user grain, one fact-side shuffle for the distinct
+  * count. Nothing collects to the driver.
+  */
+object EventQueries extends graft.QueryModule {
+
+  private val GapSec = 1800L // 30 min session timeout
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gaps-and-islands sessionization: per-user 30-min-timeout sessions,
+    // aggregated to one row per session. unix_micros keeps the gap test
+    // integer-exact; decimal sum keeps total_value order-independent.
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val sessions = graft.ops.Sessions.sessionize(
+        Tables(s, dir, "events"), $"user_id", $"ts", $"event_id", GapSec)
+      sessions
+        .groupBy($"user_id", $"session_idx")
+        .agg(
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        .filter($"user_id" % 10 === 0)
+        .orderBy($"user_id", $"session_idx")
+    }),
+
+    // Ordered funnel with a conversion window: view -> click within 24h
+    // of the first view -> purchase within 24h of that click, counted per
+    // step. Each step frontier is a per-user MIN over the previous
+    // frontier — the standard "first qualifying event" formulation, so a
+    // user converts only if the steps happen in order AND in time (the
+    // window is what makes the funnel non-vacuous: without it every user
+    // in a dense month of events converts). Interval arithmetic is exact
+    // integer microseconds in both engines.
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val win = expr("INTERVAL 24 HOURS")
+      val ev = Tables(s, dir, "events").select($"user_id", $"event_type", $"ts")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"t1" && $"ts" <= $"t1" + win)
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" > $"t2" && $"ts" <= $"t2" + win)
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      val steps = Seq(
+        (1, "view", v), (2, "view>click_24h", c), (3, "view>click>purchase_24h", p))
+      steps.map { case (ord, label, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(ord).as("step_ord"), lit(label).as("step"), $"n_users")
+      }.reduce(_ unionByName _).orderBy($"step_ord")
+    }),
+
+    // Cohort retention: users bucketed by the week of their FIRST
+    // PURCHASE (first-any-event cohorts are degenerate here — every user
+    // appears in week one); for each (cohort week, week offset) the
+    // number of distinct users active — any event type — that week, from
+    // the cohort week on. Week arithmetic is day-diff of two
+    // week-truncated DATEs divided by 7 — an exact multiple, no float
+    // time.
+    "q_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val firsts = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(min($"ts").as("first_ts"))
+        .select($"user_id", to_date(date_trunc("week", $"first_ts")).as("cohort_week"))
+      ev.select($"user_id", $"ts", to_date(date_trunc("week", $"ts")).as("wk"))
+        .join(firsts, "user_id")
+        .filter($"ts" >= $"cohort_week".cast("timestamp"))
+        .groupBy($"cohort_week",
+          (datediff($"wk", $"cohort_week") / 7).cast("int").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(1) AS n_events,
+        |  CAST(SUM(CAST(value AS decimal(18,2))) AS double) AS total_value
+        |FROM sess
+        |WHERE user_id % 10 = 0
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_ord, 'view' AS step, count(1) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'view>click_24h', count(1) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'view>click>purchase_24h', count(1) FROM p
+        |) ORDER BY step_ord""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week,
+        |       CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS int) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN firsts f ON e.user_id = f.user_id
+        |WHERE e.ts >= CAST(f.cohort_week AS TIMESTAMP)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling + the ORC interchange round-trip.
+  *
+  * `q_profile_stats` is the per-column profile a warehouse load job runs
+  * before trusting a feed (the reference trusts Postgres constraints for
+  * this; a lake engine has to measure): row count, null count, distinct
+  * count, min/max — in LONG format, one row per column.
+  *
+  * Scale design (100 TB): the profile is ONE aggregation pass. All six
+  * columns' stats — including the six `count(distinct)`s — run in a
+  * single `agg` (Catalyst plans multi-distinct via a single Expand, not
+  * six scans), then the 1-row wide result is unpivoted driver-free with
+  * `stack`. The unpivot touches one row, so the whole profile costs one
+  * scan + one shuffle regardless of table width discipline. Naive
+  * per-column loops (6 scans) are exactly what this entry exists to NOT
+  * do.
+  *
+  * Oracle-stability: no double sums; min/max of doubles are exact; dates
+  * render ISO `yyyy-MM-dd` in both engines; string min/max compare by
+  * binary collation in both.
+  */
+object ProfileQueries extends graft.QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_stats" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val dateCol = "l_shipdate"
+      val aggs =
+        (numCols ++ strCols :+ dateCol).flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+            countDistinct(col(c)).as(s"${c}__distinct"))
+        } ++
+        numCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))) ++
+        strCols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))) ++
+        Seq(
+          min(to_date(col(dateCol))).cast("string").as(s"${dateCol}__min"),
+          max(to_date(col(dateCol))).cast("string").as(s"${dateCol}__max"))
+      val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      // stack(): unpivot the 1-row wide profile to long format. Numeric
+      // columns carry min/max in min_num/max_num, strings and the date in
+      // min_str/max_str; the other pair is typed NULL.
+      val stackArgs = (
+        numCols.map(c =>
+          s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max, " +
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+        (strCols :+ dateCol).map(c =>
+          s"'$c', ${c}__nulls, ${c}__distinct, CAST(NULL AS DOUBLE), " +
+            s"CAST(NULL AS DOUBLE), ${c}__min, ${c}__max")
+      ).mkString(", ")
+      wide.selectExpr("n_rows",
+        s"stack(${numCols.size + strCols.size + 1}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)")
+        .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+          $"min_num", $"max_num", $"min_str", $"max_str")
+        .orderBy($"col_name")
+    }),
+
+    // C1/C2 ORC interchange: write a lineitem slice to ORC (Spark's
+    // second native columnar format), read it back, aggregate — proves
+    // longs, doubles, strings, and timestamps are value-stable through
+    // ORC the way q_csv_roundtrip/q_json_roundtrip prove CSV/JSON. The
+    // oracle computes the same aggregate from the parquet truth.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "lineitem").filter($"l_orderkey" % 50 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice", $"l_returnflag", $"l_shipdate")
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_orc_roundtrip_${ProcessHandle.current().pid()}"
+      src.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(20,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"l_shipdate").as("min_ship"),
+          max($"l_shipdate").as("max_ship"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_returnflag")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q_profile_stats" -> {
+      val numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+      val strCols = Seq("l_returnflag", "l_linestatus")
+      val num = numCols.map(c =>
+        s"""SELECT '$c' AS col_name, count(1) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS double) AS min_num, CAST(max($c) AS double) AS max_num,
+           |  CAST(NULL AS varchar) AS min_str, CAST(NULL AS varchar) AS max_str
+           |FROM lineitem""".stripMargin)
+      val str = strCols.map(c =>
+        s"""SELECT '$c', count(1),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS bigint),
+           |  count(DISTINCT $c),
+           |  CAST(NULL AS double), CAST(NULL AS double),
+           |  min($c), max($c)
+           |FROM lineitem""".stripMargin)
+      val dt =
+        """SELECT 'l_shipdate', count(1),
+          |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS bigint),
+          |  count(DISTINCT l_shipdate),
+          |  CAST(NULL AS double), CAST(NULL AS double),
+          |  CAST(CAST(min(l_shipdate) AS DATE) AS varchar),
+          |  CAST(CAST(max(l_shipdate) AS DATE) AS varchar)
+          |FROM lineitem""".stripMargin
+      (num ++ str :+ dt).mkString("SELECT * FROM (\n",
+        "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(1) AS n,
+        |  CAST(SUM(CAST(l_quantity AS decimal(20,2))) AS double) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS decimal(30,2))) AS double) AS sum_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.Retrieval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle entries for [[graft.llm.Retrieval]]: TF-IDF keyword
+  * extraction, BM25 ranking, and sliding-window chunking over the
+  * `documents` table. All three are EXACT hash checks — the fixed-point
+  * scoring design (see Retrieval's scaladoc) is what makes a ranking
+  * function reproducible enough for DuckDB to recompute bit-for-bit.
+  */
+object RetrievalQueries extends graft.QueryModule {
+
+  private val Bm25Terms = Seq("spark", "vector", "merge")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-3 TF-IDF terms per document. score_fp = tf * round(ln(N/df)*1e6)
+    // is exact integer math; ties break on the term string.
+    "q_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      Retrieval.tfidfTopK(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        .filter($"doc_id" % 5 === 0)
+        .orderBy($"doc_id", $"rk")
+    }),
+
+    // BM25 top-20 docs for a fixed 3-term query.
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      Retrieval.bm25(Tables(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, 20)
+    }),
+
+    // 64-token chunks, stride 48 (16-token overlap); md5 fingerprint of
+    // every chunk is the oracle anchor, so any boundary error flips the
+    // hash.
+    "q_chunk_text" -> ((s, dir) => {
+      import s.implicits._
+      Retrieval.chunk(
+        Tables(s, dir, "documents").filter($"doc_id" % 5 === 0),
+        "doc_id", "text", 64, 48)
+        .orderBy($"doc_id", $"chunk_idx")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> x != '')) AS term
+        |  FROM documents
+        |),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM toks GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(1) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+        |    tf.tf * CAST(round(ln(CAST(n.n_docs AS double) / dfr.df) * 1000000)
+        |                 AS BIGINT) AS score_fp
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN n
+        |),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY score_fp DESC, term ASC) AS rk
+        |  FROM sc
+        |)
+        |SELECT doc_id, rk, term, tf, df,
+        |  CAST(score_fp AS double) / 1000000 AS score
+        |FROM rk WHERE rk <= 3 AND doc_id % 5 = 0
+        |ORDER BY doc_id, rk""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x != '') AS tk
+        |  FROM documents
+        |),
+        |terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+        |corpus AS (SELECT count(1) AS n_docs, sum(dl) AS t_tokens FROM dl),
+        |dfr AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+        |idf AS (
+        |  SELECT term, df,
+        |    CAST(round(ln(CAST(2 * c.n_docs + 2 AS double)
+        |                  / (2 * df + 1)) * 1000000) AS BIGINT) AS idf_fp,
+        |    c.n_docs, c.t_tokens
+        |  FROM dfr CROSS JOIN corpus c
+        |  WHERE term IN ('spark', 'vector', 'merge')
+        |),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(idf.idf_fp AS double) *
+        |      (CAST(22 * tf.tf * idf.t_tokens AS double) /
+        |       CAST(10 * idf.t_tokens * tf.tf + 3 * idf.t_tokens
+        |            + 9 * dl.dl * idf.n_docs AS double)) / 1000000 AS w
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+        |),
+        |agg AS (
+        |  SELECT doc_id, count(1) AS n_terms,
+        |    max(CASE WHEN term = 'spark' THEN w END) AS w_spark,
+        |    max(CASE WHEN term = 'vector' THEN w END) AS w_vector,
+        |    max(CASE WHEN term = 'merge' THEN w END) AS w_merge
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_terms,
+        |  ((coalesce(w_spark, 0) + coalesce(w_vector, 0)) + coalesce(w_merge, 0))
+        |    AS score
+        |FROM agg
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_chunk_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x != '') AS tk
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |st AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    unnest(range(0, greatest(len(tk), 1), 48)) AS s
+        |  FROM toks
+        |),
+        |ch AS (
+        |  SELECT doc_id, CAST(s // 48 AS int) AS chunk_idx,
+        |    CAST(s AS int) AS start_tok,
+        |    tk[s + 1 : least(s + 64, n)] AS chunk
+        |  FROM st
+        |)
+        |SELECT doc_id, chunk_idx, start_tok,
+        |  CAST(len(chunk) AS int) AS n_tok,
+        |  chunk[1] AS first_tok,
+        |  chunk[len(chunk)] AS last_tok,
+        |  md5(array_to_string(chunk, ' ')) AS fp
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)
+}
