@@ -54,6 +54,52 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Semantic dedup: near-identical embeddings (cos ≥ 0.999) resolved to
+    // CLUSTERS via connected components, one representative (min id) per
+    // cluster — the keep/drop decision an embedding-dedup pipeline
+    // actually ships. Corpus = sample ∪ ×2 ∪ ×3 scaled copies (scale-
+    // invariant cosine ⇒ clusters of 3; both scalings exact in IEEE
+    // float). The pair relation feeding CC is the documented exact
+    // baseline (crossJoin at this sampled scale); the 100 TB path is the
+    // SRP-bucketed equi-join candidates computed alongside, whose overlap
+    // with the exact pair set is pinned in-query as recall_ok (identical-
+    // direction vectors share every SRP sign, so blocked recall here is
+    // exactly 1; the floor 0.9 only flips on a real bucketing break).
+    "q_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "embeddings").filter($"vec_id" % 10 === 0)
+      def copy(off: Long, f: Float) = base
+        .withColumn("vec_id", $"vec_id" + off)
+        .withColumn("embedding", transform($"embedding", x => x * lit(f)))
+      val corpus = base.unionByName(copy(100000L, 2.0f)).unionByName(copy(200000L, 3.0f))
+      val prep = Similarity.prepared(corpus, "embedding", "vec_id")
+      val a = prep.select($"vec_id".as("id_a"), $"v".as("v_a"), $"nrm".as("n_a"))
+      val b = prep.select($"vec_id".as("id_b"), $"v".as("v_b"), $"nrm".as("n_b"))
+      val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+        .filter(Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b") >= 0.999)
+        .select($"id_a", $"id_b")
+        .cache() // feeds CC (iterative) + the recall flag: compute once
+      val planes = (0 until 16).map(Similarity.hyperplane(_, 64))
+      val keyed = prep.withColumn("k", Similarity.srpKey($"v", planes))
+      val blocked = keyed.select($"k", $"vec_id".as("id_a"), $"v".as("v_a"), $"nrm".as("n_a"))
+        .join(keyed.select($"k", $"vec_id".as("id_b"), $"v".as("v_b"), $"nrm".as("n_b")), "k")
+        .filter($"id_a" < $"id_b")
+        .filter(Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b") >= 0.999)
+        .select($"id_a", $"id_b")
+      val flag = exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+          blocked.join(exact, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_found")))
+        .select(($"n_found" >= $"n_exact" * 0.9).as("recall_ok"))
+      val cc = graft.llm.Dedup.connectedComponents(exact)
+        .withColumnRenamed("id", "vec_id")
+      corpus.select($"vec_id")
+        .join(cc, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"comp", $"vec_id").as("rep"))
+        .withColumn("is_dup", $"vec_id" =!= $"rep")
+        .crossJoin(broadcast(flag))
+        .orderBy($"vec_id")
+    }),
+
     // ANN: SRP-LSH bucketed top-5 with query-side multi-probe (2 buckets
     // per table), driver-checked via recallChecked: exact rows + pinned
     // recall ≥ 0.75 (measured ≈ 0.9; probes-monotonicity in SimilaritySpec).
@@ -222,6 +268,43 @@ object SimilarityQueries extends graft.QueryModule {
     "q_cosine_ann" -> bruteTopkSql(", TRUE AS recall_ok"),
     "q_cosine_ivf" -> bruteTopkSql(", TRUE AS recall_ok"),
     "q_cosine_ivfpq" -> bruteTopkSql(", TRUE AS recall_ok"),
+    // Exact pairs -> recursive-CTE transitive closure -> min-id
+    // representative per cluster; singletons (no edge) represent
+    // themselves. recall_ok mirrors the ANN entries' literal-TRUE anchor.
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0
+        |),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(v, x -> (x::float * 2.0::float)::DOUBLE) FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 200000,
+        |    list_transform(v, x -> (x::float * 3.0::float)::DOUBLE) FROM base
+        |),
+        |prep AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM prep a JOIN prep b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.999
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |),
+        |reach(src, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+        |),
+        |cc AS (SELECT src AS vec_id, MIN(lbl) AS comp FROM reach GROUP BY src)
+        |SELECT c.vec_id, coalesce(cc.comp, c.vec_id) AS rep,
+        |  (c.vec_id != coalesce(cc.comp, c.vec_id)) AS is_dup,
+        |  TRUE AS recall_ok
+        |FROM corpus c LEFT JOIN cc ON c.vec_id = cc.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     "q_embedding_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0

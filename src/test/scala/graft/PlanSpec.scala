@@ -57,4 +57,29 @@ class PlanSpec extends SparkSpec {
   test("q_topn_orders: global sort+limit plans as TakeOrderedAndProject") {
     assert(plan("q_topn_orders").contains("TakeOrderedAndProject"))
   }
+
+  test("q_sessionize: both session windows share ONE exchange on the user key") {
+    // lag/sum windows + the session groupBy all hash-partition by user_id;
+    // Spark must reuse the first shuffle for the rest — a second user-key
+    // exchange means sessionization started paying per-window shuffles.
+    val p = plan("q_sessionize")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("user_id")).toList
+    assert(exchanges.size == 1,
+      s"expected exactly 1 user_id exchange (windows must share it), got" +
+        s" ${exchanges.size}:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q_profile_stats: two scans (stats + distincts), never an Expand") {
+    // The profile is exactly two passes: a wide no-distinct agg and a
+    // stack-unpivoted single count_distinct. A per-column loop would show
+    // 6 scans; the one-agg multi-distinct form would show an Expand whose
+    // full row-multiple hits the shuffle (measured 12x at sf0.1).
+    val p = plan("q_profile_stats")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toList
+    assert(scans.size == 2,
+      s"expected exactly 2 lineitem scans, got ${scans.size}:\n${scans.mkString("\n")}")
+    assert(!p.contains("Expand"),
+      "multi-distinct Expand regression — distincts must go through the unpivot")
+  }
 }
