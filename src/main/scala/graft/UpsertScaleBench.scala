@@ -46,7 +46,7 @@ object UpsertScaleBench {
     // fixed-size source: 10k updates to existing keys + 10k brand-new keys
     val source = base.filter($"l_orderkey" % 601 === 0)
       .limit(10000)
-      .withColumn("l_comment", lit("updated"))
+      .withColumn("l_returnflag", lit("U"))
       .unionByName(
         base.filter($"l_orderkey" % 601 === 1).limit(10000)
           .withColumn("l_orderkey", -$"l_orderkey"))

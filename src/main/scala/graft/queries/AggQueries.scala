@@ -219,6 +219,28 @@ object AggQueries extends graft.QueryModule {
           min($"l_shipdate").as("min_ship"),
           max($"l_shipdate").as("max_ship"))
         .orderBy($"l_linestatus")
+    }),
+
+    // Equal-width histogram of l_extendedprice: 22 buckets of 5000. The
+    // bucket law is an explicit floor(x / width) in BOTH engines (no
+    // engine-specific width_bucket): one double division + floor on
+    // identical inputs is correctly rounded and engine-identical. Scale:
+    // map-side combine collapses to 22 groups before the shuffle; the
+    // grand total for n_pct is a 1-row broadcast, never a global window.
+    "q_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_extendedprice".as("x"))
+      val agg = li
+        .select(least(floor($"x" / 5000.0), lit(21)).cast("int").as("bucket"), $"x")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("min_price"), max($"x").as("max_price"))
+      val total = li.agg(count(lit(1)).as("total"))
+      agg.crossJoin(broadcast(total))
+        .select($"bucket", ($"bucket" * 5000).as("lo"), $"n",
+          ($"n".cast("double") / $"total".cast("double")).as("n_pct"),
+          $"min_price", $"max_price")
+        .orderBy($"bucket")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -308,5 +330,21 @@ object AggQueries extends graft.QueryModule {
         |  MAX(l_extendedprice) AS max_price,
         |  MIN(l_shipdate) AS min_ship,
         |  MAX(l_shipdate) AS max_ship
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(l_extendedprice / 5000.0::double) AS int), 21)
+        |           AS bucket,
+        |         l_extendedprice AS x
+        |  FROM lineitem
+        |),
+        |agg AS (
+        |  SELECT bucket, count(1) AS n, min(x) AS min_price, max(x) AS max_price
+        |  FROM b GROUP BY bucket
+        |),
+        |t AS (SELECT count(1) AS total FROM lineitem)
+        |SELECT bucket, bucket * 5000 AS lo, n,
+        |  CAST(n AS double) / CAST(total AS double) AS n_pct,
+        |  min_price, max_price
+        |FROM agg CROSS JOIN t ORDER BY bucket""".stripMargin)
 }

@@ -78,6 +78,49 @@ object FunctionQueries extends graft.QueryModule {
         .orderBy($"user_id", $"day")
     }),
 
+    // Gap-fill by LINEAR INTERPOLATION (q_resample's zero-fill sibling):
+    // daily per-user value sums, missing days filled with
+    //   v_prev + (v_next - v_prev) * gap_fraction
+    // where prev/next come from ignore-nulls running windows over the
+    // calendar spine. Determinism: daily sums go through decimal; the
+    // interpolation is one double multiply-add over identical inputs
+    // written in the same operation order in both engines; day fractions
+    // are divisions of exact integer day diffs. The spine bounds are each
+    // user's own min/max day, so no leading/trailing null edges exist.
+    // Scale: same shape as q_resample (generated spine joined to
+    // pre-aggregated days, one (user, day) shuffle); the two ignore-null
+    // windows share one user-key sort.
+    "q_interpolate" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .filter($"user_id" % 20 === 0)
+        .groupBy($"user_id", to_date($"ts").as("d"))
+        .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("v"))
+      val spine = daily.groupBy($"user_id")
+        .agg(min($"d").as("d0"), max($"d").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1")).as("d"))
+      val joined = spine.join(daily, Seq("user_id", "d"), "left")
+      val wPrev = Window.partitionBy($"user_id").orderBy($"d".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy($"user_id").orderBy($"d".asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      joined
+        .withColumn("v_prev", last($"v", ignoreNulls = true).over(wPrev))
+        .withColumn("d_prev",
+          last(when($"v".isNotNull, $"d"), ignoreNulls = true).over(wPrev))
+        .withColumn("v_next", first($"v", ignoreNulls = true).over(wNext))
+        .withColumn("d_next",
+          first(when($"v".isNotNull, $"d"), ignoreNulls = true).over(wNext))
+        .select($"user_id", $"d".cast("string").as("day"),
+          $"v".isNull.as("interpolated"),
+          when($"v".isNotNull, $"v").otherwise(
+            $"v_prev" + ($"v_next" - $"v_prev") *
+              (datediff($"d", $"d_prev").cast("double") /
+                datediff($"d_next", $"d_prev").cast("double"))).as("v"))
+        .orderBy($"user_id", $"day")
+    }),
+
     // round (on decimal — HALF_UP in both engines; double round semantics
     // diverge) / abs / floor / ceil / power / sqrt over `lineitem`.
     "q_math_fns" -> ((s, dir) => {
@@ -192,6 +235,44 @@ object FunctionQueries extends graft.QueryModule {
         |  CAST(COALESCE(c.n, 0) AS bigint) AS n
         |FROM spine s LEFT JOIN counts c USING (user_id, d)
         |ORDER BY s.user_id, day""".stripMargin,
+    "q_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS decimal(18,2))) AS double) AS v
+        |  FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2
+        |),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS timestamp),
+        |      CAST(d1 AS timestamp), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1)
+        |),
+        |j AS (
+        |  SELECT s.user_id, s.d, daily.v
+        |  FROM spine s LEFT JOIN daily USING (user_id, d)
+        |),
+        |w AS (
+        |  SELECT user_id, d, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS v_prev,
+        |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wp AS d_prev,
+        |    first_value(v IGNORE NULLS) OVER wn AS v_next,
+        |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wn AS d_next
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY d ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY d ASC
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, CAST(d AS varchar) AS day,
+        |  (v IS NULL) AS interpolated,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE v_prev + (v_next - v_prev) *
+        |            (CAST(date_diff('day', d_prev, d) AS double) /
+        |             CAST(date_diff('day', d_prev, d_next) AS double))
+        |  END AS v
+        |FROM w ORDER BY user_id, day""".stripMargin,
     "q_date_fns" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y%m%d%H%M') AS archive_stamp,
