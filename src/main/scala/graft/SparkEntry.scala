@@ -21,6 +21,7 @@ object SparkEntry {
     _root_.graft.queries.OpsQueries,
     _root_.graft.queries.EventQueries,
     _root_.graft.queries.ProfileQueries,
+    _root_.graft.queries.ParityQueries,
     _root_.graft.queries.TextQueries,
     _root_.graft.queries.NearDupQueries,
     _root_.graft.queries.RetrievalQueries,

@@ -69,4 +69,27 @@ object AsOf {
       .select(keys.map(col) ++ leftCols.filterNot(keys.contains).map(col) ++
         carry.map(c => col("__carry").getField(c).as(c)): _*)
   }
+
+  /** As-of join with a STALENESS BOUND: carry columns are nulled when the
+    * matched right row fails `within(leftTime, rightTime)` — "most recent
+    * right row at or before t, but no staler than X", the market-data /
+    * feature-store-TTL variant. The caller supplies the bound predicate
+    * so the time algebra stays theirs (epoch longs, `unix_micros` of
+    * timestamps, ...).
+    *
+    * Plan shape: identical ONE-shuffle union+window as [[join]] — the
+    * matched right time rides along as one extra carry field and the
+    * bound is a post-projection. Never a range join, so no fan-out on
+    * long histories.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, carry: Seq[String],
+      rightTie: String)(within: (Column, Column) => Column): DataFrame = {
+    val joined = join(left, right.withColumn("__rt", col(rightTime)),
+      keys, leftTime, rightTime, carry :+ "__rt", rightTie)
+    val ok = col("__rt").isNotNull && within(col(leftTime), col("__rt"))
+    carry.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(ok, col(c)))
+    }.drop("__rt")
+  }
 }

@@ -139,6 +139,27 @@ object JoinQueries extends graft.QueryModule {
         .orderBy($"purchase_id")
     }),
 
+    // As-of with a staleness bound (AsOf.joinWithin): same purchase←click
+    // attribution as q_join_asof, but a click older than 1 hour no longer
+    // counts — the carry nulls out. Same join-free union+window plan; the
+    // bound is exact integer microseconds. Oracle = native ASOF LEFT JOIN
+    // with the staleness CASE applied on top.
+    "q_join_asof_tolerance" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"),
+          $"ts".as("click_ts"))
+      graft.ops.AsOf.joinWithin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "click_ts"), rightTie = "click_id")(
+          (l, r) => unix_micros(l) - unix_micros(r) <= 3600L * 1000000L)
+        .select($"purchase_id", $"user_id", $"click_id",
+          (unix_micros($"ts") - unix_micros($"click_ts")).as("gap_us"))
+        .orderBy($"purchase_id")
+    }),
+
     // Salted skew join (graft.ops.Skew): events (big, skewed user_id) ⋈
     // customer dim, salt=16. The oracle is the PLAIN join — salting is a
     // physical rewrite and must be result-identical; this entry proves it.
@@ -318,6 +339,16 @@ object JoinQueries extends graft.QueryModule {
     "q_join_asof" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q_join_asof_tolerance" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |       THEN c.event_id END AS click_id,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |       THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Migration-parity tooling: the queries a user runs while SWITCHING
+  * engines (the project's whole premise — moving the reference's
+  * Postgres-backed tables onto this engine) to prove both sides hold the
+  * same data.
+  *
+  * `q_table_checksum`: an ORDER-INDEPENDENT per-partition checksum — each
+  * row renders to one canonical string (numerics through decimal casts so
+  * both engines print identical digits; every field null-guarded), hashes
+  * through md5 to a 60-bit integer, and the partition checksum is the
+  * XOR of row hashes: associative+commutative, so row order, partition
+  * count, and merge order cannot change it, and one flipped row flips the
+  * checksum. This is the cross-engine handshake DISTINCT/count can't
+  * give.
+  *
+  * `q_table_diff`: snapshot CDC — full-outer join two table generations
+  * on the key and classify added / removed / changed / unchanged, the
+  * reconciliation report behind every incremental load (and the
+  * verification step of an engine migration's dual-write phase).
+  *
+  * Scale design (100 TB): the checksum is a pure map-side projection
+  * (hash per row) + one tiny shuffle of partial XORs per group — the
+  * cheapest possible full-table pass, and embarrassingly parallel. The
+  * diff is ONE full-outer shuffle join on the key with map-side column
+  * compare; classification counts combine map-side.
+  */
+object ParityQueries extends graft.QueryModule {
+
+  /** md5(canonical)[0,15] as a 60-bit non-negative BIGINT — same law as
+    * DuckDB's `CAST('0x' || substr(md5(s), 1, 15) AS bigint)`.
+    */
+  private def rowHash(canonical: Column): Column =
+    conv(substring(md5(canonical), 1, 15), 16, 10).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_checksum" -> ((s, dir) => {
+      import s.implicits._
+      val canonical = concat_ws("|",
+        $"o_orderkey".cast("string"),
+        coalesce($"o_orderstatus", lit("~")),
+        $"o_totalprice".cast("decimal(18,2)").cast("string"),
+        $"o_orderdate".cast("date").cast("string"))
+      Tables(s, dir, "orders")
+        .select($"o_orderstatus", rowHash(canonical).as("h"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          bit_xor($"h").as("checksum"),
+          sum($"h".cast("decimal(30,0)")).cast("decimal(30,0)").cast("string")
+            .as("hash_sum"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Generation B mutates orders deterministically: keys %97 deleted,
+    // status flipped to 'X' on %89, price doubled (exact in IEEE) on
+    // %91, new negative keys added for %83. The diff report must count
+    // each class exactly.
+    "q_table_diff" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+          $"o_totalprice".as("pr"))
+      val b0 = a.filter($"k" % 97 =!= 0)
+        .withColumn("st", when($"k" % 89 === 0, lit("X")).otherwise($"st"))
+        .withColumn("pr", when($"k" % 91 === 0, $"pr" * 2).otherwise($"pr"))
+      val b = b0.unionByName(
+        a.filter($"k" % 83 === 0).select((-$"k" - 1).as("k"), $"st", $"pr"))
+      val joined = a.select($"k", $"st".as("st_a"), $"pr".as("pr_a"))
+        .join(b.select($"k", $"st".as("st_b"), $"pr".as("pr_b")),
+          Seq("k"), "full_outer")
+      joined
+        .select($"k",
+          when($"st_a".isNull && $"pr_a".isNull, "added")
+            .when($"st_b".isNull && $"pr_b".isNull, "removed")
+            .when($"st_a" =!= $"st_b" || $"pr_a" =!= $"pr_b", "changed")
+            .otherwise("unchanged").as("change"))
+        .groupBy($"change")
+        .agg(count(lit(1)).as("n"),
+          sum($"k".cast("decimal(30,0)")).cast("bigint").as("sum_keys"),
+          min($"k").as("min_key"), max($"k").as("max_key"))
+        .orderBy($"change")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q_table_checksum" ->
+      """WITH h AS (
+        |  SELECT o_orderstatus,
+        |    CAST('0x' || substr(md5(concat_ws('|',
+        |      CAST(o_orderkey AS varchar),
+        |      coalesce(o_orderstatus, '~'),
+        |      CAST(CAST(o_totalprice AS decimal(18,2)) AS varchar),
+        |      CAST(CAST(o_orderdate AS DATE) AS varchar))), 1, 15) AS bigint)
+        |      AS h
+        |  FROM orders
+        |)
+        |SELECT o_orderstatus, count(1) AS n_rows,
+        |  bit_xor(h) AS checksum,
+        |  CAST(CAST(SUM(CAST(h AS decimal(30,0))) AS decimal(30,0)) AS varchar)
+        |    AS hash_sum
+        |FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_table_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+        |  FROM orders
+        |),
+        |b AS (
+        |  SELECT k,
+        |    CASE WHEN k % 89 = 0 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 91 = 0 THEN pr * 2 ELSE pr END AS pr
+        |  FROM a WHERE k % 97 != 0
+        |  UNION ALL
+        |  SELECT -k - 1, st, pr FROM a WHERE k % 83 = 0
+        |),
+        |j AS (
+        |  SELECT coalesce(a.k, b.k) AS k,
+        |    a.st AS st_a, a.pr AS pr_a, b.st AS st_b, b.pr AS pr_b
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k
+        |)
+        |SELECT CASE WHEN st_a IS NULL AND pr_a IS NULL THEN 'added'
+        |            WHEN st_b IS NULL AND pr_b IS NULL THEN 'removed'
+        |            WHEN st_a != st_b OR pr_a != pr_b THEN 'changed'
+        |            ELSE 'unchanged' END AS change,
+        |  count(1) AS n,
+        |  CAST(SUM(CAST(k AS decimal(30,0))) AS bigint) AS sum_keys,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM j GROUP BY 1 ORDER BY change""".stripMargin)
+}

@@ -96,6 +96,31 @@ object WindowQueries extends graft.QueryModule {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Rolling 7-row median of daily per-user spend. Median is computed by
+    // an EXPLICIT law — sort the frame, average the two middle elements
+    // as (lo + hi) / 2.0 — written identically in both engines, because
+    // built-in medians interpolate differently (quantile_cont's
+    // a + 0.5*(b-a) is a different IEEE rounding than (a+b)/2). The
+    // frame list is an intermediate only; the final projection stays flat
+    // scalars per the driver contract.
+    "q_rolling_median" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .filter($"user_id" % 20 === 0)
+        .groupBy($"user_id", to_date($"ts").as("d"))
+        .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("v"))
+      val w = Window.partitionBy($"user_id").orderBy($"d".asc)
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("arr", sort_array(collect_list($"v").over(w)))
+        .withColumn("n", size($"arr"))
+        .select($"user_id", $"d".cast("string").as("day"), $"v", $"n",
+          ((element_at($"arr", (($"n" + 1) / 2).cast("int")) +
+            element_at($"arr", ($"n" / 2 + 1).cast("int"))) / 2.0)
+            .as("med7"))
+        .orderBy($"user_id", $"day")
+    }),
+
     // Distribution functions: ntile / percent_rank / cume_dist over
     // customer balances per segment. The unique (acctbal, custkey) order
     // key makes all three engine-identical: percent_rank = (rank-1)/(n-1)
@@ -114,6 +139,23 @@ object WindowQueries extends graft.QueryModule {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS decimal(18,2))) AS double) AS v
+        |  FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT user_id, d, v,
+        |    list_sort(list(v) OVER (PARTITION BY user_id ORDER BY d ASC
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily
+        |)
+        |SELECT user_id, CAST(d AS varchar) AS day, v,
+        |  CAST(len(arr) AS int) AS n,
+        |  (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0::double
+        |    AS med7
+        |FROM r ORDER BY user_id, day""".stripMargin,
     "q_window_distribution" ->
       """SELECT c_mktsegment, c_custkey,
         |  CAST(NTILE(4) OVER w AS int) AS quartile,

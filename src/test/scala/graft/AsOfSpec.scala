@@ -28,6 +28,19 @@ class AsOfSpec extends SparkSpec {
     assert(out("p3") == (null, -1L), "keys never leak across groups")
   }
 
+  test("joinWithin nulls carries for stale matches, keeps fresh ones and no-match nulls") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale"), (2L, 50L, "none"))
+      .toDF("k", "t", "pid")
+    val right = Seq((1L, 90L, "c1")).toDF("k", "t", "cid")
+    val out = AsOf.joinWithin(left, right, Seq("k"), "t", "t",
+        Seq("cid"), rightTie = "cid")((l, r) => l - r <= 50L)
+      .collect().map(r => r.getString(2) -> Option(r.getString(3)).orNull).toMap
+    assert(out("fresh") == "c1", "gap 10 <= 50 carries")
+    assert(out("stale") == null, "gap 410 > 50 must null the carry, not drop the row")
+    assert(out("none") == null, "no prior right row stays null")
+  }
+
   test("exact-time duplicates on the right break ties by rightTie, largest wins") {
     import spark.implicits._
     val left = Seq((1L, 100L, "p")).toDF("k", "t", "pid")
