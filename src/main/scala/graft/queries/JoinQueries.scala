@@ -160,6 +160,25 @@ object JoinQueries extends graft.QueryModule {
         .orderBy($"purchase_id")
     }),
 
+    // Co-purchase pair mining (market-basket): parts appearing on the
+    // same order, counted across orders, top-20 pairs. The self-join is
+    // keyed on l_orderkey, so fan-out per key is C(order size, 2) —
+    // BOUNDED by the max lines per order (7 here), never corpus-quadratic;
+    // the distinct-per-order projection first removes same-part repeat
+    // lines so a multi-line part can't inflate its own pairs. One shuffle
+    // on the order key + one on the pair for the count.
+    "q_copurchase" -> ((s, dir) => {
+      import s.implicits._
+      val op = Tables(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      op.join(op.select($"o", $"p".as("p2")), "o")
+        .filter($"p" < $"p2")
+        .groupBy($"p".as("part_a"), $"p2".as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"n_orders".desc, $"part_a".asc, $"part_b".asc)
+        .limit(20)
+    }),
+
     // Salted skew join (graft.ops.Skew): events (big, skewed user_id) ⋈
     // customer dim, salt=16. The oracle is the PLAIN join — salting is a
     // physical rewrite and must be result-identical; this entry proves it.
@@ -343,6 +362,15 @@ object JoinQueries extends graft.QueryModule {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q_copurchase" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |)
+        |SELECT a.p AS part_a, b.p AS part_b, count(1) AS n_orders
+        |FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        |LIMIT 20""".stripMargin,
     "q_join_asof_tolerance" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000

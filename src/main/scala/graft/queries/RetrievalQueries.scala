@@ -32,6 +32,31 @@ object RetrievalQueries extends graft.QueryModule {
         Bm25Terms, 20)
     }),
 
+    // Token-distribution entropy per document (nats) — the Shannon
+    // quality signal (low entropy = repetitive/templated text, a
+    // standard training-data filter). H = Σ (c/n)·ln(n/c) computed
+    // fixed-point: the per-(c,n) log quantizes to an integer micro-nat
+    // once, the per-doc sum is exact BIGINT math, and the final
+    // division of exact integers is correctly rounded — hash-identical
+    // in DuckDB like the other Retrieval entries.
+    "q_token_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val tf = Retrieval.termFreq(
+        Tables(s, dir, "documents").filter($"doc_id" % 5 === 0),
+        "doc_id", "text")
+      val n = tf.groupBy($"doc_id")
+        .agg(sum($"tf").as("n_tokens"), count(lit(1)).as("n_unique"))
+      tf.join(n, "doc_id")
+        .groupBy($"doc_id", $"n_tokens", $"n_unique")
+        .agg(sum($"tf" *
+            round(log($"n_tokens".cast("double") / $"tf") * lit(1000000d))
+              .cast("long")).as("h_fp"))
+        .select($"doc_id", $"n_tokens", $"n_unique",
+          ($"h_fp".cast("double") /
+            ($"n_tokens" * lit(1000000L)).cast("double")).as("entropy"))
+        .orderBy($"doc_id")
+    }),
+
     // 64-token chunks, stride 48 (16-token overlap); md5 fingerprint of
     // every chunk is the oracle anchor, so any boundary error flips the
     // hash.
@@ -109,6 +134,26 @@ object RetrievalQueries extends graft.QueryModule {
         |    AS score
         |FROM agg
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> x != '')) AS term
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    count(1) AS n_unique
+        |  FROM tf GROUP BY 1
+        |)
+        |SELECT tf.doc_id, n.n_tokens, n.n_unique,
+        |  CAST(SUM(tf.tf * CAST(round(ln(CAST(n.n_tokens AS double) / tf.tf)
+        |         * 1000000) AS BIGINT)) AS double)
+        |    / CAST(n.n_tokens * 1000000 AS double) AS entropy
+        |FROM tf JOIN n USING (doc_id)
+        |GROUP BY tf.doc_id, n.n_tokens, n.n_unique
+        |ORDER BY tf.doc_id""".stripMargin,
     "q_chunk_text" ->
       """WITH toks AS (
         |  SELECT doc_id,
