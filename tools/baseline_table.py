@@ -13,9 +13,10 @@ import sys
 d = json.load(open(sys.argv[1]))
 probe = d["probe_sec"]
 print(f'# total {d["value"]:.2f}s  probe {probe:.3f}s  n={len(d["queries"])}')
-print("| query | median sec (sf0.1) | ratio (×probe) |")
-print("|---|---|---|")
+print("| query | median sec (sf0.1) | ratio (×probe) | ratio_local |")
+print("|---|---|---|---|")
 for q in sorted(d["queries"]):
-    print(f'| {q} | {d["queries"][q]:.2f} | {d["queries"][q] / probe:.2f} |')
+    rl = d["queries"][q] / d["probe_local"][q]
+    print(f'| {q} | {d["queries"][q]:.2f} | {d["queries"][q] / probe:.2f} | {rl:.2f} |')
 if d.get("errors"):
     print("ERRORS:", d["errors"])
