@@ -70,6 +70,23 @@ class PlanSpec extends SparkSpec {
         s" ${exchanges.size}:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_copurchase: pair join keys on the order — never a cartesian product") {
+    val p = plan("q_copurchase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"market-basket self-join must stay an equi-join on l_orderkey:\n${p.take(2000)}")
+  }
+
+  test("q_tfidf: per-doc top-k pushes a WindowGroupLimit") {
+    assert(plan("q_tfidf").contains("WindowGroupLimit"))
+  }
+
+  test("q_histogram: scan reads only the bucketed column") {
+    val p = plan("q_histogram")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_orderkey"),
+      s"only l_extendedprice should be scanned: $readSchema")
+  }
+
   test("q_profile_stats: two scans (stats + distincts), never an Expand") {
     // The profile is exactly two passes: a wide no-distinct agg and a
     // stack-unpivoted single count_distinct. A per-column loop would show
