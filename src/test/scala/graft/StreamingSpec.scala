@@ -115,6 +115,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == expect)
   }
 
+  test("streaming session_window equals batch sessionize, session-for-session") {
+    import spark.implicits._
+    val path = Streams.stageAsDir(s"$sf/events.parquet")
+    val streamed = Streams.runToTable(spark, Streams.sessionCounts(
+        Streams.eventsFileStream(spark, path)), "sess_eq", "complete")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val events = spark.read.schema(Streams.EventsRawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.ops.Sessions
+      .sessionize(events, $"user_id", $"ts", $"event_id", 1800L)
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"ts").as("sess_start"), count(lit(1)).as("n_events"))
+      .select($"user_id", $"sess_start", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "fixture must produce sessions")
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
+  test("gap law agrees at the boundary: == gap merges, one second over splits (both engines)") {
+    // Sessions.sessionize splits on gap > gapSec; session_window turned
+    // out to share the law (an event at exactly sessionEnd still merges
+    // — verified here, not assumed). Pin agreement on BOTH sides of the
+    // boundary so neither implementation can drift from the other;
+    // q_sessionize's oracle anchors the batch law externally.
+    import spark.implicits._
+    def at(sec: Int) = java.sql.Timestamp
+      .valueOf(f"2020-01-01 ${sec / 3600}%02d:${sec % 3600 / 60}%02d:${sec % 60}%02d")
+    def laws(gapSec: Int): (Long, Long) = {
+      val df = Seq((at(0), 1L, 1L), (at(gapSec), 1L, 2L))
+        .toDF("ts", "user_id", "event_id")
+      val stream = df
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id").count().count()
+      val batch = graft.ops.Sessions
+        .sessionize(df, $"user_id", $"ts", $"event_id", 1800L)
+        .agg(max($"session_idx")).head().getLong(0)
+      (stream, batch)
+    }
+    assert(laws(1800) == ((1L, 1L)), "a gap of exactly 30 min merges under BOTH laws")
+    assert(laws(1801) == ((2L, 2L)), "one second over the gap splits under BOTH laws")
+  }
+
   test("stream-stream interval join equals the batch interval join, pair-for-pair") {
     import spark.implicits._
     val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
