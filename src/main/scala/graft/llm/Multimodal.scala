@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
   * formula with no float drift; `resizeImages` is the real
   * decode→transform→re-encode path. AUDIO DECODE IS REAL for WAV/PCM:
   * `audioFeatures` runs `javax.sound.sampled` and extracts exact integer
-  * sample statistics the same oracle-friendly way. Compressed audio
-  * (mp3/aac) and video codecs are not in the JDK and stay out of scope;
-  * for video, `frameSample` keeps the slice plumbing real while marking
-  * the interpretation fake.
+  * sample statistics the same oracle-friendly way. VIDEO IS REAL for the
+  * uncompressed Y4M container: `videoFrames` parses the YUV4MPEG2
+  * header, walks frames with marker-verified container arithmetic, and
+  * extracts exact per-sampled-frame luma statistics — no codec needed
+  * because the container is raw planes. Compressed audio (mp3/aac) and
+  * compressed video codecs (h264 etc.) are not in the JDK and stay out
+  * of scope; for opaque compressed payloads `frameSample` keeps the
+  * slice plumbing real while marking the interpretation fake.
   *
   * Scale notes: binary payloads ride the same parquet scans as everything
   * else; decode is embarrassingly parallel per partition (the
@@ -157,13 +161,126 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling STUB for video-ish payloads: n evenly-spaced byte
-    * slices of `width` bytes (real impl: keyframe extraction). Slicing is
-    * real (`substr` on binary); only the interpretation is fake.
+  /** Frame sampling STUB for opaque compressed payloads: n evenly-spaced
+    * byte slices of `width` bytes (real impl: keyframe extraction, needs
+    * a codec the JDK lacks). Slicing is real (`substr` on binary); only
+    * the interpretation is fake. For the UNCOMPRESSED Y4M container the
+    * real path is [[videoFrames]].
     */
   def frameSample(content: Column, n: Int, width: Int): Column = {
     val step = greatest((length(content) / n).cast("int"), lit(1))
     transform(sequence(lit(0), lit(n - 1)), i => content.substr(i * step + 1, lit(width)))
+  }
+
+  /** Minimal deterministic Y4M (YUV4MPEG2) writer — the standard
+    * UNCOMPRESSED raw-video container (mplayer/ffmpeg interchange):
+    * ASCII header `YUV4MPEG2 W<w> H<h> F<num>:<den> Ip A1:1 C420\n`,
+    * then per frame `FRAME\n` + planar 4:2:0 data (w·h luma bytes +
+    * two w/2·h/2 chroma planes). Fixture/sink path; luma from
+    * `lumaOf(frame, x, y)`, chroma fixed at 128 (neutral).
+    */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int, nFrames: Int,
+      lumaOf: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420\n"
+      .getBytes("US-ASCII")
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (6 + frameBytes))
+    out.put(header)
+    (0 until nFrames).foreach { f =>
+      out.put("FRAME\n".getBytes("US-ASCII"))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out.put((lumaOf(f, x, y) & 0xFF).toByte); x += 1 }
+        y += 1
+      }
+      var c = 0
+      while (c < 2 * (w / 2) * (h / 2)) { out.put(128.toByte); c += 1 }
+    }
+    out.array()
+  }
+
+  /** REAL raw-video parse + frame sampling over the Y4M container: header
+    * fields (geometry, frame rate), frame count from exact container
+    * arithmetic (every frame must start with its `FRAME\n` marker — a
+    * torn file is detected, not misread), and per-sampled-frame EXACT
+    * integer luma statistics (Σy, Σy²) over the decoded Y plane —
+    * SQL-oracle-reproducible like [[imageFeatures]]' pixel sums. Sampled
+    * frames are the `nSamples` evenly-spaced indices
+    * `i·n_frames / nSamples` (integer division) — the keyframe-sampling
+    * law a training pipeline uses to cap per-video cost. No codec is
+    * involved because the container IS raw planes; compressed codecs
+    * (h264 etc.) remain out of JDK scope. Corrupt/non-Y4M bytes → one
+    * null row, never a failed stage. One output row per (id, frame).
+    */
+  def videoFrames(df: DataFrame, idCol: String, nSamples: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("y_sum", LongType),
+      StructField("y_sqsum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val nullRow = (id: Long) => Row(id, null, null, null, null, null, null, null)
+    df.select(col(idCol).cast("long"), col("content")).mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(0)) Iterator.empty
+        else if (r.isNullAt(1)) Iterator.single(nullRow(r.getLong(0)))
+        else {
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val parsed = try {
+            val nl = b.indexOf('\n'.toByte)
+            if (nl < 0) None
+            else {
+              val fields = new String(b, 0, nl, "US-ASCII").split(" ")
+              if (fields.headOption.contains("YUV4MPEG2")) {
+                def num(p: String) = fields.collectFirst {
+                  case f if f.startsWith(p) => f.drop(p.length) }
+                for {
+                  w <- num("W").map(_.toInt)
+                  h <- num("H").map(_.toInt)
+                  fps <- num("F").map(_.split(":"))
+                  if fps.length == 2 && w > 0 && h > 0
+                } yield (w, h, fps(0).toInt, fps(1).toInt, nl + 1)
+              } else None
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+          val rows = parsed.flatMap { case (w, h, fpsN, fpsD, hdr) =>
+            val frameSize = 6 + w * h + 2 * (w / 2) * (h / 2)
+            val body = b.length - hdr
+            if (fpsN <= 0 || fpsD <= 0 || body <= 0 || body % frameSize != 0) None
+            else {
+              val marker = "FRAME\n".getBytes("US-ASCII")
+              val nFrames = body / frameSize
+              val torn = (0 until nFrames).exists { f =>
+                val off = hdr + f * frameSize
+                !marker.indices.forall(i => b(off + i) == marker(i))
+              }
+              if (torn) None
+              else Some((0 until nSamples).map { i =>
+                val f = i * nFrames / nSamples
+                val off = hdr + f * frameSize + 6
+                var s = 0L; var sq = 0L; var p = 0
+                while (p < w * h) {
+                  val v = (b(off + p) & 0xFF).toLong
+                  s += v; sq += v * v; p += 1
+                }
+                Row(id, w, h, nFrames,
+                  nFrames.toLong * 1000L * fpsD / fpsN, f, s, sq)
+              })
+            }
+          }
+          rows.map(_.iterator).getOrElse(Iterator.single(nullRow(id)))
+        }
+      }
+    }(enc)
   }
 
   /** REAL image resize, batched per partition: decode via javax.imageio,

@@ -172,6 +172,32 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // REAL raw-video path: deterministic Y4M (YUV4MPEG2) fixtures — the
+    // standard uncompressed container, built from a luma FORMULA — parsed
+    // by Multimodal.videoFrames: header geometry + frame rate, container-
+    // exact frame count (every FRAME marker verified), and 2 evenly-
+    // sampled frames' exact integer luma sums. The oracle recomputes the
+    // sums from the same formula with no decoder, so only a correct
+    // header/plane/offset walk can match. A corrupt payload rides along
+    // as the null row. Compressed codecs stay out of JDK scope; this pins
+    // that RAW video is fully real.
+    "q_multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Tables(s, dir, "documents").filter($"doc_id" % 25 === 0)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.encodeY4m(8, 8, 25, 1, 4,
+            (f, x, y) => ((id * 29 + f * 37 + x * 5 + y * 11) % 256).toInt))
+        })
+        .toDF("doc_id", "content")
+        .unionByName(Seq((-1L, "not a video".getBytes("UTF-8")))
+          .toDF("doc_id", "content"))
+      Multimodal.videoFrames(packed, "doc_id", nSamples = 2)
+        .select($"id".as("doc_id"), $"width", $"height", $"n_frames",
+          $"duration_ms", $"frame_idx", $"y_sum", $"y_sqsum")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // REAL resize pipeline: solid-color 8×8 fixtures (constant fields are
     // interpolation-invariant — bilinear of equal pixels is that pixel, so
     // the resized sums are EXACTLY w*h*channel and the oracle needs no
@@ -324,6 +350,24 @@ object SimilarityQueries extends graft.QueryModule {
     // The oracle never touches a codec: it recomputes the channel sums
     // from the fixturePixel formula over an 8×8 grid, so only a correct
     // encode→decode round-trip can match it.
+    "q_multimodal_video" ->
+      """WITH fr AS (SELECT CAST(unnest([0, 2]) AS int) AS frame_idx),
+        |px AS (
+        |  SELECT d.doc_id, f.frame_idx, tx.x, ty.y
+        |  FROM documents d, fr f, range(8) tx(x), range(8) ty(y)
+        |  WHERE d.doc_id % 25 = 0
+        |)
+        |SELECT doc_id, 8 AS width, 8 AS height, 4 AS n_frames,
+        |  CAST(160 AS bigint) AS duration_ms, frame_idx,
+        |  CAST(SUM((doc_id*29 + frame_idx*37 + x*5 + y*11) % 256) AS bigint)
+        |    AS y_sum,
+        |  CAST(SUM(((doc_id*29 + frame_idx*37 + x*5 + y*11) % 256)
+        |         * ((doc_id*29 + frame_idx*37 + x*5 + y*11) % 256)) AS bigint)
+        |    AS y_sqsum
+        |FROM px GROUP BY doc_id, frame_idx
+        |UNION ALL
+        |SELECT -1, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_multimodal_features" ->
       """WITH px AS (
         |  SELECT d.doc_id, tx.x, ty.y

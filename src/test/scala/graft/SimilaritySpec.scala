@@ -167,6 +167,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("videoFrames: exact luma stats per sampled frame; torn container -> null row") {
+    import spark.implicits._
+    def luma(f: Int, x: Int, y: Int): Int = (f * 50 + x * 3 + y * 7) % 256
+    val good = Multimodal.encodeY4m(4, 4, 10, 1, 5, luma)
+    // torn: drop the last byte — frame arithmetic no longer divides
+    val torn = good.dropRight(1)
+    // marker corruption: flip a byte inside the LAST frame's FRAME marker
+    val frameSize = 6 + 4 * 4 + 2 * 2 * 2
+    val badMarker = good.clone()
+    badMarker(good.length - frameSize) = 'X'.toByte
+    val packed = Seq((1L, good), (2L, torn), (3L, badMarker)).toDF("doc_id", "content")
+    val out = Multimodal.videoFrames(packed, "doc_id", nSamples = 2)
+      .collect().groupBy(_.getLong(0))
+    val g = out(1L).sortBy(_.getInt(5))
+    assert(g.length == 2 && g(0).getInt(5) == 0 && g(1).getInt(5) == 2,
+      "5 frames sampled at i*5/2 = {0, 2}")
+    assert(g(0).getInt(3) == 5 && g(0).getLong(4) == 500L,
+      "5 frames at 10 fps = 500 ms")
+    val expect0 = (for { y <- 0 until 4; x <- 0 until 4 } yield luma(0, x, y).toLong).sum
+    assert(g(0).getLong(6) == expect0, "frame-0 luma sum must match the formula")
+    assert(out(2L).length == 1 && out(2L).head.isNullAt(1),
+      "torn container must yield ONE null row, not garbage stats")
+    assert(out(3L).length == 1 && out(3L).head.isNullAt(1),
+      "a corrupted FRAME marker must be detected, not read past")
+  }
+
   test("multimodal: corrupt/truncated/null payloads yield null features; null id drops") {
     import spark.implicits._
     val good = Multimodal.encodeImage(2, 2, "png", (_, _) => 0x010203)
