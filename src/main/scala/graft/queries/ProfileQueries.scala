@@ -79,6 +79,63 @@ object ProfileQueries extends graft.QueryModule {
         .orderBy($"col_name")
     }),
 
+    // Schema evolution: generation 1 writes 3 columns, generation 2
+    // appends the same data with an ADDED column; a mergeSchema read sees
+    // the union schema with NULLs for the old generation — the drift law
+    // every long-lived lake table needs. The aggregate pins exactly which
+    // generation carries values. (At 100 TB, mergeSchema footer-merge cost
+    // scales with file count, not data — production pins the merged
+    // schema in a catalog; the read semantics are what this entry pins.)
+    "q_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "orders").filter($"o_orderkey" % 100 === 0)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_schema_evo_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(tmp))
+      base.withColumn("gen", lit(1L))
+        .write.mode("overwrite").parquet(tmp)
+      base.withColumn("gen", lit(2L))
+        .withColumn("o_priority_score", ($"o_orderkey" % 7).cast("long"))
+        .write.mode("append").parquet(tmp)
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy($"gen")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"o_priority_score".isNull, 1L).otherwise(0L)).as("n_null_new_col"),
+          sum(coalesce($"o_priority_score", lit(0L))).as("sum_new_col"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+        .orderBy($"gen")
+    }),
+
+    // Small-file compaction: the fragmented table (16 shuffled files) is
+    // rewritten through repartition(2) and re-read — file counts from a
+    // real directory listing prove the compaction, and the checksum-style
+    // aggregates prove rows survived byte-exact. At 100 TB this is the
+    // nightly OPTIMIZE job; the lever is the same repartition before
+    // write.
+    "q_compaction" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "orders").filter($"o_orderkey" % 50 === 0)
+        .select($"o_orderkey", $"o_totalprice")
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_compaction_${ProcessHandle.current().pid()}"
+      val frag = s"$root/frag"; val compact = s"$root/compact"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(frag, compact))
+      src.repartition(16).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).repartition(2)
+        .write.mode("overwrite").parquet(compact)
+      def nFiles(p: String) = graft.ops.FileOps.listFiles(s, p)
+        .filter(!$"is_dir" && $"name".endsWith(".parquet"))
+        .agg(count(lit(1))).head().getLong(0)
+      val (nf, nc) = (nFiles(frag), nFiles(compact))
+      s.read.parquet(compact)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey".cast("decimal(30,0)")).cast("bigint").as("sum_keys"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+        .select(lit(nf).as("files_before"), lit(nc).as("files_after"),
+          $"n_rows", $"sum_keys", $"sum_price")
+    }),
+
     // C1/C2 ORC interchange: write a lineitem slice to ORC (Spark's
     // second native columnar format), read it back, aggregate — proves
     // longs, doubles, strings, and timestamps are value-stable through
@@ -132,6 +189,30 @@ object ProfileQueries extends graft.QueryModule {
       (num ++ str :+ dt).mkString("SELECT * FROM (\n",
         "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+    "q_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |),
+        |merged AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(1 AS bigint) AS gen,
+        |    CAST(NULL AS bigint) AS o_priority_score
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 2, o_orderkey % 7 FROM base
+        |)
+        |SELECT gen, count(1) AS n,
+        |  CAST(SUM(CASE WHEN o_priority_score IS NULL THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_null_new_col,
+        |  CAST(SUM(coalesce(o_priority_score, 0)) AS bigint) AS sum_new_col,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
+        |FROM merged GROUP BY gen ORDER BY gen""".stripMargin,
+    "q_compaction" ->
+      """SELECT CAST(16 AS bigint) AS files_before, CAST(2 AS bigint) AS files_after,
+        |  count(1) AS n_rows,
+        |  CAST(SUM(CAST(o_orderkey AS decimal(30,0))) AS bigint) AS sum_keys,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, count(1) AS n,
         |  CAST(SUM(CAST(l_quantity AS decimal(20,2))) AS double) AS sum_qty,
