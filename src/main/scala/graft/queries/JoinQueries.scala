@@ -162,16 +162,24 @@ object JoinQueries extends graft.QueryModule {
 
     // Co-purchase pair mining (market-basket): parts appearing on the
     // same order, counted across orders, top-20 pairs. The self-join is
-    // keyed on l_orderkey, so fan-out per key is C(order size, 2) —
-    // BOUNDED by the max lines per order (7 here), never corpus-quadratic;
-    // the distinct-per-order projection first removes same-part repeat
-    // lines so a multi-line part can't inflate its own pairs. One shuffle
-    // on the order key + one on the pair for the count.
+    // keyed on l_orderkey, so fan-out per key is C(basket, 2) — and the
+    // basket is CAPPED at 100 distinct parts (an ENFORCED bound, not a
+    // data assumption: one pathological 10k-part order would otherwise
+    // fan 50M pairs out of a single key; production basket miners cap or
+    // sample giant baskets because their pairs are association noise
+    // anyway). The distinct-per-order projection first removes same-part
+    // repeat lines so a multi-line part can't inflate its own pairs. One
+    // shuffle on the order key + one on the pair for the count; the cap
+    // is a pre-aggregated key count, same shuffle.
     "q_copurchase" -> ((s, dir) => {
       import s.implicits._
       val op = Tables(s, dir, "lineitem")
         .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      op.join(op.select($"o", $"p".as("p2")), "o")
+      val small = op.groupBy($"o").agg(count(lit(1)).as("basket"))
+        .filter($"basket" <= 100)
+        .select($"o")
+      val capped = op.join(small, "o")
+      capped.join(capped.select($"o", $"p".as("p2")), "o")
         .filter($"p" < $"p2")
         .groupBy($"p".as("part_a"), $"p2".as("part_b"))
         .agg(count(lit(1)).as("n_orders"))
@@ -365,9 +373,14 @@ object JoinQueries extends graft.QueryModule {
     "q_copurchase" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |),
+        |capped AS (
+        |  SELECT op.o, op.p FROM op
+        |  JOIN (SELECT o FROM op GROUP BY o HAVING count(1) <= 100) s
+        |    ON op.o = s.o
         |)
         |SELECT a.p AS part_a, b.p AS part_b, count(1) AS n_orders
-        |FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a ASC, part_b ASC
         |LIMIT 20""".stripMargin,
