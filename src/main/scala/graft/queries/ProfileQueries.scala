@@ -136,6 +136,84 @@ object ProfileQueries extends graft.QueryModule {
           $"n_rows", $"sum_keys", $"sum_price")
     }),
 
+    // C1 XML source (graft.sources.XmlSource — JDK StAX, zero deps like
+    // the Excel sources): supplier rows written executor-side as XML
+    // documents (one per partition) with a name field salted with
+    // `<&>"` so only REAL entity escaping + pull-parse round-trips it;
+    // read back via the rowTag/fields contract, cast schema-on-read,
+    // aggregate. min/max over the salted names pin the escaping
+    // byte-for-byte; acctbal rides as decimal-exact cents.
+    "q_xml_scan" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_xml_scan_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(tmp))
+      Tables(s, dir, "supplier")
+        .select($"s_suppkey", $"s_name", $"s_nationkey",
+          ($"s_acctbal".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        .repartition(4, $"s_nationkey")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val rows = it.map(r => Seq(
+            "suppkey" -> r.getLong(0).toString,
+            "name" -> (r.getString(1) + " <&> \"xml\""),
+            "nationkey" -> r.getInt(2).toString,
+            "cents" -> r.getLong(3).toString)).toSeq
+          if (rows.nonEmpty) {
+            val bytes = graft.sources.XmlSource.writeXml("suppliers", "REC", rows)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"part-$pid%04d.xml"), bytes)
+          }
+          ()
+        }
+      graft.sources.XmlSource
+        .read(s, tmp, "REC", Seq("suppkey", "name", "nationkey", "cents"))
+        .select($"suppkey".cast("long").as("suppkey"), $"name",
+          $"nationkey".cast("int").as("nationkey"), $"cents".cast("long").as("cents"))
+        .groupBy($"nationkey")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"suppkey").as("n_supp"),
+          sum($"cents").as("sum_cents"),
+          min($"name").as("min_name"), max($"name").as("max_name"))
+        .orderBy($"nationkey")
+    }),
+
+    // Fixed-width text interchange (the mainframe/COBOL feed format):
+    // rows render at fixed byte offsets (lpad'd numerics, rpad'd text),
+    // write as plain text, read back by OFFSET SLICING (substring + trim
+    // + cast — schema-on-read with no delimiter to trust), aggregate.
+    // Value-stability proof for the offset arithmetic: a one-column
+    // misalignment shifts every downstream field and flips the hash.
+    "q_fixedwidth_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "customer").filter($"c_custkey" % 20 === 0)
+      // acctbal rides as OFFSET CENTS (decimal-exact ×100, +1e6 so the
+      // fixed-width field never carries a sign character)
+      val lines = src.select(concat(
+        lpad($"c_custkey".cast("string"), 10, "0"),
+        rpad($"c_mktsegment", 12, " "),
+        lpad($"c_nationkey".cast("string"), 4, "0"),
+        lpad(($"c_acctbal".cast("decimal(12,2)") * 100 + 1000000)
+          .cast("long").cast("string"), 12, "0"))
+        .as("value"))
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_fixedwidth_${ProcessHandle.current().pid()}"
+      lines.write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(
+          substring($"value", 1, 10).cast("long").as("custkey"),
+          trim(substring($"value", 11, 12)).as("segment"),
+          substring($"value", 23, 4).cast("int").as("nationkey"),
+          ((substring($"value", 27, 12).cast("long") - 1000000)
+            .cast("double") / 100.0).as("acctbal"))
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"nationkey").as("n_nations"),
+          min($"custkey").as("min_key"), max($"custkey").as("max_key"),
+          sum($"acctbal".cast("decimal(20,2)")).cast("double").as("sum_bal"))
+        .orderBy($"segment")
+    }),
+
     // C1/C2 ORC interchange: write a lineitem slice to ORC (Spark's
     // second native columnar format), read it back, aggregate — proves
     // longs, doubles, strings, and timestamps are value-stable through
@@ -213,6 +291,21 @@ object ProfileQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(o_orderkey AS decimal(30,0))) AS bigint) AS sum_keys,
         |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
         |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
+    "q_xml_scan" ->
+      """SELECT s_nationkey AS nationkey, count(1) AS n,
+        |  count(DISTINCT s_suppkey) AS n_supp,
+        |  CAST(SUM(CAST(CAST(s_acctbal AS decimal(12,2)) * 100 AS bigint))
+        |    AS bigint) AS sum_cents,
+        |  min(s_name || ' <&> "xml"') AS min_name,
+        |  max(s_name || ' <&> "xml"') AS max_name
+        |FROM supplier GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
+    "q_fixedwidth_roundtrip" ->
+      """SELECT c_mktsegment AS segment, count(1) AS n,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+        |  CAST(SUM(CAST(c_acctbal AS decimal(20,2))) AS double) AS sum_bal
+        |FROM customer WHERE c_custkey % 20 = 0
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, count(1) AS n,
         |  CAST(SUM(CAST(l_quantity AS decimal(20,2))) AS double) AS sum_qty,
