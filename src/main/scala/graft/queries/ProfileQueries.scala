@@ -4,7 +4,10 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Data-quality profiling + the ORC interchange round-trip.
+/** Data-quality profiling + interchange/lake-maintenance entries: the
+  * per-column profile, the ORC / XML / fixed-width format round-trips,
+  * schema-evolution reads, and small-file compaction — the "can I trust
+  * and maintain this feed" surface around the relational core.
   *
   * `q_profile_stats` is the per-column profile a warehouse load job runs
   * before trusting a feed (the reference trusts Postgres constraints for
