@@ -252,13 +252,20 @@ object Multimodal {
               } else None
             }
           } catch { case scala.util.control.NonFatal(_) => None }
+          // The whole frame walk is guarded: geometry is computed in Long and
+          // bounded by the actual payload size BEFORE any array arithmetic, and
+          // the walk itself sits under NonFatal — a malformed header (e.g.
+          // W65536 H65536 overflowing 32-bit frameSize) degrades to the null
+          // row, never a failed stage.
           val rows = parsed.flatMap { case (w, h, fpsN, fpsD, hdr) =>
-            val frameSize = 6 + w * h + 2 * (w / 2) * (h / 2)
-            val body = b.length - hdr
-            if (fpsN <= 0 || fpsD <= 0 || body <= 0 || body % frameSize != 0) None
-            else {
+            val frameSizeL = 6L + w.toLong * h + 2L * (w / 2) * (h / 2)
+            val body = (b.length - hdr).toLong
+            if (fpsN <= 0 || fpsD <= 0 || body <= 0 || frameSizeL > body ||
+                body % frameSizeL != 0) None
+            else try {
+              val frameSize = frameSizeL.toInt
               val marker = "FRAME\n".getBytes("US-ASCII")
-              val nFrames = body / frameSize
+              val nFrames = (body / frameSize).toInt
               val torn = (0 until nFrames).exists { f =>
                 val off = hdr + f * frameSize
                 !marker.indices.forall(i => b(off + i) == marker(i))
@@ -275,7 +282,7 @@ object Multimodal {
                 Row(id, w, h, nFrames,
                   nFrames.toLong * 1000L * fpsD / fpsN, f, s, sq)
               })
-            }
+            } catch { case scala.util.control.NonFatal(_) => None }
           }
           rows.map(_.iterator).getOrElse(Iterator.single(nullRow(id)))
         }

@@ -58,8 +58,10 @@ object SimilarityQueries extends graft.QueryModule {
     // CLUSTERS via connected components, one representative (min id) per
     // cluster — the keep/drop decision an embedding-dedup pipeline
     // actually ships. Corpus = sample ∪ ×2 ∪ ×3 scaled copies (scale-
-    // invariant cosine ⇒ clusters of 3; both scalings exact in IEEE
-    // float). The pair relation feeding CC is the documented exact
+    // invariant cosine ⇒ clusters of 3; ×2 is exact in IEEE float, ×3
+    // rounds in general but the oracle performs the identical float
+    // multiply, and the 0.999 threshold has huge slack against one-ulp
+    // rounding). The pair relation feeding CC is the documented exact
     // baseline (crossJoin at this sampled scale); the 100 TB path is the
     // SRP-bucketed equi-join candidates computed alongside, whose overlap
     // with the exact pair set is pinned in-query as recall_ok (identical-
@@ -78,7 +80,12 @@ object SimilarityQueries extends graft.QueryModule {
       val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
         .filter(Similarity.dot($"v_a", $"v_b") / ($"n_a" * $"n_b") >= 0.999)
         .select($"id_a", $"id_b")
-        .cache() // feeds CC (iterative) + the recall flag: compute once
+        // feeds CC (iterative) + the recall flag: materialize once.
+        // localCheckpoint, not cache(): checkpoint blocks are reclaimed by
+        // the ContextCleaner once the RDD is unreferenced, so repeated
+        // invocations in a long-lived session (the bench harness) don't
+        // accumulate cached blocks the way CacheManager entries would.
+        .localCheckpoint()
       val planes = (0 until 16).map(Similarity.hyperplane(_, 64))
       val keyed = prep.withColumn("k", Similarity.srpKey($"v", planes))
       val blocked = keyed.select($"k", $"vec_id".as("id_a"), $"v".as("v_a"), $"nrm".as("n_a"))

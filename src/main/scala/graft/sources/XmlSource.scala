@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   * Input layout: each file is `<root><REC><f>v</f>…</REC>…</root>`;
   * `read` returns one row per `rowTag` element with the requested
   * DIRECT-child element texts as string columns (absent children stay
-  * null, unknown children are skipped structurally). Entity escaping and
+  * null; unknown and non-leaf children — those with nested elements —
+  * are skipped structurally by depth-count). Entity escaping and
   * CDATA are the parser's job, never a regex; DTDs are disabled (XXE —
   * external entities in untrusted feeds must not resolve).
   *
@@ -57,11 +58,28 @@ object XmlSource {
           var done = false
           while (!done && rd.hasNext) {
             rd.next()
-            if (rd.isStartElement)
-              // getElementText consumes through the matching end tag and
-              // concatenates text + CDATA sections (flat-field contract)
-              rec += rd.getLocalName -> rd.getElementText
-            else if (rd.isEndElement && rd.getLocalName == rowTag) done = true
+            if (rd.isStartElement) {
+              // Walk the child to its matching end tag by depth-counting —
+              // never getElementText, which throws on nested elements. A
+              // child with element children is non-leaf: structurally
+              // skipped, no value recorded (the documented contract).
+              val name = rd.getLocalName
+              val sb = new StringBuilder
+              var depth = 1
+              var leaf = true
+              while (depth > 0 && rd.hasNext) {
+                rd.next()
+                if (rd.isStartElement) { depth += 1; leaf = false }
+                else if (rd.isEndElement) depth -= 1
+                else if (leaf && depth == 1) {
+                  val t = rd.getEventType
+                  import javax.xml.stream.XMLStreamConstants._
+                  if (t == CHARACTERS || t == CDATA || t == SPACE ||
+                      t == ENTITY_REFERENCE) sb.append(rd.getText)
+                }
+              }
+              if (leaf) rec += name -> sb.toString
+            } else if (rd.isEndElement && rd.getLocalName == rowTag) done = true
           }
           out += rec
         }

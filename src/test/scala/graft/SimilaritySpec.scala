@@ -177,7 +177,13 @@ class SimilaritySpec extends SparkSpec {
     val frameSize = 6 + 4 * 4 + 2 * 2 * 2
     val badMarker = good.clone()
     badMarker(good.length - frameSize) = 'X'.toByte
-    val packed = Seq((1L, good), (2L, torn), (3L, badMarker)).toDF("doc_id", "content")
+    // overflow attack: a well-formed header whose W*H overflows 32-bit
+    // frame-size arithmetic (65536*65536) — must degrade to the null row,
+    // never ArithmeticException/ArrayIndexOutOfBounds in the frame walk
+    val huge = ("YUV4MPEG2 W65536 H65536 F25:1\n" + "FRAME\n").getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(7)
+    val packed = Seq((1L, good), (2L, torn), (3L, badMarker), (4L, huge))
+      .toDF("doc_id", "content")
     val out = Multimodal.videoFrames(packed, "doc_id", nSamples = 2)
       .collect().groupBy(_.getLong(0))
     val g = out(1L).sortBy(_.getInt(5))
@@ -191,6 +197,8 @@ class SimilaritySpec extends SparkSpec {
       "torn container must yield ONE null row, not garbage stats")
     assert(out(3L).length == 1 && out(3L).head.isNullAt(1),
       "a corrupted FRAME marker must be detected, not read past")
+    assert(out(4L).length == 1 && out(4L).head.isNullAt(1),
+      "overflowing W*H geometry must yield the null row, not a failed stage")
   }
 
   test("multimodal: corrupt/truncated/null payloads yield null features; null id drops") {

@@ -31,6 +31,17 @@ class XmlSourceSpec extends AnyFunSuite {
     assert(got == Seq(Map("a" -> "raw <\" text"), Map("b" -> "only-b")))
   }
 
+  test("nested (non-leaf) children are skipped structurally, never a parse failure") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<root>
+        |  <REC><meta><x>1</x><y>2</y></meta><a>kept</a></REC>
+        |  <REC><a>second</a><deep><deeper><z>3</z></deeper></deep></REC>
+        |</root>""".stripMargin.getBytes("UTF-8")
+    val got = XmlSource.parseRecords(xml, "REC")
+    assert(got == Seq(Map("a" -> "kept"), Map("a" -> "second")))
+  }
+
   test("a DTD in the document is refused (XXE hardening)") {
     val xml =
       """<?xml version="1.0"?>
