@@ -76,6 +76,31 @@ object NearDupQueries extends graft.QueryModule {
       Dedup.ngramJaccard(corpus, candidates, "text", "doc_id")
         .select($"id_a", $"id_b", $"n_inter", $"n_a", $"n_b", $"jaccard")
         .orderBy($"id_a")
+    }),
+
+    // INCREMENTAL dedup against the persisted band-key index: batch A
+    // (the originals) is added first, then batch B (the mutated copies)
+    // is deduped against the STORED index — B is signed once and probes
+    // the index by band key; A is never re-shingled. The oracle closes
+    // the full A∪B band-pair graph in one shot (recursive CTE), so the
+    // hash match IS the incremental law batch(A then B) == full(A ∪ B).
+    "q_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = nearDupCorpus(s, dir)
+      val state = sys.props("java.io.tmpdir") +
+        s"/graft_inc_dedup_${ProcessHandle.current().pid()}"
+      // incremental STATE is the thing under test: start each run fresh
+      val p = new org.apache.hadoop.fs.Path(state)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.llm.IncrementalDedup.addBatch(s, state,
+        corpus.filter($"doc_id" < 100000L), "text", "doc_id")
+      val fin = graft.llm.IncrementalDedup.addBatch(s, state,
+        corpus.filter($"doc_id" >= 100000L), "text", "doc_id")
+      fin.groupBy($"comp")
+        .agg(count(lit(1)).as("n_members"),
+          sum($"id").cast("bigint").as("sum_ids"),
+          max($"id").as("max_id"))
+        .orderBy($"comp")
     }))
 
   private val duckNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -103,29 +128,65 @@ object NearDupQueries extends graft.QueryModule {
   private val simhashPack = (0 until 32)
     .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
+  /** MinHash signature + band-key CTEs (DuckDB) — shared by the LSH
+    * candidate oracle and the incremental-dedup closure oracle.
+    */
+  private val bandsCtes =
+    """sig AS (
+      |  SELECT doc_id, seed, MIN(md5('s' || seed || '|' || sh)) AS mh
+      |  FROM shingle, range(0, 16) t(seed)
+      |  GROUP BY doc_id, seed
+      |),
+      |bands AS (
+      |  SELECT doc_id, CAST(FLOOR(seed / 4) AS int) AS band,
+      |    md5(concat_ws('|',
+      |      MAX(CASE WHEN seed % 4 = 0 THEN mh END),
+      |      MAX(CASE WHEN seed % 4 = 1 THEN mh END),
+      |      MAX(CASE WHEN seed % 4 = 2 THEN mh END),
+      |      MAX(CASE WHEN seed % 4 = 3 THEN mh END))) AS band_key
+      |  FROM sig GROUP BY doc_id, FLOOR(seed / 4)
+      |)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q_minhash_lsh" ->
       s"""WITH $corpusCtes,
-         |sig AS (
-         |  SELECT doc_id, seed, MIN(md5('s' || seed || '|' || sh)) AS mh
-         |  FROM shingle, range(0, 16) t(seed)
-         |  GROUP BY doc_id, seed
-         |),
-         |bands AS (
-         |  SELECT doc_id, CAST(FLOOR(seed / 4) AS int) AS band,
-         |    md5(concat_ws('|',
-         |      MAX(CASE WHEN seed % 4 = 0 THEN mh END),
-         |      MAX(CASE WHEN seed % 4 = 1 THEN mh END),
-         |      MAX(CASE WHEN seed % 4 = 2 THEN mh END),
-         |      MAX(CASE WHEN seed % 4 = 3 THEN mh END))) AS band_key
-         |  FROM sig GROUP BY doc_id, FLOOR(seed / 4)
-         |)
+         |$bandsCtes
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  COUNT(DISTINCT a.band) AS n_shared_bands
          |FROM bands a
          |JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
          |            AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // Full-corpus closure of the band-pair graph: the incremental Spark
+    // path (A added, then B against the stored index) must reproduce it
+    // exactly, singletons included.
+    "q_dedup_incremental" ->
+      s"""WITH RECURSIVE $corpusCtes,
+         |$bandsCtes,
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+         |              AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p
+         |),
+         |reach(src, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+         |),
+         |cc AS (SELECT src AS id, MIN(lbl) AS comp FROM reach GROUP BY src),
+         |fin AS (
+         |  SELECT c.doc_id AS id, COALESCE(cc.comp, c.doc_id) AS comp
+         |  FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id
+         |)
+         |SELECT comp, COUNT(1) AS n_members,
+         |  CAST(SUM(id) AS bigint) AS sum_ids, MAX(id) AS max_id
+         |FROM fin GROUP BY comp ORDER BY comp""".stripMargin,
     "q_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t
