@@ -37,17 +37,23 @@ object Bench {
     */
   final case class Timing(median: Double, probeLocal: Double)
 
-  /** Time each query: one probe, then `n` runs, median. Failures land in
-    * `errors` instead of destroying the other queries' medians (ADVICE
-    * r2). Factored out of `main` so `BenchHarnessSpec` can drive it with
-    * a synthetic mid-suite load burst and assert the local ratios
-    * self-adjudicate.
+  /** Probe runs taken immediately before each query's timed block. */
+  val LocalProbeRuns = 3
+
+  /** Time each query: `LocalProbeRuns` probes (median — a SINGLE probe
+    * sample turned one 0.04 s scheduler blip into a 2-3× ratio_local
+    * swing on sub-second entries, round-6 verdict), then `n` runs,
+    * median. Failures land in `errors` instead of destroying the other
+    * queries' medians (ADVICE r2). Factored out of `main` so
+    * `BenchHarnessSpec` can drive it with a synthetic mid-suite load
+    * burst and assert the local ratios self-adjudicate.
     */
   def timeSuite(names: Seq[String], run: String => Unit, probe: () => Double,
       n: Int, errors: scala.collection.mutable.Map[String, String]): Seq[(String, Timing)] =
     names.flatMap { qn =>
       try {
-        val p = probe()
+        val ps = (1 to LocalProbeRuns).map(_ => probe()).sorted
+        val p = ps(ps.length / 2)
         val times = (1 to n).map { _ =>
           val t0 = System.nanoTime()
           run(qn)
@@ -62,6 +68,14 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional arg: comma-list of query names — re-time a flagged subset
+    // with the EXACT suite procedure (warmup, probes, N medians) instead
+    // of eyeballing PlanLab runs. The driver passes no args (full suite).
+    val filter = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    filter.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query names in filter: ${unknown.mkString(", ")}")
+    }
     val spark = Engine.session()
 
     def materialize(name: String): Unit =
@@ -81,7 +95,8 @@ object Bench {
     }
     def probeRuns(): Seq[Double] = { probeOnce(); (1 to N).map(_ => probeOnce()) }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = filter.fold(SparkEntry.queries.keys.toSeq)(f =>
+      SparkEntry.queries.keys.filter(f).toSeq).sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val probePre = probeRuns()
 

@@ -20,7 +20,7 @@ class BenchHarnessSpec extends AnyFunSuite {
     // timeSuite guarantees runs first in each block.
     val blockMs = 12.0
     var load = 1.0
-    var qIndex = -1
+    var probeCalls = 0
     def spin(): Double = {
       val t0 = System.nanoTime()
       val target = blockMs * load * 1e6
@@ -28,7 +28,10 @@ class BenchHarnessSpec extends AnyFunSuite {
       (System.nanoTime() - t0) / 1e9
     }
     def probe(): Double = {
-      qIndex += 1
+      // timeSuite takes LocalProbeRuns probes per block, always first in
+      // the block — the query index is the probe-call count / that.
+      val qIndex = probeCalls / Bench.LocalProbeRuns
+      probeCalls += 1
       load = if (qIndex >= 3 && qIndex <= 6) 3.0 else 1.0
       spin()
     }
