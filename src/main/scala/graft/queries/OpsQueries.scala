@@ -90,6 +90,33 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // Dynamic partition pruning — the biggest scan-cost lever on a
+    // partitioned 100 TB fact: the fact lands PARTITIONED BY month, the
+    // dim carries (year, quarter) attributes and is filtered on them
+    // only — the months to scan are not known until runtime, so Catalyst
+    // must inject a DynamicPruningExpression partition filter on the
+    // fact scan fed by the broadcast dim (3 of ~80 month partitions
+    // read; PlanSpec pins the dynamicpruning subquery in the scan's
+    // PartitionFilters).
+    "q_dpp" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_dpp_${ProcessHandle.current().pid()}"
+      orders.withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+      val fact = s.read.parquet(tmp)
+      val dim = orders.select(
+          date_format($"o_orderdate", "yyyy-MM").as("o_month"),
+          year($"o_orderdate").as("yr"), quarter($"o_orderdate").as("qtr"))
+        .distinct()
+      fact.join(broadcast(dim.filter($"yr" === 1996 && $"qtr" === 2)), Seq("o_month"))
+        .groupBy($"o_month")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+        .orderBy($"o_month")
+    }),
+
     // Z-order clustering (ops/Layout): orders laid out on the Morton
     // curve of (custkey-low-byte, orderdate-day-byte), cut into 16
     // "files"; per-file min/max of BOTH dims is the data-skipping
@@ -341,6 +368,12 @@ object OpsQueries extends graft.QueryModule {
     .mkString(" + ")
 
   def oracle: Map[String, String] = Map(
+    "q_dpp" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, COUNT(1) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 2
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
     "q_zorder" ->
       s"""WITH d AS (
          |  SELECT o_orderkey, o_custkey % 256 AS ca,

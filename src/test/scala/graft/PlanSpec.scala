@@ -87,6 +87,20 @@ class PlanSpec extends SparkSpec {
       s"only l_extendedprice should be scanned: $readSchema")
   }
 
+  test("q_dpp: the fact scan carries a DynamicPruningExpression partition filter") {
+    // The claimed "free Catalyst win" (SURVEY §4) made real: the month
+    // partitions to scan are only known after the dim's (yr, qtr) filter
+    // runs, so the fact scan's PartitionFilters must hold a dynamic
+    // pruning subquery — without it, a 100 TB partitioned fact is read
+    // in full for a 3-partition query.
+    val p = plan("q_dpp")
+    val factScan = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("graft_dpp"))
+      .getOrElse(fail(s"fact scan not found:\n$p"))
+    assert(factScan.contains("dynamicpruning"),
+      s"fact scan must be dynamically pruned on o_month:\n$factScan")
+  }
+
   test("q_profile_stats: two scans (stats + distincts), never an Expand") {
     // The profile is exactly two passes: a wide no-distinct agg and a
     // stack-unpivoted single count_distinct. A per-column loop would show
