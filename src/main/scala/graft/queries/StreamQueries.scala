@@ -43,6 +43,24 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"user_id")
     }),
 
+    // The same session-window state machine on the RocksDB state store —
+    // the 100 TB state backend (default HDFS-backed store keeps every
+    // session key on executor heap; RocksDB keeps it on disk with
+    // incremental checkpoints). Same semantics, different backend — the
+    // oracle must not be able to tell them apart. Distinct user slice
+    // (% 10 = 5) so this entry's result is independently checked.
+    "q_stream_sessions_rocksdb" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      Streams.runToTable(s, Streams.sessionCounts(stream),
+          fresh("sessions_rocks"), "complete",
+          stateStoreProvider = Some(Streams.RocksDBProvider))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+        .filter($"user_id" % 10 === 5)
+        .orderBy($"user_id")
+    }),
+
     // Stateful streaming dedup: the stream is the events table UNIONed
     // with itself (every row duplicated); dropDuplicatesWithinWatermark
     // must collapse it back to exactly the batch row set.
@@ -153,6 +171,27 @@ object StreamQueries extends graft.QueryModule {
         |)
         |SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(1) AS n_events
         |FROM sess WHERE user_id % 10 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_sessions_rocksdb" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |),
+        |marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ordered
+        |),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked
+        |)
+        |SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(1) AS n_events
+        |FROM sess WHERE user_id % 10 = 5
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(1) AS n, COUNT(DISTINCT event_id) AS n_ids

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** RocksDB state-store backend (ships with Spark; rocksdbjni on the
+    * classpath) — state lives in embedded on-disk RocksDB instead of
+    * executor heap. See `runToTable`'s scaladoc for when it matters.
+    */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** The raw parquet schema of the events table (ts as int64 nanos — see
     * Engine.builder's nanosAsLong note).
     */
@@ -205,12 +212,24 @@ object Streams {
     * which dominates when state is small, and bounds max parallelism when
     * state is large. Choose it before first deploy; changing it later
     * means a new checkpoint.
+    *
+    * `stateStoreProvider` selects the state backend for THIS query (the
+    * conf is read at query start and then pinned by the checkpoint). The
+    * default HDFS-backed store keeps every key ON HEAP per state
+    * partition — at 100 TB of stream state (billions of session keys)
+    * that heap IS the scale-killer; `RocksDBProvider` moves state to
+    * embedded on-disk RocksDB with incremental checkpointing, bounding
+    * executor heap regardless of key count.
     */
   def runToTable(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String, checkpoint: Option[String] = None,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8,
+      stateStoreProvider: Option[String] = None): DataFrame = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
     try {
       val w = stream.writeStream
         .format("memory")
@@ -219,7 +238,13 @@ object Streams {
         .trigger(Trigger.AvailableNow())
       val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (stateStoreProvider.isDefined) prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
     // DataFrame creation analyzes the plan (it then references the memory
     // sink's rows directly), so the catalog entry can be dropped right
     // away — otherwise every invocation leaks a fully-materialized

@@ -12,6 +12,54 @@ class StreamingSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("RocksDB state store: session state survives a checkpointed restart") {
+    import spark.implicits._
+    val root = tmpDir("rocksdb-restart")
+    val in = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val t0 = 1577836800L // 2020-01-01 00:00:00 UTC, epoch seconds
+    def feed(rows: Seq[(Long, Long, Long)]): Unit = // (event_id, sec, user_id)
+      rows.map { case (id, sec, uid) =>
+        (id, sec * 1000000000L, uid, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in)
+    def run(name: String) =
+      Streams.runToTable(spark,
+        Streams.sessionCounts(Streams.eventsFileStream(spark, in)),
+        name, "complete", checkpoint = Some(ckpt),
+        stateStoreProvider = Some(Streams.RocksDBProvider))
+
+    // run 1: user 7 has two events 10 min apart (one open session),
+    // user 8 one event
+    feed(Seq((1L, t0, 7L), (2L, t0 + 600, 7L), (3L, t0, 8L)))
+    assert(run("rocks_run1").count() == 2)
+
+    // run 2 over the SAME checkpoint: user 7's new event is 10 min after
+    // the last — it extends the run-1 session, which only happens if the
+    // RocksDB state was recovered on restart (the consumed file is never
+    // re-read: the checkpoint pins the source offsets). user 8's event is
+    // 2 h later — a genuinely new session.
+    feed(Seq((4L, t0 + 1200, 7L), (5L, t0 + 7200, 8L)))
+    val got = run("rocks_run2")
+      .select($"user_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got(7L) == Seq(3L),
+      s"user 7 must have ONE 3-event session (state recovered), got $got")
+    assert(got(8L) == Seq(1L, 1L),
+      s"user 8 must have two 1-event sessions, got $got")
+
+    // and the state on disk IS RocksDB: its checkpoint uploads version
+    // zips, never the HDFS-backed store's .delta files
+    val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$ckpt/state"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(stateFiles)
+      .asScala.map(_.getFileName.toString).toList
+    assert(names.exists(_.endsWith(".zip")) && !names.exists(_.endsWith(".delta")),
+      s"expected RocksDB zip checkpoints, saw: ${names.filter(_.contains(".")).take(10)}")
+  }
+
   test("csvUpsertStream: checkpointed restarts never re-merge consumed files") {
     import spark.implicits._
     val root = tmpDir("stream-upsert")
