@@ -205,6 +205,41 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // REAL compressed-video path: MJPEG-in-AVI — RIFF container walk +
+    // JDK JPEG decode per sampled frame (closes the last compressed-codec
+    // stub with zero deps). Fixture frames are SOLID colors from an
+    // (id, frame) formula: every 8×8 DCT block is then DC-only, so the
+    // decoded channel means must land within the DC-quantization step
+    // (±4 at quality 0.9) of the formula — pinned IN-QUERY as decode_ok
+    // (the recall_ok pattern: the oracle states container facts exactly
+    // and expects decode_ok=true; a decode drift hash-fails the entry).
+    // The corrupt payload (id -1) rides along as the null row.
+    "q_multimodal_mjpeg" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Tables(s, dir, "documents").filter($"doc_id" % 25 === 0)
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.encodeAviMjpeg(16, 16, 40000, (0 until 4).map { f =>
+            val r = ((id * 31 + f * 37) % 161 + 32).toInt
+            val g = ((id * 17 + f * 23) % 161 + 32).toInt
+            val bl = ((id * 7 + f * 41) % 161 + 32).toInt
+            Multimodal.encodeJpeg(16, 16, 0.9f, (_, _) => (r << 16) | (g << 8) | bl)
+          }))
+        })
+        .toDF("doc_id", "content")
+        .unionByName(Seq((-1L, "not an avi".getBytes("UTF-8")))
+          .toDF("doc_id", "content"))
+      Multimodal.aviMjpegFrames(packed, "doc_id", nSamples = 2)
+        .select($"id".as("doc_id"), $"width", $"height", $"n_frames",
+          $"duration_ms", $"frame_idx",
+          when($"r_sum".isNull, lit(null).cast("boolean")).otherwise(
+            abs($"r_sum" / 256.0 - (($"id" * 31 + $"frame_idx" * 37) % 161 + 32)) <= 4.0 &&
+            abs($"g_sum" / 256.0 - (($"id" * 17 + $"frame_idx" * 23) % 161 + 32)) <= 4.0 &&
+            abs($"b_sum" / 256.0 - (($"id" * 7 + $"frame_idx" * 41) % 161 + 32)) <= 4.0)
+            .as("decode_ok"))
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // REAL resize pipeline: solid-color 8×8 fixtures (constant fields are
     // interpolation-invariant — bilinear of equal pixels is that pixel, so
     // the resized sums are EXACTLY w*h*channel and the oracle needs no
@@ -357,6 +392,15 @@ object SimilarityQueries extends graft.QueryModule {
     // The oracle never touches a codec: it recomputes the channel sums
     // from the fixturePixel formula over an 8×8 grid, so only a correct
     // encode→decode round-trip can match it.
+    "q_multimodal_mjpeg" ->
+      """WITH fr AS (SELECT CAST(unnest([0, 2]) AS int) AS frame_idx)
+        |SELECT d.doc_id, 16 AS width, 16 AS height, 4 AS n_frames,
+        |  CAST(160 AS bigint) AS duration_ms, f.frame_idx, true AS decode_ok
+        |FROM documents d, fr f
+        |WHERE d.doc_id % 25 = 0
+        |UNION ALL
+        |SELECT -1, NULL, NULL, NULL, NULL, NULL, NULL
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_multimodal_video" ->
       """WITH fr AS (SELECT CAST(unnest([0, 2]) AS int) AS frame_idx),
         |px AS (

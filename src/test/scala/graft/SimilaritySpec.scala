@@ -201,6 +201,50 @@ class SimilaritySpec extends SparkSpec {
       "overflowing W*H geometry must yield the null row, not a failed stage")
   }
 
+  test("aviMjpegFrames: container facts exact, solid-color decode within DC-quant bound, corruption -> null row") {
+    import spark.implicits._
+    // solid color per frame: every 8x8 DCT block is DC-only, so JPEG
+    // decode recovers a uniform value within the DC quantization step
+    def color(f: Int): (Int, Int, Int) = (32 + f * 40, 64 + f * 30, 96 + f * 20)
+    def avi(nFrames: Int): Array[Byte] =
+      Multimodal.encodeAviMjpeg(16, 16, 40000, (0 until nFrames).map { f =>
+        val (r, g, b) = color(f)
+        Multimodal.encodeJpeg(16, 16, 0.9f, (_, _) => (r << 16) | (g << 8) | b)
+      })
+    val good = avi(4)
+    val torn = good.dropRight(8) // last movi chunk now runs past the payload
+    // frame-count lie: avih says 4 frames, movi carries 3
+    val lying = Multimodal.encodeAviMjpeg(16, 16, 40000, (0 until 3).map { f =>
+      val (r, g, b) = color(f)
+      Multimodal.encodeJpeg(16, 16, 0.9f, (_, _) => (r << 16) | (g << 8) | b)
+    })
+    lying(java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .position(0).array().indexOfSlice("avih".getBytes("US-ASCII")) + 8 + 16) = 4
+    val packed = Seq((1L, good), (2L, torn), (3L, lying),
+        (4L, "not an avi".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val out = Multimodal.aviMjpegFrames(packed, "doc_id", nSamples = 2)
+      .collect().groupBy(_.getLong(0))
+    val g = out(1L).sortBy(_.getInt(5))
+    assert(g.length == 2 && g.map(_.getInt(5)).toSeq == Seq(0, 2),
+      "2 evenly-sampled frames of 4: indices 0 and 2")
+    g.foreach { row =>
+      assert(row.getInt(1) == 16 && row.getInt(2) == 16 && row.getInt(3) == 4)
+      assert(row.getLong(4) == 160L, "4 frames x 40ms")
+      val (er, eg, eb) = color(row.getInt(5))
+      val n = 16 * 16
+      assert(math.abs(row.getLong(6) / n.toDouble - er) <= 4.0 &&
+        math.abs(row.getLong(7) / n.toDouble - eg) <= 4.0 &&
+        math.abs(row.getLong(8) / n.toDouble - eb) <= 4.0,
+        s"decoded means (${row.getLong(6) / n.toDouble}, ${row.getLong(7) / n.toDouble}, " +
+          s"${row.getLong(8) / n.toDouble}) vs ($er, $eg, $eb)")
+    }
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(out(id).length == 1 && out(id).head.isNullAt(1),
+        s"payload $id must degrade to ONE null row")
+    }
+  }
+
   test("multimodal: corrupt/truncated/null payloads yield null features; null id drops") {
     import spark.implicits._
     val good = Multimodal.encodeImage(2, 2, "png", (_, _) => 0x010203)
