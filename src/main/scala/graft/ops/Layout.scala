@@ -23,11 +23,24 @@ object Layout {
     * integer Column arithmetic, engine-portable (no sign-bit use for
     * bits ≤ 31).
     */
-  def zValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
-    (0 until bits).map { i =>
-      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
-    }.reduce(_ + _)
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave — real lakehouse clustering wants
+    * 3-4 columns, not 2: bit i of dimension j lands at position
+    * `i * n + j` (dimension 0 in the LOW bit of each group, matching the
+    * 2-column layout's (a, b) order). Pure integer Column arithmetic;
+    * `n * bits` must fit a non-negative long.
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, s"z-order needs at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n dims x $bits bits must fit 63 bits: ${n * bits}")
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j)))
+      .reduce(_ + _)
   }
 }

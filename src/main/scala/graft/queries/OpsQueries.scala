@@ -140,6 +140,30 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"file")
     }),
 
+    // 3-DIMENSIONAL z-order (zValueN): real lakehouse clustering is 3-4
+    // columns. Same deterministic ntile cut; the per-file min/max of ALL
+    // THREE dims is the skip-range evidence — each dim's per-file range
+    // is a strict subset of its full domain, which no single- or
+    // two-column sort provides for the third dim.
+    "q_zorder3" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "orders")
+        .select($"o_orderkey",
+          ($"o_custkey" % 256).as("ca"),
+          (datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long") % 256).as("cb"),
+          (floor($"o_totalprice" / 1000).cast("long") % 256).as("cc"))
+        .withColumn("zv", graft.ops.Layout.zValueN(Seq($"ca", $"cb", $"cc"), 8))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"zv", $"o_orderkey")
+      d.withColumn("file", ntile(16).over(w))
+        .groupBy($"file")
+        .agg(count(lit(1)).as("n"),
+          min($"ca").as("ca_min"), max($"ca").as("ca_max"),
+          min($"cb").as("cb_min"), max($"cb").as("cb_max"),
+          min($"cc").as("cc_min"), max($"cc").as("cc_max"))
+        .orderBy($"file")
+    }),
+
     // B5: run a registered named statement through the catalog's views.
     "q_named_query" -> ((s, dir) =>
       QueryCatalog.run(s, dir, "revenue_by_nation")),
@@ -367,6 +391,12 @@ object OpsQueries extends graft.QueryModule {
     s"((ca >> $i) & 1) * ${1L << (2 * i)} + ((cb >> $i) & 1) * ${1L << (2 * i + 1)}")
     .mkString(" + ")
 
+  // the 3-dimensional 8-bit interleave (bit i of dim j at position 3i+j)
+  private val zv3Sql: String = (0 until 8).map(i =>
+    s"((ca >> $i) & 1) * ${1L << (3 * i)} + ((cb >> $i) & 1) * ${1L << (3 * i + 1)}" +
+      s" + ((cc >> $i) & 1) * ${1L << (3 * i + 2)}")
+    .mkString(" + ")
+
   def oracle: Map[String, String] = Map(
     "q_dpp" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, COUNT(1) AS n,
@@ -387,6 +417,22 @@ object OpsQueries extends graft.QueryModule {
          |SELECT file, COUNT(1) AS n,
          |  MIN(ca) AS ca_min, MAX(ca) AS ca_max,
          |  MIN(cb) AS cb_min, MAX(cb) AS cb_max
+         |FROM f GROUP BY file ORDER BY file""".stripMargin,
+    "q_zorder3" ->
+      s"""WITH d AS (
+         |  SELECT o_orderkey, o_custkey % 256 AS ca,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS bigint) % 256 AS cb,
+         |    CAST(FLOOR(o_totalprice / 1000) AS bigint) % 256 AS cc
+         |  FROM orders
+         |),
+         |z AS (SELECT o_orderkey, ca, cb, cc, $zv3Sql AS zv FROM d),
+         |f AS (SELECT ca, cb, cc,
+         |        CAST(NTILE(16) OVER (ORDER BY zv, o_orderkey) AS int) AS file
+         |      FROM z)
+         |SELECT file, COUNT(1) AS n,
+         |  MIN(ca) AS ca_min, MAX(ca) AS ca_max,
+         |  MIN(cb) AS cb_min, MAX(cb) AS cb_max,
+         |  MIN(cc) AS cc_min, MAX(cc) AS cc_max
          |FROM f GROUP BY file ORDER BY file""".stripMargin,
     "q_sanitize_chain" ->
       """SELECT p_partkey,
