@@ -58,22 +58,12 @@ object EventQueries extends graft.QueryModule {
     // integer microseconds in both engines.
     "q_funnel" -> ((s, dir) => {
       import s.implicits._
-      val win = expr("INTERVAL 24 HOURS")
       val ev = Tables(s, dir, "events").select($"user_id", $"event_type", $"ts")
-      val v = ev.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
-      val c = ev.filter($"event_type" === "click").join(v, "user_id")
-        .filter($"ts" > $"t1" && $"ts" <= $"t1" + win)
-        .groupBy($"user_id").agg(min($"ts").as("t2"))
-      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
-        .filter($"ts" > $"t2" && $"ts" <= $"t2" + win)
-        .groupBy($"user_id").agg(min($"ts").as("t3"))
-      val steps = Seq(
-        (1, "view", v), (2, "view>click_24h", c), (3, "view>click>purchase_24h", p))
-      steps.map { case (ord, label, df) =>
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(ord).as("step_ord"), lit(label).as("step"), $"n_users")
-      }.reduce(_ unionByName _).orderBy($"step_ord")
+      graft.ops.Funnel.counts(ev, "user_id", "ts",
+        Seq("view" -> ($"event_type" === "view"),
+          "view>click_24h" -> ($"event_type" === "click"),
+          "view>click>purchase_24h" -> ($"event_type" === "purchase")),
+        expr("INTERVAL 24 HOURS"))
     }),
 
     // Cohort retention: users bucketed by the week of their FIRST
