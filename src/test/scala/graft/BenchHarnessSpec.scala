@@ -60,6 +60,30 @@ class BenchHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("BASELINE.md calibration sanity: no baseline row's local ratio sits far below its global ratio") {
+    // The local probe runs fully warm between query blocks, so its median
+    // reads FASTER than the suite probe (which includes cold start/end
+    // runs) — baseline ratio_local must sit at or above ~the global
+    // ratio. A row violating this means the baseline's local probe ran
+    // SLOW (a blip deflated the denominator), which is exactly the
+    // round-6 miscalibration that made the driver's flags need judge
+    // adjudication: regenerate the table with median-of-3 probes.
+    val lines = scala.io.Source.fromFile("BASELINE.md", "UTF-8").getLines().toList
+    val table = lines
+      .dropWhile(!_.startsWith("| query | median sec"))
+      .drop(2) // header + separator
+      .takeWhile(_.startsWith("| q"))
+    assert(table.size >= 100, s"baseline per-query table not found (${table.size} rows)")
+    val bad = table.flatMap { l =>
+      val cols = l.split("\\|").map(_.trim).filter(_.nonEmpty)
+      val (name, ratio, ratioLocal) = (cols(0), cols(2).toDouble, cols(3).toDouble)
+      if (ratioLocal >= ratio * 0.8) None
+      else Some(s"$name: ratio_local $ratioLocal < 0.8 x ratio $ratio")
+    }
+    assert(bad.isEmpty,
+      s"miscalibrated baseline rows (local probe ran slow — regenerate):\n${bad.mkString("\n")}")
+  }
+
   test("a query failing mid-block is demoted to errors, not propagated") {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val timings = Bench.timeSuite(Seq("ok", "boom", "ok2"),
