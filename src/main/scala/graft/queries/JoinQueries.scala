@@ -120,6 +120,54 @@ object JoinQueries extends graft.QueryModule {
           (min($"bloom_pass" - $"is_member") >= 0).as("no_false_neg"))
     }),
 
+    // Runtime bloom-filter join pruning (Catalyst's InjectRuntimeFilter):
+    // DPP's sibling for NON-partition join keys. A selective dim filter
+    // (p_size = 1 keeps ~3% of part) is turned into a bloom filter built
+    // on the dim side and pushed into the FACT scan as a
+    // might_contain(...) predicate — at 100 TB this drops ~97% of
+    // lineitem rows BEFORE the join shuffle, the single biggest
+    // shuffle-volume lever on a fact-fact join that broadcast can't
+    // take (both sides too big). The sf0.x thresholds are lowered inside
+    // the closure ONLY (restored in finally): the 10 GB
+    // applicationSideScanSizeThreshold default exists precisely so small
+    // scans like these never pay bloom-build cost in production, and
+    // autoBroadcastJoinThreshold=-1 forces the shuffle join that is the
+    // 100 TB reality for this pattern. The aggregate is executed EAGERLY
+    // while those confs are live, so the hashed result really ran
+    // through the runtime-filtered plan; `runtime_filter_injected` is
+    // pinned from the optimized plan (oracle expects TRUE — injection
+    // regression = hash mismatch, same pattern as the IVF recall pins).
+    "q_runtime_filter" -> ((s, dir) => {
+      import s.implicits._
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "0")
+        s.conf.set(keys(2), "64MB")
+        s.conf.set(keys(3), "-1")
+        val dim = Tables(s, dir, "part").filter($"p_size" === 1)
+          .select($"p_partkey")
+        val fact = Tables(s, dir, "lineitem")
+          .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        val joined = fact.join(dim, $"l_partkey" === $"p_partkey")
+          .agg(count(lit(1)).as("n_li"),
+            sum($"l_quantity".cast("decimal(30,2)")).cast("double").as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+        val injected =
+          joined.queryExecution.optimizedPlan.toString.contains("might_contain")
+        val r = joined.collect()(0)
+        Seq((r.getLong(0), r.getDouble(1), r.getDouble(2), injected))
+          .toDF("n_li", "sum_qty", "sum_price", "runtime_filter_injected")
+      } finally prev.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
     // As-of join (ops/AsOf): each purchase picks the most recent click
     // at-or-before its time per user — the union-and-carry-forward
     // window, ONE key shuffle, no range fan-out. Oracle: DuckDB's native
@@ -327,6 +375,13 @@ object JoinQueries extends graft.QueryModule {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_runtime_filter" ->
+      """SELECT CAST(COUNT(1) AS bigint) AS n_li,
+        |  CAST(SUM(CAST(l_quantity AS decimal(30,2))) AS double) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS decimal(30,2))) AS double) AS sum_price,
+        |  TRUE AS runtime_filter_injected
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1""".stripMargin,
     "q_bloom_filter" ->
       """WITH dim AS (
         |  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0

@@ -101,6 +101,39 @@ class PlanSpec extends SparkSpec {
       s"fact scan must be dynamically pruned on o_month:\n$factScan")
   }
 
+  test("runtime bloom filter: selective dim filter injects might_contain on the fact side") {
+    // q_runtime_filter executes eagerly inside its closure (so the
+    // hashed result runs through the filtered plan), which keeps it out
+    // of plan(); this pin rebuilds the same join under the same confs
+    // and asserts the injection at the suite level. Without it, a
+    // fact-fact join whose dim side carries a selective filter shuffles
+    // 100% of the fact rows at 100 TB instead of ~3%.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "64MB")
+      spark.conf.set(keys(3), "-1")
+      import spark.implicits._
+      val dim = Tables(spark, dir, "part").filter($"p_size" === 1).select($"p_partkey")
+      val fact = Tables(spark, dir, "lineitem")
+        .select($"l_partkey", $"l_quantity")
+      val joined = fact.join(dim, $"l_partkey" === $"p_partkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side:\n${opt.take(2000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("q_profile_stats: two scans (stats + distincts), never an Expand") {
     // The profile is exactly two passes: a wide no-distinct agg and a
     // stack-unpivoted single count_distinct. A per-column loop would show
