@@ -274,4 +274,66 @@ object Dedup {
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
   }
+
+  /** EXACT repeated-span detection — the fixed-width approximation of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every k-token span
+    * whose exact text occurs ≥ `minCount` times ANYWHERE in the corpus
+    * (across docs or repeated inside one doc) is a duplicated span; per
+    * document, duplicated occurrences are merged into maximal token
+    * intervals (overlapping-or-adjacent spans coalesce) and summarized as
+    * region count / covered tokens / covered fraction — the numbers a
+    * span-removal pass keys on.
+    *
+    * Scale plan (100 TB): exactly TWO shuffles.
+    *  1. Occurrences shuffle once on the 128-bit span md5 (the shuffle
+    *     carries (hash, id, pos) — never the span text), and the
+    *     corpus-wide occurrence count is a COUNT window over that one
+    *     clustering; a boilerplate span shared by 100M docs is a large
+    *     window partition that sorts/spills, not an OOM, and never
+    *     becomes a join key (the groupBy+self-semi-join alternative
+    *     shuffles the occurrence relation twice and probes the hot key
+    *     into one reducer all the same).
+    *  2. Surviving occurrences shuffle once on doc id; the two interval
+    *     windows (previous running max end, region-start running sum) and
+    *     BOTH downstream groupBys all reuse that single Exchange
+    *     (ClusteredDistribution-subset, pinned in PlanSpec).
+    * Docs with < k tokens produce no spans (k-gram of nothing) and docs
+    * with no duplicated span produce no output row — the caller joins
+    * back to the corpus if it wants zeros.
+    */
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 2 && minCount >= 2, s"need k>=2, minCount>=2; got k=$k minCount=$minCount")
+    val occ = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("long").as("n_toks"),
+        posexplode(TextOps.shinglesKOf(col("__toks"), k)))
+      .select(col("id"), col("n_toks"), (col("pos") + 1).as("pos"),
+        md5(col("col")).as("__h"))
+    val dupOcc = occ
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__n") >= minCount)
+      .select(col("id"), col("n_toks"), col("pos"))
+    // Gaps-and-islands over [pos, pos+k-1] intervals: a new region starts
+    // when this span's start clears the running max end by more than one
+    // (adjacent duplicated runs stay one region — the covered-token union
+    // is contiguous).
+    val wd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    dupOcc
+      .withColumn("__new",
+        when(col("pos") > coalesce(prevEnd, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("__g", sum(col("__new")).over(wd))
+      .groupBy(col("id"), col("n_toks"), col("__g"))
+      .agg(min(col("pos")).as("__s"), (max(col("pos")) + lit(k - 1)).as("__e"),
+        count(lit(1)).as("__occ"))
+      .groupBy(col("id"), col("n_toks"))
+      .agg(sum(col("__occ")).cast("long").as("n_dup_spans"),
+        count(lit(1)).as("n_dup_regions"),
+        sum(col("__e") - col("__s") + 1).cast("long").as("dup_tokens"))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / col("n_toks").cast("double"))
+  }
 }

@@ -44,6 +44,17 @@ object TextOps {
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** Word-level k-gram shingles of a materialized token array (empty when
+    * < k tokens; same perf contract as [[shingles3]]). `k` is a plan-time
+    * constant, so the concat is a fixed-arity codegen expression — no
+    * per-row loop over k.
+    */
+  def shinglesKOf(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Word bigrams of a materialized token array (empty when < 2 tokens;
     * same perf contract as [[shingles3]]).
     */

@@ -101,6 +101,19 @@ object NearDupQueries extends graft.QueryModule {
           sum($"id").cast("bigint").as("sum_ids"),
           max($"id").as("max_id"))
         .orderBy($"comp")
+    }),
+
+    // EXACT repeated-span dedup (fixed-width suffix-array approximation):
+    // per-doc maximal duplicated 8-token regions + covered fraction over
+    // the near-dup corpus — the mutated copies are suffixes of their
+    // originals, so every one of their 8-gram spans repeats and the
+    // operator must report them ~fully covered (dup_frac 1.0) while the
+    // originals lose only the first token's coverage.
+    "q_repeated_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.repeatedSpans(nearDupCorpus(s, dir), "text", "doc_id", k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
     }))
 
   private val duckNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -187,6 +200,47 @@ object NearDupQueries extends graft.QueryModule {
          |SELECT comp, COUNT(1) AS n_members,
          |  CAST(SUM(id) AS bigint) AS sum_ids, MAX(id) AS max_id
          |FROM fin GROUP BY comp ORDER BY comp""".stripMargin,
+    // Same corpus, 8-token spans with positions (zipped equal-length
+    // unnests), corpus-wide occurrence count as a window, then the
+    // gaps-and-islands interval merge per doc.
+    "q_repeated_spans" ->
+      s"""WITH $corpusCtes,
+         |occ AS (
+         |  SELECT doc_id, len(tk) AS n_toks,
+         |    unnest(range(1, greatest(len(tk) - 6, 1))) AS pos,
+         |    unnest(list_transform(range(1, greatest(len(tk) - 6, 1)),
+         |      i -> array_to_string(tk[i:i+7], ' '))) AS sh8
+         |  FROM toks
+         |),
+         |counted AS (
+         |  SELECT doc_id, n_toks, pos, COUNT(1) OVER (PARTITION BY sh8) AS n
+         |  FROM occ
+         |),
+         |dfl AS (SELECT doc_id, n_toks, pos FROM counted WHERE n >= 2),
+         |marked AS (
+         |  SELECT doc_id, n_toks, pos,
+         |    CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |      THEN 1 ELSE 0 END AS new_grp
+         |  FROM dfl
+         |),
+         |grp AS (
+         |  SELECT doc_id, n_toks, pos,
+         |    SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM marked
+         |),
+         |regions AS (
+         |  SELECT doc_id, n_toks, g, MIN(pos) AS s, MAX(pos) + 7 AS e,
+         |    COUNT(1) AS n_occ
+         |  FROM grp GROUP BY doc_id, n_toks, g
+         |)
+         |SELECT doc_id, n_toks,
+         |  CAST(SUM(n_occ) AS bigint) AS n_dup_spans,
+         |  CAST(COUNT(1) AS bigint) AS n_dup_regions,
+         |  CAST(SUM(e - s + 1) AS bigint) AS dup_tokens,
+         |  CAST(SUM(e - s + 1) AS double) / CAST(n_toks AS double) AS dup_frac
+         |FROM regions GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
     "q_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t

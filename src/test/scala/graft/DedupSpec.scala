@@ -87,6 +87,29 @@ class DedupSpec extends SparkSpec {
       "unrelated pair should share ~no shingles (absent row = 0 intersection)")
   }
 
+  test("repeatedSpans: cross-doc and intra-doc repeats merge into maximal regions") {
+    import spark.implicits._
+    // k=3. d1/d2 share "a b c d e" (3 overlapping 3-grams each → one
+    // region of 5 tokens); d3 is unique (no output row); d4 is a pure
+    // internal repeat (every 3-gram occurs ≥2× → fully covered); d5 hits
+    // "a b c" and "c d e" in two non-adjacent places → TWO regions.
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e y z"),
+      (3L, "p q r s t u v w"),
+      (4L, "m n o m n o m n o"),
+      (5L, "a b c z1 z2 z3 c d e q1 q2 q3")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(corpus, "text", "doc_id", k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(!out.contains(3L), "a doc with no repeated span yields no row")
+    assert(out(1L) == ((8L, 3L, 1L, 5L, 0.625)), s"d1: ${out(1L)}")
+    assert(out(2L) == ((8L, 3L, 1L, 5L, 0.625)), s"d2: ${out(2L)}")
+    assert(out(4L) == ((9L, 7L, 1L, 9L, 1.0)), s"d4 fully covered: ${out(4L)}")
+    assert(out(5L) == ((12L, 2L, 2L, 6L, 0.5)), s"d5 two regions: ${out(5L)}")
+  }
+
   test("null-text documents never collapse into each other (unknown ≠ equal)") {
     import spark.implicits._
     val withNulls = Seq((1L, "same text"), (2L, "same text"),

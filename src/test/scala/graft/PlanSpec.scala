@@ -70,6 +70,20 @@ class PlanSpec extends SparkSpec {
         s" ${exchanges.size}:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_repeated_spans: exactly two exchanges — span hash, then doc id") {
+    // The repeated-span pass is TWO shuffles by design: occurrences
+    // cluster once on the span md5 (corpus-wide count window), survivors
+    // cluster once on doc id (both interval windows + both groupBys reuse
+    // that Exchange via ClusteredDistribution-subset). A third exchange
+    // means a window or groupBy stopped sharing — at 100 TB that is a
+    // full extra pass over the occurrence relation.
+    val p = plan("q_repeated_spans")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size == 2,
+      s"expected 2 exchanges (__h, id), got ${exchanges.size}:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_copurchase: pair join keys on the order — never a cartesian product") {
     val p = plan("q_copurchase")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
