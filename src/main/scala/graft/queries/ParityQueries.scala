@@ -83,6 +83,35 @@ object ParityQueries extends graft.QueryModule {
           sum($"k".cast("decimal(30,0)")).cast("bigint").as("sum_keys"),
           min($"k").as("min_key"), max($"k").as("max_key"))
         .orderBy($"change")
+    }),
+
+    // CDC APPLY (ops/Cdc): the write side of q_table_diff — a
+    // deterministic I/U/D feed with per-key versions folded into the
+    // orders snapshot. Keys %20==0 carry TWO updates (v1 then v2; the
+    // v2 payload must win), %10==5 a delete, %10==3 an insert at a new
+    // key. The full merged relation is hashed, so a resolution bug
+    // (wrong version winning, delete surviving, base row leaking
+    // through the anti-join) is a hash mismatch. Price deltas are the
+    // same IEEE double add on both engines.
+    "q_cdc_apply" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+          $"o_totalprice".as("pr"))
+      val upd1 = base.filter($"k" % 10 === 0)
+        .select($"k", lit("U1").as("st"), ($"pr" + 1.0).as("pr"),
+          lit(1L).as("v"), lit("U").as("op"))
+      val upd2 = base.filter($"k" % 20 === 0)
+        .select($"k", lit("U2").as("st"), ($"pr" + 2.0).as("pr"),
+          lit(2L).as("v"), lit("U").as("op"))
+      val dels = base.filter($"k" % 10 === 5)
+        .select($"k", lit(null).cast("string").as("st"),
+          lit(null).cast("double").as("pr"), lit(1L).as("v"), lit("D").as("op"))
+      val ins = base.filter($"k" % 10 === 3)
+        .select(($"k" + 10000000L).as("k"), lit("N").as("st"), $"pr",
+          lit(1L).as("v"), lit("I").as("op"))
+      val feed = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+      graft.ops.Cdc.apply(base, feed, Seq("k"), "v", "op").orderBy($"k")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -127,5 +156,31 @@ object ParityQueries extends graft.QueryModule {
         |  count(1) AS n,
         |  CAST(SUM(CAST(k AS decimal(30,0))) AS bigint) AS sum_keys,
         |  min(k) AS min_key, max(k) AS max_key
-        |FROM j GROUP BY 1 ORDER BY change""".stripMargin)
+        |FROM j GROUP BY 1 ORDER BY change""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+        |  FROM orders
+        |),
+        |feed AS (
+        |  SELECT k, 'U1' AS st, pr + 1.0::double AS pr, 1 AS v, 'U' AS op
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, 'U2', pr + 2.0::double, 2, 'U' FROM base WHERE k % 20 = 0
+        |  UNION ALL
+        |  SELECT k, NULL, NULL, 1, 'D' FROM base WHERE k % 10 = 5
+        |  UNION ALL
+        |  SELECT k + 10000000, 'N', pr, 1, 'I' FROM base WHERE k % 10 = 3
+        |),
+        |latest AS (
+        |  SELECT k, st, pr, op FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY v DESC, op DESC) AS rn
+        |    FROM feed) WHERE rn = 1
+        |)
+        |SELECT b.k, b.st, b.pr FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
+        |UNION ALL
+        |SELECT k, st, pr FROM latest WHERE op != 'D'
+        |ORDER BY k""".stripMargin)
 }
