@@ -23,6 +23,7 @@ object SparkEntry {
     _root_.graft.queries.ProfileQueries,
     _root_.graft.queries.ParityQueries,
     _root_.graft.queries.TextQueries,
+    _root_.graft.queries.BpeQueries,
     _root_.graft.queries.NearDupQueries,
     _root_.graft.queries.RetrievalQueries,
     _root_.graft.queries.SimilarityQueries,
