@@ -128,6 +128,40 @@ object AggQueries extends graft.QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // Mergeable-sketch PARTITION-INVARIANCE law: l_partkey sketched
+    // under two unrelated partitionings (by ship month ~84 groups, by
+    // returnflag 3 groups), each unioned — the two union estimates must
+    // be EXACTLY equal, because union register state is an order- and
+    // partition-independent bucket-max over the same items. (A direct
+    // single sketch is deliberately NOT the anchor: datasketches gives a
+    // non-merged sketch the stream-order-dependent HIP estimator while
+    // unions use the composite estimator, so sketch-vs-union equality
+    // does not hold — union-vs-union is the invariant that matters for
+    // persisted incremental state anyway.) This is what makes distinct
+    // state maintainable at 100 TB: yesterday's per-partition sketches
+    // persist; today unions one day's sketch instead of rescanning the
+    // corpus — the sketch analog of ops/Incremental. The 5% anchor
+    // against the exact count rides along like q_approx_count_distinct's.
+    "q_hll_merge" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val byMonth = li
+        .groupBy(date_trunc("month", $"l_shipdate").as("m"))
+        .agg(hll_sketch_agg($"l_partkey").as("sk"))
+        .agg(count(lit(1)).as("n_months"),
+          hll_sketch_estimate(hll_union_agg($"sk")).as("est_m"))
+      val byFlag = li
+        .groupBy($"l_returnflag")
+        .agg(hll_sketch_agg($"l_partkey").as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_f"))
+      val exact = li.agg(countDistinct($"l_partkey").as("exact_parts"))
+      byMonth.crossJoin(byFlag).crossJoin(exact)
+        .select($"n_months", $"exact_parts",
+          ($"est_m" === $"est_f").as("merge_invariant"),
+          (abs($"est_m" - $"exact_parts") <=
+            $"exact_parts" * lit(0.05)).as("within_tol"))
+    }),
+
     // Incremental aggregate maintenance (ops/Incremental): the rollup is
     // maintained by MERGING the delta batch's per-group state into the
     // base's — the base rows are never re-read. Split is 90/10 by key;
@@ -252,6 +286,12 @@ object AggQueries extends graft.QueryModule {
         |  COUNT(1) AS n_rows,
         |  TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hll_merge" ->
+      """SELECT CAST(COUNT(DISTINCT date_trunc('month', l_shipdate)) AS bigint)
+        |    AS n_months,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS merge_invariant, TRUE AS within_tol
+        |FROM lineitem""".stripMargin,
     "q_incremental_agg" ->
       """SELECT o_orderstatus, COUNT(1) AS n,
         |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
