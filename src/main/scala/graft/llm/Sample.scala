@@ -30,4 +30,34 @@ object Sample {
     }
     df.filter(bucket < rate)
   }
+
+  /** Weight-proportional top-k per stratum WITHOUT replacement —
+    * Efraimidis–Spirakis A-Res with a DETERMINISTIC uniform: each row's
+    * u ∈ (0,1) derives from md5(id) (content-stable like [[stratified]]
+    * — no RNG state, reruns pick the same sample), and its priority is
+    * ln(u)/w (monotone with the classic u^(1/w)); the k largest
+    * priorities per stratum are the sample, so a row's inclusion odds
+    * scale with its weight. The priority is micro-quantized to a BIGINT
+    * (`round(·×1e6)`) — the [[Retrieval]] fixed-point-ln trick — so the
+    * DuckDB oracle reproduces the ORDER bit-for-bit (raw IEEE `ln`/`pow`
+    * may differ by an ulp across libms; a quantized key with an id
+    * tie-break cannot flip). One shuffle on the strata; per-stratum
+    * top-k plans as WindowGroupLimit, never a full sort of the corpus.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      strata: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (TextOps.hash32(col(idCol).cast("string")).cast("double") + 0.5) /
+      lit(4294967296.0)
+    val key = round(log(u) /
+      greatest(col(weightCol).cast("double"), lit(1e-9)) * lit(1000000d))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+      .orderBy(col("__key").desc, col(idCol).asc)
+    df.withColumn("__key", key)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("__key")
+  }
 }

@@ -239,6 +239,21 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"lang")
     }),
 
+    // Weight-proportional deterministic sampling (A-Res, Sample
+    // .weightedSample): top-5 docs per lang by the fixed-point priority
+    // ln(u)/w with w = token count — longer docs proportionally likelier,
+    // same sample on every rerun (u is md5-derived). The oracle rebuilds
+    // the identical quantized priorities and window, so selection AND
+    // rank order hash-compare exactly.
+    "q_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+        .withColumn("w_toks", size(TextOps.tokens($"text")).cast("long"))
+      graft.llm.Sample.weightedSample(docs, "doc_id", "w_toks", Seq("lang"), 5)
+        .select($"lang", $"rk", $"doc_id", $"w_toks")
+        .orderBy($"lang", $"rk")
+    }),
+
     // Sequence packing (GPT-style concat-and-chunk): exact global token
     // offsets in doc_id order via Pack's DISTRIBUTED two-pass prefix sum
     // (no single-partition window over the data), then 1024-token chunk
@@ -466,6 +481,22 @@ object TextQueries extends graft.QueryModule {
         |        MAX(doc_id) AS max_kept, CAST(SUM(doc_id) AS bigint) AS sum_kept
         |      FROM k GROUP BY lang) s USING (lang)
         |ORDER BY t.lang""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(len($duckToks) AS bigint) AS w_toks,
+         |    (CAST(('0x' || substr(md5(CAST(doc_id AS varchar)), 1, 8)) AS bigint)
+         |      + 0.5) / 4294967296.0 AS u
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |r AS (
+         |  SELECT lang, doc_id, w_toks,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+         |      CAST(round(ln(u) / greatest(CAST(w_toks AS double), 1e-9)
+         |        * 1000000) AS bigint) DESC, doc_id ASC) AS rk
+         |  FROM d
+         |)
+         |SELECT lang, CAST(rk AS int) AS rk, doc_id, w_toks
+         |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "q_token_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($duckToks) AS bigint) AS n_tok FROM documents
