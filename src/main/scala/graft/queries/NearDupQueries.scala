@@ -103,6 +103,31 @@ object NearDupQueries extends graft.QueryModule {
         .orderBy($"comp")
     }),
 
+    // Cluster KEEP policy: near-dup clusters resolved to the member a
+    // real pipeline keeps — the LONGEST variant (the superset doc), ties
+    // to the smallest id; singletons keep themselves. This is the
+    // deletion decision layered on the pair graph: per doc, its
+    // component, the keeper, and whether it is dropped. One window over
+    // the component key after CC — no new shuffle class.
+    "q_dedup_keep_longest" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = nearDupCorpus(s, dir)
+      val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 3)
+      val cc = Dedup.connectedComponents(pairs.select($"id_a", $"id_b"))
+        .withColumnRenamed("id", "doc_id")
+      val m = corpus
+        .select($"doc_id",
+          length(TextOps.norm($"text")).cast("long").as("n_chars"))
+        .join(cc, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_chars", coalesce($"comp", $"doc_id").as("comp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"comp").orderBy($"n_chars".desc, $"doc_id".asc)
+      m.withColumn("keeper", first($"doc_id").over(w))
+        .select($"doc_id", $"n_chars", $"comp", $"keeper",
+          ($"doc_id" =!= $"keeper").as("is_dropped"))
+        .orderBy($"doc_id")
+    }),
+
     // EXACT repeated-span dedup (fixed-width suffix-array approximation):
     // per-doc maximal duplicated 8-token regions + covered fraction over
     // the near-dup corpus — the mutated copies are suffixes of their
@@ -315,6 +340,51 @@ object NearDupQueries extends graft.QueryModule {
          |SELECT comp, COUNT(1) AS n_members,
          |  CAST(SUM(id) AS bigint) AS sum_ids, MAX(id) AS max_id
          |FROM cc GROUP BY comp ORDER BY comp""".stripMargin,
+    // Same simhash pair graph + closure, then the keep-longest window
+    // (singletons via the corpus left join).
+    "q_dedup_keep_longest" ->
+      s"""WITH RECURSIVE $corpusCtes,
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS t FROM corpus
+         |),
+         |hashed AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS bigint) AS h FROM tok
+         |),
+         |sums AS (
+         |  SELECT doc_id, $simhashSums
+         |  FROM hashed GROUP BY doc_id
+         |),
+         |sh AS (
+         |  SELECT doc_id, CAST($simhashPack AS bigint) AS simhash FROM sums
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p
+         |),
+         |reach(src, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+         |),
+         |cc AS (SELECT src AS id, MIN(lbl) AS comp FROM reach GROUP BY src),
+         |m AS (
+         |  SELECT c.doc_id, CAST(len($duckNorm) AS bigint) AS n_chars,
+         |    COALESCE(cc.comp, c.doc_id) AS comp
+         |  FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id
+         |),
+         |k AS (
+         |  SELECT doc_id, n_chars, comp,
+         |    FIRST_VALUE(doc_id) OVER (PARTITION BY comp
+         |      ORDER BY n_chars DESC, doc_id ASC) AS keeper
+         |  FROM m
+         |)
+         |SELECT doc_id, n_chars, comp, keeper, doc_id != keeper AS is_dropped
+         |FROM k ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $corpusCtes,
          |sets AS (SELECT DISTINCT doc_id, sh FROM shingle),
