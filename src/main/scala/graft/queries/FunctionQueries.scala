@@ -154,6 +154,36 @@ object FunctionQueries extends graft.QueryModule {
         .orderBy($"event_type")
     }),
 
+    // PERMISSIVE malformed-JSON parse law: real ingestion sees broken
+    // records — %13 rows are TRUNCATED mid-string (unterminated JSON →
+    // every extracted field null, the row survives; note trailing-garbage
+    // like `{...}!!` is NOT corrupt to Jackson, which stops at the first
+    // complete value — truncation is the portable corruption), %7 rows
+    // miss a field (field-level null only). from_json must degrade
+    // per-row, never fail the stage, and the counts/sums pin exactly
+    // which rows parsed.
+    "q_json_malformed" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus")
+        .withColumn("js",
+          when($"o_orderkey" % 13 === 0,
+            concat(lit("{\"k\":"), $"o_orderkey", lit(",\"st\":\""),
+              $"o_orderstatus"))
+          .when($"o_orderkey" % 7 === 0,
+            concat(lit("{\"k\":"), $"o_orderkey", lit("}")))
+          .otherwise(concat(lit("{\"k\":"), $"o_orderkey", lit(",\"st\":\""),
+            $"o_orderstatus", lit("\"}"))))
+      src.select(from_json($"js",
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, st STRING")).as("j"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"j.k".isNotNull, 1).otherwise(0)).cast("bigint")
+            .as("n_k_parsed"),
+          sum(when($"j.st".isNull, 1).otherwise(0)).cast("bigint")
+            .as("n_st_null"),
+          sum($"j.k".cast("decimal(30,0)")).cast("bigint").as("sum_k"))
+    }),
+
     // explode/unnest + array fns: token arrays from document text.
     "q_explode_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -293,6 +323,29 @@ object FunctionQueries extends graft.QueryModule {
         |  SQRT(l_quantity) AS qty_sqrt
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json_malformed" ->
+      """WITH src AS (
+        |  SELECT CASE
+        |    WHEN o_orderkey % 13 = 0 THEN
+        |      '{"k":' || o_orderkey || ',"st":"' || o_orderstatus
+        |    WHEN o_orderkey % 7 = 0 THEN '{"k":' || o_orderkey || '}'
+        |    ELSE '{"k":' || o_orderkey || ',"st":"' || o_orderstatus || '"}'
+        |  END AS js
+        |  FROM orders
+        |),
+        |p AS (
+        |  SELECT CASE WHEN json_valid(js)
+        |           THEN CAST(js->>'k' AS bigint) END AS k,
+        |         CASE WHEN json_valid(js) THEN js->>'st' END AS st
+        |  FROM src
+        |)
+        |SELECT COUNT(1) AS n_rows,
+        |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_k_parsed,
+        |  CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_st_null,
+        |  CAST(SUM(CAST(k AS decimal(30,0))) AS bigint) AS sum_k
+        |FROM p""".stripMargin,
     "q_json_fns" ->
       """SELECT event_type, COUNT(1) AS n,
         |  CAST(SUM(k) AS bigint) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k

@@ -279,6 +279,31 @@ object JoinQueries extends graft.QueryModule {
         .orderBy($"c_custkey")
     }),
 
+    // Null-safe equi-join (<=>): NULL keys MATCH each other instead of
+    // disappearing — the semantics a CDC/reconciliation join needs when
+    // the business key is nullable. Keys are nulled deterministically on
+    // %97; the aggregate splits matched pairs by null-key vs real-key so
+    // a regression to plain = (which drops every NULL pair) flips both
+    // groups. Null-safe keys stay ordinary equi-join keys in the plan
+    // (SMJ/SHJ on coalesced key), NOT a nested-loop — at 100 TB that is
+    // the difference between a join and a cross product.
+    "q_join_null_safe" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+        .select(when($"o_orderkey" % 97 === 0, lit(null).cast("bigint"))
+          .otherwise($"o_custkey").as("k"), $"o_orderkey")
+      val a = o.filter($"o_orderkey" % 2 === 0)
+        .select($"k".as("k_a"), $"o_orderkey".as("id_a"))
+      val b = o.filter($"o_orderkey" % 2 === 1)
+        .select($"k".as("k_b"), $"o_orderkey".as("id_b"))
+      a.join(b, $"k_a" <=> $"k_b")
+        .groupBy($"k_a".isNull.as("null_key"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(($"id_a" + $"id_b").cast("decimal(30,0)")).cast("bigint")
+            .as("sum_ids"))
+        .orderBy($"null_key")
+    }),
+
     // Broadcast dim chain: lineitem -> supplier -> nation -> region.
     // Every dim is broadcast()-hinted; the 600k-row (→100 TB) fact side
     // is never shuffled for the lookups, only for the final group-agg.
@@ -462,6 +487,18 @@ object JoinQueries extends graft.QueryModule {
         |FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
         |RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_null_safe" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k,
+        |    o_orderkey
+        |  FROM orders
+        |),
+        |a AS (SELECT k AS k_a, o_orderkey AS id_a FROM o WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT k AS k_b, o_orderkey AS id_b FROM o WHERE o_orderkey % 2 = 1)
+        |SELECT k_a IS NULL AS null_key, COUNT(1) AS n_pairs,
+        |  CAST(SUM(CAST(id_a + id_b AS decimal(30,0))) AS bigint) AS sum_ids
+        |FROM a JOIN b ON a.k_a IS NOT DISTINCT FROM b.k_b
+        |GROUP BY 1 ORDER BY null_key""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer

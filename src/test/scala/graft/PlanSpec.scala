@@ -70,6 +70,26 @@ class PlanSpec extends SparkSpec {
         s" ${exchanges.size}:\n${exchanges.mkString("\n")}")
   }
 
+  test("SHUFFLE_HASH hint is honored: hash join without the sort penalty") {
+    // At 100 TB a fact-fact equi-join where one side fits a per-task
+    // hash map is cheaper as ShuffledHashJoin than SortMergeJoin (no
+    // sort of either side); Spark only picks it when hinted or when
+    // stats allow. Pin that the hint survives planning — silently
+    // degrading to SMJ re-introduces two O(n log n) sorts.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.range(0, 10000).select($"id".as("k"), ($"id" * 2).as("va"))
+      val b = spark.range(0, 1000).select($"id".as("k"), ($"id" * 3).as("vb"))
+      val p = a.join(b.hint("SHUFFLE_HASH"), Seq("k"))
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+        s"SHUFFLE_HASH hint must plan a hash join:\n${p.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_repeated_spans: exactly two exchanges — span hash, then doc id") {
     // The repeated-span pass is TWO shuffles by design: occurrences
     // cluster once on the span md5 (corpus-wide count window), survivors
