@@ -25,6 +25,19 @@ object RetrievalQueries extends graft.QueryModule {
         .orderBy($"doc_id", $"rk")
     }),
 
+    // Bigram-LM quality score (llm/Lm): the KenLM-shaped statistical
+    // filter — model trained on the %5 slice, a DISJOINT %7 slice scored
+    // by mean fixed-point add-one bigram logprob. The oracle retrains
+    // the same model in SQL, so every per-doc score matches to the last
+    // integer.
+    "q_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      graft.llm.Lm.score(docs.filter($"doc_id" % 5 === 0),
+          docs.filter($"doc_id" % 7 === 3), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // BM25 top-20 docs for a fixed 3-term query.
     "q_bm25" -> ((s, dir) => {
       import s.implicits._
@@ -134,6 +147,38 @@ object RetrievalQueries extends graft.QueryModule {
         |    AS score
         |FROM agg
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_lm_score" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents
+        |),
+        |trb AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i + 1])) AS w2
+        |  FROM nrm WHERE doc_id % 5 = 0
+        |),
+        |big AS (SELECT w1, w2, COUNT(1) AS c2 FROM trb GROUP BY 1, 2),
+        |uni AS (SELECT w1, COUNT(1) AS c1 FROM trb GROUP BY 1),
+        |v AS (
+        |  SELECT COUNT(DISTINCT w) AS vocab
+        |  FROM (SELECT unnest(t) AS w FROM nrm WHERE doc_id % 5 = 0)
+        |),
+        |sc AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, greatest(len(t), 1)), i -> t[i + 1])) AS w2
+        |  FROM nrm WHERE doc_id % 7 = 3
+        |),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(COALESCE(c2, 0) + 1 AS double) /
+        |      CAST(COALESCE(c1, 0) + vocab AS double)) * 1000000) AS bigint) AS l
+        |  FROM sc LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1), v
+        |)
+        |SELECT doc_id, COUNT(1) AS n_bigrams, CAST(SUM(l) AS bigint) AS sum_lp,
+        |  CAST(SUM(l) AS double) / CAST(COUNT(1) AS double) AS mean_lp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_token_entropy" ->
       """WITH toks AS (
         |  SELECT doc_id,

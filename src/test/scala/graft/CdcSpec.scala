@@ -65,4 +65,46 @@ class CdcSpec extends SparkSpec {
     val out = rowsOf(Cdc.apply(base, f, Seq("k"), "v", "op"))
     assert(out(1L) == (("u", 1.0)))
   }
+
+  test("randomized feeds match a sequential replay reference (200 trials worth of keys)") {
+    // Reference model: fold the feed strictly in version order per key —
+    // the semantics a single-threaded consumer of the log would produce.
+    // One big randomized feed over 200 keys exercises every op
+    // interleaving; the seed is fixed so a failure reproduces.
+    val rnd = new scala.util.Random(42)
+    val baseRows = (0 until 200).map(k => (k.toLong, s"b$k", k * 1.0))
+    val feedRows = scala.collection.mutable.ListBuffer.empty[(Long, String, java.lang.Double, Long, String)]
+    var version = 0L
+    (0 until 600).foreach { i =>
+      val k = rnd.nextInt(250).toLong // some keys beyond the base (inserts)
+      version += 1 + rnd.nextInt(3)
+      rnd.nextInt(3) match {
+        case 0 => feedRows += ((k, s"u$i", i * 0.5, version, "U"))
+        case 1 => feedRows += ((k, null, null, version, "D"))
+        case 2 => feedRows += ((k, s"i$i", i * 0.25, version, "I"))
+      }
+    }
+    // reference: per key, the max-version change decides survival/payload
+    val ref = scala.collection.mutable.Map[Long, (String, Double)]()
+    baseRows.foreach { case (k, st, pr) => ref(k) = (st, pr) }
+    feedRows.groupBy(_._1).foreach { case (k, changes) =>
+      val last = changes.maxBy(c => (c._4, c._5))
+      if (last._5 == "D") ref.remove(k)
+      else ref(k) = (last._2, last._3: Double)
+    }
+    import spark.implicits._
+    val got = rowsOf(Cdc.apply(baseRows.toDF("k", "st", "pr"),
+      feedRows.toSeq.toDF("k", "st", "pr", "v", "op"), Seq("k"), "v", "op"))
+    assert(got == ref.toMap, {
+      val diff = (got.keySet ++ ref.keySet).filter(k => got.get(k) != ref.get(k))
+      s"mismatch on keys $diff: got=${diff.map(got.get)}, ref=${diff.map(ref.get)}"
+    })
+    // and the batch-split law on a random midpoint
+    val (f1, f2) = feedRows.toSeq.sortBy(_._4).splitAt(300)
+    val stepwise = rowsOf(Cdc.apply(
+      Cdc.apply(baseRows.toDF("k", "st", "pr"), f1.toDF("k", "st", "pr", "v", "op"),
+        Seq("k"), "v", "op"),
+      f2.toDF("k", "st", "pr", "v", "op"), Seq("k"), "v", "op"))
+    assert(stepwise == got, "stepwise replay must equal one-shot replay")
+  }
 }

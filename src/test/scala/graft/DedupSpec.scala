@@ -110,6 +110,48 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((12L, 2L, 2L, 6L, 0.5)), s"d5 two regions: ${out(5L)}")
   }
 
+  test("repeatedSpans matches a brute-force reference on a random corpus") {
+    import spark.implicits._
+    // Tiny vocab + short docs force dense accidental repeats — the
+    // adversarial regime for interval merging. Fixed seed: reproducible.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (0 until 40).map { i =>
+      val n = rnd.nextInt(13)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 3
+    // reference: global span counts, marked positions, interval union
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toVector
+    }.toMap
+    val occ = toks.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - k).map(p => (id, p + 1, ts.slice(p, p + k).mkString(" ")))
+    }
+    val counts = occ.groupBy(_._3).map { case (sp, os) => sp -> os.size }
+    val expect = occ.filter(o => counts(o._3) >= 2).groupBy(_._1).map {
+      case (id, os) =>
+        val ps = os.map(_._2).sorted
+        // gaps-and-islands over [p, p+k-1], merge when start <= end+1
+        var regions = List.empty[(Int, Int)]
+        ps.foreach { p =>
+          regions match {
+            case (s, e) :: tail if p <= e + 1 => regions = (s, math.max(e, p + k - 1)) :: tail
+            case _ => regions = (p, p + k - 1) :: regions
+          }
+        }
+        id -> ((toks(id).length.toLong, os.size.toLong, regions.size.toLong,
+          regions.map { case (s, e) => e - s + 1 }.sum.toLong))
+    }
+    val got = Dedup.repeatedSpans(corpus.toDF("doc_id", "text"), "text", "doc_id", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, {
+      val diff = (got.keySet ++ expect.keySet).filter(i => got.get(i) != expect.get(i))
+      s"mismatch on docs $diff: got=${diff.map(got.get)} want=${diff.map(expect.get)}"
+    })
+  }
+
   test("null-text documents never collapse into each other (unknown ≠ equal)") {
     import spark.implicits._
     val withNulls = Seq((1L, "same text"), (2L, "same text"),

@@ -104,6 +104,12 @@ class PlanSpec extends SparkSpec {
       s"expected 2 exchanges (__h, id), got ${exchanges.size}:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_join_null_safe: <=> keys stay an equi-join, never a nested loop") {
+    val p = plan("q_join_null_safe")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe equality must plan as a hash/merge equi-join:\n${p.take(2000)}")
+  }
+
   test("q_copurchase: pair join keys on the order — never a cartesian product") {
     val p = plan("q_copurchase")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
