@@ -120,6 +120,21 @@ object StreamQueries extends graft.QueryModule {
     // clicks within the preceding 30 minutes (both sides are live
     // streams, state evicted by watermark + range bound); per-user
     // attribution rollup compared against the batch interval join.
+    // Stream-static enrichment: every event joined map-side to the
+    // customer dim (broadcast per micro-batch, zero join state), then
+    // watermarked windowed counts per market segment.
+    "q_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      val dim = graft.Tables(s, dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      Streams.runToTable(s, Streams.enrichedSegmentCounts(stream, dim),
+          fresh("enrich"), "complete")
+        .select($"win_start", $"c_mktsegment", $"n",
+          $"sum_value".cast("double").as("sum_value"))
+        .orderBy($"win_start", $"c_mktsegment")
+    }),
+
     "q_stream_join" -> ((s, dir) => {
       import s.implicits._
       val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
@@ -151,6 +166,12 @@ object StreamQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+        |  c_mktsegment, COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY win_start, c_mktsegment""".stripMargin,
     "q_stream_sessions" ->
       """WITH ordered AS (
         |  SELECT user_id, ts, event_id,

@@ -82,6 +82,25 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-STATIC enrichment — the canonical "join the stream to the
+    * warehouse dim" pattern (C13's missing third join kind next to
+    * stream-stream and self-state): the static side is broadcast into
+    * every micro-batch, so enrichment is map-side with NO streaming
+    * state at all (unlike a stream-stream join there is nothing to
+    * watermark away on the dim side); the only state is the downstream
+    * windowed aggregation's. At 100 TB of events the dim refresh cadence
+    * is a re-broadcast per restart — the standard lakehouse trade.
+    */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "10 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+
   /** Session windows per user: 30-minute gap closes a session. */
   def sessionCounts(events: DataFrame): DataFrame =
     events
