@@ -31,6 +31,35 @@ object Sample {
     df.filter(bucket < rate)
   }
 
+  /** Temperature-resampled mixture (the mT5/XLM-R multilingual recipe,
+    * alpha = 0.5): class keep-rates are chosen so the SAMPLED mixture
+    * follows p_c ∝ n_c^0.5 — rare classes keep everything (the smallest
+    * class's rate is exactly 1 by construction; upsampling past 1 means
+    * replication, out of scope), dominant classes are squashed. Every
+    * floating step is IEEE-exact-reproducible (sqrt/divide/multiply are
+    * correctly rounded, and both engines evaluate the identical operand
+    * tree), so the per-mille floor is deterministic and the hash-bucket
+    * membership is content-stable like [[stratified]] — the oracle
+    * reproduces the kept set bit-for-bit. One tiny aggregation for the
+    * rates; the sampling itself is a broadcast-rate map-side filter.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, classCol: String,
+      salt: String): DataFrame = {
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val withW = counts
+      .withColumn("__w", sqrt(col("__n").cast("double")))
+      .withColumn("__ratio", col("__n").cast("double") / col("__w"))
+    val m = withW.agg(min(col("__ratio")).as("__m"))
+    val rates = withW.crossJoin(broadcast(m))
+      .withColumn("rate_pm",
+        floor(col("__m") * col("__w") / col("__n").cast("double") * 1000)
+          .cast("long"))
+      .select(col(classCol), col("rate_pm"))
+    val bucket = pmod(
+      TextOps.hash32(concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(1000L))
+    df.join(broadcast(rates), Seq(classCol)).filter(bucket < col("rate_pm"))
+  }
+
   /** Weight-proportional top-k per stratum WITHOUT replacement —
     * Efraimidis–Spirakis A-Res with a DETERMINISTIC uniform: each row's
     * u ∈ (0,1) derives from md5(id) (content-stable like [[stratified]]

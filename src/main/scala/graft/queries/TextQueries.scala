@@ -239,6 +239,23 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"lang")
     }),
 
+    // Temperature mixture resampling (alpha=0.5, Sample
+    // .temperatureSample): the multilingual-balance recipe — en (the
+    // dominant class) squashed toward sqrt-share, the smallest class
+    // kept whole (rate exactly 1000‰ by construction). Rates derive
+    // from counts through correctly-rounded IEEE ops only, so the
+    // per-mille floors and the md5-bucket kept set are oracle-exact.
+    "q_temperature_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val kept = graft.llm.Sample.temperatureSample(docs, "doc_id", "lang", "temp")
+      docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy($"lang").agg(count(lit(1)).as("n_kept"),
+          max($"rate_pm").as("rate_pm"),
+          sum($"doc_id").cast("bigint").as("sum_kept")), Seq("lang"))
+        .orderBy($"lang")
+    }),
+
     // Weight-proportional deterministic sampling (A-Res, Sample
     // .weightedSample): top-5 docs per lang by the fixed-point priority
     // ln(u)/w with w = token count — longer docs proportionally likelier,
@@ -480,6 +497,31 @@ object TextQueries extends graft.QueryModule {
         |JOIN (SELECT lang, COUNT(1) AS n_kept, MIN(doc_id) AS min_kept,
         |        MAX(doc_id) AS max_kept, CAST(SUM(doc_id) AS bigint) AS sum_kept
         |      FROM k GROUP BY lang) s USING (lang)
+        |ORDER BY t.lang""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(1) AS n FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n, sqrt(CAST(n AS double)) AS w,
+        |    CAST(n AS double) / sqrt(CAST(n AS double)) AS ratio
+        |  FROM c
+        |),
+        |m AS (SELECT MIN(ratio) AS m FROM w),
+        |r AS (
+        |  SELECT lang, CAST(floor(m.m * w.w / CAST(w.n AS double) * 1000) AS bigint)
+        |    AS rate_pm
+        |  FROM w, m
+        |),
+        |kept AS (
+        |  SELECT d.lang, d.doc_id, r.rate_pm FROM documents d
+        |  JOIN r USING (lang)
+        |  WHERE CAST(('0x' || substr(md5('temp:' || doc_id), 1, 8)) AS bigint) % 1000
+        |    < r.rate_pm
+        |)
+        |SELECT t.lang, t.n_total, s.n_kept, s.rate_pm, s.sum_kept
+        |FROM (SELECT lang, COUNT(1) AS n_total FROM documents GROUP BY lang) t
+        |JOIN (SELECT lang, COUNT(1) AS n_kept, MAX(rate_pm) AS rate_pm,
+        |        CAST(SUM(doc_id) AS bigint) AS sum_kept
+        |      FROM kept GROUP BY lang) s USING (lang)
         |ORDER BY t.lang""".stripMargin,
     "q_weighted_sample" ->
       s"""WITH d AS (
