@@ -34,6 +34,25 @@ import org.apache.spark.sql.functions._
 object ProfileQueries extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Declarative expectation suite (graft.ops.Checks) over orders: four
+    // row-local constraints fold into ONE wide aggregate over ONE scan;
+    // uniqueness adds one key shuffle each; FK integrity is one
+    // broadcast anti-join against customer. Violation counts are exact
+    // integers — the whole verdict table hash-matches the oracle. The
+    // suite deliberately mixes passing and failing checks so non-zero
+    // counting is exercised, not just all-green.
+    "q_quality_checks" -> ((s, dir) => {
+      import graft.ops.Checks
+      Checks.run(Tables(s, dir, "orders"), Seq(
+        Checks.NotNull("o_custkey"),
+        Checks.InRange("o_totalprice", 0, 250000),
+        Checks.Matches("o_orderpriority", "^[12]-"),
+        Checks.InSet("o_orderstatus", Seq("O", "F")),
+        Checks.Unique(Seq("o_orderkey")),
+        Checks.Unique(Seq("o_custkey")),
+        Checks.Ref("o_custkey", Tables(s, dir, "customer"), "c_custkey")))
+    }),
+
     "q_profile_stats" -> ((s, dir) => {
       import s.implicits._
       val li = Tables(s, dir, "lineitem")
@@ -242,6 +261,45 @@ object ProfileQueries extends graft.QueryModule {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_checks" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS v_nn,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+        |      AND NOT (CAST(o_totalprice AS double) BETWEEN 0 AND 250000)
+        |      THEN 1 ELSE 0 END) AS bigint) AS v_range,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+        |      AND NOT regexp_matches(o_orderpriority, '^[12]-')
+        |      THEN 1 ELSE 0 END) AS bigint) AS v_re,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F')
+        |      THEN 1 ELSE 0 END) AS bigint) AS v_set
+        |  FROM orders),
+        |u AS (
+        |  SELECT
+        |    CAST(count(1) AS bigint) - CAST(count(DISTINCT o_orderkey) AS bigint) AS v_uok,
+        |    CAST(count(1) AS bigint) - CAST(count(DISTINCT o_custkey) AS bigint) AS v_uck
+        |  FROM orders),
+        |r AS (
+        |  SELECT CAST(count(1) AS bigint) AS v_ref FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT check_name, violations, violations = 0 AS passed FROM (
+        |  SELECT 'not_null(o_custkey)' AS check_name, v_nn AS violations FROM m
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice,0.0,250000.0)', v_range FROM m
+        |  UNION ALL
+        |  SELECT 'matches(o_orderpriority,^[12]-)', v_re FROM m
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus,O|F)', v_set FROM m
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', v_uok FROM u
+        |  UNION ALL
+        |  SELECT 'unique(o_custkey)', v_uck FROM u
+        |  UNION ALL
+        |  SELECT 'ref(o_custkey->c_custkey)', v_ref FROM r)
+        |ORDER BY check_name""".stripMargin,
+
     "q_profile_stats" -> {
       val numCols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
       val strCols = Seq("l_returnflag", "l_linestatus")
