@@ -116,6 +116,45 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"even_bucket")
     }),
 
+    // Exactly-once sink law under the oracle's eye: events staged as 3
+    // slice files (event_id mod 3), one micro-batch per file, each batch
+    // landing in its own batch_id partition via DYNAMIC partition
+    // overwrite (Streams.writeBatchIdempotent). After the stream
+    // completes, the LAST batch is REPLAYED with the same id — the
+    // crash-between-sink-and-checkpoint retry Structured Streaming
+    // actually performs. Idempotence ⇒ the final table still equals the
+    // plain batch aggregate (an append sink would double-count the
+    // replayed slice and flunk the oracle). n_slices comes from
+    // batch_id on the Spark side but from event_id%3 in the oracle, so
+    // it also proves one-file-one-batch layout held.
+    "q_stream_exactly_once" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_streamxo_${ProcessHandle.current().pid()}"
+      val in = s"$root/in"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(in, ckpt, table))
+      val ev = graft.Tables(s, dir, "events")
+        .select($"event_id", $"event_type", $"value")
+      (0 to 2).foreach { k =>
+        val stage = s"$root/stage$k"
+        ev.filter($"event_id" % 3 === k).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .head.toPath
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$in/slice$k.parquet"))
+      }
+      Streams.exactlyOnceSink(s, in, ev.schema, table, ckpt)
+      Streams.replayLastBatch(s, table)
+      s.read.parquet(table)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"batch_id").as("n_slices"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_value"))
+        .orderBy($"event_type")
+    }),
+
     // Stream-stream interval join: purchases attributed to same-user
     // clicks within the preceding 30 minutes (both sides are live
     // streams, state evicted by watermark + range bound); per-user
@@ -216,6 +255,11 @@ object StreamQueries extends graft.QueryModule {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(1) AS n, COUNT(DISTINCT event_id) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_exactly_once" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  COUNT(DISTINCT event_id % 3) AS n_slices,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_upsert" ->
       """WITH fixture AS (

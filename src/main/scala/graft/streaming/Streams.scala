@@ -215,6 +215,63 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** The idempotent write inside [[exactlyOnceSink]], factored out so a
+    * crash-replay (same batch, same id) can be driven explicitly: each
+    * micro-batch lands in its own `batch_id=<id>` partition with DYNAMIC
+    * partition overwrite, so re-executing a batch overwrites exactly its
+    * own partition and nothing else. Structured Streaming's contract is
+    * at-least-once delivery of each (batch, id) pair to foreachBatch — a
+    * crash between sink write and checkpoint commit re-runs the SAME id —
+    * so sink idempotence in the id is precisely what upgrades the
+    * pipeline to exactly-once. An append-mode sink here would
+    * double-count on replay (the law `ExactlyOnceSinkSpec` pins).
+    */
+  def writeBatchIdempotent(batch: org.apache.spark.sql.DataFrame, id: Long,
+      table: String): Unit =
+    batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(table)
+
+  /** File stream → exactly-once parquet table: foreachBatch with the
+    * batch-id-partitioned idempotent writer. `maxFilesPerBatch=1` makes
+    * every staged file its own micro-batch (and its own partition), the
+    * shape of a production bronze-layer ingest.
+    */
+  def exactlyOnceSink(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, table: String,
+      checkpoint: String, maxFilesPerBatch: Int = 1): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerBatch.toString)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(batch.toDF(), id, table)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Re-execute the sink for the table's highest batch id with the rows
+    * it already holds — the crash-before-checkpoint-commit replay. The
+    * batch input is eagerly materialized (localCheckpoint) BEFORE the
+    * overwrite so the write never reads the partition it is replacing.
+    */
+  def replayLastBatch(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    // partition-column inference surfaces batch_id as int — cast back
+    val last = spark.read.parquet(table)
+      .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
+    val rows = spark.read.parquet(table)
+      .filter(col("batch_id") === last).drop("batch_id")
+      .localCheckpoint(true)
+    writeBatchIdempotent(rows, last, table)
+    last
+  }
+
   /** Run a streaming relation to completion over its (finite) source with
     * `Trigger.AvailableNow`, materializing into an in-memory table;
     * returns the table as a batch DataFrame. `complete` mode for
