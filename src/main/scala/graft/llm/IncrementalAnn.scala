@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental ANN index maintenance: add new embedding batches to a
+  * PERSISTED IVF index without retraining or touching stored vectors.
+  *
+  * The production vector-search loop is the dedup loop's twin (see
+  * [[IncrementalDedup]]): a 100 TB corpus is indexed once, then daily
+  * batches must become searchable at batch cost — never re-cluster, never
+  * re-assign, never rewrite the postings already on disk. FAISS calls
+  * this `add` on a trained index; here the index is a parquet state dir:
+  *
+  *  - `centroids/` — (cell, c: array<double>): the coarse quantizer,
+  *    trained ONCE at `init` on a bounded sample (`boundedSample` — the
+  *    collect is capped at any corpus size) and IMMUTABLE afterwards.
+  *    Centroid drift is handled in production by periodic full rebuilds,
+  *    not by mutating a live index.
+  *  - `postings/` — (id, cell, v, nrm): APPEND-ONLY posting lists. A new
+  *    batch is assigned MAP-SIDE against the broadcast-literal centroids
+  *    (numCells × dims doubles in the plan) and appended; cost is one
+  *    narrow pass over the batch plus the append IO, independent of
+  *    corpus size. At scale the postings dir is partitioned by `cell`,
+  *    so a search's nprobe cells prune to nprobe directories.
+  *
+  * THE INCREMENTAL LAW (pinned in IncrementalAnnSpec, recall-pinned in
+  * `q_ann_incremental`): because assignment is a pure function of
+  * (vector, centroids) — argmin over ||v−c||² with the cell id breaking
+  * ties — `init(A); addBatch(B)` yields postings IDENTICAL to assigning
+  * A ∪ B in one shot against the same centroids. Search over the
+  * incrementally-built index is bit-for-bit search over the one-shot
+  * index. The same argmin expression is used at init, at addBatch, and
+  * for query probes, so the law holds by construction and the spec can
+  * assert set equality, not approximate agreement.
+  */
+object IncrementalAnn {
+
+  private def centroidsPath(stateDir: String) = s"$stateDir/centroids"
+  private def postingsPath(stateDir: String) = s"$stateDir/postings"
+
+  /** Probe-order entries: struct(distance-score, cell) per centroid.
+    * score = ||c||² − 2·v·c ranks cells exactly like ||v−c||² (the ||v||²
+    * term is constant per row); ties break on cell id.
+    */
+  private def probeEntries(centroids: Seq[(Int, Array[Double])], v: Column) =
+    centroids.map { case (i, c) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2d) * Similarity.dot(v, typedlit(c.toSeq))).as("cd"),
+        lit(i).as("cell"))
+    }
+
+  /** Map-side cell assignment of a prepared vector column. */
+  private def assignCell(centroids: Seq[(Int, Array[Double])], v: Column): Column =
+    element_at(array_sort(array(probeEntries(centroids, v): _*)), 1).getField("cell")
+
+  private def loadCentroids(spark: SparkSession, stateDir: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(centroidsPath(stateDir))
+      .collect() // numCells rows — bounded by construction
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+
+  /** Train the coarse quantizer on a bounded sample of `corpus`, persist
+    * it, and assign the initial corpus. One-time cost.
+    */
+  def init(spark: SparkSession, stateDir: String, corpus: DataFrame,
+      vecCol: String, idCol: String, numCells: Int = 16, seed: Long = 42L,
+      sampleTarget: Int = 4096): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val cPrep = Similarity.prepared(corpus, vecCol, idCol)
+    val hashSample = Similarity.boundedSample(cPrep, idCol, sampleTarget.toLong)
+    val trainSample =
+      if (hashSample.limit(numCells).count() < numCells) cPrep else hashSample
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(trainSample.select(array_to_vector(col("v")).as("fv")))
+    val cents = model.clusterCenters.map(_.toArray).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+    import spark.implicits._
+    cents.toDF("cell", "c").repartition(1)
+      .write.mode("overwrite").parquet(centroidsPath(stateDir))
+    addBatch(spark, stateDir, corpus, vecCol, idCol, overwrite = true)
+  }
+
+  /** Assign a new batch against the stored centroids and append its
+    * postings. Batch ids must be disjoint from ids already added.
+    */
+  def addBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+      vecCol: String, idCol: String, overwrite: Boolean = false): Unit = {
+    val cents = loadCentroids(spark, stateDir)
+    Similarity.prepared(batch, vecCol, idCol)
+      .select(col(idCol).as("id"), assignCell(cents, col("v")).as("cell"),
+        col("v"), col("nrm"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(postingsPath(stateDir))
+  }
+
+  /** nprobe-cell search over the stored postings: (id_a, rk, id_b, cos),
+    * self-matches excluded, ties on corpus id — same output contract as
+    * `Similarity.ivfTopK`.
+    */
+  def search(spark: SparkSession, stateDir: String, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = loadCentroids(spark, stateDir)
+    val postings = spark.read.parquet(postingsPath(stateDir))
+      .select(col("id").as("id_b"), col("cell"), col("v").as("v_b"),
+        col("nrm").as("n_b"))
+    val qCells = Similarity.prepared(queries, vecCol, idCol)
+      .select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"),
+        explode(slice(array_sort(array(probeEntries(cents, col("v")): _*)),
+          1, nprobe)).as("probe"))
+      .withColumn("cell", col("probe.cell"))
+      .drop("probe")
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+    qCells.join(postings, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("rk"), col("id_b"), col("cos"))
+  }
+}

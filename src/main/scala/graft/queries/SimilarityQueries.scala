@@ -120,6 +120,31 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"rk")
     }),
 
+    // Incremental ANN (llm/IncrementalAnn): IVF index INITIALIZED on 2/3
+    // of the corpus, the remaining 1/3 added as a batch against the
+    // persisted centroids (map-side assignment, append-only postings —
+    // never re-clustering), then searched over the union. Same pinned
+    // recall floor as q_cosine_ivf; the one-shot ≡ incremental law is
+    // set-exact in IncrementalAnnSpec. Distinct query slice (%20 = 7)
+    // so this entry is checked independently of the other ANN entries.
+    "q_ann_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val stateDir = sys.props("java.io.tmpdir") +
+        s"/graft_annstate_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(stateDir))
+      val emb = Tables(s, dir, "embeddings")
+      graft.llm.IncrementalAnn.init(s, stateDir,
+        emb.filter($"vec_id" % 3 =!= 0), "embedding", "vec_id")
+      graft.llm.IncrementalAnn.addBatch(s, stateDir,
+        emb.filter($"vec_id" % 3 === 0), "embedding", "vec_id")
+      val queries = emb.filter($"vec_id" % 20 === 7)
+      val exact = Similarity.bruteTopK(emb, queries, "embedding", "vec_id", 5)
+      val ann = graft.llm.IncrementalAnn.search(s, stateDir, queries,
+        "embedding", "vec_id", 5)
+      Similarity.recallChecked(exact, ann, 0.55)
+        .orderBy($"id_a", $"rk")
+    }),
+
     // ANN, IVF path: k-means coarse quantizer, nprobe=4 of 16 cells,
     // driver-checked via recallChecked with pinned recall ≥ 0.55
     // (measured 0.75 at sf0.01, 0.65 at sf0.1 — RecallLab).
@@ -312,8 +337,10 @@ object SimilarityQueries extends graft.QueryModule {
     }))
 
   // Exact brute-force top-5 in DuckDB; `extraCols` lets the ANN entries
-  // reuse it with the literal-TRUE recall flag appended.
-  private def bruteTopkSql(extraCols: String = ""): String =
+  // reuse it with the literal-TRUE recall flag appended, `queryPred`
+  // selects the entry's query slice.
+  private def bruteTopkSql(extraCols: String = "",
+      queryPred: String = "a.vec_id % 20 = 0"): String =
     s"""SELECT id_a, rk, id_b, cos$extraCols FROM (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -325,7 +352,7 @@ object SimilarityQueries extends graft.QueryModule {
        |           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) DESC,
        |        b.vec_id ASC) AS rk
        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-       |  WHERE a.vec_id % 20 = 0
+       |  WHERE $queryPred
        |) WHERE rk <= 5 ORDER BY id_a, rk""".stripMargin
 
   def oracle: Map[String, String] = Map(
@@ -335,6 +362,8 @@ object SimilarityQueries extends graft.QueryModule {
     // ANN/exact overlap, so a recall regression is a driver hash mismatch.
     "q_cosine_ann" -> bruteTopkSql(", TRUE AS recall_ok"),
     "q_cosine_ivf" -> bruteTopkSql(", TRUE AS recall_ok"),
+    "q_ann_incremental" ->
+      bruteTopkSql(", TRUE AS recall_ok", "a.vec_id % 20 = 7"),
     "q_cosine_ivfpq" -> bruteTopkSql(", TRUE AS recall_ok"),
     // Exact pairs -> recursive-CTE transitive closure -> min-id
     // representative per cluster; singletons (no edge) represent
