@@ -35,12 +35,12 @@ import org.apache.spark.sql.functions._
   * so every iteration reuses that partitioning and only the |V|-sized
   * rank relation moves (join on src, then one aggregate shuffle on dst).
   * Per-iteration cost is 2 small shuffles + the static edge scan; rank
-  * state is eagerly localCheckpoint'ed per round to truncate lineage
-  * (same law as `Dedup.connectedComponents` — a lazy plan re-expands
-  * through every previous iteration). On a cluster, swap reliable
-  * `checkpoint` for executor-loss tolerance. The only driver-side
-  * action is one `count()` of the node set (a scalar aggregate job —
-  * N itself is needed to seed the uniform prior).
+  * lineage is truncated every `checkpointInterval` rounds (see `ranks`
+  * scaladoc for why fixed-iteration loops need less checkpointing than
+  * convergence-probed ones). On a cluster, swap reliable `checkpoint`
+  * for executor-loss tolerance. The only driver-side action is one
+  * `count()` of the node set (a scalar aggregate job — N itself is
+  * needed to seed the uniform prior).
   */
 object PageRank {
 
@@ -50,11 +50,23 @@ object PageRank {
   /** Iterate `iters` rounds of fixed-point PageRank over `edges`
     * (columns `src`, `dst`; must be distinct pairs). Returns (id: long,
     * rank_fp: long) — one row per node that appears in the edge set.
+    *
+    * Lineage: unlike `Dedup.connectedComponents` (unbounded rounds, a
+    * convergence probe that re-executes the frontier), the iteration
+    * count here is FIXED and probe-free, so per-round eager
+    * checkpointing would only buy job-launch latency — the whole loop
+    * plans as ONE action whose depth is `iters` joins+aggs. Lineage is
+    * truncated every `checkpointInterval` rounds (default 10) so long
+    * runs can't grow an unbounded plan; short runs stay a single job.
     */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int, checkpointInterval: Int = 10): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    // Materialize the edge input ONCE: callers typically derive edges
+    // from an expensive join (the co-purchase self-join), and both the
+    // node set and the degree-carrying edge relation consume it.
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
@@ -64,14 +76,13 @@ object PageRank {
     // Static per-edge relation carrying the src out-degree, partitioned
     // by src ONCE — iterations join the moving rank relation into this
     // layout instead of re-shuffling the edges every round.
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(outDeg, "src")
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(outDeg, "src")
       .repartition(col("src"))
       .localCheckpoint(true)
 
     var ranks = nodes.select(col("id"), lit(r0).as("rank_fp"))
-      .localCheckpoint(true)
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank_fp div deg").as("c"))
@@ -79,7 +90,8 @@ object PageRank {
       ranks = nodes.join(sums, nodes("id") === sums("dst"), "left")
         .select(col("id"),
           (lit(base) + expr("(17 * coalesce(s, 0L)) div 20")).as("rank_fp"))
-        .localCheckpoint(true)
+      if (i % checkpointInterval == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
