@@ -39,6 +39,36 @@ object GraphQueries extends graft.QueryModule {
           ($"rank_fp".cast("double") / lit(1e12)).as("rank"))
         .orderBy($"rank_fp".desc, $"part".asc)
         .limit(25)
+    }),
+
+    // Top-25 parts by exact triangle count in the co-purchase graph —
+    // degree-oriented wedge counting (PageRank.triangleCounts), every
+    // join an equi-join. The oracle enumerates each a<b<c triangle once
+    // via the canonical-edge 3-way self-join. The graph is the p%3=0
+    // part slice: the co-purchase graph is deliberately dense (popular
+    // parts co-occur constantly), and triangle counting is cubic-ish in
+    // density — the full sf0.1 graph is a 29 s entry for zero extra
+    // correctness signal, the slice checks the identical code path in
+    // ~1/9 the edges (the at-scale cost argument lives in the
+    // degree-orientation bound, spec-pinned, not in this fixture).
+    "q_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val op = Tables(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .filter($"p" % 3 === 0)
+      val small = op.groupBy($"o").agg(count(lit(1)).as("basket"))
+        .filter($"basket" <= 100)
+        .select($"o")
+      val capped = op.join(small, "o")
+      val pairs = capped.join(capped.select($"o", $"p".as("p2")), "o")
+        .filter($"p" < $"p2")
+        .select($"p".as("u"), $"p2".as("v"))
+        .distinct()
+      PageRank.triangleCounts(pairs)
+        .filter($"n_tri" > 0)
+        .orderBy($"n_tri".desc, $"id".asc)
+        .limit(25)
+        .select($"id".as("part"), $"n_tri")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -107,5 +137,35 @@ object GraphQueries extends graft.QueryModule {
         |SELECT id AS part, r AS rank_fp, r / 1000000000000.0::double AS rank
         |FROM r5
         |ORDER BY rank_fp DESC, part ASC
+        |LIMIT 25""".stripMargin,
+
+    "q_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_partkey % 3 = 0
+        |),
+        |capped AS (
+        |  SELECT op.o, op.p FROM op
+        |  JOIN (SELECT o FROM op GROUP BY o HAVING count(1) <= 100) s
+        |    ON op.o = s.o
+        |),
+        |edges AS (
+        |  SELECT DISTINCT a.p AS x, b.p AS y
+        |  FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+        |),
+        |tri AS (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.x = e1.y
+        |  JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y
+        |),
+        |corners AS (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri
+        |)
+        |SELECT id AS part, CAST(count(1) AS bigint) AS n_tri
+        |FROM corners GROUP BY id
+        |ORDER BY n_tri DESC, part ASC
         |LIMIT 25""".stripMargin)
 }

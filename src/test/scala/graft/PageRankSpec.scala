@@ -72,4 +72,48 @@ class PageRankSpec extends SparkSpec {
     val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40))
     assert(run(edges, 3) === run(edges, 3))
   }
+
+  // --- triangleCounts ---
+
+  private def triangles(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    PageRank.triangleCounts(pairs.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Brute-force reference: every id triple with all three edges. */
+  private def bruteTriangles(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = pairs.map { case (a, b) => (a min b, a max b) }.toSet
+    val ids = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.size; k <- (j + 1) until ids.size
+      (a, b, c) = (ids(i), ids(j), ids(k))
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    ids.map(id => id -> counts(id)).toMap
+  }
+
+  test("K4: every node closes 3 triangles; bipartite graph closes none") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(triangles(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val bipartite = for (l <- 0L to 2L; r <- 10L to 12L) yield (l, r)
+    assert(triangles(bipartite).values.forall(_ == 0L))
+  }
+
+  test("matches the brute-force reference on a random graph (hub included)") {
+    // pseudo-random edges plus a hub touching everything: the hub's high
+    // degree orients almost all its edges inward, exercising the
+    // degree-orientation path
+    val rnd = (0L until 120L).map(i => (i % 25L, (i * 13 + 7) % 25L)).filter(e => e._1 != e._2)
+    val hub = (1L to 24L).map(i => (0L, i))
+    val edges = rnd ++ hub
+    assert(triangles(edges) === bruteTriangles(edges))
+  }
+
+  test("triangle plan uses equi-joins only — no cartesian, no nested loop") {
+    val edges = (0L until 60L).map(i => (i % 20L, (i * 3 + 1) % 20L)).filter(e => e._1 != e._2)
+    val plan = PageRank.triangleCounts(edges.toDF("u", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
