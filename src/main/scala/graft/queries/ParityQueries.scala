@@ -112,6 +112,39 @@ object ParityQueries extends graft.QueryModule {
           lit(1L).as("v"), lit("I").as("op"))
       val feed = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
       graft.ops.Cdc.apply(base, feed, Seq("k"), "v", "op").orderBy($"k")
+    }),
+
+    // Entity resolution over a deterministically dirtied master-data
+    // relation: canonical names are 'cust-' + 10 md5 hex chars (high
+    // entropy, byte-identical construction in both engines); keys %5==2
+    // add a char-DELETION copy (typo class 1, distance 1), keys %5==4 a
+    // char-SUBSTITUTION copy ('z' is outside the hex alphabet, distance
+    // 1). Both typo sites sit AFTER the 3-char blocking prefix
+    // (positions 6-8 of the name), so blocking keeps every true pair;
+    // Linkage must re-link each dirty copy to its source and leave the
+    // remaining records as singleton entities.
+    "q_entity_resolution" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+      def canon(c: Column): Column =
+        concat(lit("cust-"), substring(md5(c.cast("string")), 1, 10))
+      val base = cust.select($"c_custkey".as("id"),
+        canon($"c_custkey").as("name"))
+      val del = base.filter($"id" % 5 === 2)
+        .select(($"id" + 1000000L).as("id"),
+          concat(substring($"name", 1, 9), substring($"name", 11, 100))
+            .as("name"))
+      val sub = base.filter($"id" % 5 === 4)
+        .select(($"id" + 2000000L).as("id"),
+          concat(substring($"name", 1, 11), lit("z"),
+            substring($"name", 13, 100)).as("name"))
+      val dirty = base.unionByName(del).unionByName(sub)
+      graft.ops.Linkage
+        .resolve(dirty, "id", "name", substring(col("name"), 6, 3), 2)
+        .withColumn("n_members", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"entity_id")))
+        .orderBy($"record_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -182,5 +215,48 @@ object ParityQueries extends graft.QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
         |UNION ALL
         |SELECT k, st, pr FROM latest WHERE op != 'D'
-        |ORDER BY k""".stripMargin)
+        |ORDER BY k""".stripMargin,
+    "q_entity_resolution" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT c_custkey AS id,
+        |    'cust-' || substr(md5(CAST(c_custkey AS varchar)), 1, 10) AS name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |    substr(n, 1, 9) || substr(n, 11)
+        |  FROM (SELECT c_custkey,
+        |          'cust-' || substr(md5(CAST(c_custkey AS varchar)), 1, 10)
+        |            AS n
+        |        FROM customer WHERE c_custkey % 5 = 2)
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000,
+        |    substr(n, 1, 11) || 'z' || substr(n, 13)
+        |  FROM (SELECT c_custkey,
+        |          'cust-' || substr(md5(CAST(c_custkey AS varchar)), 1, 10)
+        |            AS n
+        |        FROM customer WHERE c_custkey % 5 = 4)
+        |),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM recs a JOIN recs b
+        |    ON substr(a.name, 6, 3) = substr(b.name, 6, 3) AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 2
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |),
+        |reach(src, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+        |),
+        |cc AS (SELECT src AS id, MIN(lbl) AS comp FROM reach GROUP BY src),
+        |asg AS (
+        |  SELECT r.id AS record_id, coalesce(cc.comp, r.id) AS entity_id
+        |  FROM recs r LEFT JOIN cc ON r.id = cc.id
+        |)
+        |SELECT record_id, entity_id,
+        |  CAST(COUNT(1) OVER (PARTITION BY entity_id) AS bigint) AS n_members
+        |FROM asg ORDER BY record_id""".stripMargin)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Linkage
+import org.apache.spark.sql.functions._
+
+/** Record-linkage laws: threshold match, blocking contract (cross-block
+  * pairs never compared), transitive entity closure, singleton identity,
+  * and an equi-join-only plan (blocking must never degrade to a
+  * cartesian compare).
+  */
+class LinkageSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def recs(rows: (Long, String)*) = rows.toDF("id", "name")
+
+  private val prefix3 = substring(col("name"), 1, 3)
+
+  test("typos within maxDist link; beyond maxDist stay separate") {
+    val r = recs(1L -> "abcdef", 2L -> "abcdxf", 3L -> "abczzz")
+    val out = Linkage.resolve(r, "id", "name", prefix3, 1)
+      .orderBy("record_id").as[(Long, Long)].collect().toSeq
+    // 1~2 differ by one substitution; 3 is distance 3 from both
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
+
+  test("cross-block pairs are never compared, even when names would match") {
+    val r = recs(1L -> "aaa same", 2L -> "bbb same")
+    // distance 3 ≤ maxDist 5 — they would link if ever compared, but the
+    // prefix blocks differ, so both stay singleton entities
+    val out = Linkage.resolve(r, "id", "name", prefix3, 5)
+      .orderBy("record_id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("entities close transitively beyond the pairwise bound") {
+    // A~B and B~C at distance 1 each, but dist(A, C) = 2 > maxDist 1:
+    // one entity regardless — linkage is transitive, edit distance isn't
+    val r = recs(1L -> "aaaaaa", 2L -> "aaaaax", 3L -> "aaaaxx")
+    val out = Linkage.resolve(r, "id", "name", prefix3, 1)
+      .orderBy("record_id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("matches emits exactly the bounded within-block pairs") {
+    val r = recs(1L -> "abcdef", 2L -> "abcdex", 3L -> "abcxyz",
+      4L -> "zzzdef")
+    val pairs = Linkage.matches(r, "id", "name", prefix3, 2)
+      .orderBy("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    // (1,2) dist 1; (1,3)/(2,3) dist 3 > 2; 4 in another block
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("match plan is equi-join only — no cartesian, no BNLJ") {
+    val r = recs(1L -> "abcdef", 2L -> "abcdex", 3L -> "zzzdef")
+    val p = Linkage.matches(r, "id", "name", prefix3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked match must stay an equi-join:\n$p")
+  }
+}
