@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object NearDupQueries extends graft.QueryModule {
 
-  /** Sampled docs + first-token-dropped near-copies (ids +100000). */
-  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  /** Sampled docs + first-token-dropped near-copies (ids +100000).
+    * `mod` sets the sampling rate; the exact similarity join uses 25 (the
+    * synthetic docs share a tiny template vocabulary, so TRUE pair
+    * density is quadratic-dense — at mod 5/sf0.1 the honest answer is
+    * 1.1M pairs ≥ 0.6, a degenerate instance for ANY exact join).
+    */
+  private def nearDupCorpus(s: SparkSession, dir: String,
+      mod: Int = 5): DataFrame = {
     import s.implicits._
     val base = Tables(s, dir, "documents")
-      .filter($"doc_id" % 5 === 0)
+      .filter($"doc_id" % mod === 0)
       .select($"doc_id", $"text", $"lang")
     val mutated = base
       .withColumn("doc_id", $"doc_id" + 100000L)
@@ -128,6 +134,18 @@ object NearDupQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // EXACT set-similarity join (prefix filtering, AllPairs/PPJoin): ALL
+    // pairs with token-set Jaccard ≥ 0.6 over the near-dup corpus. The
+    // oracle is BRUTE-FORCE all-pairs Jaccard — the hash match IS the
+    // no-miss guarantee of the prefix filter, pair for pair, at exactly
+    // the threshold boundary included.
+    "q_similarity_join" -> ((s, dir) => {
+      import s.implicits._
+      graft.llm.SetJoin.similarityJoin(
+          nearDupCorpus(s, dir, mod = 25), "text", "doc_id", 0.6)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // EXACT repeated-span dedup (fixed-width suffix-array approximation):
     // per-doc maximal duplicated 8-token regions + covered fraction over
     // the near-dup corpus — the mutated copies are suffixes of their
@@ -143,13 +161,15 @@ object NearDupQueries extends graft.QueryModule {
 
   private val duckNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-  /** Shared corpus + shingle CTEs (DuckDB). */
-  private val corpusCtes =
+  /** Shared corpus + shingle CTEs (DuckDB); `corpusCtesMod` mirrors the
+    * Spark side's sampling modulus.
+    */
+  private def corpusCtesMod(mod: Int) =
     s"""corpus AS (
-       |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 0
+       |  SELECT doc_id, text, lang FROM documents WHERE doc_id % $mod = 0
        |  UNION ALL
        |  SELECT doc_id + 100000, regexp_replace($duckNorm, '^[^ ]+ ', ''), lang
-       |  FROM documents WHERE doc_id % 5 = 0
+       |  FROM documents WHERE doc_id % $mod = 0
        |),
        |toks AS (
        |  SELECT doc_id, string_split($duckNorm, ' ') AS tk FROM corpus
@@ -160,6 +180,8 @@ object NearDupQueries extends graft.QueryModule {
        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
        |  FROM toks
        |)""".stripMargin
+
+  private val corpusCtes = corpusCtesMod(5)
 
   private val simhashSums = (0 until 32)
     .map(j => s"SUM(((h >> $j) % 2) * 2 - 1) AS b$j").mkString(",\n    ")
@@ -385,6 +407,27 @@ object NearDupQueries extends graft.QueryModule {
          |)
          |SELECT doc_id, n_chars, comp, keeper, doc_id != keeper AS is_dropped
          |FROM k ORDER BY doc_id""".stripMargin,
+    // Brute-force all-pairs token Jaccard — the ground truth the prefix
+    // filter must reproduce exactly (recall AND reported similarity).
+    "q_similarity_join" ->
+      s"""WITH ${corpusCtesMod(25)},
+         |tsets AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM toks),
+         |tsizes AS (SELECT doc_id, COUNT(1) AS n FROM tsets GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(1) AS n_inter
+         |  FROM tsets a JOIN tsets b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |j AS (
+         |  SELECT i.id_a, i.id_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+         |    CAST(i.n_inter AS double) /
+         |      CAST(sa.n + sb.n - i.n_inter AS double) AS jaccard
+         |  FROM inter i
+         |  JOIN tsizes sa ON sa.doc_id = i.id_a
+         |  JOIN tsizes sb ON sb.doc_id = i.id_b
+         |)
+         |SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
+         |FROM j WHERE jaccard >= 0.6::double ORDER BY id_a, id_b""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $corpusCtes,
          |sets AS (SELECT DISTINCT doc_id, sh FROM shingle),

@@ -1,0 +1,83 @@
+package graft
+
+import graft.llm.{SetJoin, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Laws of the exact prefix-filter similarity join: no-miss vs brute
+  * force (the defining guarantee), exact behavior AT the threshold
+  * boundary, candidate-superset containment, and degenerate inputs.
+  */
+class SetJoinSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a completely different document about spark query engines and shuffles"),
+      (3L, "numbers and tables and columns and rows and joins and aggregates here"),
+      (101L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      (102L, "a completely different document about flink query engines and shuffles"),
+      (201L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (301L, "solo outlier text sharing nothing with anyone else whatsoever today"),
+      // exact-boundary pair: sets {a b c d} vs {a b c e} → J = 3/5 = 0.6
+      (401L, "alpha beta gamma delta"),
+      (402L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+  }
+
+  /** Brute-force all-pairs token Jaccard ≥ t — the ground truth. */
+  private def bruteForce(d: DataFrame, t: Double): Set[(Long, Long, Double)] = {
+    val sets = d.select(col("doc_id").as("id"),
+      array_distinct(TextOps.tokens(col("text"))).as("toks"))
+    val a = sets.toDF("id_a", "toks_a")
+    val b = sets.toDF("id_b", "toks_b")
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double")).as("j"))
+      .filter(col("j") >= lit(t))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("similarityJoin reproduces brute force exactly, jaccard included") {
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      val got = SetJoin.similarityJoin(docs, "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+      assert(got == bruteForce(docs, t), s"mismatch vs brute force at t=$t")
+    }
+  }
+
+  test("a pair sitting exactly AT the threshold is found (401, 402 at 0.6)") {
+    val got = SetJoin.similarityJoin(docs, "text", "doc_id", 0.6)
+      .filter(col("id_a") === 401L && col("id_b") === 402L).collect()
+    assert(got.length == 1, "J = 3/5 = 0.6 must satisfy >= 0.6")
+    assert(got.head.getLong(2) == 3L && got.head.getLong(3) == 4L)
+  }
+
+  test("exact copy scores jaccard 1.0; outlier pairs with nobody") {
+    val rows = SetJoin.similarityJoin(docs, "text", "doc_id", 0.6).collect()
+    val exact = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 201L)
+    assert(exact.exists(_.getDouble(5) == 1.0))
+    assert(!rows.exists(r => r.getLong(0) == 301L || r.getLong(1) == 301L))
+  }
+
+  test("prefix candidates are a superset of every qualifying pair") {
+    import spark.implicits._
+    val sets = docs.select($"doc_id".as("id"),
+      array_distinct(TextOps.tokens($"text")).as("toks"))
+    val cands = SetJoin.prefixCandidates(sets, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = bruteForce(docs, 0.6).map(p => (p._1, p._2))
+    assert(truth.subsetOf(cands),
+      s"prefix filter missed ${truth.diff(cands)}")
+  }
+
+  test("single-doc and identical-singleton corpora behave") {
+    import spark.implicits._
+    val one = Seq((1L, "only doc")).toDF("doc_id", "text")
+    assert(SetJoin.similarityJoin(one, "text", "doc_id", 0.5).count() == 0)
+    val twins = Seq((1L, "same"), (2L, "same")).toDF("doc_id", "text")
+    val got = SetJoin.similarityJoin(twins, "text", "doc_id", 0.99).collect()
+    assert(got.length == 1 && got.head.getDouble(5) == 1.0)
+  }
+}
