@@ -20,6 +20,7 @@ object SparkEntry {
     _root_.graft.queries.FunctionQueries,
     _root_.graft.queries.OpsQueries,
     _root_.graft.queries.EventQueries,
+    _root_.graft.queries.GeoQueries,
     _root_.graft.queries.GraphQueries,
     _root_.graft.queries.ProfileQueries,
     _root_.graft.queries.ParityQueries,
