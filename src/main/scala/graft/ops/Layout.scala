@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) clustering — the multi-dimensional data-skipping
@@ -25,6 +25,126 @@ object Layout {
     */
   def zValue(a: Column, b: Column, bits: Int): Column =
     zValueN(Seq(a, b), bits)
+
+  /** Hilbert-curve key of n non-negative integer columns of `bits` bits
+    * each — the data-skipping layout one notch above Morton: the Hilbert
+    * curve takes only unit steps (consecutive keys differ in ONE
+    * coordinate by 1, proved on full grids in LayoutSpec), so it never
+    * pays the Morton curve's long diagonal jumps and per-file bounding
+    * boxes come out tighter on the same data (measured in LayoutSpec).
+    *
+    * Implementation is Skilling's transpose algorithm (J. Skilling,
+    * "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 — the
+    * standard public formulation) unrolled into a CHAIN of projections,
+    * one per (bit, dimension) step: each step rewrites the working
+    * coordinates with small CASE/XOR expressions over the previous
+    * step's columns. The chain shape is load-bearing at scale: a single
+    * nested expression would blow up exponentially (every step
+    * references its predecessor ≥2×), while chained projections stay
+    * linear — Catalyst's CollapseProject leaves multi-referenced
+    * non-cheap aliases in place, and the whole chain fuses into one
+    * WholeStageCodegen stage. [[hilbertSql]] emits the identical
+    * arithmetic as nested DuckDB subselects for oracle entries.
+    *
+    * Appends `out` (the Hilbert key) to `df`; the `cols` values must sit
+    * in [0, 2^bits). At scale the layout step is
+    * `repartitionByRange(out)` + local sort before the write, exactly as
+    * for [[zValueN]].
+    */
+  def withHilbert(df: DataFrame, cols: Seq[String], bits: Int,
+      out: String): DataFrame = {
+    val n = cols.length
+    require(n >= 2, s"hilbert needs at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n dims x $bits bits must fit 63 bits: ${n * bits}")
+    val xs = (0 until n).map(i => s"__hx$i")
+    var d = df.withColumns(
+      cols.zip(xs).map { case (c, x) => x -> col(c).cast("long") }.toMap)
+    def x(i: Int) = col(xs(i))
+    // Inverse-undo walk, high bit to bit 1.
+    for (q <- (bits - 1) to 1 by -1; i <- 0 until n) {
+      val Q = 1L << q
+      val P = Q - 1
+      if (i == 0)
+        d = d.withColumn(xs(0),
+          when(x(0).bitwiseAND(Q) =!= 0, x(0).bitwiseXOR(P)).otherwise(x(0)))
+      else {
+        val t = x(0).bitwiseXOR(x(i)).bitwiseAND(P)
+        d = d.withColumns(Map(
+          xs(0) -> when(x(i).bitwiseAND(Q) =!= 0, x(0).bitwiseXOR(P))
+            .otherwise(x(0).bitwiseXOR(t)),
+          xs(i) -> when(x(i).bitwiseAND(Q) =!= 0, x(i))
+            .otherwise(x(i).bitwiseXOR(t))))
+      }
+    }
+    // Gray encode (sequential: each xi folds in the UPDATED xi-1).
+    for (i <- 1 until n)
+      d = d.withColumn(xs(i), x(i).bitwiseXOR(x(i - 1)))
+    // Trailing correction from the final last coordinate, applied to all.
+    val t = ((bits - 1) to 1 by -1).map { q =>
+      val Q = 1L << q
+      when(x(n - 1).bitwiseAND(Q) =!= 0, lit(Q - 1)).otherwise(lit(0L))
+    }.reduce[Column](_ bitwiseXOR _)
+    d = d.withColumn("__ht", t)
+    d = d.withColumns(
+      (0 until n).map(i => xs(i) -> x(i).bitwiseXOR(col("__ht"))).toMap)
+    // Interleave the transpose MSB-first: X0 carries the top bit group.
+    val h = (for {
+      p <- (bits - 1) to 0 by -1
+      i <- 0 until n
+    } yield shiftright(x(i), p).bitwiseAND(lit(1L)) *
+        lit(1L << (p * n + (n - 1 - i)))).reduce(_ + _)
+    d.withColumn(out, h).drop(xs :+ "__ht": _*)
+  }
+
+  /** DuckDB SQL reproducing [[withHilbert]] bit-for-bit: the same step
+    * chain as nested subselects over `rel`, carrying `keep` through and
+    * emitting the key as `out`. `cols` are SQL expressions for the n
+    * coordinates.
+    */
+  def hilbertSql(cols: Seq[String], bits: Int, keep: Seq[String],
+      rel: String, out: String): String = {
+    val n = cols.length
+    require(n >= 2 && bits >= 1 && n * bits <= 63)
+    val xs = (0 until n).map(i => s"x$i")
+    var sql = s"SELECT ${keep.mkString(", ")}, " +
+      cols.zipWithIndex.map { case (c, i) =>
+        s"CAST($c AS bigint) AS x$i" }.mkString(", ") + s" FROM $rel"
+    def step(exprs: Map[String, String]): Unit = {
+      val passthru = (keep ++ xs).filterNot(exprs.contains)
+      val sel = (passthru ++ exprs.map { case (k, e) => s"$e AS $k" })
+        .mkString(", ")
+      sql = s"SELECT $sel FROM ($sql)"
+    }
+    for (q <- (bits - 1) to 1 by -1; i <- 0 until n) {
+      val Q = 1L << q
+      val P = Q - 1
+      if (i == 0)
+        step(Map("x0" ->
+          s"CASE WHEN (x0 & $Q) <> 0 THEN xor(x0, $P) ELSE x0 END"))
+      else {
+        val t = s"(xor(x0, x$i) & $P)"
+        step(Map(
+          "x0" -> (s"CASE WHEN (x$i & $Q) <> 0 THEN xor(x0, $P) " +
+            s"ELSE xor(x0, $t) END"),
+          s"x$i" -> (s"CASE WHEN (x$i & $Q) <> 0 THEN x$i " +
+            s"ELSE xor(x$i, $t) END")))
+      }
+    }
+    for (i <- 1 until n)
+      step(Map(s"x$i" -> s"xor(x$i, x${i - 1})"))
+    val t = ((bits - 1) to 1 by -1).map { q =>
+      val Q = 1L << q
+      s"CASE WHEN (x${n - 1} & $Q) <> 0 THEN ${Q - 1} ELSE 0 END"
+    }.reduceLeft((a, b) => s"xor($a, $b)")
+    step((0 until n).map(i => s"x$i" -> s"xor(x$i, ($t))").toMap)
+    val h = (for {
+      p <- (bits - 1) to 0 by -1
+      i <- 0 until n
+    } yield s"((x$i >> $p) & 1) * ${1L << (p * n + (n - 1 - i))}")
+      .mkString(" + ")
+    s"SELECT ${keep.mkString(", ")}, ($h) AS $out FROM ($sql)"
+  }
 
   /** N-dimensional Morton interleave — real lakehouse clustering wants
     * 3-4 columns, not 2: bit i of dimension j lands at position

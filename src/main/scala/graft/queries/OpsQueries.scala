@@ -164,6 +164,33 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"file")
     }),
 
+    // HILBERT-curve clustering (Layout.withHilbert): the same 3 dims as
+    // q_zorder3 laid out on the Hilbert curve instead of the Morton
+    // curve — unit-step locality (no diagonal jumps), so per-file
+    // bounding boxes come out tighter on the same cut (LayoutSpec
+    // measures the volume win; this entry hashes the per-file skip
+    // ranges). The key is a CHAIN of small projections (Skilling steps),
+    // not one nested expression — see Layout scaladoc for why that shape
+    // is what survives codegen.
+    "q_hilbert" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "orders")
+        .select($"o_orderkey",
+          ($"o_custkey" % 256).as("ca"),
+          (datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long") % 256).as("cb"),
+          (floor($"o_totalprice" / 1000).cast("long") % 256).as("cc"))
+      val hd = graft.ops.Layout.withHilbert(d, Seq("ca", "cb", "cc"), 8, "hv")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"hv", $"o_orderkey")
+      hd.withColumn("file", ntile(16).over(w))
+        .groupBy($"file")
+        .agg(count(lit(1)).as("n"),
+          min($"ca").as("ca_min"), max($"ca").as("ca_max"),
+          min($"cb").as("cb_min"), max($"cb").as("cb_max"),
+          min($"cc").as("cc_min"), max($"cc").as("cc_max"))
+        .orderBy($"file")
+    }),
+
     // B5: run a registered named statement through the catalog's views.
     "q_named_query" -> ((s, dir) =>
       QueryCatalog.run(s, dir, "revenue_by_nation")),
@@ -434,6 +461,24 @@ object OpsQueries extends graft.QueryModule {
          |  MIN(cb) AS cb_min, MAX(cb) AS cb_max,
          |  MIN(cc) AS cc_min, MAX(cc) AS cc_max
          |FROM f GROUP BY file ORDER BY file""".stripMargin,
+    "q_hilbert" -> {
+      val base = """(SELECT o_orderkey, o_custkey % 256 AS ca,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS bigint) % 256 AS cb,
+        |    CAST(FLOOR(o_totalprice / 1000) AS bigint) % 256 AS cc
+        |  FROM orders)""".stripMargin
+      val keyed = graft.ops.Layout.hilbertSql(Seq("ca", "cb", "cc"), 8,
+        Seq("o_orderkey", "ca", "cb", "cc"), base, "hv")
+      s"""WITH f AS (
+         |  SELECT ca, cb, cc,
+         |    CAST(NTILE(16) OVER (ORDER BY hv, o_orderkey) AS int) AS file
+         |  FROM ($keyed)
+         |)
+         |SELECT file, COUNT(1) AS n,
+         |  MIN(ca) AS ca_min, MAX(ca) AS ca_max,
+         |  MIN(cb) AS cb_min, MAX(cb) AS cb_max,
+         |  MIN(cc) AS cc_min, MAX(cc) AS cc_max
+         |FROM f GROUP BY file ORDER BY file""".stripMargin
+    },
     "q_sanitize_chain" ->
       """SELECT p_partkey,
         |  regexp_replace(

@@ -32,6 +32,76 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.zValueN(Seq($"a", $"b", $"c"), 22))
   }
 
+  /** Textbook Skilling transform (AIP Conf. Proc. 707, 2004): the
+    * mutable-array formulation the chained-projection Column version
+    * must reproduce bit-for-bit.
+    */
+  private def hilbertRef(coords: Seq[Long], bits: Int): Long = {
+    val x = coords.toArray
+    val n = x.length
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+      }
+      q >>= 1
+    }
+    for (i <- 1 until n) x(i) ^= x(i - 1)
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    for (i <- 0 until n) x(i) ^= t
+    (for (p <- (bits - 1) to 0 by -1; i <- 0 until n)
+      yield ((x(i) >> p) & 1L) << (p * n + (n - 1 - i))).sum
+  }
+
+  test("hilbert column matches the Skilling reference") {
+    val rows = (0 until 500).map { i =>
+      (i.toLong, i * 7919L % 256, i * 104729L % 256, i * 6271L % 256)
+    }
+    val got = Layout.withHilbert(rows.toDF("id", "a", "b", "c"),
+        Seq("a", "b", "c"), 8, "hv")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    rows.foreach { case (id, a, b, c) =>
+      val want = hilbertRef(Seq(a, b, c), 8)
+      assert(got(id) == want, s"id $id ($a,$b,$c): got ${got(id)}, want $want")
+    }
+    intercept[IllegalArgumentException](
+      Layout.withHilbert(rows.toDF("id", "a", "b", "c"), Seq("a"), 8, "hv"))
+    intercept[IllegalArgumentException](
+      Layout.withHilbert(rows.toDF("id", "a", "b", "c"), Seq("a", "b", "c"), 22, "hv"))
+  }
+
+  test("hilbert keys on a full grid are a permutation taking only unit steps") {
+    // THE defining curve property, checked exhaustively: on the complete
+    // 8x8 (n=2,b=3) and 4x4x4 (n=3,b=2) grids the keys hit 0..63 exactly
+    // once and consecutive keys differ in ONE coordinate by 1 — any bit
+    // error anywhere in the step chain breaks one of the two.
+    for ((n, bits) <- Seq((2, 3), (3, 2))) {
+      val size = 1 << bits
+      val total = math.pow(size.toDouble, n.toDouble).toInt
+      val cells = (0 until total).map { v =>
+        (0 until n).map(j => (v / math.pow(size.toDouble, j.toDouble).toInt % size).toLong)
+      }
+      val cols = (0 until n).map(j => s"c$j")
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(cells.map(c => org.apache.spark.sql.Row.fromSeq(c)), 4),
+        org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.LongType))))
+      val keyed = Layout.withHilbert(df, cols, bits, "hv")
+        .collect().map(r => (r.getLong(n), cols.indices.map(r.getLong)))
+        .sortBy(_._1)
+      assert(keyed.map(_._1).toSeq == (0 until total).map(_.toLong),
+        s"n=$n b=$bits keys not a permutation")
+      keyed.sliding(2).foreach { case Array((h1, c1), (h2, c2)) =>
+        val d = c1.zip(c2).map { case (a, b) => math.abs(a - b) }.sum
+        assert(d == 1, s"n=$n b=$bits non-unit step $c1 -> $c2 ($h1->$h2)")
+      }
+    }
+  }
+
   test("3-dim z-layout bounds every dim's per-file range; a single sort leaves two dims full-range") {
     // 4096 rows over a 16x16x16 grid (8 rows per cell, distinct ids).
     val n = 4096
@@ -57,6 +127,17 @@ class LayoutSpec extends SparkSpec {
     // from full — that is the skip-range evidence on all three predicates
     Seq(z.map(_._1), z.map(_._2), z.map(_._3)).foreach { dim =>
       assert(avg(dim) <= 10.0, s"z-order should bound each dim, got avg ${avg(dim)}")
+    }
+    // Hilbert vs Morton on the SAME cut: summed per-file bounding-box
+    // volume (the quantity min/max skipping actually prunes on) must not
+    // be worse — unit-step locality never pays Morton's diagonal jumps.
+    val h = fileRanges(Layout.withHilbert(df, Seq("a", "b", "c"), 4, "sk"))
+    def vol(rs: Seq[(Long, Long, Long)]): Long =
+      rs.map { case (ra, rb, rc) => (ra + 1) * (rb + 1) * (rc + 1) }.sum
+    assert(vol(h) <= vol(z),
+      s"hilbert bbox volume ${vol(h)} should be <= morton ${vol(z)}")
+    Seq(h.map(_._1), h.map(_._2), h.map(_._3)).foreach { dim =>
+      assert(avg(dim) <= 10.0, s"hilbert should bound each dim, got avg ${avg(dim)}")
     }
   }
 }
