@@ -48,14 +48,34 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) on disk, surfaced as int64 nanos via
-    // spark.sql.legacy.parquet.nanosAsLong (Engine.builder). Truncate to
-    // micros with INTEGER division — a double division would lose
-    // precision (2024 epoch-nanos ~1.7e18 > 2^53) and DuckDB truncates,
-    // not rounds, when reading nanos into its micros TIMESTAMP.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize an events-shaped frame's `ts` column to session-zoned
+    * `TimestampType` regardless of the on-disk parquet encoding. A real
+    * lake mixes all three, and the engine must not care:
+    *
+    *  - int64 (TIMESTAMP(NANOS) surfaced as raw long via
+    *    `spark.sql.legacy.parquet.nanosAsLong`, Engine.builder): truncate
+    *    to micros with INTEGER division — a double division would lose
+    *    precision (2024 epoch-nanos ~1.7e18 > 2^53) and DuckDB truncates,
+    *    not rounds, when reading nanos into its micros TIMESTAMP.
+    *  - `TimestampNTZType` (TIMESTAMP(MICROS, isAdjustedToUTC=false)):
+    *    cast to `TimestampType`; the session is pinned to UTC
+    *    (Engine.builder) so the cast re-tags the same micros value —
+    *    exactly DuckDB's reading of the same file.
+    *  - `TimestampType` (isAdjustedToUTC=true): already canonical.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view (the engine's replacement for the

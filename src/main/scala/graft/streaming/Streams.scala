@@ -25,16 +25,36 @@ object Streams {
   val RocksDBProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** The raw parquet schema of the events table (ts as int64 nanos — see
-    * Engine.builder's nanosAsLong note).
+  /** The events table schema with `ts` at a caller-chosen type. The file
+    * source requires an explicit schema; the `ts` member is whatever the
+    * footer actually carries — int64 raw nanos (legacy), TIMESTAMP_NTZ
+    * micros, or TIMESTAMP_LTZ — probed by [[eventsFileStream]] and
+    * normalized by [[graft.Tables.normalizeTs]]. Round 7 hard-coded
+    * `LongType` here and a testdata re-encode silently broke every
+    * events-based stream; the schema is now derived, never assumed.
     */
-  val EventsRawSchema: StructType = StructType(Seq(
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** One batch footer probe for the on-disk `ts` type. Defaults to
+    * TIMESTAMP_NTZ (today's canonical testdata encoding) when the
+    * directory has no readable files yet (a stream may start empty).
+    */
+  def probeTsType(spark: SparkSession, path: String): DataType =
+    scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
+
+  /** Batch read of an events-shaped parquet path with the same ts
+    * normalization the stream applies — the oracle-side twin of
+    * [[eventsFileStream]] (specs compare stream output against this).
+    */
+  def eventsBatch(spark: SparkSession, path: String): DataFrame =
+    graft.Tables.normalizeTs(spark.read.parquet(path))
 
   /** The file source requires a DIRECTORY; the test tables are single
     * parquet files. Stage a file as a one-entry directory of symlinks
@@ -63,11 +83,10 @@ object Streams {
     */
   def eventsFileStream(spark: SparkSession, path: String,
       archiveDir: Option[String] = None): DataFrame = {
-    val r = spark.readStream.schema(EventsRawSchema)
+    val r = spark.readStream.schema(eventsSchema(probeTsType(spark, path)))
     val r2 = archiveDir.fold(r)(a =>
       r.option("cleanSource", "archive").option("sourceArchiveDir", a))
-    r2.parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(r2.parquet(path))
   }
 
   /** Tumbling 10-minute event-time windows with a 10-minute watermark:

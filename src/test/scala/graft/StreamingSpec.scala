@@ -159,7 +159,7 @@ class StreamingSpec extends SparkSpec {
       .union(Streams.eventsFileStream(spark, path))
     val got = Streams.runToTable(spark, Streams.dedupWithinWatermark(doubled),
       "dedup_test", "append")
-    val expect = spark.read.schema(Streams.EventsRawSchema).parquet(path).count()
+    val expect = Streams.eventsBatch(spark, path).count()
     assert(got.count() == expect)
   }
 
@@ -169,8 +169,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = Streams.runToTable(spark, Streams.sessionCounts(
         Streams.eventsFileStream(spark, path)), "sess_eq", "complete")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
-    val events = spark.read.schema(Streams.EventsRawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Streams.eventsBatch(spark, path)
     val batch = graft.ops.Sessions
       .sessionize(events, $"user_id", $"ts", $"event_id", 1800L)
       .groupBy($"user_id", $"session_idx")
@@ -212,9 +211,7 @@ class StreamingSpec extends SparkSpec {
         "ss_join_eq", "append")
       .select($"click_id", $"purchase_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val events = spark.read.schema(Streams.EventsRawSchema)
-      .parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Streams.eventsBatch(spark, s"$sf/events.parquet")
     val clicks = events.filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
     val purchases = events.filter($"event_type" === "purchase")
@@ -235,9 +232,7 @@ class StreamingSpec extends SparkSpec {
         "win_batch_eq", "complete")
       .select($"win_start", $"event_type", $"n").collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
-    val batch = spark.read.schema(Streams.EventsRawSchema)
-      .parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = Streams.eventsBatch(spark, s"$sf/events.parquet")
       .groupBy(window($"ts", "10 minutes"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"window.start", $"event_type", $"n").collect()
