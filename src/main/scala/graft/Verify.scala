@@ -21,7 +21,16 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A failure must stay IN the denominator: leave an _ERROR marker
+        // (and no parquet) so the driver records the query as err instead
+        // of it silently vanishing from CORRECTNESS_r*.json — round 7 lost
+        // four red queries exactly this way.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = new java.io.File(s"$outDir/$name")
+        org.apache.commons.io.FileUtils.deleteQuietly(d)
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(500))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

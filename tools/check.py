@@ -73,8 +73,19 @@ def main():
     import os
     dumped = {d for d in os.listdir(out_dir)
               if os.path.isdir(f"{out_dir}/{d}")}
+    def error_marker(name):
+        p = f"{out_dir}/{name}/_ERROR"
+        if os.path.exists(p):
+            return open(p).read().strip()
+        return None
+
     for name in sorted(dumped - set(oracle)):
         if only and name not in only:
+            continue
+        err = error_marker(name)
+        if err is not None:
+            print(f"FAIL {name} (rows-only): query errored: {err}")
+            n_fail += 1
             continue
         try:
             n = con.execute(f"SELECT COUNT(1) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
@@ -90,6 +101,11 @@ def main():
             n_fail += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        err = error_marker(name)
+        if err is not None:
+            print(f"FAIL {name}: query errored: {err}")
+            n_fail += 1
             continue
         try:
             want = con.execute(sql)
