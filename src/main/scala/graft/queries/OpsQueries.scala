@@ -121,8 +121,11 @@ object OpsQueries extends graft.QueryModule {
     // curve of (custkey-low-byte, orderdate-day-byte), cut into 16
     // "files"; per-file min/max of BOTH dims is the data-skipping
     // evidence — a single-column sort would leave one dim full-range in
-    // every file. ntile keeps the file cut deterministic for the oracle;
-    // at scale the cut is repartitionByRange(z) (see Layout scaladoc).
+    // every file. The cut is the key's TOP FOUR BITS — a static range
+    // cut: deterministic for the oracle AND fully map-side (no window,
+    // no global sort; the round-7 ntile cut was a single-partition sort
+    // at scale). The production writer balances files with sampled range
+    // boundaries instead — Layout.writeSorted, plan-pinned in LayoutSpec.
     "q_zorder" -> ((s, dir) => {
       import s.implicits._
       val d = Tables(s, dir, "orders")
@@ -131,8 +134,7 @@ object OpsQueries extends graft.QueryModule {
           (datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date"))
             .cast("long") % 256).as("cb"))
         .withColumn("zv", graft.ops.Layout.zValue($"ca", $"cb", 8))
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"zv", $"o_orderkey")
-      d.withColumn("file", ntile(16).over(w))
+      d.withColumn("file", shiftright($"zv", 12).cast("int"))
         .groupBy($"file")
         .agg(count(lit(1)).as("n"),
           min($"ca").as("ca_min"), max($"ca").as("ca_max"),
@@ -141,9 +143,9 @@ object OpsQueries extends graft.QueryModule {
     }),
 
     // 3-DIMENSIONAL z-order (zValueN): real lakehouse clustering is 3-4
-    // columns. Same deterministic ntile cut; the per-file min/max of ALL
-    // THREE dims is the skip-range evidence — each dim's per-file range
-    // is a strict subset of its full domain, which no single- or
+    // columns. Same static top-bits range cut; the per-file min/max of
+    // ALL THREE dims is the skip-range evidence — each dim's per-file
+    // range is a strict subset of its full domain, which no single- or
     // two-column sort provides for the third dim.
     "q_zorder3" -> ((s, dir) => {
       import s.implicits._
@@ -154,8 +156,7 @@ object OpsQueries extends graft.QueryModule {
             .cast("long") % 256).as("cb"),
           (floor($"o_totalprice" / 1000).cast("long") % 256).as("cc"))
         .withColumn("zv", graft.ops.Layout.zValueN(Seq($"ca", $"cb", $"cc"), 8))
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"zv", $"o_orderkey")
-      d.withColumn("file", ntile(16).over(w))
+      d.withColumn("file", shiftright($"zv", 20).cast("int"))
         .groupBy($"file")
         .agg(count(lit(1)).as("n"),
           min($"ca").as("ca_min"), max($"ca").as("ca_max"),
@@ -181,8 +182,7 @@ object OpsQueries extends graft.QueryModule {
             .cast("long") % 256).as("cb"),
           (floor($"o_totalprice" / 1000).cast("long") % 256).as("cc"))
       val hd = graft.ops.Layout.withHilbert(d, Seq("ca", "cb", "cc"), 8, "hv")
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"hv", $"o_orderkey")
-      hd.withColumn("file", ntile(16).over(w))
+      hd.withColumn("file", shiftright($"hv", 20).cast("int"))
         .groupBy($"file")
         .agg(count(lit(1)).as("n"),
           min($"ca").as("ca_min"), max($"ca").as("ca_max"),
@@ -438,9 +438,7 @@ object OpsQueries extends graft.QueryModule {
          |  FROM orders
          |),
          |z AS (SELECT o_orderkey, ca, cb, $zvSql AS zv FROM d),
-         |f AS (SELECT ca, cb,
-         |        CAST(NTILE(16) OVER (ORDER BY zv, o_orderkey) AS int) AS file
-         |      FROM z)
+         |f AS (SELECT ca, cb, CAST(zv >> 12 AS int) AS file FROM z)
          |SELECT file, COUNT(1) AS n,
          |  MIN(ca) AS ca_min, MAX(ca) AS ca_max,
          |  MIN(cb) AS cb_min, MAX(cb) AS cb_max
@@ -453,9 +451,7 @@ object OpsQueries extends graft.QueryModule {
          |  FROM orders
          |),
          |z AS (SELECT o_orderkey, ca, cb, cc, $zv3Sql AS zv FROM d),
-         |f AS (SELECT ca, cb, cc,
-         |        CAST(NTILE(16) OVER (ORDER BY zv, o_orderkey) AS int) AS file
-         |      FROM z)
+         |f AS (SELECT ca, cb, cc, CAST(zv >> 20 AS int) AS file FROM z)
          |SELECT file, COUNT(1) AS n,
          |  MIN(ca) AS ca_min, MAX(ca) AS ca_max,
          |  MIN(cb) AS cb_min, MAX(cb) AS cb_max,
@@ -469,9 +465,7 @@ object OpsQueries extends graft.QueryModule {
       val keyed = graft.ops.Layout.hilbertSql(Seq("ca", "cb", "cc"), 8,
         Seq("o_orderkey", "ca", "cb", "cc"), base, "hv")
       s"""WITH f AS (
-         |  SELECT ca, cb, cc,
-         |    CAST(NTILE(16) OVER (ORDER BY hv, o_orderkey) AS int) AS file
-         |  FROM ($keyed)
+         |  SELECT ca, cb, cc, CAST(hv >> 20 AS int) AS file FROM ($keyed)
          |)
          |SELECT file, COUNT(1) AS n,
          |  MIN(ca) AS ca_min, MAX(ca) AS ca_max,

@@ -140,4 +140,38 @@ class LayoutSpec extends SparkSpec {
       assert(avg(dim) <= 10.0, s"hilbert should bound each dim, got avg ${avg(dim)}")
     }
   }
+
+  test("writeSorted: range shuffle (never a single-partition sort), files cover disjoint key slices") {
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, (i % 16).toLong, (i / 16 % 16).toLong)
+    }.toDF("id", "a", "b")
+      .withColumn("zv", Layout.zValue($"a", $"b", 4))
+
+    // plan pin: the layout step is RangePartitioning(16) — the global
+    // window it replaced planned a SinglePartition exchange, the one
+    // shape that cannot survive 100 TB
+    val plan = Layout.sortedByRange(df, Seq($"zv"), 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"layout write must not plan a single-partition exchange:\n$plan")
+
+    // physical law: each written file covers a contiguous, DISJOINT slice
+    // of the curve key — per-file min/max never overlap, so a reader
+    // prunes files by footer stats alone
+    val out = tmpDir("layout-write") + "/sorted"
+    Layout.writeSorted(df, Seq($"zv"), 16, out)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"zv").as("lo"), max($"zv").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "writeSorted should emit multiple files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file key ranges overlap: $ranges")
+      case _ =>
+    }
+  }
 }
