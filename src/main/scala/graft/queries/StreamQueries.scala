@@ -187,6 +187,27 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"user_id")
     }),
 
+    // LEFT-OUTER stream-stream interval join (the remaining C13 join
+    // kind): matched pairs emit like the inner join; an unmatched click
+    // null-emits when the watermark EVICTS it from join state (global
+    // wm = min of both sides' max-event-time − 1 h, ms precision; a
+    // click is evicted once wm > c_ts + 30 min — no purchase can match
+    // anymore). Clicks inside the final watermark horizon stay buffered
+    // in a finite run; the oracle reproduces the same eviction law in
+    // SQL, so the entry pins exactly what production state eviction does.
+    "q_stream_join_outer" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      Streams.runToTable(s, Streams.clickPurchaseJoinOuter(stream),
+          fresh("ss_join_outer"), "append")
+        .groupBy($"c_user".as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count($"purchase_id").as("n_matched"),
+          sum(when($"purchase_id".isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_value"))
+        .orderBy($"user_id")
+    }),
+
     // Custom state via flatMapGroupsWithState: per-user count + first/last
     // event time; single AvailableNow batch → one emission per user.
     "q_stream_custom_state" -> ((s, dir) => {
@@ -283,6 +304,38 @@ object StreamQueries extends graft.QueryModule {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "q_stream_join_outer" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |),
+        |purchases AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |pairs AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id, p.value
+        |  FROM clicks c JOIN purchases p ON c.user_id = p.p_user
+        |   AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL '30 minutes'
+        |),
+        |wm AS (
+        |  SELECT (LEAST((SELECT epoch_us(MAX(c_ts)) FROM clicks),
+        |                (SELECT epoch_us(MAX(p_ts)) FROM purchases))
+        |          // 1000 - 3600000) * 1000 AS w_us
+        |),
+        |unmatched AS (
+        |  SELECT c.user_id, c.click_id,
+        |    CAST(NULL AS bigint) AS purchase_id, CAST(NULL AS double) AS value
+        |  FROM clicks c, wm
+        |  WHERE c.click_id NOT IN (SELECT click_id FROM pairs)
+        |    AND epoch_us(c.c_ts) + 1800000000 < wm.w_us
+        |),
+        |allrows AS (SELECT * FROM pairs UNION ALL SELECT * FROM unmatched)
+        |SELECT user_id, CAST(COUNT(1) AS bigint) AS n_rows,
+        |  CAST(COUNT(purchase_id) AS bigint) AS n_matched,
+        |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_unmatched,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
+        |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_custom_state" ->
       """SELECT user_id, COUNT(1) AS n_events,
         |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us

@@ -162,6 +162,35 @@ object Streams {
         col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
   }
 
+  /** The LEFT-OUTER variant of [[clickPurchaseJoin]] — the remaining
+    * stream-stream join kind Spark supports (C13): every click emits,
+    * matched or not. The mechanism is watermark-driven state EVICTION
+    * doubling as null-emission: a buffered click that reaches the point
+    * where no future purchase can match (`watermark > c_ts + 30 min`,
+    * with the global watermark = min over both sides' `max event time −
+    * 1 h`, millisecond precision) is evicted from the join state and
+    * emitted once with null purchase columns. Clicks inside the final
+    * watermark horizon stay buffered forever in a finite run — a left
+    * row is never null-emitted early, because a matching purchase could
+    * still arrive. The oracle reproduces exactly this law: inner pairs ∪
+    * unmatched clicks older than `final watermark − 30 min`.
+    */
+  def clickPurchaseJoinOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"),
+      "left_outer")
+  }
+
   /** Per-user activity state for `flatMapGroupsWithState` — the custom-
     * state rung of the streaming surface (windows and dedup cover the
     * built-in state shapes; this is the user-defined one).

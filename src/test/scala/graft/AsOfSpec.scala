@@ -65,6 +65,52 @@ class AsOfSpec extends SparkSpec {
     assert(row.getString(1) == "x90", "all carry columns come from the SAME row")
   }
 
+  test("timestamp time columns: NTZ and LTZ inputs produce identical matches (epoch longs too)") {
+    // The union+carry window is TYPE-AGNOSTIC in the time column — any
+    // orderable type works, including TIMESTAMP_NTZ (the round-7 testdata
+    // regression hit the CALLERS' `unix_micros` algebra, not this
+    // operator; q_join_asof's fix was normalizing at the Tables boundary).
+    // Contract, pinned here: AsOf.join never does time arithmetic, so NTZ
+    // and LTZ columns carrying the same instants match identically; only
+    // a caller's `joinWithin` bound predicate owns unit/type algebra.
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampNTZType
+    val leftUs = Seq((1L, 100000000L, "p1"), (1L, 250000000L, "p2"),
+      (1L, 50000000L, "p0"), (2L, 100000000L, "p3"))
+    val rightUs = Seq((1L, 60000000L, "c1"), (1L, 100000000L, "c2"),
+      (1L, 240000000L, "c3"), (3L, 10000000L, "cX"))
+    def run(cast: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val left = leftUs.toDF("k", "us", "pid")
+        .withColumn("t", cast($"us")).drop("us")
+      val right = rightUs.toDF("k", "us", "cid")
+        .withColumn("t", cast($"us")).drop("us")
+      AsOf.join(left, right, Seq("k"), "t", "t", Seq("cid"), rightTie = "cid")
+        .collect().map(r => r.getAs[String]("pid") ->
+          Option(r.getAs[String]("cid")).orNull).toMap
+    }
+    val asLong = run(identity)
+    val asLtz = run(us => timestamp_micros(us))
+    val asNtz = run(us => timestamp_micros(us).cast(TimestampNTZType))
+    val expect = Map("p0" -> null, "p1" -> "c2", "p2" -> "c3", "p3" -> null)
+    assert(asLong == expect && asLtz == expect && asNtz == expect,
+      s"long=$asLong ltz=$asLtz ntz=$asNtz")
+
+    // joinWithin over NTZ: the caller's bound must use timestamp algebra
+    // (col arithmetic, not unix_micros — which rejects NTZ); a 50-second
+    // staleness bound behaves identically to the epoch-long variant.
+    val leftN = leftUs.toDF("k", "us", "pid")
+      .withColumn("t", timestamp_micros($"us").cast(TimestampNTZType)).drop("us")
+    val rightN = rightUs.toDF("k", "us", "cid")
+      .withColumn("t", timestamp_micros($"us").cast(TimestampNTZType)).drop("us")
+    val within = AsOf.joinWithin(leftN, rightN, Seq("k"), "t", "t",
+        Seq("cid"), rightTie = "cid")((l, r) =>
+        l <= r + expr("interval 50 seconds"))
+      .collect().map(r => r.getAs[String]("pid") ->
+        Option(r.getAs[String]("cid")).orNull).toMap
+    assert(within == Map("p0" -> null, "p1" -> "c2", "p2" -> "c3", "p3" -> null),
+      s"NTZ staleness bound must keep fresh matches: $within")
+  }
+
   test("carry-column collision with the left schema fails loudly") {
     import spark.implicits._
     val df = Seq((1L, 1L, "x")).toDF("k", "t", "cid")

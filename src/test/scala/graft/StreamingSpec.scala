@@ -225,6 +225,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("left-outer stream-stream join: inner pairs exact, null-emission follows the watermark eviction law") {
+    import spark.implicits._
+    val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
+    val streamed = Streams.runToTable(spark, Streams.clickPurchaseJoinOuter(stream),
+      "ss_outer_eq", "append")
+    val got = streamed
+      .select($"click_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    val events = Streams.eventsBatch(spark, s"$sf/events.parquet")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    val pairs = clicks.join(purchases,
+        $"c_user" === $"p_user" && $"p_ts" >= $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr("interval 30 minutes"))
+      .select($"click_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the watermark law: global wm = min(max c_ts, max p_ts) - 1h at ms
+    // precision; an unmatched click null-emits iff c_ts + 30min < wm
+    val maxC = clicks.agg(max(unix_micros($"c_ts"))).head().getLong(0)
+    val maxP = purchases.agg(max(unix_micros($"p_ts"))).head().getLong(0)
+    val wmUs = (math.min(maxC, maxP) / 1000L - 3600L * 1000L) * 1000L
+    val matchedClicks = pairs.map(_._1)
+    val expectNulls = clicks
+      .filter(unix_micros($"c_ts") + 1800L * 1000000L < wmUs)
+      .select($"click_id").collect().map(_.getLong(0)).toSet -- matchedClicks
+    assert(got.filter(_._2 >= 0) == pairs, "matched pairs must equal the batch inner join")
+    assert(got.filter(_._2 < 0).map(_._1) == expectNulls,
+      s"null-emitted clicks must follow the eviction law (got ${got.count(_._2 < 0)}, expect ${expectNulls.size})")
+    assert(expectNulls.nonEmpty, "fixture must exercise the null-emission path")
+  }
+
   test("streaming windowed counts equal the batch computation (complete mode)") {
     import spark.implicits._
     val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
