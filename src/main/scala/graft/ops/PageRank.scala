@@ -59,7 +59,33 @@ object PageRank {
     * truncated every `checkpointInterval` rounds (default 10) so long
     * runs can't grow an unbounded plan; short runs stay a single job.
     */
-  def ranks(edges: DataFrame, iters: Int, checkpointInterval: Int = 10): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int, checkpointInterval: Int = 10): DataFrame =
+    run(edges, None, iters, checkpointInterval)
+
+  /** WARM-START continuation — the incremental sibling of [[ranks]]
+    * (same staged-swap family as `llm/IncrementalDedup` /
+    * `llm/IncrementalAnn`): iterate over the UPDATED edge set starting
+    * from a persisted rank vector instead of the uniform prior. Nodes
+    * present in `prior` (columns `id`, `rank_fp`) keep their persisted
+    * rank; nodes the delta introduced start at the uniform `Scale div N`
+    * of the NEW node count.
+    *
+    * What "incremental" buys for PageRank: the per-iteration edge scan
+    * is irreducible (every round redistributes over the whole
+    * transition matrix — no per-edge locality to exploit), so the win
+    * is ITERATION COUNT: a crawl increment perturbs an already-converged
+    * vector locally, and a warm start re-converges in a few rounds where
+    * a cold start repays the full budget. Every step stays the same
+    * integer fixed-point arithmetic, so `prior + j rounds` is
+    * bit-reproducible and the DuckDB oracle unrolls it exactly
+    * (`q_pagerank_incremental`).
+    */
+  def ranksFrom(edges: DataFrame, prior: DataFrame, iters: Int,
+      checkpointInterval: Int = 10): DataFrame =
+    run(edges, Some(prior), iters, checkpointInterval)
+
+  private def run(edges: DataFrame, prior: Option[DataFrame], iters: Int,
+      checkpointInterval: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // Materialize the edge input ONCE: callers typically derive edges
     // from an expensive join (the co-purchase self-join), and both the
@@ -81,7 +107,15 @@ object PageRank {
       .repartition(col("src"))
       .localCheckpoint(true)
 
-    var ranks = nodes.select(col("id"), lit(r0).as("rank_fp"))
+    var ranks = prior match {
+      case None => nodes.select(col("id"), lit(r0).as("rank_fp"))
+      case Some(p) =>
+        // one outer join seeds the vector; checkpoint so iterations
+        // re-read the seeded vector, not the persisted-state scan + join
+        nodes.join(p.select(col("id"), col("rank_fp").as("__prior")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__prior"), lit(r0)).as("rank_fp"))
+          .localCheckpoint(true)
+    }
     (1 to iters).foreach { i =>
       val contrib = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("id"))

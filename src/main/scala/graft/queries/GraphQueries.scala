@@ -41,6 +41,44 @@ object GraphQueries extends graft.QueryModule {
         .limit(25)
     }),
 
+    // INCREMENTAL PageRank (the graph sibling of q_dedup_incremental /
+    // q_ann_incremental, same staged-swap shape): ranks of the BASE
+    // co-purchase graph (orders with o%4<>0, 5 iterations) are persisted
+    // to parquet — the "nightly" state; the delta orders (o%4=0) then
+    // arrive, and the updated ranks are 3 WARM-START iterations over the
+    // full graph seeded from the persisted vector (new nodes at the
+    // uniform prior of the new node count). The per-iteration edge scan
+    // is irreducible for PageRank; the incremental win is the iteration
+    // budget — 3 warm rounds instead of a full cold restart. All integer
+    // fixed-point, so the oracle unrolls all 8 rounds and every rank
+    // matches to the last unit — through a disk round-trip of the state.
+    "q_pagerank_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val op = Tables(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val small = op.groupBy($"o").agg(count(lit(1)).as("basket"))
+        .filter($"basket" <= 100)
+        .select($"o")
+      val capped = op.join(small, "o")
+      def copurchase(rel: org.apache.spark.sql.DataFrame) =
+        rel.join(rel.select($"o", $"p".as("p2")), "o")
+          .filter($"p" =!= $"p2")
+          .select($"p".as("src"), $"p2".as("dst"))
+          .distinct()
+      val edgesBase = copurchase(capped.filter($"o" % 4 =!= 0))
+      val edgesFull = copurchase(capped)
+      val state = sys.props("java.io.tmpdir") +
+        s"/graft_princ_${ProcessHandle.current().pid()}/ranks"
+      PageRank.ranks(edgesBase, 5)
+        .write.mode("overwrite").parquet(state)
+      val prior = s.read.parquet(state)
+      PageRank.ranksFrom(edgesFull, prior, 3)
+        .select($"id".as("part"), $"rank_fp",
+          ($"rank_fp".cast("double") / lit(1e12)).as("rank"))
+        .orderBy($"rank_fp".desc, $"part".asc)
+        .limit(25)
+    }),
+
     // Top-25 parts by exact triangle count in the co-purchase graph —
     // degree-oriented wedge counting (PageRank.triangleCounts), every
     // join an equi-join. The oracle enumerates each a<b<c triangle once
@@ -71,7 +109,63 @@ object GraphQueries extends graft.QueryModule {
         .select($"id".as("part"), $"n_tri")
     }))
 
+  /** One unrolled fixed-point PageRank round chain (DuckDB CTE bodies):
+    * `prefix`s_i / `prefix`r_i for i in 1..iters, starting from rank
+    * relation `from`, over edge relation `edges` with node set `nodes`,
+    * count `cnt`, out-degrees `deg` — the same generator discipline as
+    * `Layout.hilbertSql` (oracle SQL produced by the code under test's
+    * own algebra, never hand-drifted).
+    */
+  private def prChain(edges: String, nodes: String, cnt: String, deg: String,
+      from: String, prefix: String, iters: Int): String =
+    (1 to iters).map { i =>
+      val prev = if (i == 1) from else s"${prefix}r${i - 1}"
+      s"""${prefix}s$i AS (
+         |  SELECT e.dst AS id, CAST(SUM(r.r // d.deg) AS bigint) AS s
+         |  FROM $edges e JOIN $prev r ON e.src = r.id JOIN $deg d ON e.src = d.id
+         |  GROUP BY 1),
+         |${prefix}r$i AS (
+         |  SELECT n.id, (3000000000000 // (20 * c.n))
+         |    + (17 * COALESCE(s.s, 0)) // 20 AS r
+         |  FROM $nodes n CROSS JOIN $cnt c LEFT JOIN ${prefix}s$i s ON n.id = s.id)"""
+        .stripMargin
+    }.mkString(",\n")
+
   def oracle: Map[String, String] = Map(
+    "q_pagerank_incremental" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         |),
+         |capped AS (
+         |  SELECT op.o, op.p FROM op
+         |  JOIN (SELECT o FROM op GROUP BY o HAVING count(1) <= 100) s
+         |    ON op.o = s.o
+         |),
+         |bcap AS (SELECT * FROM capped WHERE o % 4 <> 0),
+         |eb AS (
+         |  SELECT DISTINCT a.p AS src, b.p AS dst
+         |  FROM bcap a JOIN bcap b ON a.o = b.o AND a.p <> b.p
+         |),
+         |ef AS (
+         |  SELECT DISTINCT a.p AS src, b.p AS dst
+         |  FROM capped a JOIN capped b ON a.o = b.o AND a.p <> b.p
+         |),
+         |nb AS (SELECT src AS id FROM eb UNION SELECT dst AS id FROM eb),
+         |cb AS (SELECT CAST(count(1) AS bigint) AS n FROM nb),
+         |db AS (SELECT src AS id, CAST(count(1) AS bigint) AS deg FROM eb GROUP BY 1),
+         |br0 AS (SELECT id, 1000000000000 // n AS r FROM nb CROSS JOIN cb),
+         |${prChain("eb", "nb", "cb", "db", "br0", "b", 5)},
+         |nf AS (SELECT src AS id FROM ef UNION SELECT dst AS id FROM ef),
+         |cf AS (SELECT CAST(count(1) AS bigint) AS n FROM nf),
+         |df AS (SELECT src AS id, CAST(count(1) AS bigint) AS deg FROM ef GROUP BY 1),
+         |fw0 AS (
+         |  SELECT n.id, COALESCE(p.r, 1000000000000 // c.n) AS r
+         |  FROM nf n CROSS JOIN cf c LEFT JOIN br5 p ON n.id = p.id),
+         |${prChain("ef", "nf", "cf", "df", "fw0", "f", 3)}
+         |SELECT id AS part, r AS rank_fp, r / 1000000000000.0::double AS rank
+         |FROM fr3
+         |ORDER BY rank_fp DESC, part ASC
+         |LIMIT 25""".stripMargin,
     "q_pagerank" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -73,6 +73,49 @@ class PageRankSpec extends SparkSpec {
     assert(run(edges, 3) === run(edges, 3))
   }
 
+  // --- ranksFrom (warm-start continuation) ---
+
+  private def runFrom(edges: Seq[(Long, Long)], prior: Map[Long, Long],
+      iters: Int): Map[Long, Long] =
+    PageRank.ranksFrom(edges.toDF("src", "dst"),
+        prior.toSeq.toDF("id", "rank_fp"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ranksFrom seeded with the uniform prior equals a cold start; split runs compose") {
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40))
+    val n = (edges.map(_._1) ++ edges.map(_._2)).distinct.size.toLong
+    val uniform = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      .map(_ -> PageRank.Scale / n).toMap
+    assert(runFrom(edges, uniform, 4) === run(edges, 4),
+      "uniform warm start must be indistinguishable from a cold start")
+    // composition: 2 cold rounds persisted, then 2 warm rounds == 4 cold
+    assert(runFrom(edges, run(edges, 2), 2) === run(edges, 4),
+      "warm continuation must compose with the persisted prefix")
+  }
+
+  test("ranksFrom: delta-introduced nodes seed at the NEW uniform prior; warm start beats cold") {
+    // base: 60 nodes, a hub (everyone links node 0) + a scatter edge per
+    // node — converged ranks are far from uniform, which is where a warm
+    // start earns its keep (on a ring the fixed point IS uniform and a
+    // cold start is trivially exact — no incremental operator can win
+    // there). delta: 4 new nodes wired into the existing graph.
+    val base = (1L until 60L).flatMap(i => Seq((i, 0L), (i, (i * 7 + 3) % 60))) :+ (0L, 1L)
+    val delta = (60L until 64L).flatMap(i => Seq((i, i % 60), (i % 60, i)))
+    val full = base ++ delta
+    val prior = run(base, 15) // "nightly" converged state
+    val warm = runFrom(full, prior, 3)
+    // new nodes got a rank (seeded, iterated) — present with sane mass
+    assert((60L until 64L).forall(warm.contains))
+    // warm start is CLOSER to the true fixed point than the same budget
+    // cold — the whole point of persisting the vector
+    val converged = run(full, 40)
+    def l1(a: Map[Long, Long]) = converged.keys.map(k =>
+      math.abs(a(k) - converged(k))).sum
+    val cold = run(full, 3)
+    assert(l1(warm) < l1(cold),
+      s"warm L1 ${l1(warm)} must beat cold L1 ${l1(cold)} at equal budget")
+  }
+
   // --- triangleCounts ---
 
   private def triangles(pairs: Seq[(Long, Long)]): Map[Long, Long] =
