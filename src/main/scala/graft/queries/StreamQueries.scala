@@ -208,6 +208,23 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"user_id")
     }),
 
+    // Custom state with EVENT-TIME TIMEOUT eviction: sessionization via
+    // flatMapGroupsWithState — data-closed sessions emit tagged 'data'
+    // the moment the closing event arrives; each user's open session
+    // sits in GroupState with setTimeoutTimestamp(last + gap) and emits
+    // tagged 'timeout' when the watermark passes it (state removed —
+    // the idle-user retirement a 100 TB deployment needs). The oracle
+    // reproduces both close paths including the final-watermark cut, so
+    // the entry pins the timeout law itself, not just session shapes.
+    "q_stream_sessions_timeout" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      Streams.runToTable(s, Streams.sessionsWithTimeout(s, stream, 1800L),
+          fresh("sess_timeout"), "append")
+        .filter($"user_id" % 10 === 3)
+        .orderBy($"user_id", $"sess_start_us")
+    }),
+
     // Custom state via flatMapGroupsWithState: per-user count + first/last
     // event time; single AvailableNow batch → one emission per user.
     "q_stream_custom_state" -> ((s, dir) => {
@@ -336,6 +353,44 @@ object StreamQueries extends graft.QueryModule {
         |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_unmatched,
         |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
         |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_sessions_timeout" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |),
+        |marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ordered
+        |),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked
+        |),
+        |agg AS (
+        |  SELECT user_id, sess_id,
+        |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS last_us,
+        |    CAST(COUNT(1) AS bigint) AS n_events
+        |  FROM sess GROUP BY 1, 2
+        |),
+        |wm AS (SELECT MAX(epoch_us(ts)) // 1000 - 1800000 AS w_ms FROM events),
+        |tagged AS (
+        |  SELECT a.user_id, a.start_us, a.n_events,
+        |    CASE WHEN a.sess_id < m.max_sess THEN 'data'
+        |         WHEN a.last_us // 1000 + 1800000 < w.w_ms THEN 'timeout'
+        |         ELSE NULL END AS closed_by
+        |  FROM agg a
+        |  JOIN (SELECT user_id, MAX(sess_id) AS max_sess FROM agg GROUP BY 1) m
+        |    USING (user_id)
+        |  CROSS JOIN wm w
+        |)
+        |SELECT user_id, start_us AS sess_start_us, n_events, closed_by
+        |FROM tagged WHERE closed_by IS NOT NULL AND user_id % 10 = 3
+        |ORDER BY user_id, sess_start_us""".stripMargin,
     "q_stream_custom_state" ->
       """SELECT user_id, COUNT(1) AS n_events,
         |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us

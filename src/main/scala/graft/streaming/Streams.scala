@@ -191,6 +191,72 @@ object Streams {
       "left_outer")
   }
 
+  /** Open-session state for [[sessionsWithTimeout]] (epoch micros). */
+  case class SessState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Custom sessionization with EVENT-TIME TIMEOUT eviction — the
+    * remaining custom-state rung next to [[userActivityState]]'s
+    * NoTimeout fold: sessions an arriving event CLOSES (next event is
+    * past the gap) emit immediately tagged `data`; each user's single
+    * open session is held in `GroupState` with
+    * `setTimeoutTimestamp(last + gap)`, and when the watermark passes
+    * that instant the timeout callback fires, emits it tagged
+    * `timeout`, and removes the state. State per user is one 24-byte
+    * struct — bounded by |users|, and unlike NoTimeout the timeout
+    * RETIRES idle users, which is what keeps a 100 TB deployment's
+    * state from accreting forever.
+    *
+    * Determinism law (oracle-pinned in `q_stream_sessions_timeout`):
+    * over a finite source, emitted sessions = every data-closed session
+    * (all but each user's last) ∪ the last sessions whose
+    * `last event (ms) + gap` lies strictly below the final watermark
+    * (ms floor of max event time − delay). The in-group fold sorts the
+    * batch slice by time — per-key per-batch memory, the same bound the
+    * built-in session window operator carries.
+    */
+  def sessionsWithTimeout(spark: SparkSession, events: DataFrame,
+      gapSec: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapSec * 1000000L
+    // the watermark-tagged TIMESTAMP column must survive into the
+    // operator's input (the analyzer rejects event-time timeout
+    // otherwise) — ride it along unused next to the exact-micros column
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((uid, s.startUs, s.n, "timeout"))
+          } else {
+            val incoming = rows.map(_._3).toArray.sorted
+            var out = List.empty[(Long, Long, Long, String)]
+            var cur = state.getOption.orNull
+            incoming.foreach { us =>
+              cur match {
+                case null => cur = SessState(us, us, 1)
+                case c if us - c.lastUs <= gapUs =>
+                  cur = SessState(c.startUs, us, c.n + 1)
+                case c =>
+                  out ::= ((uid, c.startUs, c.n, "data"))
+                  cur = SessState(us, us, 1)
+              }
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.lastUs / 1000L + gapSec * 1000L)
+            out.reverse.iterator
+          }
+      }
+      .toDF("user_id", "sess_start_us", "n_events", "closed_by")
+  }
+
   /** Per-user activity state for `flatMapGroupsWithState` — the custom-
     * state rung of the streaming surface (windows and dedup cover the
     * built-in state shapes; this is the user-defined one).

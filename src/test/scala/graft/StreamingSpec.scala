@@ -259,6 +259,40 @@ class StreamingSpec extends SparkSpec {
     assert(expectNulls.nonEmpty, "fixture must exercise the null-emission path")
   }
 
+  test("sessionsWithTimeout: data-closed sessions exact, timeout eviction follows the watermark law") {
+    import spark.implicits._
+    val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
+    val got = Streams.runToTable(spark,
+        Streams.sessionsWithTimeout(spark, stream, 1800L), "sess_to_eq", "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    val events = Streams.eventsBatch(spark, s"$sf/events.parquet")
+    val sess = graft.ops.Sessions
+      .sessionize(events, $"user_id", $"ts", $"event_id", 1800L)
+      .groupBy($"user_id", $"session_idx")
+      .agg(min(unix_micros($"ts")).as("start_us"),
+        max(unix_micros($"ts")).as("last_us"), count(lit(1)).as("n"))
+    val maxUs = events.agg(max(unix_micros($"ts"))).head().getLong(0)
+    val wmMs = maxUs / 1000L - 1800L * 1000L
+    val lastIdx = sess.groupBy($"user_id")
+      .agg(max($"session_idx").as("last_idx"))
+    val expect = sess.join(lastIdx, "user_id")
+      .select($"user_id", $"start_us", $"n",
+        ($"session_idx" === $"last_idx").as("is_last"), $"last_us")
+      .collect().flatMap { r =>
+        val (uid, start, n, isLast, lastUs) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))
+        if (!isLast) Some((uid, start, n, "data"))
+        else if (lastUs / 1000L + 1800L * 1000L < wmMs) Some((uid, start, n, "timeout"))
+        else None
+      }.toSet
+    assert(got.exists(_._4 == "timeout") && got.exists(_._4 == "data"),
+      "fixture must exercise both close paths")
+    assert(got == expect,
+      s"stream-only=${(got -- expect).take(3)} expect-only=${(expect -- got).take(3)}")
+  }
+
   test("streaming windowed counts equal the batch computation (complete mode)") {
     import spark.implicits._
     val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
