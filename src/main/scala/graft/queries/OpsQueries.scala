@@ -90,6 +90,36 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // Versioned table + TIME TRAVEL (ops/Versioned — the commit-log
+    // snapshot idea on plain parquet): v1 seeds a part slice, v2 APPENDS
+    // a disjoint slice (the snapshot references the parent's data dirs —
+    // write cost = the delta), v3 OVERWRITES with doubled prices, v4
+    // ROLLS BACK to v2 writing zero bytes. Each version is then read
+    // back THROUGH the manifest and aggregated; the oracle reconstructs
+    // all four snapshots straight from `part`, so one hash pins append
+    // composition, overwrite isolation, rollback restoration, and that
+    // history survives later commits.
+    "q_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_timetravel_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val part = Tables(s, dir, "part")
+        .select($"p_partkey", $"p_brand", $"p_retailprice")
+      val seed = part.filter($"p_partkey" % 40 === 0)
+      graft.ops.Versioned.commit(s, t, seed)
+      graft.ops.Versioned.commit(s, t, part.filter($"p_partkey" % 40 === 20))
+      graft.ops.Versioned.commit(s, t,
+        seed.withColumn("p_retailprice", $"p_retailprice" * 2), overwrite = true)
+      graft.ops.Versioned.rollback(s, t, 2L)
+      Seq(1L, 2L, 3L, 4L).map { v =>
+        graft.ops.Versioned.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n"),
+            sum($"p_retailprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+          .select(lit(v).as("version"), $"n", $"sum_price")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
     // Dynamic partition pruning — the biggest scan-cost lever on a
     // partitioned 100 TB fact: the fact lands PARTITIONED BY month, the
     // dim carries (year, quarter) attributes and is filtered on them
@@ -425,6 +455,27 @@ object OpsQueries extends graft.QueryModule {
     .mkString(" + ")
 
   def oracle: Map[String, String] = Map(
+    "q_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT p_retailprice FROM part WHERE p_partkey % 40 = 0
+        |),
+        |delta AS (
+        |  SELECT p_retailprice FROM part WHERE p_partkey % 40 = 20
+        |),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM delta),
+        |v3 AS (SELECT p_retailprice * 2 AS p_retailprice FROM v1),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) AS sum_price
+        |  FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) FROM v2
+        |  UNION ALL SELECT CAST(3 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) FROM v3
+        |  UNION ALL SELECT CAST(4 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) FROM v2
+        |)
+        |SELECT version, n, sum_price FROM snap ORDER BY version""".stripMargin,
     "q_dpp" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, COUNT(1) AS n,
         |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
