@@ -183,4 +183,67 @@ object Layout {
       path: String): Unit =
     sortedByRange(df, sortCols, numFiles)
       .write.mode("overwrite").parquet(path)
+
+  /** Per-file [min, max] of a LONG column, read straight from the parquet
+    * FOOTERS (row-group statistics aggregated per file) — the read-side
+    * payoff of [[writeSorted]]: what Delta/Iceberg keep in their
+    * manifests, recovered here from the files themselves. Metadata-only:
+    * no data pages are touched. Files with no stats for the column
+    * return None and must be scanned conservatively.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String): Seq[(String, Option[(Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val ranges = try {
+          reader.getFooter.getBlocks.asScala.flatMap { block =>
+            block.getColumns.asScala
+              .filter(_.getPath.toDotString == column)
+              .flatMap { c =>
+                val s = c.getStatistics
+                if (s == null || !s.hasNonNullValue) None
+                else Some((s.genericGetMin.asInstanceOf[Number].longValue(),
+                  s.genericGetMax.asInstanceOf[Number].longValue()))
+              }
+          }
+        } finally reader.close()
+        val agg = if (ranges.isEmpty) None
+          else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+        (st.getPath.toString, agg)
+      }
+  }
+
+  /** Scan `path` reading ONLY the files whose footer [min, max] of
+    * `column` overlaps `[lo, hi]` (stats-missing files kept
+    * conservatively), returning the pruned DataFrame plus
+    * (files read, files total). On a [[writeSorted]] layout the kept
+    * count is ~`(hi-lo)/sliceWidth` of the files — the manifest-level
+    * skipping a 100 TB range query lives on, and exactly what parquet's
+    * own row-group filter cannot do: Spark still LISTS and opens every
+    * file to decide, while this prunes at the planning step from
+    * metadata alone. File pruning is a SUPERSET guarantee; the row-level
+    * `[lo, hi]` filter is applied on top, so the result equals the
+    * unpruned scan exactly (LayoutSpec pins the equality and that
+    * pruning actually bites).
+    */
+  def skipScan(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val stats = fileStats(spark, path, column)
+    val kept = stats.collect {
+      case (f, None) => f
+      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
+    }
+    val df = if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(kept: _*)
+    (df.filter(col(column) >= lo && col(column) <= hi), kept.size, stats.size)
+  }
 }

@@ -90,6 +90,34 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"l_returnflag")
     }),
 
+    // FILE SKIPPING over a sorted layout (Layout.writeSorted +
+    // skipScan): orders laid out on the z-curve into 16 range-disjoint
+    // files, then a zv range query planned from the parquet FOOTERS
+    // alone — only overlapping files are opened (pinned in-query:
+    // kept < total must hold or the entry throws), the row filter on
+    // top makes pruning a pure superset optimization, and the oracle
+    // recomputes the aggregate from the raw table — one hash covers
+    // layout, stats, pruning, and the scan result.
+    "q_file_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_skip_${ProcessHandle.current().pid()}"
+      val d = Tables(s, dir, "orders")
+        .select($"o_orderkey",
+          ($"o_custkey" % 256).as("ca"),
+          (datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long") % 256).as("cb"))
+        .withColumn("zv", graft.ops.Layout.zValue($"ca", $"cb", 8))
+      graft.ops.Layout.writeSorted(d, Seq($"zv", $"o_orderkey"), 16, tmp)
+      val (scan, kept, total) =
+        graft.ops.Layout.skipScan(s, tmp, "zv", 4096L, 12287L)
+      require(kept < total,
+        s"footer-stats skipping must prune files, read $kept of $total")
+      scan.agg(count(lit(1)).as("n"),
+        sum($"zv").as("sum_zv"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+    }),
+
     // Versioned table + TIME TRAVEL (ops/Versioned — the commit-log
     // snapshot idea on plain parquet): v1 seeds a part slice, v2 APPENDS
     // a disjoint slice (the snapshot references the parent's data dirs —
@@ -455,6 +483,16 @@ object OpsQueries extends graft.QueryModule {
     .mkString(" + ")
 
   def oracle: Map[String, String] = Map(
+    "q_file_skipping" ->
+      s"""WITH d AS (
+         |  SELECT o_orderkey, o_custkey % 256 AS ca,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS bigint) % 256 AS cb
+         |  FROM orders
+         |),
+         |z AS (SELECT o_orderkey, $zvSql AS zv FROM d)
+         |SELECT CAST(COUNT(1) AS bigint) AS n, CAST(SUM(zv) AS bigint) AS sum_zv,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM z WHERE zv BETWEEN 4096 AND 12287""".stripMargin,
     "q_time_travel" ->
       """WITH v1 AS (
         |  SELECT p_retailprice FROM part WHERE p_partkey % 40 = 0

@@ -174,4 +174,35 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("skipScan: footer-stats pruning reads a fraction of the files, result equals the full scan") {
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, (i % 16).toLong, (i / 16 % 16).toLong)
+    }.toDF("id", "a", "b")
+      .withColumn("zv", Layout.zValue($"a", $"b", 4))
+    val out = tmpDir("layout-skip") + "/sorted"
+    Layout.writeSorted(df, Seq($"zv"), 16, out)
+
+    def full(lo: Long, hi: Long): Set[Long] =
+      spark.read.parquet(out).filter($"zv" >= lo && $"zv" <= hi)
+        .select($"id").collect().map(_.getLong(0)).toSet
+
+    // narrow range on the sorted key: few files touched, result exact
+    val (pruned, kept, total) = Layout.skipScan(spark, out, "zv", 10L, 40L)
+    assert(total == 16, s"expected 16 files, saw $total")
+    assert(kept <= 4, s"a 12% key range should touch few of 16 files, read $kept")
+    assert(pruned.select($"id").collect().map(_.getLong(0)).toSet == full(10L, 40L))
+
+    // boundary laws: full-domain range keeps everything; empty range reads 0 files
+    val (all, keptAll, _) = Layout.skipScan(spark, out, "zv", 0L, 255L)
+    assert(keptAll == 16 && all.count() == n)
+    val (none, keptNone, _) = Layout.skipScan(spark, out, "zv", 1000L, 2000L)
+    assert(keptNone == 0 && none.count() == 0)
+
+    // stats themselves: every file reports a range, and they tile the domain
+    val stats = Layout.fileStats(spark, out, "zv")
+    assert(stats.size == 16 && stats.forall(_._2.isDefined))
+    assert(stats.flatMap(_._2).map(_._1).min == 0L)
+  }
 }
