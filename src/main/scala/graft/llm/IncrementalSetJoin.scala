@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL exact set-similarity join — probe new document batches
+  * against a persisted prefix-token index ([[SetJoin]]'s staged-swap
+  * sibling; the family shape of `IncrementalDedup` / `IncrementalAnn`).
+  * The production use is contamination screening at ingest: every new
+  * batch must report ALL pairs with Jaccard ≥ t against everything
+  * already indexed, at batch cost, without re-tokenizing the corpus.
+  *
+  * THE EXACTNESS TRICK: the prefix-filter lemma (SetJoin scaladoc) holds
+  * for ANY fixed total order on tokens — df-ascending order is only the
+  * COST optimizer. So the df table is FROZEN at `init` (the immutable-
+  * quantizer move from IncrementalAnn: centroids there, token order
+  * here), every batch computes prefixes under the frozen order, and the
+  * index stays append-only with the no-miss guarantee intact. Tokens the
+  * frozen table has never seen rank as df=0 — rarest, straight into the
+  * prefix: the SAFE direction (extra candidates, never a miss) and the
+  * cheap one (genuinely new tokens have tiny buckets by definition).
+  * Cost drifts as the frozen df ages (a token that became a stopword
+  * after init keeps its small frozen rank and its bucket grows); the
+  * remedy is an index rebuild — re-freeze — exactly IVF's centroid
+  * retrain, on the same schedule logic.
+  *
+  * State layout (all plain parquet):
+  * {{{
+  *   <stateDir>/dforder   (tok, df)   frozen at init
+  *   <stateDir>/prefix    (tok, id, n) append-only
+  *   <stateDir>/sets      (id, toks)  append-only (verification side)
+  * }}}
+  *
+  * 100 TB shuffle inventory per batch: tokenize + one window over BATCH
+  * ids only; one broadcast-ish join batch-tokens × frozen df (df table is
+  * vocabulary-sized); the probe equi-join batch-prefix × full index keyed
+  * by (rare) token; two id-keyed verification joins. The corpus index is
+  * scanned but never re-shuffled wide — and never re-tokenized.
+  */
+object IncrementalSetJoin {
+
+  private def toSets(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+
+  /** Prefix entries of `sets` under the FROZEN (df, tok) order; unseen
+    * tokens rank df=0. Same length arithmetic (and the same one-ulp
+    * guard) as `SetJoin.prefixCandidates`.
+    */
+  private def prefixUnder(sets: DataFrame, dford: DataFrame,
+      threshold: Double): DataFrame = {
+    val tok = sets.select(col("id"), size(col("toks")).cast("bigint").as("n"),
+      explode(col("toks")).as("tok"))
+    tok.join(dford, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("tok"), col("id"), col("n"))
+  }
+
+  /** Freeze the token order on `corpus`, index it, and persist state. */
+  def init(spark: SparkSession, stateDir: String, corpus: DataFrame,
+      textCol: String, idCol: String, threshold: Double): Unit = {
+    val sets = toSets(corpus, textCol, idCol).localCheckpoint(true)
+    sets.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$stateDir/dforder")
+    val dford = spark.read.parquet(s"$stateDir/dforder")
+    sets.write.mode("overwrite").parquet(s"$stateDir/sets")
+    prefixUnder(sets, dford, threshold)
+      .write.mode("overwrite").parquet(s"$stateDir/prefix")
+  }
+
+  /** Index `batch` and return EVERY pair with exact Jaccard ≥ threshold
+    * that touches the batch — batch×corpus and batch×batch, (id_a <
+    * id_b, n_inter, n_a, n_b, jaccard), the same verified-exact contract
+    * as `SetJoin.similarityJoin` restricted to pairs a full re-run would
+    * report involving at least one batch doc.
+    */
+  def addBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+      textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val dford = spark.read.parquet(s"$stateDir/dforder")
+    val bsets = toSets(batch, textCol, idCol).localCheckpoint(true)
+    val bprefix = prefixUnder(bsets, dford, threshold).localCheckpoint(true)
+    bsets.write.mode("append").parquet(s"$stateDir/sets")
+    bprefix.write.mode("append").parquet(s"$stateDir/prefix")
+
+    // Fresh read AFTER the append: one probe covers batch×corpus AND
+    // batch×batch (the batch's own entries are in the index now).
+    val fullPrefix = spark.read.parquet(s"$stateDir/prefix")
+    val fullSets = spark.read.parquet(s"$stateDir/sets")
+    val cands = bprefix.toDF("tok", "pid", "pn")
+      .join(fullPrefix.toDF("tok", "qid", "qn"), Seq("tok"))
+      .filter(col("pid") =!= col("qid"))
+      .select(
+        least(col("pid"), col("qid")).as("id_a"),
+        greatest(col("pid"), col("qid")).as("id_b"),
+        when(col("pid") < col("qid"), col("pn")).otherwise(col("qn")).as("n_a"),
+        when(col("pid") < col("qid"), col("qn")).otherwise(col("pn")).as("n_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double") - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(fullSets.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(fullSets.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint").as("n_inter"),
+        size(col("toks_a")).cast("bigint").as("n_a"),
+        size(col("toks_b")).cast("bigint").as("n_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= lit(threshold))
+  }
+}

@@ -146,6 +146,28 @@ object NearDupQueries extends graft.QueryModule {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // INCREMENTAL exact set-similarity join (persisted frozen-order
+    // prefix index — llm/IncrementalSetJoin): the originals are indexed
+    // as the standing corpus, the mutated docs arrive as a batch, and
+    // the probe must report EVERY ≥0.6-Jaccard pair touching the batch
+    // at batch cost, no corpus re-tokenization. The token order is
+    // FROZEN at init (the lemma needs a fixed order, not the true df),
+    // so the index stays append-only and the oracle — brute-force
+    // all-pairs over the full corpus restricted to batch-touching
+    // pairs — must match pair for pair, boundary included.
+    "q_similarity_join_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = nearDupCorpus(s, dir, mod = 25)
+      val state = sys.props("java.io.tmpdir") +
+        s"/graft_incsj_${ProcessHandle.current().pid()}/state"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(state))
+      graft.llm.IncrementalSetJoin.init(s, state,
+        corpus.filter($"doc_id" < 100000L), "text", "doc_id", 0.6)
+      graft.llm.IncrementalSetJoin.addBatch(s, state,
+          corpus.filter($"doc_id" >= 100000L), "text", "doc_id", 0.6)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // EXACT repeated-span dedup (fixed-width suffix-array approximation):
     // per-doc maximal duplicated 8-token regions + covered fraction over
     // the near-dup corpus — the mutated copies are suffixes of their
@@ -428,6 +450,27 @@ object NearDupQueries extends graft.QueryModule {
          |)
          |SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
          |FROM j WHERE jaccard >= 0.6::double ORDER BY id_a, id_b""".stripMargin,
+    "q_similarity_join_incremental" ->
+      s"""WITH ${corpusCtesMod(25)},
+         |tsets AS (SELECT DISTINCT doc_id, unnest(tk) AS tok FROM toks),
+         |tsizes AS (SELECT doc_id, COUNT(1) AS n FROM tsets GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(1) AS n_inter
+         |  FROM tsets a JOIN tsets b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |j AS (
+         |  SELECT i.id_a, i.id_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+         |    CAST(i.n_inter AS double) /
+         |      CAST(sa.n + sb.n - i.n_inter AS double) AS jaccard
+         |  FROM inter i
+         |  JOIN tsizes sa ON sa.doc_id = i.id_a
+         |  JOIN tsizes sb ON sb.doc_id = i.id_b
+         |)
+         |SELECT id_a, id_b, n_inter, n_a, n_b, jaccard
+         |FROM j WHERE jaccard >= 0.6::double
+         |  AND (id_a >= 100000 OR id_b >= 100000)
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $corpusCtes,
          |sets AS (SELECT DISTINCT doc_id, sh FROM shingle),

@@ -80,4 +80,50 @@ class SetJoinSpec extends SparkSpec {
     val got = SetJoin.similarityJoin(twins, "text", "doc_id", 0.99).collect()
     assert(got.length == 1 && got.head.getDouble(5) == 1.0)
   }
+
+  // --- IncrementalSetJoin (persisted frozen-order prefix index) ---
+
+  import graft.llm.IncrementalSetJoin
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+
+  test("init(A) + addBatch(B) equals the full join restricted to pairs touching B") {
+    import spark.implicits._
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    // B gets the near-dup twins AND the boundary pair — plus tokens A
+    // never saw (the frozen order's unseen-token path must stay exact)
+    val bIds = Set(101L, 102L, 201L, 401L, 402L)
+    val a = all.filterNot(p => bIds(p._1)).toSeq.toDF("doc_id", "text")
+    val b = all.filter(p => bIds(p._1)).toSeq.toDF("doc_id", "text")
+    val state = tmpDir("inc-setjoin") + "/state"
+    IncrementalSetJoin.init(spark, state, a, "text", "doc_id", 0.6)
+    val got = pairs(IncrementalSetJoin.addBatch(spark, state, b, "text", "doc_id", 0.6))
+    val expect = bruteForce(docs, 0.6)
+      .filter(p => bIds(p._1) || bIds(p._2))
+    assert(got == expect, s"got-only=${got -- expect} missing=${expect -- got}")
+    assert(expect.exists(p => p._1 == 401L && p._2 == 402L),
+      "fixture must include a batch-internal pair at the exact boundary")
+  }
+
+  test("batches accumulate: a later batch pairs against every earlier batch") {
+    import spark.implicits._
+    val state = tmpDir("inc-setjoin-acc") + "/state"
+    IncrementalSetJoin.init(spark, state,
+      Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
+      "text", "doc_id", 0.6)
+    // batch 1 shares nothing with A
+    val g1 = pairs(IncrementalSetJoin.addBatch(spark, state,
+      Seq((10L, "totally novel vocabulary cluster one two three")).toDF("doc_id", "text"),
+      "text", "doc_id", 0.6))
+    assert(g1.isEmpty)
+    // batch 2 near-dups BATCH 1 (tokens entirely unseen at init — the
+    // pair exists only through the frozen-order df=0 path) and A
+    val g2 = pairs(IncrementalSetJoin.addBatch(spark, state,
+      Seq((20L, "totally novel vocabulary cluster one two four"),
+        (21L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text"),
+      "text", "doc_id", 0.6))
+    assert(g2.map(p => (p._1, p._2)) == Set((10L, 20L), (1L, 21L)),
+      s"batch must pair against earlier batches AND init corpus: $g2")
+  }
 }
