@@ -128,6 +128,24 @@ object Versioned {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Erase rows matching `predicate` from the table — the
+    * right-to-be-forgotten operation, which a commit-log design makes
+    * SUBTLE: a plain overwrite hides the rows from the latest snapshot
+    * but every older version still holds the bytes. `purge` commits a
+    * new version whose data is the latest snapshot REWRITTEN without the
+    * matching rows (honest cost: the referenced dirs are rewritten — at
+    * scale, partition/file pruning via [[graft.ops.Layout.skipScan]]-
+    * style stats bounds the rewrite to files that can contain the key),
+    * and returns the new version. The bytes are GONE from disk only
+    * after [[vacuum]] drops the superseded dirs — `VersionedSpec` pins
+    * exactly that two-step contract by scanning the raw data dirs.
+    */
+  def purge(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val kept = read(spark, table).filter(!predicate)
+    commit(spark, table, kept, overwrite = true)
+  }
+
   /** Delete data dirs the LATEST snapshot does not reference (orphans
     * from crashed writers included). Returns the deleted dir names;
     * versions that needed them stop being readable.

@@ -59,6 +59,24 @@ class VersionedSpec extends SparkSpec {
       "reading past retention must fail with the vacuum message, not a scan error")
   }
 
+  test("purge erases from the snapshot at once, from DISK only after vacuum") {
+    val t = tmpDir("versioned-purge") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "keep"), (666L, "secret")).toDF("id", "s"))
+    Versioned.commit(spark, t, Seq((2L, "also")).toDF("id", "s"))
+    val v = Versioned.purge(spark, t, $"id" === 666L)
+    assert(v == 3L)
+    assert(rows(Versioned.read(spark, t)) == Set((1L, "keep"), (2L, "also")))
+    // the subtle half of the contract: HISTORY still holds the bytes —
+    // a purge without vacuum is not an erasure
+    assert(rows(Versioned.read(spark, t, Some(1))).contains((666L, "secret")))
+    def onDisk: Boolean = spark.read.parquet(s"$t/data/*")
+      .filter($"id" === 666L).count() > 0
+    assert(onDisk, "bytes must still be on disk before vacuum")
+    Versioned.vacuum(spark, t)
+    assert(!onDisk, "vacuum must remove the purged bytes from every surviving dir")
+    assert(rows(Versioned.read(spark, t)) == Set((1L, "keep"), (2L, "also")))
+  }
+
   test("a second writer targeting the same version cannot silently clobber data") {
     val t = tmpDir("versioned-cas") + "/t"
     Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
