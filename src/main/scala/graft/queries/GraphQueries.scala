@@ -59,7 +59,9 @@ object GraphQueries extends graft.QueryModule {
       val small = op.groupBy($"o").agg(count(lit(1)).as("basket"))
         .filter($"basket" <= 100)
         .select($"o")
-      val capped = op.join(small, "o")
+      // both edge derivations (base and full) self-join this relation —
+      // materialize it once instead of re-running the scan + basket agg
+      val capped = op.join(small, "o").localCheckpoint(true)
       def copurchase(rel: org.apache.spark.sql.DataFrame) =
         rel.join(rel.select($"o", $"p".as("p2")), "o")
           .filter($"p" =!= $"p2")

@@ -208,6 +208,28 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"user_id")
     }),
 
+    // FULL-outer stream-stream join — the join matrix completed (inner
+    // q_stream_join, left q_stream_join_outer, full here; right is the
+    // mirror). Null-emissions obey PER-SIDE eviction laws: a click once
+    // wm > c_ts + 30min, a purchase once wm > p_ts (any qualifying
+    // click would now be late). The per-user rollup separates matched /
+    // click-only / purchase-only so the oracle checks both horizons.
+    "q_stream_join_full" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      Streams.runToTable(s, Streams.clickPurchaseJoinFull(stream),
+          fresh("ss_join_full"), "append")
+        .select(coalesce($"c_user", $"p_user").as("user_id"),
+          $"click_id", $"purchase_id", $"value")
+        .groupBy($"user_id")
+        .agg(
+          count(when($"click_id".isNotNull && $"purchase_id".isNotNull, 1)).as("n_matched"),
+          count(when($"purchase_id".isNull, 1)).as("n_click_only"),
+          count(when($"click_id".isNull, 1)).as("n_purchase_only"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_value"))
+        .orderBy($"user_id")
+    }),
+
     // Custom state with EVENT-TIME TIMEOUT eviction: sessionization via
     // flatMapGroupsWithState — data-closed sessions emit tagged 'data'
     // the moment the closing event arrives; each user's open session
@@ -351,6 +373,49 @@ object StreamQueries extends graft.QueryModule {
         |SELECT user_id, CAST(COUNT(1) AS bigint) AS n_rows,
         |  CAST(COUNT(purchase_id) AS bigint) AS n_matched,
         |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_unmatched,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
+        |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_join_full" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |),
+        |purchases AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |pairs AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id, p.value
+        |  FROM clicks c JOIN purchases p ON c.user_id = p.p_user
+        |   AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL '30 minutes'
+        |),
+        |wm AS (
+        |  SELECT (LEAST((SELECT epoch_us(MAX(c_ts)) FROM clicks),
+        |                (SELECT epoch_us(MAX(p_ts)) FROM purchases))
+        |          // 1000 - 3600000) * 1000 AS w_us
+        |),
+        |uc AS (
+        |  SELECT c.user_id, c.click_id,
+        |    CAST(NULL AS bigint) AS purchase_id, CAST(NULL AS double) AS value
+        |  FROM clicks c, wm
+        |  WHERE c.click_id NOT IN (SELECT click_id FROM pairs)
+        |    AND epoch_us(c.c_ts) + 1800000000 < wm.w_us
+        |),
+        |up AS (
+        |  SELECT p.p_user AS user_id, CAST(NULL AS bigint) AS click_id,
+        |    p.purchase_id, p.value
+        |  FROM purchases p, wm
+        |  WHERE p.purchase_id NOT IN (SELECT purchase_id FROM pairs)
+        |    AND epoch_us(p.p_ts) < wm.w_us
+        |),
+        |allrows AS (
+        |  SELECT * FROM pairs UNION ALL SELECT * FROM uc UNION ALL SELECT * FROM up
+        |)
+        |SELECT user_id,
+        |  CAST(COUNT(CASE WHEN click_id IS NOT NULL AND purchase_id IS NOT NULL
+        |                  THEN 1 END) AS bigint) AS n_matched,
+        |  CAST(COUNT(CASE WHEN purchase_id IS NULL THEN 1 END) AS bigint) AS n_click_only,
+        |  CAST(COUNT(CASE WHEN click_id IS NULL THEN 1 END) AS bigint) AS n_purchase_only,
         |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
         |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_sessions_timeout" ->

@@ -191,6 +191,32 @@ object Streams {
       "left_outer")
   }
 
+  /** FULL-outer variant — completes the stream-stream join matrix
+    * (inner / left / full; right is the left's mirror): unmatched rows
+    * null-emit from BOTH buffers, each side under its own eviction law.
+    * A click evicts once no future purchase can match
+    * (`wm > c_ts + 30 min`); a purchase evicts once no future click can
+    * precede it — every qualifying click has `c_ts ≤ p_ts`, and the
+    * watermark passing `p_ts` means such a click would now be dropped
+    * as late, so the purchase's horizon is `wm > p_ts`. Both laws are
+    * reproduced by the oracle in SQL (`q_stream_join_full`).
+    */
+  def clickPurchaseJoinFull(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"),
+      "full_outer")
+  }
+
   /** Open-session state for [[sessionsWithTimeout]] (epoch micros). */
   case class SessState(startUs: Long, lastUs: Long, n: Long)
 

@@ -259,6 +259,43 @@ class StreamingSpec extends SparkSpec {
     assert(expectNulls.nonEmpty, "fixture must exercise the null-emission path")
   }
 
+  test("full-outer stream-stream join: both sides' null-emissions follow their eviction laws") {
+    import spark.implicits._
+    val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
+    val streamed = Streams.runToTable(spark, Streams.clickPurchaseJoinFull(stream),
+      "ss_full_eq", "append")
+    val got = streamed
+      .select($"click_id", $"purchase_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    val events = Streams.eventsBatch(spark, s"$sf/events.parquet")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    val pairs = clicks.join(purchases,
+        $"c_user" === $"p_user" && $"p_ts" >= $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr("interval 30 minutes"))
+      .select($"click_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maxC = clicks.agg(max(unix_micros($"c_ts"))).head().getLong(0)
+    val maxP = purchases.agg(max(unix_micros($"p_ts"))).head().getLong(0)
+    val wmUs = (math.min(maxC, maxP) / 1000L - 3600L * 1000L) * 1000L
+    val expectNullClicks = clicks
+      .filter(unix_micros($"c_ts") + 1800L * 1000000L < wmUs)
+      .select($"click_id").collect().map(_.getLong(0)).toSet -- pairs.map(_._1)
+    val expectNullPurchases = purchases
+      .filter(unix_micros($"p_ts") < wmUs)
+      .select($"purchase_id").collect().map(_.getLong(0)).toSet -- pairs.map(_._2)
+    assert(got.filter(p => p._1 >= 0 && p._2 >= 0) == pairs)
+    assert(got.filter(_._2 < 0).map(_._1) == expectNullClicks,
+      s"left null-emissions off: got ${got.count(_._2 < 0)} expect ${expectNullClicks.size}")
+    assert(got.filter(_._1 < 0).map(_._2) == expectNullPurchases,
+      s"right null-emissions off: got ${got.count(_._1 < 0)} expect ${expectNullPurchases.size}")
+    assert(expectNullPurchases.nonEmpty, "fixture must exercise the purchase-side path")
+  }
+
   test("sessionsWithTimeout: data-closed sessions exact, timeout eviction follows the watermark law") {
     import spark.implicits._
     val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
