@@ -92,7 +92,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * API (`call_function("graft_dot", a, b)`) like any built-in.
   */
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
@@ -101,4 +101,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot requires exactly 2 arguments, got ${children.length}")
         ArrayDotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_nfc requires exactly 1 argument, got ${children.length}")
+        NfcNormalize(children.head)
+      }))
+  }
 }
