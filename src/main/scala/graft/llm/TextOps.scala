@@ -24,6 +24,39 @@ object TextOps {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(norm(text), " ")
 
+  /** HTML → text extraction — the first stage of every web-crawl
+    * pipeline (strip markup before quality scoring / dedup / training).
+    * Pure Column regexp chain, so it runs inside WholeStageCodegen at
+    * scan speed; every pattern is RE2-compatible (non-greedy, inline
+    * flags, \b — NO backreferences, which RE2 lacks) so the DuckDB
+    * oracle applies the identical chain and hashes match byte-for-byte.
+    *
+    * Order is load-bearing: script/style bodies go first (their CONTENT
+    * must vanish, not just their tags), then comments, then remaining
+    * tags (each replaced by a space so adjacent block text doesn't fuse),
+    * then the named entities with `&amp;` LAST (so `&amp;lt;` decodes to
+    * the literal text `&lt;`, not `<` — single-pass decode semantics),
+    * then whitespace canonicalization. Numeric `&#NNN;` entities other
+    * than the named set are left as-is (a regex replacement cannot
+    * compute chr(NNN)); the documented subset covers the overwhelming
+    * share of real markup.
+    */
+  def htmlToText(html: Column): Column = {
+    val blocks = Seq(
+      "(?is)<script\\b[^>]*>.*?</script>",
+      "(?is)<style\\b[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "(?s)<[^>]+>")
+    val stripped = blocks.foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&")
+    norm(entities.foldLeft(stripped) { case (c, (e, v)) =>
+      regexp_replace(c, e, v)
+    })
+  }
+
   /** Word-level 3-gram shingles (empty array when < 3 tokens). Element
     * access is 1-based `element_at` to mirror 1-based list indexing in the
     * oracle SQL.

@@ -74,6 +74,32 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // HTML → text extraction (TextOps.htmlToText): each document is
+    // wrapped in realistic markup — script WITH an embedded '<', style,
+    // comments, attributes, named entities incl. the &amp;lt; double-
+    // escape — and the stripped text is hashed. The oracle applies the
+    // identical RE2-compatible regex chain, so the hash pins tag
+    // removal, script/style CONTENT removal, entity decode order, and
+    // whitespace canonicalization byte-for-byte.
+    "q_html_strip" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" % 25 === 0)
+        .select($"doc_id", concat(
+          lit("<html><head><title>T</title><style>p {color: red}</style>" +
+            "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+            "<body><h1>Heading</h1><p class=\"x\">"),
+          $"text",
+          lit(" &amp; more &lt;tags&gt;&nbsp;done &amp;lt;literal" +
+            "</p><!-- hidden -->tail</body></html>")).as("raw"))
+        .select($"doc_id", TextOps.htmlToText($"raw").as("__t"))
+        .select($"doc_id",
+          size(split($"__t", " ")).as("n_tokens"),
+          length($"__t").as("n_chars"),
+          md5($"__t").as("h"))
+        .orderBy($"doc_id")
+    }),
+
     // Quality-score components + fixed linear composite.
     "q_quality_score" -> ((s, dir) => {
       import s.implicits._
@@ -353,6 +379,34 @@ object TextQueries extends graft.QueryModule {
          |  CAST(len(regexp_extract_all($duckNorm, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS int) AS n_bpe_tokens,
          |  CAST(length($duckNorm) AS int) AS n_norm_chars
          |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+    "q_html_strip" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>T</title><style>p {color: red}</style>' ||
+         |    '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+         |    '<body><h1>Heading</h1><p class="x">' || text ||
+         |    ' &amp; more &lt;tags&gt;&nbsp;done &amp;lt;literal' ||
+         |    '</p><!-- hidden -->tail</body></html>' AS r
+         |  FROM documents WHERE doc_id % 25 = 0
+         |),
+         |s1 AS (SELECT doc_id,
+         |  regexp_replace(r, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS r FROM raw),
+         |s2 AS (SELECT doc_id,
+         |  regexp_replace(r, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS r FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(r, '(?s)<!--.*?-->', ' ', 'g') AS r FROM s2),
+         |s4 AS (SELECT doc_id, regexp_replace(r, '(?s)<[^>]+>', ' ', 'g') AS r FROM s3),
+         |e1 AS (SELECT doc_id, regexp_replace(r, '&lt;', '<', 'g') AS r FROM s4),
+         |e2 AS (SELECT doc_id, regexp_replace(r, '&gt;', '>', 'g') AS r FROM e1),
+         |e3 AS (SELECT doc_id, regexp_replace(r, '&quot;', '"', 'g') AS r FROM e2),
+         |e4 AS (SELECT doc_id, regexp_replace(r, '&#39;', chr(39), 'g') AS r FROM e3),
+         |e5 AS (SELECT doc_id, regexp_replace(r, '&apos;', chr(39), 'g') AS r FROM e4),
+         |e6 AS (SELECT doc_id, regexp_replace(r, '&nbsp;', ' ', 'g') AS r FROM e5),
+         |e7 AS (SELECT doc_id, regexp_replace(r, '&amp;', '&', 'g') AS r FROM e6),
+         |n AS (SELECT doc_id,
+         |  trim(regexp_replace(lower(r), '\\s+', ' ', 'g')) AS t FROM e7)
+         |SELECT doc_id, CAST(len(string_split(t, ' ')) AS int) AS n_tokens,
+         |  CAST(length(t) AS int) AS n_chars, md5(t) AS h
+         |FROM n ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       s"""WITH c AS (
          |  SELECT doc_id,

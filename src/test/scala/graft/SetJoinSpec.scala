@@ -106,6 +106,20 @@ class SetJoinSpec extends SparkSpec {
       "fixture must include a batch-internal pair at the exact boundary")
   }
 
+  test("the incremental probe plans equi-joins only — no cartesian, no nested loop") {
+    import spark.implicits._
+    val state = tmpDir("inc-setjoin-plan") + "/state"
+    IncrementalSetJoin.init(spark, state,
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "text", "doc_id", 0.6)
+    val plan = IncrementalSetJoin.addBatch(spark, state,
+        Seq((2L, "alpha beta gamma epsilon")).toDF("doc_id", "text"),
+        "text", "doc_id", 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"probe must stay equi-join shaped:\n$plan")
+  }
+
   test("batches accumulate: a later batch pairs against every earlier batch") {
     import spark.implicits._
     val state = tmpDir("inc-setjoin-acc") + "/state"

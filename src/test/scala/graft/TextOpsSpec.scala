@@ -63,4 +63,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) == Seq("a b", "b c", "c d"))
     assert(out(2L).isEmpty && out(3L).isEmpty)
   }
+
+  test("htmlToText: script/style content vanishes, tags space-split, entities decode once") {
+    import spark.implicits._
+    val cases = Seq(
+      // script body with an embedded '<' must vanish WITH its content
+      (1L, "<p>a</p><script>if (1 < 2) alert('x');</script><p>b</p>", "a b"),
+      (2L, "<style>p { color: red }</style>hello", "hello"),
+      // adjacent block tags must not fuse words
+      (3L, "<div>left</div><div>right</div>", "left right"),
+      (4L, "x <!-- secret --> y", "x y"),
+      // &amp;lt; is the LITERAL text '&lt;' — single-pass decode, never '<'
+      (5L, "a &amp;lt; b &lt;c&gt; &amp; d&nbsp;e", "a &lt; b <c> & d e"),
+      (6L, "it&#39;s &quot;quoted&quot;", "it's \"quoted\""))
+      .toDF("id", "html", "expect")
+    val bad = cases
+      .select($"id", TextOps.htmlToText($"html").as("got"), $"expect")
+      .filter($"got" =!= $"expect")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+  }
 }
