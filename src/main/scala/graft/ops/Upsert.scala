@@ -93,13 +93,22 @@ object Upsert {
     * like Delta/Iceberg); this is the documented non-transactional
     * approximation over a bare FileSystem.
     */
-  def run(spark: SparkSession, targetPath: String, source: DataFrame, keys: Seq[String]): Unit = {
+  def run(spark: SparkSession, targetPath: String, source: DataFrame, keys: Seq[String]): Unit =
+    transformAndSwap(spark, targetPath)(target => merge(target, source, keys))
+
+  /** The staged-swap skeleton of [[run]], generalized: read the current
+    * table, apply `f`, land the result via the staging/old rename dance.
+    * Shared by MERGE upserts and the CDC apply stream (whose per-batch
+    * transform includes deletes, which `merge` cannot express).
+    */
+  def transformAndSwap(spark: SparkSession, targetPath: String)
+      (f: DataFrame => DataFrame): Unit = {
     val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, targetPath)
     val target = spark.read.parquet(targetPath)
-    val merged = merge(target, source, keys)
+    val next = f(target)
     val staging = targetPath + "._staging"
-    merged.write.mode("overwrite").parquet(staging)
+    next.write.mode("overwrite").parquet(staging)
     val tgt = new Path(targetPath)
     val old = new Path(targetPath + "._old")
     if (fs.exists(old)) fs.delete(old, true)

@@ -114,6 +114,54 @@ object ParityQueries extends graft.QueryModule {
       graft.ops.Cdc.apply(base, feed, Seq("k"), "v", "op").orderBy($"k")
     }),
 
+    // STREAMING CDC apply (Streams.cdcApplyStream): the same change
+    // feed as q_cdc_apply, shipped as TWO log files in version order
+    // (v1 changes then v2), one micro-batch each — every batch folds
+    // into the parquet target via foreachBatch → Cdc.apply under the
+    // staged-swap writer. The batch-split law (CdcSpec) makes the
+    // slicing invisible: the final table must hash-equal the one-shot
+    // apply, which is exactly this oracle.
+    "q_stream_cdc" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_streamcdc_${ProcessHandle.current().pid()}"
+      val feed = s"$root/feed"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(feed, ckpt, table))
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+          $"o_totalprice".as("pr"))
+      base.write.mode("overwrite").parquet(table)
+      val upd1 = base.filter($"k" % 10 === 0)
+        .select($"k", lit("U1").as("st"), ($"pr" + 1.0).as("pr"),
+          lit(1L).as("v"), lit("U").as("op"))
+      val upd2 = base.filter($"k" % 20 === 0)
+        .select($"k", lit("U2").as("st"), ($"pr" + 2.0).as("pr"),
+          lit(2L).as("v"), lit("U").as("op"))
+      val dels = base.filter($"k" % 10 === 5)
+        .select($"k", lit(null).cast("string").as("st"),
+          lit(null).cast("double").as("pr"), lit(1L).as("v"), lit("D").as("op"))
+      val ins = base.filter($"k" % 10 === 3)
+        .select(($"k" + 10000000L).as("k"), lit("N").as("st"), $"pr",
+          lit(1L).as("v"), lit("I").as("op"))
+      def ship(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .head.toPath
+        val dest = java.nio.file.Paths.get(s"$feed/$name.parquet")
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+      }
+      // log order via mtime: the file source processes oldest first
+      ship(upd1.unionByName(dels).unionByName(ins), "f1_v1", 1000000000L)
+      ship(upd2, "f2_v2", 1000000600L)
+      graft.streaming.Streams.cdcApplyStream(s, feed, table, Seq("k"), "v", "op", ckpt,
+        maxFilesPerBatch = Some(1))
+      s.read.parquet(table).orderBy($"k")
+    }),
+
     // Entity resolution over a deterministically dirtied master-data
     // relation: canonical names are 'cust-' + 10 md5 hex chars (high
     // entropy, byte-identical construction in both engines); keys %5==2
@@ -191,6 +239,32 @@ object ParityQueries extends graft.QueryModule {
         |  min(k) AS min_key, max(k) AS max_key
         |FROM j GROUP BY 1 ORDER BY change""".stripMargin,
     "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
+        |  FROM orders
+        |),
+        |feed AS (
+        |  SELECT k, 'U1' AS st, pr + 1.0::double AS pr, 1 AS v, 'U' AS op
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, 'U2', pr + 2.0::double, 2, 'U' FROM base WHERE k % 20 = 0
+        |  UNION ALL
+        |  SELECT k, NULL, NULL, 1, 'D' FROM base WHERE k % 10 = 5
+        |  UNION ALL
+        |  SELECT k + 10000000, 'N', pr, 1, 'I' FROM base WHERE k % 10 = 3
+        |),
+        |latest AS (
+        |  SELECT k, st, pr, op FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY v DESC, op DESC) AS rn
+        |    FROM feed) WHERE rn = 1
+        |)
+        |SELECT b.k, b.st, b.pr FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
+        |UNION ALL
+        |SELECT k, st, pr FROM latest WHERE op != 'D'
+        |ORDER BY k""".stripMargin,
+    "q_stream_cdc" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
         |  FROM orders

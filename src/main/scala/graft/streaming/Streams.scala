@@ -355,6 +355,39 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** STREAMING CDC apply — the silver-layer sibling of
+    * [[csvUpsertStream]] for sources that ship DELTAS (I/U/D change
+    * rows) instead of full extracts: a file stream over the feed
+    * directory folds each micro-batch into the parquet target via
+    * `foreachBatch → Cdc.apply` under the staged-swap writer. The batch
+    * boundary is safe BY THE CDC LAW, not by luck: `CdcSpec` proves
+    * `apply(apply(base, f1), f2) == apply(base, f1 ∪ f2)` whenever
+    * versions grow across batches — exactly what a real log (LSN /
+    * binlog / Kafka offset) guarantees — so any micro-batch slicing of
+    * the feed lands the same final table, and a crash-replayed batch
+    * re-applies the same versions idempotently (per-key max-version
+    * resolution makes reapplication a no-op).
+    */
+  def cdcApplyStream(spark: SparkSession, feedDir: String, targetPath: String,
+      keys: Seq[String], versionCol: String, opCol: String,
+      checkpoint: String, maxFilesPerBatch: Option[Int] = None): Unit = {
+    val schema = spark.read.parquet(feedDir).schema
+    val r0 = spark.readStream.schema(schema)
+    val r1 = maxFilesPerBatch.fold(r0)(n =>
+      r0.option("maxFilesPerTrigger", n.toString))
+    val q = r1.parquet(feedDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        if (!b.isEmpty)
+          graft.ops.Upsert.transformAndSwap(spark, targetPath)(target =>
+            graft.ops.Cdc.apply(target, b, keys, versionCol, opCol))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The idempotent write inside [[exactlyOnceSink]], factored out so a
     * crash-replay (same batch, same id) can be driven explicitly: each
     * micro-batch lands in its own `batch_id=<id>` partition with DYNAMIC
