@@ -66,6 +66,55 @@ object Bench {
       }
     }
 
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+  // Locale.ROOT: default-locale %.2f renders "1,23" under e.g. de_DE,
+  // which is invalid JSON (ADVICE r5)
+  private def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+  private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Headline subset: the flagship + the heaviest operator families —
+    * the queries the per-round adjudication has actually reached for.
+    */
+  val Headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q_join_orders_lineitem", "q_topn_orders",
+    "q_window_topk", "q_minhash_lsh", "q_similarity_join",
+    "q_entity_resolution", "q_pagerank", "q_triangles", "q_sessionize",
+    "q_dedup_incremental", "q_ann_incremental", "q_cosine_topk",
+    "q_bpe_train", "q_stream_window_counts", "q_stream_exactly_once")
+
+  /** The stdout line — MUST stay short enough that the driver's capture
+    * parses it (BENCH_r06/r07 both recorded `parsed: null` from the old
+    * ~15k-char four-dict line). Headline medians only at %.3f, first 3
+    * errors truncated to 80 chars; `BenchHarnessSpec` pins the length
+    * bound at full suite width so the regression cannot recur.
+    */
+  def renderHeadline(timings: Seq[(String, Timing)],
+      errors: collection.Map[String, String], probeMed: Double, n: Int,
+      detailPath: String, sfDir: String): String = {
+    val byName = timings.toMap
+    val hq = Headline.flatMap(nm => byName.get(nm).map(t => s"${jstr(nm)}:${f3(t.median)}"))
+      .mkString("{", ",", "}")
+    val esShort = errors.take(3)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }.mkString("{", ",", "}")
+    val total = timings.map(_._2.median).sum
+    s"""{"metric":"total_median_sec","value":${f3(total)},"unit":"sec","n_runs":$n,"probe_sec":${f3(probeMed)},"n_queries":${timings.size},"n_errors":${errors.size},"queries":$hq,"errors":$esShort,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}"""
+  }
+
+  /** Full-fidelity sidecar JSON (all four per-query dicts). */
+  def renderDetail(timings: Seq[(String, Timing)],
+      errors: collection.Map[String, String], probeMed: Double, n: Int,
+      sfDir: String): String = {
+    def dict(f: Timing => String): String = timings.map { case (k, t) =>
+      s"${jstr(k)}:${f(t)}" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = timings.map(_._2.median).sum
+    s"""{"metric":"total_median_sec","value":$total,"unit":"sec","n_runs":$n,"probe_sec":$probeMed,"queries":${dict(t => t.median.toString)},"ratios":${dict(t => f2(t.median / probeMed))},"probe_local":${dict(t => t.probeLocal.toString)},"ratios_local":${dict(t => f2(t.median / t.probeLocal))},"errors":$es,"sf":${jstr(sfDir)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional arg: comma-list of query names — re-time a flagged subset
@@ -117,44 +166,12 @@ object Bench {
     val allProbes = (probePre ++ probePost).sorted
     val probeMed = allProbes(allProbes.length / 2)
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    // Locale.ROOT: default-locale %.2f renders "1,23" under e.g. de_DE,
-    // which is invalid JSON (ADVICE r5)
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def dict(f: Timing => String): String = timings.map { case (k, t) =>
-      s"${jstr(k)}:${f(t)}" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = timings.map(_._2.median).sum
-
-    // FULL per-query fidelity goes to a sidecar file: the stdout line was
-    // ~15k chars with four 147-entry dicts and the driver truncated it
-    // before parsing — BENCH_r06 and r07 both recorded `parsed: null`, so
-    // no per-query number ever reached the driver. The printed line stays
-    // well under 2000 bytes (headline medians only, %.3f), the sidecar
-    // keeps everything at full precision for the judge.
+    // FULL per-query fidelity goes to a sidecar file; the stdout line
+    // stays short (see renderHeadline's scaladoc for the r6/r7 history).
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
-    val detail = s"""{"metric":"total_median_sec","value":$total,"unit":"sec","n_runs":$N,"probe_sec":$probeMed,"queries":${dict(t => t.median.toString)},"ratios":${dict(t => f2(t.median / probeMed))},"probe_local":${dict(t => t.probeLocal.toString)},"ratios_local":${dict(t => f2(t.median / t.probeLocal))},"errors":$es,"sf":${jstr(sfDir)}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
-
-    // Headline subset: the flagship + the heaviest operator families —
-    // the queries the per-round adjudication has actually reached for.
-    val headline = Seq(
-      "q1_pricing_summary", "q_join_orders_lineitem", "q_topn_orders",
-      "q_window_topk", "q_minhash_lsh", "q_similarity_join",
-      "q_entity_resolution", "q_pagerank", "q_triangles", "q_sessionize",
-      "q_dedup_incremental", "q_ann_incremental", "q_cosine_topk",
-      "q_bpe_train", "q_stream_window_counts", "q_stream_exactly_once")
-    val byName = timings.toMap
-    val hq = headline.flatMap(n => byName.get(n).map(t => s"${jstr(n)}:${f3(t.median)}"))
-      .mkString("{", ",", "}")
-    val esShort = errors.take(3)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_median_sec","value":${f3(total)},"unit":"sec","n_runs":$N,"probe_sec":${f3(probeMed)},"n_queries":${timings.size},"n_errors":${errors.size},"queries":$hq,"errors":$esShort,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+      renderDetail(timings, errors, probeMed, N, sfDir))
+    println(renderHeadline(timings, errors, probeMed, N, detailPath, sfDir))
     spark.stop()
   }
 }

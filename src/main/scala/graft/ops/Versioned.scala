@@ -128,6 +128,18 @@ object Versioned {
     spark.read.parquet(dirs: _*)
   }
 
+  /** OPTIMIZE — the small-files compaction every append-heavy table
+    * eventually needs: each append adds a data dir, and a snapshot
+    * referencing hundreds of dirs pays per-file open cost on every
+    * read. `compact` commits the latest snapshot rewritten as ONE data
+    * dir of `numFiles` parquet files; history stays readable until
+    * [[vacuum]] reclaims the superseded dirs. Content-identity is the
+    * law: compact must be invisible to readers.
+    */
+  def compact(spark: SparkSession, table: String, numFiles: Int = 32): Long =
+    commit(spark, table, read(spark, table).repartition(numFiles),
+      overwrite = true)
+
   /** Erase rows matching `predicate` from the table — the
     * right-to-be-forgotten operation, which a commit-log design makes
     * SUBTLE: a plain overwrite hides the rows from the latest snapshot

@@ -84,6 +84,27 @@ class BenchHarnessSpec extends AnyFunSuite {
       s"miscalibrated baseline rows (local probe ran slow — regenerate):\n${bad.mkString("\n")}")
   }
 
+  test("headline line stays under 2000 bytes at full suite width (the parsed:null regression)") {
+    // 300 synthetic queries — ~2x the real suite — with long names, plus
+    // a full error map with long messages: the WORST realistic shape.
+    // Rounds 6 and 7 both shipped a ~15k-char line the driver truncated
+    // before json.loads, recording parsed:null; the short-line contract
+    // is what makes per-query numbers reach the driver at all.
+    val timings = (1 to 300).map(i =>
+      f"q_some_quite_long_query_name_$i%03d" -> Bench.Timing(123.456789, 0.123456))
+    val errors = scala.collection.mutable.LinkedHashMap(
+      (1 to 50).map(i => f"q_err_$i%02d" -> ("boom " * 50)): _*)
+    val line = Bench.renderHeadline(timings, errors, 0.1234567, 5,
+      "bench_detail.json", "/root/testdata/sf0.1")
+    assert(line.getBytes("UTF-8").length < 2000,
+      s"headline must stay driver-parseable, got ${line.length} chars")
+    // and it is valid JSON by construction — balanced quotes/braces at least
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // the sidecar keeps everything
+    val detail = Bench.renderDetail(timings, errors, 0.1234567, 5, "sf")
+    assert((1 to 300).forall(i => detail.contains(f"q_some_quite_long_query_name_$i%03d")))
+  }
+
   test("a query failing mid-block is demoted to errors, not propagated") {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val timings = Bench.timeSuite(Seq("ok", "boom", "ok2"),

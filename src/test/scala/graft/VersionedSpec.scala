@@ -77,6 +77,29 @@ class VersionedSpec extends SparkSpec {
     assert(rows(Versioned.read(spark, t)) == Set((1L, "keep"), (2L, "also")))
   }
 
+  test("compact folds an append chain into one dir, invisibly to readers") {
+    val t = tmpDir("versioned-compact") + "/t"
+    (1 to 4).foreach(i =>
+      Versioned.commit(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    val before = rows(Versioned.read(spark, t))
+    val v = Versioned.compact(spark, t, numFiles = 2)
+    assert(v == 5L)
+    assert(rows(Versioned.read(spark, t)) == before, "compact must not change content")
+    // latest snapshot references exactly ONE data dir with <= numFiles files
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$t/_commits/000005.manifest"))
+    val refs = manifest.linesIterator.toSeq.tail.filter(_.nonEmpty)
+    assert(refs == Seq("v000005"), s"compacted snapshot must reference one dir: $refs")
+    val parts = new java.io.File(s"$t/data/v000005").list()
+      .count(_.endsWith(".parquet"))
+    assert(parts <= 2, s"expected <= 2 files after compact, got $parts")
+    // history pre-compact still reads; vacuum then reclaims the chain
+    assert(rows(Versioned.read(spark, t, Some(4))) == before)
+    val deleted = Versioned.vacuum(spark, t)
+    assert(deleted == Seq("v000001", "v000002", "v000003", "v000004"))
+    assert(rows(Versioned.read(spark, t)) == before)
+  }
+
   test("a second writer targeting the same version cannot silently clobber data") {
     val t = tmpDir("versioned-cas") + "/t"
     Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
