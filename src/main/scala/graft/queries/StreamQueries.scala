@@ -208,6 +208,48 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"user_id")
     }),
 
+    // Dead-letter ingest (Streams.deadLetterStream): a JSONL text stream
+    // where every 40th part renders a good record and every (40k+20)th a
+    // TRUNCATED one; the stream routes parses to the good sink and raw
+    // corrupt lines — original bytes, replayable — to the DLQ, never
+    // failing the stage. The oracle reconstructs both sinks' aggregates
+    // from `part` directly (the dead-line length check only passes if
+    // the DLQ preserved the exact bytes).
+    "q_stream_dead_letter" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_streamdlq_${ProcessHandle.current().pid()}"
+      val in = s"$root/in"; val good = s"$root/good"
+      val bad = s"$root/bad"; val ckpt = s"$root/ckpt"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(in, good, bad, ckpt))
+      val part = graft.Tables(s, dir, "part")
+        .select($"p_partkey", $"p_brand", $"p_retailprice")
+      val goodLines = part.filter($"p_partkey" % 40 === 0)
+        .select(concat(lit("{\"k\":"), $"p_partkey",
+          lit(",\"brand\":\""), $"p_brand", lit("\",\"price\":"),
+          ($"p_retailprice" * 100).cast("bigint"), lit("}")).as("value"))
+      val deadLines = part.filter($"p_partkey" % 40 === 20)
+        .select(concat(lit("{\"k\":"), $"p_partkey",
+          lit(",\"brand\":\""), $"p_brand").as("value"))
+      goodLines.unionByName(deadLines).coalesce(1).write.mode("overwrite").text(in)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("brand",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.LongType)))
+      Streams.deadLetterStream(s, in, schema, good, bad, ckpt)
+      val g = s.read.parquet(good).agg(
+        count(lit(1)).as("n_good"),
+        sum($"k").as("sum_k"),
+        sum($"price").as("sum_price_cents"))
+      val d = s.read.parquet(bad).agg(
+        count(lit(1)).as("n_dead"),
+        sum(length($"value")).as("sum_dead_len"))
+      g.crossJoin(d)
+    }),
+
     // FULL-outer stream-stream join — the join matrix completed (inner
     // q_stream_join, left q_stream_join_outer, full here; right is the
     // mirror). Null-emissions obey PER-SIDE eviction laws: a click once
@@ -375,6 +417,21 @@ object StreamQueries extends graft.QueryModule {
         |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_unmatched,
         |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
         |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_dead_letter" ->
+      """WITH g AS (
+        |  SELECT CAST(COUNT(1) AS bigint) AS n_good,
+        |    CAST(SUM(p_partkey) AS bigint) AS sum_k,
+        |    CAST(SUM(CAST(p_retailprice * 100 AS bigint)) AS bigint) AS sum_price_cents
+        |  FROM part WHERE p_partkey % 40 = 0
+        |),
+        |d AS (
+        |  SELECT CAST(COUNT(1) AS bigint) AS n_dead,
+        |    CAST(SUM(length('{"k":' || p_partkey || ',"brand":"' || p_brand))
+        |         AS bigint) AS sum_dead_len
+        |  FROM part WHERE p_partkey % 40 = 20
+        |)
+        |SELECT n_good, sum_k, sum_price_cents, n_dead, sum_dead_len
+        |FROM g CROSS JOIN d""".stripMargin,
     "q_stream_join_full" ->
       """WITH clicks AS (
         |  SELECT user_id, ts AS c_ts, event_id AS click_id

@@ -388,6 +388,46 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Dead-letter ingest — the bronze-layer contract `q_json_malformed`
+    * pins for batch, at the STREAM boundary: a text stream of JSONL is
+    * parsed PERMISSIVE per micro-batch; rows that parse land in the good
+    * sink, raw lines that don't land in the dead-letter sink untouched
+    * (the original bytes, so they can be replayed after a parser fix —
+    * the property a silently-dropping ingest destroys). The stage never
+    * fails on data: corruption is ROUTED, not thrown. Both sinks are
+    * plain appends; exactly-once upgrades come from composing with
+    * [[writeBatchIdempotent]] if the deployment needs them.
+    *
+    * Parse verdict = `from_json` with a corrupt-record column: a line is
+    * dead iff the corrupt column is non-null OR the struct is null (a
+    * JSON scalar like `42` parses as neither). That is the same law the
+    * batch oracle checks with DuckDB's `json_valid`+type checks.
+    */
+  def deadLetterStream(spark: SparkSession, inDir: String,
+      schema: StructType, goodPath: String, badPath: String,
+      checkpoint: String): Unit = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt", StringType))
+    val q = spark.readStream.text(inDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val parsed = batch.toDF()
+          .select(col("value"),
+            from_json(col("value"), withCorrupt,
+              Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+          .localCheckpoint(true)
+        val dead = col("j").isNull || col("j._corrupt").isNotNull
+        parsed.filter(!dead)
+          .select(schema.fieldNames.map(f => col(s"j.$f")).toSeq: _*)
+          .write.mode("append").parquet(goodPath)
+        parsed.filter(dead).select(col("value"))
+          .write.mode("append").parquet(badPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The idempotent write inside [[exactlyOnceSink]], factored out so a
     * crash-replay (same batch, same id) can be driven explicitly: each
     * micro-batch lands in its own `batch_id=<id>` partition with DYNAMIC
