@@ -259,6 +259,42 @@ class StreamingSpec extends SparkSpec {
     assert(expectNulls.nonEmpty, "fixture must exercise the null-emission path")
   }
 
+  test("dead-letter stream: corrupt lines preserved byte-exact and replayable after a schema fix") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmpDir("dlq")
+    val in = s"$root/in"; val good = s"$root/good"; val bad = s"$root/bad"
+    new java.io.File(in).mkdirs()
+    // rows 2 and 4 are valid JSON but `k` is a STRING — dead under the
+    // strict long schema, alive under a widened one (the replay story);
+    // row 5 is truncated garbage that stays dead forever
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      """{"k":1,"v":"a"}
+        |{"k":"two","v":"b"}
+        |{"k":3,"v":"c"}
+        |{"k":"four","v":"d"}
+        |{"k":5,"v":""".stripMargin)
+    val strict = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    Streams.deadLetterStream(spark, in, strict, good, bad, s"$root/ckpt1")
+    assert(spark.read.parquet(good).select($"k").collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L))
+    val raw = spark.read.parquet(bad).select(col("value")).collect().map(_.getString(0)).toSet
+    assert(raw == Set("""{"k":"two","v":"b"}""", """{"k":"four","v":"d"}""", """{"k":5,"v":"""),
+      s"DLQ must hold the ORIGINAL bytes, got $raw")
+
+    // the replay: stage the DLQ as a new input, parse under the widened
+    // schema — the two schema casualties come back, the garbage stays dead
+    val in2 = s"$root/in2"; val good2 = s"$root/good2"; val bad2 = s"$root/bad2"
+    new java.io.File(in2).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in2/replay.jsonl"),
+      raw.toSeq.sorted.mkString("\n"))
+    val widened = StructType(Seq(StructField("k", StringType), StructField("v", StringType)))
+    Streams.deadLetterStream(spark, in2, widened, good2, bad2, s"$root/ckpt2")
+    assert(spark.read.parquet(good2).select($"k").collect().map(_.getString(0)).toSet
+      == Set("two", "four"))
+    assert(spark.read.parquet(bad2).count() == 1, "true garbage stays in the DLQ")
+  }
+
   test("full-outer stream-stream join: both sides' null-emissions follow their eviction laws") {
     import spark.implicits._
     val stream = Streams.eventsFileStream(spark, Streams.stageAsDir(s"$sf/events.parquet"))
