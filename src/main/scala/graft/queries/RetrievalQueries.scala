@@ -45,6 +45,31 @@ object RetrievalQueries extends graft.QueryModule {
         Bm25Terms, 20)
     }),
 
+    // PERSISTED BM25 search index probed by a query batch
+    // (llm/IncrementalRetrieval — the retrieval member of the
+    // incremental family): the %5 document slice is indexed once
+    // (postings + frozen micro-quantized idf + corpus stats on disk);
+    // the %7 slice arrives as QUERIES (first 3 tokens each) and scores
+    // at batch cost. No staleness trade — queries don't move corpus
+    // stats, so the oracle law is PLAIN equality with a full DuckDB
+    // recompute: per-term weights quantize to BIGINT micro-units before
+    // the per-doc sum, making the score order-independent and
+    // engine-exact, top-5 per query tie-broken on doc id.
+    "q_bm25_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val state = sys.props("java.io.tmpdir") +
+        s"/graft_bm25inc_${ProcessHandle.current().pid()}/state"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(state))
+      graft.llm.IncrementalRetrieval.init(s, state,
+        Tables(s, dir, "documents").filter($"doc_id" % 5 === 0),
+        "doc_id", "text")
+      val queries = Tables(s, dir, "documents").filter($"doc_id" % 7 === 0)
+        .select($"doc_id".as("qid"),
+          array_distinct(slice(Retrieval.tokens($"text"), 1, 3)).as("terms"))
+      graft.llm.IncrementalRetrieval.probe(s, state, queries, "qid", "terms", 5)
+        .orderBy($"qid", $"rk")
+    }),
+
     // Token-distribution entropy per document (nats) — the Shannon
     // quality signal (low entropy = repetitive/templated text, a
     // standard training-data filter). H = Σ (c/n)·ln(n/c) computed
@@ -147,6 +172,59 @@ object RetrievalQueries extends graft.QueryModule {
         |    AS score
         |FROM agg
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_bm25_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x != '') AS tk
+        |  FROM corpus
+        |),
+        |terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS bigint) AS dl FROM toks),
+        |cstats AS (SELECT count(1) AS n_docs, sum(dl) AS t_tokens FROM dl),
+        |dfr AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln(CAST(2 * c.n_docs + 2 AS double)
+        |                  / (2 * df + 1)) * 1000000) AS bigint) AS idf_fp
+        |  FROM dfr CROSS JOIN cstats c
+        |),
+        |q AS (
+        |  SELECT doc_id AS qid,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x != '') AS tk
+        |  FROM documents WHERE doc_id % 7 = 0
+        |),
+        |qterms AS (SELECT DISTINCT qid, unnest(tk[1:3]) AS term FROM q),
+        |w AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(round(CAST(i.idf_fp AS double) *
+        |      (CAST(22 * tf.tf * c.t_tokens AS double) /
+        |       CAST(10 * c.t_tokens * tf.tf + 3 * c.t_tokens
+        |            + 9 * dl.dl * c.n_docs AS double))) AS bigint) AS w_fp
+        |  FROM qterms qt
+        |  JOIN tf ON tf.term = qt.term
+        |  JOIN idf i ON i.term = qt.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN cstats c
+        |),
+        |agg AS (
+        |  SELECT qid, doc_id, CAST(count(1) AS bigint) AS n_terms,
+        |    CAST(SUM(w_fp) AS bigint) AS score_fp
+        |  FROM w GROUP BY 1, 2
+        |),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY score_fp DESC, doc_id ASC) AS rk
+        |  FROM agg
+        |)
+        |SELECT qid, CAST(rk AS int) AS rk, doc_id AS id, n_terms,
+        |  CAST(score_fp AS double) / 1000000 AS score
+        |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_lm_score" ->
       """WITH nrm AS (
         |  SELECT doc_id,

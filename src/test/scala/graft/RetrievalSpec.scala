@@ -75,4 +75,31 @@ class RetrievalSpec extends SparkSpec {
     // md5 of the empty string — the well-known constant.
     assert(r.getString(6) == "d41d8cd98f00b204e9800998ecf8427e")
   }
+
+  test("IncrementalRetrieval: ranking laws over the persisted index, deterministic probes") {
+    import spark.implicits._
+    import graft.llm.IncrementalRetrieval
+    val corpus = Seq(
+      (1L, "spark shuffles data across executors spark spark"),
+      (2L, "spark also appears here once among many many other words here"),
+      (3L, "vectors and embeddings never mention the engine"),
+      (4L, "merge statements upsert rows")).toDF("doc_id", "text")
+    val state = tmpDir("bm25-inc") + "/state"
+    IncrementalRetrieval.init(spark, state, corpus, "doc_id", "text")
+    def run() = IncrementalRetrieval.probe(spark, state,
+        Seq((10L, Seq("spark", "merge")), (11L, Seq("zzz_absent")))
+          .toDF("qid", "terms"), "qid", "terms", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = run()
+    // absent-term query matches nothing; matching docs are 1, 2, 4
+    assert(got.map(_._1).toSet == Set(10L))
+    assert(got.map(_._3).toSet == Set(1L, 2L, 4L))
+    // tf dominance: doc 1 (3x spark, short) outranks doc 2 (1x spark, long)
+    val rankOf = got.map(r => r._3 -> r._2).toMap
+    assert(rankOf(1L) < rankOf(2L), s"tf+length norm must rank doc1 first: $got")
+    // the doc matching 'merge' reports n_terms=1, the spark docs too
+    assert(got.forall(_._4 == 1L))
+    assert(run() == got, "probe must be deterministic run to run")
+  }
 }
