@@ -178,11 +178,24 @@ object Layout {
     df.repartitionByRange(numFiles, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
 
-  /** [[sortedByRange]] + parquet write: one file per range slice. */
+  /** [[sortedByRange]] + parquet write: one file per range slice.
+    * `bloomCols` additionally writes a parquet BLOOM FILTER per listed
+    * column — the point-lookup complement to min/max skipping: range
+    * stats prune files for the SORT key, but an equality probe on a
+    * high-cardinality non-sort column (order id, doc id) hits every
+    * file's range; the bloom filter lets the reader skip row groups
+    * that definitely lack the value. `LayoutSpec` pins that the filter
+    * really lands in the footer (bloom offset present) and that lookups
+    * stay exact.
+    */
   def writeSorted(df: DataFrame, sortCols: Seq[Column], numFiles: Int,
-      path: String): Unit =
-    sortedByRange(df, sortCols, numFiles)
-      .write.mode("overwrite").parquet(path)
+      path: String, bloomCols: Seq[String] = Nil): Unit = {
+    val w = bloomCols.foldLeft(
+      sortedByRange(df, sortCols, numFiles).write.mode("overwrite")) {
+      (wr, c) => wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    w.parquet(path)
+  }
 
   /** Per-file [min, max] of a LONG column, read straight from the parquet
     * FOOTERS (row-group statistics aggregated per file) — the read-side

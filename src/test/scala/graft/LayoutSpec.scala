@@ -205,4 +205,34 @@ class LayoutSpec extends SparkSpec {
     assert(stats.size == 16 && stats.forall(_._2.isDefined))
     assert(stats.flatMap(_._2).map(_._1).min == 0L)
   }
+
+  test("writeSorted with bloomCols lands a bloom filter in every footer; lookups stay exact") {
+    import scala.jdk.CollectionConverters._
+    val df = (0 until 4096).map(i => (i.toLong, (i % 16).toLong, (i / 16 % 16).toLong))
+      .toDF("id", "a", "b")
+      .withColumn("zv", Layout.zValue($"a", $"b", 4))
+    val out = tmpDir("layout-bloom") + "/sorted"
+    // id is NOT the sort key — the case min/max skipping cannot help
+    Layout.writeSorted(df, Seq($"zv"), 8, out, bloomCols = Seq("id"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(out)
+    val files = root.getFileSystem(conf).listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val cols = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "id")
+        assert(cols.nonEmpty &&
+          cols.forall(_.getBloomFilterOffset >= 0),
+          s"bloom filter missing from ${st.getPath.getName}")
+      } finally r.close()
+    }
+    // and the read side: an equality probe on id returns exactly one row
+    val hit = spark.read.parquet(out).filter($"id" === 1234L).collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 1234L)
+  }
 }
