@@ -101,5 +101,15 @@ class RetrievalSpec extends SparkSpec {
     // the doc matching 'merge' reports n_terms=1, the spark docs too
     assert(got.forall(_._4 == 1L))
     assert(run() == got, "probe must be deterministic run to run")
+
+    // plan shape: the probe is term/doc-keyed equi-joins; the only
+    // nested-loop is the 1-row corpus-stats attach (bounded by
+    // construction), and there is no cartesian anywhere
+    val plan = IncrementalRetrieval.probe(spark, state,
+        Seq((10L, Seq("spark"))).toDF("qid", "terms"), "qid", "terms", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"only the 1-row stats attach may nested-loop, saw $bnlj:\n$plan")
   }
 }
