@@ -148,6 +148,34 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // PURGE + VACUUM under the oracle's eye (the right-to-be-forgotten
+    // two-step the q_time_travel scaladoc promises): seed a versioned
+    // table from a part slice, purge every %3==0 key, vacuum, then
+    // aggregate BOTH what the table now answers AND a raw scan of every
+    // surviving data dir — n_disk == n_table is the erasure proof (a
+    // purge without vacuum would leave disk > table), and the survivor
+    // aggregate must match the oracle's reconstruction from `part`.
+    "q_purge_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_purge_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val seed = Tables(s, dir, "part")
+        .filter($"p_partkey" % 20 === 0)
+        .select($"p_partkey", $"p_retailprice")
+      graft.ops.Versioned.commit(s, t, seed)
+      graft.ops.Versioned.purge(s, t, $"p_partkey" % 3 === 0)
+      graft.ops.Versioned.vacuum(s, t)
+      val table = graft.ops.Versioned.read(s, t)
+        .agg(count(lit(1)).as("n_table"),
+          sum($"p_retailprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"p_partkey").as("min_key"))
+      val disk = s.read.parquet(s"$t/data/*")
+        .agg(count(lit(1)).as("n_disk"))
+      table.crossJoin(disk)
+        .select($"n_table", $"n_disk", $"sum_price", $"min_key")
+    }),
+
     // Dynamic partition pruning — the biggest scan-cost lever on a
     // partitioned 100 TB fact: the fact lands PARTITIONED BY month, the
     // dim carries (year, quarter) attributes and is filtered on them
@@ -483,6 +511,16 @@ object OpsQueries extends graft.QueryModule {
     .mkString(" + ")
 
   def oracle: Map[String, String] = Map(
+    "q_purge_vacuum" ->
+      """WITH kept AS (
+        |  SELECT p_partkey, p_retailprice FROM part
+        |  WHERE p_partkey % 20 = 0 AND p_partkey % 3 <> 0
+        |)
+        |SELECT CAST(COUNT(1) AS bigint) AS n_table,
+        |  CAST(COUNT(1) AS bigint) AS n_disk,
+        |  CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(p_partkey) AS min_key
+        |FROM kept""".stripMargin,
     "q_file_skipping" ->
       s"""WITH d AS (
          |  SELECT o_orderkey, o_custkey % 256 AS ca,
