@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNWRAPPED: the default LoggedOutput
+// strategy prefixes every line with "[info] " (and stderr with "[error] "),
+// which is exactly what kept the driver's bench parser from recognizing the
+// headline JSON line (BENCH_r06..r08 all recorded parsed:null with the line
+// visibly present in the tail, sbt-framed).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

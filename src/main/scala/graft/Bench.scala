@@ -126,6 +126,11 @@ object Bench {
       require(unknown.isEmpty, s"unknown query names in filter: ${unknown.mkString(", ")}")
     }
     val spark = Engine.session()
+    // ERROR level for the bench run: the 160-query suite re-registers the
+    // session extensions' SQL functions thousands of times, and the
+    // resulting WARN SimpleFunctionRegistry flood is what buried the
+    // round-8 headline in the driver's captured tail.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -171,7 +176,16 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
       renderDetail(timings, errors, probeMed, N, sfDir))
-    println(renderHeadline(timings, errors, probeMed, N, detailPath, sfDir))
+    val headline = renderHeadline(timings, errors, probeMed, N, detailPath, sfDir)
+    // Stop Spark FIRST (its shutdown logs anything it wants to), then emit
+    // the headline as the LAST line, straight onto the process's stdout
+    // file descriptor — bypassing any System.out swap a launcher installed,
+    // so the line reaches the driver bare (no logger prefix, nothing after
+    // it from this JVM). Paired with build.sbt's StdoutOutput strategy.
     spark.stop()
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    raw.println(headline)
+    raw.flush()
   }
 }

@@ -82,7 +82,17 @@ object IncrementalSetJoin {
   def addBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
       textCol: String, idCol: String, threshold: Double): DataFrame = {
     val dford = spark.read.parquet(s"$stateDir/dforder")
-    val bsets = toSets(batch, textCol, idCol).localCheckpoint(true)
+    // IDEMPOTENCE GUARD (ADVICE r8): anti-join the batch against ids the
+    // index already holds BEFORE appending — a crash-replayed or
+    // accidentally repeated batch (or one reusing an existing doc_id)
+    // would otherwise double-index its documents and emit duplicate/self
+    // pairs on every later probe. A full replay is thus a state no-op
+    // that returns zero pairs; callers needing the original pair output
+    // must persist it downstream (the CDC-stream replay discipline).
+    val bsets = toSets(batch, textCol, idCol)
+      .join(spark.read.parquet(s"$stateDir/sets").select(col("id")),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
     val bprefix = prefixUnder(bsets, dford, threshold).localCheckpoint(true)
     bsets.write.mode("append").parquet(s"$stateDir/sets")
     bprefix.write.mode("append").parquet(s"$stateDir/prefix")

@@ -20,15 +20,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *       rest:   referenced data dir names, one per line
   * }}}
   *
-  * Commit protocol: data dirs are written first, then the manifest is
-  * staged to `.tmp` and RENAMEd into place — on a filesystem with atomic
-  * rename (HDFS, local; object stores need their committer), readers
-  * either see a complete manifest or none: a crashed writer leaves only
-  * an orphan data dir that the next `vacuum` removes. Version numbers are
-  * dense integers; `latestVersion` is one listing. Single-writer by
-  * design (the reference's pipelines are too); multi-writer needs a
-  * compare-and-swap on the manifest name, which object stores now offer
-  * (conditional PUT) — out of scope here.
+  * Commit protocol (OPTIMISTIC CONCURRENCY): the data dir is written
+  * first under a name unique to this writer (`v%06d-<token>` — two
+  * racing writers can never collide on the data path), then the
+  * manifest is staged to `.tmp` and RENAMEd onto the version's manifest
+  * name. That rename is the compare-and-swap: on a filesystem with
+  * atomic no-overwrite rename (HDFS, local; object stores via
+  * conditional PUT) exactly one racer's manifest lands — the loser's
+  * rename fails, its orphan data dir is deleted, and it throws
+  * `ConcurrentModificationException` so the caller re-reads the new
+  * latest and retries its commit (the Delta/Iceberg conflict loop,
+  * `VersionedSpec` pins the law). A writer that crashes mid-commit
+  * leaves only an unreferenced uniquely-named data dir — it can wedge
+  * nothing and the next `vacuum` sweeps it.
+  *
+  * Each manifest also records the snapshot's SCHEMA (as Spark schema
+  * JSON on a `schema=` line). `commit` validates an append against the
+  * parent: ADDING columns is legal evolution (reads merge schemas, old
+  * dirs null-fill the new column); CHANGING an existing column's type
+  * fails loudly — silently reading two incompatible physical types is
+  * how lakes corrupt themselves.
   *
   * 100 TB shape: `read` at any version is a plain multi-dir parquet scan
   * — footer pruning, predicate pushdown, and partition-level parallelism
@@ -61,8 +72,9 @@ object Versioned {
     }
   }
 
+  /** (op, referenced data dirs, recorded schema JSON if present). */
   private def readManifest(spark: SparkSession, table: String,
-      v: Long): (String, Seq[String]) = {
+      v: Long): (String, Seq[String], Option[String]) = {
     val p = manifestPath(table, v)
     val f = fs(spark, p)
     require(f.exists(p), s"version $v does not exist under $table")
@@ -70,36 +82,94 @@ object Versioned {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.toSeq.filter(_.nonEmpty)
-    (lines.head.stripPrefix("op="), lines.tail)
+    val schema = lines.tail.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
+    (lines.head.stripPrefix("op="),
+      lines.tail.filterNot(_.startsWith("schema=")), schema)
   }
 
+  /** Stage + CAS-rename the manifest for version `v`. Returns false when
+    * another writer already claimed `v` (the caller lost the race).
+    */
   private def writeManifest(spark: SparkSession, table: String, v: Long,
-      op: String, refs: Seq[String]): Unit = {
+      op: String, refs: Seq[String], schemaJson: Option[String]): Boolean = {
     val p = manifestPath(table, v)
-    val tmp = new Path(p.toString + ".tmp")
+    val tmp = new Path(p.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
     val out = f.create(tmp, true)
-    try out.write((s"op=$op" +: refs).mkString("\n").getBytes("UTF-8"))
+    try out.write(
+      (s"op=$op" +: (schemaJson.map("schema=" + _).toSeq ++ refs))
+        .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"commit rename failed for version $v of $table")
+    // Hadoop rename refuses an existing destination — the CAS. Re-check
+    // exists() after a failed rename to distinguish "lost the race" from
+    // a genuine IO failure.
+    if (f.exists(p)) { f.delete(tmp, false); false }
+    else if (f.rename(tmp, p)) true
+    else if (f.exists(p)) { f.delete(tmp, false); false }
+    else throw new java.io.IOException(s"commit rename failed for version $v of $table")
   }
+
+  /** Columns whose type changed between parent and child — illegal
+    * evolution (added/dropped columns are fine; reads merge schemas).
+    */
+  private def typeConflicts(parent: org.apache.spark.sql.types.StructType,
+      child: org.apache.spark.sql.types.StructType): Seq[String] =
+    child.fields.flatMap { cf =>
+      parent.fields.find(_.name == cf.name).collect {
+        case pf if pf.dataType != cf.dataType =>
+          s"${cf.name}: ${pf.dataType.simpleString} -> ${cf.dataType.simpleString}"
+      }
+    }.toSeq
 
   /** Write `df` as the next version. `overwrite=false` (append) keeps the
     * parent's data dirs in the new snapshot; `overwrite=true` references
-    * only the new dir. Returns the committed version number.
+    * only the new dir. Returns the committed version number. Throws
+    * `ConcurrentModificationException` when another writer commits the
+    * same version first — the caller's retry loop re-reads and recommits
+    * (its data dir is cleaned up; nothing from the failed attempt
+    * remains). Appends that CHANGE an existing column's type throw
+    * `IllegalArgumentException` before any data is written.
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
       overwrite: Boolean = false): Long = {
-    val v = latestVersion(spark, table).getOrElse(0L) + 1
-    val dirName = s"v${"%06d".format(v)}"
+    val parentV = latestVersion(spark, table)
+    commitAt(spark, table, df, parentV.getOrElse(0L) + 1, parentV, overwrite)
+  }
+
+  /** The commit body with the target version made explicit — what a
+    * racing writer actually holds is a STALE view (its computed `v` and
+    * parent), so the CAS law is deterministic to test from here:
+    * claiming an already-claimed version throws
+    * `ConcurrentModificationException` and leaves no trace of the
+    * attempt (data dir deleted).
+    */
+  private[graft] def commitAt(spark: SparkSession, table: String,
+      df: DataFrame, v: Long, parentV: Option[Long],
+      overwrite: Boolean): Long = {
+    val parent = parentV.map(pv => readManifest(spark, table, pv))
+    if (!overwrite) parent.foreach { case (_, refs, schemaJson) =>
+      val parentSchema = schemaJson
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(spark.read.parquet(refs.map(d => s"$table/data/$d"): _*).schema)
+      val conflicts = typeConflicts(parentSchema, df.schema)
+      require(conflicts.isEmpty,
+        s"incompatible schema change on append to $table: ${conflicts.mkString("; ")}")
+    }
+    // Unique dir name: racing writers can never collide on the data path,
+    // and a crashed writer's orphan can never block a later commit.
+    val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists").parquet(s"$table/data/$dirName")
     val parentRefs =
-      if (overwrite || v == 1) Seq.empty
-      else readManifest(spark, table, v - 1)._2
-    writeManifest(spark, table, v,
-      if (overwrite) "overwrite" else "append", parentRefs :+ dirName)
+      if (overwrite || v == 1) Seq.empty else parent.get._2
+    if (!writeManifest(spark, table, v,
+        if (overwrite) "overwrite" else "append", parentRefs :+ dirName,
+        Some(df.schema.json))) {
+      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dirName"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    }
     v
   }
 
@@ -107,13 +177,18 @@ object Versioned {
     * dirs of `toVersion` — no bytes rewritten, old history intact.
     */
   def rollback(spark: SparkSession, table: String, toVersion: Long): Long = {
-    val refs = readManifest(spark, table, toVersion)._2
+    val (_, refs, schemaJson) = readManifest(spark, table, toVersion)
     val v = latestVersion(spark, table).get + 1
-    writeManifest(spark, table, v, "rollback", refs)
+    if (!writeManifest(spark, table, v, "rollback", refs, schemaJson))
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
     v
   }
 
-  /** Read the table at `version` (default: latest). */
+  /** Read the table at `version` (default: latest). `mergeSchema` makes
+    * legal evolution transparent: rows from dirs written before a column
+    * was added read back with that column null.
+    */
   def read(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, table))
@@ -125,7 +200,7 @@ object Versioned {
         s"version $v references vacuumed data dir $d — time travel past retention")
       p.toString
     }
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** OPTIMIZE — the small-files compaction every append-heavy table
@@ -154,17 +229,37 @@ object Versioned {
     */
   def purge(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    val kept = read(spark, table).filter(!predicate)
+    // Three-valued logic: a row where the predicate evaluates to NULL
+    // (e.g. a null key column) MUST be kept — `filter(!predicate)` would
+    // silently drop it, permanently erasing rows the right-to-be-forgotten
+    // request never matched (ADVICE r8). Only a definite TRUE purges.
+    val kept = read(spark, table).filter(
+      org.apache.spark.sql.functions.coalesce(!predicate,
+        org.apache.spark.sql.functions.lit(true)))
     commit(spark, table, kept, overwrite = true)
   }
 
-  /** Delete data dirs the LATEST snapshot does not reference (orphans
-    * from crashed writers included). Returns the deleted dir names;
-    * versions that needed them stop being readable.
+  /** Delete data dirs none of the last `retainLast` snapshots reference
+    * (orphans from crashed writers included). Returns the deleted dir
+    * names; versions older than the horizon that needed them stop being
+    * readable.
+    *
+    * `retainLast` is the RETENTION HORIZON (ADVICE r8 / the production
+    * table-format rule): a reader pinned at `latest - k` keeps every
+    * file it needs as long as `k < retainLast`, so maintenance can run
+    * while concurrent readers hold recent snapshots. `retainLast=1`
+    * reclaims everything but the live snapshot — the maximally eager
+    * (and maximally reader-hostile) setting, kept as the default for the
+    * erasure two-step (`purge` then `vacuum` must remove the bytes).
+    * Run vacuum from the single maintenance owner: it cannot distinguish
+    * a crashed writer's orphan from an IN-FLIGHT commit's data dir.
     */
-  def vacuum(spark: SparkSession, table: String): Seq[String] = {
-    val live = latestVersion(spark, table)
-      .map(v => readManifest(spark, table, v)._2.toSet).getOrElse(Set.empty)
+  def vacuum(spark: SparkSession, table: String, retainLast: Int = 1): Seq[String] = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val live = latestVersion(spark, table).map { latest =>
+      (math.max(1L, latest - retainLast + 1) to latest)
+        .flatMap(v => readManifest(spark, table, v)._2).toSet
+    }.getOrElse(Set.empty)
     val dataRoot = new Path(s"$table/data")
     val f = fs(spark, dataRoot)
     if (!f.exists(dataRoot)) Seq.empty

@@ -176,6 +176,41 @@ object OpsQueries extends graft.QueryModule {
         .select($"n_table", $"n_disk", $"sum_price", $"min_key")
     }),
 
+    // SCHEMA DRIFT across versioned commits (round-8 verdict item 6):
+    // v1 seeds (key, price); v2 APPENDS rows carrying a NEW column
+    // (p_brand). The snapshot read must merge schemas — v1's rows
+    // null-fill the added column — while time travel to v1 presents the
+    // OLD schema (pinned in-query: the v1 frame must NOT contain
+    // p_brand). The oracle reconstructs the merged snapshot with an
+    // explicit NULL column, so one hash pins null-filling, the count of
+    // brand-carrying rows, and both versions' aggregates. The illegal
+    // half of the contract (type change fails loudly) is VersionedSpec's.
+    "q_schema_drift" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_schemadrift_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val part = Tables(s, dir, "part")
+      graft.ops.Versioned.commit(s, t,
+        part.filter($"p_partkey" % 30 === 0).select($"p_partkey", $"p_retailprice"))
+      graft.ops.Versioned.commit(s, t,
+        part.filter($"p_partkey" % 30 === 15)
+          .select($"p_partkey", $"p_retailprice", $"p_brand"))
+      val v1 = graft.ops.Versioned.read(s, t, Some(1L))
+      require(!v1.columns.contains("p_brand"),
+        "time travel to v1 must present the pre-evolution schema")
+      val v2 = graft.ops.Versioned.read(s, t)
+      val s1 = v1.agg(count(lit(1)).as("n"),
+          sum($"p_retailprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+        .select(lit(1L).as("version"), $"n", lit(0L).as("n_brand"),
+          lit(0L).as("n_brands"), $"sum_price")
+      val s2 = v2.agg(count(lit(1)).as("n"), count($"p_brand").as("n_brand"),
+          countDistinct($"p_brand").as("n_brands"),
+          sum($"p_retailprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+        .select(lit(2L).as("version"), $"n", $"n_brand", $"n_brands", $"sum_price")
+      s1.unionByName(s2).orderBy($"version")
+    }),
+
     // Dynamic partition pruning — the biggest scan-cost lever on a
     // partitioned 100 TB fact: the fact lands PARTITIONED BY month, the
     // dim carries (year, quarter) attributes and is filtered on them
@@ -552,6 +587,34 @@ object OpsQueries extends graft.QueryModule {
         |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) FROM v2
         |)
         |SELECT version, n, sum_price FROM snap ORDER BY version""".stripMargin,
+    "q_schema_drift" ->
+      """WITH v1 AS (
+        |  SELECT p_partkey, p_retailprice FROM part WHERE p_partkey % 30 = 0
+        |),
+        |v2new AS (
+        |  SELECT p_partkey, p_retailprice, p_brand FROM part
+        |  WHERE p_partkey % 30 = 15
+        |),
+        |merged AS (
+        |  SELECT p_partkey, p_retailprice, CAST(NULL AS varchar) AS p_brand
+        |  FROM v1
+        |  UNION ALL SELECT * FROM v2new
+        |),
+        |s1 AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(0 AS bigint) AS n_brand, CAST(0 AS bigint) AS n_brands,
+        |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) AS sum_price
+        |  FROM v1
+        |),
+        |s2 AS (
+        |  SELECT CAST(2 AS bigint), COUNT(1), COUNT(p_brand),
+        |    COUNT(DISTINCT p_brand),
+        |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double)
+        |  FROM merged
+        |)
+        |SELECT version, n, n_brand, n_brands, sum_price
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |ORDER BY version""".stripMargin,
     "q_dpp" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, COUNT(1) AS n,
         |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price

@@ -208,6 +208,24 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"user_id")
     }),
 
+    // RIGHT-outer stream-stream join — the last cell of the join matrix
+    // registered as its own oracle-checked entry (round-8 verdict item 4:
+    // the claim "right is the left's mirror" was an argument, not a
+    // check). Unmatched PURCHASES null-emit once wm > p_ts (any
+    // qualifying click would now arrive late); clicks never null-emit.
+    "q_stream_join_right" -> ((s, dir) => {
+      import s.implicits._
+      val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
+      Streams.runToTable(s, Streams.clickPurchaseJoinRight(stream),
+          fresh("ss_join_right"), "append")
+        .groupBy($"p_user".as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count($"click_id").as("n_matched"),
+          sum(when($"click_id".isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_value"))
+        .orderBy($"user_id")
+    }),
+
     // Dead-letter ingest (Streams.deadLetterStream): a JSONL text stream
     // where every 40th part renders a good record and every (40k+20)th a
     // TRUNCATED one; the stream routes parses to the good sink and raw
@@ -415,6 +433,38 @@ object StreamQueries extends graft.QueryModule {
         |SELECT user_id, CAST(COUNT(1) AS bigint) AS n_rows,
         |  CAST(COUNT(purchase_id) AS bigint) AS n_matched,
         |  CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_unmatched,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
+        |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_join_right" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |),
+        |purchases AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |pairs AS (
+        |  SELECT p.p_user AS user_id, c.click_id, p.purchase_id, p.value
+        |  FROM clicks c JOIN purchases p ON c.user_id = p.p_user
+        |   AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL '30 minutes'
+        |),
+        |wm AS (
+        |  SELECT (LEAST((SELECT epoch_us(MAX(c_ts)) FROM clicks),
+        |                (SELECT epoch_us(MAX(p_ts)) FROM purchases))
+        |          // 1000 - 3600000) * 1000 AS w_us
+        |),
+        |unmatched AS (
+        |  SELECT p.p_user AS user_id, CAST(NULL AS bigint) AS click_id,
+        |    p.purchase_id, p.value
+        |  FROM purchases p, wm
+        |  WHERE p.purchase_id NOT IN (SELECT purchase_id FROM pairs)
+        |    AND epoch_us(p.p_ts) < wm.w_us
+        |),
+        |allrows AS (SELECT * FROM pairs UNION ALL SELECT * FROM unmatched)
+        |SELECT user_id, CAST(COUNT(1) AS bigint) AS n_rows,
+        |  CAST(COUNT(click_id) AS bigint) AS n_matched,
+        |  CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_unmatched,
         |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
         |FROM allrows GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_dead_letter" ->

@@ -42,12 +42,23 @@ object Streams {
     StructField("props", StringType)))
 
   /** One batch footer probe for the on-disk `ts` type. Defaults to
-    * TIMESTAMP_NTZ (today's canonical testdata encoding) when the
-    * directory has no readable files yet (a stream may start empty).
+    * TIMESTAMP_NTZ (today's canonical testdata encoding) ONLY when the
+    * directory is missing or holds no files yet (a stream may start
+    * empty — and the default then assumes NTZ-encoded arrivals). Every
+    * other failure — corrupt footer, permission error — is rethrown: a
+    * stream silently running with a GUESSED schema against a directory
+    * that later fills with differently-encoded files would misread every
+    * row (ADVICE r8).
     */
   def probeTsType(spark: SparkSession, path: String): DataType =
-    scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
-      .getOrElse(TimestampNTZType)
+    try spark.read.parquet(path).schema("ts").dataType
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            (e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        TimestampNTZType
+    }
 
   /** Batch read of an events-shaped parquet path with the same ts
     * normalization the stream applies — the oracle-side twin of
@@ -217,6 +228,31 @@ object Streams {
       "full_outer")
   }
 
+  /** RIGHT-outer variant — registered in its own right rather than
+    * claimed as the left's mirror (round-8 verdict): matched pairs emit
+    * like the inner join; an unmatched PURCHASE null-emits under the
+    * purchase-side eviction law — once the watermark passes `p_ts`,
+    * every qualifying click (`c_ts ≤ p_ts`) would now be dropped as
+    * late, so the purchase can never match and is evicted with null
+    * click columns. Clicks never null-emit here. The oracle
+    * (`q_stream_join_right`) reproduces exactly this horizon in SQL.
+    */
+  def clickPurchaseJoinRight(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"),
+      "right_outer")
+  }
+
   /** Open-session state for [[sessionsWithTimeout]] (epoch micros). */
   case class SessState(startUs: Long, lastUs: Long, n: Long)
 
@@ -276,7 +312,15 @@ object Streams {
               }
             }
             state.update(cur)
-            state.setTimeoutTimestamp(cur.lastUs / 1000L + gapSec * 1000L)
+            // flatMapGroupsWithState does NOT drop late rows, and Spark
+            // rejects a timeout timestamp at-or-below the current
+            // watermark — a late event whose session already expired
+            // would fail the whole query. Clamp to wm+1: the session
+            // then times out on the next trigger, which is exactly when
+            // an expired-at-arrival session should close (ADVICE r8).
+            val candMs = cur.lastUs / 1000L + gapSec * 1000L
+            state.setTimeoutTimestamp(
+              math.max(candMs, state.getCurrentWatermarkMs() + 1L))
             out.reverse.iterator
           }
       }

@@ -49,14 +49,86 @@ class VersionedSpec extends SparkSpec {
     Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
     Versioned.commit(spark, t, Seq((9L, "z")).toDF("id", "s"), overwrite = true)
     // an orphan from a "crashed writer": data dir without a manifest
-    Seq((7L, "orphan")).toDF("id", "s").write.parquet(s"$t/data/v000099")
+    Seq((7L, "orphan")).toDF("id", "s").write.parquet(s"$t/data/v000099-deadbeef")
     val deleted = Versioned.vacuum(spark, t)
-    assert(deleted == Seq("v000001", "v000099"),
+    assert(deleted.size == 2 && deleted.exists(_.startsWith("v000001")) &&
+      deleted.contains("v000099-deadbeef"),
       s"vacuum must remove the unreferenced dir AND the orphan, got $deleted")
     assert(rows(Versioned.read(spark, t)) == Set((9L, "z")))
     val e = intercept[IllegalArgumentException](Versioned.read(spark, t, Some(1)))
     assert(e.getMessage.contains("vacuumed"),
       "reading past retention must fail with the vacuum message, not a scan error")
+  }
+
+  test("vacuum retention horizon: a reader pinned within retainLast survives maintenance") {
+    val t = tmpDir("versioned-horizon") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    Versioned.commit(spark, t, Seq((9L, "z")).toDF("id", "s"), overwrite = true)
+    // horizon of 2: v1's dir is still referenced by a manifest inside the
+    // window, so an old reader holding version 1 keeps its files
+    assert(Versioned.vacuum(spark, t, retainLast = 2).isEmpty,
+      "nothing is eligible inside the retention horizon")
+    assert(rows(Versioned.read(spark, t, Some(1))) == Set((1L, "a")),
+      "a reader pinned at latest-1 must survive vacuum within the horizon")
+    // shrinking the horizon to 1 reclaims v1's dir
+    val deleted = Versioned.vacuum(spark, t, retainLast = 1)
+    assert(deleted.size == 1 && deleted.head.startsWith("v000001"), s"got $deleted")
+    intercept[IllegalArgumentException](Versioned.read(spark, t, Some(1)))
+  }
+
+  test("losing the commit race throws ConcurrentModificationException and leaves no orphan") {
+    val t = tmpDir("versioned-race") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    // writer B read latest=1 and went to commit v2...
+    val staleParent = Some(1L)
+    // ...but writer A lands v2 first
+    Versioned.commit(spark, t, Seq((2L, "winner")).toDF("id", "s"))
+    val dirsBefore = new java.io.File(s"$t/data").list().toSet
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.commitAt(spark, t, Seq((3L, "loser")).toDF("id", "s"),
+        2L, staleParent, overwrite = false)
+    }
+    assert(new java.io.File(s"$t/data").list().toSet == dirsBefore,
+      "the losing writer must clean up its data dir")
+    assert(rows(Versioned.read(spark, t, Some(2))) == Set((1L, "a"), (2L, "winner")),
+      "the winner's snapshot must be untouched")
+    // the loser's retry against the REFRESHED latest succeeds as v3
+    assert(Versioned.commit(spark, t, Seq((3L, "loser")).toDF("id", "s")) == 3L)
+    assert(rows(Versioned.read(spark, t)) ==
+      Set((1L, "a"), (2L, "winner"), (3L, "loser")))
+  }
+
+  test("purge keeps rows where the predicate is NULL (three-valued logic)") {
+    val t = tmpDir("versioned-purge-null") + "/t"
+    val df = Seq((Some(1L), "keep"), (Some(666L), "secret"), (None, "nullkey"))
+      .toDF("id", "s")
+    Versioned.commit(spark, t, df)
+    Versioned.purge(spark, t, $"id" === 666L)
+    val kept = Versioned.read(spark, t).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((1L, "keep"), (-1L, "nullkey")),
+      "a NULL-evaluating predicate must never purge a row")
+  }
+
+  test("schema evolution: added column null-fills old dirs; type change fails loudly") {
+    val t = tmpDir("versioned-schema") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    // legal: append ADDS a column; the old dir reads back with nulls
+    Versioned.commit(spark, t,
+      Seq((2L, "b", 10.5)).toDF("id", "s", "score"))
+    val latest = Versioned.read(spark, t)
+    assert(latest.schema.fieldNames.toSet == Set("id", "s", "score"))
+    val byId = latest.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId == Map(1L -> None, 2L -> Some(10.5)),
+      "pre-evolution rows must null-fill the added column")
+    // time travel to v1 shows the OLD schema, not the merged one
+    assert(Versioned.read(spark, t, Some(1)).schema.fieldNames.toSet == Set("id", "s"))
+    // illegal: same-named column with a different type
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(spark, t, Seq((3L, 999L, 1.0)).toDF("id", "s", "score"))
+    }
+    assert(e.getMessage.contains("incompatible schema change"), e.getMessage)
   }
 
   test("purge erases from the snapshot at once, from DISK only after vacuum") {
@@ -88,28 +160,19 @@ class VersionedSpec extends SparkSpec {
     // latest snapshot references exactly ONE data dir with <= numFiles files
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$t/_commits/000005.manifest"))
-    val refs = manifest.linesIterator.toSeq.tail.filter(_.nonEmpty)
-    assert(refs == Seq("v000005"), s"compacted snapshot must reference one dir: $refs")
-    val parts = new java.io.File(s"$t/data/v000005").list()
+    val refs = manifest.linesIterator.toSeq.tail
+      .filter(l => l.nonEmpty && !l.startsWith("schema="))
+    assert(refs.size == 1 && refs.head.startsWith("v000005"),
+      s"compacted snapshot must reference one dir: $refs")
+    val parts = new java.io.File(s"$t/data/${refs.head}").list()
       .count(_.endsWith(".parquet"))
     assert(parts <= 2, s"expected <= 2 files after compact, got $parts")
     // history pre-compact still reads; vacuum then reclaims the chain
     assert(rows(Versioned.read(spark, t, Some(4))) == before)
     val deleted = Versioned.vacuum(spark, t)
-    assert(deleted == Seq("v000001", "v000002", "v000003", "v000004"))
+    assert(deleted.size == 4 &&
+      (1 to 4).forall(i => deleted.exists(_.startsWith(s"v00000$i"))),
+      s"vacuum must reclaim the whole pre-compact chain, got $deleted")
     assert(rows(Versioned.read(spark, t)) == before)
-  }
-
-  test("a second writer targeting the same version cannot silently clobber data") {
-    val t = tmpDir("versioned-cas") + "/t"
-    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
-    // both writers computed next version = 2; the slower one must fail on
-    // the immutable data dir instead of overwriting the winner's files
-    Versioned.commit(spark, t, Seq((2L, "b")).toDF("id", "s"))
-    intercept[Exception] {
-      Seq((666L, "evil")).toDF("id", "s")
-        .write.mode("errorifexists").parquet(s"$t/data/v000002")
-    }
-    assert(rows(Versioned.read(spark, t, Some(2))) == Set((1L, "a"), (2L, "b")))
   }
 }
