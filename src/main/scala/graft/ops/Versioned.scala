@@ -203,6 +203,56 @@ object Versioned {
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
+  /** [[commit]] + executor-side stats harvest into the new data dir's
+    * `_stats` manifest ([[Layout.writeStatsManifest]]) — the composition
+    * the round-8 verdict asked for: time travel and file skipping from
+    * the SAME commit metadata (the Delta checkpoint / Iceberg manifest
+    * shape). Each data dir carries its own manifest, so an append
+    * commit's harvest touches only the delta's footers — never the
+    * parent's — and [[skipRead]] at ANY version plans from manifests
+    * alone.
+    */
+  def commitWithStats(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String], overwrite: Boolean = false): Long = {
+    val v = commit(spark, table, df, overwrite)
+    val newDir = readManifest(spark, table, v)._2.last
+    Layout.writeStatsManifest(spark, s"$table/data/$newDir", statsCols)
+    v
+  }
+
+  /** Read `[lo, hi]` on `column` at `version`, pruning files through each
+    * referenced dir's stats manifest — zero footer opens at planning
+    * time. Dirs without a manifest (committed via plain [[commit]]) are
+    * scanned conservatively. Returns (pruned+filtered frame, files kept,
+    * files total).
+    */
+  def skipRead(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String, version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val refs = readManifest(spark, table, v)._2
+    val perDir = refs.map { d =>
+      val dir = s"$table/data/$d"
+      val f = fs(spark, new Path(dir))
+      require(f.exists(new Path(dir)),
+        s"version $v references vacuumed data dir $d — time travel past retention")
+      if (f.exists(new Path(s"$dir/_stats")))
+        Layout.skipScanManifest(spark, dir, column, lo, hi)
+      else {
+        val all = spark.read.option("mergeSchema", "true").parquet(dir)
+        val n = f.listStatus(new Path(dir))
+          .count(_.getPath.getName.endsWith(".parquet"))
+        (all.filter(org.apache.spark.sql.functions.col(column) >=
+            org.apache.spark.sql.functions.lit(lo) &&
+          org.apache.spark.sql.functions.col(column) <=
+            org.apache.spark.sql.functions.lit(hi)), n, n)
+      }
+    }
+    (perDir.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true)),
+      perDir.map(_._2).sum, perDir.map(_._3).sum)
+  }
+
   /** OPTIMIZE — the small-files compaction every append-heavy table
     * eventually needs: each append adds a data dir, and a snapshot
     * referencing hundreds of dirs pays per-file open cost on every

@@ -235,4 +235,85 @@ class LayoutSpec extends SparkSpec {
     val hit = spark.read.parquet(out).filter($"id" === 1234L).collect()
     assert(hit.length == 1 && hit.head.getLong(0) == 1234L)
   }
+
+  test("harvestStats (executor-side) agrees with the sequential fileStats footer walk") {
+    val df = (0 until 4096).map(i => (i.toLong, (i % 16).toLong, (i / 16 % 16).toLong))
+      .toDF("id", "a", "b")
+      .withColumn("zv", Layout.zValue($"a", $"b", 4))
+    val out = tmpDir("layout-harvest") + "/sorted"
+    Layout.writeSorted(df, Seq($"zv"), 16, out)
+    val sequential = Layout.fileStats(spark, out, "zv").toMap
+    val distributed = Layout.harvestStats(spark, out, Seq("zv"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(3) == null, Option(r.getString(3)).map(_.toLong),
+          Option(r.getString(4)).map(_.toLong))).toMap
+    assert(distributed.keySet == sequential.keySet)
+    sequential.foreach { case (f, st) =>
+      val (isNull, mn, mx) = distributed(f)
+      assert(!isNull && st.isDefined, s"stats must be present for $f")
+      assert(mn.get == st.get._1 && mx.get == st.get._2,
+        s"distributed harvest disagrees with footers for $f")
+    }
+  }
+
+  test("skipScanManifest: zero footer opens at read time (an excluded file can be garbage)") {
+    val df = (0 until 4096).map(i => (i.toLong, (i % 16).toLong, (i / 16 % 16).toLong))
+      .toDF("id", "a", "b")
+      .withColumn("zv", Layout.zValue($"a", $"b", 4))
+    val out = tmpDir("layout-manifest") + "/sorted"
+    Layout.writeSorted(df, Seq($"zv"), 16, out, statsCols = Seq("zv", "id"))
+    val expect = spark.read.parquet(out).filter($"zv" >= 10L && $"zv" <= 40L)
+      .select($"id").collect().map(_.getLong(0)).toSet
+
+    // SMASH a file the manifest excludes for [10, 40]: if the scan (or
+    // its planning) touched that file in any way, it would now fail —
+    // passing proves the decision came from the manifest alone.
+    val stats = Layout.manifestKeepFiles(spark, out, "zv", "10", "40")
+    val (keptFiles, total) = stats
+    assert(total == 16 && keptFiles.size <= 4, s"kept ${keptFiles.size} of $total")
+    val victim = Layout.manifestKeepFiles(spark, out, "zv", "200", "255")._1
+      .filterNot(keptFiles.contains).head
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      new java.net.URI(victim).getPath), "not parquet at all".getBytes)
+
+    val (pruned, kept, totalM) = Layout.skipScanManifest(spark, out, "zv", "10", "40")
+    assert(kept == keptFiles.size && totalM == 16)
+    assert(pruned.select($"id").collect().map(_.getLong(0)).toSet == expect,
+      "manifest-pruned scan must equal the pre-smash full-scan result")
+  }
+
+  test("manifest skipping works on date / timestamp_ntz / string keys (beyond long)") {
+    val rows = (0 until 1000).map { i =>
+      (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(1994, 1, 1).plusDays(i / 4)),
+        java.time.LocalDateTime.of(1994, 1, 1, 0, 0).plusHours(i.toLong),
+        f"k$i%04d")
+    }.toDF("id", "d", "ts", "s")
+    val out = tmpDir("layout-typed")
+    // date key
+    Layout.writeSorted(rows, Seq($"d"), 8, s"$out/byDate", statsCols = Seq("d"))
+    val (pd, kd, td) = Layout.skipScanManifest(spark, s"$out/byDate", "d",
+      "1994-02-01", "1994-02-28")
+    assert(kd < td, s"date pruning must bite: $kd of $td")
+    assert(pd.count() ==
+      spark.read.parquet(s"$out/byDate")
+        .filter($"d" >= lit("1994-02-01").cast("date") &&
+          $"d" <= lit("1994-02-28").cast("date")).count())
+    // timestamp_ntz key
+    Layout.writeSorted(rows, Seq($"ts"), 8, s"$out/byTs", statsCols = Seq("ts"))
+    val (pt, kt, tt) = Layout.skipScanManifest(spark, s"$out/byTs", "ts",
+      "1994-01-10 00:00:00", "1994-01-12 23:59:59.999999")
+    assert(kt < tt, s"ntz pruning must bite: $kt of $tt")
+    assert(pt.count() ==
+      spark.read.parquet(s"$out/byTs")
+        .filter($"ts" >= lit("1994-01-10 00:00:00").cast("timestamp_ntz") &&
+          $"ts" <= lit("1994-01-12 23:59:59.999999").cast("timestamp_ntz"))
+        .count())
+    // string key
+    Layout.writeSorted(rows, Seq($"s"), 8, s"$out/byStr", statsCols = Seq("s"))
+    val (ps, ks, tsT) = Layout.skipScanManifest(spark, s"$out/byStr", "s",
+      "k0100", "k0199")
+    assert(ks < tsT, s"string pruning must bite: $ks of $tsT")
+    assert(ps.count() == 100)
+  }
 }
