@@ -171,7 +171,7 @@ object IncrementalDedup {
     * dir is renamed out (the `ops/Upsert.run` swap discipline; a crash
     * between the renames is healed by `Upsert.recover`).
     */
-  private def swapWrite(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def swapWrite(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       df: DataFrame, path: String): Unit = {
     val staging = path + "._staging"
     df.write.mode("overwrite").parquet(staging)

@@ -193,6 +193,42 @@ object ParityQueries extends graft.QueryModule {
           .over(org.apache.spark.sql.expressions.Window
             .partitionBy($"entity_id")))
         .orderBy($"record_id")
+    }),
+
+    // INCREMENTAL entity resolution (ops/IncrementalLinkage): the same
+    // dirtied master-data relation as q_entity_resolution, but resolved
+    // in two batches against persisted state — batch 1 indexes the CLEAN
+    // records, batch 2 the typo copies, so EVERY true pair crosses the
+    // batch boundary and must be found by the probe join + star-edge CC
+    // carry-over, never by re-comparing batch 1. The final assignment is
+    // hash-checked against the identical full-closure oracle, pinning
+    // the law batch(A then B) == full(A ∪ B) at table scale.
+    "q_entity_resolution_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val st = sys.props("java.io.tmpdir") +
+        s"/graft_inclinkage_${ProcessHandle.current().pid()}/state"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(st))
+      val cust = Tables(s, dir, "customer")
+      def canon(c: Column): Column =
+        concat(lit("cust-"), substring(md5(c.cast("string")), 1, 10))
+      val base = cust.select($"c_custkey".as("id"),
+        canon($"c_custkey").as("name"))
+      val del = base.filter($"id" % 5 === 2)
+        .select(($"id" + 1000000L).as("id"),
+          concat(substring($"name", 1, 9), substring($"name", 11, 100))
+            .as("name"))
+      val sub = base.filter($"id" % 5 === 4)
+        .select(($"id" + 2000000L).as("id"),
+          concat(substring($"name", 1, 11), lit("z"),
+            substring($"name", 13, 100)).as("name"))
+      graft.ops.IncrementalLinkage.addBatch(s, st, base,
+        "id", "name", substring(col("name"), 6, 3), 2)
+      graft.ops.IncrementalLinkage.addBatch(s, st, del.unionByName(sub),
+        "id", "name", substring(col("name"), 6, 3), 2)
+        .withColumn("n_members", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"entity_id")))
+        .orderBy($"record_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -290,7 +326,12 @@ object ParityQueries extends graft.QueryModule {
         |UNION ALL
         |SELECT k, st, pr FROM latest WHERE op != 'D'
         |ORDER BY k""".stripMargin,
-    "q_entity_resolution" ->
+    "q_entity_resolution" -> entityResolutionSql,
+    // identical closure: the incremental protocol must land the exact
+    // same assignment as the one-shot resolve
+    "q_entity_resolution_incremental" -> entityResolutionSql)
+
+  private lazy val entityResolutionSql: String =
       """WITH RECURSIVE recs AS (
         |  SELECT c_custkey AS id,
         |    'cust-' || substr(md5(CAST(c_custkey AS varchar)), 1, 10) AS name
@@ -332,5 +373,5 @@ object ParityQueries extends graft.QueryModule {
         |)
         |SELECT record_id, entity_id,
         |  CAST(COUNT(1) OVER (PARTITION BY entity_id) AS bigint) AS n_members
-        |FROM asg ORDER BY record_id""".stripMargin)
+        |FROM asg ORDER BY record_id""".stripMargin
 }

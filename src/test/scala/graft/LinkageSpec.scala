@@ -59,4 +59,38 @@ class LinkageSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"blocked match must stay an equi-join:\n$p")
   }
+
+  private def asg(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.orderBy("record_id").as[(Long, Long)].collect().toSeq
+
+  test("incremental: batch(A then B) equals full(A ∪ B), including a cross-batch entity MERGE") {
+    import graft.ops.IncrementalLinkage
+    val st = tmpDir("inc-linkage")
+    // batch 1: two DISTINCT entities in one block ("aaaaaa" vs "aaaaxx",
+    // dist 2 > maxDist 1) plus a singleton in another block
+    val b1 = recs(1L -> "aaaaaa", 2L -> "aaaaxx", 7L -> "zzzzzz")
+    // batch 2: "aaaaax" bridges BOTH prior entities (dist 1 to each) —
+    // the cross-batch merge case: two stored entities must collapse
+    val b2 = recs(3L -> "aaaaax", 8L -> "zzzzzx")
+    IncrementalLinkage.addBatch(spark, st, b1, "id", "name", prefix3, 1)
+    val inc = asg(IncrementalLinkage.addBatch(spark, st, b2, "id", "name", prefix3, 1))
+    val full = asg(Linkage.resolve(
+      b1.unionByName(b2), "id", "name", prefix3, 1))
+    assert(inc === full, s"incremental $inc must equal full $full")
+    // and the merge really happened: 1, 2, 3 share one entity
+    val byId = inc.toMap
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L) && byId(1L) == 1L)
+    assert(byId(7L) == byId(8L) && byId(7L) == 7L)
+  }
+
+  test("incremental: a replayed batch is a state no-op") {
+    import graft.ops.IncrementalLinkage
+    val st = tmpDir("inc-linkage-replay")
+    val b1 = recs(1L -> "abcdef", 2L -> "abcdex")
+    val first = asg(IncrementalLinkage.addBatch(spark, st, b1, "id", "name", prefix3, 2))
+    val replay = asg(IncrementalLinkage.addBatch(spark, st, b1, "id", "name", prefix3, 2))
+    assert(replay === first, "replaying the same batch must not change the assignment")
+    assert(spark.read.parquet(s"$st/recs").count() == 2,
+      "the index must not double-hold replayed records")
+  }
 }
