@@ -17,6 +17,9 @@ run / fork := true
 // headline JSON line (BENCH_r06..r08 all recorded parsed:null with the line
 // visibly present in the tail, sbt-framed).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and no "[success] Total time: ..." trailer after the program exits:
+// with both settings the bench headline is the LITERAL last stdout line.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

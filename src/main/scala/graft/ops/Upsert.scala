@@ -134,13 +134,26 @@ object Upsert {
     * window caveat; `recoverTable` heals a crash between the renames.
     */
   def runBucketed(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], numBuckets: Int = 32): Unit = {
+      keys: Seq[String], numBuckets: Int = 32): Unit =
+    transformAndSwapBucketed(spark, table, keys, numBuckets)(target =>
+      merge(target, source, keys))
+
+  /** The bucketed staged-swap skeleton of [[runBucketed]], generalized
+    * exactly as [[transformAndSwap]] generalizes [[run]]: read the
+    * bucketed table, apply `f`, land the result as a NEW bucketed table
+    * on the same keys via the ALTER-RENAME dance — so the table stays
+    * shuffle-free for every future keyed transform. Shared by MERGE
+    * upserts and the bucketed CDC apply stream (whose per-batch
+    * transform includes deletes).
+    */
+  def transformAndSwapBucketed(spark: SparkSession, table: String,
+      keys: Seq[String], numBuckets: Int = 32)(f: DataFrame => DataFrame): Unit = {
     recoverTable(spark, table)
-    val merged = merge(spark.table(table), source, keys)
+    val next = f(spark.table(table))
     val staging = s"${table}_staging"
     val old = s"${table}_old"
     spark.sql(s"DROP TABLE IF EXISTS $staging")
-    merged.repartition(numBuckets, keys.map(col): _*)
+    next.repartition(numBuckets, keys.map(col): _*)
       .write.mode("overwrite")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

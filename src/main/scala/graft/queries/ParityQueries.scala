@@ -162,6 +162,58 @@ object ParityQueries extends graft.QueryModule {
       s.read.parquet(table).orderBy($"k")
     }),
 
+    // Streaming CDC onto a BUCKETED target (Streams.cdcApplyStreamBucketed
+    // via Upsert.transformAndSwapBucketed): the same feed, but the target
+    // is a metastore table bucketed on k — inside every micro-batch the
+    // target reaches the CDC anti-join with NO Exchange (BucketingSpec
+    // pins the plan), which at 100 TB is the difference between a silver
+    // layer that shuffles the world per batch and one that only shuffles
+    // the feed. The batch-split law makes the slicing invisible, so the
+    // final table hash-equals the same one-shot-apply oracle.
+    "q_stream_cdc_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_streamcdcb_${ProcessHandle.current().pid()}"
+      val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(feed, ckpt))
+      val db = "graft_scdcb"
+      s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      s.sql(s"CREATE DATABASE $db")
+      val tbl = s"$db.target"
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+          $"o_totalprice".as("pr"))
+      base.repartition(8, $"k").write.bucketBy(8, "k").sortBy("k").saveAsTable(tbl)
+      val upd1 = base.filter($"k" % 10 === 0)
+        .select($"k", lit("U1").as("st"), ($"pr" + 1.0).as("pr"),
+          lit(1L).as("v"), lit("U").as("op"))
+      val upd2 = base.filter($"k" % 20 === 0)
+        .select($"k", lit("U2").as("st"), ($"pr" + 2.0).as("pr"),
+          lit(2L).as("v"), lit("U").as("op"))
+      val dels = base.filter($"k" % 10 === 5)
+        .select($"k", lit(null).cast("string").as("st"),
+          lit(null).cast("double").as("pr"), lit(1L).as("v"), lit("D").as("op"))
+      val ins = base.filter($"k" % 10 === 3)
+        .select(($"k" + 10000000L).as("k"), lit("N").as("st"), $"pr",
+          lit(1L).as("v"), lit("I").as("op"))
+      def ship(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .head.toPath
+        val dest = java.nio.file.Paths.get(s"$feed/$name.parquet")
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+      }
+      ship(upd1.unionByName(dels).unionByName(ins), "f1_v1", 1000000000L)
+      ship(upd2, "f2_v2", 1000000600L)
+      graft.streaming.Streams.cdcApplyStreamBucketed(s, feed, tbl,
+        Seq("k"), "v", "op", ckpt, numBuckets = 8, maxFilesPerBatch = Some(1))
+      s.table(tbl).orderBy($"k")
+    }),
+
     // Entity resolution over a deterministically dirtied master-data
     // relation: canonical names are 'cust-' + 10 md5 hex chars (high
     // entropy, byte-identical construction in both engines); keys %5==2
@@ -300,7 +352,19 @@ object ParityQueries extends graft.QueryModule {
         |UNION ALL
         |SELECT k, st, pr FROM latest WHERE op != 'D'
         |ORDER BY k""".stripMargin,
-    "q_stream_cdc" ->
+    "q_stream_cdc" -> cdcClosureSql,
+    // identical closure: bucketing is a physical-layout choice and must
+    // be invisible in the applied table
+    "q_stream_cdc_bucketed" -> cdcClosureSql,
+    "q_entity_resolution" -> entityResolutionSql,
+    // identical closure: the incremental protocol must land the exact
+    // same assignment as the one-shot resolve
+    "q_entity_resolution_incremental" -> entityResolutionSql)
+
+  // the one-shot CDC closure: shared by q_stream_cdc (path target) and
+  // q_stream_cdc_bucketed (bucketed metastore target) — the slicing and
+  // the layout must both be invisible in the final table
+  private lazy val cdcClosureSql: String =
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr
         |  FROM orders
@@ -325,11 +389,7 @@ object ParityQueries extends graft.QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = b.k)
         |UNION ALL
         |SELECT k, st, pr FROM latest WHERE op != 'D'
-        |ORDER BY k""".stripMargin,
-    "q_entity_resolution" -> entityResolutionSql,
-    // identical closure: the incremental protocol must land the exact
-    // same assignment as the one-shot resolve
-    "q_entity_resolution_incremental" -> entityResolutionSql)
+        |ORDER BY k""".stripMargin
 
   private lazy val entityResolutionSql: String =
       """WITH RECURSIVE recs AS (

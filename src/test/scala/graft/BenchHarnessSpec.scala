@@ -105,6 +105,24 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert((1 to 300).forall(i => detail.contains(f"q_some_quite_long_query_name_$i%03d")))
   }
 
+  test("headline is a prefix-free single bare line (the r8 framing postmortem)") {
+    // Round 8's headline was intact in the driver's captured tail but
+    // sbt-framed — "[info] " prefix, WARN flood around it, "[success]"
+    // after — and the parser still recorded parsed:null. The contract:
+    // the rendered line is ONE line, starting at byte 0 with '{' and
+    // ending with '}', no interior newlines, so that printed raw onto
+    // the process stdout fd (Bench.main after spark.stop(), with
+    // build.sbt's StdoutOutput pass-through) it reaches the driver as a
+    // bare parseable JSON line.
+    val timings = Seq("q_a" -> Bench.Timing(1.0, 0.1))
+    val line = Bench.renderHeadline(timings,
+      scala.collection.mutable.LinkedHashMap("q_b" -> "err\nwith newline"),
+      0.1, 5, "bench_detail.json", "/sf")
+    assert(line.head == '{' && line.last == '}', s"not brace-framed: $line")
+    assert(!line.contains('\n') && !line.contains('\r'),
+      "the headline must be one physical line even when error messages hold newlines")
+  }
+
   test("a query failing mid-block is demoted to errors, not propagated") {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val timings = Bench.timeSuite(Seq("ok", "boom", "ok2"),

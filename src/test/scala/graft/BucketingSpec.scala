@@ -96,6 +96,52 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("CDC apply onto a bucketed target: the target reaches the anti-join with no Exchange") {
+    // The exact transform cdcApplyStreamBucketed runs per micro-batch
+    // (foreachBatch → Cdc.apply over spark.table(bucketed target)): the
+    // plan-level proof that the streaming silver-layer loop never
+    // shuffles the big side — the batch upsert's pin, extended to the
+    // stream path's transform.
+    val db = "bucketcdc"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1 to 20000).map(i => (i.toLong, s"t$i", i * 1.0)).toDF("k", "st", "pr")
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(s"$db.t")
+      val feed = (19001 to 21000).map(i =>
+        (i.toLong, s"n$i", i * 2.0, 1L, if (i % 5 == 0) "D" else "U"))
+        .toDF("k", "st", "pr", "v", "op")
+      val next = graft.ops.Cdc.apply(spark.table(s"$db.t"), feed,
+        Seq("k"), "v", "op")
+      val plan = next.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"target scan must use the bucketed layout:\n$plan")
+      val lines = plan.linesIterator.toVector
+      val scanIdx = lines.indexWhere(l => l.contains("FileScan") && l.contains("Bucketed: true"))
+      assert(scanIdx > 1, s"bucketed scan not found:\n$plan")
+      assert(!lines(scanIdx - 1).contains("Exchange"),
+        s"bucketed target must reach the CDC anti-join without an Exchange:\n$plan")
+      // end-to-end through the generalized bucketed swap — the stream
+      // loop's exact write path
+      graft.ops.Upsert.transformAndSwapBucketed(spark, s"$db.t", Seq("k"), 8)(t =>
+        graft.ops.Cdc.apply(t, feed, Seq("k"), "v", "op"))
+      val after = spark.table(s"$db.t")
+      // deletes applied, inserts landed, untouched rows intact
+      assert(after.filter($"k" === 19005L).count() === 0, "delete must land")
+      assert(after.filter($"k" === 20001L).count() === 1, "insert must land")
+      assert(after.filter($"k" === 100L).count() === 1)
+      // and the table is STILL bucketed — the next batch is shuffle-free too
+      val again = graft.ops.Cdc.apply(spark.table(s"$db.t"), feed, Seq("k"), "v", "op")
+      assert(again.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+        "bucketing must survive the swap so every later batch stays shuffle-free")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      ()
+    }
+  }
+
   test("bucketed upsert: recoverTable heals a crash inside the rename window") {
     val db = "bucketrec"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -82,6 +82,23 @@ class TsEncodingSpec extends SparkSpec {
     }
   }
 
+  test("probeTsType: empty/missing dirs default to NTZ; corrupt footers RETHROW") {
+    import graft.streaming.Streams
+    // missing path → the documented empty-start default
+    assert(Streams.probeTsType(spark, tmpDir("probe-missing") + "/nowhere") ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // empty dir → same default
+    val empty = tmpDir("probe-empty")
+    assert(Streams.probeTsType(spark, empty) ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // a corrupt footer must SURFACE, not silently run with a guessed
+    // schema (ADVICE r8): the stream would misread every later file
+    val corrupt = tmpDir("probe-corrupt")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(corrupt, "bad.parquet"), "junk".getBytes)
+    intercept[Exception] { Streams.probeTsType(spark, corrupt) }
+  }
+
   test("eventsFileStream agrees with the batch read under every encoding") {
     encodings.foreach { e =>
       val dir = write(e)
