@@ -178,6 +178,14 @@ object ParityQueries extends graft.QueryModule {
       graft.ops.FileOps.resetWorkDirs(s, Seq(feed, ckpt))
       val db = "graft_scdcb"
       s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      // The in-memory catalog starts empty each JVM, so the DROP above
+      // cannot see a PRIOR run's managed-table directory — saveAsTable
+      // then fails with LOCATION_ALREADY_EXISTS. Remove the physical
+      // residue explicitly before recreating.
+      val whDb = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"$db.db")
+      val whFs = whDb.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (whFs.exists(whDb)) whFs.delete(whDb, true)
       s.sql(s"CREATE DATABASE $db")
       val tbl = s"$db.target"
       val base = Tables(s, dir, "orders")
