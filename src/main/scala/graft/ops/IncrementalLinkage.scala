@@ -54,6 +54,23 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalLinkage {
 
+  /** Matched new pairs: the batch's (id, name, blk) rows probed against
+    * the full index on the blocking key — exposed so `LinkageSpec` can
+    * pin the plan (keyed equi-join + threshold levenshtein, never a
+    * cartesian) without reproducing the join internals.
+    */
+  private[graft] def probePairs(keyedBatch: DataFrame, fullIndex: DataFrame,
+      maxDist: Int): DataFrame =
+    keyedBatch.select(col("id").as("id_l"), col("name").as("name_l"),
+        col("blk"))
+      .join(fullIndex.select(col("id").as("id_r"), col("name").as("name_r"),
+        col("blk")), Seq("blk"))
+      .filter(col("id_l") =!= col("id_r"))
+      .filter(levenshtein(col("name_l"), col("name_r"), maxDist) >= 0)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct()
+
   /** Add one batch to the persisted state; returns the NEW full
     * assignment (record_id, entity_id) as read back from disk — exactly
     * what the next batch will see.
@@ -76,16 +93,7 @@ object IncrementalLinkage {
     keyed.write.mode("append").parquet(recsPath)
     // Fresh read AFTER the append: one probe join covers batch×stored
     // and batch×batch candidates.
-    val fullIndex = spark.read.parquet(recsPath)
-    val newPairs = keyed.select(col("id").as("id_l"), col("name").as("name_l"),
-        col("blk"))
-      .join(fullIndex.select(col("id").as("id_r"), col("name").as("name_r"),
-        col("blk")), Seq("blk"))
-      .filter(col("id_l") =!= col("id_r"))
-      .filter(levenshtein(col("name_l"), col("name_r"), maxDist) >= 0)
-      .select(least(col("id_l"), col("id_r")).as("id_a"),
-        greatest(col("id_l"), col("id_r")).as("id_b"))
-      .distinct()
+    val newPairs = probePairs(keyed, spark.read.parquet(recsPath), maxDist)
 
     val storedAssign =
       if (fs.exists(new Path(assignPath)))

@@ -404,9 +404,16 @@ object Layout {
     * later range query plans from the manifest alone.
     */
   def writeStatsManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, columns: Seq[String]): Unit =
-    harvestStats(spark, path, columns).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_stats")
+      path: String, columns: Seq[String]): Unit = {
+    val stats = harvestStats(spark, path, columns).localCheckpoint(true)
+    // An empty manifest would make skipScanManifest prune EVERYTHING —
+    // silently wrong results. Flat data dirs only (writeSorted's output);
+    // a partitioned (key=value subdir) layout has no top-level files and
+    // gets partition pruning from Spark itself instead.
+    require(stats.count() > 0,
+      s"no parquet files found at top level of $path — stats manifests cover flat sorted layouts")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
 
   /** The manifest-side skip decision: (kept files, total files) for a
     * `[lo, hi]` range on `column`, decided purely from `<path>/_stats` —

@@ -261,9 +261,16 @@ object Versioned {
     * [[vacuum]] reclaims the superseded dirs. Content-identity is the
     * law: compact must be invisible to readers.
     */
-  def compact(spark: SparkSession, table: String, numFiles: Int = 32): Long =
-    commit(spark, table, read(spark, table).repartition(numFiles),
-      overwrite = true)
+  def compact(spark: SparkSession, table: String, numFiles: Int = 32,
+      statsCols: Seq[String] = Nil): Long =
+    if (statsCols.isEmpty)
+      commit(spark, table, read(spark, table).repartition(numFiles),
+        overwrite = true)
+    else
+      // stats continuity: a compaction of a stats-carrying table should
+      // not demote future range reads to conservative full scans
+      commitWithStats(spark, table, read(spark, table).repartition(numFiles),
+        statsCols, overwrite = true)
 
   /** Erase rows matching `predicate` from the table — the
     * right-to-be-forgotten operation, which a commit-log design makes

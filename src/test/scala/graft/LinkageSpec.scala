@@ -83,6 +83,18 @@ class LinkageSpec extends SparkSpec {
     assert(byId(7L) == byId(8L) && byId(7L) == 7L)
   }
 
+  test("incremental probe plan is equi-join only — no cartesian, no BNLJ") {
+    val keyed = recs(1L -> "abcdef", 2L -> "abcdex")
+      .select($"id", $"name", substring($"name", 1, 3).as("blk"))
+    val index = recs(3L -> "abcdez", 4L -> "zzzdef")
+      .select($"id", $"name", substring($"name", 1, 3).as("blk"))
+    val p = graft.ops.IncrementalLinkage.probePairs(keyed, index, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the incremental probe must stay a blocking-key equi-join:\n$p")
+  }
+
   test("incremental: a replayed batch is a state no-op") {
     import graft.ops.IncrementalLinkage
     val st = tmpDir("inc-linkage-replay")

@@ -131,6 +131,30 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("incompatible schema change"), e.getMessage)
   }
 
+  test("skipRead: manifest dirs prune, manifest-less dirs scan conservatively, any version") {
+    val t = tmpDir("versioned-skip") + "/t"
+    val a = (1 to 400).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    val b = (401 to 800).map(i => (i.toLong, s"b$i")).toDF("id", "s")
+    // v1 carries stats (sorted layout); v2 appends WITHOUT stats
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(a, Seq($"id"), 4), Seq("id"))
+    Versioned.commit(spark, t, graft.ops.Layout.sortedByRange(b, Seq($"id"), 4))
+    val (pruned, kept, total) = Versioned.skipRead(spark, t, "id", "50", "120")
+    // v1's 4 files prune to ~1; v2's 4 manifest-less files all stay
+    assert(total == 8, s"expected 8 files, saw $total")
+    assert(kept < 8 && kept >= 5,
+      s"stats dir must prune, manifest-less dir must be conservative: kept $kept")
+    assert(pruned.count() == 71)
+    // at version 1, only the stats dir exists — pruning alone
+    val (p1, k1, t1) = Versioned.skipRead(spark, t, "id", "50", "120", Some(1L))
+    assert(t1 == 4 && k1 < 4 && p1.count() == 71)
+    // compact WITH statsCols keeps skipping alive on the folded table
+    Versioned.compact(spark, t, numFiles = 4, statsCols = Seq("id"))
+    val (p3, k3, t3) = Versioned.skipRead(spark, t, "id", "50", "120")
+    assert(t3 == 4 && p3.count() == 71,
+      "compacted snapshot must still answer the range exactly")
+  }
+
   test("purge erases from the snapshot at once, from DISK only after vacuum") {
     val t = tmpDir("versioned-purge") + "/t"
     Versioned.commit(spark, t, Seq((1L, "keep"), (666L, "secret")).toDF("id", "s"))
