@@ -428,11 +428,29 @@ object Layout {
     (kept, total)
   }
 
+  /** Multi-manifest decision: (kept files, total files) across SEVERAL
+    * `_stats` manifests in one read — manifests share a schema and
+    * record absolute file paths, so a snapshot spanning many data dirs
+    * (a long append chain) plans in one metadata job, not a per-dir
+    * loop. Used by [[Versioned.skipRead]].
+    */
+  private[graft] def manifestKeepFilesMulti(
+      spark: org.apache.spark.sql.SparkSession, statsPaths: Seq[String],
+      column: String, lo: String, hi: String): (Seq[String], Int) = {
+    val (kept, total, _) = manifestDecisionPaths(spark, statsPaths, column, lo, hi)
+    (kept, total)
+  }
+
   /** (kept files, total files, recorded type) — the shared decision. */
   private def manifestDecision(spark: org.apache.spark.sql.SparkSession,
       path: String, column: String, lo: String, hi: String)
+      : (Seq[String], Int, String) =
+    manifestDecisionPaths(spark, Seq(s"$path/_stats"), column, lo, hi)
+
+  private def manifestDecisionPaths(spark: org.apache.spark.sql.SparkSession,
+      statsPaths: Seq[String], column: String, lo: String, hi: String)
       : (Seq[String], Int, String) = {
-    val man = spark.read.parquet(s"$path/_stats")
+    val man = spark.read.parquet(statsPaths: _*)
       .filter(col("column") === column)
     // typ is uniform per column (one writer); read it once, then decide
     // with a typed comparison pushed into the manifest scan

@@ -229,28 +229,47 @@ object Versioned {
   def skipRead(spark: SparkSession, table: String, column: String,
       lo: String, hi: String, version: Option[Long] = None)
       : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val refs = readManifest(spark, table, v)._2
-    val perDir = refs.map { d =>
+    val (statted, unstatted) = refs.map { d =>
       val dir = s"$table/data/$d"
       val f = fs(spark, new Path(dir))
       require(f.exists(new Path(dir)),
         s"version $v references vacuumed data dir $d — time travel past retention")
-      if (f.exists(new Path(s"$dir/_stats")))
-        Layout.skipScanManifest(spark, dir, column, lo, hi)
-      else {
-        val all = spark.read.option("mergeSchema", "true").parquet(dir)
-        val n = f.listStatus(new Path(dir))
-          .count(_.getPath.getName.endsWith(".parquet"))
-        (all.filter(org.apache.spark.sql.functions.col(column) >=
-            org.apache.spark.sql.functions.lit(lo) &&
-          org.apache.spark.sql.functions.col(column) <=
-            org.apache.spark.sql.functions.lit(hi)), n, n)
-      }
-    }
-    (perDir.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true)),
-      perDir.map(_._2).sum, perDir.map(_._3).sum)
+      (dir, f.exists(new Path(s"$dir/_stats")))
+    }.partition(_._2)
+    // ONE metadata job over every referenced dir's manifest (they share a
+    // schema and record absolute file paths, so the decision is global) —
+    // not a per-commit read loop: a 1000-append snapshot costs the same
+    // planning IO as a 1-dir table.
+    val (keptStatted, totalStatted) =
+      if (statted.isEmpty) (Seq.empty[String], 0)
+      else Layout.manifestKeepFilesMulti(spark,
+        statted.map(_._1 + "/_stats"), column, lo, hi)
+    // manifest-less dirs (plain commits): conservative — every file scans
+    val conservative = unstatted.map(_._1)
+    val nConservative = conservative.map { dir =>
+      fs(spark, new Path(dir)).listStatus(new Path(dir))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }.sum
+    val frames =
+      (if (keptStatted.nonEmpty)
+        Seq(spark.read.option("mergeSchema", "true").parquet(keptStatted: _*))
+      else Seq.empty) ++
+      (if (conservative.nonEmpty)
+        Seq(spark.read.option("mergeSchema", "true").parquet(conservative: _*))
+      else Seq.empty)
+    val base = frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(read(spark, table, Some(v)).limit(0))
+    // bounds cast to the COLUMN's type: comparing a bigint column to a
+    // string literal would otherwise coerce both to double and lose
+    // precision above 2^53
+    val dt = base.schema(column).dataType
+    (base.filter(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)),
+      keptStatted.size + nConservative,
+      totalStatted + nConservative)
   }
 
   /** OPTIMIZE — the small-files compaction every append-heavy table
