@@ -486,4 +486,37 @@ object Layout {
       else base.filter(c >= lit(lo).cast(typ) && c <= lit(hi).cast(typ))
     (filtered, kept.size, total)
   }
+
+  /** MULTI-predicate manifest skipping: conjunctive ranges over SEVERAL
+    * stats columns — a file is read only when EVERY predicate's [min,
+    * max] overlaps, so the kept set is the intersection of the per-
+    * column decisions. This is the read-side payoff the z/Hilbert
+    * layout exists for: the curve bounds every dimension's per-file
+    * range (`q_zorder` measures it), so a 2-dim range query prunes on
+    * BOTH dims' stats — roughly multiplying the dims' individual
+    * selectivities — where a single-column sort prunes on one dim and
+    * scans full-range on the other. Exactly Delta/Iceberg data skipping
+    * over multi-column manifest stats. Same superset guarantee: every
+    * predicate is re-applied as a row filter, so the result equals the
+    * unpruned scan (LayoutSpec pins equality and intersection ≤ each
+    * single-column decision).
+    */
+  def skipScanManifestPreds(spark: org.apache.spark.sql.SparkSession,
+      path: String, preds: Seq[(String, String, String)]): (DataFrame, Int, Int) = {
+    require(preds.nonEmpty, "at least one (column, lo, hi) predicate")
+    val decisions = preds.map { case (c, lo, hi) =>
+      val (kept, total, typ) = manifestDecision(spark, path, c, lo, hi)
+      (kept.toSet, total, typ)
+    }
+    val total = decisions.head._2
+    val kept = decisions.map(_._1).reduce(_ intersect _).toSeq.sorted
+    val base = if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(kept: _*)
+    val filtered = preds.zip(decisions).foldLeft(base) {
+      case (df, ((c, lo, hi), (_, _, typ))) =>
+        if (typ.isEmpty) df
+        else df.filter(col(c) >= lit(lo).cast(typ) && col(c) <= lit(hi).cast(typ))
+    }
+    (filtered, kept.size, total)
+  }
 }

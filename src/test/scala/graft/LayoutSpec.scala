@@ -282,6 +282,26 @@ class LayoutSpec extends SparkSpec {
       "manifest-pruned scan must equal the pre-smash full-scan result")
   }
 
+  test("multi-predicate manifest skipping: kept = intersection, result equals the full scan") {
+    val df = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "a", "b")
+      .withColumn("zv", Layout.zValue($"a", $"b", 6))
+    val out = tmpDir("layout-2d") + "/sorted"
+    Layout.writeSorted(df, Seq($"zv"), 16, out, statsCols = Seq("a", "b"))
+    val expect = spark.read.parquet(out)
+      .filter($"a" >= 16L && $"a" <= 31L && $"b" >= 32L && $"b" <= 47L)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val (scan, kept, total) = Layout.skipScanManifestPreds(spark, out,
+      Seq(("a", "16", "31"), ("b", "32", "47")))
+    val ka = Layout.manifestKeepFiles(spark, out, "a", "16", "31")._1.size
+    val kb = Layout.manifestKeepFiles(spark, out, "b", "32", "47")._1.size
+    assert(total == 16 && kept <= math.min(ka, kb),
+      s"2-dim kept $kept must not exceed either single dim (a=$ka b=$kb)")
+    assert(kept < total, "pruning must bite")
+    assert(scan.select($"id").collect().map(_.getLong(0)).toSet == expect,
+      "multi-predicate pruned scan must equal the full-scan filter")
+  }
+
   test("manifest skipping works on date / timestamp_ntz / string keys (beyond long)") {
     val rows = (0 until 1000).map { i =>
       (i.toLong,
