@@ -366,6 +366,13 @@ object Layout {
                 b.getColumns.asScala.find(_.getPath.toDotString == c)
                   .map(cc => (cc.getStatistics, b.getRowCount))
               }
+              val nRows = footer.getBlocks.asScala.map(_.getRowCount).sum
+              // null count: known only when EVERY block records it
+              val nNulls: Option[Long] =
+                if (blocks.forall(_.exists { case (s, _) =>
+                    s != null && s.isNumNullsSet && s.getNumNulls >= 0 }))
+                  Some(blocks.map(_.get._1.getNumNulls).sum)
+                else None
               // per-block verdicts: Some(stats) usable, None all-null
               // (skippable), escalate to conservative on anything else
               val verdicts = blocks.map {
@@ -376,10 +383,11 @@ object Layout {
                 case _ => None
               }
               if (typ.isEmpty || verdicts.exists(_.isEmpty))
-                (f, c, typ, null: String, null: String)
+                (f, c, typ, null: String, null: String, nRows, nNulls)
               else {
                 val usable = verdicts.flatten.flatten
-                if (usable.isEmpty) (f, c, typ, null: String, null: String)
+                if (usable.isEmpty)
+                  (f, c, typ, null: String, null: String, nRows, nNulls)
                 else {
                   val cmp = usable.head.comparator()
                     .asInstanceOf[java.util.Comparator[AnyRef]]
@@ -387,14 +395,14 @@ object Layout {
                     .reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
                   val mx = usable.map(_.genericGetMax.asInstanceOf[AnyRef])
                     .reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
-                  (f, c, typ, enc(mn), enc(mx))
+                  (f, c, typ, enc(mn), enc(mx), nRows, nNulls)
                 }
               }
             }
           }
         } finally reader.close()
       }
-    }.toDF("file", "column", "typ", "min_v", "max_v")
+    }.toDF("file", "column", "typ", "min_v", "max_v", "n_rows", "n_nulls")
   }
 
   /** Harvest + persist the stats manifest at `<path>/_stats` — one tiny
@@ -457,14 +465,40 @@ object Layout {
     val typs = man.select(col("typ")).distinct().collect().map(_.getString(0))
     require(typs.length <= 1, s"mixed stat types for $column: ${typs.mkString(",")}")
     val typ = typs.headOption.getOrElse("string")
+    // an ALL-NULL file can never satisfy a range predicate (NULL compares
+    // to nothing) — prunable even though it carries no min/max
+    val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("n_rows")
     val keepExpr =
       if (typ.isEmpty) lit(true) // opaque type: conservative, scan all
-      else col("min_v").isNull ||
+      else !allNull && (col("min_v").isNull ||
         (col("max_v").cast(typ) >= lit(lo).cast(typ) &&
-         col("min_v").cast(typ) <= lit(hi).cast(typ))
+         col("min_v").cast(typ) <= lit(hi).cast(typ)))
     val decided = man.select(col("file"), keepExpr.as("keep")).collect()
     (decided.filter(_.getBoolean(1)).map(_.getString(0)).toSeq.sorted,
       decided.length, typ)
+  }
+
+  /** NULL-predicate skipping from the manifest's null counts — the third
+    * leg of the Delta-style stats triple (min / max / nullCount): an
+    * `IS NULL` probe reads only files with `n_nulls > 0`; `IS NOT NULL`
+    * only files with `n_nulls < n_rows`. Files whose null count is
+    * unknown stay conservative. Same superset guarantee as the range
+    * path: the row-level null filter is applied on top.
+    */
+  def skipScanManifestNull(spark: org.apache.spark.sql.SparkSession,
+      path: String, column: String, wantNull: Boolean): (DataFrame, Int, Int) = {
+    val man = spark.read.parquet(s"$path/_stats")
+      .filter(col("column") === column)
+    val keepExpr =
+      if (wantNull) col("n_nulls").isNull || col("n_nulls") > 0L
+      else col("n_nulls").isNull || col("n_nulls") < col("n_rows")
+    val decided = man.select(col("file"), keepExpr.as("keep")).collect()
+    val kept = decided.filter(_.getBoolean(1)).map(_.getString(0)).toSeq.sorted
+    val base = if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(kept: _*)
+    val filtered = if (wantNull) base.filter(col(column).isNull)
+      else base.filter(col(column).isNotNull)
+    (filtered, kept.size, decided.length)
   }
 
   /** [[skipScan]] planned from the PERSISTED manifest instead of live

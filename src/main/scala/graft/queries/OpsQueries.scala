@@ -153,6 +153,39 @@ object OpsQueries extends graft.QueryModule {
         min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
     }),
 
+    // NULL-count skipping — the third leg of the stats triple (min /
+    // max / nullCount, the Delta manifest's exact shape): a sparse
+    // column whose nulls are CONCENTRATED by the sort (low order keys →
+    // all-null files) lets an IS NOT NULL probe skip the all-null files
+    // and an IS NULL probe skip everything else. Both directions are
+    // required in-query to prune; the threshold is computed from the
+    // data (max/4) so the entry is sf-stable, and the oracle recomputes
+    // the same split.
+    "q_file_skipping_nulls" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_skipnull_${ProcessHandle.current().pid()}"
+      val orders = Tables(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      val thresh = orders.agg(max($"o_orderkey")).collect()(0).getLong(0) / 4
+      val d = orders.withColumn("maybe_price",
+        when($"o_orderkey" <= thresh, lit(null).cast("double"))
+          .otherwise($"o_totalprice"))
+      graft.ops.Layout.writeSorted(d, Seq($"o_orderkey"), 8, tmp,
+        statsCols = Seq("maybe_price"))
+      val (nn, keptNN, total) =
+        graft.ops.Layout.skipScanManifestNull(s, tmp, "maybe_price", wantNull = false)
+      val (isn, keptN, _) =
+        graft.ops.Layout.skipScanManifestNull(s, tmp, "maybe_price", wantNull = true)
+      require(keptNN < total && keptN < total,
+        s"null-count skipping must prune both directions: notnull $keptNN, null $keptN of $total")
+      val a = nn.agg(count(lit(1)).as("n"),
+          sum($"maybe_price".cast("decimal(30,2)")).cast("double").as("sum_price"))
+        .select(lit("notnull").as("side"), $"n", $"sum_price")
+      val b = isn.agg(count(lit(1)).as("n"))
+        .select(lit("null").as("side"), $"n", lit(null).cast("double").as("sum_price"))
+      a.unionByName(b).orderBy($"side")
+    }),
+
     // File skipping on a NON-LONG sort key, THROUGH the versioned table
     // (round-8 verdict items 1+: stats beyond longs, and time travel +
     // skipping composing): two range-sorted orders slices land as
@@ -664,6 +697,25 @@ object OpsQueries extends graft.QueryModule {
          |  CAST(SUM(ca) AS bigint) AS sum_ca, CAST(SUM(cb) AS bigint) AS sum_cb,
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          |FROM z WHERE ca BETWEEN 32 AND 95 AND cb BETWEEN 64 AND 127""".stripMargin,
+    "q_file_skipping_nulls" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
+        |         THEN NULL ELSE o_totalprice END AS maybe_price
+        |  FROM orders
+        |),
+        |nn AS (
+        |  SELECT 'notnull' AS side, CAST(COUNT(1) AS bigint) AS n,
+        |    CAST(SUM(CAST(maybe_price AS decimal(30,2))) AS double) AS sum_price
+        |  FROM t WHERE maybe_price IS NOT NULL
+        |),
+        |nl AS (
+        |  SELECT 'null', CAST(COUNT(1) AS bigint), CAST(NULL AS double)
+        |  FROM t WHERE maybe_price IS NULL
+        |)
+        |SELECT side, n, sum_price
+        |FROM (SELECT * FROM nn UNION ALL SELECT * FROM nl)
+        |ORDER BY side""".stripMargin,
     "q_file_skipping_date" ->
       """SELECT CAST(COUNT(1) AS bigint) AS n,
         |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,

@@ -302,6 +302,28 @@ class LayoutSpec extends SparkSpec {
       "multi-predicate pruned scan must equal the full-scan filter")
   }
 
+  test("null-count skipping: IS NULL / IS NOT NULL prune; all-null files drop from range scans") {
+    // ids 0..4095 sorted into 8 files; v is NULL for the low quarter →
+    // the low files are all-null, the high files null-free
+    val df = (0 until 4096).map { i =>
+      (i.toLong, if (i < 1024) None else Some(i * 2.0))
+    }.toDF("id", "v")
+    val out = tmpDir("layout-nulls") + "/sorted"
+    Layout.writeSorted(df, Seq($"id"), 8, out, statsCols = Seq("v", "id"))
+    val (nn, keptNN, total) = Layout.skipScanManifestNull(spark, out, "v", wantNull = false)
+    assert(total == 8 && keptNN <= 6, s"IS NOT NULL must skip all-null files: $keptNN")
+    assert(nn.count() == 4096 - 1024)
+    val (isn, keptN, _) = Layout.skipScanManifestNull(spark, out, "v", wantNull = true)
+    assert(keptN <= 3, s"IS NULL must skip null-free files: $keptN")
+    assert(isn.count() == 1024)
+    // and the RANGE path also drops all-null files now (they used to be
+    // conservative): a range on v over the whole domain must not read
+    // the all-null low files
+    val (rng, keptR, _) = Layout.skipScanManifest(spark, out, "v", "0", "999999")
+    assert(keptR <= 6, s"range scan must drop all-null files: $keptR")
+    assert(rng.count() == 4096 - 1024)
+  }
+
   test("manifest skipping works on date / timestamp_ntz / string keys (beyond long)") {
     val rows = (0 until 1000).map { i =>
       (i.toLong,
