@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries extends graft.QueryModule {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ hierarchyQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Top-25 parts by PageRank in the co-purchase graph (damping 17/20,
     // 5 iterations). Rank ties break on part id.
     "q_pagerank" -> ((s, dir) => {
@@ -133,7 +136,86 @@ object GraphQueries extends graft.QueryModule {
         .stripMargin
     }.mkString(",\n")
 
+  private def partEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "part").select($"p_partkey")
+      .filter($"p_partkey" >= 2)
+      .select($"p_partkey".as("child"),
+        expr("p_partkey div 2").as("parent"))
+  }
+
+  def hierarchyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RECURSIVE-CTE capability (Spark has no WITH RECURSIVE): full
+    // ancestor closure of the binary-heap forest over part keys
+    // (parent = key div 2 — depth ~log2 |part|, every key's root is 1)
+    // via PATH DOUBLING: ⌈log2 depth⌉+1 rounds of id-keyed self-joins,
+    // not depth sequential joins (HierarchySpec pins the round count).
+    // The oracle runs DuckDB's real WITH RECURSIVE over the same edges;
+    // per-depth pair counts, distinct ancestors, and exact bigint node
+    // sums hash the entire closure.
+    "q_hierarchy_closure" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Hierarchy.ancestorClosure(partEdges(s, dir), "child", "parent")
+        .groupBy($"dist")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"anc").as("n_ancestors"),
+          sum($"node").as("sum_node"))
+        .orderBy($"dist")
+    }),
+
+    // BOM-style SUBTREE ROLLUP over the same forest: every node's
+    // retail-price sum over itself + all descendants (one closure join
+    // + one keyed agg — the org-headcount/BOM-cost query). Checked for
+    // the 8 top-of-tree nodes; decimal-exact sums.
+    "q_hierarchy_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val part = Tables(s, dir, "part")
+      val closure = graft.ops.Hierarchy
+        .ancestorClosure(partEdges(s, dir), "child", "parent")
+      graft.ops.Hierarchy
+        .subtreeSum(part, "p_partkey", "p_retailprice", closure)
+        .filter($"id" <= 8)
+        .select($"id", $"n_subtree",
+          $"subtree_sum".cast("double").as("subtree_sum"))
+        .orderBy($"id")
+    }))
+
   def oracle: Map[String, String] = Map(
+    "q_hierarchy_closure" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS child, p_partkey // 2 AS parent
+        |  FROM part WHERE p_partkey >= 2
+        |),
+        |clo(node, anc, dist) AS (
+        |  SELECT child, parent, 1 FROM e
+        |  UNION ALL
+        |  SELECT c.node, e.parent, c.dist + 1
+        |  FROM clo c JOIN e ON c.anc = e.child
+        |)
+        |SELECT CAST(dist AS bigint) AS dist,
+        |  CAST(COUNT(1) AS bigint) AS n_pairs,
+        |  CAST(COUNT(DISTINCT anc) AS bigint) AS n_ancestors,
+        |  CAST(SUM(node) AS bigint) AS sum_node
+        |FROM clo GROUP BY dist ORDER BY dist""".stripMargin,
+    "q_hierarchy_rollup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS child, p_partkey // 2 AS parent
+        |  FROM part WHERE p_partkey >= 2
+        |),
+        |clo(node, anc) AS (
+        |  SELECT child, parent FROM e
+        |  UNION ALL
+        |  SELECT c.node, e.parent FROM clo c JOIN e ON c.anc = e.child
+        |),
+        |contrib AS (
+        |  SELECT clo.anc AS id, CAST(p.p_retailprice AS decimal(30,2)) AS v
+        |  FROM clo JOIN part p ON p.p_partkey = clo.node
+        |  UNION ALL
+        |  SELECT p_partkey, CAST(p_retailprice AS decimal(30,2)) FROM part
+        |)
+        |SELECT id, CAST(COUNT(1) AS bigint) AS n_subtree,
+        |  CAST(SUM(v) AS double) AS subtree_sum
+        |FROM contrib WHERE id <= 8 GROUP BY id ORDER BY id""".stripMargin) ++ Map(
     "q_pagerank_incremental" ->
       s"""WITH op AS (
          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Hierarchy
+import org.apache.spark.sql.functions._
+
+/** Hierarchy-closure laws: exact closure on a hand tree, the O(log depth)
+  * doubling round count (the whole point vs one-level-per-round), forest
+  * validation, and the subtree rollup.
+  */
+class HierarchySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long)*) = rows.toDF("child", "parent")
+
+  test("closure of a hand forest is exact, with distances") {
+    //      1        6
+    //     / \       |
+    //    2   3      7
+    //    |
+    //    4
+    val e = edges(2L -> 1L, 3L -> 1L, 4L -> 2L, 7L -> 6L)
+    val clo = Hierarchy.ancestorClosure(e, "child", "parent")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(clo == Set((2L, 1L, 1L), (3L, 1L, 1L), (4L, 2L, 1L), (7L, 6L, 1L),
+      (4L, 1L, 2L)))
+  }
+
+  test("path doubling closes a deep chain in O(log depth) rounds") {
+    // a 64-node path: depth 63; one-level-per-round would take 63 rounds
+    val e = edges((2L to 64L).map(i => i -> (i - 1)): _*)
+    val (clo, rounds) = Hierarchy.closureWithRounds(e, "child", "parent")
+    assert(clo.count() == (63L * 64L) / 2, "a path's closure is n(n-1)/2 pairs")
+    // ceil(log2 63) = 6 doubling rounds + 1 fixed-point check
+    assert(rounds <= 8, s"doubling must close depth 63 in <= 8 rounds, took $rounds")
+    // spot: the deepest pair has the full distance
+    val deepest = clo.filter($"node" === 64L && $"anc" === 1L)
+      .select($"dist").as[Long].head()
+    assert(deepest == 63L)
+  }
+
+  test("a non-forest (two parents) is rejected loudly") {
+    val e = edges(2L -> 1L, 2L -> 3L)
+    val ex = intercept[IllegalArgumentException] {
+      Hierarchy.ancestorClosure(e, "child", "parent")
+    }
+    assert(ex.getMessage.contains("forest"), ex.getMessage)
+  }
+
+  test("subtree rollup: every node aggregates itself plus all descendants") {
+    val e = edges(2L -> 1L, 3L -> 1L, 4L -> 2L)
+    val nodes = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("id", "v")
+    val clo = Hierarchy.ancestorClosure(e, "child", "parent")
+    val byId = Hierarchy.subtreeSum(nodes, "id", "v", clo)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        r.getDecimal(2).doubleValue())).toMap
+    assert(byId(1L) == ((4L, 100.0)), s"root rolls up everything: ${byId(1L)}")
+    assert(byId(2L) == ((2L, 60.0)))
+    assert(byId(3L) == ((1L, 30.0)))
+    assert(byId(4L) == ((1L, 40.0)))
+  }
+}
