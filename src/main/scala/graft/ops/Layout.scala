@@ -478,6 +478,22 @@ object Layout {
       decided.length, typ)
   }
 
+  /** Metadata-only `COUNT(*)`: the table's row count summed from the
+    * manifest's per-file `n_rows` — zero data IO, zero footer opens,
+    * exactly how Delta answers `SELECT COUNT(*)` from its checkpoint.
+    * Any one column's rows carry the count; they must agree.
+    */
+  def manifestRowCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val perCol = spark.read.parquet(s"$path/_stats")
+      .groupBy(col("column"))
+      .agg(sum(col("n_rows")).as("n"))
+      .select(col("n")).distinct().collect().map(_.getLong(0))
+    require(perCol.length == 1,
+      s"manifest columns disagree on row count at $path: ${perCol.mkString(",")}")
+    perCol.head
+  }
+
   /** NULL-predicate skipping from the manifest's null counts — the third
     * leg of the Delta-style stats triple (min / max / nullCount): an
     * `IS NULL` probe reads only files with `n_nulls > 0`; `IS NOT NULL`

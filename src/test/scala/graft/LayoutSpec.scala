@@ -322,6 +322,9 @@ class LayoutSpec extends SparkSpec {
     val (rng, keptR, _) = Layout.skipScanManifest(spark, out, "v", "0", "999999")
     assert(keptR <= 6, s"range scan must drop all-null files: $keptR")
     assert(rng.count() == 4096 - 1024)
+    // metadata-only COUNT(*): summed n_rows equals the real count with
+    // zero data IO (the Delta checkpoint answer)
+    assert(Layout.manifestRowCount(spark, out) == 4096L)
   }
 
   test("manifest skipping works on date / timestamp_ntz / string keys (beyond long)") {
