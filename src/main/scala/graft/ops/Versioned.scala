@@ -72,9 +72,15 @@ object Versioned {
     }
   }
 
-  /** (op, referenced data dirs, recorded schema JSON if present). */
-  private def readManifest(spark: SparkSession, table: String,
-      v: Long): (String, Seq[String], Option[String]) = {
+  /** One committed snapshot's metadata: `refs` are the data dirs, `dvs`
+    * the DELETION-VECTOR dirs whose (file, pos) rows are subtracted at
+    * read time (merge-on-read — see [[deleteWhere]]).
+    */
+  private[graft] case class Manifest(op: String, refs: Seq[String],
+      dvs: Seq[String], schemaJson: Option[String])
+
+  private[graft] def readManifest(spark: SparkSession, table: String,
+      v: Long): Manifest = {
     val p = manifestPath(table, v)
     val f = fs(spark, p)
     require(f.exists(p), s"version $v does not exist under $table")
@@ -83,22 +89,26 @@ object Versioned {
       finally in.close()
     val lines = text.linesIterator.toSeq.filter(_.nonEmpty)
     val schema = lines.tail.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
-    (lines.head.stripPrefix("op="),
-      lines.tail.filterNot(_.startsWith("schema=")), schema)
+    val dvs = lines.tail.filter(_.startsWith("dv=")).map(_.stripPrefix("dv="))
+    Manifest(lines.head.stripPrefix("op="),
+      lines.tail.filterNot(l => l.startsWith("schema=") || l.startsWith("dv=")),
+      dvs, schema)
   }
 
   /** Stage + CAS-rename the manifest for version `v`. Returns false when
     * another writer already claimed `v` (the caller lost the race).
     */
   private def writeManifest(spark: SparkSession, table: String, v: Long,
-      op: String, refs: Seq[String], schemaJson: Option[String]): Boolean = {
+      op: String, refs: Seq[String], schemaJson: Option[String],
+      dvs: Seq[String] = Seq.empty): Boolean = {
     val p = manifestPath(table, v)
     val tmp = new Path(p.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
     val out = f.create(tmp, true)
     try out.write(
-      (s"op=$op" +: (schemaJson.map("schema=" + _).toSeq ++ refs))
+      (s"op=$op" +: (schemaJson.map("schema=" + _).toSeq ++
+        dvs.map("dv=" + _) ++ refs))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // Hadoop rename refuses an existing destination — the CAS. Re-check
@@ -148,7 +158,7 @@ object Versioned {
       df: DataFrame, v: Long, parentV: Option[Long],
       overwrite: Boolean): Long = {
     val parent = parentV.map(pv => readManifest(spark, table, pv))
-    if (!overwrite) parent.foreach { case (_, refs, schemaJson) =>
+    if (!overwrite) parent.foreach { case Manifest(_, refs, _, schemaJson) =>
       val parentSchema = schemaJson
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -162,10 +172,14 @@ object Versioned {
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists").parquet(s"$table/data/$dirName")
     val parentRefs =
-      if (overwrite || v == 1) Seq.empty else parent.get._2
+      if (overwrite || v == 1) Seq.empty else parent.get.refs
+    // an append keeps the parent's deletion vectors too — dropping them
+    // would resurrect every merge-on-read-deleted row
+    val parentDvs =
+      if (overwrite || v == 1) Seq.empty else parent.get.dvs
     if (!writeManifest(spark, table, v,
         if (overwrite) "overwrite" else "append", parentRefs :+ dirName,
-        Some(df.schema.json))) {
+        Some(df.schema.json), parentDvs)) {
       fs(spark, new Path(table)).delete(new Path(s"$table/data/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
@@ -177,9 +191,9 @@ object Versioned {
     * dirs of `toVersion` — no bytes rewritten, old history intact.
     */
   def rollback(spark: SparkSession, table: String, toVersion: Long): Long = {
-    val (_, refs, schemaJson) = readManifest(spark, table, toVersion)
+    val m = readManifest(spark, table, toVersion)
     val v = latestVersion(spark, table).get + 1
-    if (!writeManifest(spark, table, v, "rollback", refs, schemaJson))
+    if (!writeManifest(spark, table, v, "rollback", m.refs, m.schemaJson, m.dvs))
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     v
@@ -193,14 +207,94 @@ object Versioned {
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
-    val refs = readManifest(spark, table, v)._2
-    val dirs = refs.map { d =>
+    val m = readManifest(spark, table, v)
+    val dirs = m.refs.map { d =>
       val p = new Path(s"$table/data/$d")
       require(fs(spark, p).exists(p),
         s"version $v references vacuumed data dir $d — time travel past retention")
       p.toString
     }
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    applyDvs(spark, table,
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*), m.dvs)
+  }
+
+  /** Subtract the deletion vectors from a parquet scan frame: every dv
+    * row is one (file, pos) coordinate produced by the hidden
+    * `_metadata` columns at [[deleteWhere]] time, subtracted here by a
+    * BROADCAST anti-join on the same coordinates — the corpus side never
+    * shuffles (dvs are small by design; a table whose dvs grew large
+    * wants [[compact]], which materializes them away). Must be applied
+    * directly on the scan relation: `_metadata` exists only there.
+    */
+  private def applyDvs(spark: SparkSession, table: String, scan: DataFrame,
+      dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) scan
+    else {
+      import org.apache.spark.sql.functions.col
+      subtractDvs(spark, table, scan
+          .withColumn("__dv_file", col("_metadata.file_path"))
+          .withColumn("__dv_pos", col("_metadata.row_index")),
+        dvs, "__dv_file", "__dv_pos")
+        .drop("__dv_file", "__dv_pos")
+    }
+
+  /** Broadcast anti-join of `(fileCol, posCol)` against the dv rows. */
+  private def subtractDvs(spark: SparkSession, table: String,
+      frame: DataFrame, dvs: Seq[String], fileCol: String,
+      posCol: String): DataFrame =
+    if (dvs.isEmpty) frame
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val dv = spark.read.parquet(dvs.map(d => s"$table/data/$d"): _*)
+        .select(col("file").as(fileCol), col("pos").as(posCol))
+      frame.join(broadcast(dv), Seq(fileCol, posCol), "left_anti")
+    }
+
+  /** Merge-on-read DELETE — the deletion-vector idea (Delta DVs /
+    * Iceberg v2 position deletes) on plain parquet: instead of
+    * REWRITING every data file that holds a matching row (what [[purge]]
+    * does, honestly, for right-to-be-forgotten), `deleteWhere` writes
+    * only the matching rows' (file, row-position) coordinates as a tiny
+    * sidecar parquet and commits a new version whose manifest carries a
+    * `dv=` reference. Readers subtract the coordinates via a broadcast
+    * anti-join ([[applyDvs]]).
+    *
+    * 100 TB shape: deleting 0.01% of a petabyte table costs one
+    * predicate scan plus a kilobyte-scale write — not a table rewrite;
+    * the data dirs are untouched (spec pins byte-identity), so older
+    * snapshots and caches stay valid. Three-valued logic matches
+    * [[purge]]'s law mirrored: only rows where the predicate is
+    * definitely TRUE are deleted; NULL keeps the row. The bytes remain
+    * on disk (this is NOT erasure — use [[purge]]+[[vacuum]] for that);
+    * [[compact]] materializes dvs away because [[read]] applies them
+    * before the rewrite.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    val v = parentV + 1
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(m.refs.map(d => s"$table/data/$d"): _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    // rows already deleted by an earlier dv must not be re-coordinated —
+    // harmless for correctness but would grow dvs without bound on
+    // repeated deletes of overlapping predicates
+    val dels = subtractDvs(spark, table, scan, m.dvs, "__file", "__pos")
+      .filter(predicate) // definite TRUE only: NULL keeps the row
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+    val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
+    dels.coalesce(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
+    if (!writeManifest(spark, table, v, "delete", m.refs, m.schemaJson,
+        m.dvs :+ dvDir)) {
+      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    }
+    v
   }
 
   /** [[commit]] + executor-side stats harvest into the new data dir's
@@ -215,7 +309,7 @@ object Versioned {
   def commitWithStats(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String], overwrite: Boolean = false): Long = {
     val v = commit(spark, table, df, overwrite)
-    val newDir = readManifest(spark, table, v)._2.last
+    val newDir = readManifest(spark, table, v).refs.last
     Layout.writeStatsManifest(spark, s"$table/data/$newDir", statsCols)
     v
   }
@@ -232,7 +326,8 @@ object Versioned {
     import org.apache.spark.sql.functions.{col, lit}
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
-    val refs = readManifest(spark, table, v)._2
+    val m = readManifest(spark, table, v)
+    val refs = m.refs
     val (statted, unstatted) = refs.map { d =>
       val dir = s"$table/data/$d"
       val f = fs(spark, new Path(dir))
@@ -254,12 +349,17 @@ object Versioned {
       fs(spark, new Path(dir)).listStatus(new Path(dir))
         .count(_.getPath.getName.endsWith(".parquet"))
     }.sum
+    // dvs subtract per scan frame: `_metadata` resolves only on the
+    // file-scan relation itself, and a dv can only ever remove rows —
+    // the file-level keep decision is unaffected
     val frames =
       (if (keptStatted.nonEmpty)
-        Seq(spark.read.option("mergeSchema", "true").parquet(keptStatted: _*))
+        Seq(applyDvs(spark, table,
+          spark.read.option("mergeSchema", "true").parquet(keptStatted: _*), m.dvs))
       else Seq.empty) ++
       (if (conservative.nonEmpty)
-        Seq(spark.read.option("mergeSchema", "true").parquet(conservative: _*))
+        Seq(applyDvs(spark, table,
+          spark.read.option("mergeSchema", "true").parquet(conservative: _*), m.dvs))
       else Seq.empty)
     val base = frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(read(spark, table, Some(v)).limit(0))
@@ -334,7 +434,10 @@ object Versioned {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val live = latestVersion(spark, table).map { latest =>
       (math.max(1L, latest - retainLast + 1) to latest)
-        .flatMap(v => readManifest(spark, table, v)._2).toSet
+        .flatMap { v =>
+          val m = readManifest(spark, table, v)
+          m.refs ++ m.dvs
+        }.toSet
     }.getOrElse(Set.empty)
     val dataRoot = new Path(s"$table/data")
     val f = fs(spark, dataRoot)

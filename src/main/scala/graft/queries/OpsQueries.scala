@@ -275,6 +275,49 @@ object OpsQueries extends graft.QueryModule {
         .select($"n_table", $"n_disk", $"sum_price", $"min_key")
     }),
 
+    // DELETION VECTORS — merge-on-read DELETE (Delta DV / Iceberg v2
+    // position-delete shape on plain parquet): two successive
+    // `deleteWhere` calls commit only tiny (file, row-position) sidecar
+    // parquets; the data files are REQUIRED in-query to stay
+    // byte-identical (path+length fingerprint before vs after — the
+    // whole point: deleting 0.01% of a petabyte must not rewrite it).
+    // Readers subtract the coordinates via a broadcast anti-join, so
+    // the corpus side never shuffles. Snapshots at v1 (pre-delete), v2
+    // (first dv), v3 (both dvs) are aggregated through time travel;
+    // the oracle reconstructs all three from `orders`, pinning the
+    // delete law, dv composition, AND that history survives. NULL
+    // three-valued logic and compact-materialization are VersionedSpec
+    // laws; erasure (bytes off disk) is q_purge_vacuum's.
+    "q_delete_vectors" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_dv_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders.repartition(8))
+      def fingerprint: Set[(String, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$t/data"))
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getPath.contains("/dv"))
+          .map(f => (f.getPath, f.length())).toSet
+      }
+      val before = fingerprint
+      graft.ops.Versioned.deleteWhere(s, t, $"o_orderkey" % 10 === 3)
+      graft.ops.Versioned.deleteWhere(s, t, $"o_custkey" % 97 === 5)
+      require(fingerprint == before,
+        "a dv delete must leave every data file byte-identical")
+      Seq(1L, 2L, 3L).map { v =>
+        graft.ops.Versioned.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            sum($"o_custkey").as("sum_cust"))
+          .select(lit(v).as("version"), $"n", $"sum_price", $"sum_cust")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
     // SCHEMA DRIFT across versioned commits (round-8 verdict item 6):
     // v1 seeds (key, price); v2 APPENDS rows carrying a NEW column
     // (p_brand). The snapshot read must merge schemas — v1's rows
@@ -686,6 +729,26 @@ object OpsQueries extends graft.QueryModule {
         |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) FROM v2
         |)
         |SELECT version, n, sum_price FROM snap ORDER BY version""".stripMargin,
+    "q_delete_vectors" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |),
+        |v2 AS (SELECT * FROM v1 WHERE NOT (o_orderkey % 10 = 3)),
+        |v3 AS (SELECT * FROM v2 WHERE NOT (o_custkey % 97 = 5)),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust
+        |  FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v2
+        |  UNION ALL SELECT CAST(3 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v3
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
     "q_file_skipping_2d" ->
       s"""WITH d AS (
          |  SELECT o_orderkey, o_custkey % 256 AS ca,

@@ -199,4 +199,82 @@ class VersionedSpec extends SparkSpec {
       s"vacuum must reclaim the whole pre-compact chain, got $deleted")
     assert(rows(Versioned.read(spark, t)) == before)
   }
+
+  /** (path, length) of every data file under the table's data dirs —
+    * the byte-identity fingerprint for the no-rewrite laws.
+    */
+  private def dataFileFingerprint(t: String): Set[(String, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$t/data"))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("/dv"))
+      .map(f => (f.getPath, f.length())).toSet
+  }
+
+  test("deleteWhere is merge-on-read: rows vanish, data files stay byte-identical") {
+    val t = tmpDir("versioned-dv") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val before = dataFileFingerprint(t)
+    val v = Versioned.deleteWhere(spark, t, $"id" % 10 === 3L)
+    assert(v == 2L)
+    assert(dataFileFingerprint(t) == before,
+      "a dv delete must not rewrite or add any data file")
+    val ids = Versioned.read(spark, t).select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == (1 to 100).filterNot(_ % 10 == 3).map(_.toLong).toSet)
+    // time travel: the pre-delete snapshot still shows every row
+    assert(Versioned.read(spark, t, Some(1)).count() == 100)
+  }
+
+  test("deleteWhere three-valued logic: NULL-evaluating predicate keeps the row") {
+    val t = tmpDir("versioned-dv-null") + "/t"
+    Versioned.commit(spark, t,
+      Seq((Some(1L), "keep"), (Some(7L), "gone"), (None, "nullkey")).toDF("id", "s"))
+    Versioned.deleteWhere(spark, t, $"id" === 7L)
+    val kept = Versioned.read(spark, t).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((1L, "keep"), (-1L, "nullkey")))
+  }
+
+  test("dv deletes compose, survive appends, and compact materializes them away") {
+    val t = tmpDir("versioned-dv-compose") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 50).map(i => (i.toLong, "a")).toDF("id", "s"))
+    Versioned.deleteWhere(spark, t, $"id" <= 10L)
+    // append AFTER a delete: the new manifest must carry the dv forward
+    Versioned.commit(spark, t,
+      (51 to 60).map(i => (i.toLong, "b")).toDF("id", "s"))
+    assert(Versioned.read(spark, t).count() == 50,
+      "append must not resurrect dv-deleted rows")
+    // second delete composes with the first
+    Versioned.deleteWhere(spark, t, $"id" > 55L)
+    val ids = Versioned.read(spark, t).select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == (11 to 55).map(_.toLong).toSet)
+    // rollback to the post-first-delete version restores its dv view
+    val rb = Versioned.rollback(spark, t, 2L)
+    assert(Versioned.read(spark, t, Some(rb)).count() == 40)
+    // compact (of the live latest = rollback view) folds dvs into data
+    Versioned.compact(spark, t, numFiles = 2)
+    val latest = Versioned.latestVersion(spark, t).get
+    val m = Versioned.readManifest(spark, t, latest)
+    assert(m.dvs.isEmpty, "compact must materialize deletion vectors away")
+    assert(Versioned.read(spark, t).count() == 40)
+    // vacuum reclaims the dv dirs along with the superseded data dirs
+    val deleted = Versioned.vacuum(spark, t)
+    assert(deleted.exists(_.startsWith("dv")),
+      s"vacuum must sweep unreferenced dv dirs, got $deleted")
+    assert(Versioned.read(spark, t).count() == 40)
+  }
+
+  test("skipRead applies deletion vectors on the pruned scan") {
+    val t = tmpDir("versioned-dv-skip") + "/t"
+    val a = (1 to 400).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(a, Seq($"id"), 4), Seq("id"))
+    Versioned.deleteWhere(spark, t, $"id" >= 60L && $"id" <= 70L)
+    val (pruned, kept, total) = Versioned.skipRead(spark, t, "id", "50", "120")
+    assert(kept < total, s"pruning must still bite: $kept of $total")
+    assert(pruned.count() == 71 - 11,
+      "the pruned scan must subtract dv rows inside the range")
+  }
 }
