@@ -458,6 +458,19 @@ object Layout {
   private def manifestDecisionPaths(spark: org.apache.spark.sql.SparkSession,
       statsPaths: Seq[String], column: String, lo: String, hi: String)
       : (Seq[String], Int, String) = {
+    val (decided, typ) = manifestFileDecisions(spark, statsPaths, column, lo, hi)
+    (decided.filter(_._2).map(_._1).sorted, decided.length, typ)
+  }
+
+  /** Per-FILE keep verdicts from the manifests — the file-granular form
+    * of the decision, for callers that must restrict it to a referenced
+    * subset of each dir's files ([[Versioned.skipRead]] /
+    * [[Versioned.mergePruned]] after a file-granular merge commit).
+    */
+  private[graft] def manifestFileDecisions(
+      spark: org.apache.spark.sql.SparkSession, statsPaths: Seq[String],
+      column: String, lo: String, hi: String)
+      : (Seq[(String, Boolean)], String) = {
     val man = spark.read.parquet(statsPaths: _*)
       .filter(col("column") === column)
     // typ is uniform per column (one writer); read it once, then decide
@@ -474,8 +487,7 @@ object Layout {
         (col("max_v").cast(typ) >= lit(lo).cast(typ) &&
          col("min_v").cast(typ) <= lit(hi).cast(typ)))
     val decided = man.select(col("file"), keepExpr.as("keep")).collect()
-    (decided.filter(_.getBoolean(1)).map(_.getString(0)).toSeq.sorted,
-      decided.length, typ)
+    (decided.map(r => (r.getString(0), r.getBoolean(1))).toSeq, typ)
   }
 
   /** Metadata-only `COUNT(*)`: the table's row count summed from the

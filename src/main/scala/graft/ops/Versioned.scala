@@ -218,6 +218,106 @@ object Versioned {
       spark.read.option("mergeSchema", "true").parquet(dirs: _*), m.dvs)
   }
 
+  /** Manifest refs are dir names (whole dir referenced) or — after a
+    * [[mergePruned]] commit — file-granular `dir/file.parquet` entries.
+    * Group by top-level dir: `None` = every file, `Some(names)` = only
+    * those. A dir referenced both ways collapses to whole-dir.
+    */
+  private def groupRefsByDir(refs: Seq[String])
+      : Map[String, Option[Set[String]]] =
+    refs.groupBy(_.takeWhile(_ != '/')).map { case (d, rs) =>
+      d -> (if (rs.exists(!_.contains('/'))) None
+            else Some(rs.map(_.split('/').last).toSet))
+    }
+
+  /** MERGE (upsert) that rewrites ONLY the files that can contain the
+    * batch's keys — the Delta/Iceberg copy-on-write file-pruning shape:
+    * the batch's key [min, max] is compared against each referenced
+    * file's stats-manifest range; files outside it are provably
+    * key-disjoint and stay referenced AS-IS (file-granular refs, zero
+    * bytes rewritten), files inside it are anti-joined against the
+    * batch keys (broadcast — the corpus side never shuffles) and
+    * rewritten together with the batch into one new range-sorted,
+    * stats-carrying data dir.
+    *
+    * 100 TB shape: upserting a day's delta into a key-sorted petabyte
+    * table touches the files spanning the delta's key range — cost
+    * tracks the DELTA, not the table. Files in dirs without a stats
+    * manifest are conservatively treated as touched. Returns
+    * (version, files rewritten, files kept as-is).
+    */
+  def mergePruned(spark: SparkSession, table: String, batch: DataFrame,
+      key: String, statsCols: Seq[String], numFiles: Int = 8)
+      : (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, max, min}
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    val parentSchema = m.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    parentSchema.foreach { ps =>
+      require(ps.fieldNames.sorted.sameElements(batch.schema.fieldNames.sorted),
+        s"merge batch columns ${batch.columns.mkString(",")} must match table ${ps.fieldNames.mkString(",")}")
+      val conflicts = typeConflicts(ps, batch.schema)
+      require(conflicts.isEmpty,
+        s"incompatible merge batch schema: ${conflicts.mkString("; ")}")
+    }
+    val bounds = batch.agg(
+      min(col(key)).cast("string"), max(col(key)).cast("string")).head()
+    require(!bounds.isNullAt(0),
+      "mergePruned needs a non-empty batch with non-null keys")
+    val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    val byDir = groupRefsByDir(m.refs)
+    val dirInfo = byDir.toSeq.map { case (d, files) =>
+      val dir = s"$table/data/$d"
+      (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
+    }
+    val statted = dirInfo.filter(_._4)
+    val decided: Seq[(String, Boolean)] =
+      if (statted.isEmpty) Seq.empty
+      else {
+        val (all, _) = Layout.manifestFileDecisions(spark,
+          statted.map(_._2 + "/_stats"), key, lo, hi)
+        val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
+        all.filter { case (abs, _) =>
+          val p = new Path(abs)
+          restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+        }
+      }
+    // touched = stats overlap with the batch's key range, plus every
+    // file of a manifest-less dir (conservative: might hold any key)
+    val touchedStatted = decided.filter(_._2).map(_._1)
+    val untouchedRefs = decided.filterNot(_._2).map { case (abs, _) =>
+      val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
+    }.sorted
+    val touchedConservative = dirInfo.filterNot(_._4).flatMap {
+      case (_, dir, files, _) => files match {
+        case Some(names) => names.toSeq.map(n => s"$dir/$n")
+        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      }
+    }
+    val touched = touchedStatted ++ touchedConservative
+    val live =
+      if (touched.isEmpty) batch.limit(0)
+      else applyDvs(spark, table,
+          spark.read.option("mergeSchema", "true").parquet(touched: _*), m.dvs)
+        .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_anti")
+    val merged = live.unionByName(batch, allowMissingColumns = true)
+    val v = parentV + 1
+    val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
+    Layout.writeSorted(merged, Seq(col(key)), numFiles,
+      s"$table/data/$dirName", statsCols = statsCols)
+    if (!writeManifest(spark, table, v, "merge", untouchedRefs :+ dirName,
+        Some(batch.schema.json), m.dvs)) {
+      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dirName"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    }
+    (v, touched.size, untouchedRefs.size)
+  }
+
   /** Subtract the deletion vectors from a parquet scan frame: every dv
     * row is one (file, pos) coordinate produced by the hidden
     * `_metadata` columns at [[deleteWhere]] time, subtracted here by a
@@ -327,28 +427,46 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
-    val refs = m.refs
-    val (statted, unstatted) = refs.map { d =>
+    val byDir = groupRefsByDir(m.refs)
+    val (statted, unstatted) = byDir.toSeq.map { case (d, files) =>
       val dir = s"$table/data/$d"
       val f = fs(spark, new Path(dir))
       require(f.exists(new Path(dir)),
         s"version $v references vacuumed data dir $d — time travel past retention")
-      (dir, f.exists(new Path(s"$dir/_stats")))
-    }.partition(_._2)
+      (dir, files, f.exists(new Path(s"$dir/_stats")))
+    }.partition(_._3)
     // ONE metadata job over every referenced dir's manifest (they share a
     // schema and record absolute file paths, so the decision is global) —
     // not a per-commit read loop: a 1000-append snapshot costs the same
-    // planning IO as a 1-dir table.
-    val (keptStatted, totalStatted) =
-      if (statted.isEmpty) (Seq.empty[String], 0)
-      else Layout.manifestKeepFilesMulti(spark,
-        statted.map(_._1 + "/_stats"), column, lo, hi)
-    // manifest-less dirs (plain commits): conservative — every file scans
-    val conservative = unstatted.map(_._1)
-    val nConservative = conservative.map { dir =>
-      fs(spark, new Path(dir)).listStatus(new Path(dir))
-        .count(_.getPath.getName.endsWith(".parquet"))
-    }.sum
+    // planning IO as a 1-dir table. A file-granular ref set (written by
+    // [[mergePruned]]) restricts the dir's decisions to the files the
+    // snapshot still references.
+    val decided: Seq[(String, Boolean)] =
+      if (statted.isEmpty) Seq.empty
+      else {
+        val (all, _) = Layout.manifestFileDecisions(spark,
+          statted.map(_._1 + "/_stats"), column, lo, hi)
+        val restrict = statted.map { case (dir, files, _) =>
+          new Path(dir).getName -> files
+        }.toMap
+        all.filter { case (abs, _) =>
+          val p = new Path(abs)
+          restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+        }
+      }
+    val keptStatted = decided.filter(_._2).map(_._1).sorted
+    val totalStatted = decided.length
+    // manifest-less dirs (plain commits): conservative — every
+    // referenced file scans
+    val conservativeFiles = unstatted.flatMap { case (dir, files, _) =>
+      files match {
+        case Some(names) => names.toSeq.map(n => s"$dir/$n")
+        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      }
+    }
+    val conservative = conservativeFiles
+    val nConservative = conservativeFiles.size
     // dvs subtract per scan frame: `_metadata` resolves only on the
     // file-scan relation itself, and a dv can only ever remove rows —
     // the file-level keep decision is unaffected
@@ -436,7 +554,11 @@ object Versioned {
       (math.max(1L, latest - retainLast + 1) to latest)
         .flatMap { v =>
           val m = readManifest(spark, table, v)
-          m.refs ++ m.dvs
+          // a file-granular ref keeps its WHOLE dir alive (vacuum works
+          // at dir granularity — conservative: unreferenced neighbors in
+          // a partially-referenced dir survive until a compact folds
+          // the refs back to dir granularity)
+          (m.refs ++ m.dvs).map(_.takeWhile(_ != '/'))
         }.toSet
     }.getOrElse(Set.empty)
     val dataRoot = new Path(s"$table/data")

@@ -266,6 +266,72 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 40)
   }
 
+  test("mergePruned rewrites only key-range-touched files; result equals a full upsert") {
+    val t = tmpDir("versioned-merge") + "/t"
+    val base = (1 to 800).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(base, Seq($"id"), 8), Seq("id"))
+    val before = dataFileFingerprint(t)
+    // batch: updates confined to [700, 800] plus inserts beyond max
+    val batch = ((700 to 800).map(i => (i.toLong, -1L)) ++
+      (801 to 820).map(i => (i.toLong, i * 10L))).toDF("id", "v")
+    val (v, touched, untouched) =
+      Versioned.mergePruned(spark, t, batch, "id", Seq("id"))
+    assert(v == 2L)
+    assert(untouched > 0, "files outside the batch's key range must survive as-is")
+    assert(touched < touched + untouched, "some files must be rewritten")
+    // the untouched files are byte-identical on disk
+    val after = dataFileFingerprint(t)
+    val survivors = before.intersect(after)
+    assert(survivors.size >= untouched,
+      s"untouched files must not be rewritten: ${survivors.size} of $untouched")
+    // content law: mergePruned == full upsert
+    val got = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ((1 to 699).map(i => (i.toLong, i * 10L)) ++
+      (700 to 800).map(i => (i.toLong, -1L)) ++
+      (801 to 820).map(i => (i.toLong, i * 10L))).toSet
+    assert(got == want)
+    // time travel: the pre-merge snapshot is intact
+    assert(Versioned.read(spark, t, Some(1)).count() == 800)
+    // skipRead through the file-granular refs: prunes AND answers exactly
+    val (pruned, kept, total) = Versioned.skipRead(spark, t, "id", "100", "200")
+    assert(kept < total, s"pruning must bite on the merged snapshot: $kept of $total")
+    assert(pruned.count() == 101)
+    val (prunedHot, _, _) = Versioned.skipRead(spark, t, "id", "700", "820")
+    assert(prunedHot.agg(org.apache.spark.sql.functions.sum($"v")).head.getLong(0) ==
+      (700 to 800).map(_ => -1L).sum + (801 to 820).map(_ * 10L).sum)
+  }
+
+  test("mergePruned composes with deletion vectors and dir-level vacuum stays conservative") {
+    val t = tmpDir("versioned-merge-dv") + "/t"
+    val base = (1 to 400).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(base, Seq($"id"), 4), Seq("id"))
+    Versioned.deleteWhere(spark, t, $"id" <= 50L)
+    // merge touching the TOP of the range; dv-deleted rows must not return
+    val batch = (380 to 410).map(i => (i.toLong, -5L)).toDF("id", "v")
+    val (v, _, untouched) = Versioned.mergePruned(spark, t, batch, "id", Seq("id"))
+    assert(untouched > 0)
+    val got = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ((51 to 379).map(i => (i.toLong, i * 10L)) ++
+      (380 to 410).map(i => (i.toLong, -5L))).toSet
+    assert(got == want, "merge must keep dv deletes applied")
+    // vacuum keeps the partially-referenced dir (dir granularity)
+    Versioned.vacuum(spark, t)
+    assert(Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == want,
+      "vacuum must not delete a dir whose files are still partially referenced")
+    // compact folds file-granular refs back to one whole dir; then vacuum
+    // CAN reclaim the old dirs
+    Versioned.compact(spark, t, numFiles = 2, statsCols = Seq("id"))
+    val deleted = Versioned.vacuum(spark, t)
+    assert(deleted.nonEmpty, "post-compact vacuum must reclaim superseded dirs")
+    assert(Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+  }
+
   test("skipRead applies deletion vectors on the pruned scan") {
     val t = tmpDir("versioned-dv-skip") + "/t"
     val a = (1 to 400).map(i => (i.toLong, s"a$i")).toDF("id", "s")
