@@ -332,6 +332,18 @@ class VersionedSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == want)
   }
 
+  test("dv subtraction plans as a broadcast anti-join: the corpus side never shuffles") {
+    val t = tmpDir("versioned-dv-plan") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    Versioned.deleteWhere(spark, t, $"id" % 7 === 0L)
+    val p = Versioned.read(spark, t).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"dv apply must be a broadcast anti-join:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "a dv subtract that sort-merge-joins would shuffle the whole corpus")
+  }
+
   test("skipRead applies deletion vectors on the pruned scan") {
     val t = tmpDir("versioned-dv-skip") + "/t"
     val a = (1 to 400).map(i => (i.toLong, s"a$i")).toDF("id", "s")
