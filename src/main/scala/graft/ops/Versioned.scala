@@ -247,9 +247,9 @@ object Versioned {
     * (version, files rewritten, files kept as-is).
     */
   def mergePruned(spark: SparkSession, table: String, batch: DataFrame,
-      key: String, statsCols: Seq[String], numFiles: Int = 8)
-      : (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{broadcast, col, max, min}
+      key: String, statsCols: Seq[String], numFiles: Int = 8,
+      versionCol: Option[String] = None): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, desc, lit, max, min, row_number}
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
@@ -299,12 +299,35 @@ object Versioned {
       }
     }
     val touched = touchedStatted ++ touchedConservative
-    val live =
+    val touchedDf =
       if (touched.isEmpty) batch.limit(0)
       else applyDvs(spark, table,
-          spark.read.option("mergeSchema", "true").parquet(touched: _*), m.dvs)
-        .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_anti")
-    val merged = live.unionByName(batch, allowMissingColumns = true)
+        spark.read.option("mergeSchema", "true").parquet(touched: _*), m.dvs)
+    // Two merge disciplines:
+    //  - LAST-WRITER-WINS (versionCol=None): the batch unconditionally
+    //    replaces matching target rows — a broadcast anti-join, the
+    //    touched slice never shuffles. Correct when batches arrive in
+    //    order (the batch caller's contract).
+    //  - MAX-VERSION-WINS (versionCol=Some): per key the highest
+    //    `versionCol` row survives, batch beating target on ties — ONE
+    //    window shuffle of the TOUCHED SLICE ONLY (never the table), and
+    //    merges become idempotent, replay-safe, and order-tolerant: the
+    //    streaming discipline, where micro-batch boundaries and
+    //    redelivery are not under the caller's control.
+    val merged = versionCol match {
+      case None =>
+        touchedDf
+          .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_anti")
+          .unionByName(batch, allowMissingColumns = true)
+      case Some(vc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(desc(vc), desc("__src"))
+        touchedDf.withColumn("__src", lit(0))
+          .unionByName(batch.withColumn("__src", lit(1)),
+            allowMissingColumns = true)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__src", "__rn")
+    }
     val v = parentV + 1
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     Layout.writeSorted(merged, Seq(col(key)), numFiles,
@@ -488,6 +511,96 @@ object Versioned {
     (base.filter(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)),
       keptStatted.size + nConservative,
       totalStatted + nConservative)
+  }
+
+  /** Expand a ref list to file granularity: `dir/file.parquet` relative
+    * paths (dir refs list their parquet files).
+    */
+  private def expandRefFiles(spark: SparkSession, table: String,
+      refs: Seq[String]): Set[String] =
+    refs.flatMap { r =>
+      if (r.contains('/')) Seq(r)
+      else {
+        val dir = new Path(s"$table/data/$r")
+        fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).map(n => s"$r/$n")
+      }
+    }.toSet
+
+  /** CHANGE DATA FEED — the row-level delta of commit `v` against its
+    * parent (Delta CDF / `table_changes` shape): a frame of the
+    * snapshot's row columns plus `change_type` ('insert' | 'delete'; an
+    * update appears as its old image deleted + new image inserted).
+    * The apply law (spec-pinned) is `read(v-1) ⊎ inserts ⊖ deletes ==
+    * read(v)` as multisets.
+    *
+    * Cost is bounded by the CHURNED FILES, never the table — the whole
+    * point of computing the feed from commit metadata instead of
+    * diffing snapshots:
+    *  - append: the new dir scans as inserts, zero diff work;
+    *  - deleteWhere: the new dv's coordinates join back to ONLY the
+    *    files they name (semi-join on (file, pos));
+    *  - mergePruned: removed-file rows ⊖ added-file rows — the touched
+    *    slice; provably-untouched files never scan. Rows rewritten
+    *    byte-identically cancel in the exceptAll.
+    * An overwrite/compact/rollback churns everything it references —
+    * the honest worst case, same as Delta CDF without per-op tracking.
+    */
+  def changes(spark: SparkSession, table: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(v >= 1, s"version must be >= 1, got $v")
+    val cur = readManifest(spark, table, v)
+    val prev: Manifest =
+      if (v == 1) Manifest("none", Seq.empty, Seq.empty, None)
+      else readManifest(spark, table, v - 1)
+    val curF = expandRefFiles(spark, table, cur.refs)
+    val prevF = expandRefFiles(spark, table, prev.refs)
+    val added = (curF -- prevF).toSeq.sorted.map(r => s"$table/data/$r")
+    val removed = (prevF -- curF).toSeq.sorted.map(r => s"$table/data/$r")
+    val newDvs = cur.dvs.filterNot(prev.dvs.toSet)
+    // report in the CURRENT version's schema; pre-evolution rows
+    // null-fill added columns exactly as read() presents them
+    val curSchema = cur.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    def align(df: DataFrame): DataFrame = curSchema.fold(df) { sch =>
+      df.select(sch.fieldNames.map(n =>
+        if (df.columns.contains(n)) col(n)
+        else lit(null).cast(sch(n).dataType).as(n)): _*)
+    }
+    val empty = align(read(spark, table, Some(v)).limit(0))
+    val inserts =
+      if (added.isEmpty) empty
+      else align(spark.read.option("mergeSchema", "true").parquet(added: _*))
+    // removed-file rows already dv-deleted at v-1 were reported when
+    // their dv landed — mask them out so nothing is double-reported
+    val removedRows =
+      if (removed.isEmpty) empty
+      else align(applyDvs(spark, table,
+        spark.read.option("mergeSchema", "true").parquet(removed: _*),
+        prev.dvs))
+    // a NEW dv names exactly the files holding its coordinates — scan
+    // only those, semi-join on (file, pos)
+    val dvDeleted =
+      if (newDvs.isEmpty) empty
+      else {
+        val dv = spark.read.parquet(newDvs.map(d => s"$table/data/$d"): _*)
+        val dvFiles = dv.select(col("file")).distinct().collect()
+          .map(_.getString(0)).toSeq.sorted
+        if (dvFiles.isEmpty) empty
+        else {
+          val scan = spark.read.option("mergeSchema", "true").parquet(dvFiles: _*)
+            .withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+          align(scan.join(broadcast(dv.select(col("file").as("__file"),
+              col("pos").as("__pos"))), Seq("__file", "__pos"), "left_semi")
+            .drop("__file", "__pos"))
+        }
+      }
+    val deletes = removedRows.unionByName(dvDeleted)
+    // rewrites that carried a row over unchanged cancel out (multiset)
+    inserts.exceptAll(deletes).withColumn("change_type", lit("insert"))
+      .unionByName(deletes.exceptAll(inserts).withColumn("change_type", lit("delete")))
   }
 
   /** OPTIMIZE — the small-files compaction every append-heavy table

@@ -359,6 +359,46 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // CHANGE DATA FEED (Versioned.changes — the Delta CDF /
+    // table_changes shape): three commit kinds land on the seeded table
+    // — a dv DELETE, a stats-pruned MERGE (updates surface as old-image
+    // delete + new-image insert; rows of touched files carried over
+    // unchanged CANCEL, and provably-untouched files never even scan —
+    // the feed's cost is the churn, not the table), then an APPEND
+    // (inserts with zero diff work). Each version's feed is aggregated
+    // per change_type; the oracle reconstructs the ideal deltas from
+    // `orders`, so one hash pins the per-kind extraction rules AND the
+    // cancellation exactness. The apply law (read(v-1)+ins-del ==
+    // read(v), every kind incl. overwrite) is VersionedSpec's.
+    "q_change_feed" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_cdf_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("pr"))
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(base, Seq($"k"), 16), Seq("k"))
+      graft.ops.Versioned.deleteWhere(s, t, $"k" % 10 === 3)
+      val mk = base.agg(max($"k")).head().getLong(0)
+      val hot = base.filter($"k" >= mk * 9L / 10L)
+      graft.ops.Versioned.mergePruned(s, t,
+        hot.select($"k", (-$"pr").as("pr"))
+          .unionByName(hot.select(($"k" + mk).as("k"), $"pr")),
+        "k", Seq("k"), 16)
+      graft.ops.Versioned.commit(s, t,
+        base.filter($"k" % 10 === 7).select(($"k" + 2L * mk).as("k"), $"pr"))
+      Seq(2L, 3L, 4L).map { v =>
+        graft.ops.Versioned.changes(s, t, v)
+          .groupBy($"change_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"pr".cast("decimal(30,2)")).cast("double").as("sum_pr"),
+            min($"k").as("min_k"), max($"k").as("max_k"))
+          .select(lit(v).as("version"), $"change_type", $"n", $"sum_pr",
+            $"min_k", $"max_k")
+      }.reduce(_.unionByName(_)).orderBy($"version", $"change_type")
+    }),
+
     // SCHEMA DRIFT across versioned commits (round-8 verdict item 6):
     // v1 seeds (key, price); v2 APPENDS rows carrying a NEW column
     // (p_brand). The snapshot read must merge schemas — v1's rows
@@ -790,6 +830,26 @@ object OpsQueries extends graft.QueryModule {
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,
+    "q_change_feed" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS pr FROM orders),
+        |mx AS (SELECT MAX(k) AS mk FROM base),
+        |hot AS (SELECT * FROM base WHERE k >= (SELECT mk * 9 // 10 FROM mx)),
+        |ch AS (
+        |  SELECT CAST(2 AS bigint) AS version, 'delete' AS change_type, k, pr
+        |  FROM base WHERE k % 10 = 3
+        |  UNION ALL SELECT CAST(3 AS bigint), 'insert', k, -pr FROM hot
+        |  UNION ALL SELECT CAST(3 AS bigint), 'insert',
+        |    k + (SELECT mk FROM mx), pr FROM hot
+        |  UNION ALL SELECT CAST(3 AS bigint), 'delete', k, pr FROM hot
+        |  WHERE k % 10 <> 3
+        |  UNION ALL SELECT CAST(4 AS bigint), 'insert',
+        |    k + 2 * (SELECT mk FROM mx), pr FROM base WHERE k % 10 = 7
+        |)
+        |SELECT version, change_type, COUNT(1) AS n,
+        |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM ch GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
     "q_merge_pruned" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

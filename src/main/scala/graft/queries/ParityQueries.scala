@@ -222,6 +222,67 @@ object ParityQueries extends graft.QueryModule {
       s.table(tbl).orderBy($"k")
     }),
 
+    // STREAMING MERGE into a VERSIONED table (Streams.mergeStreamVersioned
+    // over Versioned.mergePruned in MAX-VERSION-WINS discipline — the
+    // lakehouse streaming-upsert composition): the target seeds as a
+    // key-sorted, stats-carrying versioned commit; the feed ships two
+    // files (overlapping key bands, ver 1 then ver 2, plus inserts past
+    // max) that arrive as separate micro-batches, each committing a
+    // pruned merge — only the files spanning that batch's key band are
+    // rewritten (REQUIRED in-query: the final manifest still carries
+    // file-granular survivor refs), every batch boundary is
+    // time-travelable, and the version column — not arrival order —
+    // decides each key (VersionedSpec pins out-of-order/replay
+    // convergence). The oracle reconstructs the max-version closure per
+    // version band.
+    "q_stream_merge" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_streammerge_${ProcessHandle.current().pid()}"
+      val t = s"$root/t"; val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t, feed, ckpt))
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), lit(0L).as("ver"),
+          $"o_totalprice".as("pr"))
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(base, Seq($"k"), 16), Seq("k"))
+      val maxk = base.agg(max($"k")).head().getLong(0)
+      val lo = maxk * 9L / 10L
+      val mid = maxk * 95L / 100L
+      val f1 = base.filter($"k" >= lo)
+        .select($"k", lit(1L).as("ver"), (-$"pr").as("pr"))
+      val f2 = base.filter($"k" >= mid)
+        .select($"k", lit(2L).as("ver"), ($"pr" * 2).as("pr"))
+        .unionByName(base.filter($"k" >= mid)
+          .select(($"k" + maxk).as("k"), lit(2L).as("ver"), $"pr"))
+      def ship(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .head.toPath
+        val dest = java.nio.file.Paths.get(s"$feed/$name.parquet")
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+      }
+      ship(f1, "f1_v1", 1000000000L)
+      ship(f2, "f2_v2", 1000000600L)
+      graft.streaming.Streams.mergeStreamVersioned(s, feed, t, "k", "ver",
+        ckpt, numFiles = 16, maxFilesPerBatch = Some(1))
+      val latest = graft.ops.Versioned.latestVersion(s, t).get
+      require(latest == 3L, s"two micro-batches must land two commits, at $latest")
+      val m = graft.ops.Versioned.readManifest(s, t, latest)
+      require(m.refs.exists(_.contains('/')),
+        "pruned merges must leave file-granular survivor refs in the manifest")
+      graft.ops.Versioned.read(s, t)
+        .groupBy($"ver")
+        .agg(count(lit(1)).as("n"),
+          sum($"pr".cast("decimal(30,2)")).cast("double").as("sum_pr"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"ver")
+    }),
+
     // Entity resolution over a deterministically dirtied master-data
     // relation: canonical names are 'cust-' + 10 md5 hex chars (high
     // entropy, byte-identical construction in both engines); keys %5==2
@@ -364,6 +425,34 @@ object ParityQueries extends graft.QueryModule {
     // identical closure: bucketing is a physical-layout choice and must
     // be invisible in the applied table
     "q_stream_cdc_bucketed" -> cdcClosureSql,
+    "q_stream_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(0 AS bigint) AS ver, o_totalprice AS pr
+        |  FROM orders
+        |),
+        |mx AS (SELECT MAX(k) AS mk FROM base),
+        |f1 AS (
+        |  SELECT k, CAST(1 AS bigint) AS ver, -pr AS pr FROM base
+        |  WHERE k >= (SELECT mk * 9 // 10 FROM mx)
+        |),
+        |f2 AS (
+        |  SELECT k, CAST(2 AS bigint) AS ver, pr * 2 AS pr FROM base
+        |  WHERE k >= (SELECT mk * 95 // 100 FROM mx)
+        |  UNION ALL
+        |  SELECT k + (SELECT mk FROM mx), CAST(2 AS bigint), pr FROM base
+        |  WHERE k >= (SELECT mk * 95 // 100 FROM mx)
+        |),
+        |merged AS (
+        |  SELECT k, ver, pr FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |    FROM (SELECT * FROM base UNION ALL
+        |          SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |  ) WHERE rn = 1
+        |)
+        |SELECT ver, COUNT(1) AS n,
+        |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM merged GROUP BY ver ORDER BY ver""".stripMargin,
     "q_entity_resolution" -> entityResolutionSql,
     // identical closure: the incremental protocol must land the exact
     // same assignment as the one-shot resolve

@@ -467,6 +467,42 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming MERGE into a VERSIONED table at delta cost — the lakehouse
+    * streaming-upsert composition: each micro-batch folds through
+    * [[graft.ops.Versioned.mergePruned]] in MAX-VERSION-WINS discipline,
+    * so (a) only the files whose stats range overlaps the batch's keys
+    * are rewritten — per-batch write cost tracks the batch, not the
+    * table; (b) every batch is a COMMIT — the table is time-travelable
+    * to any micro-batch boundary and readers never see a half-applied
+    * batch; (c) redelivered or re-ordered batches converge to the same
+    * state (the version column decides, not arrival order — spec law).
+    * The target stays key-sorted with fresh stats after every batch, so
+    * the pruning property is self-sustaining, exactly like the bucketed
+    * CDC loop keeps its bucketing.
+    */
+  def mergeStreamVersioned(spark: SparkSession, feedDir: String,
+      table: String, key: String, versionCol: String, checkpoint: String,
+      numFiles: Int = 8, maxFilesPerBatch: Option[Int] = None): Unit = {
+    val schema = spark.read.parquet(feedDir).schema
+    val r0 = spark.readStream.schema(schema)
+    val r1 = maxFilesPerBatch.fold(r0)(n =>
+      r0.option("maxFilesPerTrigger", n.toString))
+    val q = r1.parquet(feedDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        if (!b.isEmpty) {
+          graft.ops.Versioned.mergePruned(spark, table, b, key,
+            statsCols = Seq(key), numFiles = numFiles,
+            versionCol = Some(versionCol))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Dead-letter ingest — the bronze-layer contract `q_json_malformed`
     * pins for batch, at the STREAM boundary: a text stream of JSONL is
     * parsed PERMISSIVE per micro-batch; rows that parse land in the good

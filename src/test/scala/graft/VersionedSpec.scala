@@ -332,6 +332,82 @@ class VersionedSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == want)
   }
 
+  test("max-version merge: idempotent, order-tolerant, batch beats target on ties") {
+    def build(batches: Seq[org.apache.spark.sql.DataFrame]): Set[(Long, Long, String)] = {
+      val t = tmpDir("versioned-merge-ver") + "/t"
+      val base = (1 to 200).map(i => (i.toLong, 0L, s"base$i")).toDF("id", "ver", "s")
+      Versioned.commitWithStats(spark, t,
+        graft.ops.Layout.sortedByRange(base, Seq($"id"), 4), Seq("id"))
+      batches.foreach(b =>
+        Versioned.mergePruned(spark, t, b, "id", Seq("id"), versionCol = Some("ver")))
+      Versioned.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    val b1 = (150 to 180).map(i => (i.toLong, 1L, "b1")).toDF("id", "ver", "s")
+    val b2 = (170 to 210).map(i => (i.toLong, 2L, "b2")).toDF("id", "ver", "s")
+    val inOrder = build(Seq(b1, b2))
+    val want = ((1 to 149).map(i => (i.toLong, 0L, s"base$i")) ++
+      (150 to 169).map(i => (i.toLong, 1L, "b1")) ++
+      (170 to 210).map(i => (i.toLong, 2L, "b2"))).toSet
+    assert(inOrder == want)
+    assert(build(Seq(b2, b1)) == want,
+      "out-of-order delivery must converge: the version decides, not arrival")
+    assert(build(Seq(b1, b2, b2, b1)) == want,
+      "replayed batches must be no-ops on converged state")
+    // tie law: same key+version in batch and target — batch wins
+    val t = tmpDir("versioned-merge-tie") + "/t"
+    Versioned.commit(spark, t, Seq((1L, 5L, "target")).toDF("id", "ver", "s"))
+    Versioned.mergePruned(spark, t,
+      Seq((1L, 5L, "batch")).toDF("id", "ver", "s"), "id", Seq("id"),
+      versionCol = Some("ver"))
+    assert(Versioned.read(spark, t).collect().map(_.getString(2)).toSeq == Seq("batch"))
+  }
+
+  test("change feed: read(v-1) + inserts - deletes == read(v) for every commit kind") {
+    val t = tmpDir("versioned-cdf") + "/t"
+    val base = (1 to 300).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(base, Seq($"id"), 4), Seq("id")) // v1
+    Versioned.deleteWhere(spark, t, $"id" % 10 === 3L)                // v2 dv
+    Versioned.mergePruned(spark, t,                                   // v3 merge
+      ((250 to 280).map(i => (i.toLong, -1L)) ++
+        (301 to 310).map(i => (i.toLong, i * 10L))).toDF("id", "v"),
+      "id", Seq("id"))
+    Versioned.commit(spark, t,                                        // v4 append
+      (401 to 410).map(i => (i.toLong, 0L)).toDF("id", "v"))
+    Versioned.commit(spark, t,                                        // v5 overwrite
+      Seq((1L, 99L)).toDF("id", "v"), overwrite = true)
+    def bag(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.select($"id", $"v").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    (2L to 5L).foreach { v =>
+      val ch = Versioned.changes(spark, t, v)
+      val ins = bag(ch.filter($"change_type" === "insert"))
+      val del = bag(ch.filter($"change_type" === "delete"))
+      val prev = bag(Versioned.read(spark, t, Some(v - 1)))
+      val applied = (prev.keySet ++ ins.keySet).toSeq.map { k =>
+        k -> (prev.getOrElse(k, 0) + ins.getOrElse(k, 0) - del.getOrElse(k, 0))
+      }.filter(_._2 != 0).toMap
+      assert(applied == bag(Versioned.read(spark, t, Some(v))),
+        s"apply law failed at version $v")
+    }
+    // the delete commit reports EXACTLY the dv'd rows, no file churn noise
+    val ch2 = Versioned.changes(spark, t, 2L)
+    assert(ch2.filter($"change_type" === "insert").count() == 0)
+    assert(bag(ch2.filter($"change_type" === "delete")).keySet ==
+      (1 to 300).filter(_ % 10 == 3).map(i => (i.toLong, i * 10L)).toSet)
+    // the merge commit's feed never mentions rows of untouched files:
+    // every reported id is in the churned key space
+    val ch3 = Versioned.changes(spark, t, 3L)
+    val ids3 = ch3.select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids3.forall(id => id >= 250 && id <= 310),
+      s"untouched/unchanged rows leaked into the feed: ${ids3.filterNot(id => id >= 250 && id <= 310).toSeq.sorted.take(5)}")
+    // changes(1) = the seed itself, all inserts
+    val ch1 = Versioned.changes(spark, t, 1L)
+    assert(ch1.filter($"change_type" === "delete").count() == 0)
+    assert(ch1.count() == 300)
+  }
+
   test("dv subtraction plans as a broadcast anti-join: the corpus side never shuffles") {
     val t = tmpDir("versioned-dv-plan") + "/t"
     Versioned.commit(spark, t,
