@@ -522,6 +522,8 @@ object Versioned {
       if (r.contains('/')) Seq(r)
       else {
         val dir = new Path(s"$table/data/$r")
+        require(fs(spark, dir).exists(dir),
+          s"referenced data dir $r was vacuumed — change feed past retention")
         fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
           .filter(_.endsWith(".parquet")).map(n => s"$r/$n")
       }
@@ -601,6 +603,98 @@ object Versioned {
     // rewrites that carried a row over unchanged cancel out (multiset)
     inserts.exceptAll(deletes).withColumn("change_type", lit("insert"))
       .unionByName(deletes.exceptAll(inserts).withColumn("change_type", lit("delete")))
+  }
+
+  /** Metadata-only `COUNT(*)` of a snapshot — [[Layout.manifestRowCount]]
+    * composed with the commit log: Σ per-file `n_rows` over the
+    * snapshot's REFERENCED files (file-granular refs restrict the sum)
+    * minus the deletion vectors' row count. Zero data IO when every
+    * referenced dir carries a stats manifest; returns None otherwise
+    * (a wrong fast count is worse than a slow exact one).
+    */
+  def rowCount(spark: SparkSession, table: String,
+      version: Option[Long] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, v)
+    val byDir = groupRefsByDir(m.refs)
+    val missing = byDir.keys.exists { d =>
+      !fs(spark, new Path(s"$table/data/$d"))
+        .exists(new Path(s"$table/data/$d/_stats"))
+    }
+    if (missing) None
+    else {
+      val man = spark.read.parquet(
+        byDir.keys.toSeq.sorted.map(d => s"$table/data/$d/_stats"): _*)
+      val perFile = man.groupBy(col("file"))
+        .agg(org.apache.spark.sql.functions.max(col("n_rows")).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val restrict = byDir.map { case (d, files) => d -> files }
+      val referenced = perFile.filter { case (abs, _) =>
+        val p = new Path(abs)
+        restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+      }
+      val total = referenced.map(_._2).sum
+      // a dv coordinate on a file the snapshot no longer references
+      // (rewritten away by a merge) is inert — subtracting it would
+      // undercount; key the dv rows by (dir, file) suffix
+      val refSuffix = referenced.map { case (abs, _) =>
+        val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
+      }.toSet
+      val dvRows =
+        if (m.dvs.isEmpty) 0L
+        else spark.read.parquet(m.dvs.map(d => s"$table/data/$d"): _*)
+          .select(col("file")).collect().map(_.getString(0))
+          .count { f =>
+            val p = new Path(f); refSuffix(s"${p.getParent.getName}/${p.getName}")
+          }.toLong
+      Some(total - dvRows)
+    }
+  }
+
+  /** Consumer-side incremental change feed — [[changes]] with a durable
+    * CURSOR, the shape a downstream replica/materialized view actually
+    * consumes (Delta CDF's `startingVersion` + checkpoint): returns every
+    * change in `(cursor, latest]` tagged with its `version` column plus
+    * the version to [[ackCursor]] after a successful apply. Crash BEFORE
+    * the ack re-emits the same changes — at-least-once, which is exactly
+    * right when the downstream apply is keyed/idempotent (the CDC
+    * discipline this repo's `Cdc.apply` pins). Returns None when the
+    * cursor is already at the latest version.
+    */
+  def changesSince(spark: SparkSession, table: String,
+      cursorPath: String): Option[(DataFrame, Long)] = {
+    import org.apache.spark.sql.functions.lit
+    val latest = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val cp = new Path(cursorPath)
+    val f = fs(spark, cp)
+    val from: Long =
+      if (!f.exists(cp)) 0L
+      else {
+        val in = f.open(cp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    if (from >= latest) None
+    else Some((
+      (from + 1 to latest).map(v =>
+        changes(spark, table, v).withColumn("version", lit(v)))
+        .reduce(_.unionByName(_)),
+      latest))
+  }
+
+  /** Durably advance the change-feed cursor (staged write + rename). */
+  def ackCursor(spark: SparkSession, cursorPath: String, v: Long): Unit = {
+    val cp = new Path(cursorPath)
+    val f = fs(spark, cp)
+    val tmp = new Path(cursorPath + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (f.exists(cp)) f.delete(cp, false)
+    if (!f.rename(tmp, cp))
+      throw new java.io.IOException(s"cursor advance failed at $cursorPath")
   }
 
   /** OPTIMIZE — the small-files compaction every append-heavy table

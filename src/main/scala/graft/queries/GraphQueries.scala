@@ -163,6 +163,38 @@ object GraphQueries extends graft.QueryModule {
         .orderBy($"dist")
     }),
 
+    // INCREMENTAL hierarchy closure (ops/IncrementalHierarchy — the
+    // persisted-index discipline over the recursive closure): the heap
+    // forest is split at maxkey/2 — the store seeds with the top half
+    // of the tree, then ONE batch grafts the bottom half, whose chains
+    // attach both to stored nodes and to each other, so every crossing
+    // path exercises the attachment join. The oracle is the SAME
+    // recursive CTE as q_hierarchy_closure: the incremental protocol
+    // must land the exact closure the one-shot computes — per-dist
+    // pair counts, distinct ancestors, and node sums hash it all.
+    // Batch cost = closure of the NEW subtrees + one id-keyed join;
+    // the stored closure is never recomputed (HierarchySpec pins the
+    // three-batch composition, replay no-op, and reparent rejection).
+    "q_hierarchy_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val st = sys.props("java.io.tmpdir") +
+        s"/graft_inchier_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(st))
+      val e = partEdges(s, dir)
+      val cut = Tables(s, dir, "part")
+        .agg(max($"p_partkey")).head().getLong(0) / 2L
+      graft.ops.IncrementalHierarchy.init(s, st,
+        e.filter($"child" <= cut), "child", "parent")
+      graft.ops.IncrementalHierarchy.addBatch(s, st,
+        e.filter($"child" > cut), "child", "parent")
+      graft.ops.IncrementalHierarchy.closure(s, st)
+        .groupBy($"dist")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"anc").as("n_ancestors"),
+          sum($"node").as("sum_node"))
+        .orderBy($"dist")
+    }),
+
     // BOM-style SUBTREE ROLLUP over the same forest: every node's
     // retail-price sum over itself + all descendants (one closure join
     // + one keyed agg — the org-headcount/BOM-cost query). Checked for
@@ -180,8 +212,10 @@ object GraphQueries extends graft.QueryModule {
         .orderBy($"id")
     }))
 
-  def oracle: Map[String, String] = Map(
-    "q_hierarchy_closure" ->
+  // shared by q_hierarchy_closure and q_hierarchy_incremental: the
+  // incremental graft protocol must land the EXACT closure the one-shot
+  // computes — same oracle, same hash
+  private lazy val closureSql: String =
       """WITH RECURSIVE e AS (
         |  SELECT p_partkey AS child, p_partkey // 2 AS parent
         |  FROM part WHERE p_partkey >= 2
@@ -196,7 +230,11 @@ object GraphQueries extends graft.QueryModule {
         |  CAST(COUNT(1) AS bigint) AS n_pairs,
         |  CAST(COUNT(DISTINCT anc) AS bigint) AS n_ancestors,
         |  CAST(SUM(node) AS bigint) AS sum_node
-        |FROM clo GROUP BY dist ORDER BY dist""".stripMargin,
+        |FROM clo GROUP BY dist ORDER BY dist""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_hierarchy_closure" -> closureSql,
+    "q_hierarchy_incremental" -> closureSql,
     "q_hierarchy_rollup" ->
       """WITH RECURSIVE e AS (
         |  SELECT p_partkey AS child, p_partkey // 2 AS parent

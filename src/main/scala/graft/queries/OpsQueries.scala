@@ -399,6 +399,70 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version", $"change_type")
     }),
 
+    // CDF-FED DOWNSTREAM REPLICA (Versioned.changesSince + ackCursor —
+    // the consumer half of the change feed): the replica BOOTSTRAPS
+    // from the v1 snapshot and acks its cursor there (Delta CDF's
+    // `startingVersion` — a replica never replays the seed as feed),
+    // then follows ONLY the feed across two drains straddling three
+    // commit kinds (dv delete, pruned merge, append), each drain's
+    // versions applied IN ORDER to a keyed replica (delete = keyed
+    // anti-join, insert = append — the idempotent downstream the
+    // at-least-once contract assumes). REQUIRED in-query: the second
+    // drain carries only post-cursor versions. The replica's aggregate
+    // must equal the source's final snapshot — the oracle reconstructs
+    // it straight from `orders`, pinning that a snapshot + feed-only
+    // maintenance converges to the table.
+    "q_cdf_replica" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_cdfrep_${ProcessHandle.current().pid()}"
+      val t = s"$root/t"; val cur = s"$root/cursor"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(root))
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("pr"))
+      var replica = base.limit(0)
+      def drainApply(): Unit =
+        graft.ops.Versioned.changesSince(s, t, cur).foreach { case (ch0, upTo) =>
+          val ch = ch0.localCheckpoint(true)
+          val versions = ch.select($"version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          versions.foreach { v =>
+            val ins = ch.filter($"version" === v && $"change_type" === "insert")
+              .select($"k", $"pr")
+            val del = ch.filter($"version" === v && $"change_type" === "delete")
+              .select($"k")
+            replica = replica.join(del, Seq("k"), "left_anti")
+              .unionByName(ins).localCheckpoint(true)
+          }
+          graft.ops.Versioned.ackCursor(s, cur, upTo)
+        }
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(base, Seq($"k"), 16), Seq("k"))
+      // snapshot bootstrap: copy v1, start the cursor there
+      replica = graft.ops.Versioned.read(s, t, Some(1L)).localCheckpoint(true)
+      graft.ops.Versioned.ackCursor(s, cur, 1L)
+      graft.ops.Versioned.deleteWhere(s, t, $"k" % 10 === 3)
+      drainApply() // cursor now at v2
+      val mk = base.agg(max($"k")).head().getLong(0)
+      val hot = base.filter($"k" >= mk * 9L / 10L)
+      graft.ops.Versioned.mergePruned(s, t,
+        hot.select($"k", (-$"pr").as("pr"))
+          .unionByName(hot.select(($"k" + mk).as("k"), $"pr")),
+        "k", Seq("k"), 16)
+      graft.ops.Versioned.commit(s, t,
+        base.filter($"k" % 10 === 7).select(($"k" + 2L * mk).as("k"), $"pr"))
+      val second = graft.ops.Versioned.changesSince(s, t, cur).get._1
+      require(second.select($"version").distinct().collect()
+          .map(_.getLong(0)).forall(_ > 2L),
+        "an acked cursor must never re-emit consumed versions")
+      drainApply() // applies v3, v4
+      require(graft.ops.Versioned.changesSince(s, t, cur).isEmpty,
+        "caught-up cursor must be empty")
+      replica.agg(count(lit(1)).as("n"),
+        sum($"pr".cast("decimal(30,2)")).cast("double").as("sum_pr"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+    }),
+
     // SCHEMA DRIFT across versioned commits (round-8 verdict item 6):
     // v1 seeds (key, price); v2 APPENDS rows carrying a NEW column
     // (p_brand). The snapshot read must merge schemas — v1's rows
@@ -830,6 +894,22 @@ object OpsQueries extends graft.QueryModule {
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,
+    "q_cdf_replica" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS pr FROM orders),
+        |mx AS (SELECT MAX(k) AS mk FROM base),
+        |hot AS (SELECT * FROM base WHERE k >= (SELECT mk * 9 // 10 FROM mx)),
+        |fin AS (
+        |  SELECT k, pr FROM base
+        |  WHERE k % 10 <> 3 AND k < (SELECT mk * 9 // 10 FROM mx)
+        |  UNION ALL SELECT k, -pr FROM hot
+        |  UNION ALL SELECT k + (SELECT mk FROM mx), pr FROM hot
+        |  UNION ALL SELECT k + 2 * (SELECT mk FROM mx), pr FROM base
+        |  WHERE k % 10 = 7
+        |)
+        |SELECT COUNT(1) AS n,
+        |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM fin""".stripMargin,
     "q_change_feed" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS pr FROM orders),
         |mx AS (SELECT MAX(k) AS mk FROM base),

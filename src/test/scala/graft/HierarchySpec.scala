@@ -60,4 +60,36 @@ class HierarchySpec extends SparkSpec {
     assert(byId(3L) == ((1L, 30.0)))
     assert(byId(4L) == ((1L, 40.0)))
   }
+
+  private def cloSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select($"node", $"anc", $"dist").as[(Long, Long, Long)].collect().toSet
+
+  test("incremental closure: batch(A then B then C) == full(A ∪ B ∪ C)") {
+    val st = tmpDir("inc-hier")
+    // stored: heap forest over 2..40 (parent = id/2)
+    val a = (2L to 40L).map(i => (i, i / 2L)).toDF("child", "parent")
+    graft.ops.IncrementalHierarchy.init(spark, st, a, "child", "parent")
+    // batch B grafts 41..80 (attaches under stored nodes AND other new
+    // nodes); batch C grafts 81..160 — deep chains cross BOTH boundaries
+    val b = (41L to 80L).map(i => (i, i / 2L)).toDF("child", "parent")
+    val c = (81L to 160L).map(i => (i, i / 2L)).toDF("child", "parent")
+    val nb = graft.ops.IncrementalHierarchy.addBatch(spark, st, b, "child", "parent")
+    assert(nb.count() > 0)
+    graft.ops.IncrementalHierarchy.addBatch(spark, st, c, "child", "parent")
+    val full = Hierarchy.ancestorClosure(
+      (2L to 160L).map(i => (i, i / 2L)).toDF("child", "parent"),
+      "child", "parent")
+    assert(cloSet(graft.ops.IncrementalHierarchy.closure(spark, st)) == cloSet(full),
+      "incremental grafting must land the exact full closure")
+    // replayed batch: state no-op, zero pairs
+    val replay = graft.ops.IncrementalHierarchy.addBatch(spark, st, b, "child", "parent")
+    assert(replay.count() == 0)
+    assert(cloSet(graft.ops.IncrementalHierarchy.closure(spark, st)) == cloSet(full))
+    // reparenting a stored node fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.IncrementalHierarchy.addBatch(spark, st,
+        Seq((40L, 7L)).toDF("child", "parent"), "child", "parent")
+    }
+    assert(e.getMessage.contains("re-parents"), e.getMessage)
+  }
 }

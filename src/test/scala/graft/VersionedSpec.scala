@@ -408,6 +408,57 @@ class VersionedSpec extends SparkSpec {
     assert(ch1.count() == 300)
   }
 
+  test("metadata rowCount: manifests minus live dv rows, None when any dir lacks stats") {
+    val t = tmpDir("versioned-count") + "/t"
+    val base = (1 to 500).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(base, Seq($"id"), 4), Seq("id"))
+    assert(Versioned.rowCount(spark, t) == Some(500L))
+    Versioned.deleteWhere(spark, t, $"id" % 5 === 0L)
+    assert(Versioned.rowCount(spark, t) == Some(400L),
+      "dv rows must subtract from the metadata count")
+    // merge rewrites the top files: their dv coords go inert, count stays exact
+    Versioned.mergePruned(spark, t,
+      (480 to 520).map(i => (i.toLong, -1L)).toDF("id", "v"), "id", Seq("id"))
+    assert(Versioned.rowCount(spark, t) == Some(Versioned.read(spark, t).count()),
+      "inert dv coordinates on rewritten files must not subtract")
+    // time travel: the count is per-version
+    assert(Versioned.rowCount(spark, t, Some(1L)) == Some(500L))
+    // a stats-less append demotes to None, never a wrong number
+    Versioned.commit(spark, t, Seq((9999L, 1L)).toDF("id", "v"))
+    assert(Versioned.rowCount(spark, t).isEmpty)
+  }
+
+  test("changesSince cursor: split == whole, crash-before-ack re-emits, caught-up is None") {
+    val root = tmpDir("versioned-cursor")
+    val t = s"$root/t"; val cur = s"$root/cursor"
+    Versioned.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Versioned.commit(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    def drain(): Seq[(Long, String, String, Long)] =
+      Versioned.changesSince(spark, t, cur) match {
+        case None => Seq.empty
+        case Some((df, upTo)) =>
+          val rows = df.select($"id", $"s", $"change_type", $"version").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+          Versioned.ackCursor(spark, cur, upTo)
+          rows
+      }
+    // crash-before-ack: two reads without an ack see the same feed
+    val peek1 = Versioned.changesSince(spark, t, cur).get._1.count()
+    val peek2 = Versioned.changesSince(spark, t, cur).get._1.count()
+    assert(peek1 == peek2 && peek1 == 3, "unacked changes must re-emit")
+    val first = drain()
+    assert(first.map(_._4).toSet == Set(1L, 2L), "both versions in the first drain")
+    assert(drain().isEmpty, "caught-up cursor must yield nothing")
+    Versioned.deleteWhere(spark, t, $"id" === 1L)
+    val second = drain()
+    assert(second == Seq((1L, "a", "delete", 3L)),
+      s"only the post-cursor delta may emit: $second")
+    // split consumption == what a fresh cursor sees in one go
+    val all = Versioned.changesSince(spark, t, s"$root/fresh").get._1.count()
+    assert(all == (first.size + second.size).toLong)
+  }
+
   test("dv subtraction plans as a broadcast anti-join: the corpus side never shuffles") {
     val t = tmpDir("versioned-dv-plan") + "/t"
     Versioned.commit(spark, t,
