@@ -716,6 +716,24 @@ object Versioned {
       commitWithStats(spark, table, read(spark, table).repartition(numFiles),
         statsCols, overwrite = true)
 
+  /** OPTIMIZE + re-layout — [[compact]] that RE-SORTS while it folds
+    * (the Delta `OPTIMIZE ... ZORDER BY` shape): a long append/merge
+    * chain accumulates dirs whose per-file ranges overlap, so range
+    * queries keep more and more files; `compactSorted` rewrites the
+    * snapshot range-partitioned on `sortCols` with a fresh stats
+    * harvest, restoring maximal pruning power in one commit. Pass
+    * z/Hilbert-curve columns ([[Layout.zValueN]]) as the sort key for
+    * the multi-dimensional variant. Content identity is the same law
+    * as compact: invisible to readers (spec-pinned, along with the
+    * pruning-restored property).
+    */
+  def compactSorted(spark: SparkSession, table: String,
+      sortCols: Seq[org.apache.spark.sql.Column], numFiles: Int,
+      statsCols: Seq[String]): Long =
+    commitWithStats(spark, table,
+      Layout.sortedByRange(read(spark, table), sortCols, numFiles),
+      statsCols, overwrite = true)
+
   /** Erase rows matching `predicate` from the table — the
     * right-to-be-forgotten operation, which a commit-log design makes
     * SUBTLE: a plain overwrite hides the rows from the latest snapshot

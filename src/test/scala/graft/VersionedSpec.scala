@@ -459,6 +459,30 @@ class VersionedSpec extends SparkSpec {
     assert(all == (first.size + second.size).toLong)
   }
 
+  test("compactSorted restores pruning power an interleaved append chain destroyed") {
+    val t = tmpDir("versioned-optimize") + "/t"
+    // four appends, each spanning the FULL key range (id % 4 slices):
+    // every dir holds a file overlapping any range, so a range probe
+    // pays one file PER CHAIN DIR — kept files grow with chain length
+    (0 to 3).foreach { r =>
+      Versioned.commitWithStats(spark, t,
+        graft.ops.Layout.sortedByRange(
+          (1 to 400).filter(_ % 4 == r).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+          Seq($"id"), 4), Seq("id"))
+    }
+    val before = rows(Versioned.read(spark, t))
+    val (_, keptBefore, totalBefore) = Versioned.skipRead(spark, t, "id", "10", "30")
+    assert(keptBefore == 4 && totalBefore == 16,
+      s"an interleaved chain pays one file per dir: $keptBefore of $totalBefore")
+    Versioned.compactSorted(spark, t, Seq($"id"), 8, Seq("id"))
+    assert(rows(Versioned.read(spark, t)) == before,
+      "optimize must be invisible to readers")
+    val (pruned, keptAfter, totalAfter) = Versioned.skipRead(spark, t, "id", "10", "30")
+    assert(totalAfter == 8 && keptAfter == 1,
+      s"re-sorted layout must restore pruning: $keptAfter of $totalAfter")
+    assert(pruned.count() == 21)
+  }
+
   test("dv subtraction plans as a broadcast anti-join: the corpus side never shuffles") {
     val t = tmpDir("versioned-dv-plan") + "/t"
     Versioned.commit(spark, t,
