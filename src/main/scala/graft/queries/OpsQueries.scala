@@ -463,6 +463,41 @@ object OpsQueries extends graft.QueryModule {
         min($"k").as("min_k"), max($"k").as("max_k"))
     }),
 
+    // OPTIMIZE + RE-LAYOUT (Versioned.compactSorted — the Delta
+    // `OPTIMIZE ... ZORDER BY` maintenance verb): four interleaved
+    // appends (o_orderkey % 4 slices, each range-sorted) erode skipping
+    // — a range probe pays one kept file PER CHAIN DIR; one
+    // compactSorted folds + re-sorts + re-harvests stats in a single
+    // commit. REQUIRED in-query: both total files AND kept files
+    // strictly drop. The optimized table must still answer the range
+    // exactly — the oracle is the plain range aggregate over `orders`,
+    // so one hash pins content identity through the fold.
+    "q_optimize" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_optimize_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      (0 to 3).foreach { r =>
+        graft.ops.Versioned.commitWithStats(s, t,
+          graft.ops.Layout.sortedByRange(
+            orders.filter($"o_orderkey" % 4 === r), Seq($"o_orderkey"), 4),
+          Seq("o_orderkey"))
+      }
+      val mk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val (lo, hi) = ((mk / 4L).toString, (mk / 2L).toString)
+      val (_, keptB, totB) = graft.ops.Versioned.skipRead(s, t, "o_orderkey", lo, hi)
+      graft.ops.Versioned.compactSorted(s, t, Seq($"o_orderkey"), 8,
+        Seq("o_orderkey"))
+      val (scan, keptA, totA) = graft.ops.Versioned.skipRead(s, t, "o_orderkey", lo, hi)
+      require(totA < totB && keptA < keptB,
+        s"optimize must shrink both sides: files $totB->$totA kept $keptB->$keptA")
+      scan.agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+    }),
+
     // SCHEMA DRIFT across versioned commits (round-8 verdict item 6):
     // v1 seeds (key, price); v2 APPENDS rows carrying a NEW column
     // (p_brand). The snapshot read must merge schemas — v1's rows
@@ -930,6 +965,14 @@ object OpsQueries extends graft.QueryModule {
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM ch GROUP BY version, change_type
         |ORDER BY version, change_type""".stripMargin,
+    "q_optimize" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+        |SELECT CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT mk // 4 FROM mx)
+        |  AND o_orderkey <= (SELECT mk // 2 FROM mx)""".stripMargin,
     "q_merge_pruned" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
