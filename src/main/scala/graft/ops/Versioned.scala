@@ -187,6 +187,41 @@ object Versioned {
     v
   }
 
+  /** OPTIMISTIC TRANSACTION — the retry loop the CAS contract asks every
+    * writer to run, packaged: `transform` maps the CURRENT snapshot to
+    * the next one; on losing the commit race the transform is re-run
+    * against the REFRESHED snapshot (not blindly re-committed — the
+    * whole point of the conflict check is that the input changed).
+    * Serializable by construction: each surviving commit saw the state
+    * its parent left. Throws after `maxAttempts` consecutive losses —
+    * livelock is reported, not hidden.
+    */
+  def transact(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame, overwrite: Boolean = true,
+      maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      // PIN the version the transform reads: committing via plain
+      // commit() would re-resolve `latest` at commit time and happily
+      // land a transform of STALE state as a fresh version — the lost
+      // update the conflict check exists to prevent. commitAt claims
+      // exactly parent+1; a racer claiming it first forces our retry.
+      val parentV = latestVersion(spark, table)
+      val snap = parentV.map(v => read(spark, table, Some(v)))
+        .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+      try {
+        return commitAt(spark, table, transform(snap),
+          parentV.get + 1, parentV, overwrite)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Metadata-only rollback: the next version references exactly the data
     * dirs of `toVersion` — no bytes rewritten, old history intact.
     */
@@ -410,7 +445,10 @@ object Versioned {
       .filter(predicate) // definite TRUE only: NULL keeps the row
       .select(col("__file").as("file"), col("__pos").as("pos"))
     val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    dels.coalesce(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
+    // repartition, NOT coalesce: coalesce(1) would collapse the whole
+    // predicate scan onto one core; the shuffle boundary keeps the scan
+    // parallel and only the (small) coordinate set moves
+    dels.repartition(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
     if (!writeManifest(spark, table, v, "delete", m.refs, m.schemaJson,
         m.dvs :+ dvDir)) {
       fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)

@@ -459,6 +459,27 @@ class VersionedSpec extends SparkSpec {
     assert(all == (first.size + second.size).toLong)
   }
 
+  test("transact re-runs the transform against the refreshed snapshot after a lost race") {
+    val t = tmpDir("versioned-txn") + "/t"
+    Versioned.commit(spark, t, Seq((1L, 10L)).toDF("id", "v"))
+    // a transform that increments every v by 1; a racing writer commits
+    // BETWEEN our read and our commit on the first attempt only
+    var raced = false
+    val got = Versioned.transact(spark, t, { snap =>
+      if (!raced) {
+        raced = true
+        Versioned.commit(spark, t,
+          Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), overwrite = true)
+      }
+      snap.withColumn("v", $"v" + 1L)
+    })
+    assert(got == 3L, s"the retry must land AFTER the racer, got $got")
+    val rows = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 11L), (2L, 21L)),
+      "the surviving commit must transform the RACER's state, not the stale read")
+  }
+
   test("compactSorted restores pruning power an interleaved append chain destroyed") {
     val t = tmpDir("versioned-optimize") + "/t"
     // four appends, each spanning the FULL key range (id % 4 slices):
