@@ -471,8 +471,8 @@ object Layout {
       spark: org.apache.spark.sql.SparkSession, statsPaths: Seq[String],
       column: String, lo: String, hi: String)
       : (Seq[(String, Boolean)], String) = {
-    val man = spark.read.parquet(statsPaths: _*)
-      .filter(col("column") === column)
+    val all = spark.read.parquet(statsPaths: _*).localCheckpoint(true)
+    val man = all.filter(col("column") === column)
     // typ is uniform per column (one writer); read it once, then decide
     // with a typed comparison pushed into the manifest scan
     val typs = man.select(col("typ")).distinct().collect().map(_.getString(0))
@@ -487,7 +487,14 @@ object Layout {
         (col("max_v").cast(typ) >= lit(lo).cast(typ) &&
          col("min_v").cast(typ) <= lit(hi).cast(typ)))
     val decided = man.select(col("file"), keepExpr.as("keep")).collect()
-    (decided.map(r => (r.getString(0), r.getBoolean(1))).toSeq, typ)
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    // a manifest file with NO row for the queried column (stats were
+    // harvested for other columns) MUST stay conservative — silently
+    // pruning it would drop its rows from the result, the one failure
+    // mode a skipping layer can never have
+    val undecided = all.select(col("file")).distinct().collect()
+      .map(_.getString(0)).toSet -- decided.map(_._1).toSet
+    (decided ++ undecided.toSeq.sorted.map(f => (f, true)), typ)
   }
 
   /** Metadata-only `COUNT(*)`: the table's row count summed from the
@@ -515,13 +522,19 @@ object Layout {
     */
   def skipScanManifestNull(spark: org.apache.spark.sql.SparkSession,
       path: String, column: String, wantNull: Boolean): (DataFrame, Int, Int) = {
-    val man = spark.read.parquet(s"$path/_stats")
-      .filter(col("column") === column)
+    val all = spark.read.parquet(s"$path/_stats").localCheckpoint(true)
+    val man = all.filter(col("column") === column)
     val keepExpr =
       if (wantNull) col("n_nulls").isNull || col("n_nulls") > 0L
       else col("n_nulls").isNull || col("n_nulls") < col("n_rows")
-    val decided = man.select(col("file"), keepExpr.as("keep")).collect()
-    val kept = decided.filter(_.getBoolean(1)).map(_.getString(0)).toSeq.sorted
+    val decidedRows = man.select(col("file"), keepExpr.as("keep")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    // files with no stats row for this column stay conservative (same
+    // law as manifestFileDecisions: never silently prune the unstatted)
+    val undecided = all.select(col("file")).distinct().collect()
+      .map(_.getString(0)).toSet -- decidedRows.map(_._1).toSet
+    val decided = decidedRows ++ undecided.toSeq.sorted.map(f => (f, true))
+    val kept = decided.filter(_._2).map(_._1).sorted
     val base = if (kept.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(kept: _*)
     val filtered = if (wantNull) base.filter(col(column).isNull)

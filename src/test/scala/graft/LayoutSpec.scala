@@ -361,4 +361,19 @@ class LayoutSpec extends SparkSpec {
     assert(ks < tsT, s"string pruning must bite: $ks of $tsT")
     assert(ps.count() == 100)
   }
+
+  test("a column the manifest does not carry scans conservatively, never prunes to zero") {
+    val out = tmpDir("layout-nostat") + "/t"
+    val rows = (1 to 400).map(i => (i.toLong, i * 3L)).toDF("id", "other")
+    // stats harvested for `id` ONLY; the queries probe `other`
+    Layout.writeSorted(rows, Seq($"id"), 4, out, statsCols = Seq("id"))
+    val (scan, kept, total) = Layout.skipScanManifest(spark, out, "other", "30", "90")
+    assert(kept == total && total == 4,
+      s"an unstatted column must keep every file: $kept of $total")
+    assert(scan.count() == 21, "the row filter still applies exactly")
+    val (nn, keptNN, totalNN) =
+      Layout.skipScanManifestNull(spark, out, "other", wantNull = false)
+    assert(keptNN == totalNN && nn.count() == 400,
+      "null-count skipping on an unstatted column must stay conservative")
+  }
 }
