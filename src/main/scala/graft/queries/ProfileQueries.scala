@@ -108,6 +108,27 @@ object ProfileQueries extends graft.QueryModule {
     // generation carries values. (At 100 TB, mergeSchema footer-merge cost
     // scales with file count, not data — production pins the merged
     // schema in a catalog; the read semantics are what this entry pins.)
+    // DISTRIBUTION-DRIFT MONITOR (ops/Drift — exact two-sample
+    // Kolmogorov-Smirnov): did order prices drift between the early
+    // years (≤1994) and the late years? The KS supremum is attained at
+    // a data point and |F_a−F_b| there is |cum_a·n_b − cum_b·n_a| /
+    // (n_a·n_b) — an INTEGER numerator, so the statistic hashes exactly
+    // across engines (prices fixed-pointed to cents first, the
+    // Retrieval discipline). The ECDF's global running count uses the
+    // Pack-style two-pass prefix sum: per-bucket windows in parallel,
+    // one single-partition window over the per-bucket SUBTOTALS only
+    // (DriftSpec pins equivalence with the naive global window). The
+    // oracle computes the same ECDF with DuckDB's window engine.
+    "q_drift_ks" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+        .select(year($"o_orderdate").as("y"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      val early = orders.filter($"y" <= 1994).select($"cents")
+      val late = orders.filter($"y" > 1994).select($"cents")
+      graft.ops.Drift.ksStatistic(early, late, "cents")
+    }),
+
     "q_schema_evolution" -> ((s, dir) => {
       import s.implicits._
       val base = Tables(s, dir, "orders").filter($"o_orderkey" % 100 === 0)
@@ -261,6 +282,41 @@ object ProfileQueries extends graft.QueryModule {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q_drift_ks" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) AS y,
+        |    CAST(ROUND(o_totalprice * 100) AS bigint) AS cents
+        |  FROM orders
+        |),
+        |a AS (SELECT cents AS v FROM o WHERE y <= 1994),
+        |b AS (SELECT cents AS v FROM o WHERE y > 1994),
+        |na AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM a),
+        |nb AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM b),
+        |pts AS (
+        |  SELECT v, CAST(COUNT(1) AS bigint) AS ca, CAST(0 AS bigint) AS cb
+        |  FROM a GROUP BY v
+        |  UNION ALL
+        |  SELECT v, CAST(0 AS bigint), CAST(COUNT(1) AS bigint) FROM b GROUP BY v
+        |),
+        |g AS (
+        |  SELECT v, CAST(SUM(ca) AS bigint) AS ca, CAST(SUM(cb) AS bigint) AS cb
+        |  FROM pts GROUP BY v
+        |),
+        |c AS (
+        |  SELECT v,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS bigint) AS ra,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS bigint) AS rb
+        |  FROM g
+        |),
+        |d AS (
+        |  SELECT v, ABS(ra * (SELECT n FROM nb) - rb * (SELECT n FROM na)) AS diff
+        |  FROM c
+        |)
+        |SELECT (SELECT n FROM na) AS n_a, (SELECT n FROM nb) AS n_b,
+        |  CAST(MAX(diff) AS bigint) AS ks_num,
+        |  CAST(MIN(CASE WHEN diff = (SELECT MAX(diff) FROM d) THEN v END) AS bigint)
+        |    AS v_at_max
+        |FROM d""".stripMargin,
     "q_quality_checks" ->
       """WITH m AS (
         |  SELECT

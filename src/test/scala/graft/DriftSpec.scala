@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Drift
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KS-drift laws: exact hand ECDF, equivalence with the naive global
+  * window at several bucket widths (the distributed prefix sum is an
+  * implementation detail, never a semantics change), and the
+  * zero-distance identity.
+  */
+class DriftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hand ECDF: ks numerator and argmax are exact") {
+    val a = Seq(1L, 2L, 2L, 5L).toDF("v")
+    val b = Seq(2L, 3L).toDF("v")
+    val r = Drift.ksStatistic(a, b, "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 2L, 1L)),
+      s"expected (4,2,2,1), got $r") // KS = 2/8 = 0.25 first attained at v=1
+  }
+
+  test("identical samples have zero distance") {
+    val a = (1 to 100).map(_.toLong % 7).toDF("v")
+    val r = Drift.ksStatistic(a, a, "v").collect()(0)
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("bucketed prefix sum equals the naive global window at any width") {
+    val a = (1 to 4000).map(i =>
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"a$i").take(6), 16)).toDF("v")
+    val b = (1 to 3000).map(i =>
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"b$i").take(6), 16)).toDF("v")
+    // naive single-window reference
+    val pts = a.groupBy($"v").agg(count(lit(1)).as("ca")).withColumn("cb", lit(0L))
+      .unionByName(b.groupBy($"v").agg(count(lit(1)).as("cb")).withColumn("ca", lit(0L)))
+      .groupBy($"v").agg(sum($"ca").as("ca"), sum($"cb").as("cb"))
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val na = a.count(); val nb = b.count()
+    val naive = pts.withColumn("ra", sum($"ca").over(w))
+      .withColumn("rb", sum($"cb").over(w))
+      .select(abs($"ra" * nb - $"rb" * na).as("diff"))
+      .agg(max($"diff")).collect()(0).getLong(0)
+    Seq(1L, 1000L, 1L << 20, Long.MaxValue / 4).foreach { width =>
+      val r = Drift.ksStatistic(a, b, "v", bucketWidth = width).collect()(0)
+      assert(r.getLong(2) == naive,
+        s"width $width must not change the statistic: ${r.getLong(2)} vs $naive")
+      assert(r.getLong(0) == na && r.getLong(1) == nb)
+    }
+  }
+}
