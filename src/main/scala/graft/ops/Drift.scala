@@ -66,4 +66,34 @@ object Drift {
       .agg(min(col("v")).as("v_at_max"))
       .select(col("n_a"), col("n_b"), col("ks_num"), col("v_at_max"))
   }
+
+  /** Categorical sibling of [[ksStatistic]]: TOTAL-VARIATION distance
+    * `TV = ½ Σ_cat |p_a − p_b|`, again with an integer numerator —
+    * `tv_num = Σ |c_a·n_b − c_b·n_a|`, `TV = tv_num / (2·n_a·n_b)` —
+    * so categorical drift hashes exactly too (χ²/PSI put a different
+    * denominator under every category and lose integrality; TV is the
+    * metric that keeps it). One groupBy per side + one category-keyed
+    * outer merge; no windows at all. Returns (n_a, n_b, tv_num,
+    * top_cat) with `top_cat` the lexicographically-smallest category
+    * attaining the largest single-category gap.
+    */
+  def tvDistance(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val ca = a.select(col(catCol).cast("string").as("cat"))
+      .groupBy(col("cat")).agg(count(lit(1)).as("ca")).withColumn("cb", lit(0L))
+    val cb = b.select(col(catCol).cast("string").as("cat"))
+      .groupBy(col("cat")).agg(count(lit(1)).as("cb")).withColumn("ca", lit(0L))
+    val g = ca.unionByName(cb).groupBy(col("cat"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val totals = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val diffs = g.crossJoin(broadcast(totals))
+      .select(col("cat"), col("n_a"), col("n_b"),
+        abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("diff"))
+    val top = diffs.agg(max(col("diff")).as("max_diff"))
+    val topCat = diffs.join(broadcast(top), col("diff") === col("max_diff"))
+      .agg(min(col("cat")).as("top_cat"))
+    diffs.groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("diff")).as("tv_num"))
+      .crossJoin(broadcast(topCat))
+      .select(col("n_a"), col("n_b"), col("tv_num"), col("top_cat"))
+  }
 }

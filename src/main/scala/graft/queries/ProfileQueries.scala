@@ -129,6 +129,23 @@ object ProfileQueries extends graft.QueryModule {
       graft.ops.Drift.ksStatistic(early, late, "cents")
     }),
 
+    // Categorical drift (ops/Drift.tvDistance): did the order-priority
+    // MIX shift between the early and late years? Total variation keeps
+    // the integer numerator the KS entry has (χ²/PSI would put a
+    // different denominator under every category and lose exactness):
+    // tv_num = Σ|c_a·n_b − c_b·n_a|, TV = tv_num/(2·n_a·n_b). Also
+    // reports the category with the largest single gap — the "what
+    // drifted" a monitor actually pages on.
+    "q_drift_tv" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+        .select(year($"o_orderdate").as("y"), $"o_orderpriority")
+      graft.ops.Drift.tvDistance(
+        orders.filter($"y" <= 1994).select($"o_orderpriority"),
+        orders.filter($"y" > 1994).select($"o_orderpriority"),
+        "o_orderpriority")
+    }),
+
     "q_schema_evolution" -> ((s, dir) => {
       import s.implicits._
       val base = Tables(s, dir, "orders").filter($"o_orderkey" % 100 === 0)
@@ -316,6 +333,33 @@ object ProfileQueries extends graft.QueryModule {
         |  CAST(MAX(diff) AS bigint) AS ks_num,
         |  CAST(MIN(CASE WHEN diff = (SELECT MAX(diff) FROM d) THEN v END) AS bigint)
         |    AS v_at_max
+        |FROM d""".stripMargin,
+    "q_drift_tv" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) AS y, o_orderpriority AS cat FROM orders
+        |),
+        |a AS (SELECT cat FROM o WHERE y <= 1994),
+        |b AS (SELECT cat FROM o WHERE y > 1994),
+        |na AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM a),
+        |nb AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM b),
+        |g AS (
+        |  SELECT cat, CAST(SUM(ca) AS bigint) AS ca, CAST(SUM(cb) AS bigint) AS cb
+        |  FROM (
+        |    SELECT cat, CAST(COUNT(1) AS bigint) AS ca, CAST(0 AS bigint) AS cb
+        |    FROM a GROUP BY cat
+        |    UNION ALL
+        |    SELECT cat, CAST(0 AS bigint), CAST(COUNT(1) AS bigint)
+        |    FROM b GROUP BY cat
+        |  ) GROUP BY cat
+        |),
+        |d AS (
+        |  SELECT cat,
+        |    ABS(ca * (SELECT n FROM nb) - cb * (SELECT n FROM na)) AS diff
+        |  FROM g
+        |)
+        |SELECT (SELECT n FROM na) AS n_a, (SELECT n FROM nb) AS n_b,
+        |  CAST(SUM(diff) AS bigint) AS tv_num,
+        |  MIN(CASE WHEN diff = (SELECT MAX(diff) FROM d) THEN cat END) AS top_cat
         |FROM d""".stripMargin,
     "q_quality_checks" ->
       """WITH m AS (

@@ -28,6 +28,22 @@ class DriftSpec extends SparkSpec {
     assert(r.getLong(2) == 0L)
   }
 
+  test("tv distance: hand counts, disjoint supports, identity") {
+    val a = Seq("x", "x", "y").toDF("c")
+    val b = Seq("y", "z").toDF("c")
+    val r = graft.ops.Drift.tvDistance(a, b, "c").collect()(0)
+    // pa=(2/3,1/3,0), pb=(0,1/2,1/2) → TV = 8/12; largest gap at 'x'
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)) ==
+      ((3L, 2L, 8L, "x")), s"got $r")
+    // disjoint supports → maximal distance: tv_num = 2·n_a·n_b
+    val d = graft.ops.Drift.tvDistance(
+      Seq("p", "q").toDF("c"), Seq("r").toDF("c"), "c").collect()(0)
+    assert(d.getLong(2) == 2L * 2L * 1L)
+    // identical samples → zero
+    val z = graft.ops.Drift.tvDistance(a, a, "c").collect()(0)
+    assert(z.getLong(2) == 0L)
+  }
+
   test("bucketed prefix sum equals the naive global window at any width") {
     val a = (1 to 4000).map(i =>
       java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
