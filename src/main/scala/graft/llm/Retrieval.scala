@@ -125,6 +125,28 @@ object Retrieval {
       .limit(k)
   }
 
+  /** RECIPROCAL-RANK FUSION — the standard hybrid-retrieval combiner
+    * (fuse a lexical and a semantic ranking, or any N rankings, without
+    * calibrating their incomparable scores): `RRF(d) = Σ_lists
+    * 1/(k + rank_list(d))`. Scores are fixed-pointed as
+    * `floor(scale / (k + rank))` — pure integer arithmetic after the
+    * ranks, so fused scores hash exactly cross-engine (the Retrieval
+    * discipline; float RRF sums would drift in the last ulp). Inputs
+    * are (id, rank) relations; a doc missing from a list simply
+    * contributes nothing. Cost: one union + one keyed agg over the
+    * top-k lists themselves — independent of corpus size.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kConst: Int = 60, scale: Long = 1000000000000L): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    lists.map(df => df.select(col(idCol),
+        floor(lit(scale) / (lit(kConst.toLong) + col(rankCol)))
+          .cast("long").as("contrib")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("rrf_fp"), count(lit(1)).as("n_lists"))
+  }
+
   /** Sliding-window token chunks: windows of `size` tokens every `stride`
     * tokens (the LLM-context chunking law: consecutive chunks overlap by
     * `size - stride`). One row per chunk with an md5 fingerprint of the

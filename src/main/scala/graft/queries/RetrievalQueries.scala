@@ -45,6 +45,35 @@ object RetrievalQueries extends graft.QueryModule {
         Bm25Terms, 20)
     }),
 
+    // HYBRID-RETRIEVAL FUSION (Retrieval.rrfFuse — reciprocal-rank
+    // fusion, the combiner that merges incomparably-scored rankings
+    // without calibration): the BM25 top-20 (tf saturation + length
+    // normalization) fuses with the raw term-frequency top-20 (no
+    // saturation — a genuinely different ordering over the same query
+    // terms). RRF contributions are floor(1e12/(60+rank)) — integer
+    // after the ranks, so the fused scores hash exactly. The per-list
+    // rank windows run over 20-row relations (post-limit), never the
+    // corpus; fusion cost is independent of corpus size.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val wBm = org.apache.spark.sql.expressions.Window
+        .orderBy($"score".desc, $"doc_id".asc)
+      val bm = Retrieval.bm25(docs, "doc_id", "text", Bm25Terms, 20)
+        .withColumn("rk", row_number().over(wBm))
+        .select($"doc_id", $"rk")
+      val wTf = org.apache.spark.sql.expressions.Window
+        .orderBy($"tfsum".desc, $"doc_id".asc)
+      val tfl = Retrieval.termFreq(docs, "doc_id", "text")
+        .filter($"term".isin(Bm25Terms: _*))
+        .groupBy($"doc_id").agg(sum($"tf").as("tfsum"))
+        .orderBy($"tfsum".desc, $"doc_id".asc).limit(20)
+        .withColumn("rk", row_number().over(wTf))
+        .select($"doc_id", $"rk")
+      Retrieval.rrfFuse(Seq(bm, tfl), "doc_id", "rk")
+        .orderBy($"rrf_fp".desc, $"doc_id".asc).limit(10)
+    }),
+
     // PERSISTED BM25 search index probed by a query batch
     // (llm/IncrementalRetrieval — the retrieval member of the
     // incremental family): the %5 document slice is indexed once
@@ -172,6 +201,71 @@ object RetrievalQueries extends graft.QueryModule {
         |    AS score
         |FROM agg
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x != '') AS tk
+        |  FROM documents
+        |),
+        |terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+        |corpus AS (SELECT count(1) AS n_docs, sum(dl) AS t_tokens FROM dl),
+        |dfr AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+        |idf AS (
+        |  SELECT term, df,
+        |    CAST(round(ln(CAST(2 * c.n_docs + 2 AS double)
+        |                  / (2 * df + 1)) * 1000000) AS BIGINT) AS idf_fp,
+        |    c.n_docs, c.t_tokens
+        |  FROM dfr CROSS JOIN corpus c
+        |  WHERE term IN ('spark', 'vector', 'merge')
+        |),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(idf.idf_fp AS double) *
+        |      (CAST(22 * tf.tf * idf.t_tokens AS double) /
+        |       CAST(10 * idf.t_tokens * tf.tf + 3 * idf.t_tokens
+        |            + 9 * dl.dl * idf.n_docs AS double)) / 1000000 AS w
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+        |),
+        |agg AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN term = 'spark' THEN w END) AS w_spark,
+        |    max(CASE WHEN term = 'vector' THEN w END) AS w_vector,
+        |    max(CASE WHEN term = 'merge' THEN w END) AS w_merge
+        |  FROM w GROUP BY doc_id
+        |),
+        |bm AS (
+        |  SELECT doc_id,
+        |    ((coalesce(w_spark, 0) + coalesce(w_vector, 0)) + coalesce(w_merge, 0))
+        |      AS score
+        |  FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
+        |),
+        |bmr AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM bm
+        |),
+        |tfl AS (
+        |  SELECT doc_id, SUM(tf) AS tfsum FROM tf
+        |  WHERE term IN ('spark', 'vector', 'merge')
+        |  GROUP BY doc_id ORDER BY tfsum DESC, doc_id ASC LIMIT 20
+        |),
+        |tflr AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY tfsum DESC, doc_id ASC) AS rk
+        |  FROM tfl
+        |),
+        |u AS (
+        |  SELECT doc_id, 1000000000000 // (60 + rk) AS c FROM bmr
+        |  UNION ALL
+        |  SELECT doc_id, 1000000000000 // (60 + rk) FROM tflr
+        |)
+        |SELECT doc_id, CAST(SUM(c) AS bigint) AS rrf_fp,
+        |  CAST(COUNT(1) AS bigint) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_fp DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_bm25_incremental" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
