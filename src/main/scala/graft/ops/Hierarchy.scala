@@ -53,7 +53,23 @@ object Hierarchy {
         s"hierarchy edges must form a forest: some $childCol has multiple parents")
     }
     var clo = e.withColumn("dist", lit(1L)).localCheckpoint(true)
-    var n = clo.count()
+    // Cycle guard: in a forest no node is its own ancestor, but a CYCLE
+    // (x→y, y→x passes the one-parent-per-child check) makes path
+    // doubling diverge — dist takes ever more values, so the distinct
+    // pair set DOUBLES per round and the loop never converges. Any
+    // cycle of length L produces a (node == anc) pair within ⌈log₂ L⌉
+    // rounds, while the frame is still cycle-sized — check it per round
+    // (piggybacked on the fixed-point count, one aggregate) and fail
+    // loudly instead of running a non-terminating, memory-exploding job.
+    def countAndCycles(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        count(when(col("node") === col("anc"), lit(1)))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n0, c0) = countAndCycles(clo)
+    require(c0 == 0,
+      "hierarchy edges contain a self-loop — a node cannot be its own parent")
+    var n = n0
     var rounds = 0
     var grown = true
     while (grown) {
@@ -62,7 +78,9 @@ object Hierarchy {
         .join(clo.toDF("mid", "anc", "d2"), Seq("mid"))
         .select(col("node"), col("anc"), (col("d1") + col("d2")).as("dist"))
       val next = clo.unionByName(jumped).distinct().localCheckpoint(true)
-      val m = next.count()
+      val (m, cycles) = countAndCycles(next)
+      require(cycles == 0,
+        "hierarchy edges contain a cycle, not a forest — some node is its own ancestor")
       grown = m > n
       clo = next
       n = m

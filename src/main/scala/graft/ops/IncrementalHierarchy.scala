@@ -82,7 +82,20 @@ object IncrementalHierarchy {
       .join(storedClosure.toDF("mid", "anc", "d2"), Seq("mid"))
       .select(col("node"), col("anc"), (col("d1") + col("d2")).as("dist"))
     val newPairs = cloB.unionByName(extended).localCheckpoint(true)
-    newPairs.write.mode("append").parquet(s"$stateDir/closure")
+    // CRASH-REPLAY ATOMICITY: the state update is two appends that
+    // cannot be made one rename, so the closure append is made
+    // IDEMPOTENT (anti-join against the stored closure — in a forest
+    // (node, anc) determines dist, so the pair key suffices) and runs
+    // BEFORE the edges append. A crash between the two leaves closure
+    // pairs whose edges are missing; the replay's anti-join guard on
+    // edges lets the batch through again, recomputes the same pairs,
+    // and the closure anti-join appends zero duplicates before the
+    // edges append finally lands — the state converges, never
+    // double-counts.
+    val freshPairs = newPairs.join(
+      storedClosure.select(col("node"), col("anc")),
+      Seq("node", "anc"), "left_anti")
+    freshPairs.write.mode("append").parquet(s"$stateDir/closure")
     b.write.mode("append").parquet(s"$stateDir/edges")
     newPairs
   }

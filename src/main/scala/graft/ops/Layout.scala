@@ -337,6 +337,28 @@ object Layout {
     * scanned conservatively. All-null row groups are excluded from the
     * range (rows with a NULL key can never satisfy a range predicate).
     */
+  /** Hive path-segment unescape (`%xx` byte escapes, the encoding Spark's
+    * own partitioned writer emits for special chars in partition values).
+    */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
+            Character.digit(s.charAt(i + 2), 16)).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
   def harvestStats(spark: org.apache.spark.sql.SparkSession, path: String,
       columns: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -344,14 +366,40 @@ object Layout {
     val confSer = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
-    val files = root.getFileSystem(confSer.value).listStatus(root).toSeq
-      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    // RECURSIVE listing: a hive-partitioned layout (`key=value` subdirs)
+    // harvests exactly like a flat one — the partition values ride along
+    // as a map parsed from each file's dir segments, so the manifest
+    // records Delta-style per-file stats AND partition values in one
+    // schema and the skip decision can compose partition pruning with
+    // range skipping ([[skipScanManifestHive]]). `listFiles(recursive)`
+    // is the single bulk listing call object stores answer efficiently.
+    val fsys = root.getFileSystem(confSer.value)
+    val rootUri = fsys.makeQualified(root).toString.stripSuffix("/")
+    val it0 = fsys.listFiles(root, true)
+    val listed = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+    while (it0.hasNext) {
+      val st = it0.next()
+      val p = st.getPath
+      val rel = p.toString.stripPrefix(rootUri).stripPrefix("/")
+      val segs = rel.split('/').dropRight(1)
+      // skip hidden/metadata subtrees (_stats, _SUCCESS, .staging …)
+      val hidden = (segs :+ p.getName)
+        .exists(n => n.startsWith("_") || n.startsWith("."))
+      if (!hidden && p.getName.endsWith(".parquet")) {
+        val parts = segs.filter(_.contains('=')).map { seg =>
+          val i = seg.indexOf('=')
+          seg.substring(0, i) -> unescapePathName(seg.substring(i + 1))
+        }.toMap
+        listed += ((p.toString, parts))
+      }
+    }
+    val files = listed.sortBy(_._1).toSeq
     val wanted = columns
     val slices = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
       val conf = confSer.value
-      it.flatMap { f =>
+      it.flatMap { case (f, parts) =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(f), conf))
@@ -383,11 +431,11 @@ object Layout {
                 case _ => None
               }
               if (typ.isEmpty || verdicts.exists(_.isEmpty))
-                (f, c, typ, null: String, null: String, nRows, nNulls)
+                (f, c, typ, null: String, null: String, nRows, nNulls, parts)
               else {
                 val usable = verdicts.flatten.flatten
                 if (usable.isEmpty)
-                  (f, c, typ, null: String, null: String, nRows, nNulls)
+                  (f, c, typ, null: String, null: String, nRows, nNulls, parts)
                 else {
                   val cmp = usable.head.comparator()
                     .asInstanceOf[java.util.Comparator[AnyRef]]
@@ -395,14 +443,14 @@ object Layout {
                     .reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
                   val mx = usable.map(_.genericGetMax.asInstanceOf[AnyRef])
                     .reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
-                  (f, c, typ, enc(mn), enc(mx), nRows, nNulls)
+                  (f, c, typ, enc(mn), enc(mx), nRows, nNulls, parts)
                 }
               }
             }
           }
         } finally reader.close()
       }
-    }.toDF("file", "column", "typ", "min_v", "max_v", "n_rows", "n_nulls")
+    }.toDF("file", "column", "typ", "min_v", "max_v", "n_rows", "n_nulls", "parts")
   }
 
   /** Harvest + persist the stats manifest at `<path>/_stats` — one tiny
@@ -415,12 +463,89 @@ object Layout {
       path: String, columns: Seq[String]): Unit = {
     val stats = harvestStats(spark, path, columns).localCheckpoint(true)
     // An empty manifest would make skipScanManifest prune EVERYTHING —
-    // silently wrong results. Flat data dirs only (writeSorted's output);
-    // a partitioned (key=value subdir) layout has no top-level files and
-    // gets partition pruning from Spark itself instead.
+    // silently wrong results. The harvest is recursive, so both flat
+    // sorted layouts and hive-partitioned (`key=value` subdir) layouts
+    // are covered; partitioned files carry their partition values in the
+    // manifest's `parts` map ([[skipScanManifestHive]] composes them).
     require(stats.count() > 0,
-      s"no parquet files found at top level of $path — stats manifests cover flat sorted layouts")
+      s"no parquet files found under $path — nothing to harvest stats from")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Hive-partitioned layout writer with within-partition range sort —
+    * the date-partitioned + z-ordered-within-partition table every real
+    * lakehouse converges on: `partitionBy(partCols)` gives directory-
+    * level pruning on the partition key, the range shuffle over
+    * (partCols ++ sortCols) plus the local sort makes each partition's
+    * files cover disjoint sort-key slices, and the write-time stats
+    * manifest records per-file [min,max] AND partition values in one
+    * schema — so a query with predicates on BOTH levels prunes
+    * partitions × files ([[skipScanManifestHive]]), which neither
+    * Spark's partition pruning nor footer stats can do alone from
+    * metadata. Delta records exactly this shape (partitionValues +
+    * stats per AddFile).
+    */
+  def writeSortedPartitioned(df: DataFrame, partCols: Seq[String],
+      sortCols: Seq[Column], numFiles: Int, path: String,
+      statsCols: Seq[String] = Nil): Unit = {
+    val keys = partCols.map(col) ++ sortCols
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.partitionBy(partCols: _*).mode("overwrite").parquet(path)
+    if (statsCols.nonEmpty) writeStatsManifest(df.sparkSession, path, statsCols)
+  }
+
+  /** Partition pruning × range skipping from ONE manifest read — the
+    * compose a date-partitioned, sorted-within-partition table needs:
+    * `partPreds` are `(partitionCol, lo, hi, castType)` ranges decided
+    * against the manifest's recorded partition values (hive dir values
+    * are strings; the cast runs the comparison in the key's domain),
+    * `preds` are `(column, lo, hi)` ranges decided against per-file
+    * [min,max] stats exactly as [[skipScanManifestPreds]]. A file
+    * survives only when EVERY predicate keeps it. Returns
+    * (scan, keptBoth, keptPartitionOnly, total) — the third element
+    * quantifies what range skipping bought BEYOND partition pruning.
+    * Files without the partition key in their path stay conservative,
+    * and all predicates are re-applied as row filters (superset
+    * guarantee; the scan reads with `basePath` so partition columns
+    * come back as data columns).
+    */
+  def skipScanManifestHive(spark: org.apache.spark.sql.SparkSession,
+      path: String, partPreds: Seq[(String, String, String, String)],
+      preds: Seq[(String, String, String)])
+      : (DataFrame, Int, Int, Int) = {
+    require(partPreds.nonEmpty, "at least one partition predicate")
+    val all = spark.read.parquet(s"$path/_stats").localCheckpoint(true)
+    val totalFiles = all.select(col("file")).distinct().count().toInt
+    // partition decision: one verdict per file from its parts map; a
+    // missing key or an uncastable value keeps the file conservatively
+    val partKeep = partPreds.map { case (pc, lo, hi, typ) =>
+      val v = element_at(col("parts"), pc).cast(typ)
+      v.isNull || (v >= lit(lo).cast(typ) && v <= lit(hi).cast(typ))
+    }.reduce(_ && _)
+    val partKept = all.select(col("file")).where(partKeep)
+      .distinct().collect().map(_.getString(0)).toSet
+    // range decision: intersect the per-column stats verdicts
+    val statsKept = preds.map { case (c, lo, hi) =>
+      manifestFileDecisions(spark, Seq(s"$path/_stats"), c, lo, hi)
+        ._1.filter(_._2).map(_._1).toSet
+    }.reduceOption(_ intersect _).getOrElse(partKept)
+    val kept = (partKept intersect statsKept).toSeq.sorted
+    val base = if (kept.isEmpty)
+        spark.read.option("basePath", path).parquet(path).limit(0)
+      else spark.read.option("basePath", path).parquet(kept: _*)
+    val typOf = preds.map { case (c, lo, hi) =>
+      c -> manifestFileDecisions(spark, Seq(s"$path/_stats"), c, lo, hi)._2
+    }.toMap
+    val rowFiltered = (partPreds.map { case (pc, lo, hi, typ) =>
+      (pc, lo, hi, typ)
+    } ++ preds.map { case (c, lo, hi) => (c, lo, hi, typOf(c)) })
+      .foldLeft(base) { case (df, (c, lo, hi, typ)) =>
+        if (typ.isEmpty) df
+        else df.filter(col(c).cast(typ) >= lit(lo).cast(typ) &&
+          col(c).cast(typ) <= lit(hi).cast(typ))
+      }
+    (rowFiltered, kept.size, partKept.size, totalFiles)
   }
 
   /** The manifest-side skip decision: (kept files, total files) for a

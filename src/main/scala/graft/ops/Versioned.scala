@@ -298,10 +298,19 @@ object Versioned {
       require(conflicts.isEmpty,
         s"incompatible merge batch schema: ${conflicts.mkString("; ")}")
     }
+    // NULL merge keys are rejected outright: the two disciplines would
+    // disagree on them (anti-join never matches null → duplicates;
+    // window groups all nulls into one key → one survivor), and null is
+    // outside the stats [lo,hi] pruning bound anyway.
     val bounds = batch.agg(
-      min(col(key)).cast("string"), max(col(key)).cast("string")).head()
+      min(col(key)).cast("string"), max(col(key)).cast("string"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(col(key).isNull, lit(1)))).head()
     require(!bounds.isNullAt(0),
       "mergePruned needs a non-empty batch with non-null keys")
+    require(bounds.getLong(2) == 0L,
+      s"mergePruned batch has ${bounds.getLong(2)} null merge keys; " +
+        "null keys have no consistent merge semantics — filter or fill them first")
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
     val byDir = groupRefsByDir(m.refs)
     val dirInfo = byDir.toSeq.map { case (d, files) =>
@@ -676,17 +685,24 @@ object Versioned {
       val total = referenced.map(_._2).sum
       // a dv coordinate on a file the snapshot no longer references
       // (rewritten away by a merge) is inert — subtracting it would
-      // undercount; key the dv rows by (dir, file) suffix
-      val refSuffix = referenced.map { case (abs, _) =>
-        val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
-      }.toSet
+      // undercount; key the dv rows by (dir, file) suffix. The DV side
+      // is O(deleted rows) and stays DISTRIBUTED: the referenced-file
+      // suffixes (O(files), planning metadata) broadcast into a
+      // semi-join and the count never materializes a coordinate on the
+      // driver.
       val dvRows =
         if (m.dvs.isEmpty) 0L
-        else spark.read.parquet(m.dvs.map(d => s"$table/data/$d"): _*)
-          .select(col("file")).collect().map(_.getString(0))
-          .count { f =>
-            val p = new Path(f); refSuffix(s"${p.getParent.getName}/${p.getName}")
-          }.toLong
+        else {
+          import spark.implicits._
+          import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+          val refs = referenced.map { case (abs, _) =>
+            val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
+          }.toSeq.distinct.toDF("ref_sfx")
+          spark.read.parquet(m.dvs.map(d => s"$table/data/$d"): _*)
+            .select(regexp_extract(col("file"), "([^/]+/[^/]+)$", 1).as("ref_sfx"))
+            .join(broadcast(refs), Seq("ref_sfx"), "left_semi")
+            .count()
+        }
       Some(total - dvRows)
     }
   }
@@ -717,22 +733,35 @@ object Versioned {
       }
     if (from >= latest) None
     else Some((
+      // allowMissingColumns: a cursor range that straddles a
+      // schema-evolution append yields frames with different schemas;
+      // null-fill older versions exactly as read()'s mergeSchema does,
+      // instead of wedging the consumer with an AnalysisException.
       (from + 1 to latest).map(v =>
         changes(spark, table, v).withColumn("version", lit(v)))
-        .reduce(_.unionByName(_)),
+        .reduce(_.unionByName(_, allowMissingColumns = true)),
       latest))
   }
 
-  /** Durably advance the change-feed cursor (staged write + rename). */
+  /** Durably advance the change-feed cursor (staged write + ATOMIC
+    * overwrite-rename). The naive delete-then-rename has a crash window
+    * where the cursor is absent — the next [[changesSince]] would
+    * restart from version 0 and re-emit the bootstrap seed, which a
+    * plain-append downstream silently duplicates. `FileContext.rename`
+    * with `Options.Rename.OVERWRITE` replaces the old cursor in one
+    * step, so every observable state holds either the old or the new
+    * version, never neither.
+    */
   def ackCursor(spark: SparkSession, cursorPath: String, v: Long): Unit = {
     val cp = new Path(cursorPath)
     val f = fs(spark, cp)
     val tmp = new Path(cursorPath + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (f.exists(cp)) f.delete(cp, false)
-    if (!f.rename(tmp, cp))
-      throw new java.io.IOException(s"cursor advance failed at $cursorPath")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(cp),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** OPTIMIZE — the small-files compaction every append-heavy table

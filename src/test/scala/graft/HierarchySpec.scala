@@ -92,4 +92,48 @@ class HierarchySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("re-parents"), e.getMessage)
   }
+
+  test("a cycle among new batch nodes fails loudly instead of looping forever") {
+    // x→y plus y→x: each child appears once (passes the dup-child
+    // check), neither is stored (passes the reparent guard) — without
+    // the 64-round convergence bound the path-doubling loop would grow
+    // dist unboundedly and never terminate.
+    val st = tmpDir("inc-hier-cycle")
+    graft.ops.IncrementalHierarchy.init(spark, st,
+      edges(2L -> 1L), "child", "parent")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.IncrementalHierarchy.addBatch(spark, st,
+        edges(10L -> 11L, 11L -> 10L), "child", "parent")
+    }
+    assert(ex.getMessage.contains("cycle"), ex.getMessage)
+  }
+
+  test("crash between closure append and edges append replays to a converged state") {
+    // The state update is closure-append THEN edges-append. Stage the
+    // crash window: land the batch's closure pairs WITHOUT the edges
+    // (exactly what a crash after the first write leaves), then replay
+    // the batch. The replay must pass the edges-keyed guard, re-append
+    // ZERO duplicate closure pairs (idempotent anti-join), land the
+    // edges, and leave the state equal to the full recompute.
+    val st = tmpDir("inc-hier-crash")
+    val shadow = tmpDir("inc-hier-crash-shadow")
+    val a = (2L to 20L).map(i => (i, i / 2L)).toDF("child", "parent")
+    val b = (21L to 40L).map(i => (i, i / 2L)).toDF("child", "parent")
+    graft.ops.IncrementalHierarchy.init(spark, st, a, "child", "parent")
+    graft.ops.IncrementalHierarchy.init(spark, shadow, a, "child", "parent")
+    // compute the batch's pairs on the shadow state, then write ONLY
+    // them into the real state's closure — the crashed half-commit
+    val pairs = graft.ops.IncrementalHierarchy.addBatch(spark, shadow, b,
+      "child", "parent")
+    pairs.write.mode("append").parquet(s"$st/closure")
+    // replay on the real state
+    val replayed = graft.ops.IncrementalHierarchy.addBatch(spark, st, b,
+      "child", "parent")
+    assert(replayed.count() == pairs.count())
+    val clo = graft.ops.IncrementalHierarchy.closure(spark, st)
+    assert(clo.count() == clo.select($"node", $"anc").distinct().count(),
+      "replay after a half-committed batch must not duplicate closure pairs")
+    val full = Hierarchy.ancestorClosure(a.unionByName(b), "child", "parent")
+    assert(cloSet(clo) == cloSet(full))
+  }
 }

@@ -376,4 +376,35 @@ class LayoutSpec extends SparkSpec {
     assert(keptNN == totalNN && nn.count() == 400,
       "null-count skipping on an unstatted column must stay conservative")
   }
+
+  test("hive layout: partition pruning × range skipping compose, result equals the full scan") {
+    val out = tmpDir("layout-hive") + "/t"
+    // 12 months × keys 0..999, sorted by key within each month partition
+    val rows = (0 until 12000).map { i =>
+      (f"2024-${i % 12 + 1}%02d", (i / 12).toLong, i.toLong)
+    }.toDF("month", "k", "payload")
+    Layout.writeSortedPartitioned(rows, Seq("month"), Seq($"k"), 48, out,
+      statsCols = Seq("k"))
+    // manifest records partition values alongside file stats
+    val man = spark.read.parquet(s"$out/_stats")
+    assert(man.schema.fieldNames.contains("parts"))
+    assert(man.filter(element_at($"parts", "month").isNull).count() == 0,
+      "every partitioned file must carry its partition value in the manifest")
+    // 3 months × a quarter of the key space
+    val (scan, keptBoth, keptPart, total) = Layout.skipScanManifestHive(spark,
+      out, Seq(("month", "2024-04", "2024-06", "string")),
+      Seq(("k", "100", "349")))
+    assert(keptPart < total, s"partition pruning must bite: $keptPart of $total")
+    assert(keptBoth < keptPart,
+      s"range skipping must beat partition pruning alone: $keptBoth vs $keptPart")
+    val expected = spark.read.parquet(out)
+      .filter($"month" >= "2024-04" && $"month" <= "2024-06" &&
+        $"k" >= 100L && $"k" <= 349L)
+    assert(scan.count() == expected.count())
+    assert(scan.agg(sum($"payload")).head.getLong(0) ==
+      expected.agg(sum($"payload")).head.getLong(0),
+      "pruned scan must equal the unpruned scan exactly")
+    // partition columns come back as data columns via basePath
+    assert(scan.schema.fieldNames.contains("month"))
+  }
 }

@@ -429,6 +429,37 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.rowCount(spark, t).isEmpty)
   }
 
+  test("rowCount stays exact when dv coordinates dwarf any driver-side bound") {
+    // the dv side of the count is DISTRIBUTED (broadcast semi-join +
+    // count, never a per-coordinate collect): 60k deleted rows — far
+    // beyond what a driver loop should ever materialize — must still
+    // count exactly, including inert coordinates on rewritten files.
+    val t = tmpDir("versioned-count-big") + "/t"
+    val base = (1 to 100000).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(base, Seq($"id"), 8), Seq("id"))
+    Versioned.deleteWhere(spark, t, $"id" % 5 =!= 0L) // deletes 80k rows
+    assert(Versioned.rowCount(spark, t) == Some(20000L))
+    // rewrite a slice: its dv coords go inert, the count must not drift
+    Versioned.mergePruned(spark, t,
+      (99990 to 100500).map(i => (i.toLong, -1L)).toDF("id", "v"), "id", Seq("id"))
+    assert(Versioned.rowCount(spark, t) ==
+      Some(Versioned.read(spark, t).count()))
+  }
+
+  test("mergePruned rejects null merge keys loudly") {
+    val t = tmpDir("versioned-nullkey") + "/t"
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (1 to 100).map(i => (i.toLong, i * 2L)).toDF("id", "v"),
+        Seq($"id"), 2), Seq("id"))
+    val batch = Seq((Some(5L), 0L), (None, 1L)).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Versioned.mergePruned(spark, t, batch, "id", Seq("id"))
+    }
+    assert(ex.getMessage.contains("null merge keys"), ex.getMessage)
+  }
+
   test("changesSince cursor: split == whole, crash-before-ack re-emits, caught-up is None") {
     val root = tmpDir("versioned-cursor")
     val t = s"$root/t"; val cur = s"$root/cursor"
