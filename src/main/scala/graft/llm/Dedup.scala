@@ -228,6 +228,13 @@ object Dedup {
       val nextCount = afterSmall.count()
       converged = nextCount == edgeCount &&
         afterSmall.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // free the DEAD checkpoints (afterLarge, the superseded edges):
+      // afterSmall is eagerly materialized and the convergence anti-join
+      // has run, so nothing can read them again — without this, every
+      // round's blocks pin storage memory for the rest of the session
+      // (the round-9 mid-suite slowdown ghost)
+      graft.ops.Checkpoints.free(afterLarge)
+      graft.ops.Checkpoints.free(edges)
       edges = afterSmall
       edgeCount = nextCount
       iter += 1

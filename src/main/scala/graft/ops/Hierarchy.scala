@@ -82,6 +82,10 @@ object Hierarchy {
       require(cycles == 0,
         "hierarchy edges contain a cycle, not a forest — some node is its own ancestor")
       grown = m > n
+      // `next` is eagerly materialized; the superseded round's blocks
+      // are dead — release them instead of pinning storage for the
+      // session (Checkpoints.free scaladoc)
+      Checkpoints.free(clo)
       clo = next
       n = m
     }

@@ -107,14 +107,21 @@ object PageRank {
       .repartition(col("src"))
       .localCheckpoint(true)
 
+    // Track the rank checkpoints this loop OWNS so each can be freed the
+    // moment a newer one supersedes it (Checkpoints.free scaladoc) —
+    // nodes/edgesDeg stay live for the whole run and are never tracked.
+    var prevCkpt: Option[DataFrame] = None
     var ranks = prior match {
       case None => nodes.select(col("id"), lit(r0).as("rank_fp"))
       case Some(p) =>
         // one outer join seeds the vector; checkpoint so iterations
         // re-read the seeded vector, not the persisted-state scan + join
-        nodes.join(p.select(col("id"), col("rank_fp").as("__prior")), Seq("id"), "left")
+        val seeded = nodes
+          .join(p.select(col("id"), col("rank_fp").as("__prior")), Seq("id"), "left")
           .select(col("id"), coalesce(col("__prior"), lit(r0)).as("rank_fp"))
           .localCheckpoint(true)
+        prevCkpt = Some(seeded)
+        seeded
     }
     (1 to iters).foreach { i =>
       val contrib = edgesDeg
@@ -124,8 +131,11 @@ object PageRank {
       ranks = nodes.join(sums, nodes("id") === sums("dst"), "left")
         .select(col("id"),
           (lit(base) + expr("(17 * coalesce(s, 0L)) div 20")).as("rank_fp"))
-      if (i % checkpointInterval == 0 && i < iters)
+      if (i % checkpointInterval == 0 && i < iters) {
         ranks = ranks.localCheckpoint(true)
+        prevCkpt.foreach(Checkpoints.free)
+        prevCkpt = Some(ranks)
+      }
     }
     ranks
   }
