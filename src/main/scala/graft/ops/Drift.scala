@@ -31,7 +31,6 @@ object Drift {
     */
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
       bucketWidth: Long = 1L << 20): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val av = a.select(col(valueCol).cast("long").as("v"))
     val bv = b.select(col(valueCol).cast("long").as("v"))
     val pts = av.groupBy(col("v")).agg(count(lit(1)).as("ca"))
@@ -39,7 +38,19 @@ object Drift {
       .unionByName(bv.groupBy(col("v")).agg(count(lit(1)).as("cb"))
         .withColumn("ca", lit(0L)))
       .groupBy(col("v")).agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
-      .withColumn("__bucket", floor(col("v") / bucketWidth))
+    ksFromCounts(pts, bucketWidth)
+  }
+
+  /** The KS core over PRE-GROUPED per-value counts `(v, ca, cb)` — the
+    * seam [[IncrementalDrift]] re-enters with a PERSISTED reference side:
+    * the statistic depends on the samples only through these counts, so
+    * a stored count relation is a lossless substitute for rescanning the
+    * reference sample.
+    */
+  private[graft] def ksFromCounts(ptsRaw: DataFrame,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val pts = ptsRaw.withColumn("__bucket", floor(col("v") / bucketWidth))
     val inBucket = Window.partitionBy(col("__bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perBucket = pts
@@ -84,6 +95,13 @@ object Drift {
       .groupBy(col("cat")).agg(count(lit(1)).as("cb")).withColumn("ca", lit(0L))
     val g = ca.unionByName(cb).groupBy(col("cat"))
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    tvFromCounts(g)
+  }
+
+  /** The TV core over PRE-GROUPED per-category counts `(cat, ca, cb)` —
+    * the [[IncrementalDrift]] seam, mirroring [[ksFromCounts]].
+    */
+  private[graft] def tvFromCounts(g: DataFrame): DataFrame = {
     val totals = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     val diffs = g.crossJoin(broadcast(totals))
       .select(col("cat"), col("n_a"), col("n_b"),

@@ -687,6 +687,90 @@ object Layout {
     (filtered, kept.size, total)
   }
 
+  /** Executor-side parquet-BLOOM cut for an equality probe: of
+    * `candidates`, keep only the files where SOME row group's bloom
+    * filter on `column` might contain `value` (no bloom present → keep
+    * conservatively — a bloom can only ever say "definitely absent").
+    * `typ` is the manifest's recorded Spark type for the column; the
+    * probe value is encoded to the parquet primitive the filter hashed
+    * at write time (INT64, UTF8 Binary, INT32, DOUBLE). The check opens
+    * FOOTER + bloom pages only — never data pages — and fans out over
+    * the cluster exactly like [[harvestStats]].
+    */
+  private[graft] def bloomKeepFiles(spark: org.apache.spark.sql.SparkSession,
+      candidates: Seq[String], column: String, value: String,
+      typ: String): Seq[String] = {
+    if (candidates.isEmpty) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val confSer = new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.max(1, math.min(candidates.size,
+        spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(candidates.sorted, slices)
+        .mapPartitions { it =>
+          val conf = confSer.value
+          it.filter { f =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f), conf))
+            try {
+              val footer = reader.getFooter
+              footer.getBlocks.asScala.exists { block =>
+                block.getColumns.asScala
+                  .find(_.getPath.toDotString == column) match {
+                  case None => true // column absent: conservative
+                  case Some(cc) =>
+                    val bf = reader.getBloomFilterDataReader(block)
+                      .readBloomFilter(cc)
+                    if (bf == null) true // no bloom written: conservative
+                    else {
+                      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                      val probe: AnyRef = cc.getPrimitiveType.getPrimitiveTypeName match {
+                        case INT64 => java.lang.Long.valueOf(value.toLong)
+                        case INT32 => java.lang.Integer.valueOf(value.toInt)
+                        case DOUBLE => java.lang.Double.valueOf(value.toDouble)
+                        case FLOAT => java.lang.Float.valueOf(value.toFloat)
+                        case BINARY =>
+                          org.apache.parquet.io.api.Binary.fromString(value)
+                        case _ => null // unhashable type: conservative
+                      }
+                      probe == null || bf.findHash(bf.hash(probe))
+                    }
+                }
+              }
+            } finally reader.close()
+          }.toVector.iterator
+        }.collect().toSeq.sorted
+    }
+  }
+
+  /** POINT-LOOKUP skipping: `column = value` planned as manifest min/max
+    * cut ([min,max] must straddle the value) COMPOSED with a per-file
+    * parquet-bloom membership check — the Delta-style compose the
+    * range path cannot do alone: on a table sorted by some OTHER key,
+    * every file's [min,max] on a high-cardinality probe column spans
+    * nearly the full domain, so the range cut keeps everything, while
+    * the write-time bloom ([[writeSorted]] `bloomCols`) prunes to the
+    * files that actually hold the value. False positives only — a kept
+    * file may lack the value (the row filter on top restores exactness),
+    * a pruned file provably cannot contain it (superset guarantee,
+    * LayoutSpec-pinned). Returns (scan, keptBloom, keptRange, total).
+    */
+  def skipScanBloomEq(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, value: String): (DataFrame, Int, Int, Int) = {
+    val (decided, typ) =
+      manifestFileDecisions(spark, Seq(s"$path/_stats"), column, value, value)
+    val rangeKept = decided.filter(_._2).map(_._1)
+    val kept = bloomKeepFiles(spark, rangeKept, column, value, typ)
+    val base = if (kept.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(kept: _*)
+    val filtered =
+      if (typ.isEmpty) base
+      else base.filter(col(column) === lit(value).cast(typ))
+    (filtered, kept.size, rangeKept.size, decided.length)
+  }
+
   /** MULTI-predicate manifest skipping: conjunctive ranges over SEVERAL
     * stats columns — a file is read only when EVERY predicate's [min,
     * max] overlaps, so the kept set is the intersection of the per-

@@ -222,6 +222,30 @@ object Versioned {
     -1L // unreachable
   }
 
+  /** Re-run `body` on losing the commit race — the MAINTENANCE side of
+    * the [[transact]] discipline: `deleteWhere`/`mergePruned`/[[compact]]
+    * each read the latest snapshot at the top of their body, so a retry
+    * naturally recomputes against the racer's commit (never blindly
+    * re-commits stale work). Without this, one concurrent append aborts
+    * a whole maintenance pass with a raw
+    * `ConcurrentModificationException` — on a busy table, maintenance
+    * would never win. Livelock is reported after `maxAttempts`, not
+    * hidden.
+    */
+  private def retryOnConflict[T](maxAttempts: Int)(body: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Metadata-only rollback: the next version references exactly the data
     * dirs of `toVersion` — no bytes rewritten, old history intact.
     */
@@ -283,7 +307,8 @@ object Versioned {
     */
   def mergePruned(spark: SparkSession, table: String, batch: DataFrame,
       key: String, statsCols: Seq[String], numFiles: Int = 8,
-      versionCol: Option[String] = None): (Long, Int, Int) = {
+      versionCol: Option[String] = None, maxAttempts: Int = 5)
+      : (Long, Int, Int) = retryOnConflict(maxAttempts) {
     import org.apache.spark.sql.functions.{broadcast, col, desc, lit, max, min, row_number}
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
@@ -437,7 +462,8 @@ object Versioned {
     * before the rewrite.
     */
   def deleteWhere(spark: SparkSession, table: String,
-      predicate: org.apache.spark.sql.Column): Long = {
+      predicate: org.apache.spark.sql.Column, maxAttempts: Int = 5): Long =
+      retryOnConflict(maxAttempts) {
     import org.apache.spark.sql.functions.col
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
@@ -465,6 +491,84 @@ object Versioned {
         s"version $v of $table was committed by another writer; re-read and retry")
     }
     v
+  }
+
+  /** [[deleteWhere]] with the predicate-scan STATS-PRUNED — the
+    * [[mergePruned]] move applied to deletion vectors: when the delete
+    * predicate is a range on a stats-manifest column (`column BETWEEN
+    * lo AND hi`, optionally AND `extra`), the coordinate-harvest scan
+    * opens ONLY the files whose [min,max] overlaps the range — files
+    * outside it are provably match-free and are never read. Deleting one
+    * day from a year of key-sorted data touches ~1/365th of the files
+    * instead of scanning the table to discover that nothing else
+    * matches. Dirs without a stats manifest scan conservatively;
+    * `extra` narrows WITHIN the range only (it cannot widen the match
+    * set, so pruning stays a superset guarantee — the dv written here is
+    * row-identical to the unpruned [[deleteWhere]]'s, VersionedSpec pins
+    * it). Returns (new version, files scanned, files referenced).
+    */
+  def deleteWhereRange(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String,
+      extra: Option[org.apache.spark.sql.Column] = None,
+      maxAttempts: Int = 5): (Long, Int, Int) =
+      retryOnConflict(maxAttempts) {
+    import org.apache.spark.sql.functions.{col, lit}
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    val v = parentV + 1
+    val byDir = groupRefsByDir(m.refs)
+    val dirInfo = byDir.toSeq.map { case (d, files) =>
+      val dir = s"$table/data/$d"
+      (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
+    }
+    val statted = dirInfo.filter(_._4)
+    // manifest decision restricted to the files the snapshot still
+    // references (file-granular refs after a mergePruned commit)
+    val decided: Seq[(String, Boolean)] =
+      if (statted.isEmpty) Seq.empty
+      else {
+        val (all, _) = Layout.manifestFileDecisions(spark,
+          statted.map(_._2 + "/_stats"), column, lo, hi)
+        val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
+        all.filter { case (abs, _) =>
+          val p = new Path(abs)
+          restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+        }
+      }
+    val candidates = decided.filter(_._2).map(_._1)
+    val conservative = dirInfo.filterNot(_._4).flatMap {
+      case (_, dir, files, _) => files match {
+        case Some(names) => names.toSeq.map(n => s"$dir/$n")
+        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      }
+    }
+    val scanFiles = (candidates ++ conservative).sorted
+    val nTotal = decided.length + conservative.size
+    val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dels =
+      if (scanFiles.isEmpty)
+        spark.range(0).select(lit("").as("file"), lit(0L).as("pos")).limit(0)
+      else {
+        val scan = spark.read.option("mergeSchema", "true").parquet(scanFiles: _*)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val dt = scan.schema(column).dataType
+        val rangePred = col(column) >= lit(lo).cast(dt) &&
+          col(column) <= lit(hi).cast(dt)
+        subtractDvs(spark, table, scan, m.dvs, "__file", "__pos")
+          .filter(extra.fold(rangePred)(rangePred && _))
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+      }
+    dels.repartition(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
+    if (!writeManifest(spark, table, v, "delete", m.refs, m.schemaJson,
+        m.dvs :+ dvDir)) {
+      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    }
+    (v, scanFiles.size, nTotal)
   }
 
   /** [[commit]] + executor-side stats harvest into the new data dir's
@@ -773,15 +877,33 @@ object Versioned {
     * law: compact must be invisible to readers.
     */
   def compact(spark: SparkSession, table: String, numFiles: Int = 32,
-      statsCols: Seq[String] = Nil): Long =
-    if (statsCols.isEmpty)
-      commit(spark, table, read(spark, table).repartition(numFiles),
-        overwrite = true)
-    else
-      // stats continuity: a compaction of a stats-carrying table should
-      // not demote future range reads to conservative full scans
-      commitWithStats(spark, table, read(spark, table).repartition(numFiles),
-        statsCols, overwrite = true)
+      statsCols: Seq[String] = Nil, maxAttempts: Int = 5): Long =
+    // stats continuity: a compaction of a stats-carrying table should
+    // not demote future range reads to conservative full scans
+    compactWith(spark, table, _.repartition(numFiles), statsCols, maxAttempts)
+
+  /** The pinned-read compaction body shared by [[compact]] and
+    * [[compactSorted]]. PINNING matters: reading `latest` and then
+    * committing via plain [[commit]] would re-resolve `latest` at commit
+    * time — an append racing into that window gets OVERWRITTEN by the
+    * stale compacted snapshot, silently dropping its rows (the lost
+    * update [[transact]]'s doc warns about). Here the read version is
+    * claimed exactly (`commitAt(v+1, parent=v)`); a racer claiming it
+    * first forces a retry that re-reads the refreshed snapshot.
+    */
+  private[graft] def compactWith(spark: SparkSession, table: String,
+      relayout: DataFrame => DataFrame, statsCols: Seq[String],
+      maxAttempts: Int): Long = retryOnConflict(maxAttempts) {
+    val pv = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val snap = relayout(read(spark, table, Some(pv)))
+    val v = commitAt(spark, table, snap, pv + 1, Some(pv), overwrite = true)
+    if (statsCols.nonEmpty) {
+      val newDir = readManifest(spark, table, v).refs.last
+      Layout.writeStatsManifest(spark, s"$table/data/$newDir", statsCols)
+    }
+    v
+  }
 
   /** OPTIMIZE + re-layout — [[compact]] that RE-SORTS while it folds
     * (the Delta `OPTIMIZE ... ZORDER BY` shape): a long append/merge
@@ -796,10 +918,9 @@ object Versioned {
     */
   def compactSorted(spark: SparkSession, table: String,
       sortCols: Seq[org.apache.spark.sql.Column], numFiles: Int,
-      statsCols: Seq[String]): Long =
-    commitWithStats(spark, table,
-      Layout.sortedByRange(read(spark, table), sortCols, numFiles),
-      statsCols, overwrite = true)
+      statsCols: Seq[String], maxAttempts: Int = 5): Long =
+    compactWith(spark, table,
+      Layout.sortedByRange(_, sortCols, numFiles), statsCols, maxAttempts)
 
   /** Erase rows matching `predicate` from the table — the
     * right-to-be-forgotten operation, which a commit-log design makes
@@ -837,11 +958,23 @@ object Versioned {
     * reclaims everything but the live snapshot — the maximally eager
     * (and maximally reader-hostile) setting, kept as the default for the
     * erasure two-step (`purge` then `vacuum` must remove the bytes).
-    * Run vacuum from the single maintenance owner: it cannot distinguish
-    * a crashed writer's orphan from an IN-FLIGHT commit's data dir.
+    *
+    * `graceMs` is the WRITER-SAFETY window (the Delta
+    * `deletedFileRetentionDuration` idea): vacuum cannot distinguish a
+    * crashed writer's orphan from an IN-FLIGHT commit's data dir — the
+    * dir exists, the manifest doesn't YET. With `graceMs = 0` a
+    * concurrent vacuum deletes the in-flight dir, the writer's CAS then
+    * SUCCEEDS, and the new latest references vacuumed data (reads fail
+    * loudly, but latest is broken — the race VersionedSpec stages).
+    * A dir younger than `graceMs` is skipped, so any commit whose
+    * write-to-CAS window is shorter than the grace survives a concurrent
+    * vacuum; `0` keeps the eager single-owner behavior for the erasure
+    * two-step.
     */
-  def vacuum(spark: SparkSession, table: String, retainLast: Int = 1): Seq[String] = {
+  def vacuum(spark: SparkSession, table: String, retainLast: Int = 1,
+      graceMs: Long = 0L): Seq[String] = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
     val live = latestVersion(spark, table).map { latest =>
       (math.max(1L, latest - retainLast + 1) to latest)
         .flatMap { v =>
@@ -856,9 +989,14 @@ object Versioned {
     val dataRoot = new Path(s"$table/data")
     val f = fs(spark, dataRoot)
     if (!f.exists(dataRoot)) Seq.empty
-    else f.listStatus(dataRoot).toSeq.map(_.getPath.getName)
-      .filterNot(live.contains)
-      .map { d => f.delete(new Path(s"$table/data/$d"), true); d }
-      .sorted
+    else {
+      val horizon = System.currentTimeMillis() - graceMs
+      f.listStatus(dataRoot).toSeq
+        .filter(st => graceMs == 0L || st.getModificationTime < horizon)
+        .map(_.getPath.getName)
+        .filterNot(live.contains)
+        .map { d => f.delete(new Path(s"$table/data/$d"), true); d }
+        .sorted
+    }
   }
 }

@@ -252,6 +252,40 @@ object OpsQueries extends graft.QueryModule {
         min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
     }),
 
+    // BLOOM-FILTER POINT-LOOKUP SKIPPING (Layout.skipScanBloomEq — the
+    // write-time parquet blooms composed with manifest skipping): orders
+    // lands sorted by CUSTKEY, so every file's o_orderkey [min,max]
+    // spans ~the whole domain and the min/max cut keeps ~everything for
+    // a mid-domain key probe; the per-file bloom (footer pages only,
+    // checked executor-side) prunes to the file(s) that actually hold
+    // the key. REQUIRED in-query: the bloom keeps strictly fewer files
+    // than min/max alone — the compose is the point (superset guarantee
+    // + string-key variant are LayoutSpec laws). At 100 TB this is
+    // "find one order id in a table sorted by something else" without
+    // opening a data page per file.
+    "q_file_skipping_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_skipbloom_${ProcessHandle.current().pid()}"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Layout.writeSorted(orders, Seq($"o_custkey", $"o_orderkey"),
+        16, tmp, bloomCols = Seq("o_orderkey"), statsCols = Seq("o_orderkey"))
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      // largest existing key at or below mid-domain: inside every file's
+      // range (orderkeys are sparse in TPC-H, so maxk/2 itself may not
+      // exist — probe a real key, deterministically)
+      val probe = orders.filter($"o_orderkey" <= maxk / 2L)
+        .agg(max($"o_orderkey")).head().getLong(0)
+      val (scan, keptBloom, keptRange, _) =
+        graft.ops.Layout.skipScanBloomEq(s, tmp, "o_orderkey", probe.toString)
+      require(keptBloom < keptRange,
+        s"the bloom cut must beat min/max alone: $keptBloom vs $keptRange files")
+      scan.agg(count(lit(1)).as("n"),
+        sum($"o_custkey").as("sum_cust"),
+        sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+    }),
+
     // Versioned table + TIME TRAVEL (ops/Versioned — the commit-log
     // snapshot idea on plain parquet): v1 seeds a part slice, v2 APPENDS
     // a disjoint slice (the snapshot references the parent's data dirs —
@@ -345,6 +379,47 @@ object OpsQueries extends graft.QueryModule {
       require(fingerprint == before,
         "a dv delete must leave every data file byte-identical")
       Seq(1L, 2L, 3L).map { v =>
+        graft.ops.Versioned.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            sum($"o_custkey").as("sum_cust"))
+          .select(lit(v).as("version"), $"n", $"sum_price", $"sum_cust")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
+    // STATS-PRUNED DELETE (Versioned.deleteWhereRange — the mergePruned
+    // file-pruning move applied to deletion vectors): orders lands
+    // key-sorted with a stats manifest; deleting a key-range decile
+    // (with an extra conjunct narrowing WITHIN the range) must open only
+    // the files whose [min,max] overlaps it — REQUIRED in-query:
+    // scanned < referenced (deleting one day from a year of key-sorted
+    // data reads ~1/365th of the files, not the table), and the data
+    // files stay byte-identical (it is still a dv delete). Snapshots
+    // v1/v2 are read back through time travel; the oracle reconstructs
+    // both from `orders`, so one hash pins that pruning changed WHICH
+    // files were read, never WHAT was deleted (row-identity with the
+    // full-scan path is VersionedSpec's law).
+    "q_delete_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_delprune_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(orders, Seq($"o_orderkey"), 16),
+        Seq("o_orderkey"))
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val (lo, hi) = (maxk * 4L / 10L, maxk * 5L / 10L)
+      val before = s.read.parquet(s"$t/data/*").count()
+      val (_, scanned, total) = graft.ops.Versioned.deleteWhereRange(
+        s, t, "o_orderkey", lo.toString, hi.toString,
+        extra = Some($"o_custkey" % 3 === 0))
+      require(scanned < total,
+        s"a range delete on a key-sorted table must stats-prune: read $scanned of $total")
+      require(s.read.parquet(s"$t/data/*").count() >= before,
+        "a dv delete must not rewrite data files")
+      Seq(1L, 2L).map { v =>
         graft.ops.Versioned.read(s, t, Some(v))
           .agg(count(lit(1)).as("n"),
             sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
@@ -1008,6 +1083,36 @@ object OpsQueries extends graft.QueryModule {
         |FROM orders
         |WHERE o_orderkey >= (SELECT mk // 4 FROM mx)
         |  AND o_orderkey <= (SELECT mk // 2 FROM mx)""".stripMargin,
+    "q_file_skipping_bloom" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |p AS (
+        |  SELECT MAX(o_orderkey) AS pk FROM orders
+        |  WHERE o_orderkey <= (SELECT mk // 2 FROM mx)
+        |)
+        |SELECT CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(o_custkey) AS bigint) AS sum_cust,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
+        |FROM orders WHERE o_orderkey = (SELECT pk FROM p)""".stripMargin,
+    "q_delete_pruned" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE NOT (o_orderkey >= (SELECT mk * 4 // 10 FROM mx)
+        |    AND o_orderkey <= (SELECT mk * 5 // 10 FROM mx)
+        |    AND o_custkey % 3 = 0)
+        |),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust
+        |  FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v2
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
     "q_merge_pruned" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

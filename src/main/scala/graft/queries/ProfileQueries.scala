@@ -129,6 +129,34 @@ object ProfileQueries extends graft.QueryModule {
       graft.ops.Drift.ksStatistic(early, late, "cents")
     }),
 
+    // INCREMENTAL DRIFT STATE (ops/IncrementalDrift — the persisted-
+    // index family's 8th member): the KS statistic depends on the
+    // reference sample only through its per-value COUNTS, so the
+    // reference is persisted as that count relation (O(distinct), not
+    // O(rows)) and folded incrementally — init on ≤1993, addBatch 1994–
+    // 1995 — then today's monitor run scans ONLY the current sample and
+    // loads yesterday's side at metadata cost. The oracle recomputes
+    // the full two-sample KS (≤1995 vs >1995) in DuckDB's window
+    // engine, so one hash pins that fold-state monitoring is BIT-equal
+    // to rescanning the reference (the additivity law is DriftSpec's).
+    "q_drift_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val st = sys.props("java.io.tmpdir") +
+        s"/graft_driftinc_${ProcessHandle.current().pid()}/ks"
+      graft.ops.FileOps.resetWorkDirs(s,
+        Seq(new java.io.File(st).getParent))
+      val orders = Tables(s, dir, "orders")
+        .select(year($"o_orderdate").as("y"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      graft.ops.IncrementalDrift.init(s,
+        orders.filter($"y" <= 1993).select($"cents"), "cents", st)
+      graft.ops.IncrementalDrift.addBatch(s,
+        orders.filter($"y" >= 1994 && $"y" <= 1995).select($"cents"),
+        "cents", st)
+      graft.ops.IncrementalDrift.monitor(s,
+        orders.filter($"y" > 1995).select($"cents"), "cents", st)
+    }),
+
     // Categorical drift (ops/Drift.tvDistance): did the order-priority
     // MIX shift between the early and late years? Total variation keeps
     // the integer numerator the KS entry has (χ²/PSI would put a
@@ -307,6 +335,41 @@ object ProfileQueries extends graft.QueryModule {
         |),
         |a AS (SELECT cents AS v FROM o WHERE y <= 1994),
         |b AS (SELECT cents AS v FROM o WHERE y > 1994),
+        |na AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM a),
+        |nb AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM b),
+        |pts AS (
+        |  SELECT v, CAST(COUNT(1) AS bigint) AS ca, CAST(0 AS bigint) AS cb
+        |  FROM a GROUP BY v
+        |  UNION ALL
+        |  SELECT v, CAST(0 AS bigint), CAST(COUNT(1) AS bigint) FROM b GROUP BY v
+        |),
+        |g AS (
+        |  SELECT v, CAST(SUM(ca) AS bigint) AS ca, CAST(SUM(cb) AS bigint) AS cb
+        |  FROM pts GROUP BY v
+        |),
+        |c AS (
+        |  SELECT v,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS bigint) AS ra,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS bigint) AS rb
+        |  FROM g
+        |),
+        |d AS (
+        |  SELECT v, ABS(ra * (SELECT n FROM nb) - rb * (SELECT n FROM na)) AS diff
+        |  FROM c
+        |)
+        |SELECT (SELECT n FROM na) AS n_a, (SELECT n FROM nb) AS n_b,
+        |  CAST(MAX(diff) AS bigint) AS ks_num,
+        |  CAST(MIN(CASE WHEN diff = (SELECT MAX(diff) FROM d) THEN v END) AS bigint)
+        |    AS v_at_max
+        |FROM d""".stripMargin,
+    "q_drift_incremental" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) AS y,
+        |    CAST(ROUND(o_totalprice * 100) AS bigint) AS cents
+        |  FROM orders
+        |),
+        |a AS (SELECT cents AS v FROM o WHERE y <= 1995),
+        |b AS (SELECT cents AS v FROM o WHERE y > 1995),
         |na AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM a),
         |nb AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM b),
         |pts AS (

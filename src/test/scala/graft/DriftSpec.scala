@@ -68,4 +68,39 @@ class DriftSpec extends SparkSpec {
       assert(r.getLong(0) == na && r.getLong(1) == nb)
     }
   }
+
+  test("incremental KS state: init+addBatch equals init on the union; monitor equals recompute") {
+    import graft.ops.IncrementalDrift
+    val a1 = (1 to 500).map(i => (i * 37L) % 211L).toDF("v")
+    val a2 = (1 to 300).map(i => (i * 91L) % 191L).toDF("v")
+    val b = (1 to 400).map(i => (i * 53L) % 199L).toDF("v")
+    val st = tmpDir("drift-inc") + "/ks"
+    IncrementalDrift.init(spark, a1, "v", st)
+    IncrementalDrift.addBatch(spark, a2, "v", st)
+    val inc = IncrementalDrift.monitor(spark, b, "v", st).collect()(0)
+    val full = Drift.ksStatistic(a1.unionByName(a2), b, "v").collect()(0)
+    assert(inc.toSeq == full.toSeq,
+      s"incremental monitor must equal the two-sample recompute: $inc vs $full")
+    // a fresh init on the union lands the identical state
+    val st2 = tmpDir("drift-inc2") + "/ks"
+    IncrementalDrift.init(spark, a1.unionByName(a2), "v", st2)
+    val viaInit = spark.read.parquet(st2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFold = spark.read.parquet(st).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaInit == viaFold, "counts are additive: fold == union init")
+  }
+
+  test("incremental TV state matches the categorical recompute") {
+    import graft.ops.IncrementalDrift
+    val a1 = (1 to 200).map(i => s"c${i % 5}").toDF("cat")
+    val a2 = (1 to 100).map(i => s"c${i % 7}").toDF("cat")
+    val b = (1 to 150).map(i => s"c${i % 4}").toDF("cat")
+    val st = tmpDir("drift-inc-tv") + "/tv"
+    IncrementalDrift.initCat(spark, a1, "cat", st)
+    IncrementalDrift.addBatchCat(spark, a2, "cat", st)
+    val inc = IncrementalDrift.monitorCat(spark, b, "cat", st).collect()(0)
+    val full = Drift.tvDistance(a1.unionByName(a2), b, "cat").collect()(0)
+    assert(inc.toSeq == full.toSeq, s"$inc vs $full")
+  }
 }

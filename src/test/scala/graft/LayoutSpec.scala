@@ -407,4 +407,43 @@ class LayoutSpec extends SparkSpec {
     // partition columns come back as data columns via basePath
     assert(scan.schema.fieldNames.contains("month"))
   }
+
+  test("bloom point-lookup skipping beats min/max on a non-sort key; superset guarantee holds") {
+    val out = tmpDir("layout-bloomskip") + "/t"
+    // sorted by k; probe column is a high-cardinality permutation, so
+    // every file's probe [min,max] spans ~the full domain — the range
+    // cut keeps everything and only the bloom can prune
+    val rows = (0 until 4000)
+      .map(i => (i.toLong, ((i * 2654435761L) % 1000003L), i.toLong))
+      .toDF("k", "probe", "payload")
+    Layout.writeSorted(rows, Seq($"k"), 8, out,
+      bloomCols = Seq("probe"), statsCols = Seq("k", "probe"))
+    val target = ((1234L * 2654435761L) % 1000003L).toString
+    val (scan, keptBloom, keptRange, total) =
+      Layout.skipScanBloomEq(spark, out, "probe", target)
+    assert(keptRange == total,
+      s"a permuted probe column must defeat min/max: kept $keptRange of $total")
+    assert(keptBloom < keptRange,
+      s"the bloom cut must keep strictly fewer files: $keptBloom vs $keptRange")
+    val got = scan.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == Set((1234L, 1234L)),
+      "the pruned probe must return exactly the unpruned result")
+    // a value present nowhere: blooms may false-positive a file or two,
+    // but the row filter restores exactness — zero rows, never a crash
+    val (miss, keptMiss, _, _) = Layout.skipScanBloomEq(spark, out, "probe",
+      "999999999")
+    assert(miss.count() == 0)
+    assert(keptMiss <= total)
+    // string probes hash as UTF8 binaries: same compose on a string col
+    val sout = tmpDir("layout-bloomskip-s") + "/t"
+    val srows = (0 until 2000)
+      .map(i => (i.toLong, s"doc-${(i * 7919) % 99991}", i.toLong))
+      .toDF("k", "sid", "payload")
+    Layout.writeSorted(srows, Seq($"k"), 8, sout,
+      bloomCols = Seq("sid"), statsCols = Seq("sid"))
+    val (sscan, sKept, sRange, _) =
+      Layout.skipScanBloomEq(spark, sout, "sid", s"doc-${(777 * 7919) % 99991}")
+    assert(sKept < sRange, s"string bloom must prune: $sKept vs $sRange")
+    assert(sscan.collect().map(_.getLong(0)).toSet == Set(777L))
+  }
 }

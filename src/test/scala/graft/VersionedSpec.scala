@@ -3,6 +3,27 @@ package graft
 import graft.ops.Versioned
 import org.apache.spark.sql.functions._
 
+/** Static rendezvous for the delete-vs-append race test: the first
+  * predicate evaluation signals the racer thread and blocks until its
+  * append commits. Lives outside the spec class so the UDF closure stays
+  * serializable (latches are not).
+  */
+object DelRaceGate {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var go: java.util.concurrent.CountDownLatch = _
+  private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    go = new java.util.concurrent.CountDownLatch(1)
+    fired.set(false)
+  }
+  def pass(): Unit =
+    if (fired.compareAndSet(false, true)) {
+      started.countDown()
+      go.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    }
+}
+
 /** Versioned-table laws: snapshot immutability under append/overwrite,
   * time travel, metadata-only rollback, vacuum retention semantics, and
   * crash-orphan cleanup.
@@ -557,5 +578,121 @@ class VersionedSpec extends SparkSpec {
     assert(kept < total, s"pruning must still bite: $kept of $total")
     assert(pruned.count() == 71 - 11,
       "the pruned scan must subtract dv rows inside the range")
+  }
+
+  // Complete an in-flight commit's CAS by hand: the writer's data dir is
+  // already on disk, only the manifest rename remains. Writing the
+  // manifest file directly IS that rename's effect (local fs, no racer).
+  private def landManifest(t: String, v: Long, refs: Seq[String]): Unit = {
+    val dir = new java.io.File(s"$t/_commits")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, f"$v%06d.manifest").toPath,
+      ("op=append" +: refs).mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("vacuum grace window: an in-flight commit's data dir survives concurrent vacuum") {
+    val t = tmpDir("versioned-grace") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val v1Dir = new java.io.File(s"$t/data").list().head
+    // the race: a writer has written its data dir but not yet CAS'd the
+    // manifest — to vacuum it is indistinguishable from a crash orphan
+    val inFlight = "v000002-cafebabe"
+    Seq((2L, "b")).toDF("id", "s").write.parquet(s"$t/data/$inFlight")
+    val deleted = Versioned.vacuum(spark, t, graceMs = 60 * 60 * 1000L)
+    assert(deleted.isEmpty,
+      s"a dir younger than the grace window must survive, got $deleted")
+    // the writer's CAS now lands — with the grace window, latest is WHOLE
+    landManifest(t, 2L, Seq(v1Dir, inFlight))
+    assert(rows(Versioned.read(spark, t)) == Set((1L, "a"), (2L, "b")),
+      "the commit that raced a graceful vacuum must be fully readable")
+    // grace 0 (the eager erasure setting) stages the documented hazard:
+    // the same interleaving deletes the in-flight dir and breaks latest
+    val inFlight2 = "v000003-deadbeef"
+    Seq((3L, "c")).toDF("id", "s").write.parquet(s"$t/data/$inFlight2")
+    val deleted2 = Versioned.vacuum(spark, t)
+    assert(deleted2.contains(inFlight2),
+      "grace 0 must treat the in-flight dir as an orphan (the hazard)")
+    landManifest(t, 3L, Seq(v1Dir, inFlight, inFlight2))
+    val e = intercept[IllegalArgumentException](Versioned.read(spark, t))
+    assert(e.getMessage.contains("vacuumed"),
+      "without grace, the raced commit's snapshot must fail loudly")
+  }
+
+  test("deleteWhere racing an append converges to both effects via retry") {
+    val t = tmpDir("versioned-delrace") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    // gate the delete's predicate scan: the first evaluation signals the
+    // racer and blocks until the racer's append has committed, so the
+    // delete's CAS deterministically loses and the retry recomputes
+    // against the refreshed snapshot (appended rows included). The
+    // latches live in a static object — closures serialize even in
+    // local mode, and the object reference resolves in-JVM.
+    DelRaceGate.reset()
+    val gate = udf { (id: Long) => DelRaceGate.pass(); id % 10 == 0L }
+    val racer = new Thread(() => {
+      DelRaceGate.started.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      Versioned.commit(spark, t,
+        Seq((200L, "late"), (210L, "late2")).toDF("id", "s"))
+      DelRaceGate.go.countDown()
+    })
+    racer.start()
+    val v = Versioned.deleteWhere(spark, t, gate($"id"))
+    racer.join(60000)
+    assert(v == 3L, s"the delete must land AFTER the racer's append, got $v")
+    val got = rows(Versioned.read(spark, t))
+    val want = ((1 to 100).map(i => (i.toLong, s"r$i")) ++
+      Seq((200L, "late"), (210L, "late2")))
+      .filterNot(_._1 % 10 == 0L).toSet
+    assert(got == want,
+      "retry must apply the delete to the RACER's snapshot — both effects present")
+  }
+
+  test("compact pinned-read retry survives a racing append (no lost update)") {
+    val t = tmpDir("versioned-optrace") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    // inject the racer through the relayout hook: it runs between the
+    // pinned read and the commit — exactly the lost-update window
+    var raced = false
+    val v = Versioned.compactWith(spark, t, { snap =>
+      if (!raced) {
+        raced = true
+        Versioned.commit(spark, t, Seq((2L, "late")).toDF("id", "s"))
+      }
+      snap.repartition(1)
+    }, Nil, maxAttempts = 5)
+    assert(v == 3L, s"compaction must re-read and land after the racer, got $v")
+    assert(rows(Versioned.read(spark, t)) == Set((1L, "a"), (2L, "late")),
+      "an unpinned compact would overwrite the racer's append away")
+  }
+
+  test("deleteWhereRange prunes the coordinate scan and writes the same dv as deleteWhere") {
+    val a = (1 to 400).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    def seed(name: String): String = {
+      val t = tmpDir(name) + "/t"
+      Versioned.commitWithStats(spark, t,
+        graft.ops.Layout.sortedByRange(a, Seq($"id"), 8), Seq("id"))
+      t
+    }
+    val tp = seed("versioned-delrange-p")
+    val tu = seed("versioned-delrange-u")
+    val (_, scanned, total) = Versioned.deleteWhereRange(spark, tp, "id",
+      "60", "110", extra = Some($"id" % 2 === 0L))
+    assert(scanned < total,
+      s"a range delete on a key-sorted table must stats-prune: $scanned of $total")
+    Versioned.deleteWhere(spark, tu,
+      $"id" >= 60L && $"id" <= 110L && $"id" % 2 === 0L)
+    assert(rows(Versioned.read(spark, tp)) == rows(Versioned.read(spark, tu)),
+      "pruned and unpruned deletes must converge to the same snapshot")
+    def dvCoords(t: String): Set[(String, Long)] = {
+      val dvs = new java.io.File(s"$t/data").list().filter(_.startsWith("dv"))
+        .map(d => s"$t/data/$d").toSeq
+      spark.read.parquet(dvs: _*).collect()
+        .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+          r.getLong(1))).toSet
+    }
+    assert(dvCoords(tp).map(_._2) == dvCoords(tu).map(_._2),
+      "the pruned path must coordinate exactly the rows the full scan finds")
   }
 }
