@@ -74,10 +74,16 @@ object Versioned {
 
   /** One committed snapshot's metadata: `refs` are the data dirs, `dvs`
     * the DELETION-VECTOR dirs whose (file, pos) rows are subtracted at
-    * read time (merge-on-read — see [[deleteWhere]]).
+    * read time (merge-on-read — see [[deleteWhere]]), `ts` the commit's
+    * wall-clock epoch millis (absent on pre-ts manifests — resolution
+    * falls back to the manifest file's mtime), `constraints` the
+    * table's CHECK constraints as (name, SQL expr) pairs — carried
+    * forward by every commit kind and enforced on every row-adding one
+    * (see [[addConstraint]]).
     */
   private[graft] case class Manifest(op: String, refs: Seq[String],
-      dvs: Seq[String], schemaJson: Option[String])
+      dvs: Seq[String], schemaJson: Option[String], ts: Option[Long] = None,
+      constraints: Seq[(String, String)] = Seq.empty)
 
   private[graft] def readManifest(spark: SparkSession, table: String,
       v: Long): Manifest = {
@@ -90,9 +96,20 @@ object Versioned {
     val lines = text.linesIterator.toSeq.filter(_.nonEmpty)
     val schema = lines.tail.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
     val dvs = lines.tail.filter(_.startsWith("dv=")).map(_.stripPrefix("dv="))
+    val ts = lines.tail.find(_.startsWith("ts="))
+      .map(_.stripPrefix("ts=").toLong)
+    // constraint=<name>:<sql expr> — split on the FIRST colon only (the
+    // expression may contain colons)
+    val constraints = lines.tail.filter(_.startsWith("constraint="))
+      .map { l =>
+        val body = l.stripPrefix("constraint=")
+        val i = body.indexOf(':')
+        (body.substring(0, i), body.substring(i + 1))
+      }
     Manifest(lines.head.stripPrefix("op="),
-      lines.tail.filterNot(l => l.startsWith("schema=") || l.startsWith("dv=")),
-      dvs, schema)
+      lines.tail.filterNot(l => l.startsWith("schema=") || l.startsWith("dv=") ||
+        l.startsWith("ts=") || l.startsWith("constraint=")),
+      dvs, schema, ts, constraints)
   }
 
   /** Stage + CAS-rename the manifest for version `v`. Returns false when
@@ -100,15 +117,22 @@ object Versioned {
     */
   private def writeManifest(spark: SparkSession, table: String, v: Long,
       op: String, refs: Seq[String], schemaJson: Option[String],
-      dvs: Seq[String] = Seq.empty): Boolean = {
+      dvs: Seq[String] = Seq.empty,
+      constraints: Seq[(String, String)] = Seq.empty): Boolean = {
+    constraints.foreach { case (n, _) =>
+      require(!n.contains(':') && !n.contains('\n'),
+        s"constraint name must not contain ':' or newline: $n")
+    }
     val p = manifestPath(table, v)
     val tmp = new Path(p.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
     val out = f.create(tmp, true)
     try out.write(
-      (s"op=$op" +: (schemaJson.map("schema=" + _).toSeq ++
-        dvs.map("dv=" + _) ++ refs))
+      (s"op=$op" +: (s"ts=${System.currentTimeMillis()}" +:
+        (schemaJson.map("schema=" + _).toSeq ++
+          dvs.map("dv=" + _) ++
+          constraints.map { case (n, e) => s"constraint=$n:$e" } ++ refs)))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // Hadoop rename refuses an existing destination — the CAS. Re-check
@@ -158,7 +182,7 @@ object Versioned {
       df: DataFrame, v: Long, parentV: Option[Long],
       overwrite: Boolean): Long = {
     val parent = parentV.map(pv => readManifest(spark, table, pv))
-    if (!overwrite) parent.foreach { case Manifest(_, refs, _, schemaJson) =>
+    if (!overwrite) parent.foreach { case Manifest(_, refs, _, schemaJson, _, _) =>
       val parentSchema = schemaJson
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -171,6 +195,13 @@ object Versioned {
     // and a crashed writer's orphan can never block a later commit.
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists").parquet(s"$table/data/$dirName")
+    // CHECK constraints are table metadata: they survive overwrites and
+    // are enforced on every row-adding commit. Validation scans the
+    // WRITTEN dir (one extra pass over the DELTA, never the table, and
+    // the input plan is not recomputed); a violation deletes the dir
+    // and fails before any manifest can reference it.
+    val inherited = parent.map(_.constraints).getOrElse(Seq.empty)
+    validateConstraints(spark, table, dirName, inherited)
     val parentRefs =
       if (overwrite || v == 1) Seq.empty else parent.get.refs
     // an append keeps the parent's deletion vectors too — dropping them
@@ -179,13 +210,38 @@ object Versioned {
       if (overwrite || v == 1) Seq.empty else parent.get.dvs
     if (!writeManifest(spark, table, v,
         if (overwrite) "overwrite" else "append", parentRefs :+ dirName,
-        Some(df.schema.json), parentDvs)) {
+        Some(df.schema.json), parentDvs, inherited)) {
       fs(spark, new Path(table)).delete(new Path(s"$table/data/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     }
     v
   }
+
+  /** One aggregate pass over a freshly written data dir counting rows
+    * where any CHECK expression is definitively FALSE (the Delta rule:
+    * NULL passes — a constraint rejects only proven violations). Throws
+    * and deletes the dir on the first violated constraint.
+    */
+  private def validateConstraints(spark: SparkSession, table: String,
+      dirName: String, constraints: Seq[(String, String)]): Unit =
+    if (constraints.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, sum, when}
+      val written = spark.read.parquet(s"$table/data/$dirName")
+      val aggs = constraints.map { case (n, e) =>
+        sum(when(expr(e) === false, 1L).otherwise(0L)).as(n)
+      }
+      val counts = written.agg(aggs.head, aggs.tail: _*).head()
+      constraints.zipWithIndex.foreach { case ((n, e), i) =>
+        val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+        if (bad > 0) {
+          fs(spark, new Path(table))
+            .delete(new Path(s"$table/data/$dirName"), true)
+          throw new IllegalArgumentException(
+            s"CHECK constraint '$n' ($e) violated by $bad rows; commit aborted")
+        }
+      }
+    }
 
   /** OPTIMISTIC TRANSACTION — the retry loop the CAS contract asks every
     * writer to run, packaged: `transform` maps the CURRENT snapshot to
@@ -252,10 +308,99 @@ object Versioned {
   def rollback(spark: SparkSession, table: String, toVersion: Long): Long = {
     val m = readManifest(spark, table, toVersion)
     val v = latestVersion(spark, table).get + 1
-    if (!writeManifest(spark, table, v, "rollback", m.refs, m.schemaJson, m.dvs))
+    if (!writeManifest(spark, table, v, "rollback", m.refs, m.schemaJson,
+        m.dvs, m.constraints))
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     v
+  }
+
+  /** Attach a CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`):
+    * a metadata-only commit recording `(name, sqlExpr)`; every future
+    * row-adding commit rejects batches with a row where the expression
+    * is definitively FALSE (NULL passes — three-valued logic, the same
+    * rule [[purge]]/[[deleteWhere]] follow). The EXISTING snapshot must
+    * already satisfy the constraint — silently attaching an invariant
+    * the table violates would make it a lie.
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      sqlExpr: String, maxAttempts: Int = 5): Long =
+      retryOnConflict(maxAttempts) {
+    import org.apache.spark.sql.functions.{expr, when, sum}
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    require(!m.constraints.exists(_._1 == name),
+      s"constraint '$name' already exists on $table")
+    val bad = read(spark, table, Some(parentV))
+      .agg(sum(when(expr(sqlExpr) === false, 1L).otherwise(0L))).head()
+    require(bad.isNullAt(0) || bad.getLong(0) == 0L,
+      s"cannot add CHECK constraint '$name' ($sqlExpr): " +
+        s"existing data violates it (${bad.getLong(0)} rows)")
+    val v = parentV + 1
+    if (!writeManifest(spark, table, v, "constraint", m.refs, m.schemaJson,
+        m.dvs, m.constraints :+ (name -> sqlExpr)))
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    v
+  }
+
+  /** Detach a CHECK constraint — metadata-only, loud on unknown names. */
+  def dropConstraint(spark: SparkSession, table: String, name: String,
+      maxAttempts: Int = 5): Long = retryOnConflict(maxAttempts) {
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    require(m.constraints.exists(_._1 == name),
+      s"no constraint named '$name' on $table")
+    val v = parentV + 1
+    if (!writeManifest(spark, table, v, "constraint", m.refs, m.schemaJson,
+        m.dvs, m.constraints.filterNot(_._1 == name)))
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    v
+  }
+
+  /** Per-version commit timestamps, ADJUSTED to be monotonically
+    * non-decreasing (the Delta rule: a commit stamped behind its parent
+    * — clock skew between writers — reads as parent's stamp, so
+    * timestamp resolution is always well-defined). Source of truth is
+    * the manifest's `ts=` line; pre-ts manifests fall back to the
+    * manifest file's modification time.
+    */
+  private[graft] def commitTimestamps(spark: SparkSession,
+      table: String): Seq[(Long, Long)] = {
+    val latest = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    var running = Long.MinValue
+    (1L to latest).map { v =>
+      val raw = readManifest(spark, table, v).ts.getOrElse {
+        val p = manifestPath(table, v)
+        fs(spark, p).getFileStatus(p).getModificationTime
+      }
+      running = math.max(running, raw)
+      (v, running)
+    }
+  }
+
+  /** TIMESTAMP AS OF — resolve the snapshot live at `tsMillis` (the
+    * latest version whose adjusted commit time is <= it) and read it.
+    * Throws when `tsMillis` predates the first commit — "the table did
+    * not exist yet" must be loud, not an empty frame.
+    */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(spark, table, tsMillis)))
+
+  /** The version [[readAsOf]] resolves — exposed so callers can pin it
+    * (read twice at one version, diff two timestamps via [[changes]]).
+    */
+  def versionAsOf(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val tss = commitTimestamps(spark, table)
+    val at = tss.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no commit at or before timestamp $tsMillis under $table " +
+        s"(first commit: ${tss.head._2})")
+    at.last._1
   }
 
   /** Read the table at `version` (default: latest). `mergeSchema` makes
@@ -401,8 +546,9 @@ object Versioned {
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     Layout.writeSorted(merged, Seq(col(key)), numFiles,
       s"$table/data/$dirName", statsCols = statsCols)
+    validateConstraints(spark, table, dirName, m.constraints)
     if (!writeManifest(spark, table, v, "merge", untouchedRefs :+ dirName,
-        Some(batch.schema.json), m.dvs)) {
+        Some(batch.schema.json), m.dvs, m.constraints)) {
       fs(spark, new Path(table)).delete(new Path(s"$table/data/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
@@ -485,7 +631,7 @@ object Versioned {
     // parallel and only the (small) coordinate set moves
     dels.repartition(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
     if (!writeManifest(spark, table, v, "delete", m.refs, m.schemaJson,
-        m.dvs :+ dvDir)) {
+        m.dvs :+ dvDir, m.constraints)) {
       fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
@@ -563,7 +709,7 @@ object Versioned {
       }
     dels.repartition(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
     if (!writeManifest(spark, table, v, "delete", m.refs, m.schemaJson,
-        m.dvs :+ dvDir)) {
+        m.dvs :+ dvDir, m.constraints)) {
       fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")

@@ -316,6 +316,71 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // TIMESTAMP TIME TRAVEL (Versioned.readAsOf — Delta's TIMESTAMP AS
+    // OF): every manifest records its commit's wall-clock stamp
+    // (monotonically adjusted against clock skew — the skew law is
+    // VersionedSpec's); a reader asks for "the table as of 14:32" and
+    // resolution picks the latest version whose stamp is <= it. Probes
+    // at v1's stamp, just-before-v2, and v2's stamp must land on the
+    // right snapshots; the oracle reconstructs both from `part`. The
+    // 30ms sleep guarantees distinct stamps (required in-query).
+    "q_time_travel_ts" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_ttts_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val part = Tables(s, dir, "part")
+        .select($"p_partkey", $"p_retailprice")
+      graft.ops.Versioned.commit(s, t, part.filter($"p_partkey" % 40 === 0))
+      Thread.sleep(30)
+      graft.ops.Versioned.commit(s, t, part.filter($"p_partkey" % 40 === 20))
+      val tss = graft.ops.Versioned.commitTimestamps(s, t)
+      require(tss(1)._2 > tss(0)._2, "commits 30ms apart must stamp distinctly")
+      Seq(("at_v1", tss(0)._2), ("before_v2", tss(1)._2 - 1),
+          ("at_v2", tss(1)._2)).map { case (tag, ts) =>
+        graft.ops.Versioned.readAsOf(s, t, ts)
+          .agg(count(lit(1)).as("n"),
+            sum($"p_retailprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+          .select(lit(tag).as("probe"), $"n", $"sum_price")
+      }.reduce(_.unionByName(_)).orderBy($"probe")
+    }),
+
+    // CHECK CONSTRAINTS (Versioned.addConstraint — Delta ALTER TABLE
+    // ADD CONSTRAINT): an attached invariant gates every later
+    // row-adding commit — the violating append is REQUIRED in-query to
+    // be rejected (version unchanged, violating dir cleaned up) while
+    // the valid append lands; NULL rows pass (three-valued logic, the
+    // purge/deleteWhere rule). The oracle reconstructs the surviving
+    // snapshot from `orders`, so the hash pins that enforcement
+    // filtered COMMITS, not rows — rejected batches leave no trace.
+    "q_table_constraints" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_check_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders.filter($"o_orderkey" % 10 === 0))
+      graft.ops.Versioned.addConstraint(s, t, "price_pos", "o_totalprice > 0")
+      val rejected =
+        try {
+          graft.ops.Versioned.commit(s, t,
+            orders.filter($"o_orderkey" % 10 === 3)
+              .withColumn("o_totalprice", -$"o_totalprice"))
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("price_pos")
+        }
+      require(rejected, "the violating append must be rejected by name")
+      require(graft.ops.Versioned.latestVersion(s, t).get == 2L,
+        "a rejected commit must not advance the version")
+      graft.ops.Versioned.commit(s, t, orders.filter($"o_orderkey" % 10 === 7))
+      graft.ops.Versioned.read(s, t)
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+    }),
+
     // PURGE + VACUUM under the oracle's eye (the right-to-be-forgotten
     // two-step the q_time_travel scaladoc promises): seed a versioned
     // table from a part slice, purge every %3==0 key, vacuum, then
@@ -1019,6 +1084,33 @@ object OpsQueries extends graft.QueryModule {
         |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) FROM v2
         |)
         |SELECT version, n, sum_price FROM snap ORDER BY version""".stripMargin,
+    "q_time_travel_ts" ->
+      """WITH v1 AS (
+        |  SELECT p_retailprice FROM part WHERE p_partkey % 40 = 0
+        |),
+        |v2 AS (
+        |  SELECT p_retailprice FROM part
+        |  WHERE p_partkey % 40 = 0 OR p_partkey % 40 = 20
+        |),
+        |snap AS (
+        |  SELECT 'at_v1' AS probe, COUNT(1) AS n,
+        |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) AS sum_price
+        |  FROM v1
+        |  UNION ALL SELECT 'before_v2', COUNT(1),
+        |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) FROM v1
+        |  UNION ALL SELECT 'at_v2', COUNT(1),
+        |    CAST(SUM(CAST(p_retailprice AS decimal(30,2))) AS double) FROM v2
+        |)
+        |SELECT probe, n, sum_price FROM snap ORDER BY probe""".stripMargin,
+    "q_table_constraints" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 0 OR o_orderkey % 10 = 7
+        |)
+        |SELECT CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM fin""".stripMargin,
     "q_delete_vectors" ->
       """WITH v1 AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -206,7 +206,7 @@ class VersionedSpec extends SparkSpec {
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$t/_commits/000005.manifest"))
     val refs = manifest.linesIterator.toSeq.tail
-      .filter(l => l.nonEmpty && !l.startsWith("schema="))
+      .filter(l => l.nonEmpty && !l.contains("="))
     assert(refs.size == 1 && refs.head.startsWith("v000005"),
       s"compacted snapshot must reference one dir: $refs")
     val parts = new java.io.File(s"$t/data/${refs.head}").list()
@@ -665,6 +665,91 @@ class VersionedSpec extends SparkSpec {
     assert(v == 3L, s"compaction must re-read and land after the racer, got $v")
     assert(rows(Versioned.read(spark, t)) == Set((1L, "a"), (2L, "late")),
       "an unpinned compact would overwrite the racer's append away")
+  }
+
+  test("timestamp time travel: readAsOf resolves the snapshot live at the stamp") {
+    val t = tmpDir("versioned-asof") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(30)
+    Versioned.commit(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    val tss = Versioned.commitTimestamps(spark, t)
+    assert(tss.map(_._1) == Seq(1L, 2L))
+    val (ts1, ts2) = (tss(0)._2, tss(1)._2)
+    assert(ts2 > ts1, "30ms apart commits must carry distinct stamps")
+    assert(rows(Versioned.readAsOf(spark, t, ts1)) == Set((1L, "a")))
+    assert(rows(Versioned.readAsOf(spark, t, ts2 - 1)) == Set((1L, "a")),
+      "a stamp strictly before v2 must resolve v1")
+    assert(rows(Versioned.readAsOf(spark, t, ts2)) ==
+      Set((1L, "a"), (2L, "b")))
+    assert(rows(Versioned.readAsOf(spark, t, ts2 + 1000000)) ==
+      Set((1L, "a"), (2L, "b")), "a future stamp resolves latest")
+    val e = intercept[IllegalArgumentException](
+      Versioned.readAsOf(spark, t, ts1 - 1))
+    assert(e.getMessage.contains("no commit at or before"),
+      "predating the first commit must be loud")
+  }
+
+  test("clock skew: a commit stamped behind its parent reads as the parent's stamp") {
+    val t = tmpDir("versioned-skew") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    Versioned.commit(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    // rewrite v2's manifest with a stamp BEFORE v1's (a skewed writer)
+    val p = new java.io.File(s"$t/_commits/000002.manifest")
+    val text = new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+    val skewed = text.linesIterator.map { l =>
+      if (l.startsWith("ts=")) "ts=1" else l
+    }.mkString("\n")
+    java.nio.file.Files.write(p.toPath, skewed.getBytes("UTF-8"))
+    // the direct rewrite invalidates LocalFileSystem's checksum sidecar
+    new java.io.File(p.getParent, ".000002.manifest.crc").delete()
+    val tss = Versioned.commitTimestamps(spark, t)
+    assert(tss(1)._2 == tss(0)._2,
+      s"adjusted stamps must be monotonic: $tss")
+    assert(rows(Versioned.readAsOf(spark, t, tss(0)._2)) ==
+      Set((1L, "a"), (2L, "b")),
+      "at the shared stamp the LATER version wins (it was live)")
+  }
+
+  test("CHECK constraints: enforced on append and merge, NULL passes, metadata survives") {
+    val t = tmpDir("versioned-check") + "/t"
+    Versioned.commit(spark, t, Seq((1L, 10L)).toDF("id", "v"))
+    Versioned.addConstraint(spark, t, "v_nonneg", "v >= 0")
+    // violating append: rejected, no version lands, no orphan dir
+    val dirsBefore = new java.io.File(s"$t/data").list().toSet
+    val e = intercept[IllegalArgumentException](
+      Versioned.commit(spark, t, Seq((2L, -5L)).toDF("id", "v")))
+    assert(e.getMessage.contains("v_nonneg"))
+    assert(Versioned.latestVersion(spark, t).get == 2L,
+      "a rejected commit must not advance the version")
+    assert(new java.io.File(s"$t/data").list().toSet == dirsBefore,
+      "the violating dir must be cleaned up")
+    // NULL passes (three-valued logic — Delta's CHECK rule)
+    val withNull = Seq((3L, Some(7L)), (4L, None))
+      .toDF("id", "v").select($"id", $"v".cast("long"))
+    Versioned.commit(spark, t, withNull)
+    // constraint survives overwrite (it is table metadata, not data)
+    intercept[IllegalArgumentException](
+      Versioned.commit(spark, t, Seq((9L, -1L)).toDF("id", "v"),
+        overwrite = true))
+    // and gates mergePruned too
+    Versioned.compactSorted(spark, t, Seq($"id"), 2, Seq("id"))
+    intercept[IllegalArgumentException](
+      Versioned.mergePruned(spark, t, Seq((1L, -3L)).toDF("id", "v"),
+        "id", Seq("id")))
+    // dropping it re-admits the rows
+    Versioned.dropConstraint(spark, t, "v_nonneg")
+    Versioned.commit(spark, t, Seq((5L, -2L)).toDF("id", "v"))
+    val ids = Versioned.read(spark, t).select($"id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("addConstraint refuses when existing data already violates it") {
+    val t = tmpDir("versioned-check2") + "/t"
+    Versioned.commit(spark, t, Seq((1L, -10L)).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](
+      Versioned.addConstraint(spark, t, "v_nonneg", "v >= 0"))
+    assert(e.getMessage.contains("existing data violates"))
   }
 
   test("deleteWhereRange prunes the coordinate scan and writes the same dv as deleteWhere") {
