@@ -166,9 +166,11 @@ object Versioned {
     * `IllegalArgumentException` before any data is written.
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-      overwrite: Boolean = false): Long = {
+      overwrite: Boolean = false,
+      writerOptions: Map[String, String] = Map.empty): Long = {
     val parentV = latestVersion(spark, table)
-    commitAt(spark, table, df, parentV.getOrElse(0L) + 1, parentV, overwrite)
+    commitAt(spark, table, df, parentV.getOrElse(0L) + 1, parentV, overwrite,
+      writerOptions)
   }
 
   /** The commit body with the target version made explicit — what a
@@ -180,7 +182,8 @@ object Versioned {
     */
   private[graft] def commitAt(spark: SparkSession, table: String,
       df: DataFrame, v: Long, parentV: Option[Long],
-      overwrite: Boolean): Long = {
+      overwrite: Boolean,
+      writerOptions: Map[String, String] = Map.empty): Long = {
     val parent = parentV.map(pv => readManifest(spark, table, pv))
     if (!overwrite) parent.foreach { case Manifest(_, refs, _, schemaJson, _, _) =>
       val parentSchema = schemaJson
@@ -194,7 +197,8 @@ object Versioned {
     // Unique dir name: racing writers can never collide on the data path,
     // and a crashed writer's orphan can never block a later commit.
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(s"$table/data/$dirName")
+    df.write.options(writerOptions).mode("errorifexists")
+      .parquet(s"$table/data/$dirName")
     // CHECK constraints are table metadata: they survive overwrites and
     // are enforced on every row-adding commit. Validation scans the
     // WRITTEN dir (one extra pass over the DELTA, never the table, and
@@ -727,11 +731,73 @@ object Versioned {
     * alone.
     */
   def commitWithStats(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String], overwrite: Boolean = false): Long = {
-    val v = commit(spark, table, df, overwrite)
+      statsCols: Seq[String], overwrite: Boolean = false,
+      bloomCols: Seq[String] = Nil): Long = {
+    // bloomCols: write-time parquet bloom filters per listed column —
+    // the point-lookup complement to the stats manifest ([[lookupEq]])
+    val v = commit(spark, table, df, overwrite,
+      bloomCols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap)
     val newDir = readManifest(spark, table, v).refs.last
     Layout.writeStatsManifest(spark, s"$table/data/$newDir", statsCols)
     v
+  }
+
+  /** POINT LOOKUP through the snapshot's metadata: `column = value`
+    * planned as the per-dir stats-manifest equality cut composed with
+    * the write-time parquet blooms ([[Layout.skipScanBloomEq]] lifted to
+    * the TABLE layer — across every referenced dir, restricted to
+    * file-granular refs, dv-subtracted). On a table sorted by some
+    * OTHER key the min/max cut keeps ~every file for a mid-domain
+    * probe; the blooms prune to the file(s) actually holding the value.
+    * Dirs without a stats manifest scan conservatively; files without a
+    * bloom stay kept (superset guarantee — the row filter restores
+    * exactness). Returns (frame, files read, files the min/max cut
+    * kept, files referenced).
+    */
+  def lookupEq(spark: SparkSession, table: String, column: String,
+      value: String, version: Option[Long] = None)
+      : (DataFrame, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, v)
+    val byDir = groupRefsByDir(m.refs)
+    val dirInfo = byDir.toSeq.map { case (d, files) =>
+      val dir = s"$table/data/$d"
+      require(fs(spark, new Path(dir)).exists(new Path(dir)),
+        s"version $v references vacuumed data dir $d — time travel past retention")
+      (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
+    }
+    val statted = dirInfo.filter(_._4)
+    val (decided, typ) =
+      if (statted.isEmpty) (Seq.empty[(String, Boolean)], "")
+      else {
+        val (all, t) = Layout.manifestFileDecisions(spark,
+          statted.map(_._2 + "/_stats"), column, value, value)
+        val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
+        (all.filter { case (abs, _) =>
+          val p = new Path(abs)
+          restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+        }, t)
+      }
+    val rangeKept = decided.filter(_._2).map(_._1)
+    val bloomKept = Layout.bloomKeepFiles(spark, rangeKept, column, value, typ)
+    val conservative = dirInfo.filterNot(_._4).flatMap {
+      case (_, dir, files, _) => files match {
+        case Some(names) => names.toSeq.map(n => s"$dir/$n")
+        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      }
+    }
+    val scanFiles = (bloomKept ++ conservative).sorted
+    val base =
+      if (scanFiles.isEmpty) read(spark, table, Some(v)).limit(0)
+      else applyDvs(spark, table,
+        spark.read.option("mergeSchema", "true").parquet(scanFiles: _*), m.dvs)
+    val dt = base.schema(column).dataType
+    (base.filter(col(column) === lit(value).cast(dt)),
+      scanFiles.size, rangeKept.size + conservative.size,
+      decided.length + conservative.size)
   }
 
   /** Read `[lo, hi]` on `column` at `version`, pruning files through each

@@ -452,6 +452,41 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // VERSIONED POINT LOOKUP (Versioned.lookupEq — skipScanBloomEq
+    // lifted to the table layer): two commits land custkey-sorted with
+    // write-time blooms on o_orderkey; a mid-domain key probe's min/max
+    // cut keeps ~every referenced file (the probe column is unsorted),
+    // and the bloom cut is REQUIRED in-query to read strictly fewer —
+    // "find one order in a 100 TB table sorted by something else"
+    // opening footer+bloom pages everywhere and data pages only where
+    // the key can live. The dv-invisibility and multi-commit laws are
+    // VersionedSpec's; the oracle fetches the same key from `orders`.
+    "q_versioned_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_vlookup_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val mid = orders.agg(max($"o_custkey")).head().getLong(0) / 2L
+      Seq(orders.filter($"o_custkey" <= mid),
+          orders.filter($"o_custkey" > mid)).foreach { half =>
+        graft.ops.Versioned.commitWithStats(s, t,
+          graft.ops.Layout.sortedByRange(half, Seq($"o_custkey"), 8),
+          Seq("o_custkey", "o_orderkey"), bloomCols = Seq("o_orderkey"))
+      }
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val probe = orders.filter($"o_orderkey" <= maxk / 2L)
+        .agg(max($"o_orderkey")).head().getLong(0)
+      val (hit, nRead, nRange, _) =
+        graft.ops.Versioned.lookupEq(s, t, "o_orderkey", probe.toString)
+      require(nRead < nRange,
+        s"the bloom cut must beat min/max alone: read $nRead of $nRange files")
+      hit.agg(count(lit(1)).as("n"),
+        sum($"o_custkey").as("sum_cust"),
+        sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+    }),
+
     // STATS-PRUNED DELETE (Versioned.deleteWhereRange — the mergePruned
     // file-pruning move applied to deletion vectors): orders lands
     // key-sorted with a stats manifest; deleting a key-range decile
@@ -1176,6 +1211,16 @@ object OpsQueries extends graft.QueryModule {
         |WHERE o_orderkey >= (SELECT mk // 4 FROM mx)
         |  AND o_orderkey <= (SELECT mk // 2 FROM mx)""".stripMargin,
     "q_file_skipping_bloom" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |p AS (
+        |  SELECT MAX(o_orderkey) AS pk FROM orders
+        |  WHERE o_orderkey <= (SELECT mk // 2 FROM mx)
+        |)
+        |SELECT CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(o_custkey) AS bigint) AS sum_cust,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
+        |FROM orders WHERE o_orderkey = (SELECT pk FROM p)""".stripMargin,
+    "q_versioned_lookup" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |p AS (
         |  SELECT MAX(o_orderkey) AS pk FROM orders

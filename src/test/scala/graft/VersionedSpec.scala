@@ -752,6 +752,30 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("existing data violates"))
   }
 
+  test("lookupEq: blooms beat min/max across commits; dv-deleted rows stay invisible") {
+    val t = tmpDir("versioned-lookup") + "/t"
+    // sorted by k, probed on the PERMUTED id — min/max keeps everything
+    def slice(r: Range) = r.map(i =>
+      (i.toLong, (i * 2654435761L) % 1000003L, s"p$i")).toDF("k", "id", "s")
+    graft.ops.Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(slice(0 until 2000), Seq($"k"), 4),
+      Seq("k", "id"), bloomCols = Seq("id"))
+    graft.ops.Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(slice(2000 until 4000), Seq($"k"), 4),
+      Seq("k", "id"), bloomCols = Seq("id"))
+    val target = (1234L * 2654435761L) % 1000003L
+    val (hit, read1, range1, total1) =
+      Versioned.lookupEq(spark, t, "id", target.toString)
+    assert(total1 == 8 && range1 == 8,
+      s"the permuted probe must defeat min/max: range kept $range1 of $total1")
+    assert(read1 < range1, s"blooms must prune: read $read1 of $range1")
+    assert(hit.collect().map(_.getString(2)).toSeq == Seq("p1234"))
+    // dv delete the row: lookup must return empty without rewriting data
+    Versioned.deleteWhere(spark, t, $"k" === 1234L)
+    val (gone, _, _, _) = Versioned.lookupEq(spark, t, "id", target.toString)
+    assert(gone.count() == 0, "a dv-deleted row must not resurface via lookupEq")
+  }
+
   test("deleteWhereRange prunes the coordinate scan and writes the same dv as deleteWhere") {
     val a = (1 to 400).map(i => (i.toLong, s"a$i")).toDF("id", "s")
     def seed(name: String): String = {
