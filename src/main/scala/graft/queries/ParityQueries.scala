@@ -283,6 +283,45 @@ object ParityQueries extends graft.QueryModule {
         .orderBy($"ver")
     }),
 
+    // STREAMING DRIFT FOLD (Streams.driftFoldStream over
+    // IncrementalDrift): the reference side of the KS monitor arrives
+    // as a STREAM — three feed files (years ≤1993, 1994, 1995) land as
+    // separate micro-batches, each folding into the persisted per-value
+    // count state; the monitor then scans ONLY the current sample
+    // (>1995). The oracle recomputes the full two-sample KS with
+    // DuckDB's window engine, so one hash pins that stream-folded state
+    // is BIT-equal to batch recompute — the composition that lets a
+    // drift monitor follow a 100 TB feed at O(distinct)/day state cost.
+    "q_stream_drift" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_streamdrift_${ProcessHandle.current().pid()}"
+      val st = s"$root/ks"; val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(root))
+      new java.io.File(feed).mkdirs()
+      val orders = Tables(s, dir, "orders")
+        .select(year($"o_orderdate").as("y"),
+          round($"o_totalprice" * 100, 0).cast("long").as("cents"))
+      def ship(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .head.toPath
+        val dest = java.nio.file.Paths.get(s"$feed/$name.parquet")
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+      }
+      ship(orders.filter($"y" <= 1993).select($"cents"), "f1", 1000000000L)
+      ship(orders.filter($"y" === 1994).select($"cents"), "f2", 1000000600L)
+      ship(orders.filter($"y" === 1995).select($"cents"), "f3", 1000001200L)
+      graft.streaming.Streams.driftFoldStream(s, feed, "cents", st, ckpt,
+        maxFilesPerBatch = Some(1))
+      graft.ops.IncrementalDrift.monitor(s,
+        orders.filter($"y" > 1995).select($"cents"), "cents", st)
+    }),
+
     // Entity resolution over a deterministically dirtied master-data
     // relation: canonical names are 'cust-' + 10 md5 hex chars (high
     // entropy, byte-identical construction in both engines); keys %5==2
@@ -456,7 +495,42 @@ object ParityQueries extends graft.QueryModule {
     "q_entity_resolution" -> entityResolutionSql,
     // identical closure: the incremental protocol must land the exact
     // same assignment as the one-shot resolve
-    "q_entity_resolution_incremental" -> entityResolutionSql)
+    "q_entity_resolution_incremental" -> entityResolutionSql,
+    "q_stream_drift" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) AS y,
+        |    CAST(ROUND(o_totalprice * 100) AS bigint) AS cents
+        |  FROM orders
+        |),
+        |a AS (SELECT cents AS v FROM o WHERE y <= 1995),
+        |b AS (SELECT cents AS v FROM o WHERE y > 1995),
+        |na AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM a),
+        |nb AS (SELECT CAST(COUNT(1) AS bigint) AS n FROM b),
+        |pts AS (
+        |  SELECT v, CAST(COUNT(1) AS bigint) AS ca, CAST(0 AS bigint) AS cb
+        |  FROM a GROUP BY v
+        |  UNION ALL
+        |  SELECT v, CAST(0 AS bigint), CAST(COUNT(1) AS bigint) FROM b GROUP BY v
+        |),
+        |g AS (
+        |  SELECT v, CAST(SUM(ca) AS bigint) AS ca, CAST(SUM(cb) AS bigint) AS cb
+        |  FROM pts GROUP BY v
+        |),
+        |c AS (
+        |  SELECT v,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS bigint) AS ra,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS bigint) AS rb
+        |  FROM g
+        |),
+        |d AS (
+        |  SELECT v, ABS(ra * (SELECT n FROM nb) - rb * (SELECT n FROM na)) AS diff
+        |  FROM c
+        |)
+        |SELECT (SELECT n FROM na) AS n_a, (SELECT n FROM nb) AS n_b,
+        |  CAST(MAX(diff) AS bigint) AS ks_num,
+        |  CAST(MIN(CASE WHEN diff = (SELECT MAX(diff) FROM d) THEN v END) AS bigint)
+        |    AS v_at_max
+        |FROM d""".stripMargin)
 
   // the one-shot CDC closure: shared by q_stream_cdc (path target) and
   // q_stream_cdc_bucketed (bucketed metastore target) — the slicing and

@@ -503,6 +503,37 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming DRIFT-STATE fold — [[graft.ops.IncrementalDrift]] fed by
+    * a file stream: each micro-batch of the reference feed folds into
+    * the persisted per-value count state (one count-keyed merge per
+    * batch, state size O(distinct values)), so the monitor side never
+    * rescans history — `monitor(today)` after any prefix of the stream
+    * equals the two-sample recompute against everything folded so far
+    * (count additivity, DriftSpec's law; `q_stream_drift` pins the
+    * composition against the DuckDB ECDF). Redelivery caveat: the fold
+    * is NOT idempotent per batch — exactly-once batch delivery comes
+    * from the checkpoint (AvailableNow + checkpointLocation), the same
+    * contract the CDC loops rely on.
+    */
+  def driftFoldStream(spark: SparkSession, feedDir: String,
+      valueCol: String, statePath: String, checkpoint: String,
+      maxFilesPerBatch: Option[Int] = None): Unit = {
+    val schema = spark.read.parquet(feedDir).schema
+    val r0 = spark.readStream.schema(schema)
+    val r1 = maxFilesPerBatch.fold(r0)(n =>
+      r0.option("maxFilesPerTrigger", n.toString))
+    val q = r1.parquet(feedDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        if (!b.isEmpty)
+          graft.ops.IncrementalDrift.addBatch(spark, b, valueCol, statePath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Dead-letter ingest — the bronze-layer contract `q_json_malformed`
     * pins for batch, at the STREAM boundary: a text stream of JSONL is
     * parsed PERMISSIVE per micro-batch; rows that parse land in the good
