@@ -721,6 +721,82 @@ object Versioned {
     (v, scanFiles.size, nTotal)
   }
 
+  /** Merge-on-read UPDATE — [[deleteWhere]]'s deletion-vector move
+    * applied to row rewrites (the Delta merge-on-read UPDATE shape):
+    * matching rows are dv'd out of their files AND their new images
+    * land in one fresh data dir, all in a single commit. The predicate
+    * scan is the only table-wide work; write cost is the MATCHED rows,
+    * never the files that hold them — updating 0.01% of a petabyte
+    * costs that 0.01%, where copy-on-write ([[mergePruned]]) would
+    * rewrite every touched FILE.
+    *
+    * `set` maps existing column names to replacement expressions
+    * (evaluated against the old row image — `col("price") * 2` works).
+    * New columns are rejected: UPDATE changes values, not schema.
+    * Three-valued logic matches [[deleteWhere]]: only rows where the
+    * predicate is definitely TRUE update; NULL keeps the old row.
+    * `statsCols` re-harvests a stats manifest over the new-image dir so
+    * range pruning stays whole-table after the update. Returns the new
+    * version.
+    */
+  def updateWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil, numFiles: Int = 4,
+      maxAttempts: Int = 5): Long = retryOnConflict(maxAttempts) {
+    import org.apache.spark.sql.functions.col
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    val v = parentV + 1
+    val schemaCols: Seq[String] = m.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq)
+      .getOrElse(spark.read.option("mergeSchema", "true")
+        .parquet(m.refs.map(d => s"$table/data/$d"): _*).columns.toSeq)
+    set.keys.foreach { c =>
+      require(schemaCols.contains(c),
+        s"UPDATE SET column '$c' does not exist in $table (${schemaCols.mkString(",")})")
+    }
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(m.refs.map(d => s"$table/data/$d"): _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val matched = subtractDvs(spark, table, scan, m.dvs, "__file", "__pos")
+      .filter(predicate) // definite TRUE only: NULL keeps the old row
+    // old images leave via a dv; new images land as an append — one scan
+    // feeds both writes (two jobs over the same lineage, each bounded by
+    // the matched slice after the predicate scan)
+    val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
+    matched.select(col("__file").as("file"), col("__pos").as("pos"))
+      .repartition(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
+    val newImages = set.foldLeft(matched) { case (df, (c, e)) =>
+      df.withColumn(c, e)
+    }.select(schemaCols.map(col): _*).repartition(numFiles)
+    val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
+    newImages.write.mode("errorifexists").parquet(s"$table/data/$dirName")
+    def cleanup(): Unit = {
+      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
+      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dirName"), true)
+    }
+    try validateConstraints(spark, table, dirName, m.constraints)
+    catch { case t: Throwable =>
+      // validateConstraints deletes only the data dir; the dv must not
+      // survive an aborted update either
+      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
+      throw t
+    }
+    if (statsCols.nonEmpty)
+      Layout.writeStatsManifest(spark, s"$table/data/$dirName", statsCols)
+    if (!writeManifest(spark, table, v, "update", m.refs :+ dirName,
+        m.schemaJson, m.dvs :+ dvDir, m.constraints)) {
+      cleanup()
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    }
+    v
+  }
+
   /** [[commit]] + executor-side stats harvest into the new data dir's
     * `_stats` manifest ([[Layout.writeStatsManifest]]) — the composition
     * the round-8 verdict asked for: time travel and file skipping from

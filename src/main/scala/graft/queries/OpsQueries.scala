@@ -528,6 +528,50 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // MERGE-ON-READ UPDATE (Versioned.updateWhere — the Delta DV-update
+    // shape): matching rows leave via a deletion vector AND their new
+    // images land in one fresh dir, one commit. REQUIRED in-query: every
+    // pre-update data file survives byte-identical (fingerprint subset —
+    // write cost is the MATCHED ROWS, never the files holding them;
+    // copy-on-write would rewrite every touched file). Both versions read
+    // back through time travel; the oracle rebuilds the update with a
+    // CASE, so one hash pins predicate three-valued logic, SET
+    // evaluation against the old image, and history isolation. At 100 TB
+    // this is "update 0.01% of a petabyte at 0.01% cost".
+    "q_update_mor" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_updmor_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(orders, Seq($"o_orderkey"), 16),
+        Seq("o_orderkey"))
+      def fingerprint: Set[(String, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$t/data"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.length())).toSet
+      }
+      val before = fingerprint
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val (lo, hi) = (maxk * 2L / 10L, maxk * 3L / 10L)
+      graft.ops.Versioned.updateWhere(s, t,
+        $"o_orderkey".between(lo, hi) && $"o_custkey" % 2 === 0,
+        Map("o_totalprice" -> (-$"o_totalprice")))
+      require(before.subsetOf(fingerprint),
+        "a merge-on-read update must not rewrite or remove any existing data file")
+      Seq(1L, 2L).map { v =>
+        graft.ops.Versioned.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            sum($"o_custkey").as("sum_cust"))
+          .select(lit(v).as("version"), $"n", $"sum_price", $"sum_cust")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
     // STATS-PRUNED MERGE (Versioned.mergePruned — the Delta/Iceberg
     // copy-on-write file-pruning shape): orders lands key-sorted with a
     // stats manifest; the merge batch updates keys in the top decile
@@ -1238,6 +1282,28 @@ object OpsQueries extends graft.QueryModule {
         |  WHERE NOT (o_orderkey >= (SELECT mk * 4 // 10 FROM mx)
         |    AND o_orderkey <= (SELECT mk * 5 // 10 FROM mx)
         |    AND o_custkey % 3 = 0)
+        |),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust
+        |  FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v2
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
+    "q_update_mor" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey >= (SELECT mk * 2 // 10 FROM mx)
+        |          AND o_orderkey <= (SELECT mk * 3 // 10 FROM mx)
+        |          AND o_custkey % 2 = 0
+        |         THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+        |  FROM v1
         |),
         |snap AS (
         |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,

@@ -257,6 +257,53 @@ class VersionedSpec extends SparkSpec {
     assert(kept == Set((1L, "keep"), (-1L, "nullkey")))
   }
 
+  test("updateWhere is merge-on-read: old files stay byte-identical, history intact") {
+    val t = tmpDir("versioned-upd") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 100).map(i => (i.toLong, s"r${i % 10}")).toDF("id", "s"))
+    val before = dataFileFingerprint(t)
+    val ver = Versioned.updateWhere(spark, t, $"id" % 10 === 3L,
+      Map("s" -> concat($"s", lit("!"))))
+    assert(ver == 2L)
+    assert(before.subsetOf(dataFileFingerprint(t)),
+      "an update must not rewrite or remove any existing data file")
+    val got = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (1 to 100).map(i =>
+      (i.toLong, if (i % 10 == 3) s"r3!" else s"r${i % 10}")).toSet
+    assert(got == want, "updated rows replaced, others untouched")
+    assert(Versioned.read(spark, t, Some(1)).filter($"s".endsWith("!")).count() == 0,
+      "the pre-update snapshot must show only old images")
+    // the change feed reports the update as old-image delete + new insert
+    val cf = Versioned.changes(spark, t, ver)
+    val byType = cf.groupBy($"change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 10L, "delete" -> 10L),
+      s"CDF of an update = 10 deletes + 10 inserts, got $byType")
+  }
+
+  test("updateWhere three-valued logic and composition with dvs and further updates") {
+    val t = tmpDir("versioned-upd-null") + "/t"
+    Versioned.commit(spark, t,
+      Seq((Some(1L), 10L), (Some(7L), 70L), (None, 0L)).toDF("id", "v"))
+    Versioned.updateWhere(spark, t, $"id" === 7L, Map("v" -> ($"v" + 1L)))
+    val got = Versioned.read(spark, t).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (7L, 71L), (-1L, 0L)),
+      "NULL-evaluating predicate keeps the row; matched row updated once")
+    // a second update sees the NEW images, not the dv'd old ones
+    Versioned.updateWhere(spark, t, $"v" > 50L, Map("v" -> ($"v" * 2L)))
+    val got2 = Versioned.read(spark, t).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 10L), (7L, 142L), (-1L, 0L)),
+      "updates compose: 71 doubles, the dv'd 70 must not resurrect")
+    // rejects a SET on a column the table doesn't have
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, t, $"id" === 1L, Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("dv deletes compose, survive appends, and compact materializes them away") {
     val t = tmpDir("versioned-dv-compose") + "/t"
     Versioned.commit(spark, t,
