@@ -624,6 +624,49 @@ object OpsQueries extends graft.QueryModule {
     // `orders`, so one hash pins the per-kind extraction rules AND the
     // cancellation exactness. The apply law (read(v-1)+ins-del ==
     // read(v), every kind incl. overwrite) is VersionedSpec's.
+    // INCREMENTAL MATERIALIZED VIEW (ops/MaterializedView — the CDF
+    // consumer that pays the feed off): a per-status COUNT/SUM view is
+    // seeded once, then three commit kinds churn the source (dv DELETE,
+    // merge-on-read UPDATE, APPEND) and ONE refresh folds their
+    // row-level changes into the stored groups — refresh cost is the
+    // churn, never the table (the changes() extraction is file-bounded
+    // per commit). The oracle replays delete→update→append in SQL and
+    // aggregates from scratch, so one hash pins the weighted fold
+    // (+1/-1, update = delete+insert netting to the value shift), the
+    // exact-decimal carrier (deletes must cancel inserts to the last
+    // digit), and the exactly-once state landing. Spec pins split ==
+    // whole, replay no-op, and null-group safety. At 100 TB this is
+    // "keep the dashboard aggregate of a petabyte current at 0.01%/day
+    // cost".
+    "q_mv_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_mvinc_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"; val mv = s"$base/mv"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders)
+      require(graft.ops.MaterializedView.refresh(
+        s, t, mv, Seq("o_orderstatus"), "o_totalprice") == 1L,
+        "seed refresh must land at source version 1")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      graft.ops.Versioned.deleteWhere(s, t, $"o_orderkey" % 7 === 0L)
+      graft.ops.Versioned.updateWhere(s, t,
+        $"o_orderkey".between(maxk * 2L / 10L, maxk * 3L / 10L),
+        Map("o_totalprice" -> ($"o_totalprice" + 100.0)))
+      graft.ops.Versioned.commit(s, t,
+        orders.filter($"o_orderkey" % 10 === 1L)
+          .select(($"o_orderkey" + maxk).as("o_orderkey"),
+            $"o_orderstatus", $"o_totalprice"))
+      require(graft.ops.MaterializedView.refresh(
+        s, t, mv, Seq("o_orderstatus"), "o_totalprice") == 4L,
+        "catch-up refresh must drain delete+update+append in one fold")
+      graft.ops.MaterializedView.readView(s, mv, Seq("o_orderstatus"))
+        .select($"o_orderstatus", $"cnt", $"sv".cast("double").as("sv"))
+        .orderBy($"o_orderstatus")
+    }),
+
     "q_change_feed" -> ((s, dir) => {
       import s.implicits._
       val t = sys.props("java.io.tmpdir") +
@@ -1294,6 +1337,25 @@ object OpsQueries extends graft.QueryModule {
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,
+    "q_mv_incremental" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey AS k, o_orderstatus AS g, o_totalprice AS v
+        |       FROM orders),
+        |afterdel AS (SELECT * FROM v1 WHERE k % 7 <> 0),
+        |afterupd AS (
+        |  SELECT k, g,
+        |    CASE WHEN k >= (SELECT mk * 2 // 10 FROM mx)
+        |          AND k <= (SELECT mk * 3 // 10 FROM mx)
+        |         THEN v + 100 ELSE v END AS v
+        |  FROM afterdel
+        |),
+        |appended AS (
+        |  SELECT k + (SELECT mk FROM mx) AS k, g, v FROM v1 WHERE k % 10 = 1
+        |),
+        |final AS (SELECT * FROM afterupd UNION ALL SELECT * FROM appended)
+        |SELECT g AS o_orderstatus, CAST(COUNT(1) AS bigint) AS cnt,
+        |  CAST(SUM(CAST(v AS decimal(30,6))) AS double) AS sv
+        |FROM final GROUP BY g ORDER BY g""".stripMargin,
     "q_update_mor" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

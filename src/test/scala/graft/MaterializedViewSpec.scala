@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.{MaterializedView, Versioned}
+import org.apache.spark.sql.functions._
+
+/** Laws for the CDF-maintained materialized view: incremental == full
+  * recompute across every commit kind, split == whole, idempotent
+  * replay, and zero-count group eviction.
+  */
+class MaterializedViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mvRows(mvPath: String): Set[(String, Long, String)] =
+    MaterializedView.readView(spark, mvPath, Seq("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros.toPlainString)).toSet
+
+  private def fullRows(t: String): Set[(String, Long, String)] =
+    Versioned.read(spark, t).groupBy($"g")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"v".cast("decimal(30,6)")).as("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros.toPlainString)).toSet
+
+  test("incremental refresh equals full recompute across append/delete/update/merge") {
+    val base = tmpDir("mv")
+    val t = s"$base/t"; val mv = s"$base/mv"
+    Versioned.commit(spark, t,
+      (1 to 100).map(i => (i.toLong, s"g${i % 5}", i.toLong * 3)).toDF("id", "g", "v"))
+    assert(MaterializedView.refresh(spark, t, mv, Seq("g"), "v") == 1L)
+    assert(mvRows(mv) == fullRows(t).map { case (g, c, s) => (g, c, s) })
+    // churn: a dv delete, a merge-on-read update, an append
+    Versioned.deleteWhere(spark, t, $"id" % 7 === 0L)
+    Versioned.updateWhere(spark, t, $"id" < 20L, Map("v" -> ($"v" + 1000L)))
+    Versioned.commit(spark, t,
+      (101 to 120).map(i => (i.toLong, s"g${i % 3}", i.toLong)).toDF("id", "g", "v"))
+    assert(MaterializedView.refresh(spark, t, mv, Seq("g"), "v") == 4L)
+    assert(mvRows(mv) == fullRows(t),
+      "the folded view must equal a from-scratch aggregate of the latest snapshot")
+  }
+
+  test("split == whole, replay is a no-op, dead groups leave the view") {
+    val base = tmpDir("mv-split")
+    val t = s"$base/t"; val mvA = s"$base/mvA"; val mvB = s"$base/mvB"
+    Versioned.commit(spark, t,
+      (1 to 30).map(i => (i.toLong, s"g${i % 3}", i.toLong)).toDF("id", "g", "v"))
+    // mvA refreshes after every commit; mvB once at the end
+    MaterializedView.refresh(spark, t, mvA, Seq("g"), "v")
+    Versioned.deleteWhere(spark, t, $"g" === "g1") // kills a whole group
+    MaterializedView.refresh(spark, t, mvA, Seq("g"), "v")
+    Versioned.commit(spark, t,
+      Seq((31L, "g9", 5L)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, t, mvA, Seq("g"), "v")
+    MaterializedView.refresh(spark, t, mvB, Seq("g"), "v")
+    assert(mvRows(mvA) == mvRows(mvB), "per-commit folds == one catch-up fold")
+    assert(!mvRows(mvA).exists(_._1 == "g1"),
+      "a group whose rows were all deleted must leave the view")
+    // replay: nothing new → same state version, bit-identical state
+    val before = mvRows(mvA)
+    assert(MaterializedView.refresh(spark, t, mvA, Seq("g"), "v") == 3L)
+    assert(mvRows(mvA) == before)
+  }
+
+  test("null group keys fold as one group, not duplicates") {
+    val base = tmpDir("mv-null")
+    val t = s"$base/t"; val mv = s"$base/mv"
+    Versioned.commit(spark, t,
+      Seq((1L, Some("a"), 10L), (2L, None, 5L), (3L, None, 7L))
+        .toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, t, mv, Seq("g"), "v")
+    Versioned.commit(spark, t, Seq((4L, Option.empty[String], 8L)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, t, mv, Seq("g"), "v")
+    val nulls = MaterializedView.readView(spark, mv, Seq("g"))
+      .filter($"g".isNull).collect()
+    assert(nulls.length == 1 && nulls.head.getLong(1) == 3L &&
+      nulls.head.getDecimal(2).longValue == 20L,
+      "the NULL group must stay a single group through the null-safe fold")
+  }
+}
