@@ -1099,6 +1099,90 @@ object Versioned {
     }
   }
 
+  /** Metadata-only MIN/MAX/COUNT — aggregate pushdown into the stats
+    * manifests (the Delta/Iceberg "answer SELECT min(k), max(k),
+    * count(*) from the snapshot's own metadata" optimization), made
+    * DV-AWARE: a file none of the live deletion vectors touch
+    * contributes its manifest [min,max] verbatim; a dv-touched file's
+    * stats are stale (the extreme row may be the deleted one), so
+    * exactly those files — and only those — are scanned with the dv
+    * subtracted. COUNT composes [[rowCount]]'s distributed manifest −
+    * dv arithmetic.
+    *
+    * 100 TB shape: with no dvs the answer costs ONE tiny-parquet
+    * manifest read — zero data IO on a million-file table; with dvs it
+    * costs the CHURNED files only. Returns None when any referenced dir
+    * lacks a stats manifest or the column's stat type is opaque (a
+    * wrong fast answer is worse than a slow exact one); otherwise
+    * (one-row frame `min_v`/`max_v` in the column's type + `n`,
+    * files scanned, files referenced).
+    */
+  def statsAgg(spark: SparkSession, table: String, column: String,
+      version: Option[Long] = None): Option[(DataFrame, Int, Int)] = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, v)
+    val byDir = groupRefsByDir(m.refs)
+    val missing = byDir.keys.exists { d =>
+      !fs(spark, new Path(s"$table/data/$d"))
+        .exists(new Path(s"$table/data/$d/_stats"))
+    }
+    if (missing) return None
+    def sfx(abs: String): String = {
+      val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
+    }
+    val man = spark.read.parquet(
+        byDir.keys.toSeq.sorted.map(d => s"$table/data/$d/_stats"): _*)
+      .filter(col("column") === column)
+      .select(col("file"), col("typ"), col("min_v"), col("max_v"),
+        col("n_rows"), col("n_nulls"))
+      .collect() // O(files) planning metadata — the manifestFileDecisions bound
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    val referenced = man.filter { case (abs, _, _, _, _, _) =>
+      val p = new Path(abs)
+      byDir.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+    }
+    val typs = referenced.map(_._2).distinct
+    if (typs.length != 1 || typs.head.isEmpty) return None
+    val typ = typs.head
+    val n = rowCount(spark, table, Some(v)).getOrElse(return None)
+    // stale-stats files: any file a LIVE dv names must be scanned — its
+    // manifest extreme may be a deleted row
+    val dvTouched: Set[String] =
+      if (m.dvs.isEmpty) Set.empty
+      else spark.read.parquet(m.dvs.map(d => s"$table/data/$d"): _*)
+        .select(col("file")).distinct().collect().map(r => sfx(r.getString(0))).toSet
+    val (scanSide, cleanSide) = referenced.partition { case (abs, _, mn, _, nr, nn) =>
+      dvTouched.contains(sfx(abs)) ||
+        // unstatted file (no min recorded, not all-null): conservative
+        (mn.isEmpty && !nn.contains(nr))
+    }
+    // an ALL-NULL file contributes nothing to min/max (NULL is ignored)
+    val cleanStats = cleanSide.collect {
+      case (_, _, Some(mn), Some(mx), _, _) => (mn, mx)
+    }
+    val scanFiles = scanSide.map(_._1).toSeq.sorted
+    import spark.implicits._
+    val cleanDf = cleanStats.toSeq.toDF("mn", "mx")
+      .select(col("mn").cast(typ).as("mn"), col("mx").cast(typ).as("mx"))
+    val scanDf =
+      if (scanFiles.isEmpty) cleanDf.limit(0)
+      else {
+        val scan = spark.read.option("mergeSchema", "true").parquet(scanFiles: _*)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        subtractDvs(spark, table, scan, m.dvs, "__file", "__pos")
+          .select(col(column).cast(typ).as("mn"), col(column).cast(typ).as("mx"))
+      }
+    val frame = cleanDf.unionByName(scanDf)
+      .agg(min(col("mn")).as("min_v"), max(col("mx")).as("max_v"))
+      .withColumn("n", lit(n))
+    Some((frame, scanFiles.size, referenced.length))
+  }
+
   /** Consumer-side incremental change feed — [[changes]] with a durable
     * CURSOR, the shape a downstream replica/materialized view actually
     * consumes (Delta CDF's `startingVersion` + checkpoint): returns every

@@ -528,6 +528,59 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // METADATA-ONLY AGGREGATES (Versioned.statsAgg — aggregate pushdown
+    // into the stats manifests, dv-aware): phase "meta" SMASHES every
+    // data file after two stats commits and still answers
+    // MIN/MAX/COUNT — the in-query proof that the answer costs zero
+    // data IO (scanned == 0 required); phase "dv" deletes the
+    // global-min rows via a deletion vector, which makes exactly their
+    // files' stats stale — statsAgg rescans ONLY those (scanned <
+    // total required) and the deleted extreme must not survive. The
+    // oracle recomputes both phases from `orders`. At 100 TB:
+    // min/max/count of a million-file table from one tiny-parquet read.
+    "q_stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_statsagg_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val tA = s"$base/ta"; val tB = s"$base/tb"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val mid = maxk / 2L
+      graft.ops.Versioned.commitWithStats(s, tA,
+        graft.ops.Layout.sortedByRange(
+          orders.filter($"o_orderkey" <= mid), Seq($"o_orderkey"), 8),
+        Seq("o_orderkey"))
+      graft.ops.Versioned.commitWithStats(s, tA,
+        graft.ops.Layout.sortedByRange(
+          orders.filter($"o_orderkey" > mid), Seq($"o_orderkey"), 8),
+        Seq("o_orderkey"))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$tA/data"))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("_stats"))
+        .foreach { f =>
+          val out = new java.io.FileOutputStream(f)
+          try out.write("not parquet".getBytes) finally out.close()
+        }
+      val (fA, scA, totA) = graft.ops.Versioned.statsAgg(s, tA, "o_orderkey").get
+      require(scA == 0 && totA > 0,
+        s"metadata phase must read zero data files, scanned $scA of $totA")
+      graft.ops.Versioned.commitWithStats(s, tB,
+        graft.ops.Layout.sortedByRange(orders, Seq($"o_orderkey"), 16),
+        Seq("o_orderkey"))
+      graft.ops.Versioned.deleteWhere(s, tB, $"o_orderkey" <= maxk / 10L)
+      val (fB, scB, totB) = graft.ops.Versioned.statsAgg(s, tB, "o_orderkey").get
+      require(scB > 0 && scB < totB,
+        s"dv phase must rescan only the touched files, scanned $scB of $totB")
+      fA.select(lit("meta").as("phase"), $"min_v".as("min_k"),
+          $"max_v".as("max_k"), $"n")
+        .unionByName(fB.select(lit("dv").as("phase"), $"min_v".as("min_k"),
+          $"max_v".as("max_k"), $"n"))
+        .orderBy($"phase")
+    }),
+
     // MERGE-ON-READ UPDATE (Versioned.updateWhere — the Delta DV-update
     // shape): matching rows leave via a deletion vector AND their new
     // images land in one fresh dir, one commit. REQUIRED in-query: every
@@ -1337,6 +1390,21 @@ object OpsQueries extends graft.QueryModule {
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,
+    "q_stats_agg" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |meta AS (
+        |  SELECT 'meta' AS phase, MIN(o_orderkey) AS min_k,
+        |    MAX(o_orderkey) AS max_k, CAST(COUNT(1) AS bigint) AS n
+        |  FROM orders
+        |),
+        |dv AS (
+        |  SELECT 'dv' AS phase, MIN(o_orderkey), MAX(o_orderkey),
+        |    CAST(COUNT(1) AS bigint)
+        |  FROM orders WHERE o_orderkey > (SELECT mk // 10 FROM mx)
+        |)
+        |SELECT phase, min_k, max_k, n FROM (
+        |  SELECT * FROM meta UNION ALL SELECT * FROM dv
+        |) ORDER BY phase""".stripMargin,
     "q_mv_incremental" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey AS k, o_orderstatus AS g, o_totalprice AS v

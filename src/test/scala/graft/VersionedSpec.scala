@@ -257,6 +257,49 @@ class VersionedSpec extends SparkSpec {
     assert(kept == Set((1L, "keep"), (-1L, "nullkey")))
   }
 
+  test("statsAgg: metadata-only min/max/count; dv-touched files rescan; None without stats") {
+    val t = tmpDir("versioned-statsagg") + "/t"
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s"), Seq($"id"), 4),
+      Seq("id"))
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (101 to 150).map(i => (i.toLong, s"r$i")).toDF("id", "s"), Seq($"id"), 2),
+      Seq("id"))
+    // smash every DATA file: the answer must come from manifests alone
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$t/data"))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("_stats"))
+      .foreach { f =>
+        val out = new java.io.FileOutputStream(f)
+        try out.write("not parquet".getBytes) finally out.close()
+      }
+    val (frame, scanned, total) = Versioned.statsAgg(spark, t, "id").get
+    assert(scanned == 0 && total == 6, s"scanned=$scanned total=$total")
+    val r = frame.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 150L, 150L))
+
+    // dv-aware: deleting the global-min rows must rescan ONLY their files
+    val t2 = tmpDir("versioned-statsagg-dv") + "/t"
+    Versioned.commitWithStats(spark, t2,
+      graft.ops.Layout.sortedByRange(
+        (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s"), Seq($"id"), 4),
+      Seq("id"))
+    Versioned.deleteWhere(spark, t2, $"id" <= 30L)
+    val (frame2, scanned2, total2) = Versioned.statsAgg(spark, t2, "id").get
+    assert(scanned2 > 0 && scanned2 < total2,
+      s"only dv-touched files rescan: scanned=$scanned2 total=$total2")
+    val r2 = frame2.head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == (31L, 100L, 70L),
+      "the deleted extreme must not survive in the answer")
+
+    // honesty: a stats-less dir demotes the whole answer to None
+    Versioned.commit(spark, t2, Seq((200L, "x")).toDF("id", "s"))
+    assert(Versioned.statsAgg(spark, t2, "id").isEmpty)
+  }
+
   test("updateWhere is merge-on-read: old files stay byte-identical, history intact") {
     val t = tmpDir("versioned-upd") + "/t"
     Versioned.commit(spark, t,
