@@ -59,6 +59,26 @@ object Versioned {
   private def manifestPath(table: String, v: Long) =
     new Path(s"$table/_commits/${"%06d".format(v)}.manifest")
 
+  /** Where this table's data dirs live. A plain table owns `<table>/data`;
+    * a BRANCH (see [[branch]]) carries a `_dataroot` marker pointing at
+    * its root table's shared data dir — every ref resolves there, so a
+    * branch is a zero-copy writable fork. Cached per table string: the
+    * marker is immutable once the table exists.
+    */
+  private val dataRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def dataRoot(spark: SparkSession, table: String): String =
+    dataRootCache.computeIfAbsent(table, { t =>
+      val marker = new Path(s"$t/_dataroot")
+      val f = fs(spark, marker)
+      if (!f.exists(marker)) s"$t/data"
+      else {
+        val in = f.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+    })
+
   /** Highest committed version, or None for a fresh path. */
   def latestVersion(spark: SparkSession, table: String): Option[Long] = {
     val dir = commitsDir(table)
@@ -189,7 +209,7 @@ object Versioned {
       val parentSchema = schemaJson
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse(spark.read.parquet(refs.map(d => s"$table/data/$d"): _*).schema)
+        .getOrElse(spark.read.parquet(refs.map(d => s"${dataRoot(spark, table)}/$d"): _*).schema)
       val conflicts = typeConflicts(parentSchema, df.schema)
       require(conflicts.isEmpty,
         s"incompatible schema change on append to $table: ${conflicts.mkString("; ")}")
@@ -198,7 +218,7 @@ object Versioned {
     // and a crashed writer's orphan can never block a later commit.
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.options(writerOptions).mode("errorifexists")
-      .parquet(s"$table/data/$dirName")
+      .parquet(s"${dataRoot(spark, table)}/$dirName")
     // CHECK constraints are table metadata: they survive overwrites and
     // are enforced on every row-adding commit. Validation scans the
     // WRITTEN dir (one extra pass over the DELTA, never the table, and
@@ -215,7 +235,7 @@ object Versioned {
     if (!writeManifest(spark, table, v,
         if (overwrite) "overwrite" else "append", parentRefs :+ dirName,
         Some(df.schema.json), parentDvs, inherited)) {
-      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dirName"), true)
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     }
@@ -231,7 +251,7 @@ object Versioned {
       dirName: String, constraints: Seq[(String, String)]): Unit =
     if (constraints.nonEmpty) {
       import org.apache.spark.sql.functions.{expr, sum, when}
-      val written = spark.read.parquet(s"$table/data/$dirName")
+      val written = spark.read.parquet(s"${dataRoot(spark, table)}/$dirName")
       val aggs = constraints.map { case (n, e) =>
         sum(when(expr(e) === false, 1L).otherwise(0L)).as(n)
       }
@@ -240,7 +260,7 @@ object Versioned {
         val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
         if (bad > 0) {
           fs(spark, new Path(table))
-            .delete(new Path(s"$table/data/$dirName"), true)
+            .delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
           throw new IllegalArgumentException(
             s"CHECK constraint '$n' ($e) violated by $bad rows; commit aborted")
         }
@@ -417,7 +437,7 @@ object Versioned {
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
     val dirs = m.refs.map { d =>
-      val p = new Path(s"$table/data/$d")
+      val p = new Path(s"${dataRoot(spark, table)}/$d")
       require(fs(spark, p).exists(p),
         s"version $v references vacuumed data dir $d — time travel past retention")
       p.toString
@@ -488,7 +508,7 @@ object Versioned {
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
     val byDir = groupRefsByDir(m.refs)
     val dirInfo = byDir.toSeq.map { case (d, files) =>
-      val dir = s"$table/data/$d"
+      val dir = s"${dataRoot(spark, table)}/$d"
       (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
     }
     val statted = dirInfo.filter(_._4)
@@ -549,11 +569,11 @@ object Versioned {
     val v = parentV + 1
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     Layout.writeSorted(merged, Seq(col(key)), numFiles,
-      s"$table/data/$dirName", statsCols = statsCols)
+      s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
     validateConstraints(spark, table, dirName, m.constraints)
     if (!writeManifest(spark, table, v, "merge", untouchedRefs :+ dirName,
         Some(batch.schema.json), m.dvs, m.constraints)) {
-      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dirName"), true)
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     }
@@ -587,7 +607,7 @@ object Versioned {
     if (dvs.isEmpty) frame
     else {
       import org.apache.spark.sql.functions.{broadcast, col}
-      val dv = spark.read.parquet(dvs.map(d => s"$table/data/$d"): _*)
+      val dv = spark.read.parquet(dvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
         .select(col("file").as(fileCol), col("pos").as(posCol))
       frame.join(broadcast(dv), Seq(fileCol, posCol), "left_anti")
     }
@@ -620,7 +640,7 @@ object Versioned {
     val m = readManifest(spark, table, parentV)
     val v = parentV + 1
     val scan = spark.read.option("mergeSchema", "true")
-      .parquet(m.refs.map(d => s"$table/data/$d"): _*)
+      .parquet(m.refs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
     // rows already deleted by an earlier dv must not be re-coordinated —
@@ -633,10 +653,10 @@ object Versioned {
     // repartition, NOT coalesce: coalesce(1) would collapse the whole
     // predicate scan onto one core; the shuffle boundary keeps the scan
     // parallel and only the (small) coordinate set moves
-    dels.repartition(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
+    dels.repartition(1).write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dvDir")
     if (!writeManifest(spark, table, v, "delete", m.refs, m.schemaJson,
         m.dvs :+ dvDir, m.constraints)) {
-      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     }
@@ -669,7 +689,7 @@ object Versioned {
     val v = parentV + 1
     val byDir = groupRefsByDir(m.refs)
     val dirInfo = byDir.toSeq.map { case (d, files) =>
-      val dir = s"$table/data/$d"
+      val dir = s"${dataRoot(spark, table)}/$d"
       (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
     }
     val statted = dirInfo.filter(_._4)
@@ -711,10 +731,10 @@ object Versioned {
           .filter(extra.fold(rangePred)(rangePred && _))
           .select(col("__file").as("file"), col("__pos").as("pos"))
       }
-    dels.repartition(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
+    dels.repartition(1).write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dvDir")
     if (!writeManifest(spark, table, v, "delete", m.refs, m.schemaJson,
         m.dvs :+ dvDir, m.constraints)) {
-      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     }
@@ -753,13 +773,13 @@ object Versioned {
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq)
       .getOrElse(spark.read.option("mergeSchema", "true")
-        .parquet(m.refs.map(d => s"$table/data/$d"): _*).columns.toSeq)
+        .parquet(m.refs.map(d => s"${dataRoot(spark, table)}/$d"): _*).columns.toSeq)
     set.keys.foreach { c =>
       require(schemaCols.contains(c),
         s"UPDATE SET column '$c' does not exist in $table (${schemaCols.mkString(",")})")
     }
     val scan = spark.read.option("mergeSchema", "true")
-      .parquet(m.refs.map(d => s"$table/data/$d"): _*)
+      .parquet(m.refs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
     val matched = subtractDvs(spark, table, scan, m.dvs, "__file", "__pos")
@@ -769,25 +789,25 @@ object Versioned {
     // the matched slice after the predicate scan)
     val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     matched.select(col("__file").as("file"), col("__pos").as("pos"))
-      .repartition(1).write.mode("errorifexists").parquet(s"$table/data/$dvDir")
+      .repartition(1).write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dvDir")
     val newImages = set.foldLeft(matched) { case (df, (c, e)) =>
       df.withColumn(c, e)
     }.select(schemaCols.map(col): _*).repartition(numFiles)
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    newImages.write.mode("errorifexists").parquet(s"$table/data/$dirName")
+    newImages.write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dirName")
     def cleanup(): Unit = {
-      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
-      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dirName"), true)
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
     }
     try validateConstraints(spark, table, dirName, m.constraints)
     catch { case t: Throwable =>
       // validateConstraints deletes only the data dir; the dv must not
       // survive an aborted update either
-      fs(spark, new Path(table)).delete(new Path(s"$table/data/$dvDir"), true)
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
       throw t
     }
     if (statsCols.nonEmpty)
-      Layout.writeStatsManifest(spark, s"$table/data/$dirName", statsCols)
+      Layout.writeStatsManifest(spark, s"${dataRoot(spark, table)}/$dirName", statsCols)
     if (!writeManifest(spark, table, v, "update", m.refs :+ dirName,
         m.schemaJson, m.dvs :+ dvDir, m.constraints)) {
       cleanup()
@@ -814,7 +834,7 @@ object Versioned {
     val v = commit(spark, table, df, overwrite,
       bloomCols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap)
     val newDir = readManifest(spark, table, v).refs.last
-    Layout.writeStatsManifest(spark, s"$table/data/$newDir", statsCols)
+    Layout.writeStatsManifest(spark, s"${dataRoot(spark, table)}/$newDir", statsCols)
     v
   }
 
@@ -839,7 +859,7 @@ object Versioned {
     val m = readManifest(spark, table, v)
     val byDir = groupRefsByDir(m.refs)
     val dirInfo = byDir.toSeq.map { case (d, files) =>
-      val dir = s"$table/data/$d"
+      val dir = s"${dataRoot(spark, table)}/$d"
       require(fs(spark, new Path(dir)).exists(new Path(dir)),
         s"version $v references vacuumed data dir $d — time travel past retention")
       (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
@@ -891,7 +911,7 @@ object Versioned {
     val m = readManifest(spark, table, v)
     val byDir = groupRefsByDir(m.refs)
     val (statted, unstatted) = byDir.toSeq.map { case (d, files) =>
-      val dir = s"$table/data/$d"
+      val dir = s"${dataRoot(spark, table)}/$d"
       val f = fs(spark, new Path(dir))
       require(f.exists(new Path(dir)),
         s"version $v references vacuumed data dir $d — time travel past retention")
@@ -960,7 +980,7 @@ object Versioned {
     refs.flatMap { r =>
       if (r.contains('/')) Seq(r)
       else {
-        val dir = new Path(s"$table/data/$r")
+        val dir = new Path(s"${dataRoot(spark, table)}/$r")
         require(fs(spark, dir).exists(dir),
           s"referenced data dir $r was vacuumed — change feed past retention")
         fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
@@ -996,8 +1016,8 @@ object Versioned {
       else readManifest(spark, table, v - 1)
     val curF = expandRefFiles(spark, table, cur.refs)
     val prevF = expandRefFiles(spark, table, prev.refs)
-    val added = (curF -- prevF).toSeq.sorted.map(r => s"$table/data/$r")
-    val removed = (prevF -- curF).toSeq.sorted.map(r => s"$table/data/$r")
+    val added = (curF -- prevF).toSeq.sorted.map(r => s"${dataRoot(spark, table)}/$r")
+    val removed = (prevF -- curF).toSeq.sorted.map(r => s"${dataRoot(spark, table)}/$r")
     val newDvs = cur.dvs.filterNot(prev.dvs.toSet)
     // report in the CURRENT version's schema; pre-evolution rows
     // null-fill added columns exactly as read() presents them
@@ -1025,7 +1045,7 @@ object Versioned {
     val dvDeleted =
       if (newDvs.isEmpty) empty
       else {
-        val dv = spark.read.parquet(newDvs.map(d => s"$table/data/$d"): _*)
+        val dv = spark.read.parquet(newDvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
         val dvFiles = dv.select(col("file")).distinct().collect()
           .map(_.getString(0)).toSeq.sorted
         if (dvFiles.isEmpty) empty
@@ -1059,13 +1079,13 @@ object Versioned {
     val m = readManifest(spark, table, v)
     val byDir = groupRefsByDir(m.refs)
     val missing = byDir.keys.exists { d =>
-      !fs(spark, new Path(s"$table/data/$d"))
-        .exists(new Path(s"$table/data/$d/_stats"))
+      !fs(spark, new Path(s"${dataRoot(spark, table)}/$d"))
+        .exists(new Path(s"${dataRoot(spark, table)}/$d/_stats"))
     }
     if (missing) None
     else {
       val man = spark.read.parquet(
-        byDir.keys.toSeq.sorted.map(d => s"$table/data/$d/_stats"): _*)
+        byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_stats"): _*)
       val perFile = man.groupBy(col("file"))
         .agg(org.apache.spark.sql.functions.max(col("n_rows")).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -1090,7 +1110,7 @@ object Versioned {
           val refs = referenced.map { case (abs, _) =>
             val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
           }.toSeq.distinct.toDF("ref_sfx")
-          spark.read.parquet(m.dvs.map(d => s"$table/data/$d"): _*)
+          spark.read.parquet(m.dvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
             .select(regexp_extract(col("file"), "([^/]+/[^/]+)$", 1).as("ref_sfx"))
             .join(broadcast(refs), Seq("ref_sfx"), "left_semi")
             .count()
@@ -1125,15 +1145,15 @@ object Versioned {
     val m = readManifest(spark, table, v)
     val byDir = groupRefsByDir(m.refs)
     val missing = byDir.keys.exists { d =>
-      !fs(spark, new Path(s"$table/data/$d"))
-        .exists(new Path(s"$table/data/$d/_stats"))
+      !fs(spark, new Path(s"${dataRoot(spark, table)}/$d"))
+        .exists(new Path(s"${dataRoot(spark, table)}/$d/_stats"))
     }
     if (missing) return None
     def sfx(abs: String): String = {
       val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
     }
     val man = spark.read.parquet(
-        byDir.keys.toSeq.sorted.map(d => s"$table/data/$d/_stats"): _*)
+        byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_stats"): _*)
       .filter(col("column") === column)
       .select(col("file"), col("typ"), col("min_v"), col("max_v"),
         col("n_rows"), col("n_nulls"))
@@ -1153,7 +1173,7 @@ object Versioned {
     // manifest extreme may be a deleted row
     val dvTouched: Set[String] =
       if (m.dvs.isEmpty) Set.empty
-      else spark.read.parquet(m.dvs.map(d => s"$table/data/$d"): _*)
+      else spark.read.parquet(m.dvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
         .select(col("file")).distinct().collect().map(r => sfx(r.getString(0))).toSet
     val (scanSide, cleanSide) = referenced.partition { case (abs, _, mn, _, nr, nn) =>
       dvTouched.contains(sfx(abs)) ||
@@ -1272,7 +1292,7 @@ object Versioned {
     val v = commitAt(spark, table, snap, pv + 1, Some(pv), overwrite = true)
     if (statsCols.nonEmpty) {
       val newDir = readManifest(spark, table, v).refs.last
-      Layout.writeStatsManifest(spark, s"$table/data/$newDir", statsCols)
+      Layout.writeStatsManifest(spark, s"${dataRoot(spark, table)}/$newDir", statsCols)
     }
     v
   }
@@ -1342,33 +1362,94 @@ object Versioned {
     * write-to-CAS window is shorter than the grace survives a concurrent
     * vacuum; `0` keeps the eager single-owner behavior for the erasure
     * two-step.
+    *
+    * BRANCH-AWARE: must run on the ROOT table (a branch shares the
+    * root's data dirs and owns none — vacuuming "through" a branch
+    * would delete dirs other branches still reference; the call fails
+    * loudly). Every branch under `<root>/_branch/` pins its own last
+    * `retainLast` snapshots' refs, so a fork is never broken by root
+    * maintenance within the horizon.
     */
   def vacuum(spark: SparkSession, table: String, retainLast: Int = 1,
       graceMs: Long = 0L): Seq[String] = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
-    val live = latestVersion(spark, table).map { latest =>
-      (math.max(1L, latest - retainLast + 1) to latest)
-        .flatMap { v =>
-          val m = readManifest(spark, table, v)
-          // a file-granular ref keeps its WHOLE dir alive (vacuum works
-          // at dir granularity — conservative: unreferenced neighbors in
-          // a partially-referenced dir survive until a compact folds
-          // the refs back to dir granularity)
-          (m.refs ++ m.dvs).map(_.takeWhile(_ != '/'))
-        }.toSet
-    }.getOrElse(Set.empty)
-    val dataRoot = new Path(s"$table/data")
-    val f = fs(spark, dataRoot)
-    if (!f.exists(dataRoot)) Seq.empty
+    val marker = new Path(s"$table/_dataroot")
+    require(!fs(spark, marker).exists(marker),
+      s"vacuum must run on the ROOT table, not branch $table " +
+        "(branches share the root's data dirs)")
+    def liveRefs(t: String): Set[String] =
+      latestVersion(spark, t).map { latest =>
+        (math.max(1L, latest - retainLast + 1) to latest)
+          .flatMap { v =>
+            val m = readManifest(spark, t, v)
+            // a file-granular ref keeps its WHOLE dir alive (vacuum works
+            // at dir granularity — conservative: unreferenced neighbors in
+            // a partially-referenced dir survive until a compact folds
+            // the refs back to dir granularity)
+            (m.refs ++ m.dvs).map(_.takeWhile(_ != '/'))
+          }.toSet
+      }.getOrElse(Set.empty)
+    val branchRoot = new Path(s"$table/_branch")
+    val bf = fs(spark, branchRoot)
+    val branches =
+      if (!bf.exists(branchRoot)) Seq.empty
+      else bf.listStatus(branchRoot).toSeq.filter(_.isDirectory)
+        .map(_.getPath.toString)
+    val live = liveRefs(table) ++ branches.flatMap(liveRefs)
+    val root = new Path(s"$table/data")
+    val f = fs(spark, root)
+    if (!f.exists(root)) Seq.empty
     else {
       val horizon = System.currentTimeMillis() - graceMs
-      f.listStatus(dataRoot).toSeq
+      f.listStatus(root).toSeq
         .filter(st => graceMs == 0L || st.getModificationTime < horizon)
         .map(_.getPath.getName)
         .filterNot(live.contains)
         .map { d => f.delete(new Path(s"$table/data/$d"), true); d }
         .sorted
     }
+  }
+
+  /** BRANCH — a zero-copy writable fork of a snapshot (the Iceberg
+    * branch / Delta shallow-clone idea): the new branch lives at
+    * `<root>/_branch/<name>` with its OWN commit log whose version 1
+    * references the source snapshot's data dirs and dvs verbatim; a
+    * `_dataroot` marker routes every data resolution to the root's
+    * shared `data/` dir. Creation cost is one manifest write — zero
+    * bytes copied regardless of table size. Thereafter the branch is a
+    * full [[Versioned]] table: appends, dv deletes/updates, merges,
+    * compaction, time travel all work, and every NEW data dir lands in
+    * the shared root under a unique name (no collisions with the root's
+    * writers by construction). The root never sees branch commits and
+    * vice versa — histories are independent after the fork point.
+    *
+    * Branching a BRANCH forks from the same shared root (the `_dataroot`
+    * chain never deepens). [[vacuum]] runs on the root only and pins
+    * every branch's retention window. A branch of a petabyte table
+    * costs a kilobyte — the experiment/backfill/what-if primitive.
+    */
+  def branch(spark: SparkSession, srcTable: String, name: String,
+      version: Option[Long] = None): String = {
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\\'),
+      s"branch name must be a single path segment: $name")
+    val srcRoot = dataRoot(spark, srcTable)
+    require(srcRoot.endsWith("/data"),
+      s"unexpected data root layout for $srcTable: $srcRoot")
+    val root = srcRoot.stripSuffix("/data")
+    val bt = s"$root/_branch/$name"
+    val btPath = new Path(bt)
+    val f = fs(spark, btPath)
+    require(!f.exists(btPath), s"branch $name already exists under $root")
+    val v = version.orElse(latestVersion(spark, srcTable))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $srcTable"))
+    val m = readManifest(spark, srcTable, v)
+    f.mkdirs(btPath)
+    val markerOut = f.create(new Path(s"$bt/_dataroot"), true)
+    try markerOut.write(srcRoot.getBytes("UTF-8")) finally markerOut.close()
+    dataRootCache.remove(bt) // a stale pre-creation probe must not linger
+    require(writeManifest(spark, bt, 1L, "clone", m.refs, m.schemaJson,
+      m.dvs, m.constraints), s"branch $name raced another creator")
+    bt
   }
 }

@@ -528,6 +528,46 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // BRANCH (Versioned.branch — the Iceberg-branch / Delta
+    // shallow-clone shape): a zero-copy writable fork whose creation
+    // writes ONE manifest (REQUIRED in-query: the shared data root
+    // gains no dirs at fork time). The branch then diverges with a dv
+    // DELETE + a merge-on-read UPDATE while the root takes its own
+    // append; both heads are read back and must match the oracle's
+    // independent reconstructions — one hash pins fork-point fidelity,
+    // write isolation in BOTH directions, and the shared-storage
+    // resolution. At 100 TB: fork a petabyte for a what-if backfill at
+    // kilobyte cost.
+    "q_branch" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_branch_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders)
+      val dirsAtFork = new java.io.File(s"$t/data").list().length
+      val dev = graft.ops.Versioned.branch(s, t, "dev")
+      require(new java.io.File(s"$t/data").list().length == dirsAtFork,
+        "branching must copy zero data dirs")
+      graft.ops.Versioned.deleteWhere(s, dev, $"o_orderkey" % 7 === 0L)
+      graft.ops.Versioned.updateWhere(s, dev, $"o_orderkey" % 5 === 0L,
+        Map("o_totalprice" -> ($"o_totalprice" + 50.0)))
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      graft.ops.Versioned.commit(s, t,
+        orders.filter($"o_orderkey" % 10 === 2L)
+          .select(($"o_orderkey" + maxk).as("o_orderkey"),
+            $"o_custkey", $"o_totalprice"))
+      Seq(("root", t), ("dev", dev)).map { case (tag, tbl) =>
+        graft.ops.Versioned.read(s, tbl)
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            sum($"o_custkey").as("sum_cust"))
+          .select(lit(tag).as("head"), $"n", $"sum_price", $"sum_cust")
+      }.reduce(_.unionByName(_)).orderBy($"head")
+    }),
+
     // METADATA-ONLY AGGREGATES (Versioned.statsAgg — aggregate pushdown
     // into the stats manifests, dv-aware): phase "meta" SMASHES every
     // data file after two stats commits and still answers
@@ -1390,6 +1430,31 @@ object OpsQueries extends graft.QueryModule {
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,
+    "q_branch" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v
+        |       FROM orders),
+        |rootv AS (
+        |  SELECT * FROM v1
+        |  UNION ALL
+        |  SELECT k + (SELECT mk FROM mx), c, v FROM v1 WHERE k % 10 = 2
+        |),
+        |devv AS (
+        |  SELECT k, c, CASE WHEN k % 5 = 0 THEN v + 50 ELSE v END AS v
+        |  FROM v1 WHERE k % 7 <> 0
+        |),
+        |heads AS (
+        |  SELECT 'root' AS head, COUNT(1) AS n,
+        |    CAST(SUM(CAST(v AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(c) AS bigint) AS sum_cust
+        |  FROM rootv
+        |  UNION ALL
+        |  SELECT 'dev', COUNT(1),
+        |    CAST(SUM(CAST(v AS decimal(30,2))) AS double),
+        |    CAST(SUM(c) AS bigint)
+        |  FROM devv
+        |)
+        |SELECT head, n, sum_price, sum_cust FROM heads ORDER BY head""".stripMargin,
     "q_stats_agg" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |meta AS (

@@ -257,6 +257,40 @@ class VersionedSpec extends SparkSpec {
     assert(kept == Set((1L, "keep"), (-1L, "nullkey")))
   }
 
+  test("branch: zero-copy fork, independent histories, root vacuum pins branch refs") {
+    val t = tmpDir("versioned-branch") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 100).map(i => (i.toLong, s"r${i % 10}")).toDF("id", "s"))
+    def dataDirCount = new java.io.File(s"$t/data").list().length
+    val dirsAtFork = dataDirCount
+    val dev = Versioned.branch(spark, t, "dev")
+    assert(dataDirCount == dirsAtFork, "branching must copy ZERO data dirs")
+    assert(rows(Versioned.read(spark, dev)) == rows(Versioned.read(spark, t)),
+      "the branch's v1 is the source snapshot")
+    // diverge: branch deletes + appends; root appends differently
+    Versioned.deleteWhere(spark, dev, $"id" <= 50L)
+    Versioned.commit(spark, dev, Seq((777L, "dev-only")).toDF("id", "s"))
+    Versioned.commit(spark, t, Seq((888L, "root-only")).toDF("id", "s"))
+    val devIds = Versioned.read(spark, dev).select($"id").collect()
+      .map(_.getLong(0)).toSet
+    val rootIds = Versioned.read(spark, t).select($"id").collect()
+      .map(_.getLong(0)).toSet
+    assert(devIds == ((51 to 100).map(_.toLong).toSet + 777L))
+    assert(rootIds == ((1 to 100).map(_.toLong).toSet + 888L),
+      "branch writes must be invisible to the root and vice versa")
+    // a second branch forks from the branch but shares the same root
+    val dev2 = Versioned.branch(spark, dev, "dev2")
+    assert(rows(Versioned.read(spark, dev2)) == rows(Versioned.read(spark, dev)))
+    // vacuum: must refuse on a branch; on the root it keeps every dir a
+    // branch still references
+    val e = intercept[IllegalArgumentException] { Versioned.vacuum(spark, dev) }
+    assert(e.getMessage.contains("ROOT"))
+    Versioned.vacuum(spark, t, retainLast = 1)
+    assert(rows(Versioned.read(spark, dev2)) == rows(Versioned.read(spark, dev)),
+      "root vacuum must not delete dirs a live branch references")
+    assert(Versioned.read(spark, t).count() == 101)
+  }
+
   test("statsAgg: metadata-only min/max/count; dv-touched files rescan; None without stats") {
     val t = tmpDir("versioned-statsagg") + "/t"
     Versioned.commitWithStats(spark, t,
