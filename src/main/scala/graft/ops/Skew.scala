@@ -42,4 +42,49 @@ object Skew {
       "__salt", explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** [[saltedJoin]] refined with HOT-KEY DETECTION: only keys whose fact
+    * row count exceeds `hotThreshold` are salted; the rest join
+    * unchanged under salt 0. Replication cost drops from
+    * `|small| × salt` to `|hot small rows| × salt` — on a dim of 10⁸
+    * rows with three hot keys that is the difference between tripling
+    * the dim shuffle and three extra kilobytes. Detection is one
+    * combiner-friendly per-key count over the fact (output O(distinct
+    * keys)); the hot set collects to the driver, bounded by
+    * `maxHotKeys` — a "hot set" approaching the key space is not skew,
+    * it's volume, and salting cannot help it.
+    *
+    * Also extends the join surface to LEFT-outer (unmatched fact rows
+    * carry exactly one salt, so they emit exactly once); right/full
+    * outer are rejected loudly — a replicated dim row would null-emit
+    * once per salt. Returns (joined frame, detected hot keys).
+    */
+  def saltedJoinHot(fact: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "inner", salt: Int = 16,
+      hotThreshold: Long = 1000000L, maxHotKeys: Int = 10000)
+      : (DataFrame, Seq[Any]) = {
+    require(salt >= 2, s"salt must be >= 2, got $salt")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salting supports inner/left joins only, got $joinType " +
+        "(an outer dim side would null-emit once per salt)")
+    val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold && col(key).isNotNull)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    require(hot.length <= maxHotKeys,
+      s"${hot.length} keys exceed hotThreshold=$hotThreshold — " +
+        "that is volume, not skew; bucket the join instead")
+    if (hot.isEmpty) (fact.join(dim, Seq(key), joinType), hot)
+    else {
+      val isHot = col(key).isin(hot: _*)
+      // deterministic salt (same stage-retry argument as saltedJoin)
+      val factS = fact.withColumn("__salt",
+        when(isHot, pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*),
+          lit(salt.toLong)).cast("int")).otherwise(lit(0)))
+      val dimS = dim.withColumn("__salt",
+          when(isHot, sequence(lit(0), lit(salt - 1)))
+            .otherwise(array(lit(0))))
+        .withColumn("__salt", explode(col("__salt")))
+      (factS.join(dimS, Seq(key, "__salt"), joinType).drop("__salt"), hot)
+    }
+  }
 }

@@ -249,6 +249,35 @@ object JoinQueries extends graft.QueryModule {
         .orderBy($"c_mktsegment", $"event_type")
     }),
 
+    // HOT-KEY salted join (Skew.saltedJoinHot — saltedJoin refined with
+    // detection): 60% of the fact collapses onto key 7, detected by the
+    // combiner-pass count (REQUIRED in-query) and salted; the other 997
+    // residue keys join unchanged, so the dim replicates ONLY its hot
+    // row — |hot dim rows| × salt, not |dim| × salt. Exercised as a
+    // LEFT join (the surface plain saltedJoin lacks); the oracle is the
+    // plain join, pinning that salting is a physical rewrite with zero
+    // semantic footprint. At 100 TB: the bot-user join that melts one
+    // reducer runs at uniform speed, and the replicated side costs
+    // kilobytes.
+    "q_join_salted_hot" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val fact = ev.select(
+        when($"event_id" % 100 < 60, lit(7L)).otherwise($"event_id" % 997).as("k"),
+        $"value")
+      val dim = ev.select(($"event_id" % 997).as("k")).distinct()
+        .withColumn("grp", pmod($"k", lit(10L)))
+      val n = fact.count()
+      val (j, hot) = graft.ops.Skew.saltedJoinHot(fact, dim, "k",
+        joinType = "left", salt = 16, hotThreshold = n / 10L)
+      require(hot.contains(7L),
+        s"the collapsed key must be detected hot, got $hot")
+      j.groupBy($"grp")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_value"))
+        .orderBy($"grp")
+    }),
+
     // Right outer join: every customer kept from the right side, orders
     // (filtered to a status so some customers have no match) nulled out.
     // Catalyst canonicalizes right⟷left, so this pins the API surface and
@@ -480,6 +509,20 @@ object JoinQueries extends graft.QueryModule {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    "q_join_salted_hot" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN event_id % 100 < 60 THEN 7
+        |              ELSE event_id % 997 END AS k, value
+        |  FROM events
+        |),
+        |dim AS (
+        |  SELECT k, k % 10 AS grp
+        |  FROM (SELECT DISTINCT event_id % 997 AS k FROM events)
+        |)
+        |SELECT grp, COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_value
+        |FROM fact LEFT JOIN dim USING (k)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
     "q_join_right" ->
       """SELECT c_mktsegment,
         |  COUNT(o_orderkey) AS n_finished_orders,

@@ -31,6 +31,75 @@ class SkewSpec extends SparkSpec {
     assert(buckets > 4, s"expected the hot key spread over >4 of 8 buckets, got $buckets")
   }
 
+  private def skewedFact = spark.range(0, 100000).select(
+    when($"id" % 10 < 9, lit(1L)).otherwise($"id" % 500).as("k"),
+    ($"id" * 3).as("v"))
+
+  private def bigDim = spark.range(0, 500).select(
+    $"id".as("k"), concat(lit("d"), $"id").as("attr"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) "" else r.getString(2))).toSet
+
+  test("saltedJoinHot: inner and left equal plain joins; only hot keys detected") {
+    val plainInner = skewedFact.join(bigDim, Seq("k"), "inner")
+    val (saltedInner, hot) = Skew.saltedJoinHot(skewedFact, bigDim, "k",
+      joinType = "inner", salt = 8, hotThreshold = 10000L)
+    assert(hot == Seq(1L), s"key 1 holds 90% of the fact, got hot=$hot")
+    assert(canon(saltedInner.select($"k", $"v", $"attr")) ==
+      canon(plainInner.select($"k", $"v", $"attr")))
+    // left join: fact keys missing from the dim survive exactly once
+    val factWithMiss = skewedFact.unionByName(
+      Seq((9999L, 1L), (9999L, 2L)).toDF("k", "v"))
+    val plainLeft = factWithMiss.join(bigDim, Seq("k"), "left")
+    val (saltedLeft, _) = Skew.saltedJoinHot(factWithMiss, bigDim, "k",
+      joinType = "left", salt = 8, hotThreshold = 10000L)
+    assert(canon(saltedLeft.select($"k", $"v", $"attr")) ==
+      canon(plainLeft.select($"k", $"v", $"attr")))
+    // dim-side duplicates multiply identically
+    val dupDim = bigDim.unionByName(bigDim.filter($"k" === 1L))
+    val plainDup = skewedFact.join(dupDim, Seq("k"), "inner").count()
+    val (saltedDup, _) = Skew.saltedJoinHot(skewedFact, dupDim, "k",
+      joinType = "inner", salt = 4, hotThreshold = 10000L)
+    assert(saltedDup.count() == plainDup)
+  }
+
+  test("saltedJoinHot spreads the hot key across shuffle partitions") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a SHUFFLE join (broadcast would sidestep skew entirely —
+    // the scenario is a dim too big to broadcast) and freeze the
+    // partitioning so per-partition row counts are observable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def partMax(df: org.apache.spark.sql.DataFrame): Long =
+        df.withColumn("p", spark_partition_id()).groupBy($"p")
+          .count().agg(max($"count")).head().getLong(0)
+      val plain = partMax(skewedFact.join(bigDim, Seq("k"), "inner"))
+      val (salted, _) = Skew.saltedJoinHot(skewedFact, bigDim, "k",
+        joinType = "inner", salt = 16, hotThreshold = 10000L)
+      val saltedMax = partMax(salted)
+      assert(saltedMax * 2 < plain,
+        s"salting must break the hot partition: salted max $saltedMax vs plain $plain")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("saltedJoinHot: no hot keys → plain join; loud refusal on outer dim sides") {
+    val uniform = spark.range(0, 5000).select(($"id" % 500).as("k"), $"id".as("v"))
+    val (j, hot) = Skew.saltedJoinHot(uniform, bigDim, "k", salt = 8,
+      hotThreshold = 1000L)
+    assert(hot.isEmpty && j.count() == uniform.join(bigDim, Seq("k")).count())
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoinHot(uniform, bigDim, "k", joinType = "full")
+    }
+    assert(e.getMessage.contains("inner/left"))
+  }
+
   test("AQE splits the hot partition of a skewed sort-merge join at runtime") {
     // The OTHER half of the skew story (Skew.saltedJoin's scaladoc):
     // when the skewed join IS a plain sort-merge join, Engine.builder's
