@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark DECONTAMINATION — the n-gram overlap check every serious
+  * training-data pipeline runs before a model ships: a training doc
+  * that contains any n-gram of an evaluation benchmark is flagged (and
+  * usually dropped), because eval numbers on contaminated data measure
+  * memory, not capability. This is the published GPT-3/PaLM discipline
+  * (13-gram collision there; `n` is the caller's knob) re-expressed
+  * Spark-first.
+  *
+  * Semantics: texts normalize through [[TextOps.norm]] (lowercase,
+  * whitespace-collapse), an n-gram is `n` CONSECUTIVE whitespace tokens
+  * joined by single spaces, and a hit is exact string equality of
+  * grams — token-boundary-safe by construction (equivalently: the
+  * space-padded normalized doc contains `' ' + gram + ' '` as a
+  * substring, which is what the oracle checks with a completely
+  * different algorithm).
+  *
+  * 100 TB shape: the benchmark side is small by nature (evals are
+  * megabytes) — its distinct gram set BROADCASTS, the corpus side is a
+  * pure flatMap (explode) feeding a map-side semi-join, so the corpus
+  * NEVER shuffles; only the matched grams (tiny) shuffle into the
+  * per-doc count. The probe is string-keyed (exact, no false
+  * positives); when broadcast width matters, hash the gram set 64-bit
+  * and re-verify matches on the string — the semantics here are the
+  * contract either way.
+  */
+object Decontaminate {
+
+  /** All n-grams of `textCol` as an array column (empty when the doc
+    * has fewer than `n` tokens).
+    */
+  def grams(textCol: Column, n: Int): Column = {
+    val toks = split(TextOps.norm(textCol), " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-doc contamination report: `(idCol, n_hits)` for every corpus
+    * doc that contains at least one benchmark n-gram; `n_hits` counts
+    * DISTINCT benchmark grams present (a gram repeated inside one doc
+    * counts once).
+    */
+  def flag(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val benchGrams = bench
+      .select(explode(grams(col(textCol), n)).as("__g")).distinct()
+    val corpusGrams = corpus
+      .select(col(idCol), explode(grams(col(textCol), n)).as("__g"))
+    // broadcast semi-probe: the corpus side stays map-side; only hits
+    // reach the count shuffle
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__g")).as("n_hits"))
+  }
+
+  /** The corpus with contaminated docs REMOVED — the pipeline verb. */
+  def clean(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame =
+    corpus.join(flag(corpus, bench, textCol, idCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -161,6 +161,28 @@ object TextQueries extends graft.QueryModule {
     // needs), pure projection (no shuffle until the audit agg), and at
     // scale the split column is what you partitionBy so downstream
     // readers prune to their split.
+    // BENCHMARK DECONTAMINATION (llm/Decontaminate — the GPT-3/PaLM
+    // n-gram collision check): every 20th doc's first 30 tokens stand
+    // in for an eval benchmark; corpus docs containing any of its
+    // 6-grams (token-boundary exact) are flagged with their DISTINCT
+    // hit count. The Spark path is gram-explode → BROADCAST semi-join
+    // (the corpus never shuffles — plan-pinned in spec); the oracle
+    // finds the same hits by a completely different algorithm
+    // (space-padded substring containment over the normalized text),
+    // so one hash pins normalization parity, boundary semantics, and
+    // distinct counting. At 100 TB: megabytes of benchmark broadcast
+    // against the corpus at scan speed.
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter($"doc_id" % 20 === 0)
+        .select($"doc_id",
+          array_join(slice(split(TextOps.norm($"text"), " "), 1, 30), " ")
+            .as("text"))
+      graft.llm.Decontaminate.flag(docs, bench, "text", "doc_id", 6)
+        .orderBy($"doc_id")
+    }),
+
     "q_hash_split" -> ((s, dir) => {
       import s.implicits._
       val bucket = pmod(TextOps.hash32($"doc_id".cast("string")), lit(100L))
@@ -422,6 +444,25 @@ object TextQueries extends graft.QueryModule {
          |  0.5::double * stop_ratio - 0.3::double * punct_ratio
          |    + 0.2::double * least(mean_tok_len / 10.0::double, 1.0::double) AS score
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, $duckNorm AS t FROM documents
+         |),
+         |bench AS (
+         |  SELECT array_to_string(list_slice(string_split(t, ' '), 1, 30), ' ')
+         |    AS bt
+         |  FROM norm WHERE doc_id % 20 = 0
+         |),
+         |btoks AS (SELECT string_split(bt, ' ') AS toks FROM bench),
+         |grams AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 5), ' ') AS g
+         |  FROM btoks, UNNEST(generate_series(1, len(toks) - 5)) AS u(i)
+         |  WHERE len(toks) >= 6
+         |)
+         |SELECT n.doc_id, CAST(COUNT(DISTINCT g.g) AS bigint) AS n_hits
+         |FROM norm n JOIN grams g
+         |  ON strpos(' ' || n.t || ' ', ' ' || g.g || ' ') > 0
+         |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -1,0 +1,53 @@
+package graft
+
+import graft.llm.Decontaminate
+import org.apache.spark.sql.functions._
+
+/** Decontamination laws: token-boundary exactness, distinct-hit
+  * counting, normalization parity, and the clean() complement.
+  */
+class DecontaminateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("token-boundary n-gram hits, distinct counting, clean complement") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox somewhere else entirely today"),  // shares gram
+      (3L, "a quickbrown fox mash up with no boundary"),      // no token match
+      (4L, "the quick brown fox and again the quick brown fox"), // repeat: 1 hit
+      (5L, "totally unrelated text about nothing at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "THE   Quick Brown\tFox")).toDF("doc_id", "text")
+    val f = Decontaminate.flag(corpus, bench, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // bench grams (n=3): "the quick brown", "quick brown fox"
+    assert(f == Map(1L -> 2L, 2L -> 1L, 4L -> 2L),
+      s"got $f — 3 must not match inside 'quickbrown', repeats count once")
+    val kept = Decontaminate.clean(corpus, bench, "text", "doc_id", 3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L))
+  }
+
+  test("docs shorter than n produce no grams and never match") {
+    val corpus = Seq((1L, "short doc"), (2L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq((9L, "short doc")).toDF("doc_id", "text")
+    assert(Decontaminate.flag(corpus, bench, "text", "doc_id", 3).count() == 0)
+    // and a doc of exactly n tokens yields exactly one gram
+    val one = Decontaminate.flag(
+      Seq((1L, "a b c")).toDF("doc_id", "text"),
+      Seq((9L, "x a b c y")).toDF("doc_id", "text"), "text", "doc_id", 3)
+      .collect()
+    assert(one.length == 1 && one.head.getLong(1) == 1L)
+  }
+
+  test("the broadcast probe plan: corpus side joins map-side") {
+    val corpus = spark.range(0, 200).select($"id".as("doc_id"),
+      concat(lit("w"), $"id", lit(" common phrase here padding tokens")).as("text"))
+    val bench = Seq((0L, "common phrase here")).toDF("doc_id", "text")
+    val plan = Decontaminate.flag(corpus, bench, "text", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"the bench gram set must broadcast into a semi-join:\n${plan.take(2000)}")
+  }
+}
