@@ -283,6 +283,66 @@ object ParityQueries extends graft.QueryModule {
         .orderBy($"ver")
     }),
 
+    // STREAMING MV MAINTENANCE (Streams.mvMaintainStream — the full
+    // silver→gold loop): micro-batches MERGE into the versioned silver
+    // table (max-version-wins) and each commit's CHANGE FEED folds
+    // into the gold per-group aggregate via MaterializedView.refresh.
+    // Exactly-once end-to-end comes from composing two independently
+    // idempotent halves (version-column merge + CAS-landed MV state),
+    // not from the stream checkpoint. The oracle reconstructs the
+    // max-version closure and aggregates it from scratch, so one hash
+    // pins merge semantics AND the churn-bounded fold. REQUIRED
+    // in-query: the MV's applied version equals the silver head. At
+    // 100 TB: the gold dashboard of a continuously-upserted petabyte
+    // stays current at churn cost per batch.
+    "q_stream_mv" -> ((s, dir) => {
+      import s.implicits._
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft_streammv_${ProcessHandle.current().pid()}"
+      val t = s"$root/t"; val feed = s"$root/feed"
+      val ckpt = s"$root/ckpt"; val mv = s"$root/mv"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(root))
+      new java.io.File(feed).mkdirs()
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), ($"o_orderkey" % 10L).as("g"),
+          lit(0L).as("ver"), $"o_totalprice".as("pr"))
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(base, Seq($"k"), 16), Seq("k"))
+      graft.ops.MaterializedView.refresh(s, t, mv, Seq("g"), "pr")
+      val maxk = base.agg(max($"k")).head().getLong(0)
+      val lo = maxk * 9L / 10L
+      val mid = maxk * 95L / 100L
+      val f1 = base.filter($"k" >= lo)
+        .select($"k", $"g", lit(1L).as("ver"), (-$"pr").as("pr"))
+      val f2 = base.filter($"k" >= mid)
+        .select($"k", $"g", lit(2L).as("ver"), ($"pr" * 2).as("pr"))
+        .unionByName(base.filter($"k" >= mid)
+          .select(($"k" + maxk).as("k"), (($"k" + maxk) % 10L).as("g"),
+            lit(2L).as("ver"), $"pr"))
+      def ship(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
+        val stage = s"$root/stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .head.toPath
+        val dest = java.nio.file.Paths.get(s"$feed/$name.parquet")
+        java.nio.file.Files.copy(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+      }
+      ship(f1, "f1_v1", 1000000000L)
+      ship(f2, "f2_v2", 1000000600L)
+      graft.streaming.Streams.mvMaintainStream(s, feed, t, "k", "ver",
+        mv, Seq("g"), "pr", ckpt, numFiles = 16, maxFilesPerBatch = Some(1))
+      val latest = graft.ops.Versioned.latestVersion(s, t).get
+      val (_, applied) = graft.ops.MaterializedView.current(s, mv).get
+      require(latest == 3L && applied == latest,
+        s"the gold view must track the silver head: applied=$applied latest=$latest")
+      graft.ops.MaterializedView.readView(s, mv, Seq("g"))
+        .select($"g", $"cnt", $"sv".cast("double").as("sv"))
+        .orderBy($"g")
+    }),
+
     // STREAMING DRIFT FOLD (Streams.driftFoldStream over
     // IncrementalDrift): the reference side of the KS monitor arrives
     // as a STREAM — three feed files (years ≤1993, 1994, 1995) land as
@@ -492,6 +552,35 @@ object ParityQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM merged GROUP BY ver ORDER BY ver""".stripMargin,
+    "q_stream_mv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 10 AS g,
+        |    CAST(0 AS bigint) AS ver, o_totalprice AS pr
+        |  FROM orders
+        |),
+        |mx AS (SELECT MAX(k) AS mk FROM base),
+        |f1 AS (
+        |  SELECT k, g, CAST(1 AS bigint) AS ver, -pr AS pr FROM base
+        |  WHERE k >= (SELECT mk * 9 // 10 FROM mx)
+        |),
+        |f2 AS (
+        |  SELECT k, g, CAST(2 AS bigint) AS ver, pr * 2 AS pr FROM base
+        |  WHERE k >= (SELECT mk * 95 // 100 FROM mx)
+        |  UNION ALL
+        |  SELECT k + (SELECT mk FROM mx), (k + (SELECT mk FROM mx)) % 10,
+        |    CAST(2 AS bigint), pr
+        |  FROM base WHERE k >= (SELECT mk * 95 // 100 FROM mx)
+        |),
+        |merged AS (
+        |  SELECT k, g, ver, pr FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |    FROM (SELECT * FROM base UNION ALL
+        |          SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |  ) WHERE rn = 1
+        |)
+        |SELECT g, CAST(COUNT(1) AS bigint) AS cnt,
+        |  CAST(SUM(CAST(pr AS decimal(30,6))) AS double) AS sv
+        |FROM merged GROUP BY g ORDER BY g""".stripMargin,
     "q_entity_resolution" -> entityResolutionSql,
     // identical closure: the incremental protocol must land the exact
     // same assignment as the one-shot resolve
