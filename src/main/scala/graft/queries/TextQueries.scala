@@ -161,6 +161,35 @@ object TextQueries extends graft.QueryModule {
     // needs), pure projection (no shuffle until the audit agg), and at
     // scale the split column is what you partitionBy so downstream
     // readers prune to their split.
+    // CORPUS MIXING to a token budget (llm/Mix — the data-mixture step
+    // of a training pipeline): each source gets a budget derived from
+    // its name, docs are consumed in md5(doc_id) order, and a doc is
+    // selected iff its inclusive running token sum fits. The Spark
+    // path is the TWO-PASS distributed prefix sum (local (source,
+    // hash-bucket) windows + a sequential window over ≤256 subtotals
+    // per source — no reducer ever sees a whole source); the oracle is
+    // DuckDB's naive single window, so one hash pins the prefix-sum
+    // decomposition AND the deterministic hash-order selection.
+    // REQUIRED in-query: at least one budget actually binds. At 100 TB
+    // the mixture re-derives identically after corpus growth — already-
+    // selected docs never churn.
+    "q_corpus_mix" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val budgets = docs.select($"source").distinct()
+        .withColumn("__budget", lit(150L) +
+          (regexp_replace($"source", "src", "").cast("long") % 7L) * 40L)
+      val sel = graft.llm.Mix.sampleToBudget(docs, budgets,
+        "source", "text", "doc_id")
+      val out = sel.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"__tokens").as("n_tokens"))
+      val nAll = docs.count()
+      val nSel = sel.count()
+      require(nSel > 0 && nSel < nAll,
+        s"budgets must bind: selected $nSel of $nAll docs")
+      out.orderBy($"source")
+    }),
+
     // BENCHMARK DECONTAMINATION (llm/Decontaminate — the GPT-3/PaLM
     // n-gram collision check): every 20th doc's first 30 tokens stand
     // in for an eval benchmark; corpus docs containing any of its
@@ -444,6 +473,29 @@ object TextQueries extends graft.QueryModule {
          |  0.5::double * stop_ratio - 0.3::double * punct_ratio
          |    + 0.2::double * least(mean_tok_len / 10.0::double, 1.0::double) AS score
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_corpus_mix" ->
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split($duckNorm, ' ')) AS bigint) AS nt,
+         |    md5(CAST(doc_id AS varchar)) AS h
+         |  FROM documents
+         |),
+         |b AS (
+         |  SELECT DISTINCT source,
+         |    150 + (CAST(replace(source, 'src', '') AS bigint) % 7) * 40
+         |      AS budget
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT source, nt,
+         |    SUM(nt) OVER (PARTITION BY source ORDER BY h) AS cum
+         |  FROM toks
+         |)
+         |SELECT c.source, CAST(COUNT(1) AS bigint) AS n_docs,
+         |  CAST(SUM(nt) AS bigint) AS n_tokens
+         |FROM c JOIN b ON c.source = b.source
+         |WHERE cum <= budget
+         |GROUP BY c.source ORDER BY c.source""".stripMargin,
     "q_decontaminate" ->
       s"""WITH norm AS (
          |  SELECT doc_id, $duckNorm AS t FROM documents
