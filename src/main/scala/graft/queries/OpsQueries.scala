@@ -528,6 +528,23 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // DENSE GLOBAL IDS (ops/DenseId — ROW_NUMBER at scale): ids are
+    // assigned by range-repartition + per-partition offsets
+    // (zipWithIndex's count-job two-pass), never a single-partition
+    // window. The oracle is DuckDB's real ROW_NUMBER over the same
+    // total order; the dot-product aggregate pins the rid↔row PAIRING
+    // exactly (a shifted or permuted assignment changes the sum), so
+    // one hash proves the distributed algorithm equals the sequential
+    // definition. At 100 TB: the only sequential state is one count
+    // per partition.
+    "q_dense_id" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      graft.ops.DenseId.assign(o, Seq($"o_orderkey"), "rid", start = 1L)
+        .agg(count(lit(1)).as("n"), sum($"rid").as("sum_rid"),
+          sum($"rid" * ($"o_custkey" % 1000L)).as("dot"))
+    }),
+
     // BRANCH (Versioned.branch — the Iceberg-branch / Delta
     // shallow-clone shape): a zero-copy writable fork whose creation
     // writes ONE manifest (REQUIRED in-query: the shared data root
@@ -1430,6 +1447,15 @@ object OpsQueries extends graft.QueryModule {
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,
+    "q_dense_id" ->
+      """WITH r AS (
+        |  SELECT o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid
+        |  FROM orders
+        |)
+        |SELECT CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(rid) AS bigint) AS sum_rid,
+        |  CAST(SUM(rid * (o_custkey % 1000)) AS bigint) AS dot
+        |FROM r""".stripMargin,
     "q_branch" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v
