@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   * positives); when broadcast width matters, hash the gram set 64-bit
   * and re-verify matches on the string — the semantics here are the
   * contract either way.
+  *
+  * Relation to `q_contamination` (TextQueries): that entry pins the
+  * same broadcast-semi-probe SHAPE inline at fixed n=3 shingles; this
+  * packages the verb — arbitrary `n`, distinct-hit counts, and the
+  * [[clean]] pipeline action — under its own boundary-exactness oracle.
   */
 object Decontaminate {
 

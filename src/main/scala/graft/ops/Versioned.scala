@@ -103,7 +103,8 @@ object Versioned {
     */
   private[graft] case class Manifest(op: String, refs: Seq[String],
       dvs: Seq[String], schemaJson: Option[String], ts: Option[Long] = None,
-      constraints: Seq[(String, String)] = Seq.empty)
+      constraints: Seq[(String, String)] = Seq.empty,
+      base: Option[Long] = None)
 
   private[graft] def readManifest(spark: SparkSession, table: String,
       v: Long): Manifest = {
@@ -126,10 +127,15 @@ object Versioned {
         val i = body.indexOf(':')
         (body.substring(0, i), body.substring(i + 1))
       }
+    // base=<version> — the fork point a branch's first manifest records
+    // (see [[branch]]/[[promote]])
+    val base = lines.tail.find(_.startsWith("base="))
+      .map(_.stripPrefix("base=").toLong)
     Manifest(lines.head.stripPrefix("op="),
       lines.tail.filterNot(l => l.startsWith("schema=") || l.startsWith("dv=") ||
-        l.startsWith("ts=") || l.startsWith("constraint=")),
-      dvs, schema, ts, constraints)
+        l.startsWith("ts=") || l.startsWith("constraint=") ||
+        l.startsWith("base=")),
+      dvs, schema, ts, constraints, base)
   }
 
   /** Stage + CAS-rename the manifest for version `v`. Returns false when
@@ -138,7 +144,8 @@ object Versioned {
   private def writeManifest(spark: SparkSession, table: String, v: Long,
       op: String, refs: Seq[String], schemaJson: Option[String],
       dvs: Seq[String] = Seq.empty,
-      constraints: Seq[(String, String)] = Seq.empty): Boolean = {
+      constraints: Seq[(String, String)] = Seq.empty,
+      base: Option[Long] = None): Boolean = {
     constraints.foreach { case (n, _) =>
       require(!n.contains(':') && !n.contains('\n'),
         s"constraint name must not contain ':' or newline: $n")
@@ -151,6 +158,7 @@ object Versioned {
     try out.write(
       (s"op=$op" +: (s"ts=${System.currentTimeMillis()}" +:
         (schemaJson.map("schema=" + _).toSeq ++
+          base.map("base=" + _).toSeq ++
           dvs.map("dv=" + _) ++
           constraints.map { case (n, e) => s"constraint=$n:$e" } ++ refs)))
         .mkString("\n").getBytes("UTF-8"))
@@ -205,7 +213,7 @@ object Versioned {
       overwrite: Boolean,
       writerOptions: Map[String, String] = Map.empty): Long = {
     val parent = parentV.map(pv => readManifest(spark, table, pv))
-    if (!overwrite) parent.foreach { case Manifest(_, refs, _, schemaJson, _, _) =>
+    if (!overwrite) parent.foreach { case Manifest(_, refs, _, schemaJson, _, _, _) =>
       val parentSchema = schemaJson
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -1449,7 +1457,45 @@ object Versioned {
     try markerOut.write(srcRoot.getBytes("UTF-8")) finally markerOut.close()
     dataRootCache.remove(bt) // a stale pre-creation probe must not linger
     require(writeManifest(spark, bt, 1L, "clone", m.refs, m.schemaJson,
-      m.dvs, m.constraints), s"branch $name raced another creator")
+      m.dvs, m.constraints, base = Some(v)),
+      s"branch $name raced another creator")
     bt
+  }
+
+  /** PROMOTE — fast-forward a branch's head back onto its root (the
+    * Iceberg `replace branch main` / Nessie merge shape, restricted to
+    * the only case that needs no reconciliation): legal IFF the root
+    * has not advanced past the fork point recorded in the branch's
+    * first manifest (`base=`). The promoted commit references the
+    * branch head's data dirs and dvs VERBATIM — they already live in
+    * the shared root, so promotion is one manifest write, zero bytes
+    * copied, and the root's own history stays time-travelable across
+    * it. A root that advanced since the fork fails LOUDLY (re-branch
+    * and re-apply — a silent three-way merge is how forks eat each
+    * other's writes); the CAS covers the promote-vs-append race.
+    * Returns the root's new version.
+    */
+  def promote(spark: SparkSession, branchTable: String): Long = {
+    val marker = new Path(s"$branchTable/_dataroot")
+    require(fs(spark, marker).exists(marker),
+      s"promote takes a BRANCH, got plain table $branchTable")
+    val root = dataRoot(spark, branchTable).stripSuffix("/data")
+    val b1 = readManifest(spark, branchTable, 1L)
+    val base = b1.base.getOrElse(throw new IllegalArgumentException(
+      s"branch $branchTable records no fork base — created before promote existed"))
+    val rootLatest = latestVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $root"))
+    require(rootLatest == base,
+      s"root advanced since the fork (base=$base, latest=$rootLatest) — " +
+        "fast-forward only; re-branch from the current root and re-apply")
+    val head = readManifest(spark, branchTable,
+      latestVersion(spark, branchTable).get)
+    if (!writeManifest(spark, root, rootLatest + 1, "promote", head.refs,
+        head.schemaJson, head.dvs, head.constraints)) {
+      throw new java.util.ConcurrentModificationException(
+        s"version ${rootLatest + 1} of $root was committed during the promote; " +
+          "the fork base no longer holds")
+    }
+    rootLatest + 1
   }
 }

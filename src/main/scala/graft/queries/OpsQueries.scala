@@ -585,6 +585,46 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"head")
     }),
 
+    // BRANCH PROMOTE (Versioned.promote — the fast-forward half of the
+    // experiment→validate→promote loop): the branch diverges with a dv
+    // DELETE + APPEND, then its head fast-forwards onto the unchanged
+    // root as ONE manifest write (REQUIRED in-query: zero data dirs
+    // appear in the shared root at promote time, and the root's
+    // pre-promote snapshot stays readable). The oracle reconstructs
+    // both the promoted head and the v1 history. A root that advanced
+    // since the fork refuses loudly (spec) — no silent three-way
+    // merges. At 100 TB: validate a what-if backfill on a fork, then
+    // ship it to prod for the cost of a kilobyte.
+    "q_branch_promote" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_promote_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders)
+      val dev = graft.ops.Versioned.branch(s, t, "dev")
+      graft.ops.Versioned.deleteWhere(s, dev, $"o_custkey" % 3 === 0L)
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      graft.ops.Versioned.commit(s, dev,
+        orders.filter($"o_orderkey" % 10 === 4L)
+          .select(($"o_orderkey" + maxk).as("o_orderkey"),
+            $"o_custkey", $"o_totalprice"))
+      val dirsBefore = new java.io.File(s"$t/data").list().toSet
+      val v = graft.ops.Versioned.promote(s, dev)
+      require(v == 2L &&
+        new java.io.File(s"$t/data").list().toSet == dirsBefore,
+        "promotion must be one manifest write, zero data dirs copied")
+      Seq(1L, 2L).map { ver =>
+        graft.ops.Versioned.read(s, t, Some(ver))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            sum($"o_custkey").as("sum_cust"))
+          .select(lit(ver).as("version"), $"n", $"sum_price", $"sum_cust")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
     // METADATA-ONLY AGGREGATES (Versioned.statsAgg — aggregate pushdown
     // into the stats manifests, dv-aware): phase "meta" SMASHES every
     // data file after two stats commits and still answers
@@ -1481,6 +1521,26 @@ object OpsQueries extends graft.QueryModule {
         |  FROM devv
         |)
         |SELECT head, n, sum_price, sum_cust FROM heads ORDER BY head""".stripMargin,
+    "q_branch_promote" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v
+        |       FROM orders),
+        |head AS (
+        |  SELECT * FROM v1 WHERE c % 3 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT mk FROM mx), c, v FROM v1 WHERE k % 10 = 4
+        |),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(v AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(c) AS bigint) AS sum_cust
+        |  FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(v AS decimal(30,2))) AS double),
+        |    CAST(SUM(c) AS bigint) FROM head
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
     "q_stats_agg" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |meta AS (

@@ -291,6 +291,31 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 101)
   }
 
+  test("promote fast-forwards a branch onto an unchanged root; loud on divergence") {
+    val t = tmpDir("versioned-promote") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val dev = Versioned.branch(spark, t, "dev")
+    Versioned.deleteWhere(spark, dev, $"id" <= 50L)
+    Versioned.commit(spark, dev, Seq((777L, "dev")).toDF("id", "s"))
+    val dirsBefore = new java.io.File(s"$t/data").list().toSet
+    assert(Versioned.promote(spark, dev) == 2L)
+    assert(new java.io.File(s"$t/data").list().toSet == dirsBefore,
+      "promotion is one manifest write — zero data dirs copied")
+    assert(rows(Versioned.read(spark, t)) == rows(Versioned.read(spark, dev)),
+      "the root's head must equal the branch head after promote")
+    assert(Versioned.read(spark, t, Some(1)).count() == 100,
+      "the root's pre-promote history stays time-travelable")
+    // divergence: root advances after the fork → promote must refuse
+    val dev2 = Versioned.branch(spark, t, "dev2")
+    Versioned.commit(spark, t, Seq((888L, "root")).toDF("id", "s"))
+    val e = intercept[IllegalArgumentException] { Versioned.promote(spark, dev2) }
+    assert(e.getMessage.contains("advanced since the fork"))
+    // and promote refuses a plain table outright
+    val e2 = intercept[IllegalArgumentException] { Versioned.promote(spark, t) }
+    assert(e2.getMessage.contains("BRANCH"))
+  }
+
   test("statsAgg: metadata-only min/max/count; dv-touched files rescan; None without stats") {
     val t = tmpDir("versioned-statsagg") + "/t"
     Versioned.commitWithStats(spark, t,
