@@ -1322,6 +1322,59 @@ object Versioned {
     compactWith(spark, table,
       Layout.sortedByRange(_, sortCols, numFiles), statsCols, maxAttempts)
 
+  /** INCREMENTAL OPTIMIZE — bin-pack ONLY the small files (the Delta
+    * auto-compaction shape): an append-heavy table accumulates a tail
+    * of tiny files whose per-file open cost eventually dominates reads,
+    * but a full [[compactSorted]] rewrites the big healthy files too.
+    * `compactSmall` partitions the snapshot's referenced files by size
+    * (one driver-side listing — planning metadata), rewrites the
+    * sub-`smallBytes` tail into ONE fresh range-sorted, stats-carrying
+    * dir, and carries every big file forward AS-IS as a file-granular
+    * ref — zero bytes of healthy data rewritten.
+    *
+    * 100 TB shape: nightly maintenance cost tracks the day's APPEND
+    * TAIL, not the table. Deletion vectors are carried forward
+    * unchanged: coordinates naming rewritten small files become inert
+    * (their paths are gone; the rewrite materialized those deletes),
+    * coordinates naming big files keep working — a full [[compact]]
+    * still materializes everything away. Returns (new version, small
+    * files folded, big files carried); a tail of ≤1 small file is a
+    * no-op returning the current version.
+    */
+  def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
+      sortCols: Seq[org.apache.spark.sql.Column], numFiles: Int,
+      statsCols: Seq[String], maxAttempts: Int = 5): (Long, Int, Int) =
+      retryOnConflict(maxAttempts) {
+    val pv = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, pv)
+    val files: Seq[(String, Long)] = expandRefFiles(spark, table, m.refs)
+      .toSeq.sorted.map { rel =>
+        val p = new Path(s"${dataRoot(spark, table)}/$rel")
+        (rel, fs(spark, p).getFileStatus(p).getLen)
+      }
+    val (smalls, bigs) = files.partition(_._2 < smallBytes)
+    if (smalls.length <= 1) (pv, 0, bigs.length)
+    else {
+      val smallPaths = smalls.map { case (rel, _) =>
+        s"${dataRoot(spark, table)}/$rel" }
+      val folded = applyDvs(spark, table,
+        spark.read.option("mergeSchema", "true").parquet(smallPaths: _*), m.dvs)
+      val v = pv + 1
+      val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
+      Layout.writeSorted(folded, sortCols, numFiles,
+        s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
+      if (!writeManifest(spark, table, v, "optimize",
+          bigs.map(_._1) :+ dirName, m.schemaJson, m.dvs, m.constraints)) {
+        fs(spark, new Path(table))
+          .delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"version $v of $table was committed by another writer; re-read and retry")
+      }
+      (v, smalls.length, bigs.length)
+    }
+  }
+
   /** Erase rows matching `predicate` from the table — the
     * right-to-be-forgotten operation, which a commit-log design makes
     * SUBTLE: a plain overwrite hides the rows from the latest snapshot

@@ -585,6 +585,61 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"head")
     }),
 
+    // INCREMENTAL OPTIMIZE (Versioned.compactSmall — the Delta
+    // auto-compaction shape): six tiny appends land on a healthy
+    // 4-file table; the fold rewrites ONLY the sub-64KB tail into one
+    // sorted stats-carrying dir and carries every big file forward as
+    // a file-granular ref (REQUIRED in-query: ≥6 folded, ≥1 carried,
+    // big files byte-identical, total file count strictly drops). The
+    // oracle rebuilds the content from scratch — one hash pins content
+    // identity through the fold. At 100 TB: nightly maintenance costs
+    // the day's append tail, never the table.
+    "q_optimize_small" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_optsmall_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(orders, Seq($"o_orderkey"), 4),
+        Seq("o_orderkey"))
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      (1 to 6).foreach { i =>
+        graft.ops.Versioned.commit(s, t,
+          orders.filter($"o_orderkey" % 3001L === i.toLong)
+            .select(($"o_orderkey" + maxk).as("o_orderkey"),
+              $"o_custkey", $"o_totalprice"))
+      }
+      def files: Set[(String, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$t/data"))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("_stats"))
+          .map(f => (f.getPath, f.length())).toSet
+      }
+      val before = files
+      val bigs = before.filter(_._2 >= 64 * 1024)
+      val (_, folded, carried) = graft.ops.Versioned.compactSmall(s, t,
+        smallBytes = 64 * 1024, Seq($"o_orderkey"), numFiles = 4,
+        statsCols = Seq("o_orderkey"))
+      val after = files
+      require(folded >= 6 && carried >= 1,
+        s"the fold must touch only the tail: folded=$folded carried=$carried")
+      require(bigs.subsetOf(after),
+        "big files must survive byte-identical")
+      // live files now = carried bigs + the fold's new files (old small
+      // dirs linger until vacuum but are no longer referenced)
+      val liveAfter = carried + (after.size - before.size)
+      require(liveAfter < before.size,
+        s"the live file count must drop: $liveAfter vs ${before.size}")
+      graft.ops.Versioned.read(s, t)
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          sum($"o_custkey").as("sum_cust"))
+    }),
+
     // BRANCH PROMOTE (Versioned.promote — the fast-forward half of the
     // experiment→validate→promote loop): the branch diverges with a dv
     // DELETE + APPEND, then its head fast-forwards onto the unchanged
@@ -1521,6 +1576,19 @@ object OpsQueries extends graft.QueryModule {
         |  FROM devv
         |)
         |SELECT head, n, sum_price, sum_cust FROM heads ORDER BY head""".stripMargin,
+    "q_optimize_small" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v
+        |       FROM orders),
+        |tail AS (
+        |  SELECT k + (SELECT mk FROM mx) AS k, c, v FROM v1
+        |  WHERE k % 3001 IN (1, 2, 3, 4, 5, 6)
+        |),
+        |final AS (SELECT * FROM v1 UNION ALL SELECT * FROM tail)
+        |SELECT CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(CAST(v AS decimal(30,2))) AS double) AS sum_price,
+        |  CAST(SUM(c) AS bigint) AS sum_cust
+        |FROM final""".stripMargin,
     "q_branch_promote" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v

@@ -201,6 +201,25 @@ object TextQueries extends graft.QueryModule {
     // so one hash pins normalization parity, boundary semantics, and
     // distinct counting. At 100 TB: megabytes of benchmark broadcast
     // against the corpus at scan speed.
+    "q_decontaminate_incremental" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, $duckNorm AS t FROM documents
+         |),
+         |bench AS (
+         |  SELECT array_to_string(list_slice(string_split(t, ' '), 1, 30), ' ')
+         |    AS bt
+         |  FROM norm WHERE doc_id % 20 = 0
+         |),
+         |btoks AS (SELECT string_split(bt, ' ') AS toks FROM bench),
+         |grams AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 5), ' ') AS g
+         |  FROM btoks, UNNEST(generate_series(1, len(toks) - 5)) AS u(i)
+         |  WHERE len(toks) >= 6
+         |)
+         |SELECT n.doc_id, CAST(COUNT(DISTINCT g.g) AS bigint) AS n_hits
+         |FROM norm n JOIN grams g
+         |  ON strpos(' ' || n.t || ' ', ' ' || g.g || ' ') > 0
+         |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
     "q_decontaminate" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
@@ -209,6 +228,38 @@ object TextQueries extends graft.QueryModule {
           array_join(slice(split(TextOps.norm($"text"), " "), 1, 30), " ")
             .as("text"))
       graft.llm.Decontaminate.flag(docs, bench, "text", "doc_id", 6)
+        .orderBy($"doc_id")
+    }),
+
+    // INCREMENTAL DECONTAMINATION (llm/IncrementalDecontaminate — the
+    // persisted-index family's 10th member): the benchmark set accretes
+    // in TWO batches (doc_id%40==0, then %40==20 — together exactly
+    // q_decontaminate's %20==0 set), each folding its grams into the
+    // stored index; the flag probes the STORE without re-shingling old
+    // benches. The oracle is IDENTICAL to q_decontaminate's — the
+    // incremental protocol must land the exact same per-doc hit
+    // counts. REQUIRED in-query: replaying batch 1 is a state no-op.
+    "q_decontaminate_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val st = sys.props("java.io.tmpdir") +
+        s"/graft_deconinc_${ProcessHandle.current().pid()}/grams"
+      graft.ops.FileOps.resetWorkDirs(s,
+        Seq(st.stripSuffix("/grams")))
+      val docs = Tables(s, dir, "documents")
+      def benchSlice(resid: Long) = docs.filter($"doc_id" % 40 === resid)
+        .select($"doc_id",
+          array_join(slice(split(TextOps.norm($"text"), " "), 1, 30), " ")
+            .as("text"))
+      graft.llm.IncrementalDecontaminate.addBench(
+        s, benchSlice(0L), "text", 6, st)
+      val afterB = graft.llm.IncrementalDecontaminate.addBench(
+        s, benchSlice(20L), "text", 6, st)
+      val replayed = graft.llm.IncrementalDecontaminate.addBench(
+        s, benchSlice(0L), "text", 6, st)
+      require(replayed == afterB,
+        s"replaying a bench batch must be a state no-op: $replayed vs $afterB")
+      graft.llm.IncrementalDecontaminate
+        .flag(s, docs, "text", "doc_id", 6, st)
         .orderBy($"doc_id")
     }),
 

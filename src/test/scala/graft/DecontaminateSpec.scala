@@ -41,6 +41,35 @@ class DecontaminateSpec extends SparkSpec {
     assert(one.length == 1 && one.head.getLong(1) == 1L)
   }
 
+  test("incremental gram index: addBench(A);addBench(B) == one-shot flag(A∪B); replay no-op") {
+    val st = tmpDir("decon-inc") + "/grams"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val benchA = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val benchB = Seq((11L, "two three four")).toDF("doc_id", "text")
+    val n1 = graft.llm.IncrementalDecontaminate.addBench(spark, benchA, "text", 3, st)
+    val n2 = graft.llm.IncrementalDecontaminate.addBench(spark, benchB, "text", 3, st)
+    assert(n2 > n1)
+    val inc = graft.llm.IncrementalDecontaminate
+      .flag(spark, corpus, "text", "doc_id", 3, st)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Decontaminate.flag(corpus, benchA.unionByName(benchB),
+      "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inc == full && inc.keySet == Set(1L, 2L))
+    // replayed batch is a state no-op
+    val n3 = graft.llm.IncrementalDecontaminate.addBench(spark, benchA, "text", 3, st)
+    assert(n3 == n2, s"replay must not grow the index: $n3 vs $n2")
+    // n mismatch fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.IncrementalDecontaminate.flag(spark, corpus, "text", "doc_id", 4, st)
+    }
+    assert(e.getMessage.contains("n="))
+  }
+
   test("the broadcast probe plan: corpus side joins map-side") {
     val corpus = spark.range(0, 200).select($"id".as("doc_id"),
       concat(lit("w"), $"id", lit(" common phrase here padding tokens")).as("text"))

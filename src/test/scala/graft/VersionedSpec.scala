@@ -291,6 +291,36 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 101)
   }
 
+  test("compactSmall folds only the small-file tail; big files stay byte-identical") {
+    val t = tmpDir("versioned-autocompact") + "/t"
+    // one healthy big commit + five tiny appends
+    Versioned.commitWithStats(spark, t, graft.ops.Layout.sortedByRange(
+      (1 to 20000).map(i => (i.toLong, s"payload-$i")).toDF("id", "s"),
+      Seq($"id"), 2), Seq("id"))
+    (0 until 5).foreach { j =>
+      Versioned.commit(spark, t,
+        Seq((100000L + j, s"tiny$j")).toDF("id", "s"))
+    }
+    // a dv on a BIG file must survive the fold untouched
+    Versioned.deleteWhere(spark, t, $"id" === 7L)
+    val bigFiles = dataFileFingerprint(t).filter(_._2 > 32 * 1024)
+    val totalBefore = Versioned.read(spark, t).count()
+    val (v, folded, carried) = Versioned.compactSmall(spark, t,
+      smallBytes = 32 * 1024, Seq($"id"), numFiles = 1, statsCols = Seq("id"))
+    assert(folded == 5 && carried == bigFiles.size,
+      s"five tiny files fold, big carry: folded=$folded carried=$carried")
+    assert(bigFiles.subsetOf(dataFileFingerprint(t)),
+      "big files must not be rewritten")
+    assert(Versioned.read(spark, t, Some(v)).count() == totalBefore,
+      "content identity through the fold (dv still applies to the big file)")
+    assert(Versioned.read(spark, t).filter($"id" === 7L).count() == 0,
+      "the big-file dv must keep working after the fold")
+    // idempotence: a second pass has nothing to fold
+    val (v2, folded2, _) = Versioned.compactSmall(spark, t,
+      smallBytes = 32 * 1024, Seq($"id"), 1, Seq("id"))
+    assert(folded2 == 0 && v2 == v, "≤1 small file → no-op")
+  }
+
   test("promote fast-forwards a branch onto an unchanged root; loud on divergence") {
     val t = tmpDir("versioned-promote") + "/t"
     Versioned.commit(spark, t,
