@@ -620,9 +620,17 @@ object OpsQueries extends graft.QueryModule {
           .map(f => (f.getPath, f.length())).toSet
       }
       val before = files
-      val bigs = before.filter(_._2 >= 64 * 1024)
+      // size threshold from the data itself: between the append tail's
+      // largest file and the seed's smallest (SF-independent)
+      val seedSizes = before.filter(_._1.contains("/v000001-")).map(_._2)
+      val tailSizes = (before -- before.filter(_._1.contains("/v000001-")))
+        .map(_._2)
+      require(tailSizes.max < seedSizes.min,
+        "fixture invariant: tiny appends must be smaller than seed files")
+      val threshold = (tailSizes.max + seedSizes.min) / 2
+      val bigs = before.filter(_._2 >= threshold)
       val (_, folded, carried) = graft.ops.Versioned.compactSmall(s, t,
-        smallBytes = 64 * 1024, Seq($"o_orderkey"), numFiles = 4,
+        smallBytes = threshold, Seq($"o_orderkey"), numFiles = 4,
         statsCols = Seq("o_orderkey"))
       val after = files
       require(folded >= 6 && carried >= 1,

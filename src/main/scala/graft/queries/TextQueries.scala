@@ -201,25 +201,6 @@ object TextQueries extends graft.QueryModule {
     // so one hash pins normalization parity, boundary semantics, and
     // distinct counting. At 100 TB: megabytes of benchmark broadcast
     // against the corpus at scan speed.
-    "q_decontaminate_incremental" ->
-      s"""WITH norm AS (
-         |  SELECT doc_id, $duckNorm AS t FROM documents
-         |),
-         |bench AS (
-         |  SELECT array_to_string(list_slice(string_split(t, ' '), 1, 30), ' ')
-         |    AS bt
-         |  FROM norm WHERE doc_id % 20 = 0
-         |),
-         |btoks AS (SELECT string_split(bt, ' ') AS toks FROM bench),
-         |grams AS (
-         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 5), ' ') AS g
-         |  FROM btoks, UNNEST(generate_series(1, len(toks) - 5)) AS u(i)
-         |  WHERE len(toks) >= 6
-         |)
-         |SELECT n.doc_id, CAST(COUNT(DISTINCT g.g) AS bigint) AS n_hits
-         |FROM norm n JOIN grams g
-         |  ON strpos(' ' || n.t || ' ', ' ' || g.g || ' ') > 0
-         |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
     "q_decontaminate" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
@@ -547,6 +528,25 @@ object TextQueries extends graft.QueryModule {
          |FROM c JOIN b ON c.source = b.source
          |WHERE cum <= budget
          |GROUP BY c.source ORDER BY c.source""".stripMargin,
+    "q_decontaminate_incremental" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, $duckNorm AS t FROM documents
+         |),
+         |bench AS (
+         |  SELECT array_to_string(list_slice(string_split(t, ' '), 1, 30), ' ')
+         |    AS bt
+         |  FROM norm WHERE doc_id % 20 = 0
+         |),
+         |btoks AS (SELECT string_split(bt, ' ') AS toks FROM bench),
+         |grams AS (
+         |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 5), ' ') AS g
+         |  FROM btoks, UNNEST(generate_series(1, len(toks) - 5)) AS u(i)
+         |  WHERE len(toks) >= 6
+         |)
+         |SELECT n.doc_id, CAST(COUNT(DISTINCT g.g) AS bigint) AS n_hits
+         |FROM norm n JOIN grams g
+         |  ON strpos(' ' || n.t || ' ', ' ' || g.g || ' ') > 0
+         |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH norm AS (
          |  SELECT doc_id, $duckNorm AS t FROM documents
