@@ -472,6 +472,32 @@ object Layout {
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
   }
 
+  /** Per-FILE NDV sketches persisted next to the data (the Iceberg
+    * puffin / ANALYZE-without-a-scan idea): one Datasketches HLL per
+    * (file, column) under `<path>/_ndv`. Sketches are binary-MERGEABLE
+    * — `hll_union_agg` over any subset of files yields exactly the
+    * sketch of their union'd rows (the invariant `q_hll_merge` pins) —
+    * so distinct-count estimates over any snapshot, partition subset,
+    * or file-granular ref set cost a kilobyte-scale metadata read, not
+    * a table scan. Harvest is one distributed pass over THIS dir
+    * (delta-bounded when called per commit, the `_stats` discipline).
+    */
+  def writeNdvSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, columns: Seq[String]): Unit = {
+    require(columns.nonEmpty, "writeNdvSketch needs at least one column")
+    val base = spark.read.parquet(path)
+      .withColumn("__file", col("_metadata.file_path"))
+    val perCol = columns.map { c =>
+      base.groupBy(col("__file").as("file"))
+        .agg(hll_sketch_agg(col(c)).as("sk"))
+        .withColumn("column", lit(c))
+    }
+    val all = perCol.reduce(_.unionByName(_)).localCheckpoint(true)
+    require(all.count() > 0,
+      s"no parquet files found under $path — nothing to sketch")
+    all.coalesce(1).write.mode("overwrite").parquet(s"$path/_ndv")
+  }
+
   /** Hive-partitioned layout writer with within-partition range sort —
     * the date-partitioned + z-ordered-within-partition table every real
     * lakehouse converges on: `partitionBy(partCols)` gives directory-

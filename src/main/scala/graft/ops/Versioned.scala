@@ -1211,6 +1211,65 @@ object Versioned {
     Some((frame, scanFiles.size, referenced.length))
   }
 
+  /** [[commitWithStats]] + per-file NDV sketches
+    * ([[Layout.writeNdvSketch]]) for `ndvCols` — each commit's harvest
+    * touches only its delta dir.
+    */
+  def commitWithNdv(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String], ndvCols: Seq[String],
+      overwrite: Boolean = false): Long = {
+    val v = commitWithStats(spark, table, df, statsCols, overwrite)
+    val newDir = readManifest(spark, table, v).refs.last
+    Layout.writeNdvSketch(spark, s"${dataRoot(spark, table)}/$newDir", ndvCols)
+    v
+  }
+
+  /** Metadata-only approximate COUNT(DISTINCT column) — the ANALYZE
+    * statistic a join planner wants, answered from the per-file HLL
+    * sketches with zero data IO: union the referenced files' sketches
+    * (file-granular refs restrict the union) and estimate. The union
+    * is LOSSLESS over sketch state (the HLL merge law `q_hll_merge`
+    * pins); the estimate tracks a directly-built whole-snapshot sketch
+    * exactly in the sparse regime (spec-pinned) and to ~1% once files
+    * leave sparse mode (the union gadget's estimator path), both well
+    * inside the sketch's own error envelope. Returns None when any
+    * referenced dir lacks an `_ndv` manifest.
+    *
+    * DV-INSENSITIVE by nature (sketches cannot subtract): the estimate
+    * covers stored rows including merge-on-read-deleted ones — an
+    * upper bound that re-tightens at the next [[compact]]. A planner
+    * consuming this for broadcast decisions wants exactly that
+    * conservatism.
+    */
+  def approxNdv(spark: SparkSession, table: String, column: String,
+      version: Option[Long] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_estimate, hll_union_agg}
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, v)
+    val byDir = groupRefsByDir(m.refs)
+    val missing = byDir.keys.exists { d =>
+      !fs(spark, new Path(s"${dataRoot(spark, table)}/$d"))
+        .exists(new Path(s"${dataRoot(spark, table)}/$d/_ndv"))
+    }
+    if (missing) None
+    else {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+      val man = spark.read.parquet(
+          byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_ndv"): _*)
+        .filter(col("column") === column)
+      // restrict to the files this snapshot still references (the
+      // rowCount suffix discipline — file-granular refs after a merge)
+      val refs = expandRefFiles(spark, table, m.refs).toSeq.sorted.toDF("ref_sfx")
+      val est = man
+        .withColumn("ref_sfx", regexp_extract(col("file"), "([^/]+/[^/]+)$", 1))
+        .join(broadcast(refs), Seq("ref_sfx"), "left_semi")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head()
+      Some(if (est.isNullAt(0)) 0L else est.getLong(0))
+    }
+  }
+
   /** Consumer-side incremental change feed — [[changes]] with a durable
     * CURSOR, the shape a downstream replica/materialized view actually
     * consumes (Delta CDF's `startingVersion` + checkpoint): returns every

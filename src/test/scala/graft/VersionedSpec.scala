@@ -291,6 +291,37 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 101)
   }
 
+  test("approxNdv: sketch-union estimate equals a fresh whole-table sketch, metadata-only") {
+    val t = tmpDir("versioned-ndv") + "/t"
+    val a = (1 to 4000).map(i => (i.toLong, (i % 700).toLong)).toDF("id", "k")
+    val b = (4001 to 6000).map(i => (i.toLong, (i % 1100).toLong)).toDF("id", "k")
+    Versioned.commitWithNdv(spark, t, a, Seq("id"), Seq("k"))
+    Versioned.commitWithNdv(spark, t, b, Seq("id"), Seq("k"))
+    // the exact merge law: union of per-file sketches == one sketch
+    // over the union'd rows (bit-equal estimates)
+    val direct = a.unionByName(b)
+      .agg(hll_sketch_estimate(hll_sketch_agg($"k"))).head().getLong(0)
+    // smash every data file — the answer must come from _ndv alone
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$t/data"))
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getPath.contains("_stats") && !f.getPath.contains("_ndv"))
+      .foreach { f =>
+        val out = new java.io.FileOutputStream(f)
+        try out.write("junk".getBytes) finally out.close()
+      }
+    assert(Versioned.approxNdv(spark, t, "k").contains(direct),
+      "per-file sketch union must estimate identically to the direct sketch")
+    // time travel: version 1's estimate sees only the first commit
+    val directA = a.agg(hll_sketch_estimate(hll_sketch_agg($"k"))).head().getLong(0)
+    assert(Versioned.approxNdv(spark, t, "k", Some(1L)).contains(directA))
+    // honesty: a sketch-less dir demotes to None
+    val t2 = tmpDir("versioned-ndv2") + "/t"
+    Versioned.commit(spark, t2, a)
+    assert(Versioned.approxNdv(spark, t2, "k").isEmpty)
+  }
+
   test("compactSmall folds only the small-file tail; big files stay byte-identical") {
     val t = tmpDir("versioned-autocompact") + "/t"
     // one healthy big commit + five tiny appends
