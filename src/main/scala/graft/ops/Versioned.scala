@@ -1066,10 +1066,42 @@ object Versioned {
             .drop("__file", "__pos"))
         }
       }
+    // a REMOVED dv (rollback across a dv delete) RESURRECTS its
+    // coordinates on files both versions still reference — without this
+    // branch a feed consumer silently misses every restored row (the
+    // VersionedChaosSpec composition that exposed it: dv delete, dv
+    // delete, rollback). Coordinates on files the rollback dropped are
+    // correctly absent (their files' rows never enter the diff), and a
+    // coordinate still covered by a RETAINED dv stays dead.
+    val removedDvs = prev.dvs.filterNot(cur.dvs.toSet)
+    val resurrected =
+      if (removedDvs.isEmpty) empty
+      else {
+        val common = curF.intersect(prevF)
+        val dv = spark.read.parquet(
+          removedDvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
+        val dvFiles = dv.select(col("file")).distinct().collect()
+          .map(_.getString(0))
+          .filter { abs =>
+            val p = new Path(abs)
+            common.contains(s"${p.getParent.getName}/${p.getName}")
+          }.toSeq.sorted
+        if (dvFiles.isEmpty) empty
+        else {
+          val scan = spark.read.option("mergeSchema", "true").parquet(dvFiles: _*)
+            .withColumn("__file", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+          val revived = scan.join(broadcast(dv.select(col("file").as("__file"),
+              col("pos").as("__pos"))), Seq("__file", "__pos"), "left_semi")
+          align(subtractDvs(spark, table, revived, cur.dvs, "__file", "__pos")
+            .drop("__file", "__pos"))
+        }
+      }
+    val allInserts = inserts.unionByName(resurrected)
     val deletes = removedRows.unionByName(dvDeleted)
     // rewrites that carried a row over unchanged cancel out (multiset)
-    inserts.exceptAll(deletes).withColumn("change_type", lit("insert"))
-      .unionByName(deletes.exceptAll(inserts).withColumn("change_type", lit("delete")))
+    allInserts.exceptAll(deletes).withColumn("change_type", lit("insert"))
+      .unionByName(deletes.exceptAll(allInserts).withColumn("change_type", lit("delete")))
   }
 
   /** Metadata-only `COUNT(*)` of a snapshot — [[Layout.manifestRowCount]]

@@ -639,6 +639,29 @@ class VersionedSpec extends SparkSpec {
     assert(ch1.count() == 300)
   }
 
+  test("change feed across a rollback that removes dvs: resurrections are emitted") {
+    val t = tmpDir("versioned-cdf-resurrect") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 40).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    Versioned.deleteWhere(spark, t, $"id" % 4 === 0L) // v2: 10 rows dv'd
+    Versioned.deleteWhere(spark, t, $"id" % 4 === 1L) // v3: 10 more
+    val rb = Versioned.rollback(spark, t, 2L)          // v4: restores %4==1 rows
+    val cf = Versioned.changes(spark, t, rb).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(cf == (1 to 40).filter(_ % 4 == 1).map(i => (i.toLong, "insert")).toSet,
+      s"the rollback must re-emit exactly the restored rows as inserts, got $cf")
+    // apply law still holds for the rollback version
+    val prevRows = Versioned.read(spark, t, Some(3L)).count()
+    assert(prevRows + 10 == Versioned.read(spark, t, Some(rb)).count())
+    // a rollback PAST all dvs resurrects everything still dead
+    val rb2 = Versioned.rollback(spark, t, 1L)
+    val cf2 = Versioned.changes(spark, t, rb2)
+      .groupBy($"change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cf2 == Map("insert" -> 10L),
+      s"rolling back to pre-delete state resurrects the %4==0 rows, got $cf2")
+  }
+
   test("metadata rowCount: manifests minus live dv rows, None when any dir lacks stats") {
     val t = tmpDir("versioned-count") + "/t"
     val base = (1 to 500).map(i => (i.toLong, i * 2L)).toDF("id", "v")
