@@ -66,6 +66,27 @@ object EventQueries extends graft.QueryModule {
         expr("INTERVAL 24 HOURS"))
     }),
 
+    // CEP PATTERN MATCH (ops/Cep — MATCH_RECOGNIZE / Flink-CEP lite):
+    // each user's event stream collapses MAP-SIDE to one symbol char
+    // per event (c/v/p), one key shuffle builds the ordered sequence,
+    // and the pattern `cv*p` ("click, any views, purchase") counts
+    // non-overlapping occurrences per user. The oracle rebuilds the
+    // identical sequences with DuckDB's ordered string_agg and the
+    // same regex, so one hash pins ordering (ts then event_id
+    // tiebreak), alphabet closure (unknown types dropped, not
+    // wildcards), and the non-overlapping match rule. At 100 TB: a
+    // billion-event day shuffles a gigabyte of symbols.
+    "q_cep_pattern" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Cep.matches(Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        Map("click" -> "c", "view" -> "v", "purchase" -> "p"), "cv*p")
+        .groupBy($"n_matches")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"seq_len").cast("bigint").as("sum_len"))
+        .orderBy($"n_matches")
+    }),
+
     // Cohort retention: users bucketed by the week of their FIRST
     // PURCHASE (first-any-event cohorts are degenerate here — every user
     // appears in week one); for each (cohort week, week offset) the
@@ -89,6 +110,24 @@ object EventQueries extends graft.QueryModule {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q_cep_pattern" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'click' THEN 'c'
+        |               WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p' END,
+        |               '' ORDER BY ts, event_id) AS seq
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY user_id
+        |),
+        |m AS (
+        |  SELECT user_id, len(seq) AS seq_len,
+        |    len(regexp_extract_all(seq, 'cv*p')) AS n_matches
+        |  FROM seqs
+        |)
+        |SELECT n_matches, CAST(COUNT(1) AS bigint) AS n_users,
+        |  CAST(SUM(seq_len) AS bigint) AS sum_len
+        |FROM m GROUP BY n_matches ORDER BY n_matches""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
