@@ -1302,6 +1302,56 @@ object Versioned {
     }
   }
 
+  /** Metadata-only SIZE of a snapshot in bytes — Σ referenced data-file
+    * lengths from one filesystem listing (file-granular refs restrict
+    * the sum). The statistic Spark's own broadcast decision runs on
+    * (`sizeInBytes`), here available for any version without a scan.
+    */
+  def sizeOf(spark: SparkSession, table: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, v)
+    expandRefFiles(spark, table, m.refs).toSeq.map { rel =>
+      val p = new Path(s"${dataRoot(spark, table)}/$rel")
+      fs(spark, p).getFileStatus(p).getLen
+    }.sum
+  }
+
+  /** STATS-DRIVEN JOIN of two versioned tables — the ANALYZE payoff:
+    * the side whose metadata [[sizeOf]] fits under `broadcastBytes`
+    * gets an explicit `broadcast()` hint (smaller side preferred when
+    * both fit), so the planner picks a map-side hash join even where
+    * its OWN size estimate is unavailable or inflated (a filtered
+    * relation over a multi-dir snapshot, a freshly-written table with
+    * no catalog stats). Neither side fitting falls through to the
+    * shuffle join honestly. Returns (joined frame, Some(broadcast side
+    * "left"/"right") or None).
+    *
+    * At 100 TB this is the difference between shuffling a petabyte
+    * fact against a 100 MB dim and never shuffling the fact at all —
+    * decided from two manifest listings, zero data IO.
+    */
+  def joinWithStats(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String, joinType: String = "inner",
+      broadcastBytes: Long = 64L * 1024 * 1024)
+      : (DataFrame, Option[String]) = {
+    import org.apache.spark.sql.functions.broadcast
+    val l = read(spark, leftTable)
+    val r = read(spark, rightTable)
+    val (lb, rb) = (sizeOf(spark, leftTable), sizeOf(spark, rightTable))
+    val side =
+      if (lb.min(rb) > broadcastBytes) None
+      else if (rb <= lb && rb <= broadcastBytes) Some("right")
+      else Some("left")
+    val joined = side match {
+      case Some("right") => l.join(broadcast(r), Seq(key), joinType)
+      case Some("left")  => broadcast(l).join(r, Seq(key), joinType)
+      case _             => l.join(r, Seq(key), joinType)
+    }
+    (joined, side)
+  }
+
   /** Consumer-side incremental change feed — [[changes]] with a durable
     * CURSOR, the shape a downstream replica/materialized view actually
     * consumes (Delta CDF's `startingVersion` + checkpoint): returns every

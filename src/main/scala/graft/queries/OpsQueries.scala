@@ -585,6 +585,42 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"head")
     }),
 
+    // STATS-DRIVEN JOIN (Versioned.joinWithStats — the ANALYZE payoff):
+    // fact and dim land as versioned tables; with Spark's own
+    // auto-broadcast DISABLED (the stand-in for "the planner's estimate
+    // is unavailable/inflated"), the metadata size decides the
+    // broadcast side from two manifest listings — REQUIRED in-query:
+    // the dim side is chosen AND BroadcastHashJoin survives into the
+    // physical plan. The oracle is the plain join — planning hints
+    // must have zero semantic footprint. At 100 TB: the petabyte fact
+    // never shuffles for a dim lookup, decided with zero data IO.
+    "q_stats_join" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_statsjoin_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val tf = s"$base/fact"; val td = s"$base/dim"
+      graft.ops.Versioned.commit(s, tf, Tables(s, dir, "orders")
+        .select($"o_custkey", $"o_totalprice"))
+      graft.ops.Versioned.commit(s, td, Tables(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment"))
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val (j, side) = graft.ops.Versioned.joinWithStats(s, tf, td, "o_custkey")
+        require(side.contains("right"),
+          s"the dim side must be chosen from metadata, got $side")
+        val out = j.groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+          .orderBy($"c_mktsegment")
+        require(out.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          "the metadata hint must reach the physical plan")
+        out.localCheckpoint(true)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }),
+
     // NDV SKETCH MANIFEST (Layout.writeNdvSketch / Versioned.approxNdv
     // — the Iceberg-puffin / ANALYZE-without-a-scan idea): each commit
     // persists one mergeable HLL per (file, column); COUNT(DISTINCT) of
@@ -1636,6 +1672,11 @@ object OpsQueries extends graft.QueryModule {
         |  FROM devv
         |)
         |SELECT head, n, sum_price, sum_cust FROM heads ORDER BY head""".stripMargin,
+    "q_stats_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_ndv_manifest" ->
       """SELECT CAST(COUNT(DISTINCT o_custkey) AS bigint) AS n_exact,
         |  TRUE AS tol_ok

@@ -322,6 +322,31 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.approxNdv(spark, t2, "k").isEmpty)
   }
 
+  test("joinWithStats: metadata size picks the broadcast side even with auto-broadcast off") {
+    val base = tmpDir("versioned-statsjoin")
+    val big = s"$base/big"; val small = s"$base/small"
+    Versioned.commit(spark, big,
+      (1 to 20000).map(i => (i.toLong % 500, s"payload-$i")).toDF("k", "s"))
+    Versioned.commit(spark, small,
+      (0 to 499).map(i => (i.toLong, s"d$i")).toDF("k", "name"))
+    assert(Versioned.sizeOf(spark, small) < Versioned.sizeOf(spark, big))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (joined, side) = Versioned.joinWithStats(spark, big, small, "k")
+      assert(side.contains("right"), s"the small side must broadcast, got $side")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the metadata hint must survive into the physical plan:\n${plan.take(1500)}")
+      assert(joined.count() == 20000L)
+      // neither side under the bar → honest shuffle join
+      val (shuffled, none) = Versioned.joinWithStats(spark, big, small, "k",
+        broadcastBytes = 1L)
+      assert(none.isEmpty &&
+        !shuffled.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("compactSmall folds only the small-file tail; big files stay byte-identical") {
     val t = tmpDir("versioned-autocompact") + "/t"
     // one healthy big commit + five tiny appends
