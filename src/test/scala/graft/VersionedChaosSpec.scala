@@ -109,4 +109,61 @@ class VersionedChaosSpec extends SparkSpec {
       assert(got == m, s"history replay diverged at version ${i + 1}")
     }
   }
+
+  test("branch chaos: interleaved root/branch verb streams stay isolated; promote legality") {
+    val rnd = new scala.util.Random(4242L)
+    val base = tmpDir("versioned-chaos-branch")
+    val t = s"$base/t"
+    var rootModel: Model = (1 to 200).map(i =>
+      i.toLong -> (s"g${i % 5}", i.toLong)).toMap
+    Versioned.commit(spark, t,
+      toDf(rootModel.toSeq.map { case (k, (g, v)) => (k, g, v) }))
+    val dev = Versioned.branch(spark, t, "dev")
+    var devModel: Model = rootModel
+    var rootAdvanced = false
+    var nextId = 5000L
+
+    (1 to 14).foreach { step =>
+      val onRoot = rnd.nextBoolean()
+      val (table, model) = if (onRoot) (t, rootModel) else (dev, devModel)
+      val next: Model = rnd.nextInt(3) match {
+        case 0 =>
+          val rows = (0 until 10).map(j =>
+            (nextId + j, s"g${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+          nextId += 10
+          Versioned.commit(spark, table, toDf(rows))
+          model ++ rows.map { case (k, g, v) => k -> (g, v) }
+        case 1 =>
+          val m = rnd.nextInt(4) + 3
+          Versioned.deleteWhere(spark, table, $"id" % m === 0L)
+          model.filter { case (k, _) => k % m != 0 }
+        case 2 =>
+          val m = rnd.nextInt(3) + 2
+          Versioned.updateWhere(spark, table, $"id" % m === 1L,
+            Map("v" -> ($"v" + 11L)))
+          model.map { case (k, (g, v)) =>
+            k -> (g, if (k % m == 1) v + 11 else v) }
+      }
+      if (onRoot) { rootModel = next; rootAdvanced = true }
+      else devModel = next
+      assert(snapshot(t) == rootModel, s"root diverged at step $step")
+      assert(snapshot(dev) == devModel, s"branch diverged at step $step")
+    }
+    // promote legality mirrors whether the root advanced since the fork
+    if (rootAdvanced) {
+      val e = intercept[IllegalArgumentException] { Versioned.promote(spark, dev) }
+      assert(e.getMessage.contains("advanced since the fork"))
+    }
+    // a quiet-root fork always promotes cleanly after the same verb mix
+    val t2 = s"$base/t2"
+    Versioned.commit(spark, t2,
+      (1 to 50).map(i => (i.toLong, s"g${i % 3}", i.toLong)).toDF("id", "g", "v"))
+    val dev2 = Versioned.branch(spark, t2, "dev")
+    Versioned.deleteWhere(spark, dev2, $"id" % 5 === 0L)
+    Versioned.updateWhere(spark, dev2, $"id" % 2 === 1L, Map("v" -> ($"v" * 2L)))
+    Versioned.commit(spark, dev2, Seq((999L, "g0", 7L)).toDF("id", "g", "v"))
+    Versioned.promote(spark, dev2)
+    assert(snapshot(t2) == snapshot(dev2),
+      "the promoted root must equal the branch head")
+  }
 }
