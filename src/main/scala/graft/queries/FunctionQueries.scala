@@ -139,6 +139,39 @@ object FunctionQueries extends graft.QueryModule {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // VARIANT (Spark 4 semi-structured type): a nested JSON document is
+    // built deterministically from event columns, parsed into the
+    // BINARY variant encoding (parse_json), and read back through typed
+    // path extraction (variant_get: object fields, a nested object, an
+    // array element). The oracle computes the same sums STRAIGHT FROM
+    // THE COLUMNS — ground truth, no JSON at all — so one hash pins the
+    // whole encode→extract round trip. Floats ride as integer cents so
+    // number formatting can't leak into the document. At 100 TB:
+    // variant is the scan-speed answer to schemaless telemetry — typed
+    // extraction without per-row from_json schema inference.
+    "q_variant" -> ((s, dir) => {
+      import s.implicits._
+      val doc = concat(lit("{\"u\":"), $"user_id",
+        lit(",\"t\":\""), $"event_type",
+        lit("\",\"vals\":["), round($"value" * 100).cast("bigint"),
+        lit(","), $"event_id" % 7,
+        lit("],\"nest\":{\"d\":"), $"event_id" % 100, lit("}}"))
+      Tables(s, dir, "events")
+        .select($"event_type", parse_json(doc).as("v"))
+        .select($"event_type",
+          variant_get($"v", "$.u", "bigint").as("u"),
+          variant_get($"v", "$.vals[0]", "bigint").as("cents"),
+          variant_get($"v", "$.vals[1]", "bigint").as("m7"),
+          variant_get($"v", "$.nest.d", "bigint").as("d"),
+          variant_get($"v", "$.t", "string").as("t"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"u").as("sum_u"),
+          sum($"cents").as("sum_cents"), sum($"m7").as("sum_m7"),
+          sum($"d").as("sum_d"),
+          sum(when($"t" === $"event_type", 1L).otherwise(0L)).as("t_roundtrip"))
+        .orderBy($"event_type")
+    }),
+
     // JSON extraction from events.props (get_json_object) + map building.
     "q_json_fns" -> ((s, dir) => {
       import s.implicits._
@@ -346,6 +379,14 @@ object FunctionQueries extends graft.QueryModule {
         |    AS n_st_null,
         |  CAST(SUM(CAST(k AS decimal(30,0))) AS bigint) AS sum_k
         |FROM p""".stripMargin,
+    "q_variant" ->
+      """SELECT event_type, CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(user_id) AS bigint) AS sum_u,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS bigint)) AS bigint) AS sum_cents,
+        |  CAST(SUM(event_id % 7) AS bigint) AS sum_m7,
+        |  CAST(SUM(event_id % 100) AS bigint) AS sum_d,
+        |  CAST(COUNT(1) AS bigint) AS t_roundtrip
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_json_fns" ->
       """SELECT event_type, COUNT(1) AS n,
         |  CAST(SUM(k) AS bigint) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
