@@ -42,7 +42,8 @@ object IncrementalDecontaminate {
     val f = fs(spark, statePath)
     graft.ops.Upsert.recover(f, statePath)
     val batch = bench
-      .select(explode(Decontaminate.grams(col(textCol), n)).as("__g"))
+      .select(split(TextOps.norm(col(textCol)), " ").as("__toks"))
+      .select(explode(Decontaminate.gramsOfToks(col("__toks"), n)).as("__g"))
       .distinct().withColumn("n", lit(n))
     val merged =
       if (!f.exists(new Path(statePath))) batch
@@ -61,7 +62,8 @@ object IncrementalDecontaminate {
     checkN(spark, statePath, n)
     val benchGrams = spark.read.parquet(statePath).select(col("__g"))
     corpus
-      .select(col(idCol), explode(Decontaminate.grams(col(textCol), n)).as("__g"))
+      .select(col(idCol), split(TextOps.norm(col(textCol)), " ").as("__toks"))
+      .select(col(idCol), explode(Decontaminate.gramsOfToks(col("__toks"), n)).as("__g"))
       .join(broadcast(benchGrams), Seq("__g"), "left_semi")
       .groupBy(col(idCol))
       .agg(countDistinct(col("__g")).as("n_hits"))
