@@ -289,6 +289,20 @@ class VersionedSpec extends SparkSpec {
     assert(rows(Versioned.read(spark, dev2)) == rows(Versioned.read(spark, dev)),
       "root vacuum must not delete dirs a live branch references")
     assert(Versioned.read(spark, t).count() == 101)
+    // metadata functions resolve through the branch's shared data root
+    val t3 = tmpDir("versioned-branch-meta") + "/t"
+    Versioned.commitWithStats(spark, t3, graft.ops.Layout.sortedByRange(
+      (1 to 100).map(i => (i.toLong, s"x$i")).toDF("id", "s"), Seq($"id"), 4),
+      Seq("id"))
+    val mdev = Versioned.branch(spark, t3, "m")
+    Versioned.deleteWhere(spark, mdev, $"id" > 90L)
+    assert(Versioned.rowCount(spark, mdev).contains(90L),
+      "metadata rowCount must see the branch's own dvs over shared stats")
+    val (bf, _, _) = Versioned.statsAgg(spark, mdev, "id").get
+    val br = bf.head()
+    assert((br.getLong(0), br.getLong(1), br.getLong(2)) == (1L, 90L, 90L))
+    val (_, keptB, totB) = Versioned.skipRead(spark, mdev, "id", "1", "25")
+    assert(keptB < totB, "branch reads prune through the shared stats manifests")
   }
 
   test("approxNdv: sketch-union estimate equals a fresh whole-table sketch, metadata-only") {
