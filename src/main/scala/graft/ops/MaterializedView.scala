@@ -82,7 +82,8 @@ object MaterializedView {
     * is a state no-op.
     */
   def refresh(spark: SparkSession, srcTable: String, mvPath: String,
-      keyCols: Seq[String], valCol: String): Long = {
+      keyCols: Seq[String], valCol: String,
+      maxCatchup: Int = 64): Long = {
     val latest = Versioned.latestVersion(spark, srcTable)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $srcTable"))
     val f = fs(spark, mvPath)
@@ -95,6 +96,14 @@ object MaterializedView {
     current(spark, mvPath) match {
       case Some((_, applied)) if applied >= latest => applied
       case None =>
+        val seeded = fullAggregate(
+          Versioned.read(spark, srcTable, Some(latest)), keyCols, valCol)
+        landState(spark, mvPath, seeded, latest)
+        latest
+      case Some((_, applied)) if latest - applied > maxCatchup =>
+        // a consumer THIS far behind re-seeds: a thousand-leaf change
+        // union costs more (plan size + churned-file scans) than one
+        // aggregate of the live snapshot, and the result is identical
         val seeded = fullAggregate(
           Versioned.read(spark, srcTable, Some(latest)), keyCols, valCol)
         landState(spark, mvPath, seeded, latest)

@@ -63,6 +63,27 @@ class MaterializedViewSpec extends SparkSpec {
     assert(mvRows(mvA) == before)
   }
 
+  test("far-behind consumers re-seed: catch-up past maxCatchup equals the fold") {
+    val base = tmpDir("mv-reseed")
+    val t = s"$base/t"; val mvA = s"$base/mvA"; val mvB = s"$base/mvB"
+    Versioned.commit(spark, t,
+      (1 to 40).map(i => (i.toLong, s"g${i % 3}", i.toLong)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, t, mvA, Seq("g"), "v")
+    MaterializedView.refresh(spark, t, mvB, Seq("g"), "v")
+    (1 to 6).foreach { j =>
+      Versioned.commit(spark, t,
+        Seq((100L + j, s"g${j % 3}", j.toLong)).toDF("id", "g", "v"))
+    }
+    Versioned.deleteWhere(spark, t, $"id" % 5 === 0L)
+    // mvA folds the churn; mvB is forced down the re-seed path
+    MaterializedView.refresh(spark, t, mvA, Seq("g"), "v")
+    MaterializedView.refresh(spark, t, mvB, Seq("g"), "v", maxCatchup = 2)
+    assert(mvRows(mvA) == mvRows(mvB),
+      "the re-seed shortcut must land the identical state")
+    assert(MaterializedView.current(spark, mvB).get._2 ==
+      Versioned.latestVersion(spark, t).get)
+  }
+
   test("null group keys fold as one group, not duplicates") {
     val base = tmpDir("mv-null")
     val t = s"$base/t"; val mv = s"$base/mv"
