@@ -40,18 +40,81 @@ object Bench {
   /** Probe runs taken immediately before each query's timed block. */
   val LocalProbeRuns = 3
 
+  /** BETWEEN-QUERY STATE SWEEP — the round-10 verdict's suite-context-
+    * pressure fix. A 203-query JVM accumulates residue each entry leaves
+    * behind, and the accumulation slows UNRELATED queries mid-suite
+    * while every query stays clean in isolation (the `q_dedup_clusters`
+    * ghost generalized; round 10's driver run flagged five dual-ratio
+    * regressions concentrated on versioned-table and streaming-state
+    * entries). Each sweep accounts for one residue class:
+    *
+    *  - leaked streaming queries: stopped (each entry stops its own —
+    *    this is the belt for a failed entry's leak);
+    *  - cached state-store providers: `StateStore.unloadAll()` — RocksDB
+    *    instances hold NATIVE memory and file handles long after their
+    *    query stops, and ~20 streaming entries' residue squeezes the
+    *    page cache every parquet scan lives on (reflection: the object
+    *    is `private[sql]`);
+    *  - cached relations + leftover persisted RDDs: unpersisted (dead
+    *    localCheckpoint blocks pin storage memory — the round-10
+    *    `Checkpoints.free` class, swept here for anything that escaped);
+    *  - staged `graft_*` table/checkpoint dirs under tmpdir: DELETED.
+    *    Every query resets its own work dirs at entry
+    *    (`FileOps.resetWorkDirs`), so this is safe — and on a tmpfs
+    *    /tmp the staged versioned tables are RAM, not disk;
+    *  - dead broadcasts + shuffle files: `System.gc()` drives the
+    *    ContextCleaner promptly (its own periodic GC defaults to 30 min
+    *    — longer than the whole suite).
+    *
+    * Runs BEFORE each query's local probes, so probe and timed runs see
+    * the same (clean) context and sweep cost lands in no timing.
+    */
+  def sweep(spark: org.apache.spark.sql.SparkSession, gc: Boolean = true): Unit = {
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val mod = cls.getField("MODULE$").get(null)
+      cls.getMethod("unloadAll").invoke(mod)
+    } catch { case _: Throwable => () }
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
+    spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+      try r.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("graft_"))
+      .foreach(deleteRec)
+    if (gc) System.gc()
+  }
+
+  /** Recursive delete that NEVER follows symlinks (stream staging dirs
+    * hold links into the read-only testdata — following one would try
+    * to delete source data).
+    */
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
   /** Time each query: `LocalProbeRuns` probes (median — a SINGLE probe
     * sample turned one 0.04 s scheduler blip into a 2-3× ratio_local
     * swing on sub-second entries, round-6 verdict), then `n` runs,
     * median. Failures land in `errors` instead of destroying the other
-    * queries' medians (ADVICE r2). Factored out of `main` so
-    * `BenchHarnessSpec` can drive it with a synthetic mid-suite load
-    * burst and assert the local ratios self-adjudicate.
+    * queries' medians (ADVICE r2). `preQuery` runs before each query's
+    * probes — the state sweep in production, a no-op in specs. Factored
+    * out of `main` so `BenchHarnessSpec` can drive it with a synthetic
+    * mid-suite load burst and assert the local ratios self-adjudicate.
     */
   def timeSuite(names: Seq[String], run: String => Unit, probe: () => Double,
-      n: Int, errors: scala.collection.mutable.Map[String, String]): Seq[(String, Timing)] =
+      n: Int, errors: scala.collection.mutable.Map[String, String],
+      preQuery: () => Unit = () => ()): Seq[(String, Timing)] =
     names.flatMap { qn =>
       try {
+        preQuery()
         val ps = (1 to LocalProbeRuns).map(_ => probe()).sorted
         val p = ps(ps.length / 2)
         val times = (1 to n).map { _ =>
@@ -154,16 +217,22 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val probePre = probeRuns()
 
-    // warmup (also shakes out failures so timed runs only see good queries)
-    names.foreach { n =>
+    // warmup (also shakes out failures so timed runs only see good
+    // queries) — swept every few entries: residue accumulated across the
+    // warmup pass would otherwise front-load the timed pass's context
+    // (GC only on the periodic sweeps; the full per-query sweep+gc runs
+    // in the timed loop where it matters)
+    names.zipWithIndex.foreach { case (n, i) =>
       try materialize(n)
       catch { case e: Throwable =>
         errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      if (i % 8 == 7) sweep(spark)
     }
 
     val timings = timeSuite(names.filterNot(errors.contains),
-      materialize, () => probeOnce(), N, errors)
+      materialize, () => probeOnce(), N, errors,
+      preQuery = () => sweep(spark))
 
     // Probe again AFTER the suite: the combined median reflects machine
     // speed across the whole run, not just its first seconds.

@@ -29,6 +29,20 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // Long-suite driver-heap hygiene (round-10 verdict: per-query cost
+      // grew with suite size while isolated runs stayed clean). The
+      // status stores retain execution/job/stage graphs — including the
+      // FULL plan strings of multi-dir versioned scans — even with the
+      // UI off (defaults: 1000 executions, 1000 jobs); a 200-query
+      // suite at ~30 materializations each holds thousands. Bound them.
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      // ContextCleaner frees dead broadcasts/shuffles/RDD blocks only
+      // after driver GC notices them; its own backstop GC defaults to
+      // 30 MIN — longer than an entire bench suite. One minute keeps
+      // shuffle-file and broadcast residue bounded mid-suite.
+      .config("spark.cleaner.periodicGC.interval", "60s")
 
   def session(): SparkSession = {
     val s = builder().getOrCreate()
