@@ -158,10 +158,19 @@ object MaterializedView {
       if (!f.exists(tgt))
         throw new java.io.IOException(s"MV state rename failed for $tgt")
     }
-    // superseded states are garbage once the new one is in
-    f.listStatus(new Path(mvPath)).toSeq.map(_.getPath).foreach { p =>
+    // Superseded states are garbage — but keep ONE generation: a reader
+    // that resolved current() to the previous version may still be
+    // mid-scan of its parquet files; deleting it out from under them
+    // fails a read that was valid when planned (ADVICE r10). Deleting
+    // older-than-previous is safe because any reader that old has had a
+    // full refresh cycle to finish.
+    val present = f.listStatus(new Path(mvPath)).toSeq.map(_.getPath)
+    val prevGen = present.map(_.getName).collect {
+      case StateRe(v) if v.toLong < version => v.toLong
+    }.maxOption.getOrElse(-1L)
+    present.foreach { p =>
       p.getName match {
-        case StateRe(v) if v.toLong < version => f.delete(p, true)
+        case StateRe(v) if v.toLong < prevGen => f.delete(p, true)
         case _ => ()
       }
     }

@@ -792,15 +792,26 @@ object Versioned {
       .withColumn("__pos", col("_metadata.row_index"))
     val matched = subtractDvs(spark, table, scan, m.dvs, "__file", "__pos")
       .filter(predicate) // definite TRUE only: NULL keeps the old row
+    val newImages = set.foldLeft(matched) { case (df, (c, e)) =>
+      df.withColumn(c, e)
+    }.select(schemaCols.map(col): _*).repartition(numFiles)
+    // a SET producing an incompatible type (string into a double column)
+    // would commit a POISONED version — every later mergeSchema read of
+    // the table fails until rollback (ADVICE r10). Plan-only check, same
+    // law commit() enforces on appends, BEFORE any bytes are written.
+    m.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .foreach { ps =>
+        val conflicts = typeConflicts(ps, newImages.schema)
+        require(conflicts.isEmpty,
+          s"UPDATE SET changes column types on $table: ${conflicts.mkString("; ")}")
+      }
     // old images leave via a dv; new images land as an append — one scan
     // feeds both writes (two jobs over the same lineage, each bounded by
     // the matched slice after the predicate scan)
     val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     matched.select(col("__file").as("file"), col("__pos").as("pos"))
       .repartition(1).write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dvDir")
-    val newImages = set.foldLeft(matched) { case (df, (c, e)) =>
-      df.withColumn(c, e)
-    }.select(schemaCols.map(col): _*).repartition(numFiles)
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     newImages.write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dirName")
     def cleanup(): Unit = {
@@ -1220,11 +1231,21 @@ object Versioned {
         // unstatted file (no min recorded, not all-null): conservative
         (mn.isEmpty && !nn.contains(nr))
     }
+    // A referenced file whose dir HAS a manifest but holds no row for
+    // THIS column (commits/compacts harvested different statsCols) lands
+    // in neither side above — silently omitting it makes MIN/MAX wrong
+    // while n still covers its rows (ADVICE r10). Those files rescan
+    // conservatively, the same never-prune-the-unstatted law
+    // Layout.manifestFileDecisions enforces.
+    val covered = referenced.map(r => sfx(r._1)).toSet
+    val uncovered = expandRefFiles(spark, table, m.refs).toSeq
+      .filterNot(covered.contains)
+      .map(rel => s"${dataRoot(spark, table)}/$rel")
     // an ALL-NULL file contributes nothing to min/max (NULL is ignored)
     val cleanStats = cleanSide.collect {
       case (_, _, Some(mn), Some(mx), _, _) => (mn, mx)
     }
-    val scanFiles = scanSide.map(_._1).toSeq.sorted
+    val scanFiles = (scanSide.map(_._1).toSeq ++ uncovered).sorted
     import spark.implicits._
     val cleanDf = cleanStats.toSeq.toDF("mn", "mx")
       .select(col("mn").cast(typ).as("mn"), col("mx").cast(typ).as("mx"))
@@ -1240,7 +1261,7 @@ object Versioned {
     val frame = cleanDf.unionByName(scanDf)
       .agg(min(col("mn")).as("min_v"), max(col("mx")).as("max_v"))
       .withColumn("n", lit(n))
-    Some((frame, scanFiles.size, referenced.length))
+    Some((frame, scanFiles.size, referenced.length + uncovered.size))
   }
 
   /** [[commitWithStats]] + per-file NDV sketches
@@ -1302,20 +1323,37 @@ object Versioned {
     }
   }
 
+  /** (relative ref, byte length) for every referenced data file, from
+    * ONE `listStatus` per referenced dir — never one `getFileStatus`
+    * RPC per file (ADVICE r10: the listing's FileStatus entries already
+    * carry lengths; a million-file snapshot on an object store must not
+    * pay O(files) round-trips twice). File-granular refs restrict the
+    * listing's rows, whole-dir refs take them all.
+    */
+  private def refFileLengths(spark: SparkSession, table: String,
+      refs: Seq[String]): Seq[(String, Long)] =
+    groupRefsByDir(refs).toSeq.sortBy(_._1).flatMap { case (d, files) =>
+      val dir = new Path(s"${dataRoot(spark, table)}/$d")
+      require(fs(spark, dir).exists(dir),
+        s"referenced data dir $d was vacuumed — time travel past retention")
+      fs(spark, dir).listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .filter(st => files.forall(_.contains(st.getPath.getName)))
+        .map(st => (s"$d/${st.getPath.getName}", st.getLen))
+    }
+
   /** Metadata-only SIZE of a snapshot in bytes — Σ referenced data-file
-    * lengths from one filesystem listing (file-granular refs restrict
-    * the sum). The statistic Spark's own broadcast decision runs on
-    * (`sizeInBytes`), here available for any version without a scan.
+    * lengths from one filesystem listing per dir (file-granular refs
+    * restrict the sum). The statistic Spark's own broadcast decision
+    * runs on (`sizeInBytes`), here available for any version without a
+    * scan.
     */
   def sizeOf(spark: SparkSession, table: String,
       version: Option[Long] = None): Long = {
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
-    expandRefFiles(spark, table, m.refs).toSeq.map { rel =>
-      val p = new Path(s"${dataRoot(spark, table)}/$rel")
-      fs(spark, p).getFileStatus(p).getLen
-    }.sum
+    refFileLengths(spark, table, m.refs).map(_._2).sum
   }
 
   /** STATS-DRIVEN JOIN of two versioned tables — the ANALYZE payoff:
@@ -1489,11 +1527,7 @@ object Versioned {
     val pv = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, pv)
-    val files: Seq[(String, Long)] = expandRefFiles(spark, table, m.refs)
-      .toSeq.sorted.map { rel =>
-        val p = new Path(s"${dataRoot(spark, table)}/$rel")
-        (rel, fs(spark, p).getFileStatus(p).getLen)
-      }
+    val files: Seq[(String, Long)] = refFileLengths(spark, table, m.refs)
     val (smalls, bigs) = files.partition(_._2 < smallBytes)
     if (smalls.length <= 1) (pv, 0, bigs.length)
     else {

@@ -84,6 +84,26 @@ class MaterializedViewSpec extends SparkSpec {
       Versioned.latestVersion(spark, t).get)
   }
 
+  test("landState keeps exactly one superseded generation for in-flight readers") {
+    val base = tmpDir("mv-gen")
+    val t = s"$base/t"; val mv = s"$base/mv"
+    def stateDirs: Seq[String] = {
+      val d = new java.io.File(mv)
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(_.getName).filter(_.startsWith("state_v")).toSeq.sorted
+    }
+    Versioned.commit(spark, t, Seq((1L, "a", 1L)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, t, mv, Seq("g"), "v")
+    Versioned.commit(spark, t, Seq((2L, "b", 2L)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, t, mv, Seq("g"), "v")
+    assert(stateDirs == Seq("state_v000001", "state_v000002"),
+      "the previous generation must survive — a reader that resolved it may still be mid-scan")
+    Versioned.commit(spark, t, Seq((3L, "c", 3L)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, t, mv, Seq("g"), "v")
+    assert(stateDirs == Seq("state_v000002", "state_v000003"),
+      "older-than-previous generations are reclaimed")
+  }
+
   test("null group keys fold as one group, not duplicates") {
     val base = tmpDir("mv-null")
     val t = s"$base/t"; val mv = s"$base/mv"

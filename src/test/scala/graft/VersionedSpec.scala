@@ -459,6 +459,44 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.statsAgg(spark, t2, "id").isEmpty)
   }
 
+  test("statsAgg rescans referenced files whose manifest lacks the queried column") {
+    // dir1 harvests stats for BOTH columns; dir2 (holding the global max
+    // of v) harvests only id — its files have a _stats manifest but no
+    // row for v. Silently omitting them from both sides is the ADVICE-r10
+    // failure: MAX(v) would come back 100 while n still counts all rows.
+    val t = tmpDir("versioned-statsagg-uncov") + "/t"
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v"), Seq($"id"), 2),
+      Seq("id", "v"))
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (101 to 150).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v"), Seq($"id"), 2),
+      Seq("id")) // v deliberately unstatted in this dir
+    val (frame, scanned, total) = Versioned.statsAgg(spark, t, "v").get
+    val r = frame.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 1500L, 150L),
+      "uncovered files must contribute through a conservative rescan")
+    assert(scanned > 0 && scanned < total,
+      s"exactly the uncovered files rescan: scanned=$scanned total=$total")
+  }
+
+  test("updateWhere rejects a type-changing SET before writing anything") {
+    val t = tmpDir("versioned-upd-type") + "/t"
+    Versioned.commit(spark, t, Seq((1L, 1.5), (2L, 2.5)).toDF("id", "p"))
+    val filesBefore = dataFileFingerprint(t)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, t, $"id" === 1L, Map("p" -> lit("poison")))
+    }
+    assert(e.getMessage.contains("changes column types"))
+    assert(Versioned.latestVersion(spark, t).contains(1L),
+      "a rejected update must not commit")
+    assert(dataFileFingerprint(t) == filesBefore,
+      "a rejected update must write neither dv nor new-image dir")
+    assert(Versioned.read(spark, t).count() == 2,
+      "the table stays readable — no poisoned version landed")
+  }
+
   test("updateWhere is merge-on-read: old files stay byte-identical, history intact") {
     val t = tmpDir("versioned-upd") + "/t"
     Versioned.commit(spark, t,
