@@ -466,6 +466,49 @@ object Versioned {
             else Some(rs.map(_.split('/').last).toSet))
     }
 
+  /** Stats-manifest keep/drop decision for a snapshot's referenced files
+    * against `[lo, hi]` on `column` — the shared planning step of
+    * [[mergePruned]] / [[deleteWhereRange]] / [[mergeApply]]: files whose
+    * recorded range is disjoint from the probe are provably match-free.
+    * Returns (kept files as absolute paths, dropped files as relative
+    * `dir/file` refs, total files). Manifest-less dirs keep all their
+    * files (conservative — they might hold any key); file-granular refs
+    * restrict each dir's decisions to the referenced subset.
+    */
+  private def pruneRefs(spark: SparkSession, table: String, m: Manifest,
+      column: String, lo: String, hi: String)
+      : (Seq[String], Seq[String], Int) = {
+    val byDir = groupRefsByDir(m.refs)
+    val dirInfo = byDir.toSeq.map { case (d, files) =>
+      val dir = s"${dataRoot(spark, table)}/$d"
+      (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
+    }
+    val statted = dirInfo.filter(_._4)
+    val decided: Seq[(String, Boolean)] =
+      if (statted.isEmpty) Seq.empty
+      else {
+        val (all, _) = Layout.manifestFileDecisions(spark,
+          statted.map(_._2 + "/_stats"), column, lo, hi)
+        val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
+        all.filter { case (abs, _) =>
+          val p = new Path(abs)
+          restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+        }
+      }
+    val conservative = dirInfo.filterNot(_._4).flatMap {
+      case (_, dir, files, _) => files match {
+        case Some(names) => names.toSeq.map(n => s"$dir/$n")
+        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      }
+    }
+    val kept = (decided.filter(_._2).map(_._1) ++ conservative).sorted
+    val dropped = decided.filterNot(_._2).map { case (abs, _) =>
+      val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
+    }.sorted
+    (kept, dropped, decided.length + conservative.size)
+  }
+
   /** MERGE (upsert) that rewrites ONLY the files that can contain the
     * batch's keys — the Delta/Iceberg copy-on-write file-pruning shape:
     * the batch's key [min, max] is compared against each referenced
@@ -514,37 +557,9 @@ object Versioned {
       s"mergePruned batch has ${bounds.getLong(2)} null merge keys; " +
         "null keys have no consistent merge semantics — filter or fill them first")
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
-    val byDir = groupRefsByDir(m.refs)
-    val dirInfo = byDir.toSeq.map { case (d, files) =>
-      val dir = s"${dataRoot(spark, table)}/$d"
-      (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
-    }
-    val statted = dirInfo.filter(_._4)
-    val decided: Seq[(String, Boolean)] =
-      if (statted.isEmpty) Seq.empty
-      else {
-        val (all, _) = Layout.manifestFileDecisions(spark,
-          statted.map(_._2 + "/_stats"), key, lo, hi)
-        val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
-        all.filter { case (abs, _) =>
-          val p = new Path(abs)
-          restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
-        }
-      }
     // touched = stats overlap with the batch's key range, plus every
     // file of a manifest-less dir (conservative: might hold any key)
-    val touchedStatted = decided.filter(_._2).map(_._1)
-    val untouchedRefs = decided.filterNot(_._2).map { case (abs, _) =>
-      val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
-    }.sorted
-    val touchedConservative = dirInfo.filterNot(_._4).flatMap {
-      case (_, dir, files, _) => files match {
-        case Some(names) => names.toSeq.map(n => s"$dir/$n")
-        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
-          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
-      }
-    }
-    val touched = touchedStatted ++ touchedConservative
+    val (touched, untouchedRefs, _) = pruneRefs(spark, table, m, key, lo, hi)
     val touchedDf =
       if (touched.isEmpty) batch.limit(0)
       else applyDvs(spark, table,
@@ -695,35 +710,9 @@ object Versioned {
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
     val v = parentV + 1
-    val byDir = groupRefsByDir(m.refs)
-    val dirInfo = byDir.toSeq.map { case (d, files) =>
-      val dir = s"${dataRoot(spark, table)}/$d"
-      (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
-    }
-    val statted = dirInfo.filter(_._4)
     // manifest decision restricted to the files the snapshot still
     // references (file-granular refs after a mergePruned commit)
-    val decided: Seq[(String, Boolean)] =
-      if (statted.isEmpty) Seq.empty
-      else {
-        val (all, _) = Layout.manifestFileDecisions(spark,
-          statted.map(_._2 + "/_stats"), column, lo, hi)
-        val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
-        all.filter { case (abs, _) =>
-          val p = new Path(abs)
-          restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
-        }
-      }
-    val candidates = decided.filter(_._2).map(_._1)
-    val conservative = dirInfo.filterNot(_._4).flatMap {
-      case (_, dir, files, _) => files match {
-        case Some(names) => names.toSeq.map(n => s"$dir/$n")
-        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
-          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
-      }
-    }
-    val scanFiles = (candidates ++ conservative).sorted
-    val nTotal = decided.length + conservative.size
+    val (scanFiles, _, nTotal) = pruneRefs(spark, table, m, column, lo, hi)
     val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     val dels =
       if (scanFiles.isEmpty)
@@ -834,6 +823,161 @@ object Versioned {
         s"version $v of $table was committed by another writer; re-read and retry")
     }
     v
+  }
+
+  /** FULL MERGE — the Delta `MERGE WHEN MATCHED THEN UPDATE / WHEN
+    * MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT` statement as
+    * ONE commit, composing the engine's two write disciplines
+    * (round-10 verdict #2): matched rows leave their files via a
+    * deletion vector ([[deleteWhere]]'s coordinate harvest), updated
+    * rows' NEW images land with the not-matched inserts in one fresh
+    * range-sorted data dir ([[updateWhere]]'s merge-on-read shape), and
+    * the untouched files stay referenced byte-identical. A CDC-style
+    * upsert-with-tombstones is one verb, one version, CDF-correct by
+    * construction: [[changes]] reports a delete per tombstone and per
+    * old update image, an insert per new image and per inserted row.
+    *
+    * Clause semantics (the Delta rules):
+    *  - matched = target row joins a batch row on `key` (null keys
+    *    rejected — no consistent merge semantics, same as
+    *    [[mergePruned]]); the batch must be key-UNIQUE or two source
+    *    rows would claim one target row (rejected loudly, Delta's
+    *    multiple-matches error).
+    *  - `whenMatchedDelete` (over the joined row — target columns as
+    *    `tgt.*`, batch columns as `src.*`) selects matched rows to
+    *    tombstone; NULL/false falls through to update (three-valued
+    *    logic: only a definite TRUE deletes).
+    *  - `whenMatchedUpdate`: `Some(map)` sets target columns from
+    *    `tgt.*`/`src.*` expressions; `None` replaces the matched row
+    *    with the batch row's image (classic upsert). Updates may not
+    *    change column types ([[updateWhere]]'s poison rule).
+    *  - `whenNotMatchedInsert`: batch rows matching no live target row
+    *    append as-is.
+    *
+    * 100 TB shape: the matched-coordinate harvest scans ONLY files whose
+    * stats range overlaps the batch's key span ([[pruneRefs]] — the
+    * [[mergePruned]] pruning applied to the MoR path), the batch side
+    * broadcasts into the join, and write cost is (matched + inserted)
+    * ROWS, never the files that hold them. Merging a day's CDC delta
+    * into a key-sorted petabyte costs the delta. Returns (version,
+    * files scanned, files referenced).
+    */
+  def mergeApply(spark: SparkSession, table: String, batch: DataFrame,
+      key: String,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      whenNotMatchedInsert: Boolean = true,
+      statsCols: Seq[String] = Nil, numFiles: Int = 4,
+      maxAttempts: Int = 5): (Long, Int, Int) = retryOnConflict(maxAttempts) {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, when}
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    val parentSchema = m.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    parentSchema.foreach { ps =>
+      require(ps.fieldNames.sorted.sameElements(batch.schema.fieldNames.sorted),
+        s"merge batch columns ${batch.columns.mkString(",")} must match table ${ps.fieldNames.mkString(",")}")
+      val conflicts = typeConflicts(ps, batch.schema)
+      require(conflicts.isEmpty,
+        s"incompatible merge batch schema: ${conflicts.mkString("; ")}")
+    }
+    val schemaCols: Seq[String] = parentSchema.map(_.fieldNames.toSeq)
+      .getOrElse(batch.columns.toSeq)
+    // one pass over the batch: key bounds + null-key and duplicate-key
+    // rejection (a duplicated source key would dv one target row twice
+    // and write two conflicting new images — Delta's multiple-matches
+    // error)
+    val bstats = batch.agg(
+      min(col(key)).cast("string"), max(col(key)).cast("string"),
+      count(when(col(key).isNull, lit(1))), count(lit(1)),
+      org.apache.spark.sql.functions.countDistinct(col(key))).head()
+    require(!bstats.isNullAt(0),
+      "mergeApply needs a non-empty batch with non-null keys")
+    require(bstats.getLong(2) == 0L,
+      s"mergeApply batch has ${bstats.getLong(2)} null merge keys; " +
+        "null keys have no consistent merge semantics — filter or fill them first")
+    require(bstats.getLong(3) == bstats.getLong(4),
+      s"mergeApply batch keys must be unique (${bstats.getLong(3)} rows, " +
+        s"${bstats.getLong(4)} distinct keys) — two source rows cannot merge into one target row")
+    val (lo, hi) = (bstats.getString(0), bstats.getString(1))
+    val v = parentV + 1
+    // files provably outside the batch's key span hold no matched row
+    // AND no key a not-matched check needs — only the kept files scan
+    val (touched, _, nTotal) = pruneRefs(spark, table, m, key, lo, hi)
+    val src = broadcast(batch).alias("src")
+    val tgt =
+      if (touched.isEmpty)
+        // schema-faithful empty target slice (keeps the joined plan valid)
+        read(spark, table, Some(parentV)).limit(0)
+          .withColumn("__file", lit("")).withColumn("__pos", lit(0L))
+          .alias("tgt")
+      else {
+        val scan = spark.read.option("mergeSchema", "true").parquet(touched: _*)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        subtractDvs(spark, table, scan, m.dvs, "__file", "__pos").alias("tgt")
+      }
+    val joined = tgt.join(src, col(s"tgt.$key") === col(s"src.$key"), "inner")
+    val delCond = whenMatchedDelete.getOrElse(lit(false))
+    // every matched row leaves its file: deletes tombstone, updates
+    // tombstone + re-land — ONE dv covers both
+    val dvRows = joined
+      .select(col("tgt.__file").as("file"), col("tgt.__pos").as("pos"))
+    // updated images: matched rows NOT claimed by the delete clause
+    // (NULL falls through to update — only a definite TRUE deletes)
+    val updatedBase = joined.filter(coalesce(!delCond, lit(true)))
+    val updated = whenMatchedUpdate match {
+      case Some(set) =>
+        set.keys.foreach { c =>
+          require(schemaCols.contains(c),
+            s"MERGE SET column '$c' does not exist in $table (${schemaCols.mkString(",")})")
+        }
+        val withSets = set.foldLeft(
+          // start from the TARGET image, qualified refs stay resolvable
+          updatedBase) { case (df, (c, e)) => df.withColumn(s"__set_$c", e) }
+        withSets.select(schemaCols.map(c =>
+          (if (set.contains(c)) col(s"__set_$c") else col(s"tgt.$c")).as(c)): _*)
+      case None =>
+        updatedBase.select(schemaCols.map(c => col(s"src.$c").as(c)): _*)
+    }
+    parentSchema.foreach { ps =>
+      val conflicts = typeConflicts(ps, updated.schema)
+      require(conflicts.isEmpty,
+        s"MERGE SET changes column types on $table: ${conflicts.mkString("; ")}")
+    }
+    // not-matched inserts: batch keys absent from the LIVE touched slice
+    // (a key in an untouched file is impossible — pruning is a superset
+    // guarantee over the batch's span)
+    val inserted =
+      if (!whenNotMatchedInsert) updated.limit(0)
+      else batch.alias("b").join(tgt.select(col(s"tgt.$key")),
+          col(s"b.$key") === col(s"tgt.$key"), "left_anti")
+        .select(schemaCols.map(c => col(s"b.$c").as(c)): _*)
+    val newRows = updated.unionByName(inserted)
+    val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
+    dvRows.repartition(1).write.mode("errorifexists")
+      .parquet(s"${dataRoot(spark, table)}/$dvDir")
+    val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
+    Layout.writeSorted(newRows, Seq(col(key)), numFiles,
+      s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
+    def cleanup(): Unit = {
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
+    }
+    try validateConstraints(spark, table, dirName, m.constraints)
+    catch { case t: Throwable =>
+      fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
+      throw t
+    }
+    if (!writeManifest(spark, table, v, "merge", m.refs :+ dirName,
+        Some(batch.schema.json), m.dvs :+ dvDir, m.constraints)) {
+      cleanup()
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    }
+    (v, touched.size, nTotal)
   }
 
   /** [[commit]] + executor-side stats harvest into the new data dir's

@@ -914,6 +914,65 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // FULL MERGE (Versioned.mergeApply — the Delta `MERGE WHEN MATCHED
+    // THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT` statement as ONE
+    // commit, round-10 verdict #2): orders lands key-sorted with stats;
+    // one batch tombstones keys in [20%,25%] of the key span (delete
+    // encoded as a negative source price), replaces [25%+1,30%] with
+    // +100000 source images, and inserts beyond max — deletes leave via
+    // a deletion vector, update images + inserts land in one fresh dir,
+    // and every pre-merge file survives byte-identical (REQUIRED
+    // in-query), with the match scan stats-pruned to the batch's key
+    // span (REQUIRED: scanned < referenced). The oracle reconstructs
+    // the three-clause result from `orders`; both versions read back
+    // through time travel, so one hash pins clause routing, MoR
+    // costing, and history isolation. At 100 TB this is "apply a day's
+    // CDC delta — upserts AND tombstones — to a petabyte table in one
+    // commit at delta cost".
+    "q_merge_full" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_mergefull_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(orders, Seq($"o_orderkey"), 16),
+        Seq("o_orderkey"))
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val (dlo, dhi, uhi) = (maxk * 2L / 10L, maxk * 25L / 100L, maxk * 3L / 10L)
+      val batch = orders.filter($"o_orderkey".between(dlo, dhi))
+          .select($"o_orderkey", $"o_custkey", lit(-1.0).as("o_totalprice"))
+        .unionByName(orders.filter($"o_orderkey".between(dhi + 1L, uhi))
+          .select($"o_orderkey", $"o_custkey",
+            ($"o_totalprice" + 100000.0).as("o_totalprice")))
+        .unionByName(orders.filter($"o_orderkey" % 10 === 0L)
+          .select(($"o_orderkey" + 2L * maxk).as("o_orderkey"), $"o_custkey",
+            ($"o_totalprice" * 2.0).as("o_totalprice")))
+      def fingerprint: Set[(String, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$t/data"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.length())).toSet
+      }
+      val before = fingerprint
+      val (_, scanned, total) = graft.ops.Versioned.mergeApply(s, t, batch,
+        "o_orderkey", whenMatchedDelete = Some($"src.o_totalprice" < 0.0),
+        statsCols = Seq("o_orderkey"))
+      require(scanned > 0 && scanned < total,
+        s"the match scan must stats-prune to the batch's key span: $scanned/$total")
+      require(before.subsetOf(fingerprint),
+        "a full merge must not rewrite or remove any pre-merge data file")
+      Seq(1L, 2L).map { v =>
+        graft.ops.Versioned.read(s, t, Some(v))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            sum($"o_custkey").as("sum_cust"))
+          .select(lit(v).as("version"), $"n", $"sum_price", $"sum_cust")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
     // CHANGE DATA FEED (Versioned.changes — the Delta CDF /
     // table_changes shape): three commit kinds land on the seeded table
     // — a dv DELETE, a stats-pruned MERGE (updates surface as old-image
@@ -1788,6 +1847,43 @@ object OpsQueries extends graft.QueryModule {
         |  UNION ALL
         |  SELECT * FROM v1
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+        |),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust
+        |  FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v2
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
+    "q_merge_full" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |dels AS (
+        |  SELECT o_orderkey FROM v1
+        |  WHERE o_orderkey BETWEEN (SELECT mk * 2 // 10 FROM mx)
+        |                       AND (SELECT mk * 25 // 100 FROM mx)
+        |),
+        |upds AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 100000 AS o_totalprice
+        |  FROM v1
+        |  WHERE o_orderkey BETWEEN (SELECT mk * 25 // 100 FROM mx) + 1
+        |                       AND (SELECT mk * 3 // 10 FROM mx)
+        |),
+        |ins AS (
+        |  SELECT o_orderkey + 2 * (SELECT mk FROM mx) AS o_orderkey,
+        |    o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM v1 WHERE o_orderkey % 10 = 0
+        |),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upds)
+        |  UNION ALL SELECT * FROM upds
+        |  UNION ALL SELECT * FROM ins
         |),
         |snap AS (
         |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,

@@ -44,7 +44,7 @@ class VersionedChaosSpec extends SparkSpec {
     def record(): Unit = { history = history :+ model }
 
     (1 to 24).foreach { step =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // append fresh rows
           val rows = (0 until 20).map { j =>
             (nextId + j, s"g${rnd.nextInt(7)}", rnd.nextInt(1000).toLong)
@@ -88,6 +88,24 @@ class VersionedChaosSpec extends SparkSpec {
             Seq($"id"), numFiles = 2, statsCols = Seq("id"))
           // a no-op fold commits nothing; track the real version count
           if (Versioned.latestVersion(spark, t).get > history.size) record()
+        case 7 => // full MERGE: tombstone deletes + replace updates + inserts
+          val live = model.keys.toSeq.sorted
+          val dels = live.take(5)
+          val upds = live.slice(5, 15)
+          val ins = (0 until 5).map(j => (nextId + j, s"g${rnd.nextInt(7)}",
+            rnd.nextInt(1000).toLong))
+          nextId += 5
+          // delete encoded as a negative source value; update replaces
+          // the row with the source image
+          val batch = dels.map(k => (k, model(k)._1, -1L)) ++
+            upds.map(k => (k, model(k)._1, model(k)._2 + 31L)) ++ ins
+          Versioned.mergeApply(spark, t, toDf(batch), "id",
+            whenMatchedDelete = Some($"src.v" < 0L),
+            statsCols = Seq("id"))
+          model = (model -- dels) ++
+            upds.map(k => k -> (model(k)._1, model(k)._2 + 31L)) ++
+            ins.map { case (k, g, v) => k -> (g, v) }
+          record()
       }
       assert(snapshot(t) == model, s"divergence from model after step $step")
       if (step % 3 == 0) {

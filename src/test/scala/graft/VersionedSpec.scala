@@ -544,6 +544,59 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("mergeApply: update+delete+insert in ONE commit, MoR files intact, CDF-correct, pruned") {
+    val t = tmpDir("versioned-mergeapply") + "/t"
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (1 to 100).map(i => (i.toLong, i.toLong * 2)).toDF("id", "v"), Seq($"id"), 8),
+      Seq("id"))
+    val before = dataFileFingerprint(t)
+    // batch spans ids [40,60]+inserts: delete 40-44 (tombstone v<0),
+    // update 50-54 (replace with source image), insert 101-103
+    val batch = ((40 to 44).map(i => (i.toLong, -1L)) ++
+      (50 to 54).map(i => (i.toLong, i.toLong * 1000)) ++
+      (101 to 103).map(i => (i.toLong, i.toLong))).toDF("id", "v")
+    val (ver, scanned, total) = Versioned.mergeApply(spark, t, batch, "id",
+      whenMatchedDelete = Some($"src.v" < 0L), statsCols = Seq("id"))
+    assert(ver == 2L, "one verb, one commit")
+    assert(scanned > 0 && scanned < total,
+      s"the match scan must stats-prune to the batch's key span: $scanned/$total")
+    assert(before.subsetOf(dataFileFingerprint(t)),
+      "merge-on-read: no pre-merge file rewritten or removed")
+    val got = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ((1 to 100).filterNot(i => i >= 40 && i <= 44).map(i =>
+      (i.toLong, if (i >= 50 && i <= 54) i.toLong * 1000 else i.toLong * 2)) ++
+      (101 to 103).map(i => (i.toLong, i.toLong))).toSet
+    assert(got == want)
+    // CDF: deletes = 5 tombstones + 5 old update images; inserts = 5 new
+    // images + 3 inserted rows
+    val byType = Versioned.changes(spark, t, ver).groupBy($"change_type")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 10L, "insert" -> 8L),
+      s"CDF of the merge must be tombstones+old-images / new-images+inserts, got $byType")
+    // custom SET referencing both sides; composes over the NEW images
+    Versioned.mergeApply(spark, t,
+      Seq((50L, 7L), (200L, 9L)).toDF("id", "v"), "id",
+      whenMatchedUpdate = Some(Map("v" -> (col("tgt.v") + col("src.v")))),
+      statsCols = Seq("id"))
+    val after = Versioned.read(spark, t).filter($"id".isin(50L, 200L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((50L, 50007L), (200L, 9L)),
+      "SET must see the post-merge target image and the source image")
+    // history: the pre-merge snapshot is untouched
+    assert(Versioned.read(spark, t, Some(1L)).count() == 100)
+    // illegal batches fail loudly
+    intercept[IllegalArgumentException] {
+      Versioned.mergeApply(spark, t,
+        Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), "id")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.mergeApply(spark, t,
+        Seq((Option.empty[Long], 1L)).toDF("id", "v"), "id")
+    }
+  }
+
   test("dv deletes compose, survive appends, and compact materializes them away") {
     val t = tmpDir("versioned-dv-compose") + "/t"
     Versioned.commit(spark, t,
