@@ -186,4 +186,132 @@ object MaterializedView {
     state.select(keyCols.map(col) ++ Seq(col("cnt"), col("sv"),
       (col("sv") / col("cnt")).cast("decimal(30,6)").as("avg")): _*)
   }
+
+  private def fullAggregateMinMax(snapshot: DataFrame, keyCols: Seq[String],
+      valCol: String): DataFrame =
+    snapshot.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valCol).cast("decimal(30,6)")).as("sv"),
+        min(col(valCol).cast("decimal(30,6)")).as("mn"),
+        max(col(valCol).cast("decimal(30,6)")).as("mx"))
+
+  /** [[refresh]] extended past the invertible family: the state also
+    * carries per-group MIN/MAX (round-10 verdict #3 — what real gold
+    * tables hold), maintained under deletes by the standard bounded-
+    * rescan rule. Inserts fold free (`least`/`greatest` against the
+    * stored extremes); a delete is the hard case — removing a value
+    * EQUAL to the stored extremum leaves the new extremum unknowable
+    * from the delta alone (another live row may or may not tie it), so
+    * exactly those groups — and only those — re-aggregate their
+    * extremes from the live snapshot. A delete strictly inside the
+    * stored (mn, mx), or one out-raced by a smaller/larger same-batch
+    * insert, costs nothing.
+    *
+    * 100 TB shape: the fold is still churn-bounded; the rescan is ONE
+    * pass feeding only the flagged groups' rows through the aggregate
+    * (a semi-join on the churned-extremum keys — at petabyte scale a
+    * key-partitioned layout prunes the scan too). COUNT/SUM/AVG stay
+    * delta-folded exactly as [[refresh]]. Same CAS state landing —
+    * exactly-once, replay no-op. Returns (applied version, groups
+    * rescanned, total live groups).
+    */
+  def refreshMinMax(spark: SparkSession, srcTable: String, mvPath: String,
+      keyCols: Seq[String], valCol: String,
+      maxCatchup: Int = 64): (Long, Long, Long) = {
+    val latest = Versioned.latestVersion(spark, srcTable)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $srcTable"))
+    val f = fs(spark, mvPath)
+    if (f.exists(new Path(mvPath)))
+      f.listStatus(new Path(mvPath)).toSeq.map(_.getPath)
+        .filter(_.getName.contains("._staging"))
+        .foreach(f.delete(_, true))
+    def seed(): (Long, Long, Long) = {
+      val seeded = fullAggregateMinMax(
+        Versioned.read(spark, srcTable, Some(latest)), keyCols, valCol)
+      landState(spark, mvPath, seeded, latest)
+      (latest, 0L, current(spark, mvPath).get._1.count())
+    }
+    current(spark, mvPath) match {
+      case Some((state, applied)) if applied >= latest =>
+        (applied, 0L, state.count())
+      case None => seed()
+      case Some((_, applied)) if latest - applied > maxCatchup => seed()
+      case Some((state, applied)) =>
+        val dec = col(valCol).cast("decimal(30,6)")
+        val isIns = col("change_type") === "insert"
+        val w = when(isIns, lit(1L)).otherwise(lit(-1L))
+        val changed = (applied + 1 to latest).map(v =>
+            Versioned.changes(spark, srcTable, v))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val delta = changed
+          .withColumn("__w", w)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("__w")).as("dc"),
+            sum(col("__w") * dec).as("dsv"),
+            min(when(isIns, dec)).as("imn"),
+            max(when(isIns, dec)).as("imx"),
+            min(when(!isIns, dec)).as("dmn"),
+            max(when(!isIns, dec)).as("dmx"))
+        val s = state.alias("s")
+        val d = delta.alias("d")
+        val cond = keyCols.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _)
+        // least/greatest skip NULLs: a missing side simply doesn't bid
+        val candMn = least(col("s.mn"), col("d.imn"))
+        val candMx = greatest(col("s.mx"), col("d.imx"))
+        // rescan iff a deleted value reaches the candidate extremum —
+        // only then could the stored extreme have been the deleted row
+        val needRescan =
+          (col("d.dmn").isNotNull && (candMn.isNull || col("d.dmn") <= candMn)) ||
+          (col("d.dmx").isNotNull && (candMx.isNull || col("d.dmx") >= candMx))
+        val merged = s.join(d, cond, "full_outer")
+          .select(
+            keyCols.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k)) ++ Seq(
+              (coalesce(col("s.cnt"), lit(0L)) + coalesce(col("d.dc"), lit(0L))).as("cnt"),
+              (coalesce(col("s.sv"), lit(0).cast("decimal(30,6)")) +
+                coalesce(col("d.dsv"), lit(0).cast("decimal(30,6)"))).as("sv"),
+              candMn.as("cand_mn"), candMx.as("cand_mx"),
+              coalesce(needRescan, lit(false)).as("__rescan")): _*)
+          .filter(col("cnt") > 0)
+          // the fold feeds a count() AND the rescan semi-join AND the
+          // landed state — one checkpoint, three consumers
+          .localCheckpoint(true)
+        val toRescan = merged.filter(col("__rescan"))
+          .select(keyCols.map(col): _*)
+        val nRescan = toRescan.count()
+        val resolved =
+          if (nRescan == 0L)
+            merged.select(keyCols.map(col) ++ Seq(col("cnt"), col("sv"),
+              col("cand_mn").as("mn"), col("cand_mx").as("mx")): _*)
+          else {
+            val live = Versioned.read(spark, srcTable, Some(latest)).alias("l")
+            val g = broadcast(toRescan).alias("g")
+            val gcond = keyCols.map(k => col(s"l.$k") <=> col(s"g.$k")).reduce(_ && _)
+            val rescanned = live.join(g, gcond, "left_semi")
+              .groupBy(keyCols.map(col): _*)
+              .agg(min(dec).as("rmn"), max(dec).as("rmx")).alias("r")
+            val m = merged.alias("m")
+            val rcond = keyCols.map(k => col(s"m.$k") <=> col(s"r.$k")).reduce(_ && _)
+            m.join(rescanned, rcond, "left_outer")
+              .select(keyCols.map(k => col(s"m.$k").as(k)) ++ Seq(
+                col("m.cnt").as("cnt"), col("m.sv").as("sv"),
+                coalesce(col("r.rmn"), col("m.cand_mn")).as("mn"),
+                coalesce(col("r.rmx"), col("m.cand_mx")).as("mx")): _*)
+          }
+        landState(spark, mvPath, resolved, latest)
+        Checkpoints.free(merged) // landed + counted: the checkpoint is dead
+        (latest, nRescan, current(spark, mvPath).get._1.count())
+    }
+  }
+
+  /** The extrema-carrying view: keys, `cnt`, exact `sv`, derived `avg`,
+    * and maintained `mn`/`mx`.
+    */
+  def readViewMinMax(spark: SparkSession, mvPath: String,
+      keyCols: Seq[String]): DataFrame = {
+    val (state, _) = current(spark, mvPath)
+      .getOrElse(throw new IllegalArgumentException(s"no MV state under $mvPath"))
+    state.select(keyCols.map(col) ++ Seq(col("cnt"), col("sv"),
+      (col("sv") / col("cnt")).cast("decimal(30,6)").as("avg"),
+      col("mn"), col("mx")): _*)
+  }
 }

@@ -1027,6 +1027,60 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"o_orderstatus")
     }),
 
+    // MV WITH MIN/MAX (MaterializedView.refreshMinMax — past the
+    // invertible family, round-10 verdict #3): a per-status
+    // COUNT/SUM/MIN/MAX/AVG view is seeded, then the source churns
+    // through the one case delta-folding cannot answer — a dv DELETE of
+    // one status's maximum-price rows (the new max is unknowable from
+    // the delta: another row may tie it) — plus an interior UPDATE and
+    // an APPEND that fold free. ONE refresh drains all three; REQUIRED
+    // in-query: at least one group rescans and at least one does NOT
+    // (the bounded-rescan contract — extremum churn re-aggregates ONLY
+    // the groups it touched). The oracle replays delete→update→append
+    // in SQL and aggregates from scratch. Spec pins rescan==0 for
+    // interior churn and upward updates. At 100 TB the view's refresh
+    // cost stays churn-bounded even for MIN/MAX gold columns.
+    "q_mv_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_mvminmax_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"; val mv = s"$base/mv"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders)
+      require(graft.ops.MaterializedView.refreshMinMax(
+        s, t, mv, Seq("o_orderstatus"), "o_totalprice")._1 == 1L,
+        "seed refresh must land at source version 1")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val mxF = orders.filter($"o_orderstatus" === "F")
+        .agg(max($"o_totalprice")).head().getDouble(0)
+      // kill status F's maximum — the fold alone cannot answer this
+      graft.ops.Versioned.deleteWhere(s, t,
+        $"o_orderstatus" === "F" && $"o_totalprice" === mxF)
+      // interior update and an append: both fold free
+      graft.ops.Versioned.updateWhere(s, t,
+        $"o_totalprice".between(10000.0, 50000.0),
+        Map("o_totalprice" -> ($"o_totalprice" + 50.0)))
+      graft.ops.Versioned.commit(s, t,
+        orders.filter($"o_orderkey" % 10 === 1L)
+          .select(($"o_orderkey" + 2L * maxk).as("o_orderkey"),
+            $"o_orderstatus", $"o_totalprice"))
+      val (applied, rescanned, total) = graft.ops.MaterializedView
+        .refreshMinMax(s, t, mv, Seq("o_orderstatus"), "o_totalprice")
+      require(applied == 4L,
+        "catch-up refresh must drain delete+update+append in one fold")
+      require(rescanned >= 1L && rescanned < total,
+        s"extremum churn must rescan SOME groups but never all: $rescanned/$total")
+      graft.ops.MaterializedView.readViewMinMax(s, mv, Seq("o_orderstatus"))
+        .select($"o_orderstatus", $"cnt",
+          $"sv".cast("double").as("sum_price"),
+          $"mn".cast("double").as("min_price"),
+          $"mx".cast("double").as("max_price"),
+          ($"sv".cast("double") / $"cnt").as("avg_price"))
+        .orderBy($"o_orderstatus")
+    }),
+
     "q_change_feed" -> ((s, dir) => {
       import s.implicits._
       val t = sys.props("java.io.tmpdir") +
@@ -1806,6 +1860,29 @@ object OpsQueries extends graft.QueryModule {
         |final AS (SELECT * FROM afterupd UNION ALL SELECT * FROM appended)
         |SELECT g AS o_orderstatus, CAST(COUNT(1) AS bigint) AS cnt,
         |  CAST(SUM(CAST(v AS decimal(30,6))) AS double) AS sv
+        |FROM final GROUP BY g ORDER BY g""".stripMargin,
+    "q_mv_minmax" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey AS k, o_orderstatus AS g, o_totalprice AS v
+        |       FROM orders),
+        |mf AS (SELECT MAX(v) AS mp FROM v1 WHERE g = 'F'),
+        |afterdel AS (
+        |  SELECT * FROM v1 WHERE NOT (g = 'F' AND v = (SELECT mp FROM mf))
+        |),
+        |afterupd AS (
+        |  SELECT k, g,
+        |    CASE WHEN v BETWEEN 10000 AND 50000 THEN v + 50 ELSE v END AS v
+        |  FROM afterdel
+        |),
+        |appended AS (
+        |  SELECT k + 2 * (SELECT mk FROM mx) AS k, g, v FROM v1 WHERE k % 10 = 1
+        |),
+        |final AS (SELECT * FROM afterupd UNION ALL SELECT * FROM appended)
+        |SELECT g AS o_orderstatus, CAST(COUNT(1) AS bigint) AS cnt,
+        |  CAST(SUM(CAST(v AS decimal(30,6))) AS double) AS sum_price,
+        |  CAST(CAST(MIN(v) AS decimal(30,6)) AS double) AS min_price,
+        |  CAST(CAST(MAX(v) AS decimal(30,6)) AS double) AS max_price,
+        |  CAST(SUM(CAST(v AS decimal(30,6))) AS double) / COUNT(1) AS avg_price
         |FROM final GROUP BY g ORDER BY g""".stripMargin,
     "q_update_mor" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),

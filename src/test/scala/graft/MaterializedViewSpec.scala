@@ -84,6 +84,50 @@ class MaterializedViewSpec extends SparkSpec {
       Versioned.latestVersion(spark, t).get)
   }
 
+  test("minmax view: delete of a group's extremum rescans THAT group only; interior churn is free") {
+    val base = tmpDir("mv-minmax")
+    val t = s"$base/t"; val mv = s"$base/mv"
+    def fullMinMax: Set[(String, Long, Long, Long)] =
+      Versioned.read(spark, t).groupBy($"g")
+        .agg(count(lit(1)), min($"v"), max($"v")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def viewMinMax: Set[(String, Long, Long, Long)] =
+      MaterializedView.readViewMinMax(spark, mv, Seq("g")).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(4).longValue, r.getDecimal(5).longValue)).toSet
+    // g0..g4, values i; each group's max lives at its top ids
+    Versioned.commit(spark, t,
+      (1 to 100).map(i => (i.toLong, s"g${i % 5}", i.toLong)).toDF("id", "g", "v"))
+    val (v1, r1, n1) = MaterializedView.refreshMinMax(spark, t, mv, Seq("g"), "v")
+    assert((v1, r1, n1) == (1L, 0L, 5L))
+    assert(viewMinMax == fullMinMax)
+    // interior delete (strictly inside every group's (mn, mx)) + insert
+    // above one group's max: NO rescan needed anywhere
+    Versioned.deleteWhere(spark, t, $"id".between(40L, 50L))
+    Versioned.commit(spark, t, Seq((500L, "g0", 500L)).toDF("id", "g", "v"))
+    val (_, r2, _) = MaterializedView.refreshMinMax(spark, t, mv, Seq("g"), "v")
+    assert(r2 == 0L, s"interior deletes and outward inserts must not rescan, got $r2")
+    assert(viewMinMax == fullMinMax)
+    // delete g1's current maximum (id=96,v=96) and g2's minimum (id=2):
+    // exactly those two groups rescan
+    Versioned.deleteWhere(spark, t, $"id" === 96L || $"id" === 2L)
+    val (_, r3, n3) = MaterializedView.refreshMinMax(spark, t, mv, Seq("g"), "v")
+    assert(r3 == 2L && r3 < n3,
+      s"exactly the extremum-churned groups rescan: rescanned=$r3 total=$n3")
+    assert(viewMinMax == fullMinMax)
+    // split == whole: a fresh view catching up in one fold agrees
+    val mvB = s"$base/mvB"
+    MaterializedView.refreshMinMax(spark, t, mvB, Seq("g"), "v")
+    assert(MaterializedView.readViewMinMax(spark, mvB, Seq("g")).collect().length == 5)
+    // update that RAISES a group's max: old image deleted at the stored
+    // max, new image inserted above it — the insert out-races the
+    // delete, no rescan
+    Versioned.updateWhere(spark, t, $"id" === 95L, Map("v" -> ($"v" + 1000L)))
+    val (_, r4, _) = MaterializedView.refreshMinMax(spark, t, mv, Seq("g"), "v")
+    assert(r4 == 0L, s"an upward update of the max must fold free, got $r4")
+    assert(viewMinMax == fullMinMax)
+  }
+
   test("landState keeps exactly one superseded generation for in-flight readers") {
     val base = tmpDir("mv-gen")
     val t = s"$base/t"; val mv = s"$base/mv"
