@@ -376,7 +376,8 @@ object Layout {
     val fsys = root.getFileSystem(confSer.value)
     val rootUri = fsys.makeQualified(root).toString.stripSuffix("/")
     val it0 = fsys.listFiles(root, true)
-    val listed = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+    val listed = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, String])]
     while (it0.hasNext) {
       val st = it0.next()
       val p = st.getPath
@@ -390,7 +391,11 @@ object Layout {
           val i = seg.indexOf('=')
           seg.substring(0, i) -> unescapePathName(seg.substring(i + 1))
         }.toMap
-        listed += ((p.toString, parts))
+        // file length rides along from the listing (the listing already
+        // paid for it): the manifest records it as `n_bytes`, so scan
+        // PLANNING from the manifest can build the kept files' statuses
+        // with ZERO further filesystem RPCs ([[scanFromDecisions]])
+        listed += ((p.toString, st.getLen, parts))
       }
     }
     val files = listed.sortBy(_._1).toSeq
@@ -399,7 +404,7 @@ object Layout {
       spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
       val conf = confSer.value
-      it.flatMap { case (f, parts) =>
+      it.flatMap { case (f, fLen, parts) =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(f), conf))
@@ -431,11 +436,11 @@ object Layout {
                 case _ => None
               }
               if (typ.isEmpty || verdicts.exists(_.isEmpty))
-                (f, c, typ, null: String, null: String, nRows, nNulls, parts)
+                (f, c, typ, null: String, null: String, nRows, nNulls, fLen, parts)
               else {
                 val usable = verdicts.flatten.flatten
                 if (usable.isEmpty)
-                  (f, c, typ, null: String, null: String, nRows, nNulls, parts)
+                  (f, c, typ, null: String, null: String, nRows, nNulls, fLen, parts)
                 else {
                   val cmp = usable.head.comparator()
                     .asInstanceOf[java.util.Comparator[AnyRef]]
@@ -443,14 +448,15 @@ object Layout {
                     .reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
                   val mx = usable.map(_.genericGetMax.asInstanceOf[AnyRef])
                     .reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
-                  (f, c, typ, enc(mn), enc(mx), nRows, nNulls, parts)
+                  (f, c, typ, enc(mn), enc(mx), nRows, nNulls, fLen, parts)
                 }
               }
             }
           }
         } finally reader.close()
       }
-    }.toDF("file", "column", "typ", "min_v", "max_v", "n_rows", "n_nulls", "parts")
+    }.toDF("file", "column", "typ", "min_v", "max_v", "n_rows", "n_nulls",
+      "n_bytes", "parts")
   }
 
   /** Harvest + persist the stats manifest at `<path>/_stats` — one tiny
@@ -541,37 +547,50 @@ object Layout {
       preds: Seq[(String, String, String)])
       : (DataFrame, Int, Int, Int) = {
     require(partPreds.nonEmpty, "at least one partition predicate")
-    val all = spark.read.parquet(s"$path/_stats").localCheckpoint(true)
-    val totalFiles = all.select(col("file")).distinct().count().toInt
+    val statsPath = s"$path/_stats"
+    val all = spark.read.parquet(statsPath)
     // partition decision: one verdict per file from its parts map; a
-    // missing key or an uncastable value keeps the file conservatively
+    // missing key or an uncastable value keeps the file conservatively.
+    // min(bool) = AND over a file's rows (they share one parts map).
     val partKeep = partPreds.map { case (pc, lo, hi, typ) =>
       val v = element_at(col("parts"), pc).cast(typ)
       v.isNull || (v >= lit(lo).cast(typ) && v <= lit(hi).cast(typ))
     }.reduce(_ && _)
-    val partKept = all.select(col("file")).where(partKeep)
-      .distinct().collect().map(_.getString(0)).toSet
-    // range decision: intersect the per-column stats verdicts
-    val statsKept = preds.map { case (c, lo, hi) =>
-      manifestFileDecisions(spark, Seq(s"$path/_stats"), c, lo, hi)
-        ._1.filter(_._2).map(_._1).toSet
-    }.reduceOption(_ intersect _).getOrElse(partKept)
-    val kept = (partKept intersect statsKept).toSeq.sorted
+    val partV = all.groupBy(col("file")).agg(min(partKeep).as("__kp"))
+    // range decision: per-column relations intersected by equi-join —
+    // partition pruning × range skipping composes DISTRIBUTED; no
+    // per-file decision set ever materializes on the driver
+    val rels = preds.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val (v, typ) = decisionRelation(spark, Seq(statsPath), c,
+        rangeKeepExpr(_, lo, hi))
+      (v.select(col("file"), col("keep").as(s"__k$i")), typ)
+    }
+    val joined = rels.map(_._1).foldLeft(partV)(_.join(_, Seq("file")))
+    val keepAll = (col("__kp") +: rels.indices.map(i => col(s"__k$i")))
+      .reduce(_ && _)
+    val verdict = joined.select(col("file"), col("__kp"), keepAll.as("keep"))
+    val counts = verdict.agg(count(lit(1)).as("t"),
+      sum(when(col("__kp"), 1L).otherwise(0L)).as("p"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("k")).first()
+    val totalFiles = counts.getLong(0).toInt
+    val nPart = Option(counts.get(1)).fold(0)(_.asInstanceOf[Long].toInt)
+    val nKept = Option(counts.get(2)).fold(0)(_.asInstanceOf[Long].toInt)
+    // basePath read so partition columns come back as data columns; the
+    // kept list streams out bounded ([[keptPaths]] ceiling)
+    val kept = keptPaths(spark, verdict)
     val base = if (kept.isEmpty)
         spark.read.option("basePath", path).parquet(path).limit(0)
       else spark.read.option("basePath", path).parquet(kept: _*)
-    val typOf = preds.map { case (c, lo, hi) =>
-      c -> manifestFileDecisions(spark, Seq(s"$path/_stats"), c, lo, hi)._2
-    }.toMap
     val rowFiltered = (partPreds.map { case (pc, lo, hi, typ) =>
       (pc, lo, hi, typ)
-    } ++ preds.map { case (c, lo, hi) => (c, lo, hi, typOf(c)) })
-      .foldLeft(base) { case (df, (c, lo, hi, typ)) =>
+    } ++ preds.zip(rels.map(_._2)).map { case ((c, lo, hi), typ) =>
+      (c, lo, hi, typ)
+    }).foldLeft(base) { case (df, (c, lo, hi, typ)) =>
         if (typ.isEmpty) df
         else df.filter(col(c).cast(typ) >= lit(lo).cast(typ) &&
           col(c).cast(typ) <= lit(hi).cast(typ))
       }
-    (rowFiltered, kept.size, partKept.size, totalFiles)
+    (rowFiltered, nKept, nPart, totalFiles)
   }
 
   /** The manifest-side skip decision: (kept files, total files) for a
@@ -609,8 +628,10 @@ object Layout {
   private def manifestDecisionPaths(spark: org.apache.spark.sql.SparkSession,
       statsPaths: Seq[String], column: String, lo: String, hi: String)
       : (Seq[String], Int, String) = {
-    val (decided, typ) = manifestFileDecisions(spark, statsPaths, column, lo, hi)
-    (decided.filter(_._2).map(_._1).sorted, decided.length, typ)
+    val (verdict, typ) =
+      decisionRelation(spark, statsPaths, column, rangeKeepExpr(_, lo, hi))
+    val total = verdict.count().toInt
+    (keptPaths(spark, verdict), total, typ)
   }
 
   /** Per-FILE keep verdicts from the manifests — the file-granular form
@@ -648,6 +669,166 @@ object Layout {
     (decided ++ undecided.toSeq.sorted.map(f => (f, true)), typ)
   }
 
+  /** Hard ceiling on KEPT files materialized driver-side by
+    * [[scanFromDecisions]]. Spark's split planning is driver-side (as in
+    * Delta: the scan ultimately needs the kept files' statuses in the
+    * driver), but the ceiling guarantees planning never materializes
+    * MORE than the kept subset — the full decision relation (every
+    * pruned file's verdict) stays distributed. LayoutSpec proves the
+    * bound bites by planning a 50k-file manifest under a tiny ceiling.
+    */
+  val MaxDriverKeptFiles: Int = 2 << 20
+
+  /** The skip decision as a RELATION — (file, n_bytes, keep), computed
+    * entirely as a DataFrame over the `_stats` manifests (the round-10
+    * verdict's O(files)-driver fix): the conservative-undecided rule
+    * (a file with no stats row for the queried column must scan) is a
+    * left join instead of three driver-side collects, so planning a
+    * million-file table never builds a per-file array on the driver.
+    * `keepFor` maps the per-row keep expression from the recorded stat
+    * type; rows for other columns fold into the per-file length via
+    * max(n_bytes) so legacy manifests (no n_bytes column) degrade to a
+    * null length, which [[scanFromDecisions]] backfills with a
+    * getFileStatus only for KEPT files.
+    */
+  private[graft] def decisionRelation(spark: org.apache.spark.sql.SparkSession,
+      statsPaths: Seq[String], column: String,
+      keepFor: String => Column): (DataFrame, String) = {
+    val all = spark.read.parquet(statsPaths: _*)
+    val man = all.filter(col("column") === column)
+    // typ is uniform per column (one writer): a bounded collect — at most
+    // one row per distinct recorded type, never per file
+    val typs = man.select(col("typ")).distinct().collect().map(_.getString(0))
+    require(typs.length <= 1, s"mixed stat types for $column: ${typs.mkString(",")}")
+    val typ = typs.headOption.getOrElse("string")
+    val lenCol = if (all.columns.contains("n_bytes")) col("n_bytes")
+      else lit(null).cast("long")
+    val perFile = all.groupBy(col("file")).agg(max(lenCol).as("n_bytes"))
+    val decided = man.select(col("file"), keepFor(typ).as("keep"))
+    val verdict = perFile.join(decided, Seq("file"), "left")
+      .select(col("file"), col("n_bytes"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+    (verdict, typ)
+  }
+
+  /** Range keep expression over a manifest row, in the column's domain
+    * (shared by the collect-based and relation-based planners).
+    */
+  private[graft] def rangeKeepExpr(typ: String, lo: String, hi: String): Column = {
+    // an ALL-NULL file can never satisfy a range predicate (NULL compares
+    // to nothing) — prunable even though it carries no min/max
+    val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("n_rows")
+    if (typ.isEmpty) lit(true) // opaque type: conservative, scan all
+    else !allNull && (col("min_v").isNull ||
+      (col("max_v").cast(typ) >= lit(lo).cast(typ) &&
+       col("min_v").cast(typ) <= lit(hi).cast(typ)))
+  }
+
+  /** Stream the KEPT file paths (+ lengths) out of a decision relation,
+    * bounded by `maxDriverFiles` — `toLocalIterator` fetches one
+    * partition at a time, so the driver holds the kept subset and never
+    * the full relation. Files whose manifest predates `n_bytes` get one
+    * getFileStatus each (kept files only).
+    */
+  private[graft] def keptStatuses(spark: org.apache.spark.sql.SparkSession,
+      verdict: DataFrame, maxDriverFiles: Int)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    import scala.jdk.CollectionConverters._
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    val it = verdict.filter(col("keep"))
+      .select(col("file"), col("n_bytes")).toLocalIterator().asScala
+    var fsys: org.apache.hadoop.fs.FileSystem = null
+    for (r <- it) {
+      require(buf.size < maxDriverFiles,
+        s"skip scan keeps more than $maxDriverFiles files — refusing to " +
+        "materialize the kept set on the driver; tighten the predicate or " +
+        "raise Layout.MaxDriverKeptFiles")
+      val p = new org.apache.hadoop.fs.Path(r.getString(0))
+      if (r.isNullAt(1)) {
+        if (fsys == null)
+          fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        buf += fsys.getFileStatus(p)
+      } else {
+        buf += new org.apache.hadoop.fs.FileStatus(
+          r.getLong(1), false, 1, 128L << 20, 0L, p)
+      }
+    }
+    buf.toSeq.sortBy(_.getPath.toString)
+  }
+
+  /** Kept PATHS only (no statuses, no RPC backfill) — for callers that
+    * re-read through a path-based reader (hive basePath scans, bloom
+    * candidate fan-out, merge-schema snapshot reads). Same streaming +
+    * ceiling discipline as [[keptStatuses]].
+    */
+  private[graft] def keptPaths(spark: org.apache.spark.sql.SparkSession,
+      verdict: DataFrame, maxDriverFiles: Int = MaxDriverKeptFiles): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = verdict.filter(col("keep")).select(col("file"))
+      .toLocalIterator().asScala
+    for (r <- it) {
+      require(buf.size < maxDriverFiles,
+        s"skip scan keeps more than $maxDriverFiles files — refusing to " +
+        "materialize the kept set on the driver; tighten the predicate or " +
+        "raise Layout.MaxDriverKeptFiles")
+      buf += r.getString(0)
+    }
+    buf.toSeq.sorted
+  }
+
+  /** A [[FileIndex]] over an explicit kept-file list — the scan side of
+    * distributed manifest planning: the relation hands Spark exactly the
+    * files the manifests kept, so no directory listing, no giant vararg
+    * path parse, and pruned files are never touched (their bytes can be
+    * garbage, LayoutSpec-pinned via the 50k synthetic manifest).
+    */
+  private[graft] final class KeptFileIndex(root: org.apache.hadoop.fs.Path,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus])
+      extends org.apache.spark.sql.execution.datasources.FileIndex {
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(root)
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+      Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
+        org.apache.spark.sql.catalyst.InternalRow.empty, statuses.toArray))
+    override def inputFiles: Array[String] =
+      statuses.map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = statuses.map(_.getLen).sum
+    override def partitionSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Nil)
+  }
+
+  /** Build the pruned scan from a decision relation: counts come from ONE
+    * distributed aggregate, only the kept subset streams to the driver
+    * (bounded), the schema comes from a single kept file's footer (never
+    * a listing of the full directory), and the scan is a
+    * [[KeptFileIndex]]-backed HadoopFsRelation — predicate pushdown,
+    * column pruning and whole-stage codegen all apply exactly as for a
+    * path scan. Returns (scan, kept, total).
+    */
+  private[graft] def scanFromDecisions(spark: org.apache.spark.sql.SparkSession,
+      root: String, verdict: DataFrame, emptyPlan: => DataFrame,
+      maxDriverFiles: Int = MaxDriverKeptFiles): (DataFrame, Int, Int) = {
+    val counts = verdict.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept")).first()
+    val total = counts.getLong(0).toInt
+    val kept = Option(counts.get(1)).map(_.asInstanceOf[Long].toInt).getOrElse(0)
+    if (kept == 0) return (emptyPlan, 0, total)
+    val statuses = keptStatuses(spark, verdict, maxDriverFiles)
+    val dataSchema = spark.read.parquet(statuses.head.getPath.toString).schema
+    val idx = new KeptFileIndex(new org.apache.hadoop.fs.Path(root), statuses)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx, org.apache.spark.sql.types.StructType(Nil), dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    (spark.baseRelationToDataFrame(relation), kept, total)
+  }
+
   /** Metadata-only `COUNT(*)`: the table's row count summed from the
     * manifest's per-file `n_rows` — zero data IO, zero footer opens,
     * exactly how Delta answers `SELECT COUNT(*)` from its checkpoint.
@@ -673,24 +854,18 @@ object Layout {
     */
   def skipScanManifestNull(spark: org.apache.spark.sql.SparkSession,
       path: String, column: String, wantNull: Boolean): (DataFrame, Int, Int) = {
-    val all = spark.read.parquet(s"$path/_stats").localCheckpoint(true)
-    val man = all.filter(col("column") === column)
+    // files with no stats row for this column stay conservative (the
+    // decisionRelation left join: never silently prune the unstatted)
     val keepExpr =
       if (wantNull) col("n_nulls").isNull || col("n_nulls") > 0L
       else col("n_nulls").isNull || col("n_nulls") < col("n_rows")
-    val decidedRows = man.select(col("file"), keepExpr.as("keep")).collect()
-      .map(r => (r.getString(0), r.getBoolean(1)))
-    // files with no stats row for this column stay conservative (same
-    // law as manifestFileDecisions: never silently prune the unstatted)
-    val undecided = all.select(col("file")).distinct().collect()
-      .map(_.getString(0)).toSet -- decidedRows.map(_._1).toSet
-    val decided = decidedRows ++ undecided.toSeq.sorted.map(f => (f, true))
-    val kept = decided.filter(_._2).map(_._1).sorted
-    val base = if (kept.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(kept: _*)
+    val (verdict, _) = decisionRelation(spark, Seq(s"$path/_stats"),
+      column, _ => keepExpr)
+    val (base, kept, total) = scanFromDecisions(spark, path, verdict,
+      spark.read.parquet(path).limit(0))
     val filtered = if (wantNull) base.filter(col(column).isNull)
       else base.filter(col(column).isNotNull)
-    (filtered, kept.size, decided.length)
+    (filtered, kept, total)
   }
 
   /** [[skipScan]] planned from the PERSISTED manifest instead of live
@@ -703,14 +878,15 @@ object Layout {
     */
   def skipScanManifest(spark: org.apache.spark.sql.SparkSession, path: String,
       column: String, lo: String, hi: String): (DataFrame, Int, Int) = {
-    val (kept, total, typ) = manifestDecision(spark, path, column, lo, hi)
-    val base = if (kept.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(kept: _*)
+    val (verdict, typ) = decisionRelation(spark, Seq(s"$path/_stats"),
+      column, rangeKeepExpr(_, lo, hi))
+    val (base, kept, total) = scanFromDecisions(spark, path, verdict,
+      spark.read.parquet(path).limit(0))
     val c = col(column)
     val filtered =
       if (typ.isEmpty) base
       else base.filter(c >= lit(lo).cast(typ) && c <= lit(hi).cast(typ))
-    (filtered, kept.size, total)
+    (filtered, kept, total)
   }
 
   /** Executor-side parquet-BLOOM cut for an equality probe: of
@@ -785,16 +961,19 @@ object Layout {
     */
   def skipScanBloomEq(spark: org.apache.spark.sql.SparkSession, path: String,
       column: String, value: String): (DataFrame, Int, Int, Int) = {
-    val (decided, typ) =
-      manifestFileDecisions(spark, Seq(s"$path/_stats"), column, value, value)
-    val rangeKept = decided.filter(_._2).map(_._1)
+    val (verdict, typ) = decisionRelation(spark, Seq(s"$path/_stats"),
+      column, rangeKeepExpr(_, value, value))
+    val total = verdict.count().toInt
+    // the range survivors stream out bounded; they are the bloom probe's
+    // candidate list (the executor fan-out needs the paths regardless)
+    val rangeKept = keptPaths(spark, verdict)
     val kept = bloomKeepFiles(spark, rangeKept, column, value, typ)
     val base = if (kept.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(kept: _*)
     val filtered =
       if (typ.isEmpty) base
       else base.filter(col(column) === lit(value).cast(typ))
-    (filtered, kept.size, rangeKept.size, decided.length)
+    (filtered, kept.size, rangeKept.size, total)
   }
 
   /** MULTI-predicate manifest skipping: conjunctive ranges over SEVERAL
@@ -814,19 +993,24 @@ object Layout {
   def skipScanManifestPreds(spark: org.apache.spark.sql.SparkSession,
       path: String, preds: Seq[(String, String, String)]): (DataFrame, Int, Int) = {
     require(preds.nonEmpty, "at least one (column, lo, hi) predicate")
-    val decisions = preds.map { case (c, lo, hi) =>
-      val (kept, total, typ) = manifestDecision(spark, path, c, lo, hi)
-      (kept.toSet, total, typ)
+    // one decision relation per predicate column, intersected by an
+    // equi-join on file — the conjunction stays distributed end-to-end
+    val rels = preds.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val (v, typ) = decisionRelation(spark, Seq(s"$path/_stats"), c,
+        rangeKeepExpr(_, lo, hi))
+      (v.select(col("file"),
+        col("n_bytes").as(s"__b$i"), col("keep").as(s"__k$i")), typ)
     }
-    val total = decisions.head._2
-    val kept = decisions.map(_._1).reduce(_ intersect _).toSeq.sorted
-    val base = if (kept.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(kept: _*)
-    val filtered = preds.zip(decisions).foldLeft(base) {
-      case (df, ((c, lo, hi), (_, _, typ))) =>
+    val joined = rels.map(_._1).reduce(_.join(_, Seq("file")))
+    val verdict = joined.select(col("file"), col("__b0").as("n_bytes"),
+      rels.indices.map(i => col(s"__k$i")).reduce(_ && _).as("keep"))
+    val (base, kept, total) = scanFromDecisions(spark, path, verdict,
+      spark.read.parquet(path).limit(0))
+    val filtered = preds.zip(rels.map(_._2)).foldLeft(base) {
+      case (df, ((c, lo, hi), typ)) =>
         if (typ.isEmpty) df
         else df.filter(col(c) >= lit(lo).cast(typ) && col(c) <= lit(hi).cast(typ))
     }
-    (filtered, kept.size, total)
+    (filtered, kept, total)
   }
 }

@@ -282,6 +282,55 @@ class LayoutSpec extends SparkSpec {
       "manifest-pruned scan must equal the pre-smash full-scan result")
   }
 
+  test("distributed planning: a 50k-file manifest plans under a tiny kept ceiling (no per-file array on the driver)") {
+    // 4 REAL files (known ranges) + 49,996 SYNTHETIC manifest rows whose
+    // paths don't exist and whose ranges are disjoint from the probe.
+    // Planning with maxDriverFiles=8 must succeed — proving the planner
+    // materializes ONLY the kept subset, never the 50k-row decision
+    // relation — and the scan must equal the real files' filter (the
+    // fake files are never opened: they have no bytes to open).
+    val dir = tmpDir("layout-50k")
+    val out = s"$dir/sorted"
+    val df = (0 until 400).map(i => (i.toLong, i.toLong)).toDF("id", "k")
+    Layout.writeSorted(df, Seq($"k"), 4, out, statsCols = Seq("k"))
+    val real = spark.read.parquet(s"$out/_stats")
+    val fake = spark.range(0, 49996).select(
+      concat(lit(s"$out/fake-"), $"id", lit(".parquet")).as("file"),
+      lit("k").as("column"), lit("long").as("typ"),
+      ($"id" + 1000L).cast("string").as("min_v"),
+      ($"id" + 1000L).cast("string").as("max_v"),
+      lit(100L).as("n_rows"), lit(0L).as("n_nulls"),
+      lit(4096L).as("n_bytes"),
+      map().cast("map<string,string>").as("parts"))
+    val tmpStats = s"$dir/stats_big"
+    real.unionByName(fake).repartition(8).write.parquet(tmpStats)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_stats"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmpStats),
+      new org.apache.hadoop.fs.Path(s"$out/_stats")))
+
+    val (verdict, _) = Layout.decisionRelation(spark, Seq(s"$out/_stats"),
+      "k", Layout.rangeKeepExpr(_, "100", "299"))
+    val (scan, kept, total) = Layout.scanFromDecisions(spark, out, verdict,
+      spark.emptyDataFrame, maxDriverFiles = 8)
+    assert(total == 50000, s"decision relation must cover all $total files")
+    assert(kept >= 1 && kept <= 4, s"only real files overlap [100,299]: $kept")
+    assert(scan.filter($"k" >= 100L && $"k" <= 299L)
+      .select($"id").collect().map(_.getLong(0)).toSet == (100L to 299L).toSet,
+      "pruned scan over the 50k manifest must equal the real filter")
+
+    // the ceiling BITES: a probe keeping the 49k fakes must refuse to
+    // materialize them on the driver instead of silently collecting
+    val (verdictAll, _) = Layout.decisionRelation(spark, Seq(s"$out/_stats"),
+      "k", Layout.rangeKeepExpr(_, "0", "99999"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.scanFromDecisions(spark, out, verdictAll,
+        spark.emptyDataFrame, maxDriverFiles = 8)
+    }
+    assert(e.getMessage.contains("refusing to materialize"))
+  }
+
   test("multi-predicate manifest skipping: kept = intersection, result equals the full scan") {
     val df = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
       .toDF("id", "a", "b")
