@@ -138,8 +138,75 @@ object Versioned {
       dvs, schema, ts, constraints, base)
   }
 
-  /** Stage + CAS-rename the manifest for version `v`. Returns false when
-    * another writer already claimed `v` (the caller lost the race).
+  /** The manifest-publication ATOM — the one seam where the commit
+    * protocol meets a specific store's concurrency primitive (ADVICE
+    * r10 / verdict r10 #6: the rename CAS is correct on HDFS/local but
+    * an object store wants a conditional PUT). Everything above this
+    * seam — version arithmetic, conflict retry, orphan cleanup — is
+    * store-agnostic; `publish` must atomically land `bytes` at `dest`
+    * IFF nothing is there yet and answer false when another writer
+    * already claimed it. Exactly-one-wins under a race is the law
+    * (`VersionedSpec` runs the race against every bundled impl).
+    */
+  trait CommitStore {
+    def publish(f: FileSystem, dest: Path, bytes: Array[Byte]): Boolean
+  }
+
+  /** HDFS/local-FS shape: stage to a uniquely named sibling, then
+    * RENAME onto the destination — Hadoop rename refuses an existing
+    * destination, which is the compare-and-swap. Re-checks exists()
+    * after a failed rename to distinguish "lost the race" from a
+    * genuine IO failure.
+    */
+  object RenameCommitStore extends CommitStore {
+    def publish(f: FileSystem, dest: Path, bytes: Array[Byte]): Boolean = {
+      val tmp = new Path(dest.toString +
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (f.exists(dest)) { f.delete(tmp, false); false }
+      else if (f.rename(tmp, dest)) true
+      else if (f.exists(dest)) { f.delete(tmp, false); false }
+      else throw new java.io.IOException(s"commit rename failed for $dest")
+    }
+  }
+
+  /** Object-store shape (S3 `If-None-Match: *` conditional PUT, GCS
+    * if-generation-match 0): no staging file, ONE create-exclusive call
+    * whose success/already-exists answer IS the CAS — the store itself
+    * refuses the overwrite, no rename semantics required. Implemented
+    * here over Hadoop `create(dest, overwrite=false)` (exclusive-create
+    * on local/HDFS), which is semantically faithful to the conditional
+    * PUT: the racer that loses sees `FileAlreadyExistsException` and
+    * reports false. A partial write on crash leaves a readable-length
+    * anomaly a real object store cannot (PUTs are atomic); manifests
+    * are single-digit-KB so the window is negligible and the next
+    * writer's exists() answer is still correct either way.
+    */
+  object ConditionalPutCommitStore extends CommitStore {
+    def publish(f: FileSystem, dest: Path, bytes: Array[Byte]): Boolean = {
+      if (f.exists(dest)) return false
+      val out =
+        try f.create(dest, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.io.IOException if f.exists(dest) => return false
+        }
+      try out.write(bytes) finally out.close()
+      true
+    }
+  }
+
+  /** The active store — deployment seam, rename by default (correct on
+    * HDFS/local). Swappable for object-store deployments and by
+    * `VersionedSpec`, which runs the commit-race law through every
+    * bundled impl.
+    */
+  @volatile private[graft] var commitStore: CommitStore = RenameCommitStore
+
+  /** Stage + CAS-publish the manifest for version `v` through the
+    * active [[CommitStore]]. Returns false when another writer already
+    * claimed `v` (the caller lost the race).
     */
   private def writeManifest(spark: SparkSession, table: String, v: Long,
       op: String, refs: Seq[String], schemaJson: Option[String],
@@ -151,25 +218,16 @@ object Versioned {
         s"constraint name must not contain ':' or newline: $n")
     }
     val p = manifestPath(table, v)
-    val tmp = new Path(p.toString + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
-    val out = f.create(tmp, true)
-    try out.write(
+    val bytes =
       (s"op=$op" +: (s"ts=${System.currentTimeMillis()}" +:
         (schemaJson.map("schema=" + _).toSeq ++
           base.map("base=" + _).toSeq ++
           dvs.map("dv=" + _) ++
           constraints.map { case (n, e) => s"constraint=$n:$e" } ++ refs)))
-        .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    // Hadoop rename refuses an existing destination — the CAS. Re-check
-    // exists() after a failed rename to distinguish "lost the race" from
-    // a genuine IO failure.
-    if (f.exists(p)) { f.delete(tmp, false); false }
-    else if (f.rename(tmp, p)) true
-    else if (f.exists(p)) { f.delete(tmp, false); false }
-    else throw new java.io.IOException(s"commit rename failed for version $v of $table")
+        .mkString("\n").getBytes("UTF-8")
+    commitStore.publish(f, p, bytes)
   }
 
   /** Columns whose type changed between parent and child — illegal
@@ -1886,6 +1944,150 @@ object Versioned {
       throw new java.util.ConcurrentModificationException(
         s"version ${rootLatest + 1} of $root was committed during the promote; " +
           "the fork base no longer holds")
+    }
+    rootLatest + 1
+  }
+
+  /** THREE-WAY BRANCH MERGE — [[promote]]'s sibling for the DIVERGED
+    * case (the Nessie / Iceberg merge shape): when the root advanced
+    * past the fork point, the branch's commits can still land IFF the
+    * two histories touched DISJOINT files. Each side's delta against
+    * the fork-point snapshot is computed at FILE granularity (refs
+    * expand through [[expandRefFiles]], so a `mergePruned` that
+    * converted a dir ref into file-granular refs diffs precisely: only
+    * the files it actually rewrote count as touched), and a side's
+    * TOUCHED set is the files it removed/rewrote plus the files its
+    * added OR dropped deletion vectors coordinate into. Overlap REFUSES
+    * loudly (`IllegalStateException`) — a silent row-level
+    * reconciliation is how forks eat each other's writes; re-branch and
+    * re-apply is the honest path, exactly [[promote]]'s divergence rule
+    * one level deeper.
+    *
+    * Disjoint histories compose by pure manifest arithmetic at file
+    * level — `merged = (base − removed_root − removed_branch) ∪
+    * added_root ∪ added_branch`, deletion vectors likewise — then
+    * collapse back to whole-dir refs wherever a dir's merged file set
+    * is its complete listing (data dirs are immutable-once-written, so
+    * listing equality is exact). Composing at REF-STRING level instead
+    * would silently resurrect a file one side rewrote when the other
+    * side still references its dir (the rewritten rows would appear
+    * twice); the file-level set algebra is the correctness core.
+    *
+    * Schema: the two heads must be evolution-compatible (no common
+    * column may differ in type — the [[commit]] law applied pairwise);
+    * the merged schema is the field union. Constraints union by name;
+    * one name bound to two different expressions refuses. The manifest
+    * CAS covers the merge-vs-append race: a root writer landing first
+    * makes the computed version stale and this throws
+    * `ConcurrentModificationException`.
+    *
+    * 100 TB shape: merging a what-if backfill branch that rewrote one
+    * partition into a root that appended a day of data costs three
+    * manifest reads, one kilobyte-scale dv-sidecar scan, per-dir
+    * listings, and ONE manifest write — zero bytes copied (branch data
+    * dirs already live in the shared root). Returns the root's new
+    * version.
+    */
+  def merge3(spark: SparkSession, branchTable: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val marker = new Path(s"$branchTable/_dataroot")
+    require(fs(spark, marker).exists(marker),
+      s"merge3 takes a BRANCH, got plain table $branchTable")
+    val root = dataRoot(spark, branchTable).stripSuffix("/data")
+    val b1 = readManifest(spark, branchTable, 1L)
+    val base = b1.base.getOrElse(throw new IllegalArgumentException(
+      s"branch $branchTable records no fork base — created before promote existed"))
+    val rootLatest = latestVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $root"))
+    val branchLatest = latestVersion(spark, branchTable).get
+    val baseM = readManifest(spark, root, base)
+    val rootM = readManifest(spark, root, rootLatest)
+    val branchM = readManifest(spark, branchTable, branchLatest)
+
+    val baseF = expandRefFiles(spark, root, baseM.refs)
+    val rootF = expandRefFiles(spark, root, rootM.refs)
+    val branchF = expandRefFiles(spark, branchTable, branchM.refs)
+
+    def sfx(abs: String): String = {
+      val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
+    }
+    // files a dv set coordinates into — bounded driver materialization:
+    // dv sidecars are kilobyte-scale by design (a table whose dvs grew
+    // large wants compact, which materializes them away)
+    def dvFiles(dvNames: Seq[String]): Set[String] =
+      if (dvNames.isEmpty) Set.empty
+      else spark.read.parquet(
+          dvNames.map(d => s"${dataRoot(spark, root)}/$d"): _*)
+        .select(col("file")).distinct()
+        .collect().map(r => sfx(r.getString(0))).toSet
+
+    final case class Delta(removed: Set[String], added: Set[String],
+        dvAdded: Seq[String], dvRemoved: Seq[String], touched: Set[String])
+    def delta(headF: Set[String], headDvs: Seq[String]): Delta = {
+      val removed = baseF -- headF
+      val added = headF -- baseF
+      val dvAdded = headDvs.filterNot(baseM.dvs.toSet)
+      val dvRemoved = baseM.dvs.filterNot(headDvs.toSet)
+      Delta(removed, added, dvAdded, dvRemoved,
+        removed ++ dvFiles(dvAdded) ++ dvFiles(dvRemoved))
+    }
+    val dr = delta(rootF, rootM.dvs)
+    val db = delta(branchF, branchM.dvs)
+
+    val overlap = dr.touched.intersect(db.touched)
+    if (overlap.nonEmpty)
+      throw new IllegalStateException(
+        s"merge3 refused: root and branch both touched " +
+          s"${overlap.toSeq.sorted.take(5).mkString(", ")}" +
+          (if (overlap.size > 5) s" (+${overlap.size - 5} more)" else "") +
+          " since the fork — re-branch from the current root and re-apply")
+
+    // schema union: pairwise evolution-compatibility, root's field order
+    // first, branch-only fields appended
+    val schemas = Seq(rootM.schemaJson, branchM.schemaJson).flatten.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val mergedSchema: Option[String] =
+      if (schemas.isEmpty) None
+      else if (schemas.length == 1) Some(schemas.head.json)
+      else {
+        val conflicts = typeConflicts(schemas(0), schemas(1))
+        require(conflicts.isEmpty,
+          s"merge3 refused: root and branch schemas conflict: ${conflicts.mkString("; ")}")
+        val rootNames = schemas(0).fieldNames.toSet
+        Some(org.apache.spark.sql.types.StructType(
+          schemas(0).fields ++ schemas(1).fields.filterNot(f =>
+            rootNames.contains(f.name))).json)
+      }
+
+    // constraints union by name; one name, two expressions → refuse
+    val byName = (rootM.constraints ++ branchM.constraints).groupBy(_._1)
+    byName.foreach { case (n, es) =>
+      require(es.map(_._2).distinct.length == 1,
+        s"merge3 refused: constraint $n differs between root and branch")
+    }
+    val mergedConstraints = byName.toSeq.map(_._2.head).sortBy(_._1)
+
+    val mergedF = (baseF -- dr.removed -- db.removed) ++ dr.added ++ db.added
+    // collapse to whole-dir refs where the merged set is the dir's
+    // complete parquet listing (dirs are immutable once written)
+    val mergedRefs = mergedF.groupBy(_.takeWhile(_ != '/')).toSeq
+      .sortBy(_._1).flatMap { case (d, files) =>
+        val dir = new Path(s"${dataRoot(spark, root)}/$d")
+        val listing = fs(spark, dir).listStatus(dir).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .map(n => s"$d/$n").toSet
+        if (files == listing) Seq(d) else files.toSeq.sorted
+      }
+    val mergedDvs =
+      ((baseM.dvs.toSet -- dr.dvRemoved -- db.dvRemoved) ++
+        dr.dvAdded ++ db.dvAdded).toSeq.sorted
+
+    if (!writeManifest(spark, root, rootLatest + 1, "merge3", mergedRefs,
+        mergedSchema, mergedDvs, mergedConstraints)) {
+      throw new java.util.ConcurrentModificationException(
+        s"version ${rootLatest + 1} of $root was committed during the merge; " +
+          "re-read and retry")
     }
     rootLatest + 1
   }

@@ -776,6 +776,55 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // BRANCH THREE-WAY MERGE (Versioned.merge3 — promote's sibling for
+    // the DIVERGED case, the Nessie merge shape): the root advances
+    // past the fork (an append) while the branch independently dv-
+    // deletes from the base files and appends its own rows; because
+    // the two histories touched DISJOINT files, merge3 lands both
+    // effects as ONE manifest write (REQUIRED in-query: zero data dirs
+    // appear in the shared root at merge time, and the pre-merge root
+    // snapshot stays readable). Overlapping histories refuse loudly
+    // (spec-pinned in VersionedSpec). The oracle reconstructs all three
+    // root snapshots: base, base+rootAppend, and the merge (base minus
+    // the branch's deletes plus both appends). At 100 TB: land a
+    // validated what-if backfill into a prod table that kept moving —
+    // three manifest reads, one manifest write, zero bytes copied.
+    "q_branch_merge" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_merge3_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders)
+      val dev = graft.ops.Versioned.branch(s, t, "dev")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      // the root MOVES past the fork: a plain append (touches nothing)
+      graft.ops.Versioned.commit(s, t,
+        orders.filter($"o_orderkey" % 10 === 1L)
+          .select(($"o_orderkey" + maxk).as("o_orderkey"),
+            $"o_custkey", $"o_totalprice"))
+      // the branch diverges: dv delete over the BASE files + an append
+      graft.ops.Versioned.deleteWhere(s, dev, $"o_custkey" % 3 === 0L)
+      graft.ops.Versioned.commit(s, dev,
+        orders.filter($"o_orderkey" % 10 === 4L)
+          .select(($"o_orderkey" + maxk * 2L).as("o_orderkey"),
+            $"o_custkey", $"o_totalprice"))
+      val dirsBefore = new java.io.File(s"$t/data").list().toSet
+      val v = graft.ops.Versioned.merge3(s, dev)
+      require(v == 3L &&
+        new java.io.File(s"$t/data").list().toSet == dirsBefore,
+        "a disjoint merge must be one manifest write, zero data dirs copied")
+      Seq(1L, 2L, 3L).map { ver =>
+        graft.ops.Versioned.read(s, t, Some(ver))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            sum($"o_custkey").as("sum_cust"))
+          .select(lit(ver).as("version"), $"n", $"sum_price", $"sum_cust")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
     // METADATA-ONLY AGGREGATES (Versioned.statsAgg — aggregate pushdown
     // into the stats manifests, dv-aware): phase "meta" SMASHES every
     // data file after two stats commits and still answers
@@ -1824,6 +1873,36 @@ object OpsQueries extends graft.QueryModule {
         |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
         |    CAST(SUM(CAST(v AS decimal(30,2))) AS double),
         |    CAST(SUM(c) AS bigint) FROM head
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
+    "q_branch_merge" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v
+        |       FROM orders),
+        |rootadd AS (
+        |  SELECT k + (SELECT mk FROM mx) AS k, c, v FROM v1 WHERE k % 10 = 1
+        |),
+        |branchadd AS (
+        |  SELECT k + (SELECT mk FROM mx) * 2 AS k, c, v FROM v1 WHERE k % 10 = 4
+        |),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM rootadd),
+        |v3 AS (
+        |  SELECT * FROM v1 WHERE c % 3 <> 0
+        |  UNION ALL SELECT * FROM rootadd
+        |  UNION ALL SELECT * FROM branchadd
+        |),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(v AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(c) AS bigint) AS sum_cust
+        |  FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(v AS decimal(30,2))) AS double),
+        |    CAST(SUM(c) AS bigint) FROM v2
+        |  UNION ALL SELECT CAST(3 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(v AS decimal(30,2))) AS double),
+        |    CAST(SUM(c) AS bigint) FROM v3
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,

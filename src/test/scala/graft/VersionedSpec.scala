@@ -1167,4 +1167,118 @@ class VersionedSpec extends SparkSpec {
     assert(dvCoords(tp).map(_._2) == dvCoords(tu).map(_._2),
       "the pruned path must coordinate exactly the rows the full scan finds")
   }
+
+  test("merge3 lands disjoint diverged histories; overlapping histories refuse loudly") {
+    // two data dirs: ids 1-10 (dir A) and 11-20 (dir B)
+    def seed(name: String): String = {
+      val t = tmpDir(name) + "/t"
+      Versioned.commit(spark, t, (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+      Versioned.commit(spark, t, (11 to 20).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+      t
+    }
+    val t = seed("versioned-merge3")
+    val dev = Versioned.branch(spark, t, "dev")
+    // root: dv-delete in dir A + append; branch: dv-delete in dir B + append
+    Versioned.deleteWhere(spark, t, $"id" === 5L)
+    Versioned.commit(spark, t, Seq((100L, "root")).toDF("id", "s"))
+    Versioned.deleteWhere(spark, dev, $"id" === 15L)
+    Versioned.commit(spark, dev, Seq((200L, "dev")).toDF("id", "s"))
+    val rootHead = Versioned.latestVersion(spark, t).get
+    val dirsBefore = new java.io.File(s"$t/data").list().toSet
+    val v = Versioned.merge3(spark, dev)
+    assert(v == rootHead + 1, "merge3 must land as the root's next version")
+    assert(new java.io.File(s"$t/data").list().toSet == dirsBefore,
+      "a disjoint merge must copy zero data dirs")
+    val want = ((1 to 20).map(i => (i.toLong, s"r$i")) ++
+      Seq((100L, "root"), (200L, "dev")))
+      .filterNot(r => r._1 == 5L || r._1 == 15L).toSet
+    assert(rows(Versioned.read(spark, t)) == want,
+      "both histories' deletes and appends must land")
+    assert(rows(Versioned.read(spark, t, Some(rootHead))) ==
+      ((1 to 20).map(i => (i.toLong, s"r$i")) :+ (100L, "root"))
+        .filterNot(_._1 == 5L).toSet,
+      "the pre-merge root snapshot must stay readable")
+    // overlap: both sides dv-delete rows living in the SAME file
+    val t2 = seed("versioned-merge3-conflict")
+    val dev2 = Versioned.branch(spark, t2, "dev")
+    Versioned.deleteWhere(spark, t2, $"id" === 6L)
+    Versioned.deleteWhere(spark, dev2, $"id" === 7L)
+    val e = intercept[IllegalStateException](Versioned.merge3(spark, dev2))
+    assert(e.getMessage.contains("both touched"),
+      "overlapping histories must refuse, never silently reconcile")
+  }
+
+  test("merge3 merges schema evolution from both sides; type conflicts refuse") {
+    val t = tmpDir("versioned-merge3-schema") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val dev = Versioned.branch(spark, t, "dev")
+    // root adds column x, branch adds column y — legal evolution each
+    Versioned.commit(spark, t, Seq((2L, "b", 9L)).toDF("id", "s", "x"))
+    Versioned.commit(spark, dev, Seq((3L, "c", "why")).toDF("id", "s", "y"))
+    val mv = Versioned.merge3(spark, dev)
+    // the MANIFEST records the union in root-first field order; the scan
+    // itself merges schemas with file-order-dependent column order
+    val recorded = org.apache.spark.sql.types.DataType.fromJson(
+      Versioned.readManifest(spark, t, mv).schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(recorded == Seq("id", "s", "x", "y"),
+      s"merged manifest schema must be the field union, got $recorded")
+    val got = Versioned.read(spark, t).select($"id", $"s", $"x", $"y")
+    val byId = got.collect().map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getString(3)))).toMap
+    assert(byId == Map(
+      1L -> (("a", None, None)),
+      2L -> (("b", Some(9L), None)),
+      3L -> (("c", None, Some("why")))),
+      "rows from every side must null-fill the other side's column")
+    // type conflict: both sides add column z with different types
+    val t2 = tmpDir("versioned-merge3-schema2") + "/t"
+    Versioned.commit(spark, t2, Seq((1L, "a")).toDF("id", "s"))
+    val dev2 = Versioned.branch(spark, t2, "dev")
+    Versioned.commit(spark, t2, Seq((2L, "b", 1L)).toDF("id", "s", "z"))
+    Versioned.commit(spark, dev2, Seq((3L, "c", "zz")).toDF("id", "s", "z"))
+    val e = intercept[IllegalArgumentException](Versioned.merge3(spark, dev2))
+    assert(e.getMessage.contains("schemas conflict"))
+  }
+
+  test("commit race: exactly one writer wins under every CommitStore impl") {
+    val stores = Seq(
+      "rename" -> Versioned.RenameCommitStore,
+      "condput" -> Versioned.ConditionalPutCommitStore)
+    val prior = Versioned.commitStore
+    try stores.foreach { case (nm, store) =>
+      Versioned.commitStore = store
+      val t = tmpDir(s"versioned-store-$nm") + "/t"
+      Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+      val staleParent = Some(1L)
+      Versioned.commit(spark, t, Seq((2L, "winner")).toDF("id", "s"))
+      val dirsBefore = new java.io.File(s"$t/data").list().toSet
+      intercept[java.util.ConcurrentModificationException] {
+        Versioned.commitAt(spark, t, Seq((3L, "loser")).toDF("id", "s"),
+          2L, staleParent, overwrite = false)
+      }
+      assert(new java.io.File(s"$t/data").list().toSet == dirsBefore,
+        s"[$nm] the losing writer must clean up its data dir")
+      assert(rows(Versioned.read(spark, t, Some(2))) ==
+        Set((1L, "a"), (2L, "winner")),
+        s"[$nm] the winner's snapshot must be untouched")
+      assert(Versioned.commit(spark, t,
+        Seq((3L, "loser")).toDF("id", "s")) == 3L,
+        s"[$nm] the loser's refreshed retry must land")
+    } finally Versioned.commitStore = prior
+  }
+
+  test("ConditionalPutCommitStore: second publish of the same destination loses") {
+    val dir = tmpDir("versioned-condput")
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/x.manifest")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Versioned.ConditionalPutCommitStore.publish(
+      fs, dest, "first".getBytes("UTF-8")), "an empty destination must accept")
+    assert(!Versioned.ConditionalPutCommitStore.publish(
+      fs, dest, "second".getBytes("UTF-8")), "a claimed destination must refuse")
+    val got = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/x.manifest")), "UTF-8")
+    assert(got == "first", "the loser must not clobber the winner's bytes")
+  }
 }
