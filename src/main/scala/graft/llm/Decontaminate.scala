@@ -82,4 +82,57 @@ object Decontaminate {
       idCol: String, n: Int): DataFrame =
     corpus.join(flag(corpus, bench, textCol, idCol, n).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** FUZZY decontamination — NEAR-VERBATIM contamination that the exact
+    * [[flag]] misses: a paraphrased or lightly edited benchmark item
+    * shares most-but-not-all of its n-grams with the doc that leaked
+    * it, so no single gram hit is conclusive but the FRACTION is. A
+    * (doc, bench item) pair is contaminated when the CONTAINMENT of
+    * the item's distinct n-grams in the doc's gram set reaches the
+    * threshold: `|grams(bench) ∩ grams(doc)| / |grams(bench)| ≥
+    * tauNum/tauDen`. Containment (not Jaccard) is the right asymmetric
+    * measure — a 100-token eval item hidden in a 100k-token doc should
+    * flag regardless of how much other text surrounds it. The
+    * threshold is an exact RATIONAL compared in integer arithmetic
+    * (`n_hits·tauDen ≥ n_bench·tauNum`), so the DuckDB oracle and this
+    * plan agree bit-for-bit with no float boundary.
+    *
+    * This is EXACT, not banded: MinHash banding would trade recall for
+    * speed the problem doesn't need — the bench side is small by
+    * nature (evals are megabytes), so the full (gram → bench item)
+    * relation BROADCASTS and the corpus side stays a pure map-side
+    * explode+probe, exactly [[flag]]'s 100 TB shape. Only the matched
+    * grams (tiny) shuffle into the per-(doc, bench) count; the corpus
+    * never shuffles and is never deduplicated corpus-wide (distinctness
+    * is enforced on the post-probe hits only).
+    *
+    * Returns `(idCol, bench_id, n_hits, n_bench_grams)` for pairs at or
+    * over the threshold; bench items with fewer than `n` tokens have no
+    * grams and cannot flag anything.
+    */
+  def flagFuzzy(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, benchIdCol: String, n: Int,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0, 1]: $tauNum/$tauDen")
+    val benchGrams = bench
+      .select(col(benchIdCol).as("bench_id"),
+        split(TextOps.norm(col(textCol)), " ").as("__toks"))
+      .select(col("bench_id"), explode(gramsOfToks(col("__toks"), n)).as("__g"))
+      .distinct()
+    val benchSizes = benchGrams.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench_grams"))
+    val corpusGrams = corpus
+      .select(col(idCol), split(TextOps.norm(col(textCol)), " ").as("__toks"))
+      .select(col(idCol), explode(gramsOfToks(col("__toks"), n)).as("__g"))
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(countDistinct(col("__g")).as("n_hits"))
+      .join(broadcast(benchSizes), Seq("bench_id"))
+      .filter(col("n_hits") * lit(tauDen.toLong) >=
+        col("n_bench_grams") * lit(tauNum.toLong))
+      .select(col(idCol), col("bench_id"), col("n_hits"), col("n_bench_grams"))
+  }
 }

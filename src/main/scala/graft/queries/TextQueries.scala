@@ -244,6 +244,32 @@ object TextQueries extends graft.QueryModule {
         .orderBy($"doc_id")
     }),
 
+    // FUZZY DECONTAMINATION (Decontaminate.flagFuzzy — near-verbatim
+    // paraphrase contamination the exact gram check misses): the bench
+    // set is PLANTED PARAPHRASES — each %20==0 doc's first 30 tokens
+    // with every 7th token DROPPED, so no 4-gram spanning a drop
+    // boundary survives but runs between drops match; containment of
+    // the item's grams in its source doc lands ~0.5, caught at tau=2/5
+    // while unrelated docs stay near zero. The threshold compares in
+    // INTEGER arithmetic (n_hits*5 >= n_grams*2) so both engines agree
+    // bit-for-bit. The oracle rebuilds the same dropped-token bench in
+    // SQL and checks gram containment via padded-substring matching —
+    // a completely different algorithm. At 100 TB: the bench gram
+    // relation broadcasts; the corpus is a map-side explode+probe and
+    // never shuffles.
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter($"doc_id" % 20 === 0)
+        .select($"doc_id".as("bench_id"),
+          array_join(filter(
+            slice(split(TextOps.norm($"text"), " "), 1, 30),
+            (_, i) => (i + lit(1)) % 7 =!= 0), " ").as("text"))
+      graft.llm.Decontaminate.flagFuzzy(docs, bench, "text",
+        "doc_id", "bench_id", n = 4, tauNum = 2, tauDen = 5)
+        .orderBy($"doc_id", $"bench_id")
+    }),
+
     "q_hash_split" -> ((s, dir) => {
       import s.implicits._
       val bucket = pmod(TextOps.hash32($"doc_id".cast("string")), lit(100L))
@@ -566,6 +592,41 @@ object TextQueries extends graft.QueryModule {
          |FROM norm n JOIN grams g
          |  ON strpos(' ' || n.t || ' ', ' ' || g.g || ' ') > 0
          |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
+    "q_decontaminate_fuzzy" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, $duckNorm AS t FROM documents
+         |),
+         |src AS (
+         |  SELECT doc_id, list_slice(string_split(t, ' '), 1, 30) AS toks
+         |  FROM norm WHERE doc_id % 20 = 0
+         |),
+         |kept AS (
+         |  SELECT doc_id, i, toks[i] AS tok
+         |  FROM src, UNNEST(generate_series(1, len(toks))) AS u(i)
+         |  WHERE i % 7 <> 0
+         |),
+         |bt AS (
+         |  SELECT doc_id AS bench_id, list(tok ORDER BY i) AS toks
+         |  FROM kept GROUP BY doc_id
+         |),
+         |grams AS (
+         |  SELECT DISTINCT bench_id,
+         |    array_to_string(list_slice(toks, i, i + 3), ' ') AS g
+         |  FROM bt, UNNEST(generate_series(1, len(toks) - 3)) AS u(i)
+         |  WHERE len(toks) >= 4
+         |),
+         |gcount AS (SELECT bench_id, COUNT(1) AS n_b FROM grams GROUP BY bench_id),
+         |hits AS (
+         |  SELECT nm.doc_id, g.bench_id, COUNT(DISTINCT g.g) AS n_hits
+         |  FROM norm nm JOIN grams g
+         |    ON strpos(' ' || nm.t || ' ', ' ' || g.g || ' ') > 0
+         |  GROUP BY 1, 2
+         |)
+         |SELECT h.doc_id, h.bench_id, CAST(h.n_hits AS bigint) AS n_hits,
+         |  CAST(c.n_b AS bigint) AS n_bench_grams
+         |FROM hits h JOIN gcount c USING (bench_id)
+         |WHERE h.n_hits * 5 >= c.n_b * 2
+         |ORDER BY doc_id, bench_id""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,
