@@ -23,9 +23,41 @@ import org.apache.spark.sql.functions._
   */
 object Cep {
 
+  /** Reject regex constructs OUTSIDE the java.util.regex ∩ RE2 shared
+    * fragment — the cross-engine exactness contract ([[matches]]'
+    * oracle runs the same pattern through DuckDB's RE2). INSIDE the
+    * fragment, and therefore first-class here: concatenation, `* + ?`
+    * and alternation, BOUNDED QUANTIFIERS `{m}` / `{m,}` / `{m,n}`
+    * (the MATCH_RECOGNIZE `B{0,3}` shape), and NEGATED CHARACTER
+    * CLASSES `[^…]` over the closed symbol alphabet — which is how
+    * ABSENCE is expressed without lookahead (RE2 has none):
+    * "A then C with no B between" is `a[^b]*c` ([[absencePattern]]).
+    * Rejected loudly: backreferences (`\1`) and lookarounds (`(?=`,
+    * `(?!`, `(?<`) — RE2 lacks both, so a pattern using them would
+    * pass the Spark side and silently diverge from the oracle.
+    */
+  private[graft] def validatePattern(pattern: String): Unit = {
+    require(!"""\\\d""".r.findFirstIn(pattern).isDefined,
+      s"backreferences are outside the cross-engine fragment: $pattern")
+    require(!pattern.contains("(?=") && !pattern.contains("(?!") &&
+      !pattern.contains("(?<"),
+      s"lookarounds are outside the cross-engine fragment: $pattern")
+    java.util.regex.Pattern.compile(pattern): Unit
+  }
+
+  /** The absence-within-sequence pattern: `first`, then `last`, with
+    * NONE of `forbidden` between — `a[^b]*c`, the negated-class
+    * encoding of MATCH_RECOGNIZE's NOT/absence over a CLOSED alphabet
+    * (symbols outside the alphabet were dropped before matching, so
+    * `[^b]` can only consume known symbols, never stray event types).
+    */
+  def absencePattern(first: Char, forbidden: String, last: Char): String =
+    s"$first[^$forbidden]*$last"
+
   /** Per-key `(key, seq_len, n_matches)` — `n_matches` counts
     * non-overlapping occurrences of `pattern` in the key's symbol
-    * string.
+    * string. Patterns may use the full shared fragment, including
+    * bounded quantifiers and negated classes (see [[validatePattern]]).
     */
   def matches(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, typeCol: String, symbols: Map[String, String],
@@ -33,6 +65,7 @@ object Cep {
     require(symbols.nonEmpty, "symbol alphabet must be non-empty")
     require(symbols.values.forall(_.length == 1),
       s"symbols must be single characters: $symbols")
+    validatePattern(pattern)
     val sym = symbols.foldLeft(lit(null).cast("string")) {
       case (acc, (tpe, ch)) => when(col(typeCol) === tpe, lit(ch)).otherwise(acc)
     }

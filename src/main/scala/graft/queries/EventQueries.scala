@@ -87,6 +87,34 @@ object EventQueries extends graft.QueryModule {
         .orderBy($"n_matches")
     }),
 
+    // CEP QUANTIFIERS + ABSENCE (Cep.matches over the full cross-engine
+    // fragment): two MATCH_RECOGNIZE-shaped patterns per user —
+    // `cv{1,2}p` ("click, one-or-two views, purchase", the bounded
+    // quantifier) and `v[^c]*p` ("view then purchase with NO click
+    // between", absence via a negated class over the closed alphabet;
+    // RE2 has no lookahead so this IS the absence encoding) — joined
+    // into one per-(count, count) histogram. The oracle runs the SAME
+    // two regexes through DuckDB's RE2 over string_agg-rebuilt
+    // sequences, so one hash pins the quantifier and negation semantics
+    // across engines. Same 100 TB shape as q_cep_pattern: symbols
+    // collapse map-side, one key shuffle, matching is per-group linear.
+    "q_cep_quantified" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val syms = Map("click" -> "c", "view" -> "v", "purchase" -> "p")
+      val quant = graft.ops.Cep.matches(ev, "user_id", "ts", "event_id",
+        "event_type", syms, "cv{1,2}p")
+        .select($"user_id", $"seq_len", $"n_matches".as("n_quant"))
+      val absent = graft.ops.Cep.matches(ev, "user_id", "ts", "event_id",
+        "event_type", syms, graft.ops.Cep.absencePattern('v', "c", 'p'))
+        .select($"user_id", $"n_matches".as("n_absent"))
+      quant.join(absent, "user_id")
+        .groupBy($"n_quant", $"n_absent")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"seq_len").cast("bigint").as("sum_len"))
+        .orderBy($"n_quant", $"n_absent")
+    }),
+
     // Cohort retention: users bucketed by the week of their FIRST
     // PURCHASE (first-any-event cohorts are degenerate here — every user
     // appears in week one); for each (cohort week, week offset) the
@@ -128,6 +156,26 @@ object EventQueries extends graft.QueryModule {
         |SELECT n_matches, CAST(COUNT(1) AS bigint) AS n_users,
         |  CAST(SUM(seq_len) AS bigint) AS sum_len
         |FROM m GROUP BY n_matches ORDER BY n_matches""".stripMargin,
+    "q_cep_quantified" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'click' THEN 'c'
+        |               WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p' END,
+        |               '' ORDER BY ts, event_id) AS seq
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY user_id
+        |),
+        |m AS (
+        |  SELECT user_id, len(seq) AS seq_len,
+        |    len(regexp_extract_all(seq, 'cv{1,2}p')) AS n_quant,
+        |    len(regexp_extract_all(seq, 'v[^c]*p')) AS n_absent
+        |  FROM seqs
+        |)
+        |SELECT n_quant, n_absent, CAST(COUNT(1) AS bigint) AS n_users,
+        |  CAST(SUM(seq_len) AS bigint) AS sum_len
+        |FROM m GROUP BY n_quant, n_absent
+        |ORDER BY n_quant, n_absent""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
