@@ -324,6 +324,37 @@ object ProfileQueries extends graft.QueryModule {
           max($"l_shipdate").as("max_ship"),
           countDistinct($"l_orderkey").as("n_orders"))
         .orderBy($"l_returnflag")
+    }),
+
+    // C1/C2 AVRO interchange (sources/AvroIO — real Avro object
+    // container files through the avro library itself; no spark-avro
+    // on the classpath, the XlsSource from-scratch precedent): write a
+    // lineitem slice as one container file per partition — longs, ints,
+    // doubles, strings, timestamp-micros, and a DECIMAL column through
+    // the decimal logical type (bytes of the unscaled value) — read it
+    // back distributed (per-file tasks over the binaryFile relation,
+    // schema from the first file's embedded header), aggregate. The
+    // oracle computes the same aggregate from the parquet truth, so one
+    // hash pins every type bridge both ways.
+    "q_avro_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "lineitem").filter($"l_orderkey" % 50 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice".cast("decimal(18,2)").as("l_price_dec"),
+          $"l_returnflag", $"l_shipdate")
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_avro_roundtrip_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(tmp))
+      graft.sources.AvroIO.write(src, tmp)
+      graft.sources.AvroIO.read(s, tmp)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(20,2)")).cast("double").as("sum_qty"),
+          sum($"l_price_dec".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"l_shipdate").as("min_ship"),
+          max($"l_shipdate").as("max_ship"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_returnflag")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -534,6 +565,15 @@ object ProfileQueries extends graft.QueryModule {
       """SELECT l_returnflag, count(1) AS n,
         |  CAST(SUM(CAST(l_quantity AS decimal(20,2))) AS double) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS decimal(30,2))) AS double) AS sum_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_avro_roundtrip" ->
+      """SELECT l_returnflag, count(1) AS n,
+        |  CAST(SUM(CAST(l_quantity AS decimal(20,2))) AS double) AS sum_qty,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS decimal(18,2)) AS decimal(30,2)))
+        |    AS double) AS sum_price,
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem WHERE l_orderkey % 50 = 0
