@@ -1987,8 +1987,15 @@ object Versioned {
     * listings, and ONE manifest write — zero bytes copied (branch data
     * dirs already live in the shared root). Returns the root's new
     * version.
+    *
+    * Runs inside the conflict-retry loop like every maintenance verb
+    * (U7): a racing root commit fails the CAS, the retry RE-READS the
+    * advanced root head and recomputes both deltas against it — if the
+    * racer's writes now overlap the branch's, the retry refuses loudly
+    * exactly as a fresh merge would.
     */
-  def merge3(spark: SparkSession, branchTable: String): Long = {
+  def merge3(spark: SparkSession, branchTable: String,
+      maxAttempts: Int = 5): Long = retryOnConflict(maxAttempts) {
     import org.apache.spark.sql.functions.col
     val marker = new Path(s"$branchTable/_dataroot")
     require(fs(spark, marker).exists(marker),
