@@ -19,6 +19,47 @@ object StreamQueries extends graft.QueryModule {
   private def fresh(prefix: String): String = s"${prefix}_${runId.incrementAndGet()}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAMING SOURCE over the versioned table (sources/VersionedStream
+    // — the Delta streaming-source shape: table VERSIONS are the
+    // offsets, so each commit is processed exactly once by
+    // construction). Phase "append": two commits land, then
+    // readStream.format("graft-versioned") replays the history tagged
+    // with _commit_version. Phase "cdf": a dv delete lands and
+    // mode=cdf streams the full change feed — inserts per commit plus
+    // the deletes, as _change_type rows. The oracle reconstructs both
+    // phases from `orders` arithmetic. At 100 TB: getOffset is one
+    // listing, each micro-batch scans only its versions' added or
+    // churned files — cost tracks the commits, never the table.
+    "q_stream_table_source" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_vsrc_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"
+      val orders = graft.Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders.filter($"o_orderkey" % 3 === 0L))
+      graft.ops.Versioned.commit(s, t, orders.filter($"o_orderkey" % 3 === 1L))
+      val appendPhase = Streams.runToTable(s,
+        s.readStream.format("graft-versioned").option("table", t).load()
+          .groupBy($"_commit_version")
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("sum_key")),
+        fresh("vsrc_append"), "complete")
+        .select(lit("append").as("phase"), $"_commit_version",
+          lit("insert").as("change_type"), $"n", $"sum_key")
+      graft.ops.Versioned.deleteWhere(s, t, $"o_custkey" % 5 === 0L)
+      val cdfPhase = Streams.runToTable(s,
+        s.readStream.format("graft-versioned").option("table", t)
+          .option("mode", "cdf").load()
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("sum_key")),
+        fresh("vsrc_cdf"), "complete")
+        .select(lit("cdf").as("phase"), $"_commit_version",
+          $"_change_type".as("change_type"), $"n", $"sum_key")
+      appendPhase.unionByName(cdfPhase)
+        .orderBy($"phase", $"_commit_version", $"change_type")
+    }),
+
     // Tumbling event-time windows + watermark over a file-source stream.
     "q_stream_window_counts" -> ((s, dir) => {
       import s.implicits._
@@ -319,6 +360,28 @@ object StreamQueries extends graft.QueryModule {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q_stream_table_source" ->
+      """WITH v1 AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
+        |           WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
+        |       WHERE o_orderkey % 3 = 1),
+        |del AS (SELECT k FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |        WHERE c % 5 = 0),
+        |snap AS (
+        |  SELECT 'append' AS phase, CAST(1 AS bigint) AS _commit_version,
+        |    'insert' AS change_type, COUNT(1) AS n,
+        |    CAST(SUM(k) AS bigint) AS sum_key FROM v1
+        |  UNION ALL SELECT 'append', CAST(2 AS bigint), 'insert', COUNT(1),
+        |    CAST(SUM(k) AS bigint) FROM v2
+        |  UNION ALL SELECT 'cdf', CAST(1 AS bigint), 'insert', COUNT(1),
+        |    CAST(SUM(k) AS bigint) FROM v1
+        |  UNION ALL SELECT 'cdf', CAST(2 AS bigint), 'insert', COUNT(1),
+        |    CAST(SUM(k) AS bigint) FROM v2
+        |  UNION ALL SELECT 'cdf', CAST(3 AS bigint), 'delete', COUNT(1),
+        |    CAST(SUM(k) AS bigint) FROM del
+        |)
+        |SELECT phase, _commit_version, change_type, n, sum_key FROM snap
+        |ORDER BY phase, _commit_version, change_type""".stripMargin,
     "q_stream_window_counts" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
         |  COUNT(1) AS n,

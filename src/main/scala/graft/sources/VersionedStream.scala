@@ -1,0 +1,164 @@
+package graft.sources
+
+import graft.ops.Versioned
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** STREAMING SOURCE over a [[Versioned]] table — the Delta streaming
+  * source shape: the commit log IS the offset line. Offsets are table
+  * VERSIONS (monotone longs minted by the CAS), so the micro-batch
+  * contract is exact by construction: batch (start, end] processes the
+  * commits in that version range once, the checkpoint stores plain
+  * version numbers, and a restart resumes from the last committed
+  * version with no dedup state. `readStream.format("graft-versioned")
+  * .option("table", path)` — every downstream streaming capability
+  * (windows, watermarks, stream-stream joins, foreachBatch sinks)
+  * composes on top for free.
+  *
+  * Two modes:
+  *  - `mode=append` (default): each version contributes the rows of its
+  *    NEWLY ADDED data dirs, plus `_commit_version`. A version that
+  *    REMOVES refs or touches deletion vectors (delete / update / merge
+  *    / compact / rollback / overwrite) fails LOUDLY — silently
+  *    streaming an append-view of a table that is being rewritten is
+  *    how downstreams diverge (the Delta `ignoreChanges` foot-gun,
+  *    refused instead of defaulted). Metadata-only commits (constraints)
+  *    contribute zero rows and advance the offset.
+  *  - `mode=cdf`: the full change feed — row columns plus
+  *    `_change_type` ('insert' | 'delete') and `_commit_version`,
+  *    computed per version by [[Versioned.changes]] (cost bounded by
+  *    each commit's churned files). Updates appear as delete+insert
+  *    pairs, exactly the CDF contract.
+  *
+  * `startingVersion` (default 0) replays history from that version
+  * EXCLUSIVE — 0 streams the whole table from its first commit, the
+  * latest-at-start value makes a new-rows-only tail.
+  *
+  * 100 TB shape: getOffset is one directory listing; each micro-batch
+  * plans a bounded parquet scan over the versions' added dirs (append)
+  * or the churned files (cdf) — cost tracks the COMMITS in the batch,
+  * never the table. The schema is pinned at stream start from the
+  * latest manifest; older dirs null-fill evolved columns exactly as
+  * [[Versioned.read]] presents them.
+  */
+object VersionedStream {
+
+  final case class Opts(table: String, cdf: Boolean, startingVersion: Long)
+
+  def parse(params: Map[String, String]): Opts = {
+    val table = params.getOrElse("table",
+      throw new IllegalArgumentException(
+        "graft-versioned source requires .option(\"table\", <path>)"))
+    val mode = params.getOrElse("mode", "append")
+    require(mode == "append" || mode == "cdf",
+      s"mode must be append|cdf, got $mode")
+    Opts(table, mode == "cdf",
+      params.get("startingversion").orElse(params.get("startingVersion"))
+        .map(_.toLong).getOrElse(0L))
+  }
+
+  /** Row columns from the latest manifest's recorded schema, plus the
+    * source's metadata columns.
+    */
+  def sourceSchema(spark: SparkSession, o: Opts): StructType = {
+    val v = Versioned.latestVersion(spark, o.table).getOrElse(
+      throw new IllegalArgumentException(s"no commits under ${o.table}"))
+    val m = Versioned.readManifest(spark, o.table, v)
+    val base = m.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(Versioned.read(spark, o.table).schema)
+    val meta =
+      (if (o.cdf) Seq(StructField("_change_type", StringType, nullable = false))
+       else Seq.empty) :+
+        StructField("_commit_version", LongType, nullable = false)
+    StructType(base.fields ++ meta)
+  }
+}
+
+final class VersionedSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft-versioned"
+
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), VersionedStream.sourceSchema(ctx.sparkSession,
+      VersionedStream.parse(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new VersionedSource(ctx.sparkSession, VersionedStream.parse(parameters))
+}
+
+final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
+    extends Source {
+
+  override val schema: StructType = VersionedStream.sourceSchema(spark, o)
+  private val rowFields = schema.fields.dropRight(if (o.cdf) 2 else 1)
+
+  override def getOffset: Option[Offset] =
+    Versioned.latestVersion(spark, o.table)
+      .filter(_ > o.startingVersion).map(LongOffset(_))
+
+  private def ver(off: Offset): Long = off match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  /** Align a per-version frame to the pinned source schema: evolved-away
+    * columns null-fill, order is the manifest's.
+    */
+  private def align(df: DataFrame, metaCols: Seq[org.apache.spark.sql.Column])
+      : DataFrame =
+    df.select(rowFields.map(f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)) ++ metaCols: _*)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(o.startingVersion)
+    val to = ver(end)
+    val frames = ((from + 1) to to).map { v =>
+      if (o.cdf)
+        align(Versioned.changes(spark, o.table, v)
+            .withColumnRenamed("change_type", "_change_type"),
+          Seq(col("_change_type"), lit(v).as("_commit_version")))
+      else {
+        val m = Versioned.readManifest(spark, o.table, v)
+        val prevRefs: Set[String] =
+          if (v == 1) Set.empty
+          else Versioned.readManifest(spark, o.table, v - 1).refs.toSet
+        val prevDvs: Seq[String] =
+          if (v == 1) Seq.empty
+          else Versioned.readManifest(spark, o.table, v - 1).dvs
+        val removed = prevRefs -- m.refs.toSet
+        if (removed.nonEmpty || m.dvs != prevDvs)
+          throw new IllegalStateException(
+            s"version $v of ${o.table} is not append-only (op=${m.op}: " +
+              s"${removed.size} refs removed, dvs ${prevDvs.size}->${m.dvs.size}); " +
+              "stream with mode=cdf to consume row-level changes")
+        val added = m.refs.filterNot(prevRefs).sorted
+        if (added.isEmpty)
+          align(Versioned.read(spark, o.table, Some(v)).limit(0),
+            Seq(lit(v).as("_commit_version")))
+        else
+          align(spark.read.option("mergeSchema", "true").parquet(
+              added.map(d => s"${Versioned.dataRoot(spark, o.table)}/$d"): _*),
+            Seq(lit(v).as("_commit_version")))
+      }
+    }
+    val batch = frames.reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    org.apache.spark.sql.graftshim.StreamingFrameShim
+      .asStreamingFrame(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.Versioned
+import org.apache.spark.sql.streaming.Trigger
+
+/** Versioned-table streaming source laws: versions ARE offsets (each
+  * commit processed exactly once, checkpoint resume picks up only new
+  * versions), append mode refuses non-append commits loudly, cdf mode
+  * emits the change feed with commit versions.
+  */
+class VersionedStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def runOnce(table: String, name: String, ck: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = spark.readStream.format("graft-versioned")
+      .option("table", table).option("mode", mode).load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("versions are offsets: history replays once, resume is exactly-once") {
+    val t = tmpDir("vstream") + "/t"
+    val ck = tmpDir("vstream-ck")
+    val out = tmpDir("vstream-out")
+    Versioned.commit(spark, t, (1 to 5).map(i => (i.toLong, s"a$i")).toDF("id", "s"))
+    Versioned.commit(spark, t, (6 to 10).map(i => (i.toLong, s"b$i")).toDF("id", "s"))
+    // durable file sink: the memory sink refuses checkpoint recovery, and
+    // the resume law is exactly what needs the recovery path
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("table", t).load()
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val r1 = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want1 = ((1 to 5).map(i => (i.toLong, s"a$i", 1L)) ++
+      (6 to 10).map(i => (i.toLong, s"b$i", 2L))).toSet
+    assert(r1 == want1, s"history must replay with commit versions, got $r1")
+    // a third commit lands; the SAME checkpoint resumes from version 2 —
+    // exactly-once: the new rows appear ONCE and nothing re-emits
+    Versioned.commit(spark, t, Seq((11L, "c11")).toDF("id", "s"))
+    run()
+    val rows2 = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows2.length == 11,
+      s"resume must be exactly-once, got ${rows2.length} rows")
+    assert(rows2.toSet == want1 + ((11L, "c11", 3L)),
+      s"resume must append only the new version, got ${rows2.toSet}")
+  }
+
+  test("startingVersion tails the log from a later commit") {
+    val t = tmpDir("vstream-tail") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "old")).toDF("id", "s"))
+    Versioned.commit(spark, t, Seq((2L, "new")).toDF("id", "s"))
+    val q = spark.readStream.format("graft-versioned")
+      .option("table", t).option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("vs_tail").outputMode("append")
+      .option("checkpointLocation", tmpDir("vstream-tail-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("vs_tail").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == Set((2L, 2L)), s"startingVersion=1 must skip v1, got $got")
+  }
+
+  test("append mode refuses a non-append commit loudly") {
+    val t = tmpDir("vstream-dv") + "/t"
+    Versioned.commit(spark, t, (1 to 4).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    Versioned.deleteWhere(spark, t, $"id" === 2L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(t, "vs_refuse", tmpDir("vstream-dv-ck"))
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ messages(t.getCause))
+    assert(messages(e).exists(_.contains("not append-only")),
+      s"a dv commit must fail the append stream with guidance, got: ${messages(e)}")
+  }
+
+  test("cdf mode streams inserts and deletes with commit versions") {
+    val t = tmpDir("vstream-cdf") + "/t"
+    Versioned.commit(spark, t, (1 to 6).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    Versioned.deleteWhere(spark, t, $"id" % 2L === 0L)
+    val got = runOnce(t, "vs_cdf", tmpDir("vstream-cdf-ck"), mode = "cdf")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val want = (1 to 6).map(i => (i.toLong, "insert", 1L)).toSet ++
+      Seq(2L, 4L, 6L).map(i => (i, "delete", 2L)).toSet
+    assert(got == want, s"cdf stream must carry the full change feed, got $got")
+  }
+}
