@@ -137,6 +137,7 @@ class VersionedChaosSpec extends SparkSpec {
     Versioned.commit(spark, t,
       toDf(rootModel.toSeq.map { case (k, (g, v)) => (k, g, v) }))
     val dev = Versioned.branch(spark, t, "dev")
+    val forkModel: Model = rootModel
     var devModel: Model = rootModel
     var rootAdvanced = false
     var nextId = 5000L
@@ -171,6 +172,25 @@ class VersionedChaosSpec extends SparkSpec {
     if (rootAdvanced) {
       val e = intercept[IllegalArgumentException] { Versioned.promote(spark, dev) }
       assert(e.getMessage.contains("advanced since the fork"))
+    }
+    // merge3 legality on the same chaotic pair: the outcome must be
+    // either a loud file-overlap refusal, or a merged snapshot equal to
+    // the row-level three-way reconciliation (file-disjoint touches
+    // imply each key was changed by at most one side)
+    try {
+      Versioned.merge3(spark, dev)
+      val keys = forkModel.keySet ++ rootModel.keySet ++ devModel.keySet
+      val merged: Model = keys.flatMap { k =>
+        val rootChanged = rootModel.get(k) != forkModel.get(k)
+        val pick = if (rootChanged) rootModel.get(k) else devModel.get(k)
+        pick.map(k -> _)
+      }.toMap
+      assert(snapshot(t) == merged,
+        "a landed merge3 must equal the three-way row-level reconciliation")
+    } catch {
+      case e: IllegalStateException =>
+        assert(e.getMessage.contains("both touched"),
+          s"merge3 may refuse only on file overlap, got: ${e.getMessage}")
     }
     // a quiet-root fork always promotes cleanly after the same verb mix
     val t2 = s"$base/t2"
