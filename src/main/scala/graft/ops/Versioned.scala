@@ -104,7 +104,8 @@ object Versioned {
   private[graft] case class Manifest(op: String, refs: Seq[String],
       dvs: Seq[String], schemaJson: Option[String], ts: Option[Long] = None,
       constraints: Seq[(String, String)] = Seq.empty,
-      base: Option[Long] = None)
+      base: Option[Long] = None,
+      txns: Seq[(String, Long)] = Seq.empty)
 
   private[graft] def readManifest(spark: SparkSession, table: String,
       v: Long): Manifest = {
@@ -131,11 +132,18 @@ object Versioned {
     // (see [[branch]]/[[promote]])
     val base = lines.tail.find(_.startsWith("base="))
       .map(_.stripPrefix("base=").toLong)
+    // txn=<appId>:<batchId> — streaming-sink transaction marks (the
+    // Delta txn action); split on the LAST colon (appIds may hold colons)
+    val txns = lines.tail.filter(_.startsWith("txn=")).map { l =>
+      val body = l.stripPrefix("txn=")
+      val i = body.lastIndexOf(':')
+      (body.substring(0, i), body.substring(i + 1).toLong)
+    }
     Manifest(lines.head.stripPrefix("op="),
       lines.tail.filterNot(l => l.startsWith("schema=") || l.startsWith("dv=") ||
         l.startsWith("ts=") || l.startsWith("constraint=") ||
-        l.startsWith("base=")),
-      dvs, schema, ts, constraints, base)
+        l.startsWith("base=") || l.startsWith("txn=")),
+      dvs, schema, ts, constraints, base, txns)
   }
 
   /** The manifest-publication ATOM — the one seam where the commit
@@ -212,10 +220,14 @@ object Versioned {
       op: String, refs: Seq[String], schemaJson: Option[String],
       dvs: Seq[String] = Seq.empty,
       constraints: Seq[(String, String)] = Seq.empty,
-      base: Option[Long] = None): Boolean = {
+      base: Option[Long] = None,
+      txns: Seq[(String, Long)] = Seq.empty): Boolean = {
     constraints.foreach { case (n, _) =>
       require(!n.contains(':') && !n.contains('\n'),
         s"constraint name must not contain ':' or newline: $n")
+    }
+    txns.foreach { case (a, _) =>
+      require(!a.contains('\n'), s"txn appId must not contain newline: $a")
     }
     val p = manifestPath(table, v)
     val f = fs(spark, p)
@@ -225,7 +237,8 @@ object Versioned {
         (schemaJson.map("schema=" + _).toSeq ++
           base.map("base=" + _).toSeq ++
           dvs.map("dv=" + _) ++
-          constraints.map { case (n, e) => s"constraint=$n:$e" } ++ refs)))
+          constraints.map { case (n, e) => s"constraint=$n:$e" } ++
+          txns.map { case (a, b) => s"txn=$a:$b" } ++ refs)))
         .mkString("\n").getBytes("UTF-8")
     commitStore.publish(f, p, bytes)
   }
@@ -253,10 +266,26 @@ object Versioned {
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
       overwrite: Boolean = false,
-      writerOptions: Map[String, String] = Map.empty): Long = {
+      writerOptions: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long = {
     val parentV = latestVersion(spark, table)
     commitAt(spark, table, df, parentV.getOrElse(0L) + 1, parentV, overwrite,
-      writerOptions)
+      writerOptions, txn)
+  }
+
+  /** Latest transaction mark for `appId` — the streaming-sink
+    * idempotence probe (the Delta `txnVersion` read): walk manifests
+    * newest-first until one carries a `txn=` line for this appId.
+    * O(versions since the app's last commit) driver metadata reads —
+    * a live sink's mark is near the head by construction.
+    */
+  def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
+    val latest = latestVersion(spark, table).getOrElse(return None)
+    (latest to 1L by -1L).iterator
+      .map(v => readManifest(spark, table, v).txns.collectFirst {
+        case (a, b) if a == appId => b
+      })
+      .collectFirst { case Some(b) => b }
   }
 
   /** The commit body with the target version made explicit — what a
@@ -269,9 +298,10 @@ object Versioned {
   private[graft] def commitAt(spark: SparkSession, table: String,
       df: DataFrame, v: Long, parentV: Option[Long],
       overwrite: Boolean,
-      writerOptions: Map[String, String] = Map.empty): Long = {
+      writerOptions: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long = {
     val parent = parentV.map(pv => readManifest(spark, table, pv))
-    if (!overwrite) parent.foreach { case Manifest(_, refs, _, schemaJson, _, _, _) =>
+    if (!overwrite) parent.foreach { case Manifest(_, refs, _, schemaJson, _, _, _, _) =>
       val parentSchema = schemaJson
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -300,7 +330,7 @@ object Versioned {
       if (overwrite || v == 1) Seq.empty else parent.get.dvs
     if (!writeManifest(spark, table, v,
         if (overwrite) "overwrite" else "append", parentRefs :+ dirName,
-        Some(df.schema.json), parentDvs, inherited)) {
+        Some(df.schema.json), parentDvs, inherited, txns = txn.toSeq)) {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")

@@ -60,6 +60,53 @@ object StreamQueries extends graft.QueryModule {
         .orderBy($"phase", $"_commit_version", $"change_type")
     }),
 
+    // STREAMING SINK into a versioned table (sources/VersionedStream:
+    // VersionedSink — the Delta sink's exactly-once discipline): each
+    // appended commit carries a txn=appId:batchId mark; a replayed
+    // batch finds its mark and no-ops. The entry replicates a versioned
+    // source table→table in TWO runs sharing one checkpoint — history
+    // first, then one new upstream commit — and REQUIRES in-query that
+    // the destination holds each row exactly once (the resume
+    // replicated only the new commit) before aggregating. The oracle
+    // reconstructs the replicated union from `orders`. At 100 TB:
+    // versions are the upstream offsets, txn marks the downstream
+    // idempotence — replication needs no dedup state at all.
+    "q_stream_table_sink" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_vsink_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val src = s"$base/src"; val dst = s"$base/dst"; val ck = s"$base/ck"
+      val orders = graft.Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commit(s, src, orders.filter($"o_orderkey" % 4 === 0L))
+      graft.ops.Versioned.commit(s, src, orders.filter($"o_orderkey" % 4 === 1L))
+      def replicate(): Unit = {
+        val q = s.readStream.format("graft-versioned").option("table", src)
+          .load().drop("_commit_version")
+          .writeStream.format("graft-versioned").option("table", dst)
+          .option("checkpointLocation", ck).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      replicate()
+      graft.ops.Versioned.commit(s, src, orders.filter($"o_orderkey" % 4 === 2L))
+      replicate()
+      val dstDf = graft.ops.Versioned.read(s, dst)
+      val (nDst, nDistinct) = {
+        val r = dstDf.agg(count(lit(1)), countDistinct($"o_orderkey")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(nDst == nDistinct,
+        s"resume must replicate exactly-once: $nDst rows, $nDistinct distinct keys")
+      require(graft.ops.Versioned.lastTxn(s, dst, "graft-stream").nonEmpty,
+        "the sink must record its txn mark")
+      dstDf.groupBy(($"o_orderkey" % 4L).as("slice"))
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("sum_key"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"))
+        .orderBy($"slice")
+    }),
+
     // Tumbling event-time windows + watermark over a file-source stream.
     "q_stream_window_counts" -> ((s, dir) => {
       import s.implicits._
@@ -360,6 +407,12 @@ object StreamQueries extends graft.QueryModule {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q_stream_table_sink" ->
+      """SELECT o_orderkey % 4 AS slice, COUNT(1) AS n,
+        |  CAST(SUM(o_orderkey) AS bigint) AS sum_key,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+        |GROUP BY 1 ORDER BY slice""".stripMargin,
     "q_stream_table_source" ->
       """WITH v1 AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
         |           WHERE o_orderkey % 3 = 0),

@@ -2,10 +2,11 @@ package graft.sources
 
 import graft.ops.Versioned
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** STREAMING SOURCE over a [[Versioned]] table — the Delta streaming
@@ -81,7 +82,7 @@ object VersionedStream {
 }
 
 final class VersionedSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-versioned"
 
   override def sourceSchema(ctx: SQLContext,
@@ -94,6 +95,56 @@ final class VersionedSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new VersionedSource(ctx.sparkSession, VersionedStream.parse(parameters))
+
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-versioned sink does not take partition columns (layout is the table's)")
+    require(outputMode == OutputMode.Append(),
+      s"graft-versioned sink supports Append output only, got $outputMode " +
+        "(aggregate upserts want foreachBatch + mergePruned)")
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException(
+        "graft-versioned sink requires .option(\"table\", <path>)"))
+    new VersionedSink(ctx.sparkSession, table,
+      parameters.getOrElse("txnAppId",
+        parameters.getOrElse("txnappid", "graft-stream")))
+  }
+}
+
+/** STREAMING SINK into a [[Versioned]] table — exactly-once the way the
+  * Delta sink does it: every appended commit carries a `txn=appId:batchId`
+  * mark in its manifest, and `addBatch` first probes [[Versioned.lastTxn]]
+  * — a REPLAYED batch (failure between the table commit and the stream
+  * checkpoint advancing) finds its own mark already at or above the
+  * incoming batch id and no-ops. Composed with the source, table→table
+  * streaming replication is exactly-once end to end with no dedup
+  * state: versions are the upstream offsets, txn marks are the
+  * downstream idempotence.
+  */
+final class VersionedSink(spark: SparkSession, table: String, appId: String)
+    extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    var attempt = 0
+    while (true) {
+      if (Versioned.lastTxn(spark, table, appId).exists(_ >= batchId)) return
+      attempt += 1
+      try {
+        Versioned.commit(spark, table,
+          org.apache.spark.sql.graftshim.StreamingFrameShim
+            .asBatchFrame(spark, data),
+          txn = Some(appId -> batchId))
+        return
+      } catch {
+        // a concurrent writer took the version: re-probe the txn mark
+        // (the racer may have BEEN this batch's earlier attempt) and retry
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 5) throw e
+      }
+    }
+  }
+  override def toString: String = s"VersionedSink[$table, appId=$appId]"
 }
 
 final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)

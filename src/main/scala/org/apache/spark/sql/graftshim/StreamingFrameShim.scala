@@ -23,4 +23,14 @@ object StreamingFrameShim {
     classic.internalCreateDataFrame(
       batch.queryExecution.toRdd, batch.schema, isStreaming = true)
   }
+
+  /** The reverse: re-tag a v1 `Sink.addBatch` micro-batch frame (whose
+    * plan is the already-planned incremental execution) as a plain
+    * batch frame a normal writer can consume.
+    */
+  def asBatchFrame(spark: SparkSession, streamBatch: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      streamBatch.queryExecution.toRdd, streamBatch.schema, isStreaming = false)
+  }
 }

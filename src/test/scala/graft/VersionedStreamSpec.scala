@@ -85,6 +85,60 @@ class VersionedStreamSpec extends SparkSpec {
       s"a dv commit must fail the append stream with guidance, got: ${messages(e)}")
   }
 
+  test("sink: table-to-table streaming replication is exactly-once across resume") {
+    val src = tmpDir("vsink-src") + "/t"
+    val dst = tmpDir("vsink-dst") + "/t"
+    val ck = tmpDir("vsink-ck")
+    Versioned.commit(spark, src, (1 to 5).map(i => (i.toLong, s"a$i")).toDF("id", "s"))
+    Versioned.commit(spark, src, (6 to 9).map(i => (i.toLong, s"b$i")).toDF("id", "s"))
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("table", src).load()
+        .drop("_commit_version")
+        .writeStream.format("graft-versioned")
+        .option("table", dst).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    replicate()
+    def dstRows = Versioned.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dstRows.toSet == (1 to 9).map(i =>
+      (i.toLong, s"${if (i <= 5) "a" else "b"}$i")).toSet)
+    // new upstream commit; resume replicates ONLY it, nothing duplicates
+    Versioned.commit(spark, src, Seq((10L, "c10")).toDF("id", "s"))
+    replicate()
+    assert(dstRows.length == 10 && dstRows.toSet ==
+      ((1 to 9).map(i => (i.toLong, s"${if (i <= 5) "a" else "b"}$i")) :+
+        (10L, "c10")).toSet,
+      s"resume must replicate exactly the new commit once, got $dstRows")
+    // the destination's manifests carry the txn marks
+    assert(Versioned.lastTxn(spark, dst, "graft-stream").nonEmpty,
+      "the sink must record its txn mark in the manifest")
+  }
+
+  test("sink: a replayed batch id is a no-op (crash between commit and checkpoint)") {
+    val dst = tmpDir("vsink-replay") + "/t"
+    val sink = new graft.sources.VersionedSink(spark, dst, "app1")
+    import org.apache.spark.sql.graftshim.StreamingFrameShim
+    // addBatch consumes already-planned incremental frames; plain batch
+    // frames exercise the same path through the shim's retag
+    sink.addBatch(0L, Seq((1L, "a")).toDF("id", "s"))
+    sink.addBatch(1L, Seq((2L, "b")).toDF("id", "s"))
+    // the stream dies after committing batch 1 but before its checkpoint
+    // advances: the restart re-delivers batch 1 — must not duplicate
+    sink.addBatch(1L, Seq((2L, "b")).toDF("id", "s"))
+    val got = Versioned.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.length == 2 && got.toSet == Set((1L, "a"), (2L, "b")),
+      s"a replayed batch must be a no-op, got $got")
+    assert(Versioned.lastTxn(spark, dst, "app1") == Some(1L))
+    // a different app's marks are independent
+    assert(Versioned.lastTxn(spark, dst, "app2") == None)
+    sink.addBatch(2L, Seq((3L, "c")).toDF("id", "s"))
+    assert(Versioned.lastTxn(spark, dst, "app1") == Some(2L))
+  }
+
   test("cdf mode streams inserts and deletes with commit versions") {
     val t = tmpDir("vstream-cdf") + "/t"
     Versioned.commit(spark, t, (1 to 6).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
