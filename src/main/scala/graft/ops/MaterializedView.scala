@@ -314,4 +314,193 @@ object MaterializedView {
       (col("sv") / col("cnt")).cast("decimal(30,6)").as("avg"),
       col("mn"), col("mx")): _*)
   }
+
+  // ---------------------------------------------------------------------
+  // JOIN materialized view — the silver→gold shape that actually ships:
+  //   SELECT d.<groupCol>, COUNT(*), SUM(f.<valCol>)
+  //   FROM fact f JOIN dim d ON f.<joinKey> = d.<joinKey> GROUP BY 1
+  // maintained incrementally from BOTH tables' change feeds via the
+  // textbook two-level view graph (incremental view maintenance for
+  // SPJ+agg, Gupta/Mumick): level 1 is the per-join-key fact aggregate
+  // A(jk → cnt, sv) — invertible, folds from the fact CDF exactly like
+  // [[refresh]]; level 2 is the view V(g) = Σ_{(jk,g) ∈ D} A(jk), and
+  // the join delta expands as Δ(A⋈D) = ΔA⋈D_new + A_old⋈ΔD — using the
+  // NEW dim for the fact-side term absorbs the ΔA⋈ΔD cross term, so two
+  // keyed joins of churn-sized deltas maintain the view exactly. The
+  // dim need not be unique on the join key (each dim row contributes
+  // A(jk) to its group independently); null join keys drop on both
+  // sides (inner-join semantics), null GROUPS are legal and fold
+  // null-safe.
+  //
+  // 100 TB shape: the fact side — the petabyte side — is touched only
+  // through its CDF (churn-bounded) and never re-scanned after the
+  // seed; dim churn costs one keyed join against the STORED level-1
+  // aggregate (join-key cardinality, not fact rows). Both levels land
+  // in ONE CAS-renamed state dir named by the applied (factV, dimV)
+  // pair, so the exactly-once/replay-no-op discipline carries over
+  // unchanged.
+  // ---------------------------------------------------------------------
+
+  private val JStateRe = "jstate_f(\\d{6})_d(\\d{6})".r
+
+  /** (factAgg, view, applied fact version, applied dim version). */
+  def currentJoin(spark: SparkSession, mvPath: String)
+      : Option[(DataFrame, DataFrame, Long, Long)] = {
+    val f = fs(spark, mvPath)
+    val root = new Path(mvPath)
+    if (!f.exists(root)) None
+    else {
+      val vs = f.listStatus(root).toSeq.map(_.getPath.getName).collect {
+        case JStateRe(fv, dv) => (fv.toLong, dv.toLong)
+      }
+      if (vs.isEmpty) None
+      else {
+        val (fv, dv) = vs.max
+        val dir = s"$mvPath/jstate_f${"%06d".format(fv)}_d${"%06d".format(dv)}"
+        Some((spark.read.parquet(s"$dir/factagg"),
+          spark.read.parquet(s"$dir/view"), fv, dv))
+      }
+    }
+  }
+
+  private def landJoinState(spark: SparkSession, mvPath: String,
+      factAgg: DataFrame, view: DataFrame, fv: Long, dv: Long): Unit = {
+    val f = fs(spark, mvPath)
+    val tgt = new Path(
+      s"$mvPath/jstate_f${"%06d".format(fv)}_d${"%06d".format(dv)}")
+    val staging = new Path(
+      tgt.toString + s"._staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    factAgg.write.mode("overwrite").parquet(s"$staging/factagg")
+    view.write.mode("overwrite").parquet(s"$staging/view")
+    if (f.exists(tgt)) { f.delete(staging, true); return }
+    if (!f.rename(staging, tgt)) {
+      f.delete(staging, true)
+      if (!f.exists(tgt))
+        throw new java.io.IOException(s"join-MV state rename failed for $tgt")
+    }
+    // one-generation retention, the landState reader-grace rule
+    val present = f.listStatus(new Path(mvPath)).toSeq.map(_.getPath)
+    val gens = present.map(_.getName).collect {
+      case JStateRe(a, b) => (a.toLong, b.toLong)
+    }.filter(_ != ((fv, dv))).sorted
+    gens.dropRight(1).foreach { case (a, b) =>
+      f.delete(new Path(
+        s"$mvPath/jstate_f${"%06d".format(a)}_d${"%06d".format(b)}"), true)
+    }
+  }
+
+  /** Bring the join view up to both sources' latest versions. Returns
+    * (applied fact version, applied dim version). First call seeds from
+    * the live join; a consumer too far behind on either feed re-seeds.
+    * `joinKeyFact` names the fact side's join column when it differs
+    * from the dim's (`o_custkey` vs `c_custkey`); state is keyed by the
+    * DIM's name.
+    */
+  def refreshJoin(spark: SparkSession, factTable: String, dimTable: String,
+      mvPath: String, joinKey: String, groupCol: String, valCol: String,
+      maxCatchup: Int = 64, joinKeyFact: Option[String] = None): (Long, Long) = {
+    val fk = joinKeyFact.getOrElse(joinKey)
+    def normFact(df: DataFrame): DataFrame =
+      if (fk == joinKey) df else df.withColumnRenamed(fk, joinKey)
+    val latestF = Versioned.latestVersion(spark, factTable)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $factTable"))
+    val latestD = Versioned.latestVersion(spark, dimTable)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $dimTable"))
+    val f = fs(spark, mvPath)
+    if (f.exists(new Path(mvPath)))
+      f.listStatus(new Path(mvPath)).toSeq.map(_.getPath)
+        .filter(_.getName.contains("._staging"))
+        .foreach(f.delete(_, true))
+    val dec = col(valCol).cast("decimal(30,6)")
+
+    def seed(): (Long, Long) = {
+      val fact = normFact(Versioned.read(spark, factTable, Some(latestF)))
+        .filter(col(joinKey).isNotNull)
+      val dim = Versioned.read(spark, dimTable, Some(latestD))
+        .filter(col(joinKey).isNotNull)
+      val factAgg = fact.groupBy(col(joinKey))
+        .agg(count(lit(1)).as("cnt"), sum(dec).as("sv"))
+      val view = fact.alias("f")
+        .join(dim.alias("d"), col(s"f.$joinKey") === col(s"d.$joinKey"))
+        .groupBy(col(s"d.$groupCol").as(groupCol))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(s"f.$valCol").cast("decimal(30,6)")).as("sv"))
+      landJoinState(spark, mvPath, factAgg, view, latestF, latestD)
+      (latestF, latestD)
+    }
+
+    currentJoin(spark, mvPath) match {
+      case Some((_, _, fv, dv)) if fv >= latestF && dv >= latestD => (fv, dv)
+      case None => seed()
+      case Some((_, _, fv, dv))
+          if latestF - fv > maxCatchup || latestD - dv > maxCatchup => seed()
+      case Some((factAgg0, view0, fv, dv)) =>
+        val w = when(col("change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+        // level 1: fact CDF → ΔA per join key (empty frame when caught up)
+        val dA =
+          if (latestF == fv)
+            factAgg0.limit(0).select(col(joinKey), col("cnt").as("dc"),
+              col("sv").as("dsv"))
+          else normFact((fv + 1 to latestF).map(v =>
+              Versioned.changes(spark, factTable, v))
+            .reduce(_.unionByName(_, allowMissingColumns = true)))
+            .filter(col(joinKey).isNotNull)
+            .withColumn("__w", w)
+            .groupBy(col(joinKey))
+            .agg(sum(col("__w")).as("dc"), sum(col("__w") * dec).as("dsv"))
+        val factAgg1 = factAgg0.alias("s")
+          .join(dA.alias("d"), col(s"s.$joinKey") === col(s"d.$joinKey"), "full_outer")
+          .select(
+            coalesce(col(s"s.$joinKey"), col(s"d.$joinKey")).as(joinKey),
+            (coalesce(col("s.cnt"), lit(0L)) + coalesce(col("d.dc"), lit(0L))).as("cnt"),
+            (coalesce(col("s.sv"), lit(0).cast("decimal(30,6)")) +
+              coalesce(col("d.dsv"), lit(0).cast("decimal(30,6)"))).as("sv"))
+          .filter(col("cnt") > 0)
+        // level 2, term 1: ΔA ⋈ D_new (the new dim absorbs the cross term)
+        val dimNew = Versioned.read(spark, dimTable, Some(latestD))
+          .filter(col(joinKey).isNotNull)
+        val t1 = dA.alias("a")
+          .join(dimNew.alias("d"), col(s"a.$joinKey") === col(s"d.$joinKey"))
+          .select(col(s"d.$groupCol").as(groupCol),
+            col("a.dc").as("dc"), col("a.dsv").as("dsv"))
+        // level 2, term 2: A_old ⋈ ΔD (each dim-row change moves the OLD
+        // per-key fact mass into/out of its group)
+        val t2 =
+          if (latestD == dv) t1.limit(0)
+          else (dv + 1 to latestD).map(v =>
+              Versioned.changes(spark, dimTable, v))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+            .filter(col(joinKey).isNotNull)
+            .withColumn("__w", w).alias("cd")
+            .join(factAgg0.alias("a0"), col(s"cd.$joinKey") === col(s"a0.$joinKey"))
+            .select(col(s"cd.$groupCol").as(groupCol),
+              (col("__w") * col("a0.cnt")).as("dc"),
+              (col("__w") * col("a0.sv")).as("dsv"))
+        val dV = t1.unionByName(t2)
+          .groupBy(col(groupCol))
+          .agg(sum(col("dc")).as("dc"),
+            sum(col("dsv")).cast("decimal(30,6)").as("dsv"))
+        val view1 = view0.alias("s")
+          .join(dV.alias("d"), col(s"s.$groupCol") <=> col(s"d.$groupCol"), "full_outer")
+          .select(
+            coalesce(col(s"s.$groupCol"), col(s"d.$groupCol")).as(groupCol),
+            (coalesce(col("s.cnt"), lit(0L)) + coalesce(col("d.dc"), lit(0L))).as("cnt"),
+            (coalesce(col("s.sv"), lit(0).cast("decimal(30,6)")) +
+              coalesce(col("d.dsv"), lit(0).cast("decimal(30,6)"))).as("sv"))
+          .filter(col("cnt") > 0)
+        landJoinState(spark, mvPath, factAgg1, view1, latestF, latestD)
+        (latestF, latestD)
+    }
+  }
+
+  /** The join view surfaced for reading: group, `cnt`, exact `sv`,
+    * derived `avg`.
+    */
+  def readJoinView(spark: SparkSession, mvPath: String,
+      groupCol: String): DataFrame = {
+    val (_, view, _, _) = currentJoin(spark, mvPath)
+      .getOrElse(throw new IllegalArgumentException(s"no join-MV state under $mvPath"))
+    view.select(col(groupCol), col("cnt"), col("sv"),
+      (col("sv") / col("cnt")).cast("decimal(30,6)").as("avg"))
+  }
 }

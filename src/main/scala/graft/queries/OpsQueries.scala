@@ -1076,6 +1076,55 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"o_orderstatus")
     }),
 
+    // JOIN MATERIALIZED VIEW (MaterializedView.refreshJoin — the
+    // silver→gold shape that actually ships: fact JOIN dim GROUP BY a
+    // dim attribute, maintained incrementally from BOTH tables' change
+    // feeds via the two-level view graph: a per-join-key fact aggregate
+    // folds from the fact CDF; the join delta expands as
+    // ΔA⋈D_new + A_old⋈ΔD, absorbing the cross term). The entry seeds
+    // orders×customer per market segment, then churns the FACT (dv
+    // delete + append) and the DIM (re-segment an eighth of the
+    // customers, delete a slice) before ONE refresh drains all four.
+    // The oracle rebuilds the final join from scratch. At 100 TB: the
+    // petabyte fact side is touched only through its churn-bounded
+    // CDF after the seed; dim churn costs one keyed join against the
+    // STORED per-key aggregate — never a fact re-scan.
+    "q_mv_join" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_mvjoin_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val fact = s"$base/fact"; val dim = s"$base/dim"; val mv = s"$base/mv"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val customer = Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+      graft.ops.Versioned.commit(s, fact, orders)
+      graft.ops.Versioned.commit(s, dim, customer)
+      require(graft.ops.MaterializedView.refreshJoin(s, fact, dim, mv,
+        "c_custkey", "c_mktsegment", "o_totalprice",
+        joinKeyFact = Some("o_custkey")) == ((1L, 1L)),
+        "seed must land at (1, 1)")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      // fact churn: dv delete + append
+      graft.ops.Versioned.deleteWhere(s, fact, $"o_orderkey" % 6 === 0L)
+      graft.ops.Versioned.commit(s, fact,
+        orders.filter($"o_orderkey" % 10 === 3L)
+          .select(($"o_orderkey" + maxk).as("o_orderkey"),
+            $"o_custkey", $"o_totalprice"))
+      // dim churn: re-segment + delete
+      graft.ops.Versioned.updateWhere(s, dim, $"c_custkey" % 8 === 0L,
+        Map("c_mktsegment" -> lit("RESEGMENTED")))
+      graft.ops.Versioned.deleteWhere(s, dim, $"c_custkey" % 9 === 0L)
+      require(graft.ops.MaterializedView.refreshJoin(s, fact, dim, mv,
+        "c_custkey", "c_mktsegment", "o_totalprice",
+        joinKeyFact = Some("o_custkey")) == ((3L, 3L)),
+        "one refresh must drain fact and dim churn together")
+      graft.ops.MaterializedView.readJoinView(s, mv, "c_mktsegment")
+        .select($"c_mktsegment", $"cnt", $"sv".cast("double").as("sv"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // MV WITH MIN/MAX (MaterializedView.refreshMinMax — past the
     // invertible family, round-10 verdict #3): a per-status
     // COUNT/SUM/MIN/MAX/AVG view is seeded, then the source churns
@@ -1940,6 +1989,25 @@ object OpsQueries extends graft.QueryModule {
         |SELECT g AS o_orderstatus, CAST(COUNT(1) AS bigint) AS cnt,
         |  CAST(SUM(CAST(v AS decimal(30,6))) AS double) AS sv
         |FROM final GROUP BY g ORDER BY g""".stripMargin,
+    "q_mv_join" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |f0 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v
+        |       FROM orders),
+        |f1 AS (
+        |  SELECT * FROM f0 WHERE k % 6 <> 0
+        |  UNION ALL
+        |  SELECT k + (SELECT mk FROM mx), c, v FROM f0 WHERE k % 10 = 3
+        |),
+        |d1 AS (
+        |  SELECT c_custkey AS c,
+        |    CASE WHEN c_custkey % 8 = 0 THEN 'RESEGMENTED'
+        |         ELSE c_mktsegment END AS g
+        |  FROM customer WHERE c_custkey % 9 <> 0
+        |)
+        |SELECT d1.g AS c_mktsegment, CAST(COUNT(1) AS bigint) AS cnt,
+        |  CAST(SUM(CAST(v AS decimal(30,6))) AS double) AS sv
+        |FROM f1 JOIN d1 ON f1.c = d1.c
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q_mv_minmax" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey AS k, o_orderstatus AS g, o_totalprice AS v

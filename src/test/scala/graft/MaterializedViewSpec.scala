@@ -163,4 +163,79 @@ class MaterializedViewSpec extends SparkSpec {
       nulls.head.getDecimal(2).longValue == 20L,
       "the NULL group must stay a single group through the null-safe fold")
   }
+
+  // --- join MV -----------------------------------------------------------
+
+  private def joinFull(fact: String, dim: String): Set[(String, Long, String)] =
+    Versioned.read(spark, fact).alias("f")
+      .join(Versioned.read(spark, dim).alias("d"), $"f.k" === $"d.k")
+      .groupBy($"d.g")
+      .agg(count(lit(1)).as("cnt"), sum($"f.v".cast("decimal(30,6)")).as("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros.toPlainString)).toSet
+
+  private def joinView(mv: String): Set[(String, Long, String)] =
+    MaterializedView.readJoinView(spark, mv, "g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros.toPlainString)).toSet
+
+  test("join MV equals full recompute under fact churn, dim churn, and both at once") {
+    val base = tmpDir("mv-join")
+    val fact = s"$base/fact"; val dim = s"$base/dim"; val mv = s"$base/mv"
+    Versioned.commit(spark, fact,
+      (1 to 120).map(i => (i.toLong, (i % 12).toLong, i.toLong * 2)).toDF("id", "k", "v"))
+    Versioned.commit(spark, dim,
+      (0 to 11).map(k => (k.toLong, s"seg${k % 3}")).toDF("k", "g"))
+    assert(MaterializedView.refreshJoin(spark, fact, dim, mv,
+      "k", "g", "v") == ((1L, 1L)))
+    assert(joinView(mv) == joinFull(fact, dim), "seed must equal the live join")
+    // fact-only churn: dv delete + MoR update + append
+    Versioned.deleteWhere(spark, fact, $"id" % 5 === 0L)
+    Versioned.updateWhere(spark, fact, $"id" < 15L, Map("v" -> ($"v" + 100L)))
+    Versioned.commit(spark, fact,
+      (121 to 140).map(i => (i.toLong, (i % 7).toLong, i.toLong)).toDF("id", "k", "v"))
+    assert(MaterializedView.refreshJoin(spark, fact, dim, mv,
+      "k", "g", "v") == ((4L, 1L)))
+    assert(joinView(mv) == joinFull(fact, dim), "fact churn must fold exactly")
+    // dim-only churn: re-segment two keys (update), drop one key entirely
+    Versioned.updateWhere(spark, dim, $"k" < 2L, Map("g" -> lit("seg9")))
+    Versioned.deleteWhere(spark, dim, $"k" === 7L)
+    assert(MaterializedView.refreshJoin(spark, fact, dim, mv,
+      "k", "g", "v") == ((4L, 3L)))
+    assert(joinView(mv) == joinFull(fact, dim),
+      "dim churn must move the stored per-key fact mass between groups")
+    // both feeds churn before one refresh (the cross-term case)
+    Versioned.commit(spark, fact,
+      (141 to 150).map(i => (i.toLong, (i % 12).toLong, i.toLong)).toDF("id", "k", "v"))
+    Versioned.commit(spark, dim, Seq((12L, "seg_new")).toDF("k", "g"))
+    Versioned.deleteWhere(spark, fact, $"id" % 11 === 0L)
+    Versioned.updateWhere(spark, dim, $"k" === 3L, Map("g" -> lit("seg9")))
+    assert(MaterializedView.refreshJoin(spark, fact, dim, mv,
+      "k", "g", "v") == ((6L, 5L)))
+    assert(joinView(mv) == joinFull(fact, dim),
+      "simultaneous fact+dim churn must fold exactly (DeltaA x DeltaD absorbed)")
+    // replay is a no-op
+    assert(MaterializedView.refreshJoin(spark, fact, dim, mv,
+      "k", "g", "v") == ((6L, 5L)))
+    assert(joinView(mv) == joinFull(fact, dim))
+  }
+
+  test("join MV: null join keys drop (inner-join semantics), null groups fold") {
+    val base = tmpDir("mv-join-null")
+    val fact = s"$base/fact"; val dim = s"$base/dim"; val mv = s"$base/mv"
+    Versioned.commit(spark, fact,
+      Seq((1L, Some(1L), 10L), (2L, None, 99L), (3L, Some(2L), 20L))
+        .toDF("id", "k", "v"))
+    Versioned.commit(spark, dim,
+      Seq((1L, Some("a")), (2L, None)).toDF("k", "g"))
+    MaterializedView.refreshJoin(spark, fact, dim, mv, "k", "g", "v")
+    // fact row with null k never joins; dim group NULL is a real group
+    Versioned.commit(spark, fact,
+      Seq((4L, Some(2L), 5L), (5L, Option.empty[Long], 7L)).toDF("id", "k", "v"))
+    MaterializedView.refreshJoin(spark, fact, dim, mv, "k", "g", "v")
+    val got = joinView(mv)
+    assert(got == Set(("a", 1L, "10"), (null, 2L, "25")),
+      s"null-key rows must drop, null groups must fold: $got")
+  }
 }
