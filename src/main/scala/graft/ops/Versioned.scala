@@ -105,7 +105,12 @@ object Versioned {
       dvs: Seq[String], schemaJson: Option[String], ts: Option[Long] = None,
       constraints: Seq[(String, String)] = Seq.empty,
       base: Option[Long] = None,
-      txns: Seq[(String, Long)] = Seq.empty)
+      txns: Seq[(String, Long)] = Seq.empty,
+      features: Set[String] = Set.empty,
+      colmap: Map[String, String] = Map.empty) {
+    /** Physical column name for a logical field (identity when unmapped). */
+    def physicalOf(logical: String): String = colmap.getOrElse(logical, logical)
+  }
 
   private[graft] def readManifest(spark: SparkSession, table: String,
       v: Long): Manifest = {
@@ -139,12 +144,36 @@ object Versioned {
       val i = body.lastIndexOf(':')
       (body.substring(0, i), body.substring(i + 1).toLong)
     }
+    // feature=<name> — reader/writer protocol gates (the Delta table-
+    // features idea): a manifest naming a feature this build does not
+    // know CANNOT be interpreted safely (its unknown lines might change
+    // read semantics), so readManifest refuses it loudly right here —
+    // the one choke point every verb passes through.
+    val features = lines.tail.filter(_.startsWith("feature="))
+      .map(_.stripPrefix("feature=")).toSet
+    val unknown = features -- SupportedFeatures
+    require(unknown.isEmpty,
+      s"version $v of $table requires table features this engine does not " +
+        s"support: ${unknown.toSeq.sorted.mkString(", ")} — upgrade before reading")
+    // colmap=<logical>:<physical> — column-mapping entries (first colon
+    // splits: physical names are writer-minted and colon-free)
+    val colmap = lines.tail.filter(_.startsWith("colmap=")).map { l =>
+      val body = l.stripPrefix("colmap=")
+      val i = body.indexOf(':')
+      (body.substring(0, i), body.substring(i + 1))
+    }.toMap
     Manifest(lines.head.stripPrefix("op="),
       lines.tail.filterNot(l => l.startsWith("schema=") || l.startsWith("dv=") ||
         l.startsWith("ts=") || l.startsWith("constraint=") ||
-        l.startsWith("base=") || l.startsWith("txn=")),
-      dvs, schema, ts, constraints, base, txns)
+        l.startsWith("base=") || l.startsWith("txn=") ||
+        l.startsWith("feature=") || l.startsWith("colmap=")),
+      dvs, schema, ts, constraints, base, txns, features, colmap)
   }
+
+  /** Features this build can read and write. A manifest naming anything
+    * else refuses at [[readManifest]].
+    */
+  val SupportedFeatures: Set[String] = Set("column-mapping")
 
   /** The manifest-publication ATOM — the one seam where the commit
     * protocol meets a specific store's concurrency primitive (ADVICE
@@ -221,7 +250,9 @@ object Versioned {
       dvs: Seq[String] = Seq.empty,
       constraints: Seq[(String, String)] = Seq.empty,
       base: Option[Long] = None,
-      txns: Seq[(String, Long)] = Seq.empty): Boolean = {
+      txns: Seq[(String, Long)] = Seq.empty,
+      features: Set[String] = Set.empty,
+      colmap: Map[String, String] = Map.empty): Boolean = {
     constraints.foreach { case (n, _) =>
       require(!n.contains(':') && !n.contains('\n'),
         s"constraint name must not contain ':' or newline: $n")
@@ -236,12 +267,26 @@ object Versioned {
       (s"op=$op" +: (s"ts=${System.currentTimeMillis()}" +:
         (schemaJson.map("schema=" + _).toSeq ++
           base.map("base=" + _).toSeq ++
+          features.toSeq.sorted.map("feature=" + _) ++
+          colmap.toSeq.sorted.map { case (l, ph) => s"colmap=$l:$ph" } ++
           dvs.map("dv=" + _) ++
           constraints.map { case (n, e) => s"constraint=$n:$e" } ++
           txns.map { case (a, b) => s"txn=$a:$b" } ++ refs)))
         .mkString("\n").getBytes("UTF-8")
     commitStore.publish(f, p, bytes)
   }
+
+  /** Refuse a verb that carries manifest state forward without
+    * understanding column mapping — every verb that REWRITES data
+    * through [[read]]+[[commit]] materializes the logical view and is
+    * naturally safe; the gated ones thread refs/dvs/schema verbatim and
+    * would silently strip or mis-bind the mapping.
+    */
+  private def requireNoFeatures(m: Manifest, table: String, verb: String): Unit =
+    require(m.features.isEmpty,
+      s"$verb does not support table features " +
+        s"(${m.features.toSeq.sorted.mkString(", ")}) on $table — " +
+        "materialize via read+commit, or use the feature-aware verbs")
 
   /** Columns whose type changed between parent and child — illegal
     * evolution (added/dropped columns are fine; reads merge schemas).
@@ -301,36 +346,51 @@ object Versioned {
       writerOptions: Map[String, String] = Map.empty,
       txn: Option[(String, Long)] = None): Long = {
     val parent = parentV.map(pv => readManifest(spark, table, pv))
-    if (!overwrite) parent.foreach { case Manifest(_, refs, _, schemaJson, _, _, _, _) =>
-      val parentSchema = schemaJson
+    if (!overwrite) parent.foreach { m =>
+      val parentSchema = m.schemaJson
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse(spark.read.parquet(refs.map(d => s"${dataRoot(spark, table)}/$d"): _*).schema)
+        .getOrElse(spark.read.parquet(m.refs.map(d => s"${dataRoot(spark, table)}/$d"): _*).schema)
       val conflicts = typeConflicts(parentSchema, df.schema)
       require(conflicts.isEmpty,
         s"incompatible schema change on append to $table: ${conflicts.mkString("; ")}")
     }
+    // Column mapping: incoming frames speak LOGICAL names; data dirs are
+    // written under the PHYSICAL names so every dir — pre- and post-
+    // rename — stays consistent on disk (an overwrite drops the mapping:
+    // it replaces the table, so its own names become physical truth).
+    val mapping: Map[String, String] =
+      if (overwrite) Map.empty else parent.map(_.colmap).getOrElse(Map.empty)
+    val physDf =
+      if (mapping.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(c)
+          .as(mapping.getOrElse(c, c))): _*)
     // Unique dir name: racing writers can never collide on the data path,
     // and a crashed writer's orphan can never block a later commit.
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.options(writerOptions).mode("errorifexists")
+    physDf.write.options(writerOptions).mode("errorifexists")
       .parquet(s"${dataRoot(spark, table)}/$dirName")
     // CHECK constraints are table metadata: they survive overwrites and
     // are enforced on every row-adding commit. Validation scans the
     // WRITTEN dir (one extra pass over the DELTA, never the table, and
     // the input plan is not recomputed); a violation deletes the dir
-    // and fails before any manifest can reference it.
+    // and fails before any manifest can reference it. Constraint exprs
+    // speak logical names — the scan maps back before evaluating.
     val inherited = parent.map(_.constraints).getOrElse(Seq.empty)
-    validateConstraints(spark, table, dirName, inherited)
+    validateConstraints(spark, table, dirName, inherited, mapping)
     val parentRefs =
       if (overwrite || v == 1) Seq.empty else parent.get.refs
     // an append keeps the parent's deletion vectors too — dropping them
     // would resurrect every merge-on-read-deleted row
     val parentDvs =
       if (overwrite || v == 1) Seq.empty else parent.get.dvs
+    val parentFeatures =
+      if (overwrite) Set.empty[String] else parent.map(_.features).getOrElse(Set.empty)
     if (!writeManifest(spark, table, v,
         if (overwrite) "overwrite" else "append", parentRefs :+ dirName,
-        Some(df.schema.json), parentDvs, inherited, txns = txn.toSeq)) {
+        Some(df.schema.json), parentDvs, inherited, txns = txn.toSeq,
+        features = parentFeatures, colmap = mapping)) {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
@@ -344,10 +404,19 @@ object Versioned {
     * and deletes the dir on the first violated constraint.
     */
   private def validateConstraints(spark: SparkSession, table: String,
-      dirName: String, constraints: Seq[(String, String)]): Unit =
+      dirName: String, constraints: Seq[(String, String)],
+      mapping: Map[String, String] = Map.empty): Unit =
     if (constraints.nonEmpty) {
-      import org.apache.spark.sql.functions.{expr, sum, when}
-      val written = spark.read.parquet(s"${dataRoot(spark, table)}/$dirName")
+      import org.apache.spark.sql.functions.{col, expr, sum, when}
+      val raw = spark.read.parquet(s"${dataRoot(spark, table)}/$dirName")
+      // surface logical names to the constraint expressions
+      val written =
+        if (mapping.isEmpty) raw
+        else {
+          val inverse = mapping.map(_.swap)
+          raw.select(raw.columns.toSeq.map(c =>
+            col(c).as(inverse.getOrElse(c, c))): _*)
+        }
       val aggs = constraints.map { case (n, e) =>
         sum(when(expr(e) === false, 1L).otherwise(0L)).as(n)
       }
@@ -427,6 +496,7 @@ object Versioned {
     */
   def rollback(spark: SparkSession, table: String, toVersion: Long): Long = {
     val m = readManifest(spark, table, toVersion)
+    requireNoFeatures(m, table, "rollback")
     val v = latestVersion(spark, table).get + 1
     if (!writeManifest(spark, table, v, "rollback", m.refs, m.schemaJson,
         m.dvs, m.constraints))
@@ -450,6 +520,7 @@ object Versioned {
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
+    requireNoFeatures(m, table, "addConstraint")
     require(!m.constraints.exists(_._1 == name),
       s"constraint '$name' already exists on $table")
     val bad = read(spark, table, Some(parentV))
@@ -538,8 +609,100 @@ object Versioned {
         s"version $v references vacuumed data dir $d — time travel past retention")
       p.toString
     }
-    applyDvs(spark, table,
+    val scanned = applyDvs(spark, table,
       spark.read.option("mergeSchema", "true").parquet(dirs: _*), m.dvs)
+    // Column mapping: project the MANIFEST's logical schema over the
+    // physical scan — renamed fields alias their physical name, dropped
+    // fields simply aren't selected (their bytes stay on disk until the
+    // files rewrite), fields newer than a dir null-fill as always.
+    // Per-manifest, so time travel to a pre-rename version shows THAT
+    // version's names.
+    if (!m.features.contains("column-mapping")) scanned
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val logical = m.schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"column-mapping manifest of $table lacks a schema"))
+      scanned.select(logical.fields.toSeq.map { f =>
+        val phys = m.physicalOf(f.name)
+        if (scanned.columns.contains(phys)) col(phys).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+  }
+
+  /** RENAME a column — metadata-only (the Delta column-mapping move):
+    * the logical schema changes, a `colmap` entry pins the field to its
+    * unchanged PHYSICAL name, and zero data files rewrite. Enables the
+    * `column-mapping` table feature, which GATES the verbs that thread
+    * physical state forward without understanding the mapping (they
+    * refuse loudly; read / time travel / append / further renames and
+    * drops all work). Tables with CHECK constraints refuse the rename —
+    * constraint expressions are stored SQL text and cannot be rewritten
+    * reliably.
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Long = {
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    require(m.constraints.isEmpty,
+      s"rename on $table refused: CHECK constraints reference columns by " +
+        "name (drop them first, re-add against the new name)")
+    val schema = m.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table carries no schema — commit once before renaming"))
+    require(schema.fieldNames.contains(from), s"no such column: $from")
+    require(!schema.fieldNames.contains(to), s"column already exists: $to")
+    require(!to.contains(':') && !to.contains('\n'),
+      s"column name must not contain ':' or newline: $to")
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newMap = (m.colmap - from) + (to -> m.physicalOf(from))
+    val v = parentV + 1
+    if (!writeManifest(spark, table, v, "rename", m.refs, Some(newSchema.json),
+        m.dvs, m.constraints, features = m.features + "column-mapping",
+        colmap = newMap)) {
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    }
+    v
+  }
+
+  /** DROP a column — metadata-only: the field leaves the logical
+    * schema, its bytes stay in the data files until they next rewrite
+    * (exactly Delta's drop semantics — use purge-style rewrites for
+    * actual erasure). Same `column-mapping` feature gate as
+    * [[renameColumn]].
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    require(m.constraints.isEmpty,
+      s"drop on $table refused: CHECK constraints reference columns by name")
+    val schema = m.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table carries no schema — commit once before dropping"))
+    require(schema.fieldNames.contains(name), s"no such column: $name")
+    require(schema.fields.length > 1,
+      s"refusing to drop the last column of $table")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    val v = parentV + 1
+    if (!writeManifest(spark, table, v, "drop", m.refs, Some(newSchema.json),
+        m.dvs, m.constraints, features = m.features + "column-mapping",
+        colmap = m.colmap - name)) {
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    }
+    v
   }
 
   /** Manifest refs are dir names (whole dir referenced) or — after a
@@ -621,6 +784,7 @@ object Versioned {
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
+    requireNoFeatures(m, table, "mergePruned")
     val parentSchema = m.schemaJson
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -749,6 +913,7 @@ object Versioned {
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
+    requireNoFeatures(m, table, "deleteWhere")
     val v = parentV + 1
     val scan = spark.read.option("mergeSchema", "true")
       .parquet(m.refs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
@@ -797,6 +962,7 @@ object Versioned {
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
+    requireNoFeatures(m, table, "deleteWhereRange")
     val v = parentV + 1
     // manifest decision restricted to the files the snapshot still
     // references (file-granular refs after a mergePruned commit)
@@ -853,6 +1019,7 @@ object Versioned {
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
+    requireNoFeatures(m, table, "updateWhere")
     val v = parentV + 1
     val schemaCols: Seq[String] = m.schemaJson
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
@@ -961,6 +1128,7 @@ object Versioned {
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
+    requireNoFeatures(m, table, "mergeApply")
     val parentSchema = m.schemaJson
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -1080,6 +1248,8 @@ object Versioned {
   def commitWithStats(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String], overwrite: Boolean = false,
       bloomCols: Seq[String] = Nil): Long = {
+    latestVersion(spark, table).foreach(pv =>
+      requireNoFeatures(readManifest(spark, table, pv), table, "commitWithStats"))
     // bloomCols: write-time parquet bloom filters per listed column —
     // the point-lookup complement to the stats manifest ([[lookupEq]])
     val v = commit(spark, table, df, overwrite,
@@ -1108,6 +1278,7 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
+    requireNoFeatures(m, table, "lookupEq")
     val byDir = groupRefsByDir(m.refs)
     val dirInfo = byDir.toSeq.map { case (d, files) =>
       val dir = s"${dataRoot(spark, table)}/$d"
@@ -1160,6 +1331,7 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
+    requireNoFeatures(m, table, "skipRead")
     val byDir = groupRefsByDir(m.refs)
     val (statted, unstatted) = byDir.toSeq.map { case (d, files) =>
       val dir = s"${dataRoot(spark, table)}/$d"
@@ -1277,6 +1449,7 @@ object Versioned {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(v >= 1, s"version must be >= 1, got $v")
     val cur = readManifest(spark, table, v)
+    requireNoFeatures(cur, table, "changes")
     val prev: Manifest =
       if (v == 1) Manifest("none", Seq.empty, Seq.empty, None)
       else readManifest(spark, table, v - 1)
@@ -1375,6 +1548,7 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
+    requireNoFeatures(m, table, "rowCount")
     val byDir = groupRefsByDir(m.refs)
     val missing = byDir.keys.exists { d =>
       !fs(spark, new Path(s"${dataRoot(spark, table)}/$d"))
@@ -1445,6 +1619,7 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
+    requireNoFeatures(m, table, "statsAgg")
     val byDir = groupRefsByDir(m.refs)
     val missing = byDir.keys.exists { d =>
       !fs(spark, new Path(s"${dataRoot(spark, table)}/$d"))
@@ -1551,6 +1726,7 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
+    requireNoFeatures(m, table, "approxNdv")
     val byDir = groupRefsByDir(m.refs)
     val missing = byDir.keys.exists { d =>
       !fs(spark, new Path(s"${dataRoot(spark, table)}/$d"))
@@ -1778,6 +1954,7 @@ object Versioned {
     val pv = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, pv)
+    requireNoFeatures(m, table, "compactSmall")
     val files: Seq[(String, Long)] = refFileLengths(spark, table, m.refs)
     val (smalls, bigs) = files.partition(_._2 < smallBytes)
     if (smalls.length <= 1) (pv, 0, bigs.length)
@@ -1931,6 +2108,7 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, srcTable))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $srcTable"))
     val m = readManifest(spark, srcTable, v)
+    requireNoFeatures(m, srcTable, "branch")
     f.mkdirs(btPath)
     val markerOut = f.create(new Path(s"$bt/_dataroot"), true)
     try markerOut.write(srcRoot.getBytes("UTF-8")) finally markerOut.close()
@@ -1969,6 +2147,7 @@ object Versioned {
         "fast-forward only; re-branch from the current root and re-apply")
     val head = readManifest(spark, branchTable,
       latestVersion(spark, branchTable).get)
+    requireNoFeatures(head, branchTable, "promote")
     if (!writeManifest(spark, root, rootLatest + 1, "promote", head.refs,
         head.schemaJson, head.dvs, head.constraints)) {
       throw new java.util.ConcurrentModificationException(
@@ -2040,6 +2219,8 @@ object Versioned {
     val baseM = readManifest(spark, root, base)
     val rootM = readManifest(spark, root, rootLatest)
     val branchM = readManifest(spark, branchTable, branchLatest)
+    requireNoFeatures(rootM, root, "merge3")
+    requireNoFeatures(branchM, branchTable, "merge3")
 
     val baseF = expandRefFiles(spark, root, baseM.refs)
     val rootF = expandRefFiles(spark, root, rootM.refs)

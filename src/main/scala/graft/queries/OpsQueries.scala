@@ -1076,6 +1076,51 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"o_orderstatus")
     }),
 
+    // COLUMN MAPPING (Versioned.renameColumn/dropColumn — the Delta
+    // column-mapping feature): RENAME and DROP are metadata-only
+    // commits (REQUIRED in-query: zero data dirs appear), a colmap
+    // entry pins each renamed field to its unchanged physical name, and
+    // reads project each manifest's OWN logical schema — so the latest
+    // version answers under the new name while time travel to v1 still
+    // speaks the old one, from the same immutable files. Appends after
+    // the rename speak logical names and land physical ones. The verbs
+    // that thread physical state forward refuse on mapped tables (the
+    // table-features gate, spec-pinned); a compacting rewrite
+    // materializes the logical view and clears the feature. The oracle
+    // reconstructs both versions' aggregates from `orders`. At 100 TB:
+    // renaming a column of a petabyte table costs one kilobyte.
+    "q_column_mapping" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_colmap_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders)
+      val dirsBefore = new java.io.File(s"$t/data").list().toSet
+      graft.ops.Versioned.renameColumn(s, t, "o_totalprice", "price")
+      graft.ops.Versioned.dropColumn(s, t, "o_orderstatus")
+      require(new java.io.File(s"$t/data").list().toSet == dirsBefore,
+        "rename and drop must be metadata-only — zero data dirs written")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      graft.ops.Versioned.commit(s, t,
+        orders.filter($"o_orderkey" % 10 === 2L)
+          .select(($"o_orderkey" + maxk).as("o_orderkey"),
+            $"o_totalprice".as("price")))
+      val v1 = graft.ops.Versioned.read(s, t, Some(1L))
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_v"),
+          countDistinct($"o_orderstatus").as("n_extra"))
+        .select(lit(1L).as("version"), $"n", $"sum_v", $"n_extra")
+      val head = graft.ops.Versioned.read(s, t)
+        .agg(count(lit(1)).as("n"),
+          sum($"price".cast("decimal(30,2)")).cast("double").as("sum_v"),
+          lit(0L).as("n_extra"))
+        .select(lit(4L).as("version"), $"n", $"sum_v", $"n_extra")
+      v1.unionByName(head).orderBy($"version")
+    }),
+
     // JOIN MATERIALIZED VIEW (MaterializedView.refreshJoin — the
     // silver→gold shape that actually ships: fact JOIN dim GROUP BY a
     // dim attribute, maintained incrementally from BOTH tables' change
@@ -1989,6 +2034,25 @@ object OpsQueries extends graft.QueryModule {
         |SELECT g AS o_orderstatus, CAST(COUNT(1) AS bigint) AS cnt,
         |  CAST(SUM(CAST(v AS decimal(30,6))) AS double) AS sv
         |FROM final GROUP BY g ORDER BY g""".stripMargin,
+    "q_column_mapping" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |appended AS (
+        |  SELECT o_orderkey + (SELECT mk FROM mx) AS k, o_totalprice AS v
+        |  FROM orders WHERE o_orderkey % 10 = 2
+        |),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_v,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS bigint) AS n_extra
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(4 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(v AS decimal(30,2))) AS double), CAST(0 AS bigint)
+        |  FROM (SELECT o_totalprice AS v FROM orders
+        |        UNION ALL SELECT v FROM appended)
+        |)
+        |SELECT version, n, sum_v, n_extra FROM snap
+        |ORDER BY version""".stripMargin,
     "q_mv_join" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |f0 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v
