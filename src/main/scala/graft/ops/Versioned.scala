@@ -79,18 +79,61 @@ object Versioned {
       }
     })
 
-  /** Highest committed version, or None for a fresh path. */
+  /** Highest committed version, or None for a fresh path.
+    *
+    * Resolution is HINT-BOUNDED, not O(log length): every successful
+    * publish best-effort overwrites `_commits/_head` with its version
+    * (the Delta `_last_checkpoint` idea applied to head resolution), and
+    * this probes FORWARD from the hint with exists() calls until the
+    * first gap. The hint is advisory and may only ever be STALE-LOW
+    * (it is written after the manifest exists; racing writers can land
+    * hints out of order, which regresses it — never advances it past a
+    * real manifest), so probing forward always lands on the true head.
+    * A missing/corrupt hint falls back to the full listing (pre-hint
+    * tables). At a million commits this turns every verb's head lookup
+    * from a million-entry listing into one read + O(gap) probes.
+    */
   def latestVersion(spark: SparkSession, table: String): Option[Long] = {
     val dir = commitsDir(table)
     val f = fs(spark, dir)
-    if (!f.exists(dir)) None
-    else {
-      val vs = f.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.endsWith(".manifest"))
-        .map(_.stripSuffix(".manifest").toLong)
-      if (vs.isEmpty) None else Some(vs.max)
+    if (!f.exists(dir)) return None
+    val hinted: Option[Long] = {
+      val hp = headHintPath(table)
+      try {
+        if (!f.exists(hp)) None
+        else {
+          val in = f.open(hp)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          val h = s.toLong
+          if (h >= 1 && f.exists(manifestPath(table, h))) Some(h) else None
+        }
+      } catch { case _: Exception => None }
+    }
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (f.exists(manifestPath(table, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val vs = f.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(_.endsWith(".manifest"))
+          .map(_.stripSuffix(".manifest").toLong)
+        if (vs.isEmpty) None else Some(vs.max)
     }
   }
+
+  private def headHintPath(table: String): Path =
+    new Path(s"$table/_commits/_head")
+
+  /** Best-effort head hint refresh — failure is swallowed (the hint is
+    * advisory; the manifest listing remains the source of truth).
+    */
+  private def writeHeadHint(f: FileSystem, table: String, v: Long): Unit =
+    try {
+      val out = f.create(headHintPath(table), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
 
   /** One committed snapshot's metadata: `refs` are the data dirs, `dvs`
     * the DELETION-VECTOR dirs whose (file, pos) rows are subtracted at
@@ -273,7 +316,9 @@ object Versioned {
           constraints.map { case (n, e) => s"constraint=$n:$e" } ++
           txns.map { case (a, b) => s"txn=$a:$b" } ++ refs)))
         .mkString("\n").getBytes("UTF-8")
-    commitStore.publish(f, p, bytes)
+    val won = commitStore.publish(f, p, bytes)
+    if (won) writeHeadHint(f, table, v)
+    won
   }
 
   /** Refuse a verb that carries manifest state forward without
@@ -396,6 +441,123 @@ object Versioned {
         s"version $v of $table was committed by another writer; re-read and retry")
     }
     v
+  }
+
+  /** APPEND WITH LOGICAL CONFLICT RESOLUTION — the Delta optimistic-
+    * concurrency rule for an AddFile-only transaction: a blind append
+    * reads nothing, so losing the version race to ANOTHER writer does
+    * not invalidate its staged data — only its idea of the parent. The
+    * plain [[commit]]+retry loop re-executes the whole write on a lost
+    * race, which at scale means re-staging a multi-terabyte dir because
+    * someone else appended a kilobyte concurrently. This verb stages the
+    * data dir EXACTLY ONCE, then loops the manifest publication alone:
+    * on each lost race it re-reads the new head, checks the intervening
+    * commits for LOGICAL conflicts with a blind append, and republishes
+    * a manifest that grafts the already-staged dir onto the new head.
+    *
+    * Conflict rules (mirroring Delta's `ConcurrentAppendException`
+    * taxonomy — an append semantically conflicts only with METADATA):
+    *  - an intervening commit that changes a shared column's TYPE
+    *    refuses (`IllegalStateException` — the staged rows would poison
+    *    the evolved table);
+    *  - an intervening commit that enables table FEATURES or column
+    *    mapping refuses (the staged dir was written under the old
+    *    physical names);
+    *  - an intervening commit that ADDS a CHECK constraint re-validates
+    *    the staged dir against the NEW constraints only (one delta-
+    *    bounded scan), refusing if violated;
+    *  - everything else — concurrent appends, deletes, merges,
+    *    compactions, overwrites — composes by manifest set algebra:
+    *    new refs = head refs + staged dir, head dvs carry.
+    *
+    * Returns `(version, publishAttempts)`; the data dir is written once
+    * no matter how many publish attempts the race costs. `onStaged`
+    * fires after the dir lands and before the first publish — the
+    * deterministic race-staging seam (`VersionedSpec` and
+    * `q_commit_rebase` commit a competing writer inside it).
+    * Ref: Delta Lake PVLDB'20 §4.2 (optimistic concurrency, logical
+    * conflict detection).
+    */
+  def appendRebase(spark: SparkSession, table: String, df: DataFrame,
+      writerOptions: Map[String, String] = Map.empty,
+      maxAttempts: Int = 5,
+      onStaged: () => Unit = () => ()): (Long, Int) = {
+    require(maxAttempts >= 1)
+    val parentV = latestVersion(spark, table)
+    val parent = parentV.map(pv => readManifest(spark, table, pv))
+    parent.foreach(m => requireNoFeatures(m, table, "appendRebase"))
+    val parentSchema = parent.map { m =>
+      m.schemaJson
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(spark.read.parquet(
+          m.refs.map(d => s"${dataRoot(spark, table)}/$d"): _*).schema)
+    }
+    parentSchema.foreach { ps =>
+      val conflicts = typeConflicts(ps, df.schema)
+      require(conflicts.isEmpty,
+        s"incompatible schema change on append to $table: ${conflicts.mkString("; ")}")
+    }
+    // stage ONCE — the whole point of the verb
+    val v0 = parentV.getOrElse(0L) + 1
+    val dirName = s"v${"%06d".format(v0)}-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.options(writerOptions).mode("errorifexists")
+      .parquet(s"${dataRoot(spark, table)}/$dirName")
+    def dropDir(): Unit =
+      fs(spark, new Path(table)).delete(
+        new Path(s"${dataRoot(spark, table)}/$dirName"), true)
+    // constraints the staged dir has already been validated against —
+    // an intervening ADD CONSTRAINT revalidates only the delta set
+    var validated = parent.map(_.constraints).getOrElse(Seq.empty)
+    validateConstraints(spark, table, dirName, validated) // drops the dir on violation
+    onStaged()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      // attempt 1 publishes against the snapshot the writer actually
+      // held at entry (already conflict-checked above); a lost race
+      // re-resolves and conflict-checks the new head
+      val headV = if (attempt == 1) parentV else latestVersion(spark, table)
+      val head = headV.map(hv => readManifest(spark, table, hv))
+      // logical conflict check over the head this publish targets
+      head.foreach { hm =>
+        if (hm.features.nonEmpty || hm.colmap.nonEmpty) {
+          dropDir()
+          throw new IllegalStateException(
+            s"concurrent commit enabled table features/column mapping on " +
+              s"$table — the staged append cannot rebase; re-run against the new head")
+        }
+        val hs = hm.schemaJson
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        hs.foreach { s0 =>
+          val conflicts = typeConflicts(s0, df.schema)
+          if (conflicts.nonEmpty) {
+            dropDir()
+            throw new IllegalStateException(
+              s"concurrent schema change on $table conflicts with the staged " +
+                s"append: ${conflicts.mkString("; ")}")
+          }
+        }
+        val newConstraints = hm.constraints.filterNot(validated.contains)
+        if (newConstraints.nonEmpty) {
+          validateConstraints(spark, table, dirName, newConstraints)
+          validated = validated ++ newConstraints
+        }
+      }
+      val v = headV.getOrElse(0L) + 1
+      val refs = head.map(_.refs).getOrElse(Seq.empty) :+ dirName
+      val dvs = head.map(_.dvs).getOrElse(Seq.empty)
+      val cons = head.map(_.constraints).getOrElse(Seq.empty)
+      if (writeManifest(spark, table, v, "append", refs,
+          Some(df.schema.json), dvs, cons))
+        return (v, attempt)
+      // lost the race: loop — the staged dir survives untouched
+    }
+    dropDir()
+    throw new java.util.ConcurrentModificationException(
+      s"appendRebase on $table lost the commit race $maxAttempts times; " +
+        "staged data dropped — retry under lighter contention")
   }
 
   /** One aggregate pass over a freshly written data dir counting rows
@@ -1117,13 +1279,14 @@ object Versioned {
     * into a key-sorted petabyte costs the delta. Returns (version,
     * files scanned, files referenced).
     */
-  def mergeApply(spark: SparkSession, table: String, batch: DataFrame,
+  def mergeApply(spark: SparkSession, table: String, batch0: DataFrame,
       key: String,
       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
       whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
       whenNotMatchedInsert: Boolean = true,
       statsCols: Seq[String] = Nil, numFiles: Int = 4,
-      maxAttempts: Int = 5): (Long, Int, Int) = retryOnConflict(maxAttempts) {
+      maxAttempts: Int = 5,
+      schemaEvolution: Boolean = false): (Long, Int, Int) = retryOnConflict(maxAttempts) {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, when}
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
@@ -1133,14 +1296,38 @@ object Versioned {
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     parentSchema.foreach { ps =>
-      require(ps.fieldNames.sorted.sameElements(batch.schema.fieldNames.sorted),
-        s"merge batch columns ${batch.columns.mkString(",")} must match table ${ps.fieldNames.mkString(",")}")
-      val conflicts = typeConflicts(ps, batch.schema)
+      if (!schemaEvolution)
+        require(ps.fieldNames.sorted.sameElements(batch0.schema.fieldNames.sorted),
+          s"merge batch columns ${batch0.columns.mkString(",")} must match table " +
+            s"${ps.fieldNames.mkString(",")} — pass schemaEvolution=true to evolve")
+      val conflicts = typeConflicts(ps, batch0.schema)
       require(conflicts.isEmpty,
         s"incompatible merge batch schema: ${conflicts.mkString("; ")}")
     }
-    val schemaCols: Seq[String] = parentSchema.map(_.fieldNames.toSeq)
-      .getOrElse(batch.columns.toSeq)
+    // SCHEMA EVOLUTION (the Delta `mergeSchema`/autoMerge rule): the
+    // evolved schema is parent fields (parent order) + batch-only
+    // fields (batch order). Both sides pad their missing columns with
+    // TYPED nulls so every clause speaks the union: rows in untouched
+    // old files read the new columns as NULL via mergeSchema, updated
+    // images take the source's new-column values, inserts take NULL for
+    // parent-only columns the batch does not carry.
+    require(batch0.columns.contains(key),
+      s"merge batch must carry the merge key '$key'")
+    val unionFields: Seq[org.apache.spark.sql.types.StructField] =
+      parentSchema match {
+        case Some(ps) if schemaEvolution =>
+          ps.fields.toSeq ++
+            batch0.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
+        case Some(ps) => ps.fields.toSeq
+        case None => batch0.schema.fields.toSeq
+      }
+    val unionSchema = org.apache.spark.sql.types.StructType(unionFields)
+    val batch =
+      if (!schemaEvolution) batch0
+      else batch0.select(unionFields.map(f =>
+        (if (batch0.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)): _*)
+    val schemaCols: Seq[String] = unionFields.map(_.name)
     // one pass over the batch: key bounds + null-key and duplicate-key
     // rejection (a duplicated source key would dv one target row twice
     // and write two conflicting new images — Delta's multiple-matches
@@ -1163,17 +1350,25 @@ object Versioned {
     // AND no key a not-matched check needs — only the kept files scan
     val (touched, _, nTotal) = pruneRefs(spark, table, m, key, lo, hi)
     val src = broadcast(batch).alias("src")
+    // pad the target slice with evolution-added columns as typed nulls
+    // (old files do not carry them; mergeSchema cannot conjure them)
+    def padToUnion(df: DataFrame): DataFrame = {
+      val missing = unionFields.filterNot(f => df.columns.contains(f.name))
+      missing.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
     val tgt =
       if (touched.isEmpty)
         // schema-faithful empty target slice (keeps the joined plan valid)
-        read(spark, table, Some(parentV)).limit(0)
+        padToUnion(read(spark, table, Some(parentV)).limit(0))
           .withColumn("__file", lit("")).withColumn("__pos", lit(0L))
           .alias("tgt")
       else {
         val scan = spark.read.option("mergeSchema", "true").parquet(touched: _*)
           .withColumn("__file", col("_metadata.file_path"))
           .withColumn("__pos", col("_metadata.row_index"))
-        subtractDvs(spark, table, scan, m.dvs, "__file", "__pos").alias("tgt")
+        padToUnion(subtractDvs(spark, table, scan, m.dvs, "__file", "__pos"))
+          .alias("tgt")
       }
     val joined = tgt.join(src, col(s"tgt.$key") === col(s"src.$key"), "inner")
     val delCond = whenMatchedDelete.getOrElse(lit(false))
@@ -1228,7 +1423,8 @@ object Versioned {
       throw t
     }
     if (!writeManifest(spark, table, v, "merge", m.refs :+ dirName,
-        Some(batch.schema.json), m.dvs :+ dvDir, m.constraints)) {
+        Some(if (schemaEvolution) unionSchema.json else batch0.schema.json),
+        m.dvs :+ dvDir, m.constraints)) {
       cleanup()
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")

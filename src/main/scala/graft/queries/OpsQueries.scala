@@ -1022,6 +1022,118 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // COMMIT REBASE ON DISJOINT CONFLICT (Versioned.appendRebase — the
+    // Delta optimistic-concurrency rule for AddFile-only transactions,
+    // PVLDB'20 §4.2): writer A stages its append dir, a COMPETING
+    // writer B commits v2 inside the staging window (the `onStaged`
+    // race seam), A's first manifest publish loses the version-2 CAS —
+    // and instead of re-executing the write, A grafts the
+    // ALREADY-STAGED dir onto B's head as v3. REQUIRED in-query: the
+    // race actually happened (publishAttempts == 2), A landed at v3,
+    // and A's staged parquet files were written exactly once (their
+    // (path, mtime) fingerprint taken after staging is byte-identical
+    // after the rebase — a re-staged dir would carry new uuids/mtimes).
+    // Both versions read back, so one hash pins isolation (v2 = base+B
+    // only) and composition (v3 = base+B+A). At 100 TB this is "a
+    // terabyte append raced by a kilobyte commit costs ZERO rewritten
+    // bytes" — the plain retry loop would re-stage the terabyte.
+    "q_commit_rebase" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_rebase_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders)
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val batchA = orders.filter($"o_orderkey" % 7 === 0L)
+        .select(($"o_orderkey" + maxk).as("o_orderkey"), $"o_custkey",
+          $"o_totalprice")
+      val batchB = orders.filter($"o_orderkey" % 5 === 1L)
+        .select(($"o_orderkey" + 2L * maxk).as("o_orderkey"), $"o_custkey",
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+      def fingerprint: Set[(String, Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$t/data"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.length(), f.lastModified())).toSet
+      }
+      var staged: Set[(String, Long, Long)] = Set.empty
+      val (v, attempts) = graft.ops.Versioned.appendRebase(s, t, batchA,
+        onStaged = () => {
+          staged = fingerprint
+          graft.ops.Versioned.commit(s, t, batchB)
+        })
+      require(attempts == 2,
+        s"the staged race must cost exactly one lost CAS: attempts=$attempts")
+      require(v == 3L, s"rebase must land on the racer's head: v=$v")
+      require(staged.subsetOf(fingerprint),
+        "rebase must NOT re-stage the append dir — staged files changed")
+      Seq(2L, 3L).map { vv =>
+        graft.ops.Versioned.read(s, t, Some(vv))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            sum($"o_custkey").as("sum_cust"))
+          .select(lit(vv).as("version"), $"n", $"sum_price", $"sum_cust")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
+    // MERGE SCHEMA EVOLUTION (Versioned.mergeApply(schemaEvolution=true)
+    // — the Delta autoMerge rule): the batch ADDS a column the table
+    // never had (o_flag) and OMITS one it has (o_custkey); the evolved
+    // schema is the union, untouched rows read the new column as NULL
+    // through mergeSchema, matched updates SET price+flag while KEEPING
+    // the target's custkey, and inserts carry NULL custkey. Pruning
+    // survives evolution (REQUIRED: scanned < referenced) and pre-merge
+    // files stay byte-identical (REQUIRED). The oracle reconstructs the
+    // evolved table from `orders`, so one hash pins the union-schema
+    // padding rules on BOTH sides of the join. At 100 TB: "a CDC feed
+    // grew a column — evolve the petabyte WITHOUT rewriting it".
+    "q_merge_evolve" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_mergeevo_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(orders, Seq($"o_orderkey"), 16),
+        Seq("o_orderkey"))
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val (ulo, uhi) = (maxk * 2L / 10L, maxk * 3L / 10L)
+      val batch = orders.filter($"o_orderkey".between(ulo, uhi))
+          .select($"o_orderkey", ($"o_totalprice" + 50000.0).as("o_totalprice"),
+            lit("U").as("o_flag"))
+        .unionByName(orders.filter($"o_orderkey" % 9 === 0L)
+          .select(($"o_orderkey" + 2L * maxk).as("o_orderkey"),
+            ($"o_totalprice" * 2.0).as("o_totalprice"), lit("I").as("o_flag")))
+      def fingerprint: Set[(String, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$t/data"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.length())).toSet
+      }
+      val before = fingerprint
+      val (_, scanned, total) = graft.ops.Versioned.mergeApply(s, t, batch,
+        "o_orderkey",
+        whenMatchedUpdate = Some(Map(
+          "o_totalprice" -> $"src.o_totalprice", "o_flag" -> $"src.o_flag")),
+        statsCols = Seq("o_orderkey"), schemaEvolution = true)
+      require(scanned > 0 && scanned < total,
+        s"stats pruning must survive schema evolution: $scanned/$total")
+      require(before.subsetOf(fingerprint),
+        "schema evolution must not rewrite any pre-merge data file")
+      graft.ops.Versioned.read(s, t)
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          sum($"o_custkey").as("sum_cust"),
+          count(when($"o_flag" === "U", 1)).as("n_upd"),
+          count(when($"o_flag" === "I", 1)).as("n_ins"),
+          count(when($"o_flag".isNull, 1)).as("n_null_flag"))
+    }),
+
     // CHANGE DATA FEED (Versioned.changes — the Delta CDF /
     // table_changes shape): three commit kinds land on the seeded table
     // — a dv DELETE, a stats-pruned MERGE (updates surface as old-image
@@ -2184,6 +2296,56 @@ object OpsQueries extends graft.QueryModule {
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,
+    "q_commit_rebase" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |a AS (
+        |  SELECT o_orderkey + (SELECT mk FROM mx) AS o_orderkey,
+        |    o_custkey, o_totalprice
+        |  FROM v1 WHERE o_orderkey % 7 = 0
+        |),
+        |b AS (
+        |  SELECT o_orderkey + 2 * (SELECT mk FROM mx) AS o_orderkey,
+        |    o_custkey, o_totalprice * 3 AS o_totalprice
+        |  FROM v1 WHERE o_orderkey % 5 = 1
+        |),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM b),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM a),
+        |snap AS (
+        |  SELECT CAST(2 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust
+        |  FROM v2
+        |  UNION ALL SELECT CAST(3 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v3
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
+    "q_merge_evolve" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |evolved AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey BETWEEN (SELECT mk * 2 // 10 FROM mx)
+        |                             AND (SELECT mk * 3 // 10 FROM mx)
+        |         THEN o_totalprice + 50000 ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey BETWEEN (SELECT mk * 2 // 10 FROM mx)
+        |                             AND (SELECT mk * 3 // 10 FROM mx)
+        |         THEN 'U' END AS o_flag
+        |  FROM v1
+        |  UNION ALL
+        |  SELECT o_orderkey + 2 * (SELECT mk FROM mx), NULL,
+        |    o_totalprice * 2, 'I'
+        |  FROM v1 WHERE o_orderkey % 9 = 0
+        |)
+        |SELECT COUNT(1) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  CAST(SUM(o_custkey) AS bigint) AS sum_cust,
+        |  COUNT(CASE WHEN o_flag = 'U' THEN 1 END) AS n_upd,
+        |  COUNT(CASE WHEN o_flag = 'I' THEN 1 END) AS n_ins,
+        |  COUNT(CASE WHEN o_flag IS NULL THEN 1 END) AS n_null_flag
+        |FROM evolved""".stripMargin,
     "q_file_skipping_2d" ->
       s"""WITH d AS (
          |  SELECT o_orderkey, o_custkey % 256 AS ca,

@@ -1281,4 +1281,137 @@ class VersionedSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/x.manifest")), "UTF-8")
     assert(got == "first", "the loser must not clobber the winner's bytes")
   }
+
+  test("appendRebase: a lost race grafts the staged dir onto the new head " +
+      "without re-staging") {
+    val t = tmpDir("versioned-rebase") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    def dataDirs: Set[String] = new java.io.File(s"$t/data").list().toSet
+    var stagedDirs: Set[String] = Set.empty
+    val (v, attempts) = Versioned.appendRebase(spark, t,
+      Seq((3L, "A")).toDF("id", "s"),
+      onStaged = () => {
+        stagedDirs = dataDirs
+        Versioned.commit(spark, t, Seq((2L, "B")).toDF("id", "s"))
+      })
+    assert(v == 3L && attempts == 2,
+      s"the staged race must cost exactly one lost CAS: v=$v attempts=$attempts")
+    assert(stagedDirs.size == 2 && stagedDirs.subsetOf(dataDirs) &&
+      dataDirs.size == 3,
+      "the staged dir must survive the rebase; nothing re-staged")
+    assert(rows(Versioned.read(spark, t, Some(2))) == Set((1L, "a"), (2L, "B")),
+      "the racer's snapshot must not contain the rebased append")
+    assert(rows(Versioned.read(spark, t, Some(3))) ==
+      Set((1L, "a"), (2L, "B"), (3L, "A")),
+      "the rebased head must compose both writers' effects")
+  }
+
+  test("appendRebase: a concurrently added CHECK constraint revalidates the " +
+      "staged dir — satisfying data lands, violating data refuses and drops") {
+    val ok = tmpDir("versioned-rebase-ck1") + "/t"
+    Versioned.commit(spark, ok, Seq((1L, "a")).toDF("id", "s"))
+    val (v, _) = Versioned.appendRebase(spark, ok,
+      Seq((5L, "fine")).toDF("id", "s"),
+      onStaged = () => Versioned.addConstraint(spark, ok, "pos", "id > 0"))
+    assert(v == 3L)
+    assert(Versioned.readManifest(spark, ok, 3L).constraints.map(_._1)
+      .contains("pos"),
+      "the rebased manifest must carry the concurrently added constraint")
+
+    val bad = tmpDir("versioned-rebase-ck2") + "/t"
+    Versioned.commit(spark, bad, Seq((1L, "a")).toDF("id", "s"))
+    intercept[IllegalArgumentException] {
+      Versioned.appendRebase(spark, bad, Seq((-9L, "viol")).toDF("id", "s"),
+        onStaged = () => Versioned.addConstraint(spark, bad, "pos", "id > 0"))
+    }
+    assert(new java.io.File(s"$bad/data").list().toSet.size == 1,
+      "a constraint-violating staged dir must be dropped")
+    assert(Versioned.latestVersion(spark, bad) == Some(2L),
+      "only the constraint commit may remain")
+  }
+
+  test("appendRebase: a concurrent column-type change refuses the rebase loudly") {
+    val t = tmpDir("versioned-rebase-ty") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val e = intercept[IllegalStateException] {
+      Versioned.appendRebase(spark, t, Seq((2L, "x")).toDF("id", "s"),
+        onStaged = () => Versioned.commit(spark, t,
+          Seq(("1", 1.0)).toDF("id", "s"), overwrite = true))
+    }
+    assert(e.getMessage.contains("schema change"))
+    assert(new java.io.File(s"$t/data").list().toSet.size == 2,
+      "the conflicting staged dir must be dropped")
+  }
+
+  test("appendRebase: exhausting maxAttempts drops the staged dir and reports") {
+    val t = tmpDir("versioned-rebase-max") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val prior = Versioned.commitStore
+    object AlwaysLose extends Versioned.CommitStore {
+      def publish(f: org.apache.hadoop.fs.FileSystem,
+          dest: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean = false
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Versioned.appendRebase(spark, t, Seq((2L, "x")).toDF("id", "s"),
+          maxAttempts = 3,
+          onStaged = () => { Versioned.commitStore = AlwaysLose })
+      }
+    } finally Versioned.commitStore = prior
+    assert(new java.io.File(s"$t/data").list().toSet.size == 1,
+      "an exhausted rebase must drop its staged dir")
+  }
+
+  test("head hint: resolution probes forward from a stale-low hint and " +
+      "falls back to the listing on corruption or absence") {
+    val t = tmpDir("versioned-headhint") + "/t"
+    (1 to 5).foreach(i =>
+      Versioned.commit(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "s")))
+    val hint = java.nio.file.Paths.get(s"$t/_commits/_head")
+    assert(new String(java.nio.file.Files.readAllBytes(hint), "UTF-8") == "5",
+      "each publish must refresh the hint")
+    // stale-low hint (a racer regressed it): forward probe still finds 5
+    java.nio.file.Files.writeString(hint, "2")
+    assert(Versioned.latestVersion(spark, t) == Some(5L))
+    // corrupt hint: listing fallback
+    java.nio.file.Files.writeString(hint, "not-a-version")
+    assert(Versioned.latestVersion(spark, t) == Some(5L))
+    // hint past a vacuumed-away manifest: exists() check rejects it
+    java.nio.file.Files.writeString(hint, "99")
+    assert(Versioned.latestVersion(spark, t) == Some(5L))
+    // absent hint (pre-hint table): listing fallback
+    java.nio.file.Files.delete(hint)
+    assert(Versioned.latestVersion(spark, t) == Some(5L))
+    // and the next commit restores it
+    Versioned.commit(spark, t, Seq((6L, "r6")).toDF("id", "s"))
+    assert(new String(java.nio.file.Files.readAllBytes(hint), "UTF-8") == "6")
+  }
+
+  test("mergeApply schema evolution: union schema, padded clauses, and the " +
+      "no-flag path still refuses mismatched batches") {
+    val t = tmpDir("versioned-mergeevo") + "/t"
+    Versioned.commit(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    // without the flag: refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeApply(spark, t,
+        Seq((2L, "F")).toDF("id", "flag"), "id")
+    }
+    assert(e.getMessage.contains("schemaEvolution"))
+    // with the flag: batch adds `flag`, omits `s`
+    Versioned.mergeApply(spark, t, Seq((2L, "U"), (9L, "I")).toDF("id", "flag"),
+      "id",
+      whenMatchedUpdate = Some(Map("flag" ->
+        org.apache.spark.sql.functions.col("src.flag"))),
+      schemaEvolution = true)
+    val got = Versioned.read(spark, t)
+      .select($"id", $"s", $"flag").as[(Long, Option[String], Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some("a"), None),          // untouched: new column reads NULL
+      (2L, Some("b"), Some("U")),     // updated: keeps s, gains flag
+      (3L, Some("c"), None),
+      (9L, None, Some("I"))),         // inserted: missing parent column NULL
+      s"evolved snapshot wrong: $got")
+  }
 }
