@@ -93,6 +93,9 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   */
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL access to versioned tables: `FROM graft.`<path>`` (+ VERSION /
+    // TIMESTAMP AS OF, INSERT INTO) resolves to the graft-table relation
+    ext.injectResolutionRule(s => new graft.plans.GraftSqlRule(s))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),

@@ -711,6 +711,33 @@ object Layout {
     (verdict, typ)
   }
 
+  /** One-sided/two-sided bound keep expression over a manifest row —
+    * [[rangeKeepExpr]] generalized so Catalyst-pushed `>`/`<`/`=`
+    * predicates (the graft-table relation) can each prune on the side
+    * they constrain. `None` on a side means unconstrained (kept true).
+    */
+  private[graft] def boundKeepExpr(typ: String, lo: Option[String],
+      hi: Option[String]): Column = {
+    val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("n_rows")
+    if (typ.isEmpty) lit(true) // opaque type: conservative, scan all
+    else {
+      val loOk = lo.map(l => col("max_v").cast(typ) >= lit(l).cast(typ))
+        .getOrElse(lit(true))
+      val hiOk = hi.map(h => col("min_v").cast(typ) <= lit(h).cast(typ))
+        .getOrElse(lit(true))
+      !allNull && (col("min_v").isNull || (loOk && hiOk))
+    }
+  }
+
+  /** Null-predicate keep expression over a manifest row: `IS NULL` keeps
+    * only files that can hold a null (unknown null count is
+    * conservative-kept); `IS NOT NULL` drops provably all-null files.
+    */
+  private[graft] def nullKeepExpr(isNull: Boolean): Column =
+    if (isNull) col("n_nulls").isNull || col("n_nulls") > 0
+    else !(col("n_nulls").isNotNull && col("n_nulls") === col("n_rows") &&
+      col("n_rows") > 0)
+
   /** Range keep expression over a manifest row, in the column's domain
     * (shared by the collect-based and relation-based planners).
     */

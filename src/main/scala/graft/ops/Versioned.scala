@@ -1524,10 +1524,53 @@ object Versioned {
       lo: String, hi: String, version: Option[Long] = None)
       : (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
+    val (base, kept, total) = readPruned(spark, table, version,
+      Seq(ScanPredicate.Bounds(column, Some(lo), Some(hi))))
+    // bounds cast to the COLUMN's type: comparing a bigint column to a
+    // string literal would otherwise coerce both to double and lose
+    // precision above 2^53
+    val dt = base.schema(column).dataType
+    (base.filter(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)),
+      kept, total)
+  }
+
+  /** A file-pruning predicate over one column, in the stats manifests'
+    * stringified value domain — the currency between Catalyst-pushed
+    * `sources.Filter`s (the graft-table relation) and the manifest
+    * planner. File-LEVEL only: a kept file may still hold non-matching
+    * rows, so callers always re-apply the row predicate (or let Spark —
+    * the relation declares every filter unhandled).
+    */
+  sealed trait ScanPredicate { def column: String }
+  object ScanPredicate {
+    /** `lo <= column <= hi`; `None` on a side means unconstrained. */
+    final case class Bounds(column: String, lo: Option[String],
+        hi: Option[String]) extends ScanPredicate
+    /** `column IS [NOT] NULL`, answered from the manifests' null counts. */
+    final case class NullCheck(column: String, isNull: Boolean)
+        extends ScanPredicate
+  }
+
+  /** Snapshot read pruned by a CONJUNCTION of per-column predicates —
+    * the planning engine behind [[skipRead]] and the `graft-table`
+    * Catalyst relation: one decision relation per predicate over every
+    * referenced dir's stats manifest, intersected by an equi-join on
+    * file (the conjunction stays distributed; only the kept subset ever
+    * reaches the driver). Manifest-less dirs and stats-less columns are
+    * conservative (always scanned/kept); dvs subtract per scan frame as
+    * in [[read]]. Returns (frame, files kept, files total) — the frame
+    * is NOT row-filtered: file pruning only drops files that provably
+    * hold no matching row, and the caller owns the row predicate.
+    */
+  def readPruned(spark: SparkSession, table: String, version: Option[Long],
+      preds: Seq[ScanPredicate]): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(preds.nonEmpty,
+      "readPruned needs at least one predicate — use read() for a full scan")
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
-    requireNoFeatures(m, table, "skipRead")
+    requireNoFeatures(m, table, "readPruned")
     val byDir = groupRefsByDir(m.refs)
     val (statted, unstatted) = byDir.toSeq.map { case (d, files) =>
       val dir = s"${dataRoot(spark, table)}/$d"
@@ -1552,9 +1595,24 @@ object Versioned {
       else {
         import org.apache.spark.sql.functions.{broadcast, regexp_extract}
         import spark.implicits._
-        val (verdict0, _) = Layout.decisionRelation(spark,
-          statted.map(_._1 + "/_stats"), column,
-          Layout.rangeKeepExpr(_, lo, hi))
+        val statsPaths = statted.map(_._1 + "/_stats")
+        // one decision relation per predicate, ANDed by equi-join on
+        // file (the skipScanManifestPreds conjunction shape)
+        val rels = preds.zipWithIndex.map { case (pr, i) =>
+          val keepFor: String => org.apache.spark.sql.Column = pr match {
+            case ScanPredicate.Bounds(_, lo, hi) =>
+              typ => Layout.boundKeepExpr(typ, lo, hi)
+            case ScanPredicate.NullCheck(_, isNull) =>
+              _ => Layout.nullKeepExpr(isNull)
+          }
+          val (rel, _) = Layout.decisionRelation(spark, statsPaths,
+            pr.column, keepFor)
+          rel.select(col("file"), col("n_bytes").as(s"__b$i"),
+            col("keep").as(s"__k$i"))
+        }
+        val joined = rels.reduce(_.join(_, Seq("file")))
+        val verdict0 = joined.select(col("file"), col("__b0").as("n_bytes"),
+          preds.indices.map(i => col(s"__k$i")).reduce(_ && _).as("keep"))
         val withKeys = verdict0
           .withColumn("__dir", regexp_extract(col("file"), "([^/]+)/[^/]+$", 1))
           .withColumn("__sfx", regexp_extract(col("file"), "([^/]+/[^/]+)$", 1))
@@ -1597,13 +1655,7 @@ object Versioned {
       else Seq.empty)
     val base = frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(read(spark, table, Some(v)).limit(0))
-    // bounds cast to the COLUMN's type: comparing a bigint column to a
-    // string literal would otherwise coerce both to double and lose
-    // precision above 2^53
-    val dt = base.schema(column).dataType
-    (base.filter(col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)),
-      keptStatted.size + nConservative,
-      totalStatted + nConservative)
+    (base, keptStatted.size + nConservative, totalStatted + nConservative)
   }
 
   /** Expand a ref list to file granularity: `dir/file.parquet` relative

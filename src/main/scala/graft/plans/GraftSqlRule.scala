@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.TimestampType
+
+/** SQL surface for versioned tables: resolves `graft.`<path>`` table
+  * references — including `VERSION AS OF n` / `TIMESTAMP AS OF ts` time
+  * travel, which Spark's parser already turns into [[RelationTimeTravel]]
+  * — into the `graft-table` relation, so
+  *
+  * {{{
+  *   SELECT ... FROM graft.`/data/t` VERSION AS OF 3 WHERE k BETWEEN a AND b
+  *   INSERT INTO graft.`/data/t` SELECT ...
+  * }}}
+  *
+  * work as first-class SQL. An injected RESOLUTION rule (the documented
+  * `SparkSessionExtensions` seam — the same mechanism Delta's
+  * `DeltaAnalysis` uses) rather than a `TableCatalog`: a v2 catalog
+  * would force the DSv2 read stack (hand-rolled `InternalRow` readers),
+  * while the substituted v1 relation keeps the pruned snapshot a full
+  * Spark plan AND hands the `WHERE` clause to the manifest file-skipper
+  * through `PrunedFilteredScan`. Non-graft references pass through
+  * untouched (the builtin analyzer leaves unknown relations unresolved
+  * until CheckAnalysis, so this rule always gets its chance).
+  *
+  * `INSERT INTO` resolves because the substituted relation is
+  * [[org.apache.spark.sql.sources.InsertableRelation]] — Spark's own
+  * DataSourceAnalysis turns the statement into the relation's insert
+  * (append = commit-race-safe [[graft.ops.Versioned.appendRebase]]).
+  */
+final class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def graftPath(u: UnresolvedRelation): Option[String] =
+    u.multipartIdentifier match {
+      case Seq(cat, p) if cat.equalsIgnoreCase("graft") => Some(p)
+      case _ => None
+    }
+
+  private def relationAt(p: String, v: Option[Long]): LogicalPlan = {
+    val reader = spark.read.format("graft-table")
+    v.foreach(x => reader.option("versionAsOf", x))
+    reader.load(p).queryExecution.analyzed
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      // InsertIntoStatement is a UnaryNode over its QUERY only — `table`
+      // is a field, not a child, so the generic traversal below never
+      // reaches it (the same reason builtin ResolveRelations matches the
+      // statement explicitly). Substitute the write target here.
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if i.table.isInstanceOf[UnresolvedRelation] &&
+            graftPath(i.table.asInstanceOf[UnresolvedRelation]).isDefined =>
+        val p = graftPath(i.table.asInstanceOf[UnresolvedRelation]).get
+        require(i.partitionSpec.isEmpty,
+          s"graft.`$p` has no SQL partitions — INSERT without PARTITION")
+        i.copy(table = relationAt(p, None))
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        graftPath(u) match {
+          case None => tt
+          case Some(p) =>
+            val v: Long = ver match {
+              case Some(s) =>
+                try s.toLong
+                catch {
+                  case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"graft VERSION AS OF takes a commit number, got '$s'")
+                }
+              case None =>
+                val e = ts.getOrElse(throw new IllegalArgumentException(
+                  s"time travel on graft.`$p` needs VERSION or TIMESTAMP"))
+                require(e.resolved && e.foldable,
+                  s"graft TIMESTAMP AS OF must be a literal expression: $e")
+                val micros = Cast(e, TimestampType,
+                    Some(spark.sessionState.conf.sessionLocalTimeZone))
+                    .eval(InternalRow.empty) match {
+                  case l: java.lang.Long => l.longValue()
+                  case other => throw new IllegalArgumentException(
+                    s"graft TIMESTAMP AS OF did not evaluate to a timestamp: $other")
+                }
+                graft.ops.Versioned.versionAsOf(spark, p,
+                  Math.floorDiv(micros, 1000L))
+            }
+            relationAt(p, Some(v))
+        }
+      case u: UnresolvedRelation =>
+        graftPath(u).map(p => relationAt(p, None)).getOrElse(u)
+    }
+}

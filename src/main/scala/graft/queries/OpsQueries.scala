@@ -1134,6 +1134,93 @@ object OpsQueries extends graft.QueryModule {
           count(when($"o_flag".isNull, 1)).as("n_null_flag"))
     }),
 
+    // SQL SURFACE OVER THE VERSIONED TABLE (GraftSqlRule + the
+    // graft-table v1 relation): the table is CREATED through the
+    // DataFrame writer, GROWN through SQL `INSERT INTO graft.`path``
+    // (which resolves to InsertableRelation → appendRebase), and READ
+    // back through pure SQL time travel — `VERSION AS OF 1/2` plus a
+    // `TIMESTAMP AS OF` arm pinned to v1's commit timestamp that must
+    // reproduce the v1 snapshot exactly. The oracle reconstructs both
+    // snapshots from `orders`, so one hash pins the whole SQL loop:
+    // writer seeding, INSERT positional alignment, version resolution,
+    // and timestamp→version clamping. At 100 TB this is the surface a
+    // SQL-speaking user actually touches — no programmatic API in sight.
+    "q_sql_table" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_sqltable_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      orders.write.format("graft-table").mode("append").save(t)
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      // distinct commit timestamps so the TIMESTAMP AS OF arm can't
+      // straddle two versions landing in the same millisecond
+      Thread.sleep(15)
+      orders.createOrReplaceTempView("q_sql_table_orders")
+      s.sql(s"""INSERT INTO graft.`$t`
+        SELECT o_orderkey + $maxk, o_custkey, o_totalprice * 2
+        FROM q_sql_table_orders WHERE o_orderkey % 3 = 0""")
+      s.catalog.dropTempView("q_sql_table_orders")
+      require(graft.ops.Versioned.latestVersion(s, t) == Some(2L),
+        "writer seed + SQL INSERT must land exactly two commits")
+      val ts1 = graft.ops.Versioned.readManifest(s, t, 1L).ts.get
+      val lit1 = java.time.Instant.ofEpochMilli(ts1)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+        .replace('T', ' ')
+      def arm(from: String, tag: Int) = s.sql(
+        s"""SELECT CAST($tag AS bigint) AS arm, COUNT(1) AS n,
+           CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+           CAST(SUM(o_custkey) AS bigint) AS sum_cust
+           FROM $from""")
+      arm(s"graft.`$t` VERSION AS OF 1", 1)
+        .unionByName(arm(s"graft.`$t` VERSION AS OF 2", 2))
+        .unionByName(arm(s"graft.`$t` TIMESTAMP AS OF '$lit1'", 3))
+        .orderBy($"arm")
+    }),
+
+    // CATALYST FILTER PUSHDOWN INTO MANIFEST FILE SKIPPING (the
+    // graft-table PrunedFilteredScan): the user writes a PLAIN
+    // DataFrame filter — no skipRead call, no hints — and Catalyst
+    // pushes it through the relation into Versioned.readPruned, which
+    // opens only the stats-overlapping files. REQUIRED in-query: the
+    // planner actually pruned (0 < kept < total, recorded by the
+    // relation's scan instrumentation), the pushed column reached the
+    // decision, and the physical plan carries the PushedFilters
+    // annotation. The oracle is the same aggregate straight off
+    // `orders` — pruning must be invisible in the answer. At 100 TB
+    // this is the difference between "the engine can skip files" and
+    // "every ad-hoc WHERE skips files without the user knowing the
+    // planner exists".
+    "q_relation_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_pushdown_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(orders, Seq($"o_orderkey"), 16),
+        Seq("o_orderkey"))
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val (lo, hi) = (maxk * 2L / 10L, maxk * 3L / 10L)
+      val q = s.read.format("graft-table").load(t)
+        .filter($"o_orderkey".between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          sum($"o_custkey").as("sum_cust"))
+      q.collect() // force the scan so the instrumentation is this query's
+      val info = graft.sources.VersionedRelation.lastScan(t).get
+      require(info.kept > 0 && info.kept < info.total,
+        s"the pushed filter must reach the file planner: $info")
+      require(info.prunedColumns.contains("o_orderkey"),
+        s"pruning must be driven by the pushed column: $info")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters"),
+        "the physical plan must carry the v1 scan's PushedFilters annotation")
+      q
+    }),
+
     // CHANGE DATA FEED (Versioned.changes — the Delta CDF /
     // table_changes shape): three commit kinds land on the seeded table
     // — a dv DELETE, a stats-pruned MERGE (updates surface as old-image
@@ -2346,6 +2433,36 @@ object OpsQueries extends graft.QueryModule {
         |  COUNT(CASE WHEN o_flag = 'I' THEN 1 END) AS n_ins,
         |  COUNT(CASE WHEN o_flag IS NULL THEN 1 END) AS n_null_flag
         |FROM evolved""".stripMargin,
+    "q_sql_table" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |ins AS (
+        |  SELECT o_orderkey + (SELECT mk FROM mx) AS o_orderkey,
+        |    o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM v1 WHERE o_orderkey % 3 = 0
+        |),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM ins),
+        |arms AS (
+        |  SELECT CAST(1 AS bigint) AS arm, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust
+        |  FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v2
+        |  UNION ALL SELECT CAST(3 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v1
+        |)
+        |SELECT arm, n, sum_price, sum_cust FROM arms ORDER BY arm""".stripMargin,
+    "q_relation_pushdown" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+        |SELECT COUNT(1) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  CAST(SUM(o_custkey) AS bigint) AS sum_cust
+        |FROM orders
+        |WHERE o_orderkey BETWEEN (SELECT mk * 2 // 10 FROM mx)
+        |                     AND (SELECT mk * 3 // 10 FROM mx)""".stripMargin,
     "q_file_skipping_2d" ->
       s"""WITH d AS (
          |  SELECT o_orderkey, o_custkey % 256 AS ca,

@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Versioned
+import graft.ops.Versioned.ScanPredicate
+
+/** Catalyst-integrated BATCH access to the versioned table —
+  * `spark.read.format("graft-table").load(path)` (options `versionAsOf`
+  * / `timestampAsOf` for time travel) and
+  * `df.write.format("graft-table").mode(...).save(path)`.
+  *
+  * The read side is a v1 [[PrunedFilteredScan]] relation: Spark's
+  * DataSourceStrategy pushes the query's column set and conjunctive
+  * filters INTO the relation, which turns the supported ones into
+  * manifest file-skipping decisions ([[Versioned.readPruned]]) — so a
+  * plain `WHERE o_orderkey BETWEEN a AND b` over a range-sorted table
+  * opens only the overlapping files, with zero user cooperation. The v1
+  * relation (not DSv2) is deliberate: its `buildScan` contract lets the
+  * pruned snapshot stay a full Spark PLAN (parquet scan + dv anti-join +
+  * schema merge), where a DSv2 `PartitionReader` would force hand-rolled
+  * row materialization. Delta's scan takes the same shape: file-level
+  * skipping feeding Spark's own parquet reader, every filter re-applied
+  * row-level above ([[VersionedRelation.unhandledFilters]] returns all).
+  *
+  * The write side maps `SaveMode` onto the table's commit verbs —
+  * Append = [[Versioned.appendRebase]] (stage once, survive commit
+  * races), Overwrite = [[Versioned.commit]] overwrite. [[InsertableRelation]]
+  * makes SQL `INSERT INTO graft.`path`` work through the same path.
+  *
+  * Ref: reference delegates all querying to SQL engines
+  * (SURVEY.md §2 Tier C); this closes the SQL-surface gap for the
+  * versioned table the way `adffunction/__init__.py:180` leans on
+  * Postgres — except the table format itself answers.
+  */
+class GraftTableSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table requires a table path: .load(path) / .save(path)"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = tablePath(parameters)
+    val spark = sqlContext.sparkSession
+    val version = parameters.get("versionAsOf").map(_.toLong)
+    val tsMs = parameters.get("timestampAsOf").map(_.toLong)
+    require(version.isEmpty || tsMs.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val v = version
+      .orElse(tsMs.map(t => Versioned.versionAsOf(spark, path, t)))
+      .orElse(Versioned.latestVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commits under $path — write first (mode append/overwrite)"))
+    VersionedRelation(sqlContext, path, v)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = tablePath(parameters)
+    val spark = sqlContext.sparkSession
+    val exists = Versioned.latestVersion(spark, path).isDefined
+    mode match {
+      case SaveMode.Append =>
+        if (exists) Versioned.appendRebase(spark, path, data)
+        else Versioned.commit(spark, path, data)
+      case SaveMode.Overwrite =>
+        Versioned.commit(spark, path, data, overwrite = true)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-table already has commits under $path (mode ErrorIfExists)")
+        Versioned.commit(spark, path, data)
+      case SaveMode.Ignore =>
+        if (!exists) Versioned.commit(spark, path, data)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** One snapshot of a versioned table as a Catalyst relation. Pruning is
+  * FILE-level only, so [[unhandledFilters]] returns every filter — Spark
+  * re-applies them row-level above the scan (exactly the Delta contract;
+  * a kept file may still hold non-matching rows). Column-mapped tables
+  * read correctly but skip pruning (their stats speak physical names).
+  */
+case class VersionedRelation(sqlContext: SQLContext, table: String,
+    version: Long) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
+
+  @transient private lazy val spark = sqlContext.sparkSession
+  @transient private lazy val prunable =
+    Versioned.readManifest(spark, table, version).features.isEmpty
+
+  override val schema: StructType =
+    Versioned.read(sqlContext.sparkSession, table, Some(version)).schema
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val preds =
+      if (prunable) VersionedRelation.pruningPredicates(filters) else Seq.empty
+    val (df, kept, total) =
+      if (preds.isEmpty) (Versioned.read(spark, table, Some(version)), -1, -1)
+      else Versioned.readPruned(spark, table, Some(version), preds)
+    VersionedRelation.record(table,
+      VersionedRelation.ScanInfo(version, kept, total,
+        preds.map(_.column).distinct))
+    (if (requiredColumns.isEmpty) df
+     else df.select(requiredColumns.toSeq.map(col): _*)).rdd
+  }
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` (v1 insert is positional:
+    * Spark has resolved the query against this schema by position, so
+    * realign the names before the commit verbs' by-name checks).
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(data.schema.length == schema.length,
+      s"INSERT column count ${data.schema.length} != table ${schema.length}")
+    val aligned = data.toDF(schema.fieldNames.toSeq: _*)
+    if (overwrite) Versioned.commit(spark, table, aligned, overwrite = true)
+    else Versioned.appendRebase(spark, table, aligned)
+    ()
+  }
+}
+
+object VersionedRelation {
+
+  /** What the last [[VersionedRelation.buildScan]] on a table planned:
+    * `kept`/`total` referenced files after manifest skipping (−1 when no
+    * pushed filter was prunable), and which columns drove the decision.
+    * In-query instrumentation — oracle entries require `kept < total` to
+    * prove Catalyst-pushed filters actually reached the file planner.
+    */
+  final case class ScanInfo(version: Long, kept: Int, total: Int,
+      prunedColumns: Seq[String])
+
+  private val lastScans =
+    new java.util.concurrent.ConcurrentHashMap[String, ScanInfo]()
+
+  private[sources] def record(table: String, info: ScanInfo): Unit =
+    lastScans.put(table, info)
+
+  def lastScan(table: String): Option[ScanInfo] = Option(lastScans.get(table))
+
+  /** Translate Catalyst-pushed `sources.Filter`s into manifest pruning
+    * predicates. Conservative by construction: unsupported shapes
+    * (disjunctions, nested attributes, timestamp/boolean/binary
+    * literals with no safe string round-trip) translate to NOTHING —
+    * the file scans. Strict `>`/`<` keep their bound inclusive (a file
+    * whose max equals the bound is kept; the row filter above drops the
+    * boundary rows), and `IN` prunes on the value span.
+    */
+  private[graft] def pruningPredicates(filters: Array[Filter])
+      : Seq[ScanPredicate] = {
+    def flatten(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flatten(l) ++ flatten(r)
+      case other => Seq(other)
+    }
+    def top(a: String): Boolean = !a.contains('.')
+    filters.toSeq.flatMap(flatten).flatMap {
+      case EqualTo(a, v) if top(a) =>
+        strVal(v).map(s => ScanPredicate.Bounds(a, Some(s), Some(s)))
+      case EqualNullSafe(a, null) if top(a) =>
+        Some(ScanPredicate.NullCheck(a, isNull = true))
+      case EqualNullSafe(a, v) if top(a) =>
+        strVal(v).map(s => ScanPredicate.Bounds(a, Some(s), Some(s)))
+      case GreaterThan(a, v) if top(a) =>
+        strVal(v).map(s => ScanPredicate.Bounds(a, Some(s), None))
+      case GreaterThanOrEqual(a, v) if top(a) =>
+        strVal(v).map(s => ScanPredicate.Bounds(a, Some(s), None))
+      case LessThan(a, v) if top(a) =>
+        strVal(v).map(s => ScanPredicate.Bounds(a, None, Some(s)))
+      case LessThanOrEqual(a, v) if top(a) =>
+        strVal(v).map(s => ScanPredicate.Bounds(a, None, Some(s)))
+      case In(a, vs) if top(a) && vs.nonEmpty && vs.forall(_ != null) &&
+          vs.map(_.getClass).distinct.length == 1 &&
+          vs.head.isInstanceOf[Comparable[_]] =>
+        val sorted = vs.sortWith((x, y) =>
+          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0)
+        for (lo <- strVal(sorted.head); hi <- strVal(sorted.last))
+          yield ScanPredicate.Bounds(a, Some(lo), Some(hi))
+      case IsNull(a) if top(a) =>
+        Some(ScanPredicate.NullCheck(a, isNull = true))
+      case IsNotNull(a) if top(a) =>
+        Some(ScanPredicate.NullCheck(a, isNull = false))
+      case _ => None
+    }
+  }
+
+  /** Filter literal → the stats manifests' stringified value domain.
+    * Only types whose `toString` round-trips through `CAST(s AS typ)`
+    * losslessly; anything else returns None (no pruning, never wrong).
+    */
+  private def strVal(v: Any): Option[String] = v match {
+    case null => None
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+         _: java.lang.Byte | _: java.lang.Float | _: java.lang.Double =>
+      Some(String.valueOf(v))
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.underlying.toPlainString)
+    case s: String => Some(s)
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None
+  }
+}
