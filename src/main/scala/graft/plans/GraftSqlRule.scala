@@ -16,6 +16,9 @@ import org.apache.spark.sql.types.TimestampType
   * {{{
   *   SELECT ... FROM graft.`/data/t` VERSION AS OF 3 WHERE k BETWEEN a AND b
   *   INSERT INTO graft.`/data/t` SELECT ...
+  *   DELETE FROM graft.`/data/t` WHERE ...        -- dv tombstones
+  *   UPDATE graft.`/data/t` SET ... WHERE ...     -- merge-on-read
+  *   MERGE INTO graft.`/data/t` tgt USING src ON tgt.k = src.k ...
   * }}}
   *
   * work as first-class SQL. An injected RESOLUTION rule (the documented
@@ -41,6 +44,20 @@ final class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The graft table path behind a (possibly aliased) resolved
+    * relation, for matching DML statement targets.
+    */
+  private def graftRelPath(plan: LogicalPlan): Option[String] = plan match {
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      graftRelPath(s.child)
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case vr: graft.sources.VersionedRelation => Some(vr.table)
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def relationAt(p: String, v: Option[Long]): LogicalPlan = {
     val reader = spark.read.format("graft-table")
     v.foreach(x => reader.option("versionAsOf", x))
@@ -60,6 +77,27 @@ final class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         require(i.partitionSpec.isEmpty,
           s"graft.`$p` has no SQL partitions — INSERT without PARTITION")
         i.copy(table = relationAt(p, None))
+
+      // SQL DML → the table's own verbs, once the statement is fully
+      // resolved against the substituted relation (the generic cases
+      // below rewrite the UnresolvedRelation child first; builtin rules
+      // then resolve conditions/assignments; THEN these fire — before
+      // CheckAnalysis can refuse row-level ops on a v1 relation).
+      case d @ org.apache.spark.sql.catalyst.plans.logical
+          .DeleteFromTable(rel, cond)
+          if d.resolved && graftRelPath(rel).isDefined =>
+        GraftDeleteCommand(graftRelPath(rel).get, GraftDml.rebindBare(cond))
+      case up @ org.apache.spark.sql.catalyst.plans.logical
+          .UpdateTable(rel, assignments, cond)
+          if up.resolved && graftRelPath(rel).isDefined =>
+        GraftUpdateCommand(graftRelPath(rel).get,
+          GraftMergeTranslator.assignmentPairs(assignments)
+            .map { case (c, v) => c -> GraftDml.rebindBare(v) },
+          cond.map(GraftDml.rebindBare))
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if m.resolved && graftRelPath(m.targetTable).isDefined =>
+        GraftMergeTranslator.translate(graftRelPath(m.targetTable).get, m)
+
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
         graftPath(u) match {
           case None => tt

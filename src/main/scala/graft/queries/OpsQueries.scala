@@ -1179,6 +1179,55 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"arm")
     }),
 
+    // SQL DML LIFECYCLE (GraftSqlRule command substitution →
+    // deleteWhere / updateWhere / mergeApply): a table is seeded through
+    // the writer, then mutated by pure SQL — DELETE (dv tombstones),
+    // UPDATE (merge-on-read), and a three-clause MERGE (conditional
+    // matched DELETE + matched UPDATE + not-matched INSERT, one commit)
+    // whose source includes keys the DELETE removed (they re-insert via
+    // the not-matched clause — the subtlety the oracle must replay).
+    // REQUIRED in-query: each statement landed exactly one commit
+    // (head == 4). The result reads all four snapshots back through SQL
+    // time travel, so one hash pins every verb's row-level semantics
+    // AND version isolation. The reference runs its DML through
+    // Postgres stored procs (SharedCode/PGHelperFunction.py:12-77) —
+    // this is that surface, except the table format itself answers.
+    "q_sql_dml" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_sqldml_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      orders.write.format("graft-table").mode("append").save(t)
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      s.sql(s"DELETE FROM graft.`$t` WHERE o_orderkey % 5 = 0")
+      s.sql(s"UPDATE graft.`$t` SET o_totalprice = o_totalprice + 1000 " +
+        "WHERE o_custkey % 10 = 3")
+      orders.filter($"o_orderkey" % 7 === 1L)
+        .select($"o_orderkey", $"o_custkey",
+          ($"o_totalprice" * 3.0).as("o_totalprice"))
+        .unionByName(orders.filter($"o_orderkey" % 9 === 0L)
+          .select(($"o_orderkey" + 2L * maxk).as("o_orderkey"), $"o_custkey",
+            $"o_totalprice"))
+        .createOrReplaceTempView("q_sql_dml_src")
+      s.sql(
+        s"""MERGE INTO graft.`$t` tgt USING q_sql_dml_src src
+           |ON tgt.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.o_totalprice > 100000 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.catalog.dropTempView("q_sql_dml_src")
+      require(graft.ops.Versioned.latestVersion(s, t) == Some(4L),
+        "writer seed + three DML statements must land exactly four commits")
+      (1 to 4).map { v =>
+        s.sql(s"""SELECT CAST($v AS bigint) AS version, COUNT(1) AS n,
+          CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+          CAST(SUM(o_custkey) AS bigint) AS sum_cust
+          FROM graft.`$t` VERSION AS OF $v""")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
     // CATALYST FILTER PUSHDOWN INTO MANIFEST FILE SKIPPING (the
     // graft-table PrunedFilteredScan): the user writes a PLAIN
     // DataFrame filter — no skipRead call, no hints — and Catalyst
@@ -2455,6 +2504,48 @@ object OpsQueries extends graft.QueryModule {
         |    CAST(SUM(o_custkey) AS bigint) FROM v1
         |)
         |SELECT arm, n, sum_price, sum_cust FROM arms ORDER BY arm""".stripMargin,
+    "q_sql_dml" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 5 <> 0),
+        |v3 AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_custkey % 10 = 3 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM v2),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 3 AS o_totalprice
+        |  FROM v1 WHERE o_orderkey % 7 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 2 * (SELECT mk FROM mx), o_custkey, o_totalprice
+        |  FROM v1 WHERE o_orderkey % 9 = 0
+        |),
+        |v4 AS (
+        |  SELECT t.* FROM v3 t
+        |  WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL
+        |  SELECT t.o_orderkey, t.o_custkey, s.o_totalprice
+        |  FROM v3 t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE NOT (s.o_totalprice > 100000)
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM v3)
+        |),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v2
+        |  UNION ALL SELECT CAST(3 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v3
+        |  UNION ALL SELECT CAST(4 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v4
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
     "q_relation_pushdown" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
         |SELECT COUNT(1) AS n,

@@ -2,17 +2,30 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The ONE Spark-internal seam the versioned streaming source needs:
-  * a v1 `Source.getBatch` must return a DataFrame whose logical plan is
-  * marked `isStreaming = true` (`MicroBatchExecution` asserts it), and
-  * the only constructor for that is `SparkSession.internalCreateDataFrame`,
-  * which is `private[sql]`. This object lives in a subpackage of
-  * `org.apache.spark.sql` purely to cross that access boundary — the
-  * same pattern every out-of-tree v1 streaming source (Delta's
-  * `DeltaSource` included) uses. Nothing else in the repo reaches into
-  * Spark internals this way; keep it that way.
+/** The TWO Spark-internal seams graft needs, isolated in one object.
+  * It lives in a subpackage of `org.apache.spark.sql` purely to cross
+  * the `private[sql]` access boundary — the same pattern every
+  * out-of-tree engine (Delta included) uses. Keep every internal reach
+  * HERE; nothing else in the repo touches Spark internals.
+  *
+  *  1. streaming retag: a v1 `Source.getBatch` must return a DataFrame
+  *     whose plan is marked `isStreaming = true` (`MicroBatchExecution`
+  *     asserts it) — only `internalCreateDataFrame` can build one;
+  *  2. plan→frame ([[frameOf]]): SQL DML on graft tables (DELETE /
+  *     UPDATE / MERGE, `plans/GraftSqlRule`) receives the MERGE source
+  *     as a resolved `LogicalPlan`, and the only constructor from a
+  *     plan is `Dataset.ofRows`, also `private[sql]`.
   */
 object StreamingFrameShim {
+
+  /** A batch DataFrame over an analyzer-resolved logical plan
+    * (`Dataset.ofRows`) — the MERGE-source seam for SQL DML.
+    */
+  def frameOf(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(classic, plan)
+  }
 
   /** Re-tag an eagerly planned batch frame as a streaming micro-batch.
     * The RDD is still lazy — the batch plan executes when the
