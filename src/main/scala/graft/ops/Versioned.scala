@@ -1286,7 +1286,8 @@ object Versioned {
       whenNotMatchedInsert: Boolean = true,
       statsCols: Seq[String] = Nil, numFiles: Int = 4,
       maxAttempts: Int = 5,
-      schemaEvolution: Boolean = false): (Long, Int, Int) = retryOnConflict(maxAttempts) {
+      schemaEvolution: Boolean = false,
+      onStaged: () => Unit = () => ()): (Long, Int, Int) = retryOnConflict(maxAttempts) {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, when}
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
@@ -1422,14 +1423,103 @@ object Versioned {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
       throw t
     }
-    if (!writeManifest(spark, table, v, "merge", m.refs :+ dirName,
-        Some(if (schemaEvolution) unionSchema.json else batch0.schema.json),
-        m.dvs :+ dvDir, m.constraints)) {
-      cleanup()
-      throw new java.util.ConcurrentModificationException(
-        s"version $v of $table was committed by another writer; re-read and retry")
+    onStaged()
+    // PUBLISH-OR-REBASE (the appendRebase discipline extended to a
+    // READ-WRITE transaction — Delta PVLDB'20 §4.2's logical conflict
+    // detection): a lost CAS race re-checks the INTERVENING commits
+    // against this merge's read set — the pruned file slice plus the
+    // batch's key span [lo, hi] (matched rows can only live there, and a
+    // not-matched verdict can only be flipped by a new row there). Every
+    // intervening commit that (a) only ADDED data dirs, (b) provably
+    // outside the span by their stats manifests, with (c) schema,
+    // constraints, features, dvs, and the existing ref set untouched, is
+    // DISJOINT: the staged dv + new-images dirs graft onto the new head
+    // unchanged — the join, the sort, and the terabyte of write cost are
+    // NOT repeated. Anything else falls back to full re-execution via
+    // the retryOnConflict wrapper (cleanup + rethrow), which re-reads
+    // the new head and re-runs the merge — correct, just not free.
+    var targetV = v
+    var baseM = m
+    var publishedV = -1L
+    var publishAttempt = 0
+    while (publishedV < 0) {
+      publishAttempt += 1
+      if (publishAttempt > maxAttempts) {
+        cleanup()
+        throw new java.util.ConcurrentModificationException(
+          s"mergeApply on $table lost the commit race $maxAttempts times; " +
+            "staged dirs dropped — retry under lighter contention")
+      }
+      if (writeManifest(spark, table, targetV, "merge", baseM.refs :+ dirName,
+          Some(if (schemaEvolution) unionSchema.json else batch0.schema.json),
+          baseM.dvs :+ dvDir, baseM.constraints)) {
+        publishedV = targetV
+      } else {
+        val headV = latestVersion(spark, table).get
+        val disjoint = (targetV to headV).forall { iv =>
+          mergeRebaseSafe(spark, table,
+            readManifest(spark, table, iv - 1), readManifest(spark, table, iv),
+            m, key, lo, hi)
+        }
+        if (!disjoint) {
+          cleanup()
+          throw new java.util.ConcurrentModificationException(
+            s"version $targetV of $table was committed by another writer " +
+              "whose changes overlap this merge's read set; re-read and retry")
+        }
+        baseM = readManifest(spark, table, headV)
+        targetV = headV + 1
+      }
     }
-    (v, touched.size, nTotal)
+    (publishedV, touched.size, nTotal)
+  }
+
+  /** One intervening commit's DISJOINTNESS from a racing merge's read
+    * set (prev → cur is the commit's delta; `m` the merge's parent,
+    * `[lo, hi]` its batch key span). Conservative in every uncertain
+    * direction: only pure appends of stats-covered dirs provably
+    * outside the span pass.
+    */
+  private def mergeRebaseSafe(spark: SparkSession, table: String,
+      prev: Manifest, cur: Manifest, m: Manifest, key: String,
+      lo: String, hi: String): Boolean = {
+    if (cur.features.nonEmpty || cur.colmap.nonEmpty) return false
+    if (cur.schemaJson != m.schemaJson) return false
+    if (cur.constraints != m.constraints) return false
+    if ((prev.refs.toSet -- cur.refs.toSet).nonEmpty) return false // removals
+    if ((cur.dvs.toSet -- prev.dvs.toSet).nonEmpty) return false   // new dvs
+    refsProvablyOutside(spark, table, cur.refs.toSet -- prev.refs.toSet,
+      key, lo, hi)
+  }
+
+  /** True iff every file behind `refs` PROVABLY holds no key in
+    * `[lo, hi]` by its dir's stats manifest — stats-less dirs and
+    * stats-less columns fail conservative (they might hold any key).
+    */
+  private def refsProvablyOutside(spark: SparkSession, table: String,
+      refs: Set[String], column: String, lo: String, hi: String): Boolean = {
+    if (refs.isEmpty) return true
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
+    import spark.implicits._
+    val byDir = groupRefsByDir(refs.toSeq)
+    val infos = byDir.toSeq.map { case (d, files) =>
+      val dir = s"${dataRoot(spark, table)}/$d"
+      (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
+    }
+    if (infos.exists(!_._4)) return false
+    val (verdict, _) = Layout.decisionRelation(spark,
+      infos.map(_._2 + "/_stats"), column, Layout.rangeKeepExpr(_, lo, hi))
+    val withKeys = verdict
+      .withColumn("__dir", regexp_extract(col("file"), "([^/]+)/[^/]+$", 1))
+      .withColumn("__sfx", regexp_extract(col("file"), "([^/]+/[^/]+)$", 1))
+    val dirAll = infos.collect { case (d, _, None, _) => d }
+    val fileRefs = infos.flatMap { case (d, _, files, _) =>
+      files.toSeq.flatten.map(n => s"$d/$n") }
+    val restricted = withKeys.join(
+        broadcast(dirAll.toDF("__dir")), Seq("__dir"), "left_semi")
+      .unionByName(withKeys.join(
+        broadcast(fileRefs.toDF("__sfx")), Seq("__sfx"), "left_semi"))
+    restricted.filter(col("keep")).limit(1).count() == 0L
   }
 
   /** [[commit]] + executor-side stats harvest into the new data dir's

@@ -1079,6 +1079,66 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version")
     }),
 
+    // MERGE REBASE ON DISJOINT CONFLICT (mergeApply's publish-or-rebase
+    // loop — appendRebase's stage-once discipline extended to a
+    // READ-WRITE transaction): a competing writer appends rows OUTSIDE
+    // the merge batch's key span (with stats proving it) inside the
+    // staging window; the merge's first manifest publish loses the CAS,
+    // the intervening commit checks DISJOINT against the merge's read
+    // set, and the staged dv + new-images dirs graft onto the new head
+    // — the join and sort are NOT re-executed. REQUIRED in-query: the
+    // merge landed at v3 (on the racer's head), the staged dirs survived
+    // verbatim (exactly one new dir — the racer's), and stats pruning
+    // held (scanned < total). Both snapshots read back so one hash pins
+    // isolation (v2 = base + append) and composition (v3 = the merge
+    // applied over base + append, with the appended rows untouched). At
+    // 100 TB: a petabyte MERGE raced by a kilobyte append costs zero
+    // recomputed joins — the plain conflict loop would re-run the join.
+    "q_merge_rebase" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_mrebase_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(orders, Seq($"o_orderkey"), 16),
+        Seq("o_orderkey"))
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val (ulo, uhi) = (maxk * 2L / 10L, maxk * 3L / 10L)
+      val batch = orders.filter($"o_orderkey".between(ulo, uhi))
+        .select($"o_orderkey", $"o_custkey",
+          ($"o_totalprice" + 50000.0).as("o_totalprice"))
+      def dataDirs: Set[String] =
+        new java.io.File(s"$t/data").list().toSet
+      var staged: Set[String] = Set.empty
+      val (v, scanned, total) = graft.ops.Versioned.mergeApply(s, t, batch,
+        "o_orderkey",
+        whenMatchedUpdate = Some(Map(
+          "o_totalprice" -> $"src.o_totalprice")),
+        statsCols = Seq("o_orderkey"),
+        onStaged = () => {
+          staged = dataDirs
+          graft.ops.Versioned.commitWithStats(s, t,
+            orders.filter($"o_orderkey" % 9 === 0L)
+              .select(($"o_orderkey" + 2L * maxk).as("o_orderkey"),
+                $"o_custkey", ($"o_totalprice" * 3.0).as("o_totalprice")),
+            Seq("o_orderkey"))
+        })
+      require(v == 3L, s"the merge must rebase onto the racer's head: v=$v")
+      require(staged.subsetOf(dataDirs) && dataDirs.size == staged.size + 1,
+        "the staged dv+images must survive verbatim; only the racer's dir is new")
+      require(scanned > 0 && scanned < total,
+        s"stats pruning must hold through the rebase: $scanned/$total")
+      Seq(2L, 3L).map { vv =>
+        graft.ops.Versioned.read(s, t, Some(vv))
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            sum($"o_custkey").as("sum_cust"))
+          .select(lit(vv).as("version"), $"n", $"sum_price", $"sum_cust")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
     // MERGE SCHEMA EVOLUTION (Versioned.mergeApply(schemaEvolution=true)
     // — the Delta autoMerge rule): the batch ADDS a column the table
     // never had (o_flag) and OMITS one it has (o_custkey); the evolved
@@ -2452,6 +2512,32 @@ object OpsQueries extends graft.QueryModule {
         |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
         |    CAST(SUM(o_custkey) AS bigint) AS sum_cust
         |  FROM v2
+        |  UNION ALL SELECT CAST(3 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v3
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
+    "q_merge_rebase" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |app AS (
+        |  SELECT o_orderkey + 2 * (SELECT mk FROM mx) AS o_orderkey,
+        |    o_custkey, o_totalprice * 3 AS o_totalprice
+        |  FROM v1 WHERE o_orderkey % 9 = 0
+        |),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM app),
+        |v3 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey BETWEEN (SELECT mk * 2 // 10 FROM mx)
+        |                             AND (SELECT mk * 3 // 10 FROM mx)
+        |         THEN o_totalprice + 50000 ELSE o_totalprice END AS o_totalprice
+        |  FROM v2
+        |),
+        |snap AS (
+        |  SELECT CAST(2 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust FROM v2
         |  UNION ALL SELECT CAST(3 AS bigint), COUNT(1),
         |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
         |    CAST(SUM(o_custkey) AS bigint) FROM v3

@@ -1387,6 +1387,94 @@ class VersionedSpec extends SparkSpec {
     assert(new String(java.nio.file.Files.readAllBytes(hint), "UTF-8") == "6")
   }
 
+  test("mergeApply rebase: a lost race against a DISJOINT append grafts the " +
+      "staged dv+images without re-executing; an OVERLAPPING append re-executes") {
+    import org.apache.spark.sql.functions.col
+    def dataDirs(t: String): Set[String] =
+      new java.io.File(s"$t/data").list().toSet
+    def seed(t: String): Unit = Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+        Seq(col("id")), 4),
+      Seq("id"))
+
+    // disjoint: the competing append's keys [1001,1010] sit outside the
+    // merge batch's span [40,60] and carry stats proving it
+    val a = tmpDir("versioned-mrebase-ok") + "/t"
+    seed(a)
+    var staged: Set[String] = Set.empty
+    val (v, _, _) = Versioned.mergeApply(spark, a,
+      Seq((40L, "U40"), (60L, "U60")).toDF("id", "s"), "id",
+      whenMatchedUpdate = Some(Map("s" -> col("src.s"))),
+      onStaged = () => {
+        staged = dataDirs(a)
+        Versioned.commitWithStats(spark, a,
+          (1001 to 1010).map(i => (i.toLong, s"n$i")).toDF("id", "s"),
+          Seq("id"))
+      })
+    assert(v == 3L, s"rebase must land on the racer's head: v=$v")
+    assert(staged.subsetOf(dataDirs(a)) && dataDirs(a).size == staged.size + 1,
+      "the staged dv+images dirs must survive verbatim; only the racer's " +
+        "append dir is new")
+    val got = Versioned.read(spark, a).as[(Long, String)].collect().toMap
+    assert(got(40L) == "U40" && got(60L) == "U60" && got(1005L) == "n1005" &&
+      got.size == 110, "the rebased head must compose both writers' effects")
+
+    // overlapping: the competing append's key 50 is inside the span —
+    // the merge must RE-EXECUTE (and then also update the new row)
+    val b = tmpDir("versioned-mrebase-re") + "/t"
+    seed(b)
+    var first = true
+    var stagedB: Set[String] = Set.empty
+    val (v2, _, _) = Versioned.mergeApply(spark, b,
+      Seq((50L, "U50")).toDF("id", "s"), "id",
+      whenMatchedUpdate = Some(Map("s" -> col("src.s"))),
+      onStaged = () => {
+        if (first) {
+          first = false
+          stagedB = dataDirs(b)
+          Versioned.commitWithStats(spark, b,
+            Seq((50L, "dup50x")).toDF("id", "s"), Seq("id"))
+        }
+      })
+    assert(v2 == 3L)
+    assert((stagedB -- dataDirs(b)).size == 2,
+      "re-execution must have dropped the first attempt's staged dv+images")
+    val gotB = Versioned.read(spark, b).as[(Long, String)].collect()
+      .filter(_._1 == 50L).map(_._2).toSet
+    assert(gotB == Set("U50"),
+      s"the re-executed merge must update BOTH images of key 50: $gotB")
+  }
+
+  test("mergeApply rebase: a stats-less competing append re-executes " +
+      "(cannot prove disjointness)") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("versioned-mrebase-nostats") + "/t"
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (1 to 50).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+        Seq(col("id")), 2),
+      Seq("id"))
+    var first = true
+    var staged: Set[String] = Set.empty
+    def dataDirs: Set[String] = new java.io.File(s"$t/data").list().toSet
+    val (v, _, _) = Versioned.mergeApply(spark, t,
+      Seq((10L, "U10")).toDF("id", "s"), "id",
+      whenMatchedUpdate = Some(Map("s" -> col("src.s"))),
+      onStaged = () => {
+        if (first) {
+          first = false
+          staged = dataDirs
+          // plain commit: no stats manifest — disjointness unprovable
+          Versioned.commit(spark, t, Seq((900L, "n900")).toDF("id", "s"))
+        }
+      })
+    assert(v == 3L)
+    assert((staged -- dataDirs).size == 2,
+      "conservative fallback must re-execute, dropping the staged dirs")
+    assert(Versioned.read(spark, t).count() == 51)
+  }
+
   test("mergeApply schema evolution: union schema, padded clauses, and the " +
       "no-flag path still refuses mismatched batches") {
     val t = tmpDir("versioned-mergeevo") + "/t"
