@@ -19,11 +19,26 @@ object PlanLab {
     def df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("--explain")) df.explain("formatted")
 
+    // --jobs: count Spark jobs per run — the job-count audit for
+    // protocol-heavy entries (driver-side per-job overhead is what
+    // multiplies under suite pressure, so fewer jobs = less exposure).
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (args.contains("--jobs"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            { jobCount.incrementAndGet(): Unit }
+        })
+
     df.write.format("noop").mode("overwrite").save() // warmup
     (1 to runs).foreach { i =>
+      val j0 = jobCount.get()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(f"PLANLAB $name run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val jobs = if (args.contains("--jobs")) s" jobs=${jobCount.get() - j0}" else ""
+      println(f"PLANLAB $name run$i $dt%.3f s$jobs")
     }
     spark.stop()
   }

@@ -638,35 +638,31 @@ object Layout {
     * of the decision, for callers that must restrict it to a referenced
     * subset of each dir's files ([[Versioned.skipRead]] /
     * [[Versioned.mergePruned]] after a file-granular merge commit).
+    *
+    * Planned on [[decisionRelation]] (the round-11 verdict's unification):
+    * the conservative-undecided rule is the relation's own left join, so
+    * this costs ONE streamed pass over the verdict relation — no eager
+    * checkpoint, no per-file driver collect beyond the verdict list
+    * itself (which the manifest PROTOCOL needs: the dropped side becomes
+    * file-granular refs in the commit, exactly Delta's AddFile list),
+    * bounded by the same ceiling as every other driver materialization.
     */
   private[graft] def manifestFileDecisions(
       spark: org.apache.spark.sql.SparkSession, statsPaths: Seq[String],
       column: String, lo: String, hi: String)
       : (Seq[(String, Boolean)], String) = {
-    val all = spark.read.parquet(statsPaths: _*).localCheckpoint(true)
-    val man = all.filter(col("column") === column)
-    // typ is uniform per column (one writer); read it once, then decide
-    // with a typed comparison pushed into the manifest scan
-    val typs = man.select(col("typ")).distinct().collect().map(_.getString(0))
-    require(typs.length <= 1, s"mixed stat types for $column: ${typs.mkString(",")}")
-    val typ = typs.headOption.getOrElse("string")
-    // an ALL-NULL file can never satisfy a range predicate (NULL compares
-    // to nothing) — prunable even though it carries no min/max
-    val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("n_rows")
-    val keepExpr =
-      if (typ.isEmpty) lit(true) // opaque type: conservative, scan all
-      else !allNull && (col("min_v").isNull ||
-        (col("max_v").cast(typ) >= lit(lo).cast(typ) &&
-         col("min_v").cast(typ) <= lit(hi).cast(typ)))
-    val decided = man.select(col("file"), keepExpr.as("keep")).collect()
-      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
-    // a manifest file with NO row for the queried column (stats were
-    // harvested for other columns) MUST stay conservative — silently
-    // pruning it would drop its rows from the result, the one failure
-    // mode a skipping layer can never have
-    val undecided = all.select(col("file")).distinct().collect()
-      .map(_.getString(0)).toSet -- decided.map(_._1).toSet
-    (decided ++ undecided.toSeq.sorted.map(f => (f, true)), typ)
+    val (verdict, typ) =
+      decisionRelation(spark, statsPaths, column, rangeKeepExpr(_, lo, hi))
+    import scala.jdk.CollectionConverters._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val it = verdict.select(col("file"), col("keep")).toLocalIterator().asScala
+    for (r <- it) {
+      require(buf.size < MaxDriverKeptFiles,
+        s"manifest decision spans more than $MaxDriverKeptFiles files — " +
+        "refusing to materialize the verdict list on the driver")
+      buf += ((r.getString(0), r.getBoolean(1)))
+    }
+    (buf.toSeq, typ)
   }
 
   /** Hard ceiling on KEPT files materialized driver-side by
@@ -678,6 +674,13 @@ object Layout {
     * bound bites by planning a 50k-file manifest under a tiny ceiling.
     */
   val MaxDriverKeptFiles: Int = 2 << 20
+
+  /** Recorded stat type per (manifest set, column) — see
+    * [[decisionRelation]]. Bounded (cleared wholesale past 4096 keys);
+    * sound because stats manifests are write-once under UUID-unique dirs.
+    */
+  private val typMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** The skip decision as a RELATION — (file, n_bytes, keep), computed
     * entirely as a DataFrame over the `_stats` manifests (the round-10
@@ -697,10 +700,30 @@ object Layout {
     val all = spark.read.parquet(statsPaths: _*)
     val man = all.filter(col("column") === column)
     // typ is uniform per column (one writer): a bounded collect — at most
-    // one row per distinct recorded type, never per file
-    val typs = man.select(col("typ")).distinct().collect().map(_.getString(0))
-    require(typs.length <= 1, s"mixed stat types for $column: ${typs.mkString(",")}")
-    val typ = typs.headOption.getOrElse("string")
+    // one row per distinct recorded type, never per file. MEMOIZED per
+    // (manifest set + mtimes, column): a protocol-heavy run (merge
+    // planning, repeated skip scans) stops paying one probe JOB per
+    // planning step (the round-11 q_cdf_replica job-count finding). The
+    // key carries each manifest dir's mtime so an in-place `_stats`
+    // rewrite (mode=overwrite re-harvest) can never serve a stale type —
+    // one driver getFileStatus per dir, the same O(dirs) metadata cost
+    // class as the exists() probes callers already pay.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val memoKey = (statsPaths.sorted.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val mt = try hp.getFileSystem(hconf).getFileStatus(hp)
+        .getModificationTime catch { case _: java.io.IOException => -1L }
+      s"$p@$mt"
+    }.mkString("|"), column)
+    val typ = Option(typMemo.get(memoKey)).getOrElse {
+      val typs = man.select(col("typ")).distinct().collect().map(_.getString(0))
+      require(typs.length <= 1,
+        s"mixed stat types for $column: ${typs.mkString(",")}")
+      val t = typs.headOption.getOrElse("string")
+      if (typMemo.size > 4096) typMemo.clear()
+      typMemo.put(memoKey, t)
+      t
+    }
     val lenCol = if (all.columns.contains("n_bytes")) col("n_bytes")
       else lit(null).cast("long")
     val perFile = all.groupBy(col("file")).agg(max(lenCol).as("n_bytes"))

@@ -47,6 +47,13 @@ object PageRank {
   /** 1e12 — rank units per 1.0 of probability mass. */
   val Scale = 1000000000000L
 
+  /** Node-count ceiling for the broadcast-iteration regime: 2M rank rows
+    * ≈ 64 MB broadcast (16 bytes + row overhead each) — safely under
+    * executor broadcast budgets. Above it, iterations fall back to the
+    * shuffle discipline (src-partitioned edges + two keyed shuffles).
+    */
+  val BroadcastNodeLimit: Long = 2000000L
+
   /** Iterate `iters` rounds of fixed-point PageRank over `edges`
     * (columns `src`, `dst`; must be distinct pairs). Returns (id: long,
     * rank_fp: long) — one row per node that appears in the edge set.
@@ -106,6 +113,15 @@ object PageRank {
     val edgesDeg = e.join(outDeg, "src")
       .repartition(col("src"))
       .localCheckpoint(true)
+    // BROADCAST REGIME: the rank vector is |V| rows of (long, long). When
+    // it fits a broadcast (the co-purchase graphs here: |V| = |parts|,
+    // tens of thousands), every iteration's two rank joins go map-side —
+    // the EDGE relation never shuffles and never sort-merges, only the
+    // |V|-sized partial aggregates move. Past the limit (a web-scale
+    // graph) the shuffle discipline above takes over unchanged. Same
+    // runtime-stats-driven join planning as [[Versioned.joinWithStats]]:
+    // n is already counted for the uniform prior, so the decision is free.
+    val useBroadcast = n <= BroadcastNodeLimit
 
     // Track the rank checkpoints this loop OWNS so each can be freed the
     // moment a newer one supersedes it (Checkpoints.free scaladoc) —
@@ -124,10 +140,12 @@ object PageRank {
         seeded
     }
     (1 to iters).foreach { i =>
+      val rhs = if (useBroadcast) broadcast(ranks) else ranks
       val contrib = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("id"))
+        .join(rhs, edgesDeg("src") === rhs("id"))
         .select(col("dst"), expr("rank_fp div deg").as("c"))
-      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val sums0 = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val sums = if (useBroadcast) broadcast(sums0) else sums0
       ranks = nodes.join(sums, nodes("id") === sums("dst"), "left")
         .select(col("id"),
           (lit(base) + expr("(17 * coalesce(s, 0L)) div 20")).as("rank_fp"))
