@@ -30,6 +30,10 @@ object RecallLab {
     report("srp", Similarity.srpTopK(emb, queries, "embedding", "vec_id", 5, probes = 2))
     report("ivf", Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 5))
     report("ivfpq", Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id", 5))
+    for (nmax <- Seq(6, 8, 10); band <- Seq(0.15, 0.25, 0.4))
+      report(f"ivfpq-adaptive nmax=$nmax band=$band rerank=60",
+        Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id", 5,
+          rerank = 60, nprobeMax = nmax, adaptiveBand = band))
     spark.stop()
   }
 }

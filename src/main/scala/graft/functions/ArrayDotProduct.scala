@@ -96,6 +96,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL access to versioned tables: `FROM graft.`<path>`` (+ VERSION /
     // TIMESTAMP AS OF, INSERT INTO) resolves to the graft-table relation
     ext.injectResolutionRule(s => new graft.plans.GraftSqlRule(s))
+    // time travel over NAMED graft catalog tables must substitute
+    // BEFORE builtin resolution (V2SessionCatalog throws for v1 tables)
+    // — the Hints batch runs first
+    ext.injectHintResolutionRule(s => new graft.plans.GraftTimeTravelRule(s))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),

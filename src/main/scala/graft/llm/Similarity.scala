@@ -333,7 +333,8 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, numCells: Int = 16, nprobe: Int = 4,
       m: Int = 16, ksub: Int = 64, seed: Long = 42L, sampleTarget: Int = 4096,
-      rerank: Int = 40, dims: Int = 64): DataFrame = {
+      rerank: Int = 40, dims: Int = 64,
+      nprobeMax: Int = 0, adaptiveBand: Double = 0.25): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val cPrep = prepared(corpus, vecCol, idCol)
@@ -387,11 +388,34 @@ object Similarity {
         (lit(c.map(x => x * x).sum) - lit(2d) * qc).as("cd"),
         lit(i).as("cell"), qc.as("qc"))
     }
-    // query rows carry the LUT + per-cell q·c, not the vector
+    // query rows carry the LUT + per-cell q·c, not the vector.
+    // ADAPTIVE NPROBE (nprobeMax > nprobe): beyond the base nprobe
+    // cells, probe an extra cell only while its centroid distance sits
+    // within `adaptiveBand` of the query's own distance SPREAD
+    // (cd ≤ cd_best + band·(cd_worst − cd_best)) — a query near a cell
+    // boundary fans out, an interior query stays cheap. This is the
+    // recall lever past the fixed-nprobe ceiling (round-11 verdict #8):
+    // misses concentrate on boundary queries, exactly the ones the
+    // band admits more cells for, while the EXPECTED probe count stays
+    // near the base.
+    val sortedProbes = array_sort(array(probeEntries.toSeq: _*))
+    val probeSel =
+      if (nprobeMax <= nprobe)
+        slice(sortedProbes, 1, nprobe)
+      else {
+        val best = element_at(sortedProbes, 1).getField("cd")
+        val worst = element_at(sortedProbes, size(sortedProbes)).getField("cd")
+        val thresh = best + lit(adaptiveBand) * (worst - best)
+        concat(
+          slice(sortedProbes, 1, nprobe),
+          org.apache.spark.sql.functions.filter(
+            slice(sortedProbes, nprobe + 1, nprobeMax - nprobe),
+            p => p.getField("cd") <= thresh))
+      }
     val qCells = qPrep
       .select(col(idCol).as("id_a"), col("nrm").as("n_a"),
         pqLutCol(col("v"), codebooks).as("lut"),
-        explode(slice(array_sort(array(probeEntries.toSeq: _*)), 1, nprobe)).as("probe"))
+        explode(probeSel).as("probe"))
       .withColumn("cell", col("probe.cell"))
       .withColumn("qc", col("probe.qc"))
       .drop("probe")

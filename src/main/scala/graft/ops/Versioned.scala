@@ -257,11 +257,19 @@ object Versioned {
     * refuses the overwrite, no rename semantics required. Implemented
     * here over Hadoop `create(dest, overwrite=false)` (exclusive-create
     * on local/HDFS), which is semantically faithful to the conditional
-    * PUT: the racer that loses sees `FileAlreadyExistsException` and
-    * reports false. A partial write on crash leaves a readable-length
-    * anomaly a real object store cannot (PUTs are atomic); manifests
-    * are single-digit-KB so the window is negligible and the next
-    * writer's exists() answer is still correct either way.
+    * PUT — with TWO caveats the deployment must respect (ADVICE r11):
+    *
+    *  - the exclusive create is a TRUE atom only on stores that provide
+    *    it (S3 `If-None-Match: *`, GCS generation-match, HDFS create).
+    *    `RawLocalFileSystem` emulates it as exists-then-create, so two
+    *    local racers can both "win" — local/HDFS deployments keep
+    *    [[RenameCommitStore]] (the default) whose rename IS atomic;
+    *  - a real conditional PUT is all-or-nothing, but the Hadoop
+    *    emulation can crash between create and write, leaving a claimed
+    *    EMPTY manifest that would brick the version. `publish` therefore
+    *    best-effort deletes the destination when the write/close fails,
+    *    so the failed attempt releases its claim instead of wedging
+    *    every future reader of that version.
     */
   object ConditionalPutCommitStore extends CommitStore {
     def publish(f: FileSystem, dest: Path, bytes: Array[Byte]): Boolean = {
@@ -272,7 +280,13 @@ object Versioned {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
           case _: java.io.IOException if f.exists(dest) => return false
         }
-      try out.write(bytes) finally out.close()
+      try { try out.write(bytes) finally out.close() }
+      catch { case e: Throwable =>
+        // release the claim: a truncated manifest must not survive —
+        // readManifest would throw on it forever (no cleanup path)
+        try f.delete(dest, false) catch { case _: Throwable => () }
+        throw e
+      }
       true
     }
   }
@@ -317,7 +331,17 @@ object Versioned {
           txns.map { case (a, b) => s"txn=$a:$b" } ++ refs)))
         .mkString("\n").getBytes("UTF-8")
     val won = commitStore.publish(f, p, bytes)
-    if (won) writeHeadHint(f, table, v)
+    if (won) {
+      writeHeadHint(f, table, v)
+      // Named catalog access (`CREATE TABLE ... USING graft-table`)
+      // resolves through Spark's table-relation cache, which would pin a
+      // pre-commit VersionedRelation snapshot and serve STALE reads
+      // after any write. Every commit funnels through here, so this one
+      // metadata-cache drop keeps name-based SQL read-your-writes; path
+      // literals never enter the cache and are unaffected.
+      try spark.sessionState.catalog.invalidateAllCachedTables()
+      catch { case _: Throwable => () }
+    }
     won
   }
 
@@ -404,8 +428,28 @@ object Versioned {
     // written under the PHYSICAL names so every dir — pre- and post-
     // rename — stays consistent on disk (an overwrite drops the mapping:
     // it replaces the table, so its own names become physical truth).
-    val mapping: Map[String, String] =
+    // On a MAPPED table, a logical column the parent schema does not
+    // carry gets a FRESH physical name minted (`<name>_p<v>` — version
+    // numbers are claimed exactly once, so the mint is unique): without
+    // it, re-adding a column after dropColumn would write under the
+    // dropped column's physical name and mergeSchema reads would
+    // RESURRECT the dropped bytes for pre-drop rows (Delta avoids this
+    // with unique physical column ids — ADVICE r11 high).
+    val baseMapping: Map[String, String] =
       if (overwrite) Map.empty else parent.map(_.colmap).getOrElse(Map.empty)
+    val mapped = parent.exists(_.features.contains("column-mapping")) && !overwrite
+    val mapping: Map[String, String] =
+      if (!mapped) baseMapping
+      else {
+        val parentFields = parent.flatMap(_.schemaJson).map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet)
+          .getOrElse(Set.empty[String])
+        baseMapping ++ df.columns.toSeq
+          .filterNot(parentFields.contains)
+          .filterNot(baseMapping.contains)
+          .map(c => c -> s"${c}_p$v")
+      }
     val physDf =
       if (mapping.isEmpty) df
       else df.select(df.columns.toSeq.map(c =>
@@ -549,8 +593,23 @@ object Versioned {
       val refs = head.map(_.refs).getOrElse(Seq.empty) :+ dirName
       val dvs = head.map(_.dvs).getOrElse(Seq.empty)
       val cons = head.map(_.constraints).getOrElse(Seq.empty)
+      // Publish the FIELD-UNION of the head's schema and the staged
+      // frame's: grafting onto a head whose schema evolved (a concurrent
+      // append added a column — passes typeConflicts) must not regress
+      // the recorded table schema, which VersionedStream.sourceSchema,
+      // changes() alignment, and mergeApply's column checks all consume
+      // (ADVICE r11 low). Head order first, staged-only fields appended.
+      val headSchema = head.flatMap(_.schemaJson).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val pubSchema = headSchema match {
+        case Some(hs) => org.apache.spark.sql.types.StructType(
+          hs.fields ++ df.schema.fields.filterNot(f =>
+            hs.fieldNames.contains(f.name)))
+        case None => df.schema
+      }
       if (writeManifest(spark, table, v, "append", refs,
-          Some(df.schema.json), dvs, cons))
+          Some(pubSchema.json), dvs, cons))
         return (v, attempt)
       // lost the race: loop — the staged dir survives untouched
     }
@@ -1268,8 +1327,21 @@ object Versioned {
     *    `tgt.*`/`src.*` expressions; `None` replaces the matched row
     *    with the batch row's image (classic upsert). Updates may not
     *    change column types ([[updateWhere]]'s poison rule).
+    *  - `whenMatchedUpdateCond`: the update clause's own condition —
+    *    a matched row the delete clause does not claim updates only
+    *    when this is definitely TRUE; otherwise it stays IN PLACE (not
+    *    tombstoned, not re-landed, no CDF noise). `Some(lit(false))`
+    *    encodes "no matched update clause at all" (the SQL insert-only
+    *    MERGE); `None` keeps the historical unconditional default.
     *  - `whenNotMatchedInsert`: batch rows matching no live target row
-    *    append as-is.
+    *    append as-is; `whenNotMatchedInsertCond` filters them by a
+    *    SOURCE-only predicate first (the Delta conditional INSERT).
+    *  - `whenNotMatchedBySourceDelete` / `whenNotMatchedBySourceUpdate`:
+    *    the Delta BY SOURCE clauses — target rows with NO batch match,
+    *    in TARGET-only vocabulary; delete wins over update on a row
+    *    both claim. By definition these read the WHOLE live target
+    *    (one full scan like [[deleteWhere]]) and disable the
+    *    publish-or-rebase fast path (the read set is the table).
     *
     * 100 TB shape: the matched-coordinate harvest scans ONLY files whose
     * stats range overlaps the batch's key span ([[pruneRefs]] — the
@@ -1287,7 +1359,14 @@ object Versioned {
       statsCols: Seq[String] = Nil, numFiles: Int = 4,
       maxAttempts: Int = 5,
       schemaEvolution: Boolean = false,
-      onStaged: () => Unit = () => ()): (Long, Int, Int) = retryOnConflict(maxAttempts) {
+      onStaged: () => Unit = () => (),
+      whenMatchedUpdateCond: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedInsertCond: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedBySourceUpdate:
+        Option[(Map[String, org.apache.spark.sql.Column],
+                Option[org.apache.spark.sql.Column])] = None)
+      : (Long, Int, Int) = retryOnConflict(maxAttempts) {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, when}
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
@@ -1373,13 +1452,18 @@ object Versioned {
       }
     val joined = tgt.join(src, col(s"tgt.$key") === col(s"src.$key"), "inner")
     val delCond = whenMatchedDelete.getOrElse(lit(false))
-    // every matched row leaves its file: deletes tombstone, updates
-    // tombstone + re-land — ONE dv covers both
-    val dvRows = joined
+    // Clause routing with per-clause conditions (the Delta order):
+    // a matched row is DELETED when the delete condition is definitely
+    // TRUE; otherwise UPDATED when the update condition is definitely
+    // TRUE (unconditional update = lit(true) — the historical default);
+    // otherwise it stays IN PLACE — not tombstoned, not re-landed, no
+    // CDF noise. Only affected rows enter the dv.
+    val isDel = coalesce(delCond, lit(false))
+    val updCond = whenMatchedUpdateCond.getOrElse(lit(true))
+    val isUpd = !isDel && coalesce(updCond, lit(false))
+    val dvRows = joined.filter(isDel || isUpd)
       .select(col("tgt.__file").as("file"), col("tgt.__pos").as("pos"))
-    // updated images: matched rows NOT claimed by the delete clause
-    // (NULL falls through to update — only a definite TRUE deletes)
-    val updatedBase = joined.filter(coalesce(!delCond, lit(true)))
+    val updatedBase = joined.filter(isUpd)
     val updated = whenMatchedUpdate match {
       case Some(set) =>
         set.keys.foreach { c =>
@@ -1404,12 +1488,70 @@ object Versioned {
     // guarantee over the batch's span)
     val inserted =
       if (!whenNotMatchedInsert) updated.limit(0)
-      else batch.alias("b").join(tgt.select(col(s"tgt.$key")),
+      else whenNotMatchedInsertCond.fold(batch)(batch.filter)
+        .alias("b").join(tgt.select(col(s"tgt.$key")),
           col(s"b.$key") === col(s"tgt.$key"), "left_anti")
         .select(schemaCols.map(c => col(s"b.$c").as(c)): _*)
-    val newRows = updated.unionByName(inserted)
+    // WHEN NOT MATCHED BY SOURCE — target rows with no batch match. BY
+    // DEFINITION this clause reads the WHOLE live target (a not-matched-
+    // by-source verdict cannot be pruned to the batch's key span), so it
+    // scans every referenced file, costs a full predicate pass like
+    // deleteWhere, and DISABLES the publish-or-rebase fast path (the
+    // read set is the table). Delete wins over update on a row both
+    // conditions claim; only definite-TRUE conditions act (3VL).
+    val nmbsActive = whenNotMatchedBySourceDelete.nonEmpty ||
+      whenNotMatchedBySourceUpdate.nonEmpty
+    val (nmbsDv, nmbsUpdated) =
+      if (!nmbsActive)
+        (dvRows.limit(0), updated.limit(0))
+      else {
+        val allFiles = m.refs.flatMap { r =>
+          val (d, fsel) = (r.takeWhile(_ != '/'),
+            if (r.contains('/')) Some(r.split('/').last) else None)
+          val dir = s"${dataRoot(spark, table)}/$d"
+          fsel match {
+            case Some(name) => Seq(s"$dir/$name")
+            case None => fs(spark, new Path(dir)).listStatus(new Path(dir))
+              .toSeq.map(_.getPath.toString).filter(_.endsWith(".parquet"))
+          }
+        }.sorted
+        val fullScan = spark.read.option("mergeSchema", "true")
+          .parquet(allFiles: _*)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val live = padToUnion(
+          subtractDvs(spark, table, fullScan, m.dvs, "__file", "__pos"))
+          .alias("tgt")
+        val unmatched = live.join(broadcast(batch.select(col(key).as("__bk"))),
+          col(s"tgt.$key") === col("__bk"), "left_anti")
+        val nDel = coalesce(
+          whenNotMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+        val nUpd = !nDel && coalesce(
+          whenNotMatchedBySourceUpdate
+            .map { case (_, c) => c.getOrElse(lit(true)) }.getOrElse(lit(false)),
+          lit(false))
+        val dvN = unmatched.filter(nDel || nUpd)
+          .select(col("tgt.__file").as("file"), col("tgt.__pos").as("pos"))
+        val updN = whenNotMatchedBySourceUpdate match {
+          case None => updated.limit(0)
+          case Some((set, _)) =>
+            set.keys.foreach { c =>
+              require(schemaCols.contains(c),
+                s"NOT MATCHED BY SOURCE SET column '$c' does not exist in " +
+                  s"$table (${schemaCols.mkString(",")})")
+            }
+            // target-only vocabulary: there IS no source row to speak of
+            val withSets = set.foldLeft(unmatched.filter(nUpd)) {
+              case (df, (c, e)) => df.withColumn(s"__set_$c", e)
+            }
+            withSets.select(schemaCols.map(c =>
+              (if (set.contains(c)) col(s"__set_$c") else col(s"tgt.$c")).as(c)): _*)
+        }
+        (dvN, updN)
+      }
+    val newRows = updated.unionByName(inserted).unionByName(nmbsUpdated)
     val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    dvRows.repartition(1).write.mode("errorifexists")
+    dvRows.unionByName(nmbsDv).repartition(1).write.mode("errorifexists")
       .parquet(s"${dataRoot(spark, table)}/$dvDir")
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
     Layout.writeSorted(newRows, Seq(col(key)), numFiles,
@@ -1456,7 +1598,9 @@ object Versioned {
         publishedV = targetV
       } else {
         val headV = latestVersion(spark, table).get
-        val disjoint = (targetV to headV).forall { iv =>
+        // a NOT MATCHED BY SOURCE clause read the WHOLE table: no
+        // intervening commit can be disjoint from that read set
+        val disjoint = !nmbsActive && (targetV to headV).forall { iv =>
           mergeRebaseSafe(spark, table,
             readManifest(spark, table, iv - 1), readManifest(spark, table, iv),
             m, key, lo, hi)
@@ -1488,6 +1632,11 @@ object Versioned {
     if (cur.constraints != m.constraints) return false
     if ((prev.refs.toSet -- cur.refs.toSet).nonEmpty) return false // removals
     if ((cur.dvs.toSet -- prev.dvs.toSet).nonEmpty) return false   // new dvs
+    // dv REMOVALS resurrect rows (a rollback undoing a deleteWhere keeps
+    // the refs and drops the dv): the revived rows may sit inside the
+    // batch's key span, so the staged not-matched INSERT verdicts are
+    // stale — fall back to full re-execution (ADVICE r11 medium)
+    if ((prev.dvs.toSet -- cur.dvs.toSet).nonEmpty) return false   // dv removals
     refsProvablyOutside(spark, table, cur.refs.toSet -- prev.refs.toSet,
       key, lo, hi)
   }
@@ -2461,13 +2610,16 @@ object Versioned {
     val v = version.orElse(latestVersion(spark, srcTable))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $srcTable"))
     val m = readManifest(spark, srcTable, v)
-    requireNoFeatures(m, srcTable, "branch")
     f.mkdirs(btPath)
     val markerOut = f.create(new Path(s"$bt/_dataroot"), true)
     try markerOut.write(srcRoot.getBytes("UTF-8")) finally markerOut.close()
     dataRootCache.remove(bt) // a stale pre-creation probe must not linger
+    // features + colmap CLONE with the snapshot (round-11 verdict #7):
+    // a branch of a column-mapped table reads/renames/appends under the
+    // same logical view; per-verb feature gates still apply on both sides
     require(writeManifest(spark, bt, 1L, "clone", m.refs, m.schemaJson,
-      m.dvs, m.constraints, base = Some(v)),
+      m.dvs, m.constraints, base = Some(v), features = m.features,
+      colmap = m.colmap),
       s"branch $name raced another creator")
     bt
   }
@@ -2500,9 +2652,12 @@ object Versioned {
         "fast-forward only; re-branch from the current root and re-apply")
     val head = readManifest(spark, branchTable,
       latestVersion(spark, branchTable).get)
-    requireNoFeatures(head, branchTable, "promote")
+    // fast-forward carries the branch head VERBATIM — features and
+    // column mapping included (a rename made on the branch promotes as
+    // the same metadata-only rename; round-11 verdict #7)
     if (!writeManifest(spark, root, rootLatest + 1, "promote", head.refs,
-        head.schemaJson, head.dvs, head.constraints)) {
+        head.schemaJson, head.dvs, head.constraints,
+        features = head.features, colmap = head.colmap)) {
       throw new java.util.ConcurrentModificationException(
         s"version ${rootLatest + 1} of $root was committed during the promote; " +
           "the fork base no longer holds")
@@ -2572,8 +2727,6 @@ object Versioned {
     val baseM = readManifest(spark, root, base)
     val rootM = readManifest(spark, root, rootLatest)
     val branchM = readManifest(spark, branchTable, branchLatest)
-    requireNoFeatures(rootM, root, "merge3")
-    requireNoFeatures(branchM, branchTable, "merge3")
 
     val baseF = expandRefFiles(spark, root, baseM.refs)
     val rootF = expandRefFiles(spark, root, rootM.refs)
@@ -2613,22 +2766,88 @@ object Versioned {
           (if (overlap.size > 5) s" (+${overlap.size - 5} more)" else "") +
           " since the fork — re-branch from the current root and re-apply")
 
-    // schema union: pairwise evolution-compatibility, root's field order
-    // first, branch-only fields appended
-    val schemas = Seq(rootM.schemaJson, branchM.schemaJson).flatten.map(j =>
+    // schema merge. Without column mapping on either side: field union,
+    // pairwise evolution-compatibility, root's order first. With the
+    // feature anywhere, the merge runs THREE-WAY in PHYSICAL-column
+    // space (round-11 verdict #7): a column one side renamed (metadata-
+    // only — the other side's delta cannot see it) takes the side that
+    // CHANGED it vs the fork base; both-changed-differently, a drop
+    // racing a rename, and a physical-name collision between two
+    // independently-added columns all REFUSE loudly.
+    val featsUnion = rootM.features ++ branchM.features
+    def structOf(mm: Manifest) = mm.schemaJson.map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val mergedSchema: Option[String] =
-      if (schemas.isEmpty) None
-      else if (schemas.length == 1) Some(schemas.head.json)
-      else {
-        val conflicts = typeConflicts(schemas(0), schemas(1))
-        require(conflicts.isEmpty,
-          s"merge3 refused: root and branch schemas conflict: ${conflicts.mkString("; ")}")
-        val rootNames = schemas(0).fieldNames.toSet
-        Some(org.apache.spark.sql.types.StructType(
-          schemas(0).fields ++ schemas(1).fields.filterNot(f =>
-            rootNames.contains(f.name))).json)
+    val (mergedSchema: Option[String], mergedColmap: Map[String, String]) =
+      if (featsUnion.isEmpty) {
+        val schemas = Seq(rootM.schemaJson, branchM.schemaJson).flatten.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        val s0: Option[String] =
+          if (schemas.isEmpty) None
+          else if (schemas.length == 1) Some(schemas.head.json)
+          else {
+            val conflicts = typeConflicts(schemas(0), schemas(1))
+            require(conflicts.isEmpty,
+              s"merge3 refused: root and branch schemas conflict: ${conflicts.mkString("; ")}")
+            val rootNames = schemas(0).fieldNames.toSet
+            Some(org.apache.spark.sql.types.StructType(
+              schemas(0).fields ++ schemas(1).fields.filterNot(f =>
+                rootNames.contains(f.name))).json)
+          }
+        (s0, Map.empty[String, String])
+      } else {
+        // phys -> (logical, type) per side; every mapped manifest
+        // carries a schema by construction
+        def cols(mm: Manifest)
+            : Map[String, (String, org.apache.spark.sql.types.DataType)] =
+          structOf(mm).map(_.fields.toSeq.map(f =>
+            mm.physicalOf(f.name) -> (f.name, f.dataType)).toMap)
+            .getOrElse(Map.empty)
+        val bC = cols(baseM); val rC = cols(rootM); val brC = cols(branchM)
+        val resolved: Map[String, (String, org.apache.spark.sql.types.DataType)] =
+          (rC.keySet ++ brC.keySet).toSeq.sorted.flatMap { p =>
+            (bC.get(p), rC.get(p), brC.get(p)) match {
+              case (b0, Some(r), Some(br)) =>
+                require(r._2 == br._2,
+                  s"merge3 refused: column $p differs in type between root " +
+                    s"(${r._2.simpleString}) and branch (${br._2.simpleString})")
+                if (r == br) Some(p -> r)
+                else if (b0.contains(r)) Some(p -> br)  // branch changed it
+                else if (b0.contains(br)) Some(p -> r)  // root changed it
+                else throw new IllegalStateException(
+                  s"merge3 refused: root and branch both renamed column $p " +
+                    s"differently (${r._1} vs ${br._1}) — re-branch and re-apply")
+              case (Some(b0), Some(r), None) =>
+                if (r == b0) None // branch dropped an untouched column
+                else throw new IllegalStateException(
+                  s"merge3 refused: branch dropped column $p the root changed")
+              case (Some(b0), None, Some(br)) =>
+                if (br == b0) None
+                else throw new IllegalStateException(
+                  s"merge3 refused: root dropped column $p the branch changed")
+              case (None, Some(r), None) => Some(p -> r)  // root added
+              case (None, None, Some(br)) => Some(p -> br) // branch added
+              case _ => None // dropped on both sides, or never existed
+            }
+          }.toMap
+        // order: root's logical order first, then branch-only physicals
+        val rootOrder = structOf(rootM).map(_.fields.toSeq.map(f =>
+          rootM.physicalOf(f.name))).getOrElse(Seq.empty)
+        val branchOrder = structOf(branchM).map(_.fields.toSeq.map(f =>
+          branchM.physicalOf(f.name))).getOrElse(Seq.empty)
+        val ordered = (rootOrder ++ branchOrder.filterNot(rootOrder.contains))
+          .filter(resolved.contains).distinct
+        val fields = ordered.map { p =>
+          val (lg, dt) = resolved(p)
+          org.apache.spark.sql.types.StructField(lg, dt)
+        }
+        val lgs = fields.map(_.name)
+        require(lgs.distinct.length == lgs.length,
+          s"merge3 refused: merged logical names collide: ${lgs.mkString(",")}")
+        (Some(org.apache.spark.sql.types.StructType(fields).json),
+          ordered.flatMap(p =>
+            if (resolved(p)._1 == p) None else Some(resolved(p)._1 -> p)).toMap)
       }
 
     // constraints union by name; one name, two expressions → refuse
@@ -2655,7 +2874,8 @@ object Versioned {
         dr.dvAdded ++ db.dvAdded).toSeq.sorted
 
     if (!writeManifest(spark, root, rootLatest + 1, "merge3", mergedRefs,
-        mergedSchema, mergedDvs, mergedConstraints)) {
+        mergedSchema, mergedDvs, mergedConstraints,
+        features = featsUnion, colmap = mergedColmap)) {
       throw new java.util.ConcurrentModificationException(
         s"version ${rootLatest + 1} of $root was committed during the merge; " +
           "re-read and retry")

@@ -61,6 +61,43 @@ object GraftDml {
     }.sql
   }
 
+  /** Rebind a SOURCE-only expression (a `WHEN NOT MATCHED [AND cond]
+    * THEN INSERT` condition — the Delta rule: no target row exists yet)
+    * to BARE names: the engine applies it as a filter on the batch frame
+    * before aliasing.
+    */
+  private[plans] def rebindSourceBare(e: Expression,
+      targetOut: AttributeSet, sourceOut: AttributeSet): String = {
+    require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
+      s"graft MERGE does not support subqueries in clauses: ${e.sql}")
+    e.transform {
+      case a: AttributeReference if sourceOut.contains(a) =>
+        UnresolvedAttribute(Seq(a.name))
+      case a: AttributeReference if targetOut.contains(a) =>
+        throw new IllegalArgumentException(
+          "a WHEN NOT MATCHED INSERT condition may reference only source " +
+            s"columns (no target row exists): ${a.name}")
+    }.sql
+  }
+
+  /** Rebind a TARGET-only expression (`WHEN NOT MATCHED BY SOURCE`
+    * conditions and SET values — no source row exists) to the `tgt`
+    * alias the verb's scan carries.
+    */
+  private[plans] def rebindTargetOnly(e: Expression,
+      targetOut: AttributeSet, sourceOut: AttributeSet): String = {
+    require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
+      s"graft MERGE does not support subqueries in clauses: ${e.sql}")
+    e.transform {
+      case a: AttributeReference if targetOut.contains(a) =>
+        UnresolvedAttribute(Seq("tgt", a.name))
+      case a: AttributeReference if sourceOut.contains(a) =>
+        throw new IllegalArgumentException(
+          "a WHEN NOT MATCHED BY SOURCE clause may reference only target " +
+            s"columns (no source row exists): ${a.name}")
+    }.sql
+  }
+
   /** The equi-key [[Versioned.mergeApply]] joins on, extracted from the
     * ON clause — one `target.k = source.k` equality (either order).
     * Anything else refuses loudly: graft MERGE is keyed, like its verb.
@@ -113,7 +150,11 @@ final case class GraftUpdateCommand(table: String,
 final case class GraftMergeCommand(table: String, key: String,
     source: LogicalPlan, sourceCols: Seq[String],
     deleteCondSql: Option[String], updateSet: Option[Seq[(String, String)]],
-    insert: Boolean, schemaEvolution: Boolean)
+    insert: Boolean, schemaEvolution: Boolean,
+    updateCondSql: Option[String] = None,
+    insertCondSql: Option[String] = None,
+    nmbsDeleteCondSql: Option[String] = None,
+    nmbsUpdate: Option[(Seq[(String, String)], Option[String])] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val batch = org.apache.spark.sql.graftshim.StreamingFrameShim
@@ -124,16 +165,24 @@ final case class GraftMergeCommand(table: String, key: String,
         c -> expr(v)
       }.toMap),
       whenNotMatchedInsert = insert,
-      schemaEvolution = schemaEvolution)
+      schemaEvolution = schemaEvolution,
+      whenMatchedUpdateCond = updateCondSql.map(expr),
+      whenNotMatchedInsertCond = insertCondSql.map(expr),
+      whenNotMatchedBySourceDelete = nmbsDeleteCondSql.map(expr),
+      whenNotMatchedBySourceUpdate = nmbsUpdate.map { case (set, c) =>
+        (set.map { case (k2, v) => k2 -> expr(v) }.toMap, c.map(expr))
+      })
     Seq.empty
   }
 }
 
-/** Translates a RESOLVED `MergeIntoTable` into [[GraftMergeCommand]],
-  * refusing unsupported shapes loudly (so a statement can never half-run
-  * with silently dropped clauses): conditional UPDATE actions, multiple
-  * actions of one kind, non-identity INSERT mappings, and
-  * NOT-MATCHED-BY-SOURCE clauses are all refusals, not approximations.
+/** Translates a RESOLVED `MergeIntoTable` into [[GraftMergeCommand]].
+  * The full Delta clause matrix routes: conditional WHEN MATCHED
+  * UPDATE/DELETE, conditional WHEN NOT MATCHED INSERT (source-only
+  * vocabulary), and WHEN NOT MATCHED BY SOURCE UPDATE/DELETE
+  * (target-only vocabulary). What still refuses — loudly, so a
+  * statement can never half-run with silently dropped clauses: multiple
+  * actions of one kind and non-identity INSERT mappings.
   */
 object GraftMergeTranslator {
 
@@ -141,8 +190,6 @@ object GraftMergeTranslator {
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
     val key = GraftDml.mergeKey(m.mergeCondition, targetOut, sourceOut)
-    require(m.notMatchedBySourceActions.isEmpty,
-      "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
     // source columns must speak the target's vocabulary (the common
     // `USING (SELECT ... AS <target cols>) s` shape): name-collisions
     // and renames are the user's SELECT's job, not the translator's
@@ -156,23 +203,35 @@ object GraftMergeTranslator {
       deletes.length + updates.length == m.matchedActions.length,
       "graft MERGE supports at most one WHEN MATCHED UPDATE and one " +
         "WHEN MATCHED DELETE; other matched actions are unsupported")
+    // the engine routes delete-before-update; SQL clause semantics are
+    // first-match-wins, so the two agree ONLY when DELETE is written
+    // first — anything else would silently diverge, refuse instead
+    if (deletes.nonEmpty && updates.nonEmpty)
+      require(m.matchedActions.head.isInstanceOf[DeleteAction],
+        "graft MERGE requires WHEN MATCHED ... DELETE before WHEN MATCHED " +
+          "... UPDATE (the engine's clause precedence is delete-first)")
     val delCond = deletes.headOption.map(d =>
       d.condition.map(GraftDml.rebindMerge(_, targetOut, sourceOut))
         .getOrElse("true"))
-    updates.foreach(u => require(u.condition.isEmpty,
-      "graft MERGE does not support a conditional WHEN MATCHED UPDATE " +
-        "(route rows with WHEN MATCHED [AND cond] THEN DELETE instead)"))
     val updSet = updates.headOption.map(_.assignments.map { a =>
       assignName(a) -> GraftDml.rebindMerge(a.value, targetOut, sourceOut)
     })
+    // conditional matched UPDATE rides as its own rebound condition; NO
+    // matched update clause at all pins the condition to `false` so
+    // matched rows the delete clause does not claim stay IN PLACE (the
+    // verb's bare default is the classic replace-image upsert)
+    val updCond = updates.headOption match {
+      case Some(u) => u.condition.map(GraftDml.rebindMerge(_, targetOut, sourceOut))
+      case None => Some("false")
+    }
 
     val inserts = m.notMatchedActions.collect { case i: InsertAction => i }
     require(inserts.length == m.notMatchedActions.length &&
       inserts.length <= 1,
       "graft MERGE supports at most one WHEN NOT MATCHED THEN INSERT")
+    val insCond = inserts.headOption.flatMap(_.condition)
+      .map(GraftDml.rebindSourceBare(_, targetOut, sourceOut))
     inserts.foreach { i =>
-      require(i.condition.isEmpty,
-        "graft MERGE does not support a conditional INSERT")
       // identity mapping only (INSERT * / INSERT (cols) VALUES (s.cols)):
       // each target column takes the same-named source attribute
       i.assignments.foreach { a =>
@@ -185,12 +244,40 @@ object GraftMergeTranslator {
           s"${assignName(a)} <- ${a.value.sql}")
       }
     }
+
+    // WHEN NOT MATCHED BY SOURCE: at most one DELETE and one UPDATE,
+    // conditions and SET values rebound target-only (no source row
+    // exists for these clauses by definition)
+    val nmbsDeletes = m.notMatchedBySourceActions.collect { case d: DeleteAction => d }
+    val nmbsUpdates = m.notMatchedBySourceActions.collect { case u: UpdateAction => u }
+    require(nmbsDeletes.length <= 1 && nmbsUpdates.length <= 1 &&
+      nmbsDeletes.length + nmbsUpdates.length ==
+        m.notMatchedBySourceActions.length,
+      "graft MERGE supports at most one WHEN NOT MATCHED BY SOURCE UPDATE " +
+        "and one ... DELETE; other by-source actions are unsupported")
+    if (nmbsDeletes.nonEmpty && nmbsUpdates.nonEmpty)
+      require(m.notMatchedBySourceActions.head.isInstanceOf[DeleteAction],
+        "graft MERGE requires WHEN NOT MATCHED BY SOURCE ... DELETE before " +
+          "... UPDATE (the engine's clause precedence is delete-first)")
+    val nmbsDel = nmbsDeletes.headOption.map(d =>
+      d.condition.map(GraftDml.rebindTargetOnly(_, targetOut, sourceOut))
+        .getOrElse("true"))
+    val nmbsUpd = nmbsUpdates.headOption.map { u =>
+      (u.assignments.map(a => assignName(a) ->
+        GraftDml.rebindTargetOnly(a.value, targetOut, sourceOut)),
+       u.condition.map(GraftDml.rebindTargetOnly(_, targetOut, sourceOut)))
+    }
+
     GraftMergeCommand(table, key, m.sourceTable, srcNames,
       delCond, updSet, insert = inserts.nonEmpty,
       // `MERGE WITH SCHEMA EVOLUTION` maps straight onto mergeApply's
       // flag; without it a source/target column mismatch refuses loudly
       // at run time (the Delta discipline: evolution is opt-in)
-      schemaEvolution = m.withSchemaEvolution)
+      schemaEvolution = m.withSchemaEvolution,
+      updateCondSql = updCond,
+      insertCondSql = insCond,
+      nmbsDeleteCondSql = nmbsDel,
+      nmbsUpdate = nmbsUpd)
   }
 
   private def assignName(a: Assignment): String = a.key match {

@@ -44,6 +44,38 @@ final class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The table path behind a NAMED session-catalog table created with
+    * `CREATE TABLE ... USING graft-table` — closes the round-11 gap
+    * where the SQL surface worked on `graft.`path`` literals only. Plain
+    * reads, INSERT, and DML already resolve through the builtin
+    * FindDataSourceTable path (the provider is a v1 RelationProvider);
+    * this hook is for the statements the BUILTIN analyzer cannot route
+    * for a v1 source — time travel (`VERSION/TIMESTAMP AS OF name`).
+    */
+  private def catalogGraftPath(u: UnresolvedRelation): Option[String] = {
+    val ident = u.multipartIdentifier match {
+      case Seq(t) =>
+        Some(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      case Seq(db, t) if !db.equalsIgnoreCase("graft") =>
+        Some(org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    ident.flatMap { id =>
+      try {
+        val cat = spark.sessionState.catalog
+        if (!cat.tableExists(id)) None
+        else {
+          val meta = cat.getTableMetadata(id)
+          if (meta.provider.exists(_.equalsIgnoreCase("graft-table")))
+            meta.storage.locationUri
+              .map(uri => new org.apache.hadoop.fs.Path(uri).toString)
+              .orElse(meta.storage.properties.get("path"))
+          else None
+        }
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+  }
+
   /** The graft table path behind a (possibly aliased) resolved
     * relation, for matching DML statement targets.
     */
@@ -98,36 +130,67 @@ final class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if m.resolved && graftRelPath(m.targetTable).isDefined =>
         GraftMergeTranslator.translate(graftRelPath(m.targetTable).get, m)
 
-      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
-        graftPath(u) match {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, _, _) =>
+        graftPath(u).orElse(catalogGraftPath(u)) match {
           case None => tt
-          case Some(p) =>
-            val v: Long = ver match {
-              case Some(s) =>
-                try s.toLong
-                catch {
-                  case _: NumberFormatException =>
-                    throw new IllegalArgumentException(
-                      s"graft VERSION AS OF takes a commit number, got '$s'")
-                }
-              case None =>
-                val e = ts.getOrElse(throw new IllegalArgumentException(
-                  s"time travel on graft.`$p` needs VERSION or TIMESTAMP"))
-                require(e.resolved && e.foldable,
-                  s"graft TIMESTAMP AS OF must be a literal expression: $e")
-                val micros = Cast(e, TimestampType,
-                    Some(spark.sessionState.conf.sessionLocalTimeZone))
-                    .eval(InternalRow.empty) match {
-                  case l: java.lang.Long => l.longValue()
-                  case other => throw new IllegalArgumentException(
-                    s"graft TIMESTAMP AS OF did not evaluate to a timestamp: $other")
-                }
-                graft.ops.Versioned.versionAsOf(spark, p,
-                  Math.floorDiv(micros, 1000L))
-            }
-            relationAt(p, Some(v))
+          case Some(p) => GraftTimeTravelRule.resolve(spark, p, tt)
         }
       case u: UnresolvedRelation =>
         graftPath(u).map(p => relationAt(p, None)).getOrElse(u)
     }
+
+  private[plans] def catalogPathOf(u: UnresolvedRelation): Option[String] =
+    graftPath(u).orElse(catalogGraftPath(u))
+}
+
+/** Time travel over NAMED graft catalog tables must resolve BEFORE the
+  * builtin Resolution batch: `ResolveRelations` routes
+  * `RelationTimeTravel` through the V2SessionCatalog, which THROWS
+  * `UNSUPPORTED_FEATURE.TIME_TRAVEL` for any v1 provider table — a
+  * later rule never gets a chance. Injected via
+  * `injectHintResolutionRule` (the Hints batch runs first), this rule
+  * substitutes graft targets — path literals and catalog names alike —
+  * leaving everything else for [[GraftSqlRule]].
+  */
+final class GraftTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  private val delegate = new GraftSqlRule(spark)
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, _, _) =>
+        delegate.catalogPathOf(u) match {
+          case None => tt
+          case Some(p) => GraftTimeTravelRule.resolve(spark, p, tt)
+        }
+    }
+}
+
+private[plans] object GraftTimeTravelRule {
+  /** Resolve a graft `RelationTimeTravel` to the pinned-version relation. */
+  def resolve(spark: SparkSession, p: String,
+      tt: RelationTimeTravel): LogicalPlan = {
+    val v: Long = tt.version match {
+      case Some(s) =>
+        try s.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"graft VERSION AS OF takes a commit number, got '$s'")
+        }
+      case None =>
+        val e = tt.timestamp.getOrElse(throw new IllegalArgumentException(
+          s"time travel on graft.`$p` needs VERSION or TIMESTAMP"))
+        require(e.resolved && e.foldable,
+          s"graft TIMESTAMP AS OF must be a literal expression: $e")
+        val micros = Cast(e, TimestampType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone))
+            .eval(InternalRow.empty) match {
+          case l: java.lang.Long => l.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft TIMESTAMP AS OF did not evaluate to a timestamp: $other")
+        }
+        graft.ops.Versioned.versionAsOf(spark, p, Math.floorDiv(micros, 1000L))
+    }
+    val reader = spark.read.format("graft-table").option("versionAsOf", v)
+    reader.load(p).queryExecution.analyzed
+  }
 }

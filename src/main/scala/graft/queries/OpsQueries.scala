@@ -545,6 +545,47 @@ object OpsQueries extends graft.QueryModule {
           sum($"rid" * ($"o_custkey" % 1000L)).as("dot"))
     }),
 
+    // BRANCH × COLUMN MAPPING × THREE-WAY MERGE (round-11 verdict #7 —
+    // feature COMPOSITION): fork a table, RENAME a column on the branch
+    // (metadata-only; REQUIRED in-query: zero data dirs written by the
+    // rename), append on the branch under the new LOGICAL name while
+    // the root appends disjointly under the OLD name, then merge3 —
+    // whose schema merge runs three-way in PHYSICAL-column space, so
+    // the branch's rename wins (the root didn't touch that column) and
+    // BOTH sides' bytes read through one merged mapping. The oracle
+    // reconstructs the merged rows from `orders` arithmetic under the
+    // renamed column name; pre-merge root history must still read
+    // under its own names (pinned by require).
+    "q_branch_colmap" -> ((s, dir) => {
+      import s.implicits._
+      val base0 = sys.props("java.io.tmpdir") +
+        s"/graft_bcolmap_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base0))
+      val t = s"$base0/t"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      graft.ops.Versioned.commit(s, t, orders.filter($"o_orderkey" % 2 === 0L))
+      val bt = graft.ops.Versioned.branch(s, t, "exp")
+      def nDirs: Int = new java.io.File(s"$t/data").list().length
+      val before = nDirs
+      graft.ops.Versioned.renameColumn(s, bt, "o_totalprice", "price")
+      require(nDirs == before, "rename must write zero data dirs")
+      graft.ops.Versioned.commit(s, bt,
+        orders.filter($"o_orderkey" % 4 === 1L)
+          .select($"o_orderkey", $"o_totalprice".as("price")))
+      graft.ops.Versioned.commit(s, t, orders.filter($"o_orderkey" % 4 === 3L))
+      val mv = graft.ops.Versioned.merge3(s, bt)
+      val merged = graft.ops.Versioned.read(s, t, Some(mv))
+      require(merged.columns.toSeq == Seq("o_orderkey", "price"),
+        s"the branch rename must survive the merge: ${merged.columns.toSeq}")
+      require(graft.ops.Versioned.read(s, t, Some(2L)).columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice"),
+        "pre-merge root history must keep its own names")
+      merged.agg(count(lit(1)).as("n"),
+        sum($"price".cast("decimal(30,2)")).cast("double").as("sum_price"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+    }),
+
     // BRANCH (Versioned.branch — the Iceberg-branch / Delta
     // shallow-clone shape): a zero-copy writable fork whose creation
     // writes ONE manifest (REQUIRED in-query: the shared data root
@@ -1286,6 +1327,96 @@ object OpsQueries extends graft.QueryModule {
           CAST(SUM(o_custkey) AS bigint) AS sum_cust
           FROM graft.`$t` VERSION AS OF $v""")
       }.reduce(_.unionByName(_)).orderBy($"version")
+    }),
+
+    // SQL MERGE WITH PER-CLAUSE CONDITIONS (the full Delta clause
+    // matrix, round-11 verdict #3): one statement carries a conditional
+    // matched DELETE, a conditional matched UPDATE (rows failing BOTH
+    // stay IN PLACE — no tombstone, no CDF noise), a conditional
+    // not-matched INSERT (source-only vocabulary), and WHEN NOT MATCHED
+    // BY SOURCE DELETE + UPDATE (target-only vocabulary; by definition
+    // these read the WHOLE target, so the rebase fast path is off). All
+    // in ONE commit — REQUIRED in-query: head == 2. The oracle emulates
+    // every clause with first-match CASE routing in plain SQL (the
+    // driver's DuckDB predates MERGE INTO), so one hash pins the whole
+    // routing table including the untouched-row class.
+    "q_sql_merge_cond" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_sqlmc_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      orders.write.format("graft-table").mode("append").save(t)
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      orders.filter($"o_orderkey" % 3 === 0L)
+        .select($"o_orderkey", $"o_custkey",
+          ($"o_totalprice" * 2.0).as("o_totalprice"))
+        .unionByName(orders.filter($"o_orderkey" % 7 === 2L)
+          .select(($"o_orderkey" + 2L * maxk).as("o_orderkey"), $"o_custkey",
+            $"o_totalprice"))
+        .createOrReplaceTempView("q_sql_mc_src")
+      s.sql(
+        s"""MERGE INTO graft.`$t` tgt USING q_sql_mc_src src
+           |ON tgt.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.o_totalprice > 300000 THEN DELETE
+           |WHEN MATCHED AND tgt.o_custkey % 2 = 0
+           |  THEN UPDATE SET o_totalprice = src.o_totalprice
+           |WHEN NOT MATCHED AND src.o_custkey % 3 = 1 THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND tgt.o_totalprice < 10000 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND tgt.o_custkey % 11 = 0
+           |  THEN UPDATE SET o_totalprice = tgt.o_totalprice + 7
+           |""".stripMargin)
+      s.catalog.dropTempView("q_sql_mc_src")
+      require(graft.ops.Versioned.latestVersion(s, t) == Some(2L),
+        "the five-clause MERGE must land exactly one commit")
+      s.sql(s"""SELECT COUNT(1) AS n,
+        CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        CAST(SUM(o_custkey) AS bigint) AS sum_cust,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM graft.`$t`""")
+    }),
+
+    // NAME-BASED CATALOG ACCESS (round-11 verdict #4: `CREATE TABLE ...
+    // USING graft-table`): the versioned table registers in the session
+    // catalog and every statement speaks the NAME — CTAS seeds v1
+    // (CreatableRelationProvider), INSERT INTO appends v2 (builtin
+    // InsertableRelation routing), DELETE FROM lands dv tombstones v3
+    // (the DML rule matches the catalog-resolved relation), and VERSION
+    // AS OF resolves the name through the catalog's location
+    // (GraftSqlRule.catalogGraftPath). Read-your-writes holds because
+    // every commit drops Spark's table-relation cache. REQUIRED
+    // in-query: head == 3 after the three statements. One hash pins all
+    // three snapshots read back BY NAME through SQL time travel.
+    "q_sql_ddl" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_sqlddl_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      s.sql("DROP TABLE IF EXISTS q_sql_ddl_orders")
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      orders.createOrReplaceTempView("q_sql_ddl_seed")
+      s.sql(s"""CREATE TABLE q_sql_ddl_orders USING `graft-table`
+        LOCATION '$t'
+        AS SELECT o_orderkey, o_custkey, o_totalprice FROM q_sql_ddl_seed""")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      s.sql(s"""INSERT INTO q_sql_ddl_orders
+        SELECT o_orderkey + $maxk, o_custkey, o_totalprice * 2
+        FROM q_sql_ddl_seed WHERE o_orderkey % 4 = 2""")
+      s.sql("DELETE FROM q_sql_ddl_orders WHERE o_custkey % 7 = 3")
+      s.catalog.dropTempView("q_sql_ddl_seed")
+      require(graft.ops.Versioned.latestVersion(s, t) == Some(3L),
+        "CTAS + INSERT + DELETE by name must land exactly three commits")
+      val out = (1 to 3).map { v =>
+        s.sql(s"""SELECT CAST($v AS bigint) AS version, COUNT(1) AS n,
+          CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+          CAST(SUM(o_custkey) AS bigint) AS sum_cust
+          FROM q_sql_ddl_orders VERSION AS OF $v""")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+      out.collect() // resolve + execute before the catalog entry drops
+      s.sql("DROP TABLE IF EXISTS q_sql_ddl_orders")
+      out
     }),
 
     // CATALYST FILTER PUSHDOWN INTO MANIFEST FILE SKIPPING (the
@@ -2212,6 +2343,19 @@ object OpsQueries extends graft.QueryModule {
         |  CAST(SUM(rid) AS bigint) AS sum_rid,
         |  CAST(SUM(rid * (o_custkey % 1000)) AS bigint) AS dot
         |FROM r""".stripMargin,
+    "q_branch_colmap" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 3
+        |)
+        |SELECT CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM v""".stripMargin,
     "q_branch" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS v
@@ -2633,6 +2777,63 @@ object OpsQueries extends graft.QueryModule {
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,
+    "q_sql_ddl" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |v2 AS (
+        |  SELECT * FROM v1
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT mk FROM mx), o_custkey, o_totalprice * 2
+        |  FROM v1 WHERE o_orderkey % 4 = 2
+        |),
+        |v3 AS (SELECT * FROM v2 WHERE o_custkey % 7 <> 3),
+        |snap AS (
+        |  SELECT CAST(1 AS bigint) AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust FROM v1
+        |  UNION ALL SELECT CAST(2 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v2
+        |  UNION ALL SELECT CAST(3 AS bigint), COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v3
+        |)
+        |SELECT version, n, sum_price, sum_cust FROM snap
+        |ORDER BY version""".stripMargin,
+    "q_sql_merge_cond" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM v1 WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 2 * (SELECT mk FROM mx), o_custkey, o_totalprice
+        |  FROM v1 WHERE o_orderkey % 7 = 2
+        |),
+        |v2 AS (
+        |  SELECT t.o_orderkey, t.o_custkey,
+        |    CASE WHEN t.o_custkey % 2 = 0 THEN s.o_totalprice
+        |         ELSE t.o_totalprice END AS o_totalprice
+        |  FROM v1 t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE NOT (s.o_totalprice > 300000)
+        |  UNION ALL
+        |  SELECT t.o_orderkey, t.o_custkey,
+        |    CASE WHEN t.o_custkey % 11 = 0 THEN t.o_totalprice + 7
+        |         ELSE t.o_totalprice END
+        |  FROM v1 t
+        |  WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |    AND NOT (t.o_totalprice < 10000)
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+        |  FROM src s
+        |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+        |    AND s.o_custkey % 3 = 1
+        |)
+        |SELECT CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  CAST(SUM(o_custkey) AS bigint) AS sum_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM v2""".stripMargin,
     "q_relation_pushdown" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
         |SELECT COUNT(1) AS n,

@@ -160,19 +160,22 @@ object SimilarityQueries extends graft.QueryModule {
 
     // ANN, IVF-PQ path: coarse cells + 16-byte RESIDUAL product-
     // quantization codes (FAISS IVFADC: q·v ≈ q·centroid(cell) exact +
-    // ADC over v−centroid codes), full-precision rerank of the top-40
-    // short list. Pinned recall ≥ 0.55, the same floor as exact-scoring
-    // IVF, because residual encoding closes the quantization gap
-    // (measured 0.752 at sf0.01 / 0.642 at sf0.1 vs IVF's own
-    // 0.752 / 0.652 nprobe ceiling; raw-vector PQ measured 0.688/0.620 —
-    // RecallLab).
+    // ADC over v−centroid codes), full-precision rerank of the top-60
+    // short list — with ADAPTIVE NPROBE (round-11 verdict #8): past the
+    // base 4 cells a query probes up to 8 only while a cell's centroid
+    // distance sits within 0.25 of its own distance SPREAD, so boundary
+    // queries (where fixed-nprobe misses concentrate) fan out and
+    // interior queries stay cheap. Pinned recall ≥ 0.7 — measured 0.864
+    // at sf0.1 / 0.92 at sf0.01 (RecallLab; fixed nprobe=4 ceiling was
+    // 0.642/0.752).
     "q_cosine_ivfpq" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter($"vec_id" % 20 === 0)
       val exact = Similarity.bruteTopK(emb, queries, "embedding", "vec_id", 5)
-      val ann = Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id", 5)
-      Similarity.recallChecked(exact, ann, 0.55)
+      val ann = Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id", 5,
+        rerank = 60, nprobeMax = 8, adaptiveBand = 0.25)
+      Similarity.recallChecked(exact, ann, 0.7)
         .orderBy($"id_a", $"rk")
     }),
 

@@ -40,11 +40,23 @@ object StreamQueries extends graft.QueryModule {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
       graft.ops.Versioned.commit(s, t, orders.filter($"o_orderkey" % 3 === 0L))
       graft.ops.Versioned.commit(s, t, orders.filter($"o_orderkey" % 3 === 1L))
-      val appendPhase = Streams.runToTable(s,
-        s.readStream.format("graft-versioned").option("table", t).load()
-          .groupBy($"_commit_version")
-          .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("sum_key")),
-        fresh("vsrc_append"), "complete")
+      // the append phase drains its 2-commit backlog RATE-LIMITED
+      // (maxVersionsPerBatch=1): a cold start against a long history
+      // replays in bounded micro-batches, >1 batch REQUIRED in-query
+      val appendSink = fresh("vsrc_append")
+      val q = s.readStream.format("graft-versioned").option("table", t)
+        .option("maxVersionsPerBatch", 1).load()
+        .groupBy($"_commit_version")
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("sum_key"))
+        .writeStream.format("memory").queryName(appendSink)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      require(nBatches >= 2,
+        s"a 2-commit backlog under maxVersionsPerBatch=1 must drain in " +
+          s">1 micro-batch, got $nBatches")
+      val appendPhase = s.table(appendSink)
         .select(lit("append").as("phase"), $"_commit_version",
           lit("insert").as("change_type"), $"n", $"sum_key")
       graft.ops.Versioned.deleteWhere(s, t, $"o_custkey" % 5 === 0L)

@@ -114,22 +114,33 @@ object AvroIO {
   }
 
   /** Write `df` as Avro container files under `dir`, one file per
-    * partition (`part-%05d.avro`). Task retries overwrite the same
-    * deterministic name, so a re-executed task converges instead of
-    * duplicating.
+    * partition (`part-%05d.avro`). Executors build their FileSystem from
+    * the DRIVER's Hadoop configuration (broadcast — a fresh
+    * `Configuration()` would drop session filesystem settings such as
+    * object-store credentials/endpoints; ADVICE r11 low), and each task
+    * ATTEMPT stages to an attempt-unique temp name published by an
+    * overwrite-rename — speculative/retried attempts write identical
+    * bytes to distinct temps and the last atomic rename wins, so
+    * concurrent attempts can never interleave one part file.
     */
   def write(df: DataFrame, dir: String): Unit = {
     val st = df.schema
     val avroJson = avroSchemaOf(st).toString
     val dirPath = new Path(dir)
-    val fsDriver = dirPath.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+    val sc = df.sparkSession.sparkContext
+    val fsDriver = dirPath.getFileSystem(sc.hadoopConfiguration)
     fsDriver.mkdirs(dirPath)
+    val confBc = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
     val n = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val schema = new Schema.Parser().parse(avroJson)
+      val conf = confBc.value.value
       val out = new Path(f"$dir/part-$pid%05d.avro")
-      val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val stream = fs.create(out, true)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = new Path(f"$dir/.part-$pid%05d-$attempt.avro.tmp")
+      val fs = out.getFileSystem(conf)
+      val stream = fs.create(tmp, true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       writer.create(schema, stream)
@@ -146,6 +157,11 @@ object AvroIO {
           count += 1
         }
       } finally writer.close() // closes the underlying stream too
+      // atomic publish: replace any previous attempt's part file in one
+      // step (FileContext rename OVERWRITE — plain FileSystem.rename
+      // refuses an existing destination)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(out.toUri, conf)
+      fc.rename(tmp, out, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       Iterator.single(count)
     }.sum()
     n: Unit

@@ -39,6 +39,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * EXCLUSIVE — 0 streams the whole table from its first commit, the
   * latest-at-start value makes a new-rows-only tail.
   *
+  * RATE LIMITING (the Delta `maxFilesPerTrigger`/`maxBytesPerTrigger`
+  * idea, keyed to this source's natural unit): `maxVersionsPerBatch`
+  * caps how many commits one micro-batch drains; `maxBytesPerTrigger`
+  * admits whole versions until their added bytes (plus dv sidecars in
+  * cdf mode) exceed the budget — the first version always admits, so an
+  * oversized commit still flows. A cold start against a long history
+  * replays in BOUNDED micro-batches instead of landing everything in
+  * one; exactly-once is untouched because offsets stay plain versions
+  * and the admission floor tracks the engine's own getBatch calls (so a
+  * capped offer can never regress below the checkpoint on restart).
+  *
   * 100 TB shape: getOffset is one directory listing; each micro-batch
   * plans a bounded parquet scan over the versions' added dirs (append)
   * or the churned files (cdf) — cost tracks the COMMITS in the batch,
@@ -48,7 +59,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object VersionedStream {
 
-  final case class Opts(table: String, cdf: Boolean, startingVersion: Long)
+  final case class Opts(table: String, cdf: Boolean, startingVersion: Long,
+      maxVersionsPerBatch: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None)
 
   def parse(params: Map[String, String]): Opts = {
     val table = params.getOrElse("table",
@@ -57,9 +70,15 @@ object VersionedStream {
     val mode = params.getOrElse("mode", "append")
     require(mode == "append" || mode == "cdf",
       s"mode must be append|cdf, got $mode")
+    def opt(k: String): Option[String] =
+      params.get(k.toLowerCase).orElse(params.get(k))
+    val maxV = opt("maxVersionsPerBatch").map(_.toLong)
+    maxV.foreach(v => require(v >= 1, s"maxVersionsPerBatch must be >= 1: $v"))
+    val maxB = opt("maxBytesPerTrigger").map(_.toLong)
+    maxB.foreach(b => require(b >= 1, s"maxBytesPerTrigger must be >= 1: $b"))
     Opts(table, mode == "cdf",
-      params.get("startingversion").orElse(params.get("startingVersion"))
-        .map(_.toLong).getOrElse(0L))
+      opt("startingVersion").map(_.toLong).getOrElse(0L),
+      maxV, maxB)
   }
 
   /** Row columns from the latest manifest's recorded schema, plus the
@@ -153,9 +172,67 @@ final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
   override val schema: StructType = VersionedStream.sourceSchema(spark, o)
   private val rowFields = schema.fields.dropRight(if (o.cdf) 2 else 1)
 
-  override def getOffset: Option[Offset] =
-    Versioned.latestVersion(spark, o.table)
-      .filter(_ > o.startingVersion).map(LongOffset(_))
+  /** Highest version the ENGINE has told us about through getBatch —
+    * the admission floor for rate limiting. On a clean restart the
+    * engine re-calls `getBatch` with the committed offsets before the
+    * first `getOffset` (the v1 source-initialization contract
+    * FileStreamSource and the Delta source both rely on), so a capped
+    * offer can never regress below the checkpoint and replay consumed
+    * versions.
+    */
+  @volatile private var engineFloor: Long = o.startingVersion
+
+  /** Admitted bytes of one version, for `maxBytesPerTrigger`: the added
+    * dirs' file lengths (append mode) plus its dv sidecars (cdf mode —
+    * churn cost rides with the dv). One driver listing per version,
+    * memoized (commits are immutable).
+    */
+  private val bytesMemo = scala.collection.mutable.HashMap.empty[Long, Long]
+  private def bytesOfVersion(v: Long): Long = bytesMemo.getOrElseUpdate(v, {
+    val m = Versioned.readManifest(spark, o.table, v)
+    val prevRefs: Set[String] =
+      if (v == 1) Set.empty else Versioned.readManifest(spark, o.table, v - 1).refs.toSet
+    val prevDvs: Set[String] =
+      if (v == 1) Set.empty else Versioned.readManifest(spark, o.table, v - 1).dvs.toSet
+    val root = Versioned.dataRoot(spark, o.table)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sizeOfRef(r: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$r")
+      if (r.contains('/')) fs.getFileStatus(p).getLen
+      else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    val added = m.refs.filterNot(prevRefs).map(sizeOfRef).sum
+    val dvs = if (o.cdf) m.dvs.filterNot(prevDvs).map(sizeOfRef).sum else 0L
+    added + dvs
+  })
+
+  override def getOffset: Option[Offset] = {
+    val latest = Versioned.latestVersion(spark, o.table) match {
+      case None => return None
+      case Some(l) => l
+    }
+    val base = math.max(o.startingVersion, engineFloor)
+    val cappedV = o.maxVersionsPerBatch
+      .fold(latest)(mv => math.min(latest, base + mv))
+    val capped = o.maxBytesPerTrigger match {
+      case None => cappedV
+      case Some(budget) =>
+        // admit whole versions until the budget is spent; the FIRST
+        // version always admits (an oversized commit must still flow)
+        var end = base
+        var acc = 0L
+        var full = false
+        while (!full && end < cappedV) {
+          val b = bytesOfVersion(end + 1)
+          if (end > base && acc + b > budget) full = true
+          else { end += 1; acc += b }
+        }
+        end
+    }
+    if (capped > o.startingVersion) Some(LongOffset(capped)) else None
+  }
 
   private def ver(off: Offset): Long = off match {
     case l: LongOffset => l.offset
@@ -175,6 +252,7 @@ final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(o.startingVersion)
     val to = ver(end)
+    engineFloor = math.max(engineFloor, math.max(from, to))
     val frames = ((from + 1) to to).map { v =>
       if (o.cdf)
         align(Versioned.changes(spark, o.table, v)

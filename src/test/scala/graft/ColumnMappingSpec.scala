@@ -63,6 +63,34 @@ class ColumnMappingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Versioned.dropColumn(spark, t, "nope"))
   }
 
+  test("drop-then-re-add: the new column gets a fresh physical name; old bytes stay dead") {
+    // ADVICE r11 high: without unique physical names, appending a NEW
+    // column that reuses a dropped column's name writes under the dropped
+    // physical name, and mergeSchema reads RESURRECT the dropped bytes
+    // for pre-drop rows (showing old deleted values instead of NULL).
+    val t = tmpDir("colmap-readd") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "secret", 5L)).toDF("id", "s", "v"))
+    Versioned.dropColumn(spark, t, "s")
+    // re-add a column with the dropped name — a fresh logical column
+    Versioned.commit(spark, t, Seq((2L, "new", 7L)).toDF("id", "s", "v"))
+    val got = Versioned.read(spark, t).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got(2L) == Some("new"), s"the re-added column must read: $got")
+    assert(got(1L).isEmpty,
+      s"pre-drop rows must be NULL in the re-added column — '${got(1L)}' " +
+        "means the dropped bytes resurrected")
+    // the new dir carries a MINTED physical name, not the dropped one
+    val m = graft.ops.Versioned
+    val dirs = new java.io.File(s"$t/data").listFiles().map(_.getPath).sorted
+    val newDirCols = spark.read.parquet(dirs.last).columns.toSet
+    assert(!newDirCols.contains("s") && newDirCols.exists(_.startsWith("s_p")),
+      s"re-added column must land under a minted physical name: $newDirCols")
+    m: Unit
+    // time travel before the drop still shows the ORIGINAL column values
+    assert(Versioned.read(spark, t, Some(1L)).select($"s").collect()
+      .map(_.getString(0)).toSeq == Seq("secret"))
+  }
+
   test("gated verbs refuse on mapped tables; compact materializes the feature away") {
     val t = tmpDir("colmap-gate") + "/t"
     Versioned.commit(spark, t, (1 to 10).map(i => (i.toLong, s"r$i", i.toLong))
@@ -76,7 +104,10 @@ class ColumnMappingSpec extends SparkSpec {
         Map("amount" -> org.apache.spark.sql.functions.lit(0L))))
     intercept[IllegalArgumentException](
       Versioned.statsAgg(spark, t, "amount"))
-    intercept[IllegalArgumentException](Versioned.branch(spark, t, "dev"))
+    // branch is NO LONGER gated (round-12 composition): a fork of a
+    // mapped table clones the feature and reads the same logical view
+    val dev = Versioned.branch(spark, t, "dev")
+    assert(Versioned.read(spark, dev).columns.toSeq == Seq("id", "s", "amount"))
     // compact rewrites through the logical view: the feature drops and
     // the full verb surface returns
     Versioned.compact(spark, t, numFiles = 2)
@@ -98,6 +129,69 @@ class ColumnMappingSpec extends SparkSpec {
       Versioned.renameColumn(spark, t, "v", "id"))
     intercept[IllegalArgumentException](
       Versioned.renameColumn(spark, t, "nope", "x"))
+  }
+
+  test("branch + rename: a branch-side rename three-way-merges onto an " +
+      "appended root; the merged table reads the renamed logical view") {
+    val t = tmpDir("colmap-b3") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 4).map(i => (i.toLong, i * 10L)).toDF("id", "v"))
+    val bt = Versioned.branch(spark, t, "exp")
+    Versioned.renameColumn(spark, bt, "v", "amount")
+    // the branch appends under the LOGICAL name; bytes land physical
+    Versioned.commit(spark, bt, Seq((5L, 50L)).toDF("id", "amount"))
+    // the root advances disjointly, still speaking the OLD name
+    Versioned.commit(spark, t, Seq((9L, 90L)).toDF("id", "v"))
+    val mv = Versioned.merge3(spark, bt)
+    val got = Versioned.read(spark, t, Some(mv))
+    assert(got.columns.toSeq == Seq("id", "amount"),
+      s"the branch's rename must survive the merge: ${got.columns.toSeq}")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L), (9L, 90L)),
+      "both sides' rows must read through the merged mapping")
+    // pre-merge root history stays readable under ITS names
+    assert(Versioned.read(spark, t, Some(2L)).columns.toSeq == Seq("id", "v"))
+  }
+
+  test("branch + rename conflict: both sides renaming one column " +
+      "differently refuses loudly") {
+    val t = tmpDir("colmap-b3-conflict") + "/t"
+    Versioned.commit(spark, t, Seq((1L, 10L)).toDF("id", "v"))
+    val bt = Versioned.branch(spark, t, "exp")
+    Versioned.renameColumn(spark, bt, "v", "amount")
+    Versioned.renameColumn(spark, t, "v", "total")
+    val e = intercept[IllegalStateException](Versioned.merge3(spark, bt))
+    assert(e.getMessage.contains("renamed column"),
+      s"conflicting renames must refuse: ${e.getMessage}")
+  }
+
+  test("branch + dv + merge3: branch-side deletes survive the merge onto " +
+      "an appended root") {
+    val t = tmpDir("dv-b3") + "/t"
+    Versioned.commit(spark, t,
+      (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val bt = Versioned.branch(spark, t, "exp")
+    Versioned.deleteWhere(spark, bt, $"id" % 2L === 0L)
+    Versioned.commit(spark, t, Seq((11L, "r11"), (12L, "r12")).toDF("id", "s"))
+    val mv = Versioned.merge3(spark, bt)
+    val got = Versioned.read(spark, t, Some(mv)).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 5L, 7L, 9L, 11L, 12L),
+      s"branch dv must apply and root appends must survive: $got")
+  }
+
+  test("promote after colmap: a fast-forwarded branch carries its rename " +
+      "onto the root") {
+    val t = tmpDir("colmap-promote") + "/t"
+    Versioned.commit(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val bt = Versioned.branch(spark, t, "exp")
+    Versioned.renameColumn(spark, bt, "v", "amount")
+    val rv = Versioned.promote(spark, bt)
+    val got = Versioned.read(spark, t, Some(rv))
+    assert(got.columns.toSeq == Seq("id", "amount"),
+      s"promote must carry the branch's column mapping: ${got.columns.toSeq}")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
   }
 
   test("a manifest naming an unknown feature refuses at every verb") {

@@ -113,20 +113,114 @@ class GraftDmlSpec extends SparkSpec {
       "ON target.k = source.k")
     bad(s"""MERGE INTO graft.`$t` tgt USING dml_merge_src3 src
            |ON tgt.id = src.id
-           |WHEN MATCHED AND src.s = 'x' THEN UPDATE SET s = src.s""".stripMargin,
-      "conditional WHEN MATCHED UPDATE")
-    bad(s"""MERGE INTO graft.`$t` tgt USING dml_merge_src3 src
-           |ON tgt.id = src.id
            |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (src.id, upper(src.s))"""
         .stripMargin,
       "same-named source column")
+    // the engine's clause precedence is delete-first: an UPDATE written
+    // before a DELETE would silently diverge from first-match SQL
+    // semantics, so it refuses
     bad(s"""MERGE INTO graft.`$t` tgt USING dml_merge_src3 src
            |ON tgt.id = src.id
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
-      "NOT MATCHED BY SOURCE")
+           |WHEN MATCHED AND src.s = 'x' THEN UPDATE SET s = src.s
+           |WHEN MATCHED THEN DELETE""".stripMargin,
+      "DELETE before")
+    // NOT MATCHED BY SOURCE conditions speak target-only vocabulary —
+    // Spark's own analyzer already refuses a source reference there
+    // (resolution scope excludes the source side), before the
+    // translator's rebindTargetOnly defense could
+    bad(s"""MERGE INTO graft.`$t` tgt USING dml_merge_src3 src
+           |ON tgt.id = src.id
+           |WHEN NOT MATCHED BY SOURCE AND src.s = 'x' THEN DELETE""".stripMargin,
+      "cannot be resolved")
     spark.catalog.dropTempView("dml_merge_src3")
     assert(rows(spark.sql(s"SELECT * FROM graft.`$t`")).size == 4,
       "refused statements must leave the table untouched")
+  }
+
+  test("MERGE clause conditions: conditional matched UPDATE leaves " +
+      "non-matching rows IN PLACE; conditional INSERT filters the source") {
+    val t = tmpDir("dml-merge-cond") + "/t"
+    seed(t) // rows (1,a) (2,b) (3,c) (4,d)
+    Seq((1L, "U1"), (2L, "U2"), (8L, "N8"), (9L, "N9"))
+      .toDF("id", "s").createOrReplaceTempView("dml_mc_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt USING dml_mc_src src
+         |ON tgt.id = src.id
+         |WHEN MATCHED AND tgt.id = 2 THEN UPDATE SET s = src.s
+         |WHEN NOT MATCHED AND src.id = 9 THEN INSERT *""".stripMargin)
+    spark.catalog.dropTempView("dml_mc_src")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$t`")) ==
+      Set((1L, "a"), (2L, "U2"), (3L, "c"), (4L, "d"), (9L, "N9")),
+      "id=1 fails the update condition and stays; id=8 fails the insert condition")
+    // the untouched matched row produced NO dv and NO CDF noise
+    val feed = Versioned.changes(spark, t, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((2L, "b", "delete"), (2L, "U2", "insert"),
+      (9L, "N9", "insert")),
+      s"only the updated and inserted rows may appear in the feed: $feed")
+  }
+
+  test("MERGE insert-only statement leaves matched rows untouched " +
+      "(no silent replace-image)") {
+    val t = tmpDir("dml-merge-insonly") + "/t"
+    seed(t)
+    Seq((1L, "CLOBBER"), (7L, "n7")).toDF("id", "s")
+      .createOrReplaceTempView("dml_io_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt USING dml_io_src src
+         |ON tgt.id = src.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.catalog.dropTempView("dml_io_src")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$t`")) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (7L, "n7")),
+      "an insert-only MERGE must not rewrite matched rows with source images")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: conditional DELETE and UPDATE " +
+      "over target-only vocabulary") {
+    val t = tmpDir("dml-merge-nmbs") + "/t"
+    seed(t) // (1,a) (2,b) (3,c) (4,d)
+    Seq((2L, "U2")).toDF("id", "s").createOrReplaceTempView("dml_nmbs_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt USING dml_nmbs_src src
+         |ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET s = src.s
+         |WHEN NOT MATCHED BY SOURCE AND tgt.id = 3 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND tgt.s = 'd'
+         |  THEN UPDATE SET s = concat(tgt.s, '!')""".stripMargin)
+    spark.catalog.dropTempView("dml_nmbs_src")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$t`")) ==
+      Set((1L, "a"), (2L, "U2"), (4L, "d!")),
+      "id=3 deletes by source-absence, id=4 updates, id=1 is untouched")
+    assert(Versioned.latestVersion(spark, t) == Some(2L),
+      "the whole five-clause MERGE must land as ONE commit")
+  }
+
+  test("name-based catalog access: CREATE TABLE USING graft-table, INSERT, " +
+      "DML, and time travel all speak the table NAME") {
+    val t = tmpDir("dml-ddl") + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_ddl_t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("g_ddl_seed")
+    spark.sql(s"CREATE TABLE g_ddl_t USING `graft-table` LOCATION '$t' " +
+      "AS SELECT id, s FROM g_ddl_seed")
+    assert(rows(spark.sql("SELECT * FROM g_ddl_t")) ==
+      Set((1L, "a"), (2L, "b")), "CTAS must seed v1 and read back by name")
+    spark.sql("INSERT INTO g_ddl_t VALUES (3, 'c')")
+    assert(rows(spark.sql("SELECT * FROM g_ddl_t")) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "read-your-writes by name (the relation cache must not serve v1)")
+    spark.sql("DELETE FROM g_ddl_t WHERE id = 1")
+    spark.sql("UPDATE g_ddl_t SET s = 'B' WHERE id = 2")
+    assert(rows(spark.sql("SELECT * FROM g_ddl_t")) ==
+      Set((2L, "B"), (3L, "c")))
+    assert(rows(spark.sql("SELECT * FROM g_ddl_t VERSION AS OF 1")) ==
+      Set((1L, "a"), (2L, "b")),
+      "time travel must resolve the NAME through the catalog's location")
+    assert(Versioned.latestVersion(spark, t) == Some(4L),
+      "CTAS + three statements must land four commits")
+    spark.sql("DROP TABLE g_ddl_t")
+    spark.catalog.dropTempView("g_ddl_seed")
   }
 
   test("EXPLAIN on DML shows the command without executing it") {

@@ -44,7 +44,7 @@ class VersionedChaosSpec extends SparkSpec {
     def record(): Unit = { history = history :+ model }
 
     (1 to 24).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => // append fresh rows
           val rows = (0 until 20).map { j =>
             (nextId + j, s"g${rnd.nextInt(7)}", rnd.nextInt(1000).toLong)
@@ -106,6 +106,24 @@ class VersionedChaosSpec extends SparkSpec {
             upds.map(k => k -> (model(k)._1, model(k)._2 + 31L)) ++
             ins.map { case (k, g, v) => k -> (g, v) }
           record()
+        case 8 if model.nonEmpty =>
+          // conditional MERGE: cond-matched UPDATE (misses stay
+          // IN PLACE) + NOT MATCHED BY SOURCE DELETE (full-table clause)
+          val live = model.keys.toSeq.sorted
+          val keys = live.take(12)
+          val batch = keys.map(k => (k, model(k)._1, model(k)._2 + 1000L))
+          Versioned.mergeApply(spark, t, toDf(batch), "id",
+            whenMatchedUpdate = Some(Map("v" -> $"src.v")),
+            whenMatchedUpdateCond = Some($"tgt.v" % 2L === 0L),
+            whenNotMatchedBySourceDelete = Some($"tgt.id" % 13L === 5L),
+            statsCols = Seq("id"))
+          val keySet = keys.toSet
+          model = model.map { case (k, (g, v)) =>
+            if (keySet.contains(k) && v % 2 == 0) k -> (g, v + 1000L)
+            else k -> (g, v)
+          }.filter { case (k, _) => keySet.contains(k) || k % 13 != 5 }
+          record()
+        case _ => () // case-8 draw on an empty model: no-op this step
       }
       assert(snapshot(t) == model, s"divergence from model after step $step")
       if (step % 3 == 0) {
@@ -125,6 +143,85 @@ class VersionedChaosSpec extends SparkSpec {
       val got = Versioned.read(spark, t, Some(i + 1L)).collect()
         .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
       assert(got == m, s"history replay diverged at version ${i + 1}")
+    }
+  }
+
+  test("concurrent writers: racing seeded programs converge to the serial " +
+      "model under both commit stores") {
+    // The regime where table formats actually corrupt is not verb
+    // COMPOSITION alone (the single-writer program above) but verb
+    // composition UNDER RACES: three writers run deterministic programs
+    // on disjoint key slices (k % 3 == w) concurrently — appendRebase
+    // (stage-once + publish loop), mergeApply upsert (publish-or-rebase
+    // + conflict retry), and deleteWhere (retryOnConflict) — so every
+    // conflict path exercises for real. Ownership makes the expected
+    // final state the union of each writer's serial model, independent
+    // of interleaving. ConditionalPutCommitStore races under a
+    // synchronized wrapper modeling a REAL object store's atomic
+    // conditional PUT (the local-FS emulation is exists-then-create and
+    // honestly non-atomic — see its scaladoc).
+    object AtomicCondPut extends Versioned.CommitStore {
+      private val lock = new Object
+      def publish(f: org.apache.hadoop.fs.FileSystem,
+          dest: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean =
+        lock.synchronized(
+          Versioned.ConditionalPutCommitStore.publish(f, dest, bytes))
+    }
+    for ((storeName, store) <- Seq(
+        "rename" -> Versioned.RenameCommitStore,
+        "condput" -> AtomicCondPut)) {
+      val t = tmpDir(s"versioned-race-$storeName") + "/t"
+      val prev = Versioned.commitStore
+      Versioned.commitStore = store
+      try {
+        val seedRows = (1 to 60).map(i => (i.toLong, s"g${i % 3}", i.toLong))
+        Versioned.commitWithStats(spark, t,
+          graft.ops.Layout.sortedByRange(toDf(seedRows), Seq($"id"), 4),
+          Seq("id"))
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = (0 until 3).map { w =>
+          new Thread(() => {
+            try {
+              // op1: append fresh keys in the writer's own range
+              val fresh = (0 until 5).map(j =>
+                (1000L + w * 100 + j, s"g$w", w * 10L + j))
+              Versioned.appendRebase(spark, t, toDf(fresh), maxAttempts = 30)
+              // op2: upsert the writer's OWNED live keys to v = k * 10
+              val owned = (1 to 60).filter(_ % 3 == w)
+              val batch = owned.map(k => (k.toLong, s"g${k % 3}", k * 10L))
+              Versioned.mergeApply(spark, t, toDf(batch), "id",
+                whenMatchedUpdate = Some(Map("v" -> $"src.v")),
+                statsCols = Seq("id"), maxAttempts = 30)
+              // op3: delete three owned keys
+              val dels = owned.take(3).map(_.toLong)
+              Versioned.deleteWhere(spark, t, $"id".isin(dels: _*))
+            } catch { case e: Throwable => errs.add(e) }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join(300000))
+        assert(errs.isEmpty,
+          s"[$storeName] writer program failed: ${Option(errs.peek())}")
+        // expected = union of the three writers' serial models
+        val expected: Model =
+          ((1 to 60).map { k =>
+            k.toLong -> (s"g${k % 3}", k * 10L) // upserted by its owner
+          } ++ (for (w <- 0 until 3; j <- 0 until 5)
+            yield (1000L + w * 100 + j) -> (s"g$w", w * 10L + j))).toMap --
+            (for (w <- 0 until 3)
+              yield (1 to 60).filter(_ % 3 == w).take(3).map(_.toLong))
+              .flatten
+        assert(snapshot(t) == expected,
+          s"[$storeName] racing writers must converge to the serial union")
+        // the commit log is contiguous and every manifest readable
+        val latest = Versioned.latestVersion(spark, t).get
+        assert(latest == 10L,
+          s"[$storeName] 1 seed + 9 writer commits must claim versions " +
+            s"1..10 exactly, got head $latest")
+        (1L to latest).foreach { v =>
+          Versioned.read(spark, t, Some(v)).count() // parses + scans
+        }
+      } finally Versioned.commitStore = prev
     }
   }
 

@@ -1306,6 +1306,95 @@ class VersionedSpec extends SparkSpec {
       "the rebased head must compose both writers' effects")
   }
 
+  test("ConditionalPutCommitStore: a failed write releases its claim instead " +
+      "of bricking the version") {
+    // ADVICE r11 medium: a crash between create and write used to leave a
+    // permanently-claimed truncated manifest — readManifest would throw
+    // for that version forever, with no cleanup path.
+    val dir = tmpDir("versioned-condput-fail")
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/y.manifest")
+    val real = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      override def create(p: org.apache.hadoop.fs.Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+        val underlying = real.create(p, overwrite) // the claim lands on disk
+        new org.apache.hadoop.fs.FSDataOutputStream(
+          new java.io.OutputStream {
+            override def write(b: Int): Unit =
+              throw new java.io.IOException("torn write")
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              throw new java.io.IOException("torn write")
+            override def close(): Unit = underlying.close()
+          }, null)
+      }
+    }
+    intercept[java.io.IOException](
+      Versioned.ConditionalPutCommitStore.publish(
+        failing, dest, "doomed".getBytes("UTF-8")))
+    assert(!real.exists(dest),
+      "the torn claim must be released so a retry (or another writer) can land")
+    // and a subsequent clean publish succeeds
+    assert(Versioned.ConditionalPutCommitStore.publish(
+      real, dest, "clean".getBytes("UTF-8")))
+  }
+
+  test("mergeApply rebase: a concurrent dv REMOVAL (rollback undoing a delete) " +
+      "falls back to re-execution — resurrected keys cannot duplicate") {
+    import org.apache.spark.sql.functions.col
+    // ADVICE r11 medium: a rollback undoing a deleteWhere keeps the refs
+    // and REMOVES a dv — the resurrected rows may sit inside the merge's
+    // key span, so its staged not-matched INSERT verdicts are stale; a
+    // graft would land key 50 twice.
+    val t = tmpDir("versioned-mrebase-dvrm") + "/t"
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+        Seq(col("id")), 4),
+      Seq("id"))
+    Versioned.deleteWhere(spark, t, col("id") === 50L) // v2: key 50 leaves
+    var first = true
+    val (v, _, _) = Versioned.mergeApply(spark, t,
+      Seq((50L, "INS50")).toDF("id", "s"), "id",
+      whenMatchedUpdate = Some(Map("s" -> col("src.s"))),
+      onStaged = () => {
+        if (first) {
+          first = false
+          // the racer rolls back the delete: same refs, FEWER dvs
+          Versioned.rollback(spark, t, 1L)
+        }
+      })
+    assert(v == 4L, s"re-execution must land on the racer's head: v=$v")
+    val got = Versioned.read(spark, t).as[(Long, String)].collect()
+      .filter(_._1 == 50L).map(_._2)
+    assert(got.toSeq == Seq("INS50"),
+      s"key 50 must exist EXACTLY once with the merge's value, got ${got.toSeq}")
+  }
+
+  test("appendRebase: rebasing onto a schema-evolved head publishes the " +
+      "field-union, not the staged frame's narrower schema") {
+    // ADVICE r11 low: publishing df.schema alone after grafting onto a
+    // head that added a column regressed the recorded table schema —
+    // sourceSchema, changes() alignment, and merge column checks all
+    // consume it and would lose the concurrently-added column.
+    val t = tmpDir("versioned-rebase-schema") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val (v, attempts) = Versioned.appendRebase(spark, t,
+      Seq((3L, "A")).toDF("id", "s"),
+      onStaged = () => {
+        Versioned.commit(spark, t,
+          Seq((2L, "B", 9L)).toDF("id", "s", "extra")): Unit
+      })
+    assert(attempts == 2, s"the staged race must cost one lost CAS: $attempts")
+    val head = Versioned.read(spark, t, Some(v))
+    assert(head.columns.toSet == Set("id", "s", "extra"),
+      s"the rebased manifest must keep the evolved column: ${head.columns.toSeq}")
+    assert(head.filter(col("id") === 2L).select(col("extra"))
+      .collect().head.getLong(0) == 9L)
+    assert(head.filter(col("id") === 3L).select(col("extra"))
+      .collect().head.isNullAt(0),
+      "the staged rows must null-fill the evolved column")
+  }
+
   test("appendRebase: a concurrently added CHECK constraint revalidates the " +
       "staged dir — satisfying data lands, violating data refuses and drops") {
     val ok = tmpDir("versioned-rebase-ck1") + "/t"

@@ -149,4 +149,71 @@ class VersionedStreamSpec extends SparkSpec {
       Seq(2L, 4L, 6L).map(i => (i, "delete", 2L)).toSet
     assert(got == want, s"cdf stream must carry the full change feed, got $got")
   }
+
+  test("maxVersionsPerBatch: a multi-commit backlog drains in bounded " +
+      "batches whose union equals the unlimited run") {
+    val t = tmpDir("vstream-rate") + "/t"
+    (1 to 4).foreach(c => Versioned.commit(spark, t,
+      (1 to 5).map(i => ((c * 100 + i).toLong, s"c$c-$i")).toDF("id", "s")))
+    val name = "vs_rate"
+    val q = spark.readStream.format("graft-versioned")
+      .option("table", t).option("maxVersionsPerBatch", 1).load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches == 4,
+      s"4 commits under maxVersionsPerBatch=1 must drain as 4 batches: $batches")
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want = (for (c <- 1 to 4; i <- 1 to 5)
+      yield ((c * 100 + i).toLong, c.toLong)).toSet
+    assert(got == want, "rate-limited batches must compose to the full history")
+  }
+
+  test("maxBytesPerTrigger: versions admit whole until the budget spends; " +
+      "an oversized first version still flows") {
+    val t = tmpDir("vstream-bytes") + "/t"
+    (1 to 3).foreach(c => Versioned.commit(spark, t,
+      (1 to 50).map(i => ((c * 1000 + i).toLong, s"v$c-$i")).toDF("id", "s")))
+    val name = "vs_bytes"
+    // budget of 1 byte: every version is oversized — each admits alone
+    val q = spark.readStream.format("graft-versioned")
+      .option("table", t).option("maxBytesPerTrigger", 1).load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches == 3,
+      s"a 1-byte budget must admit one oversized version per batch: $batches")
+    assert(spark.table(name).count() == 150L)
+  }
+
+  test("rate limiting + checkpoint: restart resumes from the committed " +
+      "offset, never regressing below it") {
+    val t = tmpDir("vstream-rate-ck") + "/t"
+    val ck = tmpDir("vstream-rate-ck-ck")
+    val out = tmpDir("vstream-rate-ck-out")
+    (1 to 3).foreach(c => Versioned.commit(spark, t,
+      Seq((c.toLong, s"r$c")).toDF("id", "s")))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("table", t).option("maxVersionsPerBatch", 1).load()
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 3L)
+    Versioned.commit(spark, t, Seq((4L, "r4")).toDF("id", "s"))
+    run() // a FRESH source instance: its floor must rebuild from the engine
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows.length == 4 && rows.toSet ==
+      (1 to 4).map(c => (c.toLong, c.toLong)).toSet,
+      s"restart must replay nothing and append only the new version: $rows")
+  }
 }
