@@ -100,6 +100,9 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     // BEFORE builtin resolution (V2SessionCatalog throws for v1 tables)
     // — the Hints batch runs first
     ext.injectHintResolutionRule(s => new graft.plans.GraftTimeTravelRule(s))
+    // maintenance SQL the vanilla grammar lacks: VACUUM / OPTIMIZE /
+    // DESCRIBE HISTORY over graft tables; everything else delegates
+    ext.injectParser((s, delegate) => new graft.plans.GraftSqlParser(s, delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),

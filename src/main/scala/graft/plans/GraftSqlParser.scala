@@ -1,0 +1,190 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.{Row, SparkSession => SS}
+
+import graft.ops.Versioned
+
+/** MAINTENANCE SQL for versioned tables — the verbs a Delta user runs
+  * routinely but vanilla Spark has no grammar for, added by a
+  * DELEGATING parser (the documented `injectParser` seam, the same
+  * mechanism Delta's `DeltaSqlParser` uses):
+  *
+  * {{{
+  *   VACUUM graft.`/data/t` [RETAIN 5 VERSIONS]
+  *   OPTIMIZE graft.`/data/t` [ZORDER BY (c1, c2)]
+  *   DESCRIBE HISTORY graft.`/data/t`
+  * }}}
+  *
+  * Targets are `graft.`<path>`` literals or NAMED catalog tables created
+  * with `CREATE TABLE ... USING graft-table` (resolved through the
+  * catalog's location at RUN time). Every other statement — including
+  * anything that merely STARTS with these keywords but doesn't match —
+  * falls through to Spark's own parser verbatim, so the interception
+  * only ADDS syntax (none of the three words begins a legal vanilla
+  * statement).
+  *
+  * `OPTIMIZE` maps to [[Versioned.compact]]; `ZORDER BY` maps to
+  * [[Versioned.compactSorted]] on the named columns (range-sorted with
+  * fresh stats — the skipping payoff; the true multi-dim Morton
+  * interleave stays available programmatically via `Layout.zValueN`,
+  * `q_zorder3`). `VACUUM ... RETAIN n VERSIONS` keeps the last n
+  * snapshots readable ([[Versioned.vacuum]]'s retention horizon);
+  * `DESCRIBE HISTORY` lists every commit's (version, op, ts, refs, dvs)
+  * straight from the manifests.
+  */
+final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case VacuumRe(target, retain) =>
+      GraftVacuumCommand(target.trim,
+        Option(retain).map(_.toInt).getOrElse(1))
+    case OptimizeRe(target, zcols) =>
+      GraftOptimizeCommand(target.trim,
+        Option(zcols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty))
+    case HistoryRe(target) =>
+      GraftHistoryCommand(target.trim)
+    case RestoreRe(target, ver) =>
+      GraftRestoreCommand(target.trim, ver.toLong)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // (?s) so trailing newlines inside a multi-line statement still match
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
+  private val PathLit = """(?i)^graft\s*\.\s*`(.+)`$""".r
+
+  /** A maintenance target is a `graft.`<path>`` literal or a named
+    * graft-table catalog entry; anything else refuses loudly at run
+    * time (nothing half-runs).
+    */
+  private[plans] def resolveTarget(spark: SparkSession, raw: String): String =
+    raw match {
+      case PathLit(p) => p
+      case name =>
+        val parts = name.split('.').map(_.trim.stripPrefix("`").stripSuffix("`"))
+        val ident = parts match {
+          case Array(t) => TableIdentifier(t)
+          case Array(db, t) => TableIdentifier(t, Some(db))
+          case _ => throw new IllegalArgumentException(
+            s"graft maintenance target must be graft.`<path>` or a table name: $raw")
+        }
+        val cat = spark.sessionState.catalog
+        require(cat.tableExists(ident),
+          s"graft maintenance target not found in the catalog: $raw")
+        val meta = cat.getTableMetadata(ident)
+        require(meta.provider.exists(_.equalsIgnoreCase("graft-table")),
+          s"$raw is not a graft-table (provider=${meta.provider.getOrElse("?")})")
+        meta.storage.locationUri
+          .map(uri => new org.apache.hadoop.fs.Path(uri).toString)
+          .orElse(meta.storage.properties.get("path"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft table $raw has no location"))
+    }
+}
+
+/** `VACUUM target [RETAIN n VERSIONS]` → [[Versioned.vacuum]]; returns
+  * the deleted data-dir names.
+  */
+final case class GraftVacuumCommand(target: String, retainLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_dir", StringType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    val p = GraftSqlParser.resolveTarget(spark, target)
+    Versioned.vacuum(spark, p, retainLast).map(Row(_))
+  }
+}
+
+/** `OPTIMIZE target [ZORDER BY (cols)]` → [[Versioned.compact]] /
+  * [[Versioned.compactSorted]]; returns the new version.
+  */
+final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val p = GraftSqlParser.resolveTarget(spark, target)
+    val v =
+      if (zorderBy.isEmpty) Versioned.compact(spark, p)
+      else Versioned.compactSorted(spark, p, zorderBy.map(col),
+        numFiles = 32, statsCols = zorderBy)
+    Seq(Row(v))
+  }
+}
+
+/** `RESTORE [TABLE] target [TO] VERSION AS OF n` →
+  * [[Versioned.rollback]] — metadata-only, history preserved (the
+  * restore itself is a new commit, exactly Delta's RESTORE). Returns
+  * the new head version.
+  */
+final case class GraftRestoreCommand(target: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    val p = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(Versioned.rollback(spark, p, toVersion)))
+  }
+}
+
+/** `DESCRIBE HISTORY target` → one row per commit, newest first,
+  * straight from the manifests (the Delta `DESCRIBE HISTORY` shape).
+  */
+final case class GraftHistoryCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("ts", TimestampType, nullable = true)(),
+    AttributeReference("n_refs", IntegerType, nullable = false)(),
+    AttributeReference("n_dvs", IntegerType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    val p = GraftSqlParser.resolveTarget(spark, target)
+    val latest = Versioned.latestVersion(spark, p)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $p"))
+    (latest to 1L by -1L).map { v =>
+      val m = Versioned.readManifest(spark, p, v)
+      Row(v, m.op,
+        m.ts.map(ms => new java.sql.Timestamp(ms)).orNull,
+        m.refs.size, m.dvs.size)
+    }
+  }
+}

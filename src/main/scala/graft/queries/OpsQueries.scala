@@ -1377,6 +1377,57 @@ object OpsQueries extends graft.QueryModule {
         FROM graft.`$t`""")
     }),
 
+    // MAINTENANCE SQL (GraftSqlParser — the injectParser seam, Delta's
+    // DeltaSqlParser shape): three appends erode layout, then pure SQL
+    // runs the whole maintenance cycle — `OPTIMIZE ... ZORDER BY`
+    // (compactSorted: one sorted stats-carrying dir), `DESCRIBE
+    // HISTORY` (REQUIRED in-query: one row per commit, newest first),
+    // and `VACUUM` (REQUIRED: the superseded append dirs actually leave
+    // the disk). The table must read identically after the cycle — the
+    // oracle is the plain union aggregate, so one hash pins that
+    // maintenance is content-invariant end to end through the SQL
+    // surface. At 100 TB these are the verbs a lakehouse operator runs
+    // nightly without touching an API.
+    "q_sql_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_sqlmaint_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      (0 to 2).foreach { r =>
+        orders.filter($"o_orderkey" % 3 === r.toLong)
+          .write.format("graft-table").mode("append").save(t)
+      }
+      def nDirs: Int = new java.io.File(s"$t/data").list().length
+      val before = nDirs
+      val ov = s.sql(s"OPTIMIZE graft.`$t` ZORDER BY (o_orderkey)")
+        .collect().head.getLong(0)
+      require(ov == 4L, s"OPTIMIZE must land one commit, got version $ov")
+      val hist = s.sql(s"DESCRIBE HISTORY graft.`$t`").collect()
+      require(hist.length == 4 && hist.head.getLong(0) == 4L &&
+        hist.head.getString(1) == "overwrite" &&
+        hist.last.getString(1) == "append",
+        s"DESCRIBE HISTORY must list all commits newest-first: " +
+          hist.map(r => (r.getLong(0), r.getString(1))).mkString(","))
+      val deleted = s.sql(s"VACUUM graft.`$t`").collect()
+      require(deleted.nonEmpty && nDirs < before,
+        s"VACUUM must sweep the superseded append dirs ($before -> $nDirs)")
+      // the optimized layout still prunes a plain SQL range probe
+      val mx = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val q = s.read.format("graft-table").load(t)
+        .filter($"o_orderkey" <= mx / 10L)
+      q.collect()
+      val info = graft.sources.VersionedRelation.lastScan(t).get
+      require(info.kept > 0 && info.kept < info.total,
+        s"post-OPTIMIZE stats must keep pruning: $info")
+      s.sql(s"""SELECT COUNT(1) AS n,
+        CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        CAST(SUM(o_custkey) AS bigint) AS sum_cust,
+        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM graft.`$t`""")
+    }),
+
     // NAME-BASED CATALOG ACCESS (round-11 verdict #4: `CREATE TABLE ...
     // USING graft-table`): the versioned table registers in the session
     // catalog and every statement speaks the NAME — CTAS seeds v1
@@ -2777,6 +2828,12 @@ object OpsQueries extends graft.QueryModule {
         |)
         |SELECT version, n, sum_price, sum_cust FROM snap
         |ORDER BY version""".stripMargin,
+    "q_sql_maintenance" ->
+      """SELECT CAST(COUNT(1) AS bigint) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |  CAST(SUM(o_custkey) AS bigint) AS sum_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
     "q_sql_ddl" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

@@ -223,6 +223,59 @@ class GraftDmlSpec extends SparkSpec {
     spark.catalog.dropTempView("g_ddl_seed")
   }
 
+  test("maintenance SQL: OPTIMIZE ZORDER BY folds + re-sorts, DESCRIBE " +
+      "HISTORY lists commits, VACUUM sweeps — content invariant") {
+    val t = tmpDir("dml-maint") + "/t"
+    seed(t)
+    Versioned.commit(spark, t, Seq((9L, "i")).toDF("id", "s"))
+    val before = rows(spark.sql(s"SELECT * FROM graft.`$t`"))
+    val v = spark.sql(s"OPTIMIZE graft.`$t` ZORDER BY (id)")
+      .collect().head.getLong(0)
+    assert(v == 3L)
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$t`").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L) &&
+      hist.map(_.getString(1)).toSeq == Seq("overwrite", "append", "append"),
+      s"history must be newest-first: ${hist.mkString(",")}")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$t`")) == before,
+      "OPTIMIZE must be invisible to readers")
+    // RESTORE rolls the head back (metadata-only, history preserved) —
+    // it must run BEFORE vacuum, which would sweep the target's dirs
+    val rv = spark.sql(s"RESTORE TABLE graft.`$t` TO VERSION AS OF 1")
+      .collect().head.getLong(0)
+    assert(rv == 4L, "RESTORE lands a new commit")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$t`")) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "RESTORE must present the target snapshot")
+    val swept = spark.sql(s"VACUUM graft.`$t`").collect()
+    assert(swept.nonEmpty, "the dirs the restored head dropped must sweep")
+    assert(rows(spark.sql(s"SELECT * FROM graft.`$t`")) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "vacuum must be invisible to the live snapshot")
+    // plain SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+    // unknown targets refuse loudly
+    val e = intercept[Exception](spark.sql("VACUUM no_such_graft_table"))
+    assert(e.getMessage.contains("not found"),
+      s"unknown maintenance target must refuse: ${e.getMessage.take(120)}")
+  }
+
+  test("maintenance SQL resolves NAMED graft tables through the catalog") {
+    val t = tmpDir("dml-maint-name") + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_maint_t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("g_maint_seed")
+    spark.sql(s"CREATE TABLE g_maint_t USING `graft-table` LOCATION '$t' " +
+      "AS SELECT id, s FROM g_maint_seed")
+    spark.sql("INSERT INTO g_maint_t VALUES (3, 'c')")
+    assert(spark.sql("OPTIMIZE g_maint_t").collect().head.getLong(0) == 3L)
+    assert(spark.sql("DESCRIBE HISTORY g_maint_t").count() == 3L)
+    assert(spark.sql("VACUUM g_maint_t RETAIN 1 VERSIONS").collect().nonEmpty)
+    assert(rows(spark.sql("SELECT * FROM g_maint_t")) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    spark.sql("DROP TABLE g_maint_t")
+    spark.catalog.dropTempView("g_maint_seed")
+  }
+
   test("EXPLAIN on DML shows the command without executing it") {
     val t = tmpDir("dml-explain") + "/t"
     seed(t)
