@@ -38,6 +38,7 @@ import graft.ops.Versioned.ScanPredicate
   * Postgres — except the table format itself answers.
   */
 class GraftTableSource extends RelationProvider
+    with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
@@ -45,6 +46,33 @@ class GraftTableSource extends RelationProvider
   private def tablePath(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-table requires a table path: .load(path) / .save(path)"))
+
+  /** Schema-carrying resolution — what `CREATE TABLE t (cols) USING
+    * graft-table LOCATION p` (no AS SELECT) goes through: an EMPTY
+    * location seeds version 1 as an empty commit carrying the declared
+    * schema (the Delta empty-table-creation shape), so INSERT/DML work
+    * immediately; an existing table validates the declared schema
+    * against the recorded one (same names+types, any order) and refuses
+    * loudly on mismatch instead of serving a lying relation.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation = {
+    val path = tablePath(parameters)
+    val spark = sqlContext.sparkSession
+    if (Versioned.latestVersion(spark, path).isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      Versioned.commit(spark, path, empty)
+    } else {
+      val recorded = createRelation(sqlContext, parameters).schema
+      val want = schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      val got = recorded.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      require(want == got,
+        s"declared schema ${schema.simpleString} does not match the " +
+          s"table's recorded ${recorded.simpleString} under $path")
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -259,6 +259,28 @@ class GraftDmlSpec extends SparkSpec {
       s"unknown maintenance target must refuse: ${e.getMessage.take(120)}")
   }
 
+  test("CREATE TABLE with an explicit schema on an EMPTY location seeds an " +
+      "empty v1; INSERT and DML work immediately") {
+    val t = tmpDir("dml-ddl-empty") + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_ddl_empty")
+    spark.sql(s"CREATE TABLE g_ddl_empty (id BIGINT, s STRING) " +
+      s"USING `graft-table` LOCATION '$t'")
+    assert(spark.sql("SELECT * FROM g_ddl_empty").count() == 0L)
+    assert(Versioned.latestVersion(spark, t) == Some(1L),
+      "declared-schema creation must seed an empty v1")
+    spark.sql("INSERT INTO g_ddl_empty VALUES (1, 'a'), (2, 'b')")
+    spark.sql("DELETE FROM g_ddl_empty WHERE id = 1")
+    assert(rows(spark.sql("SELECT * FROM g_ddl_empty")) == Set((2L, "b")))
+    spark.sql("DROP TABLE g_ddl_empty")
+    // re-creating over an EXISTING table with a mismatched schema refuses
+    spark.sql("DROP TABLE IF EXISTS g_ddl_mismatch")
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE g_ddl_mismatch (id INT, wrong DOUBLE) " +
+        s"USING `graft-table` LOCATION '$t'"))
+    assert(e.getMessage.contains("does not match"),
+      s"schema mismatch must refuse: ${e.getMessage.take(200)}")
+  }
+
   test("maintenance SQL resolves NAMED graft tables through the catalog") {
     val t = tmpDir("dml-maint-name") + "/t"
     spark.sql("DROP TABLE IF EXISTS g_maint_t")
