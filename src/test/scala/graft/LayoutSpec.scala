@@ -329,6 +329,22 @@ class LayoutSpec extends SparkSpec {
         spark.emptyDataFrame, maxDriverFiles = 8)
     }
     assert(e.getMessage.contains("refusing to materialize"))
+
+    // the FILE-GRANULAR planner (manifestFileDecisions — what pruneRefs
+    // and lookupEq restrict) plans the same 50k manifest on the unified
+    // decisionRelation path: one streamed pass, every file verdicted,
+    // only the 4 real files kept (r12: the eager-checkpoint/double-
+    // collect planner is gone; the verdict list is bounded protocol
+    // metadata, the dropped side becomes file-granular refs)
+    val (decisions, typ) = Layout.manifestFileDecisions(spark,
+      Seq(s"$out/_stats"), "k", "100", "299")
+    assert(typ == "long" && decisions.length == 50000,
+      s"every manifest file must receive a verdict: ${decisions.length}")
+    val keptN = decisions.count(_._2)
+    assert(keptN >= 1 && keptN <= 4,
+      s"only the real files overlap [100,299]: $keptN")
+    assert(decisions.filter(_._2).forall(!_._1.contains("fake-")),
+      "no synthetic file may be kept")
   }
 
   test("multi-predicate manifest skipping: kept = intersection, result equals the full scan") {
