@@ -195,6 +195,13 @@ class VersionedChaosSpec extends SparkSpec {
               // op3: delete three owned keys
               val dels = owned.take(3).map(_.toLong)
               Versioned.deleteWhere(spark, t, $"id".isin(dels: _*))
+              // op4 (writer 0 only): MAINTENANCE racing the other
+              // writers — compact is content-invariant, so the expected
+              // model is untouched however the race interleaves; its
+              // pinned-read retry must absorb concurrent commits
+              if (w == 0)
+                Versioned.compact(spark, t, numFiles = 3,
+                  statsCols = Seq("id"), maxAttempts = 30)
             } catch { case e: Throwable => errs.add(e) }
           })
         }
@@ -215,9 +222,9 @@ class VersionedChaosSpec extends SparkSpec {
           s"[$storeName] racing writers must converge to the serial union")
         // the commit log is contiguous and every manifest readable
         val latest = Versioned.latestVersion(spark, t).get
-        assert(latest == 10L,
-          s"[$storeName] 1 seed + 9 writer commits must claim versions " +
-            s"1..10 exactly, got head $latest")
+        assert(latest == 11L,
+          s"[$storeName] 1 seed + 9 writer commits + 1 compact must claim " +
+            s"versions 1..11 exactly, got head $latest")
         (1L to latest).foreach { v =>
           Versioned.read(spark, t, Some(v)).count() // parses + scans
         }
