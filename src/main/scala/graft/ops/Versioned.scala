@@ -476,9 +476,23 @@ object Versioned {
       if (overwrite || v == 1) Seq.empty else parent.get.dvs
     val parentFeatures =
       if (overwrite) Set.empty[String] else parent.map(_.features).getOrElse(Set.empty)
+    // On a MAPPED table reads project the MANIFEST schema, so an append
+    // that omits a column must not shrink the logical view — record the
+    // field-union (parent order first; only dropColumn shrinks schema).
+    // Unmapped tables keep the historical df.schema record (reads are
+    // mergeSchema unions there, so nothing is lost either way).
+    val pubSchema =
+      if (!mapped) df.schema
+      else parent.flatMap(_.schemaJson).map { j =>
+        val ps = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        org.apache.spark.sql.types.StructType(
+          ps.fields ++ df.schema.fields.filterNot(f =>
+            ps.fieldNames.contains(f.name)))
+      }.getOrElse(df.schema)
     if (!writeManifest(spark, table, v,
         if (overwrite) "overwrite" else "append", parentRefs :+ dirName,
-        Some(df.schema.json), parentDvs, inherited, txns = txn.toSeq,
+        Some(pubSchema.json), parentDvs, inherited, txns = txn.toSeq,
         features = parentFeatures, colmap = mapping)) {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
       throw new java.util.ConcurrentModificationException(

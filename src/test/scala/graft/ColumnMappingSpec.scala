@@ -72,8 +72,9 @@ class ColumnMappingSpec extends SparkSpec {
     Versioned.commit(spark, t, Seq((1L, "secret", 5L)).toDF("id", "s", "v"))
     Versioned.dropColumn(spark, t, "s")
     // re-add a column with the dropped name — a fresh logical column
+    // (lands LAST in the union-ordered schema: parent fields first)
     Versioned.commit(spark, t, Seq((2L, "new", 7L)).toDF("id", "s", "v"))
-    val got = Versioned.read(spark, t).collect()
+    val got = Versioned.read(spark, t).select($"id", $"s").collect()
       .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
     assert(got(2L) == Some("new"), s"the re-added column must read: $got")
     assert(got(1L).isEmpty,
@@ -129,6 +130,22 @@ class ColumnMappingSpec extends SparkSpec {
       Versioned.renameColumn(spark, t, "v", "id"))
     intercept[IllegalArgumentException](
       Versioned.renameColumn(spark, t, "nope", "x"))
+  }
+
+  test("an append omitting a column cannot shrink a mapped table's " +
+      "logical view") {
+    val t = tmpDir("colmap-shrink") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a", 5L)).toDF("id", "s", "v"))
+    Versioned.renameColumn(spark, t, "v", "amount")
+    // the append speaks only (id, amount) — column s must survive
+    Versioned.commit(spark, t, Seq((2L, 7L)).toDF("id", "amount"))
+    val got = Versioned.read(spark, t)
+    assert(got.columns.toSeq == Seq("id", "s", "amount"),
+      s"the logical view must keep every parent column: ${got.columns.toSeq}")
+    assert(got.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet ==
+      Set((1L, Some("a"), 5L), (2L, None, 7L)),
+      "the omitting append's rows null-fill the kept column")
   }
 
   test("branch + rename: a branch-side rename three-way-merges onto an " +
