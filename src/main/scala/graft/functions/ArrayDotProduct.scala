@@ -119,5 +119,37 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_nfc requires exactly 1 argument, got ${children.length}")
         NfcNormalize(children.head)
       }))
+    // the Delta `table_changes` TVF shape: the CDF of a version range as
+    // a first-class FROM source — `SELECT * FROM graft_changes(path,
+    // from, to)` emits each commit's row-level delta with
+    // `_change_type` / `_commit_version` (updates as delete+insert
+    // pairs). Arguments must be literals (the plan is built at
+    // resolution); extraction cost per version is bounded by its
+    // CHURNED files ([[graft.ops.Versioned.changes]]).
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft.ops.Versioned", "graft_changes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_changes(path, fromVersion, toVersion) takes 3 arguments, " +
+            s"got ${children.length}")
+        def evalLit(e: Expression, what: String): Any = {
+          require(e.foldable, s"graft_changes $what must be a literal")
+          e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+        }
+        val path = String.valueOf(evalLit(children(0), "path"))
+        val from = String.valueOf(evalLit(children(1), "fromVersion")).toLong
+        val to = String.valueOf(evalLit(children(2), "toVersion")).toLong
+        require(from >= 1 && to >= from,
+          s"graft_changes needs 1 <= fromVersion <= toVersion, got [$from, $to]")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.lit
+        val feed = (from to to).map(v =>
+            graft.ops.Versioned.changes(spark, path, v)
+              .withColumnRenamed("change_type", "_change_type")
+              .withColumn("_commit_version", lit(v)))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        feed.queryExecution.analyzed
+      }))
   }
 }

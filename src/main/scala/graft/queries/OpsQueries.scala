@@ -1377,6 +1377,41 @@ object OpsQueries extends graft.QueryModule {
         FROM graft.`$t`""")
     }),
 
+    // CDF AS A SQL TABLE FUNCTION (injectTableFunction — the Delta
+    // `table_changes` TVF shape): the same three-commit-kind history as
+    // q_change_feed (dv delete, pruned merge, append), consumed by PURE
+    // SQL — `FROM graft_changes('<path>', 2, 4)` with
+    // `_change_type`/`_commit_version` columns — no API call anywhere
+    // in the read path. Same oracle reconstruction, so one hash pins
+    // the TVF end to end against the arithmetic truth.
+    "q_sql_changes" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_sqlcdf_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("pr"))
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(base, Seq($"k"), 16), Seq("k"))
+      graft.ops.Versioned.deleteWhere(s, t, $"k" % 10 === 3)
+      val mk = base.agg(max($"k")).head().getLong(0)
+      val hot = base.filter($"k" >= mk * 9L / 10L)
+      graft.ops.Versioned.mergePruned(s, t,
+        hot.select($"k", (-$"pr").as("pr"))
+          .unionByName(hot.select(($"k" + mk).as("k"), $"pr")),
+        "k", Seq("k"), 16)
+      graft.ops.Versioned.commit(s, t,
+        base.filter($"k" % 10 === 7).select(($"k" + 2L * mk).as("k"), $"pr"))
+      s.sql(
+        s"""SELECT _commit_version AS version, _change_type AS change_type,
+           |  COUNT(1) AS n,
+           |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
+           |  MIN(k) AS min_k, MAX(k) AS max_k
+           |FROM graft_changes('$t', 2, 4)
+           |GROUP BY _commit_version, _change_type
+           |ORDER BY version, change_type""".stripMargin)
+    }),
+
     // MAINTENANCE SQL (GraftSqlParser — the injectParser seam, Delta's
     // DeltaSqlParser shape): three appends erode layout, then pure SQL
     // runs the whole maintenance cycle — `OPTIMIZE ... ZORDER BY`
@@ -2317,6 +2352,26 @@ object OpsQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM fin""".stripMargin,
+    "q_sql_changes" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS pr FROM orders),
+        |mx AS (SELECT MAX(k) AS mk FROM base),
+        |hot AS (SELECT * FROM base WHERE k >= (SELECT mk * 9 // 10 FROM mx)),
+        |ch AS (
+        |  SELECT CAST(2 AS bigint) AS version, 'delete' AS change_type, k, pr
+        |  FROM base WHERE k % 10 = 3
+        |  UNION ALL SELECT CAST(3 AS bigint), 'insert', k, -pr FROM hot
+        |  UNION ALL SELECT CAST(3 AS bigint), 'insert',
+        |    k + (SELECT mk FROM mx), pr FROM hot
+        |  UNION ALL SELECT CAST(3 AS bigint), 'delete', k, pr FROM hot
+        |  WHERE k % 10 <> 3
+        |  UNION ALL SELECT CAST(4 AS bigint), 'insert',
+        |    k + 2 * (SELECT mk FROM mx), pr FROM base WHERE k % 10 = 7
+        |)
+        |SELECT version, change_type, COUNT(1) AS n,
+        |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM ch GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
     "q_change_feed" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS pr FROM orders),
         |mx AS (SELECT MAX(k) AS mk FROM base),

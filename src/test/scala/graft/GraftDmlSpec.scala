@@ -298,6 +298,25 @@ class GraftDmlSpec extends SparkSpec {
     spark.catalog.dropTempView("g_maint_seed")
   }
 
+  test("graft_changes table function: the CDF of a version range from " +
+      "pure SQL; non-literal args refuse") {
+    val t = tmpDir("dml-tvf") + "/t"
+    seed(t) // v1: (1,a)(2,b)(3,c)(4,d)
+    Versioned.deleteWhere(spark, t, $"id" % 2L === 0L) // v2
+    Versioned.commit(spark, t, Seq((9L, "i")).toDF("id", "s")) // v3
+    val got = spark.sql(
+      s"SELECT _commit_version, _change_type, id, s " +
+        s"FROM graft_changes('$t', 2, 3) ORDER BY _commit_version, id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, "delete", 2L), (2L, "delete", 4L),
+      (3L, "insert", 9L)),
+      s"the TVF must emit each commit's row-level delta: $got")
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_changes('$t', 2, 1)"))
+    assert(e.getMessage.contains("fromVersion <= toVersion"),
+      s"an inverted range must refuse: ${e.getMessage.take(120)}")
+  }
+
   test("EXPLAIN on DML shows the command without executing it") {
     val t = tmpDir("dml-explain") + "/t"
     seed(t)
