@@ -38,6 +38,11 @@ import graft.ops.Versioned
   * snapshots readable ([[Versioned.vacuum]]'s retention horizon);
   * `DESCRIBE HISTORY` lists every commit's (version, op, ts, refs, dvs)
   * straight from the manifests.
+  *
+  * Ref: the reference delegates every operational verb to SQL executed
+  * elsewhere (stored procedures, `/root/reference/adffunction/__init__.py:196-229`;
+  * retention sweeps `/root/reference/SharedCode/HelperFunction.py:112-123`) —
+  * this closes that surface with the table format itself answering.
   */
 final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
