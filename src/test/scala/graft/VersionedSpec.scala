@@ -1370,6 +1370,50 @@ class VersionedSpec extends SparkSpec {
       s"key 50 must exist EXACTLY once with the merge's value, got ${got.toSeq}")
   }
 
+  test("mergeApply NOT MATCHED BY SOURCE: full-table clause, CDF-correct, " +
+      "and a race re-executes against the new head (no graft)") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("versioned-nmbs") + "/t"
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(
+        (1 to 10).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+        Seq(col("id")), 2),
+      Seq("id"))
+    var first = true
+    val (v, _, _) = Versioned.mergeApply(spark, t,
+      Seq((1L, "U1"), (2L, "U2"), (3L, "U3")).toDF("id", "s"), "id",
+      whenMatchedUpdate = Some(Map("s" -> col("src.s"))),
+      whenNotMatchedBySourceDelete = Some(col("tgt.id") % 4L === 0L),
+      statsCols = Seq("id"),
+      onStaged = () => {
+        if (first) {
+          first = false
+          // a PROVABLY-DISJOINT append (keys 100/101, stats-covered)
+          // would graft for a plain merge — a NOT MATCHED BY SOURCE
+          // clause read the whole table, so it must RE-EXECUTE and
+          // judge the racer's rows by the clause too (100 % 4 == 0)
+          Versioned.commitWithStats(spark, t,
+            Seq((100L, "r100"), (101L, "r101")).toDF("id", "s"), Seq("id"))
+        }
+      })
+    assert(v == 3L, s"re-execution must land on the racer's head: v=$v")
+    val got = Versioned.read(spark, t).as[(Long, String)].collect().toMap
+    val want = Map(1L -> "U1", 2L -> "U2", 3L -> "U3",
+      5L -> "s5", 6L -> "s6", 7L -> "s7", 9L -> "s9", 10L -> "s10",
+      101L -> "r101")
+    assert(got == want,
+      s"matched update + by-source delete (incl. the racer's 100): $got")
+    // the CDF reports exactly the affected rows: old images + NMBS
+    // victims as deletes, new images as inserts — untouched rows silent
+    val feed = Versioned.changes(spark, t, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (1L, "s1", "delete"), (2L, "s2", "delete"), (3L, "s3", "delete"),
+      (4L, "s4", "delete"), (8L, "s8", "delete"), (100L, "r100", "delete"),
+      (1L, "U1", "insert"), (2L, "U2", "insert"), (3L, "U3", "insert")),
+      s"the feed must carry exactly the affected rows: $feed")
+  }
+
   test("appendRebase: rebasing onto a schema-evolved head publishes the " +
       "field-union, not the staged frame's narrower schema") {
     // ADVICE r11 low: publishing df.schema alone after grafting onto a
