@@ -192,9 +192,12 @@ class VersionedChaosSpec extends SparkSpec {
               Versioned.mergeApply(spark, t, toDf(batch), "id",
                 whenMatchedUpdate = Some(Map("v" -> $"src.v")),
                 statsCols = Seq("id"), maxAttempts = 30)
-              // op3: delete three owned keys
+              // op3: delete three owned keys (attempts sized for a
+              // loaded machine: each lost race re-executes, and three
+              // writers + maintenance can cost several)
               val dels = owned.take(3).map(_.toLong)
-              Versioned.deleteWhere(spark, t, $"id".isin(dels: _*))
+              Versioned.deleteWhere(spark, t, $"id".isin(dels: _*),
+                maxAttempts = 30)
               // op4 (writer 0 only): MAINTENANCE racing the other
               // writers — compact is content-invariant, so the expected
               // model is untouched however the race interleaves; its
