@@ -33,9 +33,17 @@ object Bench {
   private val N = 5
 
   /** Median + the probe measurement taken immediately before this
-    * query's timed block.
+    * query's timed block + the Spark JOB count of one run (−1 when not
+    * measured). Job counts are DETERMINISTIC per query (unlike wall
+    * time): protocol-heavy entries pay fixed per-job scheduler latency
+    * that suite pressure multiplies, and a job-count jump is the real
+    * regression signal wall-clock ghosts have imitated for three rounds
+    * (VERDICT r12 item 1). The MINIMUM across the N timed runs is
+    * reported — stray listener events from asynchronous cleanup could
+    * only inflate a delta, never deflate it.
     */
-  final case class Timing(median: Double, probeLocal: Double)
+  final case class Timing(median: Double, probeLocal: Double,
+      jobs: Long = -1L)
 
   /** Probe runs taken immediately before each query's timed block. */
   val LocalProbeRuns = 3
@@ -111,18 +119,22 @@ object Bench {
     */
   def timeSuite(names: Seq[String], run: String => Unit, probe: () => Double,
       n: Int, errors: scala.collection.mutable.Map[String, String],
-      preQuery: () => Unit = () => ()): Seq[(String, Timing)] =
+      preQuery: () => Unit = () => (),
+      jobCount: () => Long = () => -1L): Seq[(String, Timing)] =
     names.flatMap { qn =>
       try {
         preQuery()
         val ps = (1 to LocalProbeRuns).map(_ => probe()).sorted
         val p = ps(ps.length / 2)
-        val times = (1 to n).map { _ =>
+        val runs = (1 to n).map { _ =>
+          val j0 = jobCount()
           val t0 = System.nanoTime()
           run(qn)
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        Some(qn -> Timing(times(times.length / 2), p))
+          ((System.nanoTime() - t0) / 1e9, jobCount() - j0)
+        }
+        val times = runs.map(_._1).sorted
+        val jobs = if (jobCount() < 0) -1L else runs.map(_._2).min
+        Some(qn -> Timing(times(times.length / 2), p, jobs))
       } catch { case e: Throwable =>
         errors(qn) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
@@ -167,7 +179,10 @@ object Bench {
     s"""{"metric":"total_median_sec","value":${f3(total)},"unit":"sec","n_runs":$n,"probe_sec":${f3(probeMed)},"n_queries":${timings.size},"n_errors":${errors.size},"queries":$hq,"errors":$esShort,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}"""
   }
 
-  /** Full-fidelity sidecar JSON (all four per-query dicts). */
+  /** Full-fidelity sidecar JSON (all five per-query dicts — `jobs` is
+    * the deterministic per-run Spark job count; BASELINE.md's job-budget
+    * rule adjudicates >25% growth on the protocol-heavy entries).
+    */
   def renderDetail(timings: Seq[(String, Timing)],
       errors: collection.Map[String, String], probeMed: Double, n: Int,
       sfDir: String): String = {
@@ -175,7 +190,7 @@ object Bench {
       s"${jstr(k)}:${f(t)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.map(_._2.median).sum
-    s"""{"metric":"total_median_sec","value":$total,"unit":"sec","n_runs":$n,"probe_sec":$probeMed,"queries":${dict(t => t.median.toString)},"ratios":${dict(t => f2(t.median / probeMed))},"probe_local":${dict(t => t.probeLocal.toString)},"ratios_local":${dict(t => f2(t.median / t.probeLocal))},"errors":$es,"sf":${jstr(sfDir)}}"""
+    s"""{"metric":"total_median_sec","value":$total,"unit":"sec","n_runs":$n,"probe_sec":$probeMed,"queries":${dict(t => t.median.toString)},"ratios":${dict(t => f2(t.median / probeMed))},"probe_local":${dict(t => t.probeLocal.toString)},"ratios_local":${dict(t => f2(t.median / t.probeLocal))},"jobs":${dict(t => t.jobs.toString)},"errors":$es,"sf":${jstr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -230,9 +245,20 @@ object Bench {
       if (i % 8 == 7) sweep(spark)
     }
 
+    // deterministic job counter: every timed run's submitted Spark jobs
+    // (probe jobs excluded by delta bracketing inside timeSuite)
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobCounter.incrementAndGet(); () }
+      })
+
     val timings = timeSuite(names.filterNot(errors.contains),
       materialize, () => probeOnce(), N, errors,
-      preQuery = () => sweep(spark))
+      preQuery = () => sweep(spark),
+      jobCount = () => jobCounter.get())
 
     // Probe again AFTER the suite: the combined median reflects machine
     // speed across the whole run, not just its first seconds.

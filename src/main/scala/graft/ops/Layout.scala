@@ -701,19 +701,25 @@ object Layout {
     val man = all.filter(col("column") === column)
     // typ is uniform per column (one writer): a bounded collect — at most
     // one row per distinct recorded type, never per file. MEMOIZED per
-    // (manifest set + mtimes, column): a protocol-heavy run (merge
+    // (manifest CONTENT listing, column): a protocol-heavy run (merge
     // planning, repeated skip scans) stops paying one probe JOB per
     // planning step (the round-11 q_cdf_replica job-count finding). The
-    // key carries each manifest dir's mtime so an in-place `_stats`
-    // rewrite (mode=overwrite re-harvest) can never serve a stale type —
-    // one driver getFileStatus per dir, the same O(dirs) metadata cost
-    // class as the exists() probes callers already pay.
+    // key carries each manifest dir's FILE listing (name:length:mtime
+    // per file) rather than the dir's own mtime: object stores (S3A)
+    // report constant/zero mtimes for pseudo-directories, which would
+    // let an in-place `_stats` re-harvest serve a stale type and
+    // mis-cast min/max in skip decisions (ADVICE r12) — file objects
+    // carry real mtimes everywhere. One driver listStatus per dir, the
+    // same O(dirs) metadata cost class as the exists() probes callers
+    // already pay (stats dirs hold a handful of files).
     val hconf = spark.sparkContext.hadoopConfiguration
     val memoKey = (statsPaths.sorted.map { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      val mt = try hp.getFileSystem(hconf).getFileStatus(hp)
-        .getModificationTime catch { case _: java.io.IOException => -1L }
-      s"$p@$mt"
+      val listing = try hp.getFileSystem(hconf).listStatus(hp)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+      catch { case _: java.io.IOException => "?" }
+      s"$p@$listing"
     }.mkString("|"), column)
     val typ = Option(typMemo.get(memoKey)).getOrElse {
       val typs = man.select(col("typ")).distinct().collect().map(_.getString(0))

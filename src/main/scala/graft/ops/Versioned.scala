@@ -336,13 +336,71 @@ object Versioned {
       // Named catalog access (`CREATE TABLE ... USING graft-table`)
       // resolves through Spark's table-relation cache, which would pin a
       // pre-commit VersionedRelation snapshot and serve STALE reads
-      // after any write. Every commit funnels through here, so this one
-      // metadata-cache drop keeps name-based SQL read-your-writes; path
-      // literals never enter the cache and are unaffected.
-      try spark.sessionState.catalog.invalidateAllCachedTables()
-      catch { case _: Throwable => () }
+      // after any write. Every commit funnels through here, so refresh
+      // exactly the catalog names registered over THIS path (ADVICE r12:
+      // the old invalidateAllCachedTables evicted unrelated tables'
+      // resolved relations on every commit); path literals never enter
+      // the cache and cost nothing.
+      try namedTablesFor(spark, table).foreach { id =>
+        try spark.sessionState.catalog.refreshTable(id)
+        catch { case _: Throwable => () }
+      } catch { case _: Throwable =>
+        // the targeted scan itself failed — fall back to the blunt drop
+        // (stale reads are worse than a cold relation cache)
+        try spark.sessionState.catalog.invalidateAllCachedTables()
+        catch { case _: Throwable => () }
+      }
     }
     won
+  }
+
+  /** Catalog identifiers whose graft-table location is `table` —
+    * memoized per path so protocol-heavy commit loops don't rescan the
+    * catalog; [[markCatalogChanged]] (graft DDL passing the session
+    * parser, new-table creation through the provider) invalidates the
+    * memo wholesale. Negative results are NOT memoized: a name
+    * registered outside the SQL parser (`saveAsTable`) must still be
+    * found by the next commit's scan.
+    */
+  private val catalogNamesMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[org.apache.spark.sql.catalyst.TableIdentifier]]()
+  @volatile private var catalogGen = 0L
+  @volatile private var memoGen = -1L
+
+  /** Invalidate the name→path memo (any DDL that can register or move a
+    * graft-table catalog entry).
+    */
+  def markCatalogChanged(): Unit = { catalogGen += 1 }
+
+  /** Scheme-agnostic path key: catalog locations arrive as URIs
+    * (`file:/x`), commit verbs as bare paths (`/x`).
+    */
+  private def pathKey(s: String): String = {
+    val u = new Path(s).toUri
+    Option(u.getPath).filter(_.nonEmpty).getOrElse(s).stripSuffix("/")
+  }
+
+  private def namedTablesFor(spark: SparkSession, table: String)
+      : Seq[org.apache.spark.sql.catalyst.TableIdentifier] = {
+    if (memoGen != catalogGen) { catalogNamesMemo.clear(); memoGen = catalogGen }
+    val k = pathKey(table)
+    Option(catalogNamesMemo.get(k)).getOrElse {
+      val cat = spark.sessionState.catalog
+      val found = cat.listDatabases().flatMap { db =>
+        cat.listTables(db).flatMap { id =>
+          try {
+            val meta = cat.getTableMetadata(id)
+            if (meta.provider.exists(_.equalsIgnoreCase("graft-table")) &&
+                meta.storage.locationUri.map(u => pathKey(u.toString))
+                  .orElse(meta.storage.properties.get("path").map(pathKey))
+                  .contains(k)) Some(id)
+            else None
+          } catch { case _: Exception => None }
+        }
+      }
+      if (found.nonEmpty) catalogNamesMemo.put(k, found)
+      found
+    }
   }
 
   /** Refuse a verb that carries manifest state forward without
@@ -385,6 +443,18 @@ object Versioned {
     val parentV = latestVersion(spark, table)
     commitAt(spark, table, df, parentV.getOrElse(0L) + 1, parentV, overwrite,
       writerOptions, txn)
+  }
+
+  /** Append with a bounded CAS-retry loop — the verb for MAPPED tables
+    * (column-mapping feature), where [[appendRebase]]'s stage-once
+    * discipline cannot apply: physical column names are minted per
+    * CLAIMED version (`<name>_p$v`), so a lost race must re-stage under
+    * the new version's names anyway. SQL `INSERT INTO` routes here when
+    * the head carries table features; plain tables keep the rebase path.
+    */
+  def appendCommit(spark: SparkSession, table: String, df: DataFrame,
+      maxAttempts: Int = 5): Long = retryOnConflict(maxAttempts) {
+    commit(spark, table, df)
   }
 
   /** Latest transaction mark for `appId` — the streaming-sink
@@ -1529,6 +1599,12 @@ object Versioned {
               .toSeq.map(_.getPath.toString).filter(_.endsWith(".parquet"))
           }
         }.sorted
+        if (allFiles.isEmpty)
+          // a freshly created empty table (declared-schema v1 has zero
+          // parquet files): every BY SOURCE clause is a no-op, and
+          // spark.read.parquet() with no paths would throw (ADVICE r12)
+          (dvRows.limit(0), updated.limit(0))
+        else {
         val fullScan = spark.read.option("mergeSchema", "true")
           .parquet(allFiles: _*)
           .withColumn("__file", col("_metadata.file_path"))
@@ -1562,6 +1638,7 @@ object Versioned {
               (if (set.contains(c)) col(s"__set_$c") else col(s"tgt.$c")).as(c)): _*)
         }
         (dvN, updN)
+        }
       }
     val newRows = updated.unionByName(inserted).unionByName(nmbsUpdated)
     val dvDir = s"dv${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"

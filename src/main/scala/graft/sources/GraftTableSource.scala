@@ -48,30 +48,57 @@ class GraftTableSource extends RelationProvider
       "graft-table requires a table path: .load(path) / .save(path)"))
 
   /** Schema-carrying resolution — what `CREATE TABLE t (cols) USING
-    * graft-table LOCATION p` (no AS SELECT) goes through: an EMPTY
-    * location seeds version 1 as an empty commit carrying the declared
-    * schema (the Delta empty-table-creation shape), so INSERT/DML work
-    * immediately; an existing table validates the declared schema
-    * against the recorded one (same names+types, any order) and refuses
-    * loudly on mismatch instead of serving a lying relation.
+    * graft-table LOCATION p` (no AS SELECT) goes through, AND any
+    * schema-specified read (`spark.read.schema(s).format("graft-table")`).
+    * The two must behave differently on an EMPTY location: DDL seeds
+    * version 1 as an empty commit carrying the declared schema (the
+    * Delta empty-table-creation shape) so INSERT/DML work immediately,
+    * while a plain READ must never mutate storage — a typo'd path would
+    * silently create a table, and two sessions racing the seed commit
+    * would throw `ConcurrentModificationException` out of a SELECT
+    * (ADVICE r12). Seeding is therefore gated on the DDL execution
+    * scope ([[GraftTableSource.ddlScope]], set by the session parser
+    * around `CREATE TABLE ... USING graft-table` statements) or an
+    * explicit `createTableIfAbsent=true` option; outside it, an empty
+    * location resolves to an EMPTY relation with the declared schema
+    * whose first INSERT seeds the table (an insert is a write — allowed
+    * to mutate).
+    *
+    * An existing table validates that every declared field exists in
+    * the recorded schema with the same type — a strict SUBSET is legal
+    * and serves the declared projection (column pruning at resolution
+    * time); unknown names or changed types refuse loudly instead of
+    * serving a lying relation.
     */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String], schema: StructType): BaseRelation = {
     val path = tablePath(parameters)
     val spark = sqlContext.sparkSession
     if (Versioned.latestVersion(spark, path).isEmpty) {
+      val seedAllowed = GraftTableSource.inDdlScope ||
+        parameters.get("createTableIfAbsent").exists(_.equalsIgnoreCase("true"))
+      if (!seedAllowed) return EmptyGraftRelation(sqlContext, path, schema)
+      Versioned.markCatalogChanged()
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-      Versioned.commit(spark, path, empty)
-    } else {
-      val recorded = createRelation(sqlContext, parameters).schema
-      val want = schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-      val got = recorded.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
-      require(want == got,
-        s"declared schema ${schema.simpleString} does not match the " +
-          s"table's recorded ${recorded.simpleString} under $path")
+      try { Versioned.commit(spark, path, empty); () }
+      catch {
+        // lost a concurrent-CREATE race: the table now exists; fall
+        // through to the schema validation against whoever won
+        case _: java.util.ConcurrentModificationException => ()
+      }
     }
-    createRelation(sqlContext, parameters)
+    val base = createRelation(sqlContext, parameters)
+      .asInstanceOf[VersionedRelation]
+    val recorded = base.schema
+    val rec = recorded.fields.map(f => (f.name, f.dataType)).toSet
+    val missing = schema.fields.filterNot(f => rec((f.name, f.dataType)))
+    require(missing.isEmpty,
+      s"declared schema ${schema.simpleString} does not match the " +
+        s"table's recorded ${recorded.simpleString} under $path " +
+        s"(unknown or re-typed fields: ${missing.map(_.name).mkString(", ")})")
+    if (schema.length == recorded.length) base
+    else base.copy(userSchema = Some(schema))
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -95,6 +122,9 @@ class GraftTableSource extends RelationProvider
     val path = tablePath(parameters)
     val spark = sqlContext.sparkSession
     val exists = Versioned.latestVersion(spark, path).isDefined
+    // a CTAS/saveAsTable may be registering a new catalog name over this
+    // path — invalidate the name→path memo used for targeted cache drops
+    if (!exists) Versioned.markCatalogChanged()
     mode match {
       case SaveMode.Append =>
         if (exists) Versioned.appendRebase(spark, path, data)
@@ -112,22 +142,63 @@ class GraftTableSource extends RelationProvider
   }
 }
 
+object GraftTableSource {
+  /** True while the current thread executes a `CREATE TABLE ... USING
+    * graft-table` statement — the only resolution context allowed to
+    * seed an empty location with a v1 commit (set by
+    * [[graft.plans.GraftDdlScopeCommand]]).
+    */
+  private val ddlScope = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  def inDdlScope: Boolean = ddlScope.get()
+  def withDdlScope[T](body: => T): T = {
+    val prev = ddlScope.get()
+    ddlScope.set(java.lang.Boolean.TRUE)
+    try body finally ddlScope.set(prev)
+  }
+}
+
+/** An EMPTY location resolved with a declared schema OUTSIDE the DDL
+  * scope: serves zero rows with that schema (reads never mutate
+  * storage) and seeds the table on the first INSERT — the write verb is
+  * the mutation point.
+  */
+case class EmptyGraftRelation(sqlContext: SQLContext, table: String,
+    override val schema: StructType) extends BaseRelation
+    with TableScan with InsertableRelation {
+  override def buildScan(): RDD[Row] =
+    sqlContext.sparkSession.sparkContext.emptyRDD[Row]
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(data.schema.length == schema.length,
+      s"INSERT column count ${data.schema.length} != table ${schema.length}")
+    Versioned.markCatalogChanged()
+    Versioned.commit(sqlContext.sparkSession, table,
+      data.toDF(schema.fieldNames.toSeq: _*), overwrite = overwrite)
+    ()
+  }
+}
+
 /** One snapshot of a versioned table as a Catalyst relation. Pruning is
   * FILE-level only, so [[unhandledFilters]] returns every filter — Spark
   * re-applies them row-level above the scan (exactly the Delta contract;
   * a kept file may still hold non-matching rows). Column-mapped tables
   * read correctly but skip pruning (their stats speak physical names).
+  * `userSchema` carries a declared SUBSET projection from
+  * schema-specified reads — served as this relation's schema, columns
+  * pruned in [[buildScan]].
   */
 case class VersionedRelation(sqlContext: SQLContext, table: String,
-    version: Long) extends BaseRelation
+    version: Long, userSchema: Option[StructType] = None)
+    extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
 
   @transient private lazy val spark = sqlContext.sparkSession
   @transient private lazy val prunable =
     Versioned.readManifest(spark, table, version).features.isEmpty
 
-  override val schema: StructType =
-    Versioned.read(sqlContext.sparkSession, table, Some(version)).schema
+  override val schema: StructType = userSchema.getOrElse(
+    Versioned.read(sqlContext.sparkSession, table, Some(version)).schema)
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
@@ -142,8 +213,10 @@ case class VersionedRelation(sqlContext: SQLContext, table: String,
     VersionedRelation.record(table,
       VersionedRelation.ScanInfo(version, kept, total,
         preds.map(_.column).distinct))
-    (if (requiredColumns.isEmpty) df
-     else df.select(requiredColumns.toSeq.map(col): _*)).rdd
+    val projected =
+      if (requiredColumns.nonEmpty) df.select(requiredColumns.toSeq.map(col): _*)
+      else userSchema.fold(df)(s => df.select(s.fieldNames.toSeq.map(col): _*))
+    projected.rdd
   }
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` (v1 insert is positional:
@@ -155,7 +228,15 @@ case class VersionedRelation(sqlContext: SQLContext, table: String,
       s"INSERT column count ${data.schema.length} != table ${schema.length}")
     val aligned = data.toDF(schema.fieldNames.toSeq: _*)
     if (overwrite) Versioned.commit(spark, table, aligned, overwrite = true)
-    else Versioned.appendRebase(spark, table, aligned)
+    else {
+      // mapped tables (rename/drop landed) cannot take the stage-once
+      // rebase path — their physical names are minted per claimed
+      // version; route through the retrying commit verb instead
+      val mapped = Versioned.latestVersion(spark, table).exists(v =>
+        Versioned.readManifest(spark, table, v).features.nonEmpty)
+      if (mapped) Versioned.appendCommit(spark, table, aligned)
+      else Versioned.appendRebase(spark, table, aligned)
+    }
     ()
   }
 }

@@ -338,4 +338,166 @@ class GraftDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("subquer"),
       s"expected a subquery refusal, got: ${e.getMessage.take(200)}")
   }
+
+  test("a plain schema-specified READ of an empty location never mutates " +
+      "storage — no seed commit, empty rows, first INSERT seeds (ADVICE r12)") {
+    val t = tmpDir("dml-readseed") + "/t"
+    val s = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, s STRING")
+    val df = spark.read.schema(s).format("graft-table").load(t)
+    assert(df.count() == 0L)
+    assert(Versioned.latestVersion(spark, t).isEmpty,
+      "a read must not create a table at a typo'd/empty path")
+    // the declared-schema relation still accepts a write verb
+    Seq((1L, "a")).toDF("id", "s").write.format("graft-table")
+      .mode("append").save(t)
+    assert(Versioned.latestVersion(spark, t) == Some(1L))
+  }
+
+  test("schema-specified read with a SUBSET of the recorded schema serves " +
+      "the declared projection; unknown/re-typed fields refuse") {
+    val t = tmpDir("dml-subset") + "/t"
+    seed(t)
+    val sub = org.apache.spark.sql.types.StructType.fromDDL("s STRING")
+    val df = spark.read.schema(sub).format("graft-table").load(t)
+    assert(df.columns.toSeq == Seq("s"))
+    assert(df.as[String].collect().toSet == Set("a", "b", "c", "d"))
+    val bad = org.apache.spark.sql.types.StructType.fromDDL("id INT")
+    val e = intercept[Exception](
+      spark.read.schema(bad).format("graft-table").load(t).collect())
+    assert(e.getMessage.contains("does not match"))
+  }
+
+  test("MERGE with a NOT MATCHED BY SOURCE clause into a freshly created " +
+      "EMPTY table is a no-op on the clause, not a crash (ADVICE r12)") {
+    val t = tmpDir("dml-nmbs-empty") + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_nmbs_empty")
+    spark.sql(s"CREATE TABLE g_nmbs_empty (id BIGINT, s STRING) " +
+      s"USING `graft-table` LOCATION '$t'")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("g_nmbs_src")
+    spark.sql("""MERGE INTO g_nmbs_empty tgt USING g_nmbs_src src
+      ON tgt.id = src.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rows(spark.sql("SELECT * FROM g_nmbs_empty")) ==
+      Set((1L, "a"), (2L, "b")))
+    spark.sql("DROP TABLE g_nmbs_empty")
+    spark.catalog.dropTempView("g_nmbs_src")
+  }
+
+  test("SQL ALTER TABLE: ADD/DROP CONSTRAINT + RENAME/DROP COLUMN on a " +
+      "graft path literal — metadata-only, time travel speaks old names") {
+    val t = tmpDir("dml-alter") + "/t"
+    seed(t)
+    spark.sql(s"ALTER TABLE graft.`$t` ADD CONSTRAINT id_pos CHECK (id > 0)")
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO graft.`$t` VALUES (-1, 'x')"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(x => Option(x.getMessage).exists(_.contains("id_pos"))),
+      s"constraint must reject: ${e.getMessage.take(150)}")
+    spark.sql(s"ALTER TABLE graft.`$t` DROP CONSTRAINT id_pos")
+    val dirsBefore = new java.io.File(s"$t/data").list().toSet
+    assert(spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN s TO label")
+      .collect().head.getLong(0) == 4L)
+    assert(new java.io.File(s"$t/data").list().toSet == dirsBefore,
+      "SQL RENAME COLUMN must be metadata-only")
+    // post-rename INSERT routes through the mapped-append verb
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (5, 'e')")
+    assert(rows(spark.sql(s"SELECT id, label FROM graft.`$t`")) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // time travel to v1 answers under the OLD name
+    assert(rows(spark.sql(s"SELECT id, s FROM graft.`$t` VERSION AS OF 1")) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN label")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq == Seq("id"))
+  }
+
+  test("SQL ALTER TABLE on a NAMED graft table keeps the catalog schema " +
+      "in step; ALTER on a non-graft table delegates to vanilla") {
+    val t = tmpDir("dml-altername") + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_alter_t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("g_alter_seed")
+    spark.sql(s"CREATE TABLE g_alter_t USING `graft-table` LOCATION '$t' " +
+      "AS SELECT id, s FROM g_alter_seed")
+    spark.sql("ALTER TABLE g_alter_t RENAME COLUMN s TO label")
+    // name-based read AFTER the rename must resolve (catalog schema synced)
+    assert(rows(spark.sql("SELECT id, label FROM g_alter_t")) ==
+      Set((1L, "a"), (2L, "b")))
+    spark.sql("INSERT INTO g_alter_t VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM g_alter_t").count() == 3L)
+    spark.sql("DROP TABLE g_alter_t")
+    spark.catalog.dropTempView("g_alter_seed")
+    // non-graft target: delegation, so vanilla refuses with ITS error
+    spark.sql("DROP TABLE IF EXISTS plain_alter_t")
+    spark.sql("CREATE TABLE plain_alter_t (a INT, b STRING) USING parquet " +
+      s"LOCATION '${tmpDir("dml-plainalter")}/t'")
+    try {
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE plain_alter_t RENAME COLUMN a TO z"))
+      assert(!e.getMessage.contains("graft"),
+        s"vanilla tables must get vanilla errors: ${e.getMessage.take(150)}")
+    } finally spark.sql("DROP TABLE IF EXISTS plain_alter_t")
+  }
+
+  test("CREATE OR REPLACE TABLE: overwrite commit with history intact; " +
+      "DROP + recreate re-binds the same storage") {
+    val t = tmpDir("dml-replace") + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_rep_t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("g_rep_seed")
+    spark.sql(s"CREATE TABLE g_rep_t USING `graft-table` LOCATION '$t' " +
+      "AS SELECT id, s FROM g_rep_seed")
+    spark.sql("INSERT INTO g_rep_t VALUES (3, 'c')")
+    // replace with a DIFFERENT projection — one overwrite commit (v3)
+    val v = spark.sql("CREATE OR REPLACE TABLE g_rep_t USING `graft-table` " +
+      "AS SELECT id * 10 AS id, upper(s) AS s FROM g_rep_seed")
+      .collect().head.getLong(0)
+    assert(v == 3L, s"replace must be one more version, got $v")
+    assert(rows(spark.sql("SELECT * FROM g_rep_t")) ==
+      Set((10L, "A"), (20L, "B")))
+    // history intact: pre-replace snapshots still answer
+    assert(spark.sql("DESCRIBE HISTORY g_rep_t").count() == 3L)
+    assert(rows(spark.sql("SELECT * FROM g_rep_t VERSION AS OF 2")) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // declared-schema replace lands an EMPTY snapshot (v4)
+    spark.sql("CREATE OR REPLACE TABLE g_rep_t (id BIGINT, s STRING) " +
+      "USING `graft-table`")
+    assert(spark.sql("SELECT * FROM g_rep_t").count() == 0L)
+    // drop unregisters the NAME; storage and history survive
+    spark.sql("DROP TABLE g_rep_t")
+    assert(!spark.catalog.tableExists("g_rep_t"))
+    assert(Versioned.latestVersion(spark, t) == Some(4L))
+    // recreate over the existing location re-binds the history
+    spark.sql(s"CREATE TABLE g_rep_t (id BIGINT, s STRING) " +
+      s"USING `graft-table` LOCATION '$t'")
+    assert(rows(spark.sql("SELECT * FROM g_rep_t VERSION AS OF 3")) ==
+      Set((10L, "A"), (20L, "B")))
+    // replace with LOCATION on an unregistered name creates the entry
+    spark.sql("DROP TABLE g_rep_t")
+    spark.sql(s"CREATE OR REPLACE TABLE g_rep_t USING `graft-table` " +
+      s"LOCATION '$t' AS SELECT id, s FROM g_rep_seed")
+    assert(spark.sql("SELECT * FROM g_rep_t").count() == 2L)
+    assert(spark.sql("DESCRIBE HISTORY g_rep_t").count() >= 5L)
+    spark.sql("DROP TABLE g_rep_t")
+    spark.catalog.dropTempView("g_rep_seed")
+  }
+
+  test("DESCRIBE over a vanilla table named 'history' delegates instead of " +
+      "being shadowed by DESCRIBE HISTORY interception (ADVICE r12)") {
+    spark.sql("DROP TABLE IF EXISTS history")
+    spark.sql("CREATE TABLE history (c1 INT, note STRING) USING parquet " +
+      s"LOCATION '${tmpDir("dml-histname")}/history'")
+    try {
+      // vanilla column description: DESCRIBE <table> <column>
+      val desc = spark.sql("DESCRIBE history note").collect()
+      assert(desc.map(_.getString(0)).contains("col_name") ||
+        desc.nonEmpty, "DESCRIBE history <col> must reach the vanilla parser")
+      // and the graft form still works on actual graft targets
+      val t = tmpDir("dml-histgraft") + "/t"
+      seed(t)
+      assert(spark.sql(s"DESCRIBE HISTORY graft.`$t`").count() == 1L)
+    } finally spark.sql("DROP TABLE IF EXISTS history")
+  }
 }
