@@ -192,8 +192,10 @@ object Dedup {
     * algorithms must truncate lineage per round or the plan re-expands
     * through every previous iteration (a lazy cache materializes only the
     * partitions the convergence probe touches — the rest recompute the
-    * whole history, exponentially). On a fault-tolerant cluster job,
-    * swap in reliable `checkpoint` to survive executor loss.
+    * whole history, exponentially). Truncation goes through
+    * `Checkpoints.stage`: `setCheckpointDir` on the SparkContext flips
+    * the loop to RELIABLE checkpoints (executor-loss-safe on a cluster);
+    * unset, it stays eager localCheckpoint.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     // canonical (hi, lo) undirected edges; self-pairs contribute no edge
@@ -201,7 +203,7 @@ object Dedup {
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.ops.Checkpoints.stage)
     var edgeCount = edges.count()
     var iter = 0
     var converged = false
@@ -215,7 +217,7 @@ object Dedup {
       val afterLarge = dir.join(mLarge, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
+        .distinct().transform(graft.ops.Checkpoints.stage)
       // SMALL-STAR on the canonical edges: per hi-node u, m = min of its
       // lo-neighbors; u and every lo-neighbor ≠ m re-attach to m
       val mSmall = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -223,7 +225,7 @@ object Dedup {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mSmall.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint(true)
+        .distinct().transform(graft.ops.Checkpoints.stage)
       // both sides distinct ⇒ set equality = equal counts + one-way anti
       val nextCount = afterSmall.count()
       converged = nextCount == edgeCount &&

@@ -61,15 +61,15 @@ object IncrementalAnn {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
 
-  /** Train the coarse quantizer on a bounded sample of `corpus`, persist
-    * it, and assign the initial corpus. One-time cost.
+  /** Train the coarse quantizer on a bounded sample of the PREPARED
+    * corpus and persist it — the freeze point [[init]] and
+    * [[maintain]]'s re-freeze share.
     */
-  def init(spark: SparkSession, stateDir: String, corpus: DataFrame,
-      vecCol: String, idCol: String, numCells: Int = 16, seed: Long = 42L,
-      sampleTarget: Int = 4096): Unit = {
+  private def trainCentroids(spark: SparkSession, stateDir: String,
+      cPrep: DataFrame, idCol: String, numCells: Int, seed: Long,
+      sampleTarget: Int): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val cPrep = Similarity.prepared(corpus, vecCol, idCol)
     val hashSample = Similarity.boundedSample(cPrep, idCol, sampleTarget.toLong)
     val trainSample =
       if (hashSample.limit(numCells).count() < numCells) cPrep else hashSample
@@ -81,6 +81,17 @@ object IncrementalAnn {
     import spark.implicits._
     cents.toDF("cell", "c").repartition(1)
       .write.mode("overwrite").parquet(centroidsPath(stateDir))
+  }
+
+  /** Train the coarse quantizer on a bounded sample of `corpus`, persist
+    * it, and assign the initial corpus. One-time cost.
+    */
+  def init(spark: SparkSession, stateDir: String, corpus: DataFrame,
+      vecCol: String, idCol: String, numCells: Int = 16, seed: Long = 42L,
+      sampleTarget: Int = 4096): Unit = {
+    trainCentroids(spark, stateDir,
+      Similarity.prepared(corpus, vecCol, idCol), idCol,
+      numCells, seed, sampleTarget)
     addBatch(spark, stateDir, corpus, vecCol, idCol, overwrite = true)
   }
 
@@ -95,6 +106,70 @@ object IncrementalAnn {
         col("v"), col("nrm"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .parquet(postingsPath(stateDir))
+  }
+
+  /** DRIFT-TRIGGERED MAINTENANCE (VERDICT r12 item 6) — the decision a
+    * 100 TB ingest pipeline runs nightly over its frozen quantizer (the
+    * FAISS re-train schedule): centroids are IMMUTABLE by design (see
+    * the object scaladoc), so distribution drift in the incoming batches
+    * silently degrades recall — new clusters straddle the old Voronoi
+    * boundaries and neighbors split across un-probed cells. This verb
+    * makes the re-freeze decision MEASURED instead of scheduled:
+    *
+    *  1. Kolmogorov–Smirnov statistic ([[graft.ops.Drift.ksStatistic]],
+    *     integer-exact) between the INDEX's stored scalar summary (the
+    *     fixed-point L2 norm every posting already carries — zero extra
+    *     state) and the incoming batch's;
+    *  2. `ks <= threshold` → plain [[addBatch]] (batch cost, the
+    *     common case);
+    *  3. `ks > threshold` → RE-FREEZE: retrain the coarse quantizer on
+    *     a bounded sample of postings ∪ batch and reassign everything
+    *     ([[init]] — one full-corpus pass, the amortized nightly cost).
+    *
+    * Returns (refrozen, ks). The norm summary catches scale/magnitude
+    * drift (the dominant embedding-model-swap signature); rotation-only
+    * drift is norm-invariant — callers with that threat model feed
+    * [[graft.ops.Drift]] a per-dimension summary and call [[init]]
+    * directly. `q_ann_refreeze` pins the whole loop: a drifted batch
+    * degrades pinned recall under the frozen centroids, `maintain`
+    * detects it and re-freezes, and the SAME search meets the floor
+    * again — both recalls measured in-query.
+    */
+  def maintain(spark: SparkSession, stateDir: String, batch: DataFrame,
+      vecCol: String, idCol: String, ksThreshold: Double = 0.2,
+      numCells: Int = 16, seed: Long = 42L, sampleTarget: Int = 4096)
+      : (Boolean, Double) = {
+    val postings = spark.read.parquet(postingsPath(stateDir))
+    val bPrep = Similarity.prepared(batch, vecCol, idCol)
+    val fp = (c: Column) => (c * lit(1e6)).cast("long")
+    val stat = graft.ops.Drift.ksStatistic(
+      postings.select(fp(col("nrm")).as("v")),
+      bPrep.select(fp(col("nrm")).as("v")), "v").head()
+    val ks = stat.getLong(2).toDouble / (stat.getLong(0) * stat.getLong(1))
+    if (ks <= ksThreshold) {
+      addBatch(spark, stateDir, batch, vecCol, idCol)
+      (false, ks)
+    } else {
+      // RE-FREEZE. The reassigned postings STAGE into a sibling dir and
+      // swap in with one rename — Spark refuses to overwrite a path its
+      // own plan reads, and at scale the swap keeps the old index
+      // readable until the new one is complete.
+      val corpus = postings.select(col("id"), col("v"), col("nrm"))
+        .unionByName(bPrep.select(col(idCol).as("id"), col("v"), col("nrm")))
+      trainCentroids(spark, stateDir, corpus, "id", numCells, seed, sampleTarget)
+      val cents = loadCentroids(spark, stateDir)
+      val staged = s"${postingsPath(stateDir)}__rebuild"
+      corpus.select(col("id"), assignCell(cents, col("v")).as("cell"),
+          col("v"), col("nrm"))
+        .write.mode("overwrite").parquet(staged)
+      val hfs = new org.apache.hadoop.fs.Path(staged)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(postingsPath(stateDir)), true)
+      require(hfs.rename(new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(postingsPath(stateDir))),
+        s"re-freeze swap failed: could not rename $staged")
+      (true, ks)
+    }
   }
 
   /** nprobe-cell search over the stored postings: (id_a, rk, id_b, cos),

@@ -52,7 +52,7 @@ object Hierarchy {
       require(bad == 0,
         s"hierarchy edges must form a forest: some $childCol has multiple parents")
     }
-    var clo = e.withColumn("dist", lit(1L)).localCheckpoint(true)
+    var clo = e.withColumn("dist", lit(1L)).transform(graft.ops.Checkpoints.stage)
     // Cycle guard: in a forest no node is its own ancestor, but a CYCLE
     // (x→y, y→x passes the one-parent-per-child check) makes path
     // doubling diverge — dist takes ever more values, so the distinct
@@ -77,7 +77,7 @@ object Hierarchy {
       val jumped = clo.toDF("node", "mid", "d1")
         .join(clo.toDF("mid", "anc", "d2"), Seq("mid"))
         .select(col("node"), col("anc"), (col("d1") + col("d2")).as("dist"))
-      val next = clo.unionByName(jumped).distinct().localCheckpoint(true)
+      val next = clo.unionByName(jumped).distinct().transform(graft.ops.Checkpoints.stage)
       val (m, cycles) = countAndCycles(next)
       require(cycles == 0,
         "hierarchy edges contain a cycle, not a forest — some node is its own ancestor")

@@ -88,7 +88,7 @@ object IncrementalLinkage {
     val keyed = (if (fs.exists(new Path(recsPath)))
         keyedAll.join(spark.read.parquet(recsPath).select(col("id")),
           Seq("id"), "left_anti")
-      else keyedAll).localCheckpoint(true)
+      else keyedAll).transform(graft.ops.Checkpoints.stage)
 
     keyed.write.mode("append").parquet(recsPath)
     // Fresh read AFTER the append: one probe join covers batch×stored

@@ -274,7 +274,7 @@ object MaterializedView {
           .filter(col("cnt") > 0)
           // the fold feeds a count() AND the rescan semi-join AND the
           // landed state — one checkpoint, three consumers
-          .localCheckpoint(true)
+          .transform(graft.ops.Checkpoints.stage)
         val toRescan = merged.filter(col("__rescan"))
           .select(keyCols.map(col): _*)
         val nRescan = toRescan.count()

@@ -37,8 +37,10 @@ import org.apache.spark.sql.functions._
   * Per-iteration cost is 2 small shuffles + the static edge scan; rank
   * lineage is truncated every `checkpointInterval` rounds (see `ranks`
   * scaladoc for why fixed-iteration loops need less checkpointing than
-  * convergence-probed ones). On a cluster, swap reliable `checkpoint`
-  * for executor-loss tolerance. The only driver-side action is one
+  * convergence-probed ones). Every truncation goes through
+  * [[Checkpoints.stage]]: `setCheckpointDir` on the SparkContext flips
+  * the loop to RELIABLE checkpoints (executor-loss-safe on a cluster);
+  * unset, it stays eager localCheckpoint. The only driver-side action is one
   * `count()` of the node set (a scalar aggregate job — N itself is
   * needed to seed the uniform prior).
   */
@@ -97,10 +99,10 @@ object PageRank {
     // Materialize the edge input ONCE: callers typically derive edges
     // from an expensive join (the co-purchase self-join), and both the
     // node set and the degree-carrying edge relation consume it.
-    val e = edges.localCheckpoint(true)
+    val e = edges.transform(graft.ops.Checkpoints.stage)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.ops.Checkpoints.stage)
     val n = nodes.count()
     require(n > 0, "empty graph")
     val r0 = Scale / n
@@ -112,7 +114,7 @@ object PageRank {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesDeg = e.join(outDeg, "src")
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.stage)
     // BROADCAST REGIME: the rank vector is |V| rows of (long, long). When
     // it fits a broadcast (the co-purchase graphs here: |V| = |parts|,
     // tens of thousands), every iteration's two rank joins go map-side —
@@ -135,7 +137,7 @@ object PageRank {
         val seeded = nodes
           .join(p.select(col("id"), col("rank_fp").as("__prior")), Seq("id"), "left")
           .select(col("id"), coalesce(col("__prior"), lit(r0)).as("rank_fp"))
-          .localCheckpoint(true)
+          .transform(graft.ops.Checkpoints.stage)
         prevCkpt = Some(seeded)
         seeded
     }
@@ -150,7 +152,7 @@ object PageRank {
         .select(col("id"),
           (lit(base) + expr("(17 * coalesce(s, 0L)) div 20")).as("rank_fp"))
       if (i % checkpointInterval == 0 && i < iters) {
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.transform(graft.ops.Checkpoints.stage)
         prevCkpt.foreach(Checkpoints.free)
         prevCkpt = Some(ranks)
       }
@@ -183,7 +185,7 @@ object PageRank {
     val canon = pairs
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.ops.Checkpoints.stage)
     // undirected degree per node
     val deg = canon.select(col("a").as("id")).union(canon.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
@@ -196,7 +198,7 @@ object PageRank {
           col("a")).otherwise(col("b")).as("src"),
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.stage)
     // wedges out of the orientation-smallest vertex; canonical (lo, hi)
     // third side so the closure probe matches the oriented edge that
     // completes the triangle regardless of ITS orientation direction

