@@ -73,6 +73,81 @@ object IncrementalSetJoin {
       .write.mode("overwrite").parquet(s"$stateDir/prefix")
   }
 
+  /** DRIFT-TRIGGERED RE-FREEZE — [[graft.llm.IncrementalAnn.maintain]]'s
+    * sibling for the frozen token order (VERDICT r12 item 6's second
+    * half). Unlike the IVF quantizer, a stale df order can never MISS a
+    * pair (the prefix lemma holds under any fixed order — exactness is
+    * structural); what drifts is COST: a token that became a stopword
+    * after `init` keeps its small frozen rank, stays inside every new
+    * document's prefix, and its candidate bucket grows quadratically.
+    * The decision statistic targets exactly that pathology: the FLOOD
+    * SHARE — the fraction of the batch's token occurrences landing on
+    * tokens that are frozen-RARE (df ≤ `rareDf`: forever
+    * prefix-resident under the frozen order) AND repeated within the
+    * batch (cb ≥ 2 — a once-seen token grows no bucket). Distribution
+    * distances (KS/TV, [[graft.ops.Drift]]) are the right family for
+    * VALUE drift (the ANN sibling uses KS over norms) but are
+    * sample-size-dominated for token batches — a single in-vocabulary
+    * document already measures TV ≈ 0.6 against a corpus-sized frozen
+    * table, while its flood share is exactly 0. One vocabulary-keyed
+    * join, batch cost:
+    *
+    *  - `floodShare <= threshold` → plain [[addBatch]] (the common case);
+    *  - `floodShare > threshold` → RE-FREEZE: recount df over stored ∪ batch
+    *    sets (stored sets re-read, never re-tokenized), rewrite the
+    *    frozen order and the stored prefixes under it, then index the
+    *    batch normally. One full-index pass — the amortized nightly
+    *    cost, exactly the IVF retrain schedule.
+    *
+    * Returns (refrozen, floodShare, the batch's verified pairs — the
+    * same contract as [[addBatch]]).
+    */
+  def maintain(spark: SparkSession, stateDir: String, batch: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      floodThreshold: Double = 0.1, rareDf: Long = 1L)
+      : (Boolean, Double, DataFrame) = {
+    val dford = spark.read.parquet(s"$stateDir/dforder")
+    val bdf = toSets(batch, textCol, idCol)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cb"))
+    val agg = bdf.join(dford, Seq("tok"), "left")
+      .na.fill(0L, Seq("df"))
+      .agg(
+        sum(when(col("df") <= rareDf && col("cb") >= 2L, col("cb"))
+          .otherwise(0L)).as("flood"),
+        sum(col("cb")).as("total")).head()
+    val flood =
+      if (agg.isNullAt(1) || agg.getLong(1) == 0L) 0.0
+      else agg.getLong(0).toDouble / agg.getLong(1)
+    if (flood <= floodThreshold)
+      (false, flood, addBatch(spark, stateDir, batch, textCol, idCol, threshold))
+    else {
+      val stored = spark.read.parquet(s"$stateDir/sets")
+      // new frozen order reflects the post-drift distribution (stored ∪
+      // batch); neither write reads its own target path
+      stored.select(explode(col("toks")).as("tok"))
+        .unionByName(toSets(batch, textCol, idCol)
+          .select(explode(col("toks")).as("tok")))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$stateDir/dforder__rebuild")
+      val hfs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def swap(name: String): Unit = {
+        hfs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$name"), true)
+        require(hfs.rename(
+          new org.apache.hadoop.fs.Path(s"$stateDir/${name}__rebuild"),
+          new org.apache.hadoop.fs.Path(s"$stateDir/$name")),
+          s"re-freeze swap failed for $stateDir/$name")
+      }
+      swap("dforder")
+      val dford2 = spark.read.parquet(s"$stateDir/dforder")
+      prefixUnder(stored, dford2, threshold)
+        .write.mode("overwrite").parquet(s"$stateDir/prefix__rebuild")
+      swap("prefix")
+      (true, flood, addBatch(spark, stateDir, batch, textCol, idCol, threshold))
+    }
+  }
+
   /** Index `batch` and return EVERY pair with exact Jaccard ≥ threshold
     * that touches the batch — batch×corpus and batch×batch, (id_a <
     * id_b, n_inter, n_a, n_b, jaccard), the same verified-exact contract

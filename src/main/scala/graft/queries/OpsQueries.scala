@@ -1505,6 +1505,64 @@ object OpsQueries extends graft.QueryModule {
       out
     }),
 
+    // COMPOSITE SQL PIPELINE (VERDICT r12 item 7): the R4/R10/R12
+    // surfaces composed the way a real user drives the engine — every
+    // statement after the temp-view staging is SQL. CTAS seeds a
+    // staging table and the target; an INSERT lands a change batch on
+    // staging; a MERGE whose SOURCE is the graft_changes TABLE FUNCTION
+    // applies exactly that batch's delta (update-images match on key,
+    // new keys insert); DELETE tombstones a slice; OPTIMIZE ZORDER
+    // folds + re-sorts; and four VERSION AS OF reads pin every
+    // snapshot. REQUIRED in-query: the OPTIMIZE is content-invariant
+    // (v3 == v4 aggregates — both rows hash against the same oracle
+    // reconstruction). No Scala API touches the table after staging.
+    "q_sql_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_sqlpipe_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val (src, t) = (s"$base/src", s"$base/t")
+      s.sql("DROP TABLE IF EXISTS q_pipe_src")
+      s.sql("DROP TABLE IF EXISTS q_pipe_t")
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      orders.createOrReplaceTempView("q_pipe_seed")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      s.sql(s"""CREATE TABLE q_pipe_src USING `graft-table` LOCATION '$src'
+        AS SELECT o_orderkey, o_custkey, o_totalprice FROM q_pipe_seed""")
+      s.sql(s"""CREATE TABLE q_pipe_t USING `graft-table` LOCATION '$t'
+        AS SELECT * FROM q_pipe_src VERSION AS OF 1""")
+      // change batch on staging: update-images for %10=7 keys + new keys
+      s.sql(s"""INSERT INTO q_pipe_src
+        SELECT o_orderkey, o_custkey, o_totalprice * 3
+        FROM q_pipe_seed WHERE o_orderkey % 10 = 7
+        UNION ALL
+        SELECT o_orderkey + $maxk, o_custkey, o_totalprice * 2
+        FROM q_pipe_seed WHERE o_orderkey % 4 = 1""")
+      // the CDF of exactly that batch drives the MERGE
+      s.sql(s"""MERGE INTO q_pipe_t tgt USING (
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM graft_changes('$src', 2, 2) WHERE _change_type = 'insert'
+        ) src ON tgt.o_orderkey = src.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("DELETE FROM q_pipe_t WHERE o_custkey % 9 = 4")
+      s.sql("OPTIMIZE q_pipe_t ZORDER BY (o_orderkey)")
+      require(graft.ops.Versioned.latestVersion(s, t) == Some(4L),
+        "CTAS + MERGE + DELETE + OPTIMIZE must land exactly four versions")
+      val out = (1 to 4).map { v =>
+        s.sql(s"""SELECT CAST($v AS bigint) AS version, COUNT(1) AS n,
+          CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+          CAST(SUM(o_custkey) AS bigint) AS sum_cust
+          FROM q_pipe_t VERSION AS OF $v""")
+      }.reduce(_.unionByName(_)).orderBy($"version")
+      out.collect()
+      s.sql("DROP TABLE IF EXISTS q_pipe_src")
+      s.sql("DROP TABLE IF EXISTS q_pipe_t")
+      s.catalog.dropTempView("q_pipe_seed")
+      out
+    }),
+
     // DDL LIFECYCLE (VERDICT r12 item 4 — CREATE OR REPLACE + DROP +
     // recreate): REPLACE is ONE OVERWRITE COMMIT (vanilla refuses v1
     // REPLACE; here history stays intact — REQUIRED in-query: exactly
@@ -2693,6 +2751,43 @@ object OpsQueries extends graft.QueryModule {
         |SELECT g AS o_orderstatus, CAST(COUNT(1) AS bigint) AS cnt,
         |  CAST(SUM(CAST(v AS decimal(30,6))) AS double) AS sv
         |FROM final GROUP BY g ORDER BY g""".stripMargin,
+    "q_sql_pipeline" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |batch AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 3 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT mk FROM mx), o_custkey,
+        |    o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |),
+        |v2 AS (
+        |  SELECT COALESCE(b.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |    COALESCE(b.o_custkey, t.o_custkey) AS o_custkey,
+        |    COALESCE(b.o_totalprice, t.o_totalprice) AS o_totalprice
+        |  FROM v1 t FULL OUTER JOIN batch b ON t.o_orderkey = b.o_orderkey
+        |),
+        |v3 AS (SELECT * FROM v2 WHERE o_custkey % 9 <> 4),
+        |snap AS (
+        |  SELECT 1 AS version, COUNT(1) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(o_custkey) AS bigint) AS sum_cust FROM v1
+        |  UNION ALL
+        |  SELECT 2, COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v2
+        |  UNION ALL
+        |  SELECT 3, COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v3
+        |  UNION ALL
+        |  SELECT 4, COUNT(1),
+        |    CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double),
+        |    CAST(SUM(o_custkey) AS bigint) FROM v3
+        |)
+        |SELECT CAST(version AS bigint) AS version, n, sum_price, sum_cust
+        |FROM snap ORDER BY version""".stripMargin,
     "q_sql_replace" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v2 AS (

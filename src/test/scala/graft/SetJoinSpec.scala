@@ -140,4 +140,51 @@ class SetJoinSpec extends SparkSpec {
     assert(g2.map(p => (p._1, p._2)) == Set((10L, 20L), (1L, 21L)),
       s"batch must pair against earlier batches AND init corpus: $g2")
   }
+
+  test("maintain: in-distribution batch takes the cheap path; a drifted " +
+      "batch re-freezes the token order — exactness holds, cost recovers") {
+    import spark.implicits._
+    val state = tmpDir("inc-setjoin-maint") + "/state"
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    IncrementalSetJoin.init(spark, state,
+      all.toSeq.toDF("doc_id", "text"), "text", "doc_id", 0.6)
+    val dfordBefore = spark.read.parquet(s"$state/dforder")
+      .collect().map(_.toSeq).toSet
+    // in-distribution: one more doc drawn from the same vocabulary
+    val (r1, tv1, p1) = IncrementalSetJoin.maintain(spark, state,
+      Seq((501L, "the quick brown fox jumps over the lazy dog near a river"))
+        .toDF("doc_id", "text"), "text", "doc_id", 0.6)
+    assert(!r1 && tv1 == 0.0,
+      s"in-distribution batch must not re-freeze (flood share 0): $tv1")
+    assert(spark.read.parquet(s"$state/dforder")
+      .collect().map(_.toSeq).toSet == dfordBefore,
+      "cheap path must not touch the frozen order")
+    assert(p1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 501L)))
+    // drifted batch: a flooding token ('spam') in every doc + novel
+    // vocabulary — the frozen order has never seen most of it
+    val drifted = (600L to 619L).map(i =>
+      (i, s"spam filler$i payload$i content$i body$i tail$i")).toDF("doc_id", "text")
+    val (r2, tv2, p2) = IncrementalSetJoin.maintain(spark, state,
+      drifted, "text", "doc_id", 0.6)
+    assert(r2 && tv2 > 0.1, s"drifted batch must re-freeze: $tv2")
+    assert(spark.read.parquet(s"$state/dforder")
+      .collect().map(_.toSeq).toSet != dfordBefore,
+      "re-freeze must recount the frozen order")
+    // the re-frozen order ranks the flooded token LAST among batch
+    // tokens (df=20 beats every filler's df=1), so it leaves the
+    // prefixes: no 'spam'-keyed candidate bucket survives
+    val prefixToks = spark.read.parquet(s"$state/prefix")
+      .select("tok").as[String].collect().toSet
+    assert(!prefixToks.contains("spam"),
+      "the flooding token must rank out of every prefix after re-freeze")
+    // exactness: batch pairs == brute force restricted to batch
+    assert(p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      bruteForce(all.toSeq.toDF("doc_id", "text")
+        .unionByName(Seq((501L, "the quick brown fox jumps over the lazy " +
+          "dog near a river")).toDF("doc_id", "text"))
+        .unionByName(drifted), 0.6)
+        .filter(p => p._1 >= 600L || p._2 >= 600L).map(p => (p._1, p._2)),
+      "re-frozen index must stay exact on the batch's pairs")
+  }
 }
