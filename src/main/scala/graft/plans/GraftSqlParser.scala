@@ -397,11 +397,17 @@ final case class GraftReplaceTableCommand(name: String,
 final case class GraftDdlScopeCommand(inner: LogicalPlan)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
-  override def run(spark: SS): Seq[Row] =
-    graft.sources.GraftTableSource.withDdlScope {
+  override def run(spark: SS): Seq[Row] = {
+    val rows = graft.sources.GraftTableSource.withDdlScope {
       org.apache.spark.sql.graftshim.StreamingFrameShim
         .frameOf(spark, inner).collect().toSeq
     }
+    // the parse-time bump precedes the catalog REGISTRATION this run
+    // just performed — bump again so a commit whose name→path scan raced
+    // this DDL can never serve a memo missing the new name
+    Versioned.markCatalogChanged()
+    rows
+  }
 }
 
 /** `DESCRIBE HISTORY target` → one row per commit, newest first,
