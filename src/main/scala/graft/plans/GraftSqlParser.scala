@@ -363,7 +363,22 @@ final case class GraftReplaceTableCommand(name: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], declared.get)
     }
-    val v = Versioned.commit(spark, path, df, overwrite = true)
+    // an overwrite reads nothing from the table, so a lost version-claim
+    // race against a concurrent writer is retried wholesale — DDL should
+    // not fail because an append landed first
+    val v = {
+      var attempt = 0
+      var res = -1L
+      while (res < 0) {
+        try res = Versioned.commit(spark, path, df, overwrite = true)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt >= 5) throw e
+        }
+      }
+      res
+    }
     existing match {
       case Some(_) =>
         try {
