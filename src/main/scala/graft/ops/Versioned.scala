@@ -949,7 +949,7 @@ object Versioned {
     * reliably.
     */
   def renameColumn(spark: SparkSession, table: String, from: String,
-      to: String): Long = {
+      to: String, maxAttempts: Int = 5): Long = retryOnConflict(maxAttempts) {
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
@@ -984,7 +984,8 @@ object Versioned {
     * actual erasure). Same `column-mapping` feature gate as
     * [[renameColumn]].
     */
-  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+  def dropColumn(spark: SparkSession, table: String, name: String,
+      maxAttempts: Int = 5): Long = retryOnConflict(maxAttempts) {
     val parentV = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, parentV)
