@@ -2436,15 +2436,92 @@ object Versioned {
         finally in.close()
       }
     if (from >= latest) None
-    else Some((
-      // allowMissingColumns: a cursor range that straddles a
-      // schema-evolution append yields frames with different schemas;
-      // null-fill older versions exactly as read()'s mergeSchema does,
-      // instead of wedging the consumer with an AnalysisException.
-      (from + 1 to latest).map(v =>
+    else Some((changesRange(spark, table, from + 1, latest), latest))
+  }
+
+  /** The change feed of versions `[fromV, toV]` as ONE frame carrying a
+    * `version` column — the drain planner behind [[changesSince]].
+    * PURE-APPEND versions (dv set unchanged, refs strictly grow, a
+    * recorded schema, no table features) emit inserts only, so ALL of
+    * them sharing a schema plan as ONE parquet read over their added
+    * files, with each row's version recovered from its data dir
+    * (dirs are claimed by exactly one commit — UUID-unique — so a
+    * broadcast dir→version join is exact). A replica catching up on an
+    * append-heavy history therefore pays O(distinct schemas) reads, not
+    * O(versions) — LogScaleBench's drain cost collapses accordingly.
+    * Any other version (dv churn, rewrites, overwrites, compactions,
+    * legacy schema-less manifests) falls back to the per-version
+    * [[changes]] plan unchanged, and versions with table features throw
+    * exactly as [[changes]] would.
+    */
+  private[graft] def changesRange(spark: SparkSession, table: String,
+      fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract}
+    require(fromV >= 1 && toV >= fromV,
+      s"changesRange needs 1 <= fromV <= toV, got [$fromV, $toV]")
+    val ms: Map[Long, Manifest] =
+      (math.max(1L, fromV - 1) to toV)
+        .map(v => v -> readManifest(spark, table, v)).toMap
+    def prevOf(v: Long): Manifest =
+      if (v == 1L) Manifest("none", Seq.empty, Seq.empty, None) else ms(v - 1)
+    def isPureAppend(v: Long): Boolean = {
+      val cur = ms(v); val prev = prevOf(v)
+      cur.features.isEmpty && cur.schemaJson.isDefined &&
+        cur.dvs.toSet == prev.dvs.toSet &&
+        prev.refs.toSet.subsetOf(cur.refs.toSet)
+    }
+    val (appendVs, fallbackVs) = (fromV to toV).partition(isPureAppend)
+    // added DIRS per append version; a ref that is not dir-granular or a
+    // dir claimed twice (malformed log) demotes its versions to fallback
+    val dirOwner = scala.collection.mutable.Map.empty[String, Long]
+    val demoted = scala.collection.mutable.Set.empty[Long]
+    val addedByV: Map[Long, Seq[String]] = appendVs.map { v =>
+      val added =
+        (ms(v).refs.toSet -- prevOf(v).refs.toSet).toSeq.sorted
+      added.foreach { r =>
+        val d = r.takeWhile(_ != '/')
+        dirOwner.get(d) match {
+          case Some(o) if o != v => demoted += v; demoted += o
+          case _ => dirOwner(d) = v
+        }
+      }
+      v -> added
+    }.toMap
+    val batched = appendVs.filterNot(demoted)
+    val frames: Seq[DataFrame] =
+      // one read per distinct recorded schema across the batched versions
+      batched.groupBy(v => ms(v).schemaJson.get).toSeq.sortBy(_._2.min)
+        .flatMap { case (schemaJson, vs) =>
+          val files = vs.flatMap(v =>
+            expandRefFiles(spark, table, addedByV(v)))
+            .toSeq.sorted.map(r => s"${dataRoot(spark, table)}/$r")
+          if (files.isEmpty) None
+          else {
+            val sch = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            val dirVer = vs.flatMap(v =>
+              addedByV(v).map(r => (r.takeWhile(_ != '/'), v)))
+            import spark.implicits._
+            Some(spark.read.schema(sch).parquet(files: _*)
+              .withColumn("__dir",
+                regexp_extract(col("_metadata.file_path"), "([^/]+)/[^/]+$", 1))
+              .join(broadcast(dirVer.toDF("__dir", "version")), Seq("__dir"))
+              .drop("__dir")
+              .withColumn("change_type", lit("insert"))
+              .select(sch.fieldNames.map(col).toSeq ++
+                Seq(col("change_type"), col("version")): _*))
+          }
+        } ++
+      (fallbackVs ++ appendVs.filter(demoted)).sorted.map(v =>
         changes(spark, table, v).withColumn("version", lit(v)))
-        .reduce(_.unionByName(_, allowMissingColumns = true)),
-      latest))
+    if (frames.isEmpty)
+      // every drained version was an empty no-op append: an empty feed
+      // in the head's schema (+ change_type/version)
+      changes(spark, table, toV).withColumn("version", lit(toV)).limit(0)
+    // allowMissingColumns: a range that straddles a schema-evolution
+    // append yields frames with different schemas; null-fill older
+    // versions exactly as read()'s mergeSchema does
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Durably advance the change-feed cursor (staged write + ATOMIC

@@ -874,6 +874,46 @@ class VersionedSpec extends SparkSpec {
     assert(all == (first.size + second.size).toLong)
   }
 
+  test("changesRange batched append planner == per-version changes over a " +
+      "mixed history (appends, schema evolution, dv delete, merge, overwrite)") {
+    val t = tmpDir("versioned-crange") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))   // v1
+    Versioned.commit(spark, t, Seq((3L, "c")).toDF("id", "s"))              // v2 append
+    Versioned.commit(spark, t, Seq((4L, "d")).toDF("id", "s"))              // v3 append
+    // v4: schema-evolution append (new schema class → separate batch)
+    Versioned.commit(spark, t, Seq((5L, "e", 50L)).toDF("id", "s", "x"))
+    Versioned.deleteWhere(spark, t, $"id" === 2L)                           // v5 dv (fallback)
+    Versioned.commit(spark, t, Seq((6L, "f", 60L)).toDF("id", "s", "x"))    // v6 append
+    Versioned.mergeApply(spark, t,                                          // v7 merge (fallback)
+      Versioned.read(spark, t).select($"id", $"s", $"x")
+        .filter($"id" === 3L).withColumn("s", lit("C")),
+      "id", whenMatchedUpdate = None)
+    Versioned.commit(spark, t,                                              // v8 overwrite (fallback)
+      Seq((9L, "z", 90L)).toDF("id", "s", "x"), overwrite = true)
+    Versioned.commit(spark, t, Seq((10L, "y", 100L)).toDF("id", "s", "x"))  // v9 append
+    val latest = Versioned.latestVersion(spark, t).get
+    assert(latest == 9L)
+    def key(df: org.apache.spark.sql.DataFrame): Map[(Long, String, Long), Long] =
+      df.select($"id", $"change_type", $"version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val perVersion = (1L to latest).map(v =>
+        Versioned.changes(spark, t, v).withColumn("version", lit(v)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val ranged = Versioned.changesRange(spark, t, 1L, latest)
+    assert(key(ranged) == key(perVersion),
+      "the batched drain must emit exactly the per-version feed (multiset)")
+    // sub-ranges agree too (a cursor mid-history)
+    val sub = Versioned.changesRange(spark, t, 3L, 6L)
+    val subPer = (3L to 6L).map(v =>
+        Versioned.changes(spark, t, v).withColumn("version", lit(v)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    assert(key(sub) == key(subPer))
+    // the evolved column's VALUES survive the batched read
+    val xs = ranged.filter($"version" === 9L).select($"x").collect()
+    assert(xs.map(_.getLong(0)).toSeq == Seq(100L))
+  }
+
   test("transact re-runs the transform against the refreshed snapshot after a lost race") {
     val t = tmpDir("versioned-txn") + "/t"
     Versioned.commit(spark, t, Seq((1L, 10L)).toDF("id", "v"))
