@@ -253,12 +253,27 @@ final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
     val from = start.map(ver).getOrElse(o.startingVersion)
     val to = ver(end)
     engineFloor = math.max(engineFloor, math.max(from, to))
+    // CDF mode drains the whole admitted range through the BATCHED
+    // planner (pure-append runs = one read per schema class — a
+    // cold-start backfill over a long append history costs O(batches),
+    // not O(versions)); append mode keeps the per-version walk because
+    // it must THROW on the first non-append version, not consume it.
+    if (o.cdf) {
+      val batch =
+        if (to <= from)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else {
+          val feed = Versioned.changesRange(spark, o.table, from + 1, to)
+            .withColumnRenamed("change_type", "_change_type")
+            .withColumnRenamed("version", "_commit_version")
+          align(feed, Seq(col("_change_type"), col("_commit_version")))
+        }
+      return org.apache.spark.sql.graftshim.StreamingFrameShim
+        .asStreamingFrame(spark, batch)
+    }
     val frames = ((from + 1) to to).map { v =>
-      if (o.cdf)
-        align(Versioned.changes(spark, o.table, v)
-            .withColumnRenamed("change_type", "_change_type"),
-          Seq(col("_change_type"), lit(v).as("_commit_version")))
-      else {
+      {
         val m = Versioned.readManifest(spark, o.table, v)
         val prevRefs: Set[String] =
           if (v == 1) Set.empty
