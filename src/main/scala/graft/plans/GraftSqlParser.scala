@@ -62,6 +62,8 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     // actually resolves to a graft table; otherwise delegate (ADVICE r12).
     case HistoryRe(target) if isGraftTarget(spark, target.trim) =>
       GraftHistoryCommand(target.trim)
+    case DetailRe(target) if isGraftTarget(spark, target.trim) =>
+      GraftDescribeDetailCommand(target.trim)
     case RestoreRe(target, ver) =>
       GraftRestoreCommand(target.trim, ver.toLong)
     // ALTER TABLE is vanilla grammar — intercept only when the target
@@ -132,6 +134,8 @@ object GraftSqlParser {
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   // any statement that names the provider — catalog-memo invalidation
@@ -422,6 +426,34 @@ final case class GraftDdlScopeCommand(inner: LogicalPlan)
     // this DDL can never serve a memo missing the new name
     Versioned.markCatalogChanged()
     rows
+  }
+}
+
+/** `DESCRIBE DETAIL target` — the head snapshot's metadata summary in
+  * one row (the Delta `DESCRIBE DETAIL` shape): format, location,
+  * version, last op, referenced data units, deletion vectors, CHECK
+  * constraints, table features. Straight from the head manifest —
+  * O(1 manifest read), never a data scan. Same vanilla-shadow guard as
+  * DESCRIBE HISTORY: non-graft targets delegate.
+  */
+final case class GraftDescribeDetailCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("n_refs", IntegerType, nullable = false)(),
+    AttributeReference("n_dvs", IntegerType, nullable = false)(),
+    AttributeReference("n_constraints", IntegerType, nullable = false)(),
+    AttributeReference("n_features", IntegerType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    val p = GraftSqlParser.resolveTarget(spark, target)
+    val v = Versioned.latestVersion(spark, p)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $p"))
+    val m = Versioned.readManifest(spark, p, v)
+    Seq(Row("graft-table", p, v, m.op,
+      m.refs.size, m.dvs.size, m.constraints.size, m.features.size))
   }
 }
 

@@ -1505,6 +1505,47 @@ object OpsQueries extends graft.QueryModule {
       out
     }),
 
+    // DESCRIBE DETAIL (the Delta table-metadata summary verb): one
+    // manifest read answers format/version/op/ref/dv/constraint/feature
+    // counts — never a data scan. The entry drives a deterministic
+    // protocol evolution (CTAS → INSERT → DELETE → ADD CONSTRAINT) and
+    // snapshots the detail after every step; the oracle is the exact
+    // expected protocol state, so a drifting manifest layout (refs not
+    // carried, dv miscounted, constraint dropped) is a hash mismatch.
+    "q_sql_detail" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_sqldetail_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      orders.createOrReplaceTempView("q_sql_detail_seed")
+      s.sql("DROP TABLE IF EXISTS q_sql_detail_t")
+      def detail(step: Long) =
+        s.sql(s"DESCRIBE DETAIL graft.`$t`")
+          .select(lit(step).as("step"), $"version", $"op",
+            $"n_refs".cast("long").as("n_refs"),
+            $"n_dvs".cast("long").as("n_dvs"),
+            $"n_constraints".cast("long").as("n_constraints"))
+      s.sql(s"""CREATE TABLE q_sql_detail_t USING `graft-table`
+        LOCATION '$t'
+        AS SELECT o_orderkey, o_custkey, o_totalprice FROM q_sql_detail_seed""")
+      val d1 = detail(1)
+      s.sql("INSERT INTO q_sql_detail_t SELECT o_orderkey + 1000000, " +
+        "o_custkey, o_totalprice FROM q_sql_detail_seed WHERE o_orderkey % 8 = 3")
+      val d2 = detail(2)
+      s.sql("DELETE FROM q_sql_detail_t WHERE o_custkey % 11 = 5")
+      val d3 = detail(3)
+      s.sql(s"ALTER TABLE graft.`$t` ADD CONSTRAINT key_pos " +
+        "CHECK (o_orderkey >= 0)")
+      val d4 = detail(4)
+      val out = Seq(d1, d2, d3, d4).reduce(_.unionByName(_)).orderBy($"step")
+      out.collect()
+      s.sql("DROP TABLE IF EXISTS q_sql_detail_t")
+      s.catalog.dropTempView("q_sql_detail_seed")
+      out
+    }),
+
     // COMPOSITE SQL PIPELINE (VERDICT r12 item 7): the R4/R10/R12
     // surfaces composed the way a real user drives the engine — every
     // statement after the temp-view staging is SQL. CTAS seeds a
@@ -2751,6 +2792,18 @@ object OpsQueries extends graft.QueryModule {
         |SELECT g AS o_orderstatus, CAST(COUNT(1) AS bigint) AS cnt,
         |  CAST(SUM(CAST(v AS decimal(30,6))) AS double) AS sv
         |FROM final GROUP BY g ORDER BY g""".stripMargin,
+    "q_sql_detail" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS bigint), CAST(1 AS bigint), 'overwrite',
+        |   CAST(1 AS bigint), CAST(0 AS bigint), CAST(0 AS bigint)),
+        |  (CAST(2 AS bigint), CAST(2 AS bigint), 'append',
+        |   CAST(2 AS bigint), CAST(0 AS bigint), CAST(0 AS bigint)),
+        |  (CAST(3 AS bigint), CAST(3 AS bigint), 'delete',
+        |   CAST(2 AS bigint), CAST(1 AS bigint), CAST(0 AS bigint)),
+        |  (CAST(4 AS bigint), CAST(4 AS bigint), 'constraint',
+        |   CAST(2 AS bigint), CAST(1 AS bigint), CAST(1 AS bigint))
+        |) AS t(step, version, op, n_refs, n_dvs, n_constraints)
+        |ORDER BY step""".stripMargin,
     "q_sql_pipeline" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

@@ -484,6 +484,39 @@ class GraftDmlSpec extends SparkSpec {
     spark.catalog.dropTempView("g_rep_seed")
   }
 
+  test("concurrent column renames both land — the metadata CAS retry") {
+    val t = tmpDir("dml-alterrace") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a", 10L)).toDF("id", "s", "x"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = Seq(("s", "s2"), ("x", "x2")).map { case (f, to) =>
+      new Thread(() => {
+        try { Versioned.renameColumn(spark, t, f, to); () }
+        catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errs.isEmpty, s"racing renames must both land: ${errs.peek()}")
+    assert(Versioned.latestVersion(spark, t) == Some(3L))
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("id", "s2", "x2"))
+  }
+
+  test("DESCRIBE DETAIL answers from one manifest read; vanilla targets " +
+      "delegate") {
+    val t = tmpDir("dml-detail") + "/t"
+    seed(t)
+    spark.sql(s"DELETE FROM graft.`$t` WHERE id = 1")
+    val r = spark.sql(s"DESCRIBE DETAIL graft.`$t`").collect().head
+    assert(r.getString(0) == "graft-table" && r.getLong(2) == 2L &&
+      r.getString(3) == "delete" && r.getInt(4) == 1 && r.getInt(5) == 1,
+      s"detail row wrong: $r")
+    // a non-graft DESCRIBE DETAIL form delegates to vanilla (and fails
+    // with a vanilla error, not a graft one)
+    val e = intercept[Exception](
+      spark.sql("DESCRIBE DETAIL no_such_table_xyz").collect())
+    assert(!e.getMessage.contains("graft"),
+      s"non-graft targets must get vanilla errors: ${e.getMessage.take(120)}")
+  }
+
   test("DESCRIBE over a vanilla table named 'history' delegates instead of " +
       "being shadowed by DESCRIBE HISTORY interception (ADVICE r12)") {
     spark.sql("DROP TABLE IF EXISTS history")
