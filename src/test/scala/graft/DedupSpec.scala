@@ -208,4 +208,40 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(chain, maxIter = 2)
     }
   }
+
+  test("hammingPairs: pigeonhole candidates == brute force at any width; " +
+      "null fingerprints drop; equi-join only plan") {
+    import spark.implicits._
+    // 40 pseudo-random 56-bit hashes + engineered close pairs
+    def mix(i: Long): Long = {
+      var x = i * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 31); x *= 0xBF58476D1CE4E5B9L; x ^= (x >>> 27)
+      x & ((1L << 56) - 1)
+    }
+    val base = (1L to 40L).map(i => (i, mix(i)))
+    val close = Seq(
+      (101L, mix(5L) ^ 1L),          // hamming 1 from id 5
+      (102L, mix(5L) ^ (1L << 20) ^ (1L << 45)), // hamming 2 from id 5
+      (103L, mix(9L) ^ 0xFL))        // hamming 4 from id 9
+    val rows: Seq[(Long, Option[Long])] =
+      (base ++ close).map { case (i, h) => (i, Option(h)) }.toSeq :+
+        ((999L, None: Option[Long]))   // undecodable payload
+    val hashes = rows.toDF("id", "dhash")
+    val got = Dedup.hammingPairs(hashes, "id", "dhash", bits = 56,
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the non-null hashes
+    val all = (base ++ close)
+    val expect = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d)).toSet
+    assert(got == expect, s"extra=${got -- expect} missing=${expect -- got}")
+    assert(!got.exists(p => p._1 == 999L || p._2 == 999L))
+    val plan = Dedup.hammingPairs(hashes, "id", "dhash", 56, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the candidate join must be chunk-equality keyed")
+  }
 }
