@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   * [[IncrementalDedup]]): a 100 TB corpus is indexed once, then daily
   * batches must become searchable at batch cost — never re-cluster, never
   * re-assign, never rewrite the postings already on disk. FAISS calls
-  * this `add` on a trained index; here the index is a parquet state dir:
+  * this `add` on a trained index; here the index is a parquet state dir
+  * under [[graft.ops.StateSwap]]'s generation-pointer layout
+  * (`<stateDir>/GENERATION` → `gen-<N>/{centroids,postings}` — whole-index
+  * rebuilds stage the next generation and publish with one atomic pointer
+  * advance, r14):
   *
   *  - `centroids/` — (cell, c: array<double>): the coarse quantizer,
   *    trained ONCE at `init` on a bounded sample (`boundedSample` — the
@@ -37,8 +41,23 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAnn {
 
-  private def centroidsPath(stateDir: String) = s"$stateDir/centroids"
-  private def postingsPath(stateDir: String) = s"$stateDir/postings"
+  import graft.ops.StateSwap
+
+  private def centroidsPath(spark: SparkSession, stateDir: String) =
+    StateSwap.livePath(spark, stateDir, "centroids")
+  private def postingsPath(spark: SparkSession, stateDir: String) =
+    StateSwap.livePath(spark, stateDir, "postings")
+
+  /** The live postings relation — the resolver specs and callers use
+    * instead of assuming an on-disk layout (state moved to generation
+    * dirs in r14; see [[graft.ops.StateSwap]]).
+    */
+  def postings(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(postingsPath(spark, stateDir))
+
+  /** The live centroid relation (cell, c). */
+  def centroids(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(centroidsPath(spark, stateDir))
 
   /** Probe-order entries: struct(distance-score, cell) per centroid.
     * score = ||c||² − 2·v·c ranks cells exactly like ||v−c||² (the ||v||²
@@ -55,22 +74,22 @@ object IncrementalAnn {
   private def assignCell(centroids: Seq[(Int, Array[Double])], v: Column): Column =
     element_at(array_sort(array(probeEntries(centroids, v): _*)), 1).getField("cell")
 
-  private def loadCentroids(spark: SparkSession, stateDir: String): Seq[(Int, Array[Double])] =
-    spark.read.parquet(centroidsPath(stateDir))
+  private def loadCentroidsFrom(spark: SparkSession, path: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(path)
       .collect() // numCells rows — bounded by construction
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
 
   /** Train the coarse quantizer on a bounded sample of the PREPARED
-    * corpus and persist it — the freeze point [[init]] and
-    * [[maintain]]'s re-freeze share.
+    * corpus (columns id, v, nrm) and persist it at `outPath` — the
+    * freeze point [[init]] and [[maintain]]'s re-freeze share.
     */
-  private def trainCentroids(spark: SparkSession, stateDir: String,
-      cPrep: DataFrame, idCol: String, numCells: Int, seed: Long,
+  private def trainCentroidsTo(spark: SparkSession, outPath: String,
+      cPrep: DataFrame, numCells: Int, seed: Long,
       sampleTarget: Int): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val hashSample = Similarity.boundedSample(cPrep, idCol, sampleTarget.toLong)
+    val hashSample = Similarity.boundedSample(cPrep, "id", sampleTarget.toLong)
     val trainSample =
       if (hashSample.limit(numCells).count() < numCells) cPrep else hashSample
     val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
@@ -80,7 +99,39 @@ object IncrementalAnn {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
     import spark.implicits._
     cents.toDF("cell", "c").repartition(1)
-      .write.mode("overwrite").parquet(centroidsPath(stateDir))
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** STAGE a full freeze of `corpus` (columns id, v, nrm) into the NEXT
+    * generation: train centroids, assign every vector under them. The
+    * live index is untouched — readers keep the old generation until
+    * [[graft.ops.StateSwap.publish]] flips the pointer. Exposed
+    * package-private so the crash spec can stop exactly here (the
+    * "crash before publish" state) and assert the old index still
+    * serves searches.
+    */
+  private[graft] def stageFreeze(spark: SparkSession, stateDir: String,
+      corpus: DataFrame, numCells: Int, seed: Long,
+      sampleTarget: Int): Unit = {
+    val cOut = StateSwap.stagePath(spark, stateDir, "centroids")
+    trainCentroidsTo(spark, cOut, corpus, numCells, seed, sampleTarget)
+    val cents = loadCentroidsFrom(spark, cOut)
+    corpus.select(col("id"), assignCell(cents, col("v")).as("cell"),
+        col("v"), col("nrm"))
+      .write.mode("overwrite")
+      .parquet(StateSwap.stagePath(spark, stateDir, "postings"))
+  }
+
+  /** Stage + publish: the whole-index freeze [[init]] and [[maintain]]'s
+    * re-freeze share. Centroids and postings land in ONE generation dir
+    * published by ONE atomic pointer advance, so no observable state can
+    * pair new centroids with old assignments (the torn-index hazard the
+    * old two-dir layout carried).
+    */
+  private def freeze(spark: SparkSession, stateDir: String, corpus: DataFrame,
+      numCells: Int, seed: Long, sampleTarget: Int): Unit = {
+    stageFreeze(spark, stateDir, corpus, numCells, seed, sampleTarget)
+    StateSwap.publish(spark, stateDir, legacyNames = Seq("centroids", "postings"))
   }
 
   /** Train the coarse quantizer on a bounded sample of `corpus`, persist
@@ -88,24 +139,35 @@ object IncrementalAnn {
     */
   def init(spark: SparkSession, stateDir: String, corpus: DataFrame,
       vecCol: String, idCol: String, numCells: Int = 16, seed: Long = 42L,
-      sampleTarget: Int = 4096): Unit = {
-    trainCentroids(spark, stateDir,
-      Similarity.prepared(corpus, vecCol, idCol), idCol,
+      sampleTarget: Int = 4096): Unit =
+    freeze(spark, stateDir,
+      Similarity.prepared(corpus, vecCol, idCol)
+        .select(col(idCol).as("id"), col("v"), col("nrm")),
       numCells, seed, sampleTarget)
-    addBatch(spark, stateDir, corpus, vecCol, idCol, overwrite = true)
-  }
 
   /** Assign a new batch against the stored centroids and append its
     * postings. Batch ids must be disjoint from ids already added.
+    * `overwrite = true` REPLACES the postings under the SAME frozen
+    * centroids (the one-shot-assignment law's other half) — it stages a
+    * fresh generation restating the centroids and publishes atomically,
+    * so even the replace path never leaves a torn or absent index.
     */
   def addBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
       vecCol: String, idCol: String, overwrite: Boolean = false): Unit = {
-    val cents = loadCentroids(spark, stateDir)
-    Similarity.prepared(batch, vecCol, idCol)
+    val cents = loadCentroidsFrom(spark, centroidsPath(spark, stateDir))
+    val assigned = Similarity.prepared(batch, vecCol, idCol)
       .select(col(idCol).as("id"), assignCell(cents, col("v")).as("cell"),
         col("v"), col("nrm"))
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .parquet(postingsPath(stateDir))
+    if (overwrite) {
+      import spark.implicits._
+      cents.map { case (i, c) => (i, c.toSeq) }.toDF("cell", "c")
+        .repartition(1).write.mode("overwrite")
+        .parquet(StateSwap.stagePath(spark, stateDir, "centroids"))
+      assigned.write.mode("overwrite")
+        .parquet(StateSwap.stagePath(spark, stateDir, "postings"))
+      StateSwap.publish(spark, stateDir, legacyNames = Seq("centroids", "postings"))
+    } else
+      assigned.write.mode("append").parquet(postingsPath(spark, stateDir))
   }
 
   /** DRIFT-TRIGGERED MAINTENANCE (VERDICT r12 item 6) — the decision a
@@ -139,35 +201,34 @@ object IncrementalAnn {
       vecCol: String, idCol: String, ksThreshold: Double = 0.2,
       numCells: Int = 16, seed: Long = 42L, sampleTarget: Int = 4096)
       : (Boolean, Double) = {
-    val postings = spark.read.parquet(postingsPath(stateDir))
+    val stored = postings(spark, stateDir)
     val bPrep = Similarity.prepared(batch, vecCol, idCol)
     val fp = (c: Column) => (c * lit(1e6)).cast("long")
-    val stat = graft.ops.Drift.ksStatistic(
-      postings.select(fp(col("nrm")).as("v")),
-      bPrep.select(fp(col("nrm")).as("v")), "v").head()
-    val ks = stat.getLong(2).toDouble / (stat.getLong(0) * stat.getLong(1))
+    // collect(), not head(): an empty-vs-empty comparison yields zero
+    // statistic rows, and an empty side makes the ratio NaN — both mean
+    // "no evidence of drift", so both take the cheap path (ADVICE r13:
+    // NaN <= threshold is false, which used to re-freeze on a NO-OP
+    // empty batch — the exact opposite of the right default).
+    val stats = graft.ops.Drift.ksStatistic(
+      stored.select(fp(col("nrm")).as("v")),
+      bPrep.select(fp(col("nrm")).as("v")), "v").collect()
+    val ks = stats.headOption match {
+      case Some(stat) if stat.getLong(0) > 0L && stat.getLong(1) > 0L =>
+        stat.getLong(2).toDouble / (stat.getLong(0).toDouble * stat.getLong(1).toDouble)
+      case _ => 0.0
+    }
     if (ks <= ksThreshold) {
       addBatch(spark, stateDir, batch, vecCol, idCol)
       (false, ks)
     } else {
-      // RE-FREEZE. The reassigned postings STAGE into a sibling dir and
-      // swap in with one rename — Spark refuses to overwrite a path its
-      // own plan reads, and at scale the swap keeps the old index
-      // readable until the new one is complete.
-      val corpus = postings.select(col("id"), col("v"), col("nrm"))
+      // RE-FREEZE: retrain + reassign into the NEXT generation, then one
+      // atomic pointer advance (StateSwap.publish). The old index stays
+      // live and consistent until the instant the new one is complete —
+      // a crash anywhere during staging leaves it untouched, and the
+      // retry overwrites the half-staged generation.
+      val corpus = stored.select(col("id"), col("v"), col("nrm"))
         .unionByName(bPrep.select(col(idCol).as("id"), col("v"), col("nrm")))
-      trainCentroids(spark, stateDir, corpus, "id", numCells, seed, sampleTarget)
-      val cents = loadCentroids(spark, stateDir)
-      val staged = s"${postingsPath(stateDir)}__rebuild"
-      corpus.select(col("id"), assignCell(cents, col("v")).as("cell"),
-          col("v"), col("nrm"))
-        .write.mode("overwrite").parquet(staged)
-      val hfs = new org.apache.hadoop.fs.Path(staged)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      hfs.delete(new org.apache.hadoop.fs.Path(postingsPath(stateDir)), true)
-      require(hfs.rename(new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(postingsPath(stateDir))),
-        s"re-freeze swap failed: could not rename $staged")
+      freeze(spark, stateDir, corpus, numCells, seed, sampleTarget)
       (true, ks)
     }
   }
@@ -178,8 +239,8 @@ object IncrementalAnn {
     */
   def search(spark: SparkSession, stateDir: String, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, nprobe: Int = 4): DataFrame = {
-    val cents = loadCentroids(spark, stateDir)
-    val postings = spark.read.parquet(postingsPath(stateDir))
+    val cents = loadCentroidsFrom(spark, centroidsPath(spark, stateDir))
+    val postings = spark.read.parquet(postingsPath(spark, stateDir))
       .select(col("id").as("id_b"), col("cell"), col("v").as("v_b"),
         col("nrm").as("n_b"))
     val qCells = Similarity.prepared(queries, vecCol, idCol)

@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
   * remedy is an index rebuild — re-freeze — exactly IVF's centroid
   * retrain, on the same schedule logic.
   *
-  * State layout (all plain parquet):
+  * State layout (all plain parquet; `dforder`/`prefix` live under
+  * [[graft.ops.StateSwap]]'s generation-pointer dirs so a re-freeze
+  * replaces BOTH in one atomic pointer advance — a torn state pairing a
+  * new token order with old prefixes would silently MISS pairs, since
+  * the prefix lemma needs both sides under the same total order):
   * {{{
-  *   <stateDir>/dforder   (tok, df)   frozen at init
-  *   <stateDir>/prefix    (tok, id, n) append-only
-  *   <stateDir>/sets      (id, toks)  append-only (verification side)
+  *   <stateDir>/GENERATION        pointer (StateSwap)
+  *   <stateDir>/gen-<N>/dforder   (tok, df)    frozen at init/re-freeze
+  *   <stateDir>/gen-<N>/prefix    (tok, id, n) append-only within a gen
+  *   <stateDir>/sets              (id, toks)   append-only (verification side)
   * }}}
   *
   * 100 TB shuffle inventory per batch: tokenize + one window over BATCH
@@ -39,6 +44,24 @@ import org.apache.spark.sql.functions._
   * scanned but never re-shuffled wide — and never re-tokenized.
   */
 object IncrementalSetJoin {
+
+  import graft.ops.StateSwap
+
+  private def setsPath(stateDir: String) = s"$stateDir/sets"
+
+  /** The live frozen token-order relation (tok, df) — resolver for specs
+    * and callers (state moved to generation dirs in r14).
+    */
+  def dford(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(StateSwap.livePath(spark, stateDir, "dforder"))
+
+  /** The live prefix index (tok, id, n). */
+  def prefix(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(StateSwap.livePath(spark, stateDir, "prefix"))
+
+  /** The stored verification sets (id, toks). */
+  def sets(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(setsPath(stateDir))
 
   private def toSets(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
@@ -63,14 +86,16 @@ object IncrementalSetJoin {
   /** Freeze the token order on `corpus`, index it, and persist state. */
   def init(spark: SparkSession, stateDir: String, corpus: DataFrame,
       textCol: String, idCol: String, threshold: Double): Unit = {
-    val sets = toSets(corpus, textCol, idCol).localCheckpoint(true)
-    sets.select(explode(col("toks")).as("tok"))
+    val s = toSets(corpus, textCol, idCol).localCheckpoint(true)
+    s.write.mode("overwrite").parquet(setsPath(stateDir))
+    val dfOut = StateSwap.stagePath(spark, stateDir, "dforder")
+    s.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$stateDir/dforder")
-    val dford = spark.read.parquet(s"$stateDir/dforder")
-    sets.write.mode("overwrite").parquet(s"$stateDir/sets")
-    prefixUnder(sets, dford, threshold)
-      .write.mode("overwrite").parquet(s"$stateDir/prefix")
+      .write.mode("overwrite").parquet(dfOut)
+    prefixUnder(s, spark.read.parquet(dfOut), threshold)
+      .write.mode("overwrite")
+      .parquet(StateSwap.stagePath(spark, stateDir, "prefix"))
+    StateSwap.publish(spark, stateDir, legacyNames = Seq("dforder", "prefix"))
   }
 
   /** DRIFT-TRIGGERED RE-FREEZE — [[graft.llm.IncrementalAnn.maintain]]'s
@@ -106,11 +131,10 @@ object IncrementalSetJoin {
       textCol: String, idCol: String, threshold: Double,
       floodThreshold: Double = 0.1, rareDf: Long = 1L)
       : (Boolean, Double, DataFrame) = {
-    val dford = spark.read.parquet(s"$stateDir/dforder")
     val bdf = toSets(batch, textCol, idCol)
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cb"))
-    val agg = bdf.join(dford, Seq("tok"), "left")
+    val agg = bdf.join(dford(spark, stateDir), Seq("tok"), "left")
       .na.fill(0L, Seq("df"))
       .agg(
         sum(when(col("df") <= rareDf && col("cb") >= 2L, col("cb"))
@@ -122,30 +146,38 @@ object IncrementalSetJoin {
     if (flood <= floodThreshold)
       (false, flood, addBatch(spark, stateDir, batch, textCol, idCol, threshold))
     else {
-      val stored = spark.read.parquet(s"$stateDir/sets")
-      // new frozen order reflects the post-drift distribution (stored ∪
-      // batch); neither write reads its own target path
-      stored.select(explode(col("toks")).as("tok"))
-        .unionByName(toSets(batch, textCol, idCol)
-          .select(explode(col("toks")).as("tok")))
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$stateDir/dforder__rebuild")
-      val hfs = new org.apache.hadoop.fs.Path(stateDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def swap(name: String): Unit = {
-        hfs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$name"), true)
-        require(hfs.rename(
-          new org.apache.hadoop.fs.Path(s"$stateDir/${name}__rebuild"),
-          new org.apache.hadoop.fs.Path(s"$stateDir/$name")),
-          s"re-freeze swap failed for $stateDir/$name")
-      }
-      swap("dforder")
-      val dford2 = spark.read.parquet(s"$stateDir/dforder")
-      prefixUnder(stored, dford2, threshold)
-        .write.mode("overwrite").parquet(s"$stateDir/prefix__rebuild")
-      swap("prefix")
+      // RE-FREEZE: stage the new order AND the stored prefixes under it
+      // into the NEXT generation, publish with one atomic pointer
+      // advance. The old (order, prefix) pair stays live and CONSISTENT
+      // until the instant both halves of the new one are complete — the
+      // old two-rename swap had a crash window pairing the new order
+      // with old prefixes, which breaks the no-miss lemma silently.
+      stageRefreeze(spark, stateDir, batch, textCol, idCol, threshold)
+      StateSwap.publish(spark, stateDir, legacyNames = Seq("dforder", "prefix"))
       (true, flood, addBatch(spark, stateDir, batch, textCol, idCol, threshold))
     }
+  }
+
+  /** Stage a full re-freeze (recounted df over stored ∪ batch, stored
+    * prefixes under the new order) into the next generation WITHOUT
+    * publishing — the crash spec stops here to assert the live index is
+    * untouched; [[maintain]] follows it with `StateSwap.publish`.
+    */
+  private[graft] def stageRefreeze(spark: SparkSession, stateDir: String,
+      batch: DataFrame, textCol: String, idCol: String,
+      threshold: Double): Unit = {
+    val stored = sets(spark, stateDir)
+    val dfOut = StateSwap.stagePath(spark, stateDir, "dforder")
+    // new frozen order reflects the post-drift distribution (stored ∪
+    // batch); stored sets are re-read, never re-tokenized
+    stored.select(explode(col("toks")).as("tok"))
+      .unionByName(toSets(batch, textCol, idCol)
+        .select(explode(col("toks")).as("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(dfOut)
+    prefixUnder(stored, spark.read.parquet(dfOut), threshold)
+      .write.mode("overwrite")
+      .parquet(StateSwap.stagePath(spark, stateDir, "prefix"))
   }
 
   /** Index `batch` and return EVERY pair with exact Jaccard ≥ threshold
@@ -156,7 +188,7 @@ object IncrementalSetJoin {
     */
   def addBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
       textCol: String, idCol: String, threshold: Double): DataFrame = {
-    val dford = spark.read.parquet(s"$stateDir/dforder")
+    val dfOrder = dford(spark, stateDir)
     // IDEMPOTENCE GUARD (ADVICE r8): anti-join the batch against ids the
     // index already holds BEFORE appending — a crash-replayed or
     // accidentally repeated batch (or one reusing an existing doc_id)
@@ -165,17 +197,17 @@ object IncrementalSetJoin {
     // that returns zero pairs; callers needing the original pair output
     // must persist it downstream (the CDC-stream replay discipline).
     val bsets = toSets(batch, textCol, idCol)
-      .join(spark.read.parquet(s"$stateDir/sets").select(col("id")),
-        Seq("id"), "left_anti")
+      .join(sets(spark, stateDir).select(col("id")), Seq("id"), "left_anti")
       .localCheckpoint(true)
-    val bprefix = prefixUnder(bsets, dford, threshold).localCheckpoint(true)
-    bsets.write.mode("append").parquet(s"$stateDir/sets")
-    bprefix.write.mode("append").parquet(s"$stateDir/prefix")
+    val bprefix = prefixUnder(bsets, dfOrder, threshold).localCheckpoint(true)
+    bsets.write.mode("append").parquet(setsPath(stateDir))
+    bprefix.write.mode("append")
+      .parquet(StateSwap.livePath(spark, stateDir, "prefix"))
 
     // Fresh read AFTER the append: one probe covers batch×corpus AND
     // batch×batch (the batch's own entries are in the index now).
-    val fullPrefix = spark.read.parquet(s"$stateDir/prefix")
-    val fullSets = spark.read.parquet(s"$stateDir/sets")
+    val fullPrefix = prefix(spark, stateDir)
+    val fullSets = sets(spark, stateDir)
     val cands = bprefix.toDF("tok", "pid", "pn")
       .join(fullPrefix.toDF("tok", "qid", "qn"), Seq("tok"))
       .filter(col("pid") =!= col("qid"))

@@ -25,9 +25,12 @@ class IncrementalAnnSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
 
   private def postingSet(stateDir: String): Set[(Long, Int)] =
-    spark.read.parquet(s"$stateDir/postings")
+    IncrementalAnn.postings(spark, stateDir)
       .select($"id", $"cell")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  private def centroidSet(stateDir: String): Set[Seq[Any]] =
+    IncrementalAnn.centroids(spark, stateDir).collect().map(_.toSeq).toSet
 
   test("init(A) + addBatch(B) equals one-shot assignment of A ∪ B") {
     val all = (1L to 90L)
@@ -81,14 +84,13 @@ class IncrementalAnnSpec extends SparkSpec {
     val s1 = tmpDir("ann-maint")
     IncrementalAnn.init(spark, s1, vecs(1L to 30L), "embedding", "vec_id",
       numCells = 4)
-    val centsBefore = spark.read.parquet(s"$s1/centroids")
-      .collect().map(_.toSeq).toSet
+    val centsBefore = centroidSet(s1)
     // same generator → same norm distribution → KS small → no rebuild
     val (r1, ks1) = IncrementalAnn.maintain(spark, s1, vecs(31L to 60L),
       "embedding", "vec_id", numCells = 4)
     assert(!r1 && ks1 <= 0.2, s"in-distribution batch must not re-freeze: $ks1")
-    assert(spark.read.parquet(s"$s1/centroids").collect().map(_.toSeq).toSet
-      == centsBefore, "cheap path must not touch the centroids")
+    assert(centroidSet(s1) == centsBefore,
+      "cheap path must not touch the centroids")
     assert(postingSet(s1).size === 60)
     // drifted batch: 5x magnitude → KS(norm) ≈ 1 → rebuild
     val drifted = vecs(61L to 90L).select($"vec_id",
@@ -97,8 +99,8 @@ class IncrementalAnnSpec extends SparkSpec {
     val (r2, ks2) = IncrementalAnn.maintain(spark, s1, drifted,
       "embedding", "vec_id", numCells = 4)
     assert(r2 && ks2 > 0.2, s"drifted batch must re-freeze: $ks2")
-    assert(spark.read.parquet(s"$s1/centroids").collect().map(_.toSeq).toSet
-      != centsBefore, "re-freeze must retrain the centroids")
+    assert(centroidSet(s1) != centsBefore,
+      "re-freeze must retrain the centroids")
     val after = postingSet(s1)
     assert(after.map(_._1) === (1L to 90L).toSet,
       "re-freeze must reassign every stored id plus the batch")
@@ -112,5 +114,69 @@ class IncrementalAnnSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(exhaustive === brute,
       "probing every cell of the rebuilt index must reproduce brute force")
+  }
+
+  test("a crash between staging and publish leaves the OLD index fully " +
+      "live, and the retried maintain completes the re-freeze") {
+    val s1 = tmpDir("ann-crash")
+    IncrementalAnn.init(spark, s1, vecs(1L to 30L), "embedding", "vec_id",
+      numCells = 4)
+    val q = vecs(Seq(2L, 3L))
+    val searchBefore = IncrementalAnn
+      .search(spark, s1, q, "embedding", "vec_id", 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val centsBefore = centroidSet(s1)
+    val postingsBefore = postingSet(s1)
+    val genBefore = graft.ops.StateSwap.currentGen(spark, s1)
+
+    // CRASH SIMULATION: stage the whole re-freeze (retrain + reassign of a
+    // drifted corpus) but die before StateSwap.publish — the exact window
+    // the old delete-then-rename swap left with NO readable index.
+    val drifted = vecs(31L to 60L).select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => x * org.apache.spark.sql.functions.lit(5.0f)).as("embedding"))
+    val crashCorpus = IncrementalAnn.postings(spark, s1)
+      .select($"id", $"v", $"nrm")
+      .unionByName(Similarity.prepared(drifted, "embedding", "vec_id")
+        .select($"vec_id".as("id"), $"v", $"nrm"))
+    IncrementalAnn.stageFreeze(spark, s1, crashCorpus, numCells = 4,
+      seed = 42L, sampleTarget = 4096)
+
+    // old generation still live and bit-identical: reads, searches, pointer
+    assert(graft.ops.StateSwap.currentGen(spark, s1) === genBefore,
+      "a crash before publish must not advance the generation pointer")
+    assert(centroidSet(s1) === centsBefore && postingSet(s1) === postingsBefore,
+      "the live index must be untouched by a crashed staging")
+    assert(IncrementalAnn.search(spark, s1, q, "embedding", "vec_id", 5, nprobe = 4)
+      .collect().map(_.toSeq).toSet === searchBefore,
+      "searches against the crashed state must serve the old index")
+
+    // THE RETRY: a plain maintain over the half-staged state heals it —
+    // staging overwrites the orphan, publish flips the pointer once.
+    val (refrozen, _) = IncrementalAnn.maintain(spark, s1, drifted,
+      "embedding", "vec_id", numCells = 4)
+    assert(refrozen, "the retried drifted batch must re-freeze")
+    assert(graft.ops.StateSwap.currentGen(spark, s1) === genBefore + 1)
+    assert(postingSet(s1).map(_._1) === (1L to 60L).toSet,
+      "the retry must complete the reassignment of stored ∪ batch")
+    // superseded generation reclaimed: exactly one gen dir remains
+    val fs = new org.apache.hadoop.fs.Path(s1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s1))
+      .map(_.getPath.getName).filter(_.startsWith("gen-")).toSeq
+    assert(genDirs === Seq(s"gen-${genBefore + 1}"),
+      s"publish must reclaim the superseded generation: $genDirs")
+  }
+
+  test("an empty batch is a cheap no-op, never a re-freeze (NaN KS guard)") {
+    val s1 = tmpDir("ann-empty")
+    IncrementalAnn.init(spark, s1, vecs(1L to 30L), "embedding", "vec_id",
+      numCells = 4)
+    val centsBefore = centroidSet(s1)
+    val (refrozen, ks) = IncrementalAnn.maintain(spark, s1,
+      vecs(Seq.empty[Long]), "embedding", "vec_id", numCells = 4)
+    assert(!refrozen && ks === 0.0,
+      s"an empty batch must take the cheap path with ks=0, got ($refrozen, $ks)")
+    assert(centroidSet(s1) === centsBefore && postingSet(s1).size === 30)
   }
 }

@@ -148,7 +148,7 @@ class SetJoinSpec extends SparkSpec {
     val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
     IncrementalSetJoin.init(spark, state,
       all.toSeq.toDF("doc_id", "text"), "text", "doc_id", 0.6)
-    val dfordBefore = spark.read.parquet(s"$state/dforder")
+    val dfordBefore = IncrementalSetJoin.dford(spark, state)
       .collect().map(_.toSeq).toSet
     // in-distribution: one more doc drawn from the same vocabulary
     val (r1, tv1, p1) = IncrementalSetJoin.maintain(spark, state,
@@ -156,7 +156,7 @@ class SetJoinSpec extends SparkSpec {
         .toDF("doc_id", "text"), "text", "doc_id", 0.6)
     assert(!r1 && tv1 == 0.0,
       s"in-distribution batch must not re-freeze (flood share 0): $tv1")
-    assert(spark.read.parquet(s"$state/dforder")
+    assert(IncrementalSetJoin.dford(spark, state)
       .collect().map(_.toSeq).toSet == dfordBefore,
       "cheap path must not touch the frozen order")
     assert(p1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -168,13 +168,13 @@ class SetJoinSpec extends SparkSpec {
     val (r2, tv2, p2) = IncrementalSetJoin.maintain(spark, state,
       drifted, "text", "doc_id", 0.6)
     assert(r2 && tv2 > 0.1, s"drifted batch must re-freeze: $tv2")
-    assert(spark.read.parquet(s"$state/dforder")
+    assert(IncrementalSetJoin.dford(spark, state)
       .collect().map(_.toSeq).toSet != dfordBefore,
       "re-freeze must recount the frozen order")
     // the re-frozen order ranks the flooded token LAST among batch
     // tokens (df=20 beats every filler's df=1), so it leaves the
     // prefixes: no 'spam'-keyed candidate bucket survives
-    val prefixToks = spark.read.parquet(s"$state/prefix")
+    val prefixToks = IncrementalSetJoin.prefix(spark, state)
       .select("tok").as[String].collect().toSet
     assert(!prefixToks.contains("spam"),
       "the flooding token must rank out of every prefix after re-freeze")
@@ -186,5 +186,52 @@ class SetJoinSpec extends SparkSpec {
         .unionByName(drifted), 0.6)
         .filter(p => p._1 >= 600L || p._2 >= 600L).map(p => (p._1, p._2)),
       "re-frozen index must stay exact on the batch's pairs")
+  }
+
+  test("a crash between staging and publish leaves the old (order, prefix) " +
+      "pair live and CONSISTENT; the retried maintain completes") {
+    import spark.implicits._
+    val state = tmpDir("inc-setjoin-crash") + "/state"
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    IncrementalSetJoin.init(spark, state,
+      all.toSeq.toDF("doc_id", "text"), "text", "doc_id", 0.6)
+    val dfordBefore = IncrementalSetJoin.dford(spark, state)
+      .collect().map(_.toSeq).toSet
+    val prefixBefore = IncrementalSetJoin.prefix(spark, state)
+      .collect().map(_.toSeq).toSet
+    val genBefore = graft.ops.StateSwap.currentGen(spark, state)
+
+    // CRASH SIMULATION: stage the whole re-freeze but die before publish —
+    // the old two-rename swap could crash with the NEW order live against
+    // the OLD prefixes, which silently breaks the no-miss lemma.
+    val drifted = (600L to 619L).map(i =>
+      (i, s"spam filler$i payload$i content$i body$i tail$i")).toDF("doc_id", "text")
+    IncrementalSetJoin.stageRefreeze(spark, state, drifted, "text", "doc_id", 0.6)
+    assert(graft.ops.StateSwap.currentGen(spark, state) === genBefore)
+    assert(IncrementalSetJoin.dford(spark, state)
+      .collect().map(_.toSeq).toSet === dfordBefore,
+      "the live order must be untouched by a crashed staging")
+    assert(IncrementalSetJoin.prefix(spark, state)
+      .collect().map(_.toSeq).toSet === prefixBefore,
+      "the live prefixes must be untouched by a crashed staging")
+    // the crashed state still answers probes exactly (old order+prefix pair)
+    val probe = pairs(IncrementalSetJoin.addBatch(spark, state,
+      Seq((700L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), "text", "doc_id", 0.6))
+    assert(probe.map(p => (p._1, p._2)).contains((1L, 700L)),
+      s"probes against the crashed state must still find pairs: $probe")
+
+    // THE RETRY heals the orphaned staging and publishes once.
+    val (refrozen, _, p2) = IncrementalSetJoin.maintain(spark, state,
+      drifted, "text", "doc_id", 0.6)
+    assert(refrozen, "the retried drifted batch must re-freeze")
+    assert(graft.ops.StateSwap.currentGen(spark, state) === genBefore + 1)
+    assert(p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      bruteForce(all.toSeq.toDF("doc_id", "text")
+        .unionByName(Seq((700L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "text"))
+        .unionByName(drifted), 0.6)
+        .filter(p => p._1 >= 600L && p._2 >= 600L).map(p => (p._1, p._2)),
+      "the retried re-freeze must stay exact on the batch's pairs")
   }
 }
