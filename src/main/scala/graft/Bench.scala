@@ -38,9 +38,11 @@ object Bench {
     * time): protocol-heavy entries pay fixed per-job scheduler latency
     * that suite pressure multiplies, and a job-count jump is the real
     * regression signal wall-clock ghosts have imitated for three rounds
-    * (VERDICT r12 item 1). The MINIMUM across the N timed runs is
-    * reported — stray listener events from asynchronous cleanup could
-    * only inflate a delta, never deflate it.
+    * (VERDICT r12 item 1). Each bracket read DRAINS the async listener
+    * bus first (ADVICE r13: without the drain, a run's own events may
+    * be unprocessed at read time — an undercount min-of-runs would then
+    * adjudicate as real), so deltas are exact; the minimum across the N
+    * timed runs then only strips cleanup jobs a sweep attributed late.
     */
   final case class Timing(median: Double, probeLocal: Double,
       jobs: Long = -1L)
@@ -258,7 +260,12 @@ object Bench {
     val timings = timeSuite(names.filterNot(errors.contains),
       materialize, () => probeOnce(), N, errors,
       preQuery = () => sweep(spark),
-      jobCount = () => jobCounter.get())
+      jobCount = () => {
+        // drain the async bus so the bracket read sees every event of
+        // the run it closes and none of it leaks into the next delta
+        org.apache.spark.sql.graftshim.StreamingFrameShim.drainListenerBus(spark)
+        jobCounter.get()
+      })
 
     // Probe again AFTER the suite: the combined median reflects machine
     // speed across the whole run, not just its first seconds.

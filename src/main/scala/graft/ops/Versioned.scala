@@ -358,19 +358,35 @@ object Versioned {
     * memoized per path so protocol-heavy commit loops don't rescan the
     * catalog; [[markCatalogChanged]] (graft DDL passing the session
     * parser, new-table creation through the provider) invalidates the
-    * memo wholesale. Negative results are NOT memoized: a name
-    * registered outside the SQL parser (`saveAsTable`) must still be
-    * found by the next commit's scan.
+    * memo. Each entry is stamped with the generation it was scanned
+    * under and is only served while that generation is still current —
+    * no global clear, so a DDL racing a scan can never let the scan's
+    * (possibly stale) result be served after the bump (ADVICE r13).
+    *
+    * NEGATIVE results (no name over this path) memoize too, under a
+    * short TTL: without it every commit on a path-only workload
+    * (streaming sinks, commit loops) pays a full listDatabases ×
+    * listTables × getTableMetadata scan against the metastore
+    * (ADVICE r13). The TTL bounds the one registration route no
+    * generation bump can see — a DataFrame-API `saveAsTable` over an
+    * ALREADY-EXISTING path (SQL DDL and fresh-path creation both bump):
+    * such a name starts getting targeted refreshes within the TTL.
     */
   private val catalogNamesMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[org.apache.spark.sql.catalyst.TableIdentifier]]()
-  @volatile private var catalogGen = 0L
-  @volatile private var memoGen = -1L
+    String, (Long, Long, Seq[org.apache.spark.sql.catalyst.TableIdentifier])]()
+  private val catalogGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def negativeMemoTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.catalogMemo.negativeTtlMs")
+      .map(_.toLong).getOrElse(10000L)
 
   /** Invalidate the name→path memo (any DDL that can register or move a
-    * graft-table catalog entry).
+    * graft-table catalog entry). AtomicLong: two concurrent DDLs must
+    * observe distinct generations — a collapsed read-modify-write on a
+    * volatile could revive exactly the stale-read class this counter
+    * exists to kill (ADVICE r13).
     */
-  def markCatalogChanged(): Unit = { catalogGen += 1 }
+  def markCatalogChanged(): Unit = { catalogGen.incrementAndGet(); () }
 
   /** Scheme-agnostic path key: catalog locations arrive as URIs
     * (`file:/x`), commit verbs as bare paths (`/x`).
@@ -382,24 +398,30 @@ object Versioned {
 
   private def namedTablesFor(spark: SparkSession, table: String)
       : Seq[org.apache.spark.sql.catalyst.TableIdentifier] = {
-    if (memoGen != catalogGen) { catalogNamesMemo.clear(); memoGen = catalogGen }
+    val gen = catalogGen.get() // read ONCE: entries are stamped with it
     val k = pathKey(table)
-    Option(catalogNamesMemo.get(k)).getOrElse {
-      val cat = spark.sessionState.catalog
-      val found = cat.listDatabases().flatMap { db =>
-        cat.listTables(db).flatMap { id =>
-          try {
-            val meta = cat.getTableMetadata(id)
-            if (meta.provider.exists(_.equalsIgnoreCase("graft-table")) &&
-                meta.storage.locationUri.map(u => pathKey(u.toString))
-                  .orElse(meta.storage.properties.get("path").map(pathKey))
-                  .contains(k)) Some(id)
-            else None
-          } catch { case _: Exception => None }
+    val now = System.currentTimeMillis()
+    Option(catalogNamesMemo.get(k)) match {
+      case Some((g, at, names)) if g == gen &&
+          (names.nonEmpty || now - at < negativeMemoTtlMs(spark)) => names
+      case _ =>
+        val cat = spark.sessionState.catalog
+        val found = cat.listDatabases().flatMap { db =>
+          cat.listTables(db).flatMap { id =>
+            try {
+              val meta = cat.getTableMetadata(id)
+              if (meta.provider.exists(_.equalsIgnoreCase("graft-table")) &&
+                  meta.storage.locationUri.map(u => pathKey(u.toString))
+                    .orElse(meta.storage.properties.get("path").map(pathKey))
+                    .contains(k)) Some(id)
+              else None
+            } catch { case _: Exception => None }
+          }
         }
-      }
-      if (found.nonEmpty) catalogNamesMemo.put(k, found)
-      found
+        // stamped with the PRE-scan generation: a DDL bumping mid-scan
+        // makes this entry dead on arrival instead of a stale survivor
+        catalogNamesMemo.put(k, (gen, now, found))
+        found
     }
   }
 

@@ -88,12 +88,12 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     // providers — implement it natively as an OVERWRITE COMMIT on the
     // table (history intact: the replace is one more version, exactly
     // Delta's CREATE OR REPLACE) plus a catalog upsert.
-    case ReplaceTableRe(name, cols, loc, asQuery) =>
+    case ReplaceTableStmt(name, cols, loc, asQuery) =>
       Versioned.markCatalogChanged()
       GraftReplaceTableCommand(name.trim,
-        Option(cols).map(c => delegate.parseTableSchema(c)),
-        Option(loc),
-        Option(asQuery).map(q => delegate.parseQuery(q)))
+        cols.map(c => stripCharVarchar(delegate.parseTableSchema(c))),
+        loc,
+        asQuery.map(q => delegate.parseQuery(q)))
     // CREATE TABLE over the graft provider: wrap the delegated plan so
     // its EXECUTION runs inside the DDL seed scope — the only context
     // where resolving an empty location is allowed to write the v1
@@ -148,10 +148,81 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val AlterDropCheckRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
-  private val ReplaceTableRe =
-    ("""(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.`]+)\s*""" +
-     """(?:\(([^)]*)\)\s*)?USING\s+`?graft-table`?\s*""" +
+  private val ReplaceTableHeadRe =
+    """(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.`]+)\s*""".r
+  private val ReplaceTableTailRe =
+    ("""(?is)^\s*USING\s+`?graft-table`?\s*""" +
      """(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.+?))?\s*;?\s*$""").r
+
+  /** The leading balanced-paren group of `s` (which must start with
+    * '('): (inner, rest-after-close). Quote-aware — parens inside
+    * single-quoted literals (column COMMENTs) don't count.
+    */
+  private def balancedParen(s: String): Option[(String, String)] = {
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    var end = -1
+    while (i < s.length && end < 0) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) None else Some((s.substring(1, end), s.substring(end + 1)))
+  }
+
+  /** CHAR(n)/VARCHAR(n) → STRING in a declared schema, recursively —
+    * the parquet-backed table stores strings (the Spark-3.0 / legacy
+    * `charVarcharAsString` semantics); leaving the raw types in would
+    * make `createDataFrame` refuse the empty-replace path.
+    */
+  private def stripCharVarchar(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: VarcharType | _: CharType => StringType
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = stripCharVarchar(f.dataType))))
+      case a: ArrayType => a.copy(elementType = stripCharVarchar(a.elementType))
+      case m: MapType => m.copy(keyType = stripCharVarchar(m.keyType),
+        valueType = stripCharVarchar(m.valueType))
+      case other => other
+    }
+  }
+  private def stripCharVarchar(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    stripCharVarchar(s: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Structural matcher for `CREATE OR REPLACE TABLE ... USING
+    * graft-table`: (name, columnList, location, asQuery). The column
+    * list is extracted by PAREN BALANCE, not a `([^)]*)` regex group —
+    * the regex stops at the first ')' inside a parameterized type
+    * (DECIMAL(10,2), VARCHAR(20)), silently demoting the statement to
+    * the vanilla v2 path, which refuses v1 providers (ADVICE r13).
+    */
+  private object ReplaceTableStmt {
+    def unapply(sqlText: String)
+        : Option[(String, Option[String], Option[String], Option[String])] =
+      ReplaceTableHeadRe.findFirstMatchIn(sqlText).flatMap { m =>
+        val afterName = sqlText.substring(m.end)
+        val (cols, rest) =
+          if (afterName.startsWith("(")) balancedParen(afterName) match {
+            case Some((inner, tail)) => (Some(inner), tail)
+            case None => (None, afterName)
+          }
+          else (None, afterName)
+        rest match {
+          case ReplaceTableTailRe(loc, asQuery) =>
+            Some((m.group(1), cols, Option(loc), Option(asQuery)))
+          case _ => None
+        }
+      }
+  }
   private val CreateTableRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?TABLE\b""".r
 
@@ -384,9 +455,15 @@ final case class GraftReplaceTableCommand(name: String,
       res
     }
     existing match {
-      case Some(_) =>
+      case Some(meta) =>
+        // alterTable, not alterTableDataSchema: a REPLACE may legally
+        // drop or re-type columns, which alterTableDataSchema refuses
+        // by design — the swallowed refusal left the catalog recording
+        // the PRE-replace schema, so the next resolution failed its
+        // declared-schema validation (found while fixing ADVICE r13's
+        // DECIMAL(p,s) column-list demotion)
         try {
-          cat.alterTableDataSchema(ident, df.schema)
+          cat.alterTable(meta.copy(schema = df.schema))
           cat.refreshTable(ident)
         } catch { case _: Exception => () }
       case None =>

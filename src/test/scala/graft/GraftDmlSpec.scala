@@ -484,6 +484,32 @@ class GraftDmlSpec extends SparkSpec {
     spark.catalog.dropTempView("g_rep_seed")
   }
 
+  test("CREATE OR REPLACE TABLE with parenthesized types (DECIMAL(p,s)) " +
+      "matches the graft path — the column list is paren-balanced") {
+    // a ([^)]*) regex column-list capture stops at DECIMAL(10,2)'s inner
+    // ')' and demotes the statement to the vanilla v2 path, which refuses
+    // v1 providers (ADVICE r13)
+    val t = tmpDir("dml-replace-dec") + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_repdec_t")
+    spark.sql("CREATE OR REPLACE TABLE g_repdec_t " +
+      "(id BIGINT, price DECIMAL(10,2), tag VARCHAR(20)) " +
+      s"USING `graft-table` LOCATION '$t'")
+    try {
+      val sch = spark.table("g_repdec_t").schema
+      assert(sch.map(f => (f.name, f.dataType.sql)).toSeq ==
+        Seq(("id", "BIGINT"), ("price", "DECIMAL(10,2)"), ("tag", "STRING")),
+        s"declared parameterized types must land: ${sch.treeString}")
+      spark.sql("INSERT INTO g_repdec_t VALUES (1, 12.34, 'a')")
+      assert(spark.sql("SELECT CAST(price AS STRING) FROM g_repdec_t")
+        .collect().map(_.getString(0)).toSeq == Seq("12.34"))
+      // replace again with a paren-typed schema: still one more version
+      spark.sql("CREATE OR REPLACE TABLE g_repdec_t " +
+        "(id BIGINT, price DECIMAL(12,4)) USING `graft-table`")
+      assert(spark.table("g_repdec_t").schema("price").dataType.sql ==
+        "DECIMAL(12,4)")
+    } finally spark.sql("DROP TABLE IF EXISTS g_repdec_t")
+  }
+
   test("concurrent column renames both land — the metadata CAS retry") {
     val t = tmpDir("dml-alterrace") + "/t"
     Versioned.commit(spark, t, Seq((1L, "a", 10L)).toDF("id", "s", "x"))
