@@ -938,26 +938,79 @@ object Versioned {
     }
     val scanned = applyDvs(spark, table,
       spark.read.option("mergeSchema", "true").parquet(dirs: _*), m.dvs)
-    // Column mapping: project the MANIFEST's logical schema over the
-    // physical scan — renamed fields alias their physical name, dropped
-    // fields simply aren't selected (their bytes stay on disk until the
-    // files rewrite), fields newer than a dir null-fill as always.
-    // Per-manifest, so time travel to a pre-rename version shows THAT
-    // version's names.
-    if (!m.features.contains("column-mapping")) scanned
-    else {
-      import org.apache.spark.sql.functions.{col, lit}
-      val logical = m.schemaJson.map(j =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse(throw new IllegalStateException(
-          s"column-mapping manifest of $table lacks a schema"))
+    projectLogical(scanned, m, table)
+  }
+
+  /** Present a physical scan in the manifest's LOGICAL schema.
+    *
+    * Column mapping: renamed fields alias their physical name, dropped
+    * fields simply aren't selected (their bytes stay on disk until the
+    * files rewrite), fields newer than a dir null-fill as always.
+    * Per-manifest, so time travel to a pre-rename version shows THAT
+    * version's names.
+    *
+    * UNMAPPED tables project only when the logical schema carries a
+    * field NO data file holds yet — an [[addColumn]] commit before the
+    * first post-add write (mergeSchema can only surface columns that
+    * exist in SOME footer) — and are otherwise returned untouched.
+    */
+  private def projectLogical(scanned: DataFrame, m: Manifest,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def logicalSchema: Option[org.apache.spark.sql.types.StructType] =
+      m.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    if (m.features.contains("column-mapping")) {
+      val logical = logicalSchema.getOrElse(throw new IllegalStateException(
+        s"column-mapping manifest of $table lacks a schema"))
       scanned.select(logical.fields.toSeq.map { f =>
         val phys = m.physicalOf(f.name)
         if (scanned.columns.contains(phys)) col(phys).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
+    } else logicalSchema match {
+      case Some(logical)
+          if logical.fieldNames.exists(!scanned.columns.contains(_)) =>
+        scanned.select(logical.fields.toSeq.map(f =>
+          if (scanned.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      case _ => scanned
     }
+  }
+
+  /** ADD a column — metadata-only: the field joins the LOGICAL schema
+    * as a nullable trailer, existing data files are untouched, and
+    * pre-add rows read back as typed NULLs (the read path projects the
+    * logical schema when a field exists in no footer yet; after the
+    * first post-add write, plain mergeSchema serves it). Unlike
+    * [[renameColumn]]/[[dropColumn]] this needs NO table feature — the
+    * new field's physical name IS its logical name — so appends, CDF,
+    * and the feature-gated verbs all keep working (VERDICT r13 item 4).
+    */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      maxAttempts: Int = 5): Long = retryOnConflict(maxAttempts) {
+    val parentV = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, parentV)
+    val schema = m.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table carries no schema — commit once before adding columns"))
+    require(!schema.fieldNames.contains(name), s"column already exists: $name")
+    require(!name.contains(':') && !name.contains('\n'),
+      s"column name must not contain ':' or newline: $name")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    val v = parentV + 1
+    if (!writeManifest(spark, table, v, "addcol", m.refs, Some(newSchema.json),
+        m.dvs, m.constraints, features = m.features, colmap = m.colmap)) {
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $table was committed by another writer; re-read and retry")
+    }
+    v
   }
 
   /** RENAME a column — metadata-only (the Delta column-mapping move):
@@ -2008,7 +2061,10 @@ object Versioned {
       else Seq.empty)
     val base = frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(read(spark, table, Some(v)).limit(0))
-    (base, keptStatted.size + nConservative, totalStatted + nConservative)
+    // a post-addColumn, pre-write snapshot carries a logical field no
+    // footer holds — null-fill it exactly as read() does
+    (projectLogical(base, m, table), keptStatted.size + nConservative,
+      totalStatted + nConservative)
   }
 
   /** Expand a ref list to file granularity: `dir/file.parquet` relative

@@ -76,6 +76,10 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     case AlterDropColRe(target, colName)
         if isGraftTarget(spark, target.trim) =>
       GraftAlterCommand(target.trim, GraftAlterAction.DropColumn(colName))
+    case AlterAddColRe(target, colName, typeSql)
+        if isGraftTarget(spark, target.trim) =>
+      GraftAlterCommand(target.trim, GraftAlterAction.AddColumn(colName,
+        stripCharVarchar(delegate.parseDataType(typeSql))))
     case AlterAddCheckRe(target, name, check)
         if isGraftTarget(spark, target.trim) =>
       GraftAlterCommand(target.trim,
@@ -144,6 +148,10 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+RENAME\s+COLUMN\s+`?([^\s`]+)`?\s+TO\s+`?([^\s`;]+)`?\s*;?\s*$""".r
   private val AlterDropColRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+COLUMN\s+`?([^\s`;]+)`?\s*;?\s*$""".r
+  // the type tail may itself hold parens/spaces (DECIMAL(10,2)) — greedy
+  // to end of statement
+  private val AlterAddColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+`?([^\s`(]+)`?\s+(.+?)\s*;?\s*$""".r
   private val AlterAddCheckRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val AlterDropCheckRe =
@@ -351,6 +359,8 @@ sealed trait GraftAlterAction
 object GraftAlterAction {
   final case class RenameColumn(from: String, to: String) extends GraftAlterAction
   final case class DropColumn(name: String) extends GraftAlterAction
+  final case class AddColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType) extends GraftAlterAction
   final case class AddCheck(name: String, expr: String) extends GraftAlterAction
   final case class DropCheck(name: String) extends GraftAlterAction
 }
@@ -365,12 +375,15 @@ final case class GraftAlterCommand(target: String, action: GraftAlterAction)
       case GraftAlterAction.RenameColumn(f, t) =>
         Versioned.renameColumn(spark, p, f, t)
       case GraftAlterAction.DropColumn(c) => Versioned.dropColumn(spark, p, c)
+      case GraftAlterAction.AddColumn(c, dt) =>
+        Versioned.addColumn(spark, p, c, dt)
       case GraftAlterAction.AddCheck(n, e) =>
         Versioned.addConstraint(spark, p, n, e)
       case GraftAlterAction.DropCheck(n) => Versioned.dropConstraint(spark, p, n)
     }
     val schemaChanged = action match {
-      case _: GraftAlterAction.RenameColumn | _: GraftAlterAction.DropColumn => true
+      case _: GraftAlterAction.RenameColumn | _: GraftAlterAction.DropColumn |
+           _: GraftAlterAction.AddColumn => true
       case _ => false
     }
     if (schemaChanged) GraftSqlParser.catalogIdent(spark, target).foreach { id =>

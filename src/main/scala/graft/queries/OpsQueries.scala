@@ -1659,8 +1659,11 @@ object OpsQueries extends graft.QueryModule {
     // (zero data files rewrite — REQUIRED in-query), a post-rename
     // INSERT speaks the NEW names (routed through the mapped-append
     // verb), and time travel to v1 still answers under the OLD names.
-    // Six commits, every one driven by a SQL statement. The oracle
-    // reconstructs both snapshots from `orders`.
+    // ADD COLUMN (VERDICT r13 item 4) then lands a field-union metadata
+    // commit: pre-write rows read as typed NULLs, the next INSERT
+    // speaks the new column, and VERSION AS OF 6 answers without it.
+    // Eight commits, every one driven by a SQL statement. The oracle
+    // reconstructs all three snapshots from `orders`.
     "q_sql_alter" -> ((s, dir) => {
       import s.implicits._
       val t = sys.props("java.io.tmpdir") +
@@ -1693,15 +1696,31 @@ object OpsQueries extends graft.QueryModule {
       s.catalog.dropTempView("q_sql_alter_seed")
       require(graft.ops.Versioned.latestVersion(s, t) == Some(6L),
         "constraint add/drop + rename + drop + insert must land v2..v6")
+      // ADD COLUMN (VERDICT r13 item 4): a metadata-only field-union
+      // commit — zero data dirs written (REQUIRED in-query), pre-write
+      // rows read the new column as typed NULLs, the next INSERT speaks
+      // it, and time travel to v6 still answers WITHOUT it.
+      val dirsBeforeAdd = new java.io.File(s"$t/data").list().toSet
+      s.sql(s"ALTER TABLE graft.`$t` ADD COLUMN note STRING") // v7
+      require(new java.io.File(s"$t/data").list().toSet == dirsBeforeAdd,
+        "SQL ADD COLUMN must be metadata-only — zero data dirs written")
+      require(s.sql(s"SELECT COUNT(note) AS c FROM graft.`$t`")
+        .head().getLong(0) == 0L,
+        "pre-write rows must read the added column as typed NULLs")
+      s.sql(s"INSERT INTO graft.`$t` VALUES (${2 * maxk + 1}, 0.5, 'tagged')") // v8
       val v1 = s.sql(s"""SELECT CAST(1 AS bigint) AS step, COUNT(1) AS n,
         CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_v,
         COUNT(DISTINCT o_orderstatus) AS n_status
         FROM graft.`$t` VERSION AS OF 1""")
-      val head = s.sql(s"""SELECT CAST(2 AS bigint) AS step, COUNT(1) AS n,
+      val v6 = s.sql(s"""SELECT CAST(2 AS bigint) AS step, COUNT(1) AS n,
         CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_v,
         CAST(0 AS bigint) AS n_status
+        FROM graft.`$t` VERSION AS OF 6""")
+      val head = s.sql(s"""SELECT CAST(3 AS bigint) AS step, COUNT(1) AS n,
+        CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_v,
+        COUNT(note) AS n_status
         FROM graft.`$t`""")
-      v1.unionByName(head).orderBy($"step")
+      v1.unionByName(v6).unionByName(head).orderBy($"step")
     }),
 
     // CATALYST FILTER PUSHDOWN INTO MANIFEST FILE SKIPPING (the
@@ -2881,6 +2900,13 @@ object OpsQueries extends graft.QueryModule {
         |  UNION ALL
         |  SELECT CAST(2 AS bigint), COUNT(1),
         |    CAST(SUM(CAST(v AS decimal(30,2))) AS double), CAST(0 AS bigint)
+        |  FROM (SELECT o_totalprice AS v FROM orders
+        |        UNION ALL SELECT v FROM appended)
+        |  UNION ALL
+        |  SELECT CAST(3 AS bigint), CAST(COUNT(1) + 1 AS bigint),
+        |    CAST(SUM(CAST(v AS decimal(30,2)))
+        |      + CAST(0.5 AS decimal(30,2)) AS double),
+        |    CAST(1 AS bigint)
         |  FROM (SELECT o_totalprice AS v FROM orders
         |        UNION ALL SELECT v FROM appended)
         |)

@@ -484,6 +484,53 @@ class GraftDmlSpec extends SparkSpec {
     spark.catalog.dropTempView("g_rep_seed")
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only field-union commit — typed " +
+      "NULLs before the first write, no table feature tripped") {
+    val t = tmpDir("dml-addcol") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val dirsBefore = new java.io.File(s"$t/data").list().toSet
+    val v = spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN score DOUBLE")
+      .collect().head.getLong(0)
+    assert(v == 2L)
+    assert(new java.io.File(s"$t/data").list().toSet == dirsBefore,
+      "ADD COLUMN must write zero data dirs")
+    // typed NULLs on both the plain and the PRUNED read path
+    val head = spark.sql(s"SELECT * FROM graft.`$t` ORDER BY id")
+    assert(head.schema.map(f => (f.name, f.dataType.sql)) ==
+      Seq(("id", "BIGINT"), ("s", "STRING"), ("score", "DOUBLE")))
+    assert(head.collect().map(r => (r.getLong(0), r.isNullAt(2))).toSeq ==
+      Seq((1L, true), (2L, true)))
+    assert(spark.read.format("graft-table").load(t)
+      .filter($"id" === 2L).select($"score").collect().head.isNullAt(0),
+      "the pruned relation path must null-fill the added column too")
+    // NO feature gate: a plain DataFrame append still works, speaking
+    // the new column...
+    spark.read.format("graft-table").load(t) // resolves pre-append head
+    Seq((3L, "c", 0.5)).toDF("id", "s", "score")
+      .write.format("graft-table").mode("append").save(t)
+    assert(spark.sql(s"SELECT COUNT(score) AS c FROM graft.`$t`")
+      .head().getLong(0) == 1L)
+    // ...and so does one NOT speaking it (an old writer): null-filled
+    Seq((4L, "d")).toDF("id", "s")
+      .write.format("graft-table").mode("append").save(t)
+    val fin = spark.sql(
+      s"SELECT id, score FROM graft.`$t` ORDER BY id").collect()
+    assert(fin.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(fin.map(r => r.isNullAt(1)).toSeq == Seq(true, true, false, true))
+    // time travel pre-add answers WITHOUT the column
+    assert(!spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1")
+      .columns.contains("score"))
+    // CDF straddles the metadata commit: version 2's change set is empty
+    assert(Versioned.changes(spark, t, 2L).count() == 0L,
+      "a metadata-only ADD COLUMN must emit an empty change set")
+    // duplicate add refuses
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN score DOUBLE"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(x => Option(x.getMessage)
+        .exists(_.contains("already exists"))))
+  }
+
   test("CREATE OR REPLACE TABLE with parenthesized types (DECIMAL(p,s)) " +
       "matches the graft path — the column list is paren-balanced") {
     // a ([^)]*) regex column-list capture stops at DECIMAL(10,2)'s inner
