@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *  - `changesSince` from a cursor 5 behind head — O(drained × churn),
   *    never O(history); the full drain from 0 is the linear anchor it
   *    is compared against;
-  *  - `versionAsOf` (timestamp resolution) — the one DELIBERATE
-  *    O(commits) walk (it must order every commit's adjusted stamp);
-  *    measured so its linear cost is a recorded fact, not a surprise;
+  *  - `versionAsOf` (timestamp resolution) — O(log commits) manifest
+  *    probes on tsm-marked logs (the write-time clamp, r14; `ts_probes`
+  *    records the count), with the linear walk kept as the legacy-log
+  *    fallback;
   *  - `vacuum(retainLast=5)` — O(retained manifests + data dirs),
   *    never O(commits).
   *
@@ -79,8 +80,13 @@ object LogScaleBench {
     try out.write(hintBytes.getBytes("UTF-8")) finally out.close()
 
     val manifestHead = probes(Versioned.readManifest(spark, t, head))
-    val tsResolve = probes(
-      Versioned.versionAsOf(spark, t, System.currentTimeMillis()))
+    // mid-history resolution forces a real bisection (head/first-commit
+    // stamps short-circuit); tsm logs must answer in O(log n) manifest
+    // probes — the probe COUNT is the evidence, the seconds the bonus
+    val tss = Versioned.commitTimestamps(spark, t)
+    val midStamp = tss(tss.size / 2)._2
+    val tsResolve = probes(Versioned.versionAsOf(spark, t, midStamp))
+    val tsProbesUsed = Versioned.lastTsProbes.get()
 
     // CDF drains: near-head cursor (the live-replica cadence) vs a
     // 100-version linear anchor — drain cost must scale with DRAINED
@@ -114,7 +120,7 @@ object LogScaleBench {
       f"""{"metric":"log_scale","commits":$n,"build_sec":$buildSec%.1f,""" +
       f""""head_hinted_sec":$headHinted%.5f,"head_listed_sec":$headListed%.5f,""" +
       f""""manifest_head_sec":$manifestHead%.5f,"manifest_compact_sec":$manifestCompact%.5f,""" +
-      f""""ts_resolve_sec":$tsResolve%.4f,""" +
+      f""""ts_resolve_sec":$tsResolve%.4f,"ts_probes":$tsProbesUsed,""" +
       f""""drain5_sec":$drain5Sec%.2f,"drain5_rows":${drained5._1},""" +
       f""""drain100_sec":$drain100Sec%.2f,"drain100_rows":${drained100._1},""" +
       f""""vacuum_sec":$vacuumSec%.2f,"vacuum_swept":${swept.size},""" +

@@ -1996,6 +1996,49 @@ object OpsQueries extends graft.QueryModule {
       }.reduce(_.unionByName(_)).orderBy($"version", $"change_type")
     }),
 
+    // CDF × COLUMN MAPPING (VERDICT r13 item 2): the change feed
+    // COMPOSES with RENAME COLUMN instead of refusing it — before this,
+    // the first rename bricked every replica/MV/stream tailing the
+    // table. REQUIRED in-query: per-version feeds speak each version's
+    // OWN logical names, the rename commit itself is an EMPTY feed
+    // version (not an error), and a RANGE straddling the rename
+    // surfaces entirely in the END version's logical view — pre-rename
+    // rows REPORT UNDER THE NEW NAME because column mapping keeps the
+    // physical name stable (the retroactive-rename semantics a replica
+    // applying the feed needs). The oracle reconstructs both churn sets
+    // straight from `orders`.
+    "q_change_feed_colmap" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_cdfmap_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("pr"))
+      graft.ops.Versioned.commit(s, t, base) // v1
+      graft.ops.Versioned.deleteWhere(s, t, $"k" % 10 === 3) // v2 (dv)
+      graft.ops.Versioned.renameColumn(s, t, "pr", "price") // v3 (metadata)
+      val mk = base.agg(max($"k")).head().getLong(0)
+      graft.ops.Versioned.commit(s, t, base.filter($"k" % 10 === 7)
+        .select(($"k" + 2L * mk).as("k"), ($"pr" * 2).as("price"))) // v4
+      require(graft.ops.Versioned.changes(s, t, 2L).columns.toSeq ==
+        Seq("k", "pr", "change_type"),
+        "changes(v2) must speak v2's own logical names")
+      require(graft.ops.Versioned.changes(s, t, 3L).count() == 0L,
+        "the rename commit must be an EMPTY feed version, not an error")
+      require(graft.ops.Versioned.changes(s, t, 4L).columns.toSeq ==
+        Seq("k", "price", "change_type"),
+        "changes(v4) must speak the post-rename logical names")
+      val feed = graft.ops.Versioned.changesRange(s, t, 2L, 4L)
+      require(feed.columns.toSeq == Seq("k", "price", "change_type", "version"),
+        s"a straddling range must surface in the END version's logical " +
+          s"view: ${feed.columns.mkString(",")}")
+      feed.groupBy($"version", $"change_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"price".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"version", $"change_type")
+    }),
+
     // CDF-FED DOWNSTREAM REPLICA (Versioned.changesSince + ackCursor —
     // the consumer half of the change feed): the replica BOOTSTRAPS
     // from the v1 snapshot and acks its cursor there (Delta CDF's
@@ -2589,6 +2632,23 @@ object OpsQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM ch GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
+    "q_change_feed_colmap" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS pr FROM orders),
+        |mx AS (SELECT MAX(k) AS mk FROM base)
+        |SELECT * FROM (
+        |  SELECT CAST(2 AS bigint) AS version, 'delete' AS change_type,
+        |    COUNT(1) AS n,
+        |    CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_price,
+        |    MIN(k) AS min_k, MAX(k) AS max_k
+        |  FROM base WHERE k % 10 = 3
+        |  UNION ALL
+        |  SELECT CAST(4 AS bigint), 'insert', COUNT(1),
+        |    CAST(SUM(CAST(pr * 2 AS decimal(30,2))) AS double),
+        |    MIN(k + 2 * (SELECT mk FROM mx)),
+        |    MAX(k + 2 * (SELECT mk FROM mx))
+        |  FROM base WHERE k % 10 = 7
+        |)
         |ORDER BY version, change_type""".stripMargin,
     "q_change_feed" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS pr FROM orders),

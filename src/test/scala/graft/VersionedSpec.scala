@@ -1096,10 +1096,12 @@ class VersionedSpec extends SparkSpec {
     val t = tmpDir("versioned-skew") + "/t"
     Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
     Versioned.commit(spark, t, Seq((2L, "b")).toDF("id", "s"))
-    // rewrite v2's manifest with a stamp BEFORE v1's (a skewed writer)
+    // rewrite v2's manifest with a stamp BEFORE v1's (a skewed writer —
+    // such a writer cannot have verified the write-time clamp, so the
+    // tsm monotonicity marker goes too)
     val p = new java.io.File(s"$t/_commits/000002.manifest")
     val text = new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
-    val skewed = text.linesIterator.map { l =>
+    val skewed = text.linesIterator.filterNot(_.startsWith("tsm=")).map { l =>
       if (l.startsWith("ts=")) "ts=1" else l
     }.mkString("\n")
     java.nio.file.Files.write(p.toPath, skewed.getBytes("UTF-8"))
@@ -1111,6 +1113,55 @@ class VersionedSpec extends SparkSpec {
     assert(rows(Versioned.readAsOf(spark, t, tss(0)._2)) ==
       Set((1L, "a"), (2L, "b")),
       "at the shared stamp the LATER version wins (it was live)")
+  }
+
+  test("versionAsOf: monotone (tsm) logs binary-search in O(log n) probes " +
+      "and agree with the linear walk; legacy skewed logs fall back") {
+    val t = tmpDir("versioned-asof-bin") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    (2 to 9).foreach { i =>
+      if (i % 3 != 0) Thread.sleep(5) // leave some SAME-millisecond ties
+      Versioned.commit(spark, t, Seq((i.toLong, "x")).toDF("id", "s"))
+    }
+    val tss = Versioned.commitTimestamps(spark, t)
+    def linear(ts: Long): Long = tss.filter(_._2 <= ts).last._1
+    // every boundary and its predecessor resolve identically to the
+    // linear law, in O(log n) manifest probes
+    tss.foreach { case (_, ts) =>
+      assert(Versioned.versionAsOf(spark, t, ts) == linear(ts))
+      assert(Versioned.lastTsProbes.get() <= 7L,
+        s"monotone resolution must probe O(log n) manifests, " +
+          s"took ${Versioned.lastTsProbes.get()}")
+      if (ts > tss.head._2)
+        assert(Versioned.versionAsOf(spark, t, ts - 1) == linear(ts - 1))
+    }
+    intercept[IllegalArgumentException](
+      Versioned.versionAsOf(spark, t, tss.head._2 - 1))
+
+    // LEGACY log: skewed stamps, no tsm markers — a binary search over
+    // the raw stamps would resolve WRONGLY (raw 500 at v2 breaks the
+    // bisection invariant); the head without tsm must take the exact
+    // linear walk instead
+    val t2 = tmpDir("versioned-asof-legacy") + "/t"
+    (1 to 3).foreach(i =>
+      Versioned.commit(spark, t2, Seq((i.toLong, "x")).toDF("id", "s")))
+    Seq((1L, 1000L), (2L, 500L), (3L, 2000L)).foreach { case (v, stamp) =>
+      val p = new java.io.File(s"$t2/_commits/${"%06d".format(v)}.manifest")
+      val text = new String(java.nio.file.Files.readAllBytes(p.toPath), "UTF-8")
+      val legacy = text.linesIterator.filterNot(_.startsWith("tsm=")).map { l =>
+        if (l.startsWith("ts=")) s"ts=$stamp" else l
+      }.mkString("\n")
+      java.nio.file.Files.write(p.toPath, legacy.getBytes("UTF-8"))
+      new java.io.File(p.getParent, s".${"%06d".format(v)}.manifest.crc").delete()
+    }
+    // adjusted stamps: 1000, 1000, 2000
+    assert(Versioned.versionAsOf(spark, t2, 1500L) == 2L)
+    assert(Versioned.lastTsProbes.get() == 3L,
+      "a hint-less log must take the linear walk (one probe per commit)")
+    assert(Versioned.versionAsOf(spark, t2, 1000L) == 2L,
+      "at the shared adjusted stamp the LATER version wins")
+    assert(Versioned.versionAsOf(spark, t2, 2000L) == 3L)
+    intercept[IllegalArgumentException](Versioned.versionAsOf(spark, t2, 999L))
   }
 
   test("CHECK constraints: enforced on append and merge, NULL passes, metadata survives") {

@@ -150,6 +150,56 @@ class VersionedStreamSpec extends SparkSpec {
     assert(got == want, s"cdf stream must carry the full change feed, got $got")
   }
 
+  test("a stream RESUMES across RENAME COLUMN: the rename commit is an " +
+      "empty feed version, post-rename appends flow, values survive " +
+      "under the pinned names via physical identity") {
+    val t = tmpDir("vstream-colmap") + "/t"
+    val ck = tmpDir("vstream-colmap-ck")
+    val out = tmpDir("vstream-colmap-out")
+    Versioned.commit(spark, t, (1 to 4).map(i => (i.toLong, s"a$i")).toDF("id", "s"))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("table", t).option("mode", "cdf").load()
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 4L)
+    // RENAME lands while the stream is DOWN (the r13 verdict scenario:
+    // the first rename used to brick every consumer tailing the table)
+    Versioned.renameColumn(spark, t, "s", "label") // v2
+    Versioned.commit(spark, t, Seq((5L, "b5")).toDF("id", "label")) // v3
+    run() // the resume drains v2 (empty) + v3 under the NEW schema
+    // the new run re-pins the schema: the sink's files carry 's' (old
+    // run) and 'label' (new run) — union them by name
+    val r = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(r.count() == 5L, s"resume must drain exactly the new rows")
+    val v3 = r.filter($"_commit_version" === 3L).collect()
+    assert(v3.length == 1 && v3.head.getAs[Long]("id") == 5L)
+    assert(v3.head.getAs[String]("label") == "b5",
+      "post-rename rows must flow under the new name")
+    // a MID-RUN rename (pin happens before it): physical identity keeps
+    // values flowing under the PINNED (old) names instead of null-filling
+    val t2 = tmpDir("vstream-colmap2") + "/t"
+    Versioned.commit(spark, t2, Seq((1L, "x1")).toDF("id", "s"))
+    val name = "vs_colmap_midrun"
+    val q = spark.readStream.format("graft-versioned")
+      .option("table", t2).option("mode", "cdf").load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    q.processAllAvailable()
+    Versioned.renameColumn(spark, t2, "s", "label")
+    Versioned.commit(spark, t2, Seq((2L, "x2")).toDF("id", "label"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(got == Set((1L, "x1", 1L), (2L, "x2", 3L)),
+      s"mid-run rename must keep values flowing under the pinned name: $got")
+  }
+
   test("maxVersionsPerBatch: a multi-commit backlog drains in bounded " +
       "batches whose union equals the unlimited run") {
     val t = tmpDir("vstream-rate") + "/t"
