@@ -163,6 +163,162 @@ object Multimodal {
     }(enc)
   }
 
+  /** 56-bit SPECTRAL fingerprint of 16-bit PCM audio — audio near-dup's
+    * hash half (VERDICT r13 item 6), over the REAL `javax.sound` decode.
+    * The Haitsma–Kalker fingerprint shape (sign of the band-energy delta
+    * across consecutive windows), with an INTEGER-EXACT band proxy so a
+    * SQL oracle can rebuild the hash from a sample formula with no
+    * decoder: the clip splits into `windows` equal windows of the first
+    * `windows·⌊n/windows⌋` samples; per window `w` and lag `b ∈
+    * [1, bands]`, the lag-difference energy `E(w,b) = Σ |s[i] − s[i−b]|`
+    * (both indices inside the window) measures content at scale `b`;
+    * bit `(w−1)·bands + (b−1)` is `E(w,b) > E(w−1,b)`. The 8×8 default
+    * gives (8−1)×8 = 56 bits — the same under-63 budget as
+    * [[imageDHash]], feeding the same [[Dedup.hammingPairs]] pigeonhole
+    * join (Σ bucket², never corpus²). Corrupt / non-PCM16 / too-short
+    * payloads emit a null-hash row, never a failed stage. Channels are
+    * fingerprinted as the interleaved stream (fixtures are mono).
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, windows: Int = 8,
+      bands: Int = 8): DataFrame = {
+    require(windows >= 2 && bands >= 1 && (windows - 1) * bands <= 63,
+      s"(windows-1)*bands must fit 63 bits: ($windows, $bands)")
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("fp", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col("content")).mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val fp: Option[Long] =
+            if (r.isNullAt(1)) None
+            else
+              try {
+                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+                val fmt = in.getFormat
+                if (fmt.getSampleSizeInBits != 16 ||
+                    fmt.getEncoding !=
+                      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+                else {
+                  val bytes = in.readAllBytes()
+                  val bb = java.nio.ByteBuffer.wrap(bytes).order(
+                    if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                    else java.nio.ByteOrder.LITTLE_ENDIAN)
+                  val s = new Array[Int](bytes.length / 2)
+                  var i = 0
+                  while (bb.remaining() >= 2) { s(i) = bb.getShort.toInt; i += 1 }
+                  val winLen = s.length / windows
+                  if (winLen <= bands) None
+                  else {
+                    val e = Array.ofDim[Long](windows, bands + 1)
+                    var w = 0
+                    while (w < windows) {
+                      var b = 1
+                      while (b <= bands) {
+                        var j = w * winLen + b
+                        var acc = 0L
+                        while (j < (w + 1) * winLen) {
+                          acc += math.abs(s(j) - s(j - b)); j += 1
+                        }
+                        e(w)(b) = acc; b += 1
+                      }
+                      w += 1
+                    }
+                    var hash = 0L
+                    w = 1
+                    while (w < windows) {
+                      var b = 1
+                      while (b <= bands) {
+                        if (e(w)(b) > e(w - 1)(b))
+                          hash |= 1L << ((w - 1) * bands + (b - 1))
+                        b += 1
+                      }
+                      w += 1
+                    }
+                    Some(hash)
+                  }
+                }
+              } catch { case scala.util.control.NonFatal(_) => None }
+          Some(Row(r.getLong(0), fp.orNull))
+        }
+      }
+    }(enc)
+  }
+
+  /** EXACT integer AREA-AVERAGE downscale — the production dHash front
+    * half pinned by an oracle (VERDICT r13 item 7): output pixel (X, Y)
+    * is the per-channel mean (INTEGER division) of its
+    * `(w/outW)×(h/outH)` input block, so a SQL oracle can recompute the
+    * downscale arithmetic exactly; bilinear [[resizeImages]] stays for
+    * display-quality paths where exact reproducibility doesn't matter.
+    * Inputs whose dimensions are not multiples of the output (or that
+    * fail to decode) emit a null-content row.
+    */
+  def downscaleImages(df: DataFrame, idCol: String, outW: Int, outH: Int,
+      format: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("content", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col("content")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val img =
+            if (r.isNullAt(1)) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth % outW != 0 ||
+              img.getHeight % outH != 0)
+            Some(Row(r.getLong(0), null, null, null))
+          else {
+            val bw = img.getWidth / outW
+            val bh = img.getHeight / outH
+            val n = bw * bh
+            val out = new java.awt.image.BufferedImage(
+              outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var yy = 0
+            while (yy < outH) {
+              var xx = 0
+              while (xx < outW) {
+                var rs = 0L; var gs = 0L; var bs = 0L
+                var y = yy * bh
+                while (y < (yy + 1) * bh) {
+                  var x = xx * bw
+                  while (x < (xx + 1) * bw) {
+                    val p = img.getRGB(x, y)
+                    rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF
+                    bs += p & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                out.setRGB(xx, yy,
+                  (((rs / n).toInt & 0xFF) << 16) |
+                  (((gs / n).toInt & 0xFF) << 8) | ((bs / n).toInt & 0xFF))
+                xx += 1
+              }
+              yy += 1
+            }
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, format, buf)
+            Some(Row(r.getLong(0), buf.toByteArray,
+              Integer.valueOf(outW), Integer.valueOf(outH)))
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling STUB for opaque compressed payloads whose codec the
     * JDK lacks (h264/vp9 etc.): n evenly-spaced byte slices of `width`
     * bytes (real impl: keyframe extraction). Slicing is real (`substr` on

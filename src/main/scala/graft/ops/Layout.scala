@@ -383,9 +383,11 @@ object Layout {
       val p = st.getPath
       val rel = p.toString.stripPrefix(rootUri).stripPrefix("/")
       val segs = rel.split('/').dropRight(1)
-      // skip hidden/metadata subtrees (_stats, _SUCCESS, .staging …)
+      // skip hidden/metadata subtrees (_stats, _SUCCESS, .staging …) —
+      // Spark's rule: a '_'-prefixed segment hides UNLESS it carries '='
+      // (hive partition segments like `__p_c=F` are data)
       val hidden = (segs :+ p.getName)
-        .exists(n => n.startsWith("_") || n.startsWith("."))
+        .exists(n => (n.startsWith("_") && !n.contains('=')) || n.startsWith("."))
       if (!hidden && p.getName.endsWith(".parquet")) {
         val parts = segs.filter(_.contains('=')).map { seg =>
           val i = seg.indexOf('=')

@@ -151,7 +151,8 @@ object Versioned {
       txns: Seq[(String, Long)] = Seq.empty,
       features: Set[String] = Set.empty,
       colmap: Map[String, String] = Map.empty,
-      tsMonotone: Boolean = false) {
+      tsMonotone: Boolean = false,
+      partCols: Seq[String] = Seq.empty) {
     /** Physical column name for a logical field (identity when unmapped). */
     def physicalOf(logical: String): String = colmap.getOrElse(logical, logical)
   }
@@ -211,13 +212,20 @@ object Versioned {
     // monotone, so raw ts == clamped ts and timestamp resolution may
     // binary-search instead of walking — VERDICT r13 item 8)
     val tsMonotone = lines.tail.exists(_.startsWith("tsm="))
+    // partcols=a,b — the table's declared partition columns (hive-layout
+    // data dirs; carried forward by every append like constraints)
+    val partCols = lines.tail.find(_.startsWith("partcols="))
+      .map(_.stripPrefix("partcols=").split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     Manifest(lines.head.stripPrefix("op="),
       lines.tail.filterNot(l => l.startsWith("schema=") || l.startsWith("dv=") ||
         l.startsWith("ts=") || l.startsWith("constraint=") ||
         l.startsWith("base=") || l.startsWith("txn=") ||
         l.startsWith("feature=") || l.startsWith("colmap=") ||
-        l.startsWith("tsm=")),
-      dvs, schema, ts, constraints, base, txns, features, colmap, tsMonotone)
+        l.startsWith("tsm=") || l.startsWith("partcols=")),
+      dvs, schema, ts, constraints, base, txns, features, colmap, tsMonotone,
+      partCols)
   }
 
   /** Features this build can read and write. A manifest naming anything
@@ -340,7 +348,8 @@ object Versioned {
       base: Option[Long] = None,
       txns: Seq[(String, Long)] = Seq.empty,
       features: Set[String] = Set.empty,
-      colmap: Map[String, String] = Map.empty): Boolean = {
+      colmap: Map[String, String] = Map.empty,
+      partCols: Seq[String] = Seq.empty): Boolean = {
     constraints.foreach { case (n, _) =>
       require(!n.contains(':') && !n.contains('\n'),
         s"constraint name must not contain ':' or newline: $n")
@@ -362,9 +371,13 @@ object Versioned {
       if (v <= 1L) (Long.MinValue, true) else tsProbe(f, table, v - 1L)
     val ts = math.max(System.currentTimeMillis(), parentTs)
     val tsmLines = if (parentMono) Seq("tsm=1") else Seq.empty
+    partCols.foreach(c => require(!c.contains(',') && !c.contains('\n'),
+      s"partition column name must not contain ',' or newline: $c"))
     val bytes =
       (s"op=$op" +: (s"ts=$ts" +:
         (tsmLines ++
+          (if (partCols.isEmpty) Seq.empty
+           else Seq(s"partcols=${partCols.mkString(",")}")) ++
           schemaJson.map("schema=" + _).toSeq ++
           base.map("base=" + _).toSeq ++
           features.toSeq.sorted.map("feature=" + _) ++
@@ -510,6 +523,41 @@ object Versioned {
       writerOptions, txn)
   }
 
+  /** Commit `df` as a PARTITIONED snapshot/append (VERDICT r13 item 3 —
+    * `CREATE TABLE ... PARTITIONED BY`): data dirs take the hive
+    * `key=value` layout, every commit's dir carries a per-file stats
+    * manifest recording the partition values and min/max for every
+    * primitive column, and the declaration is sticky — recorded as a
+    * `partcols=` manifest line that every later append (plain
+    * [[commit]], SQL INSERT, streaming sink) honors automatically.
+    * `sortCols` additionally range-sorts WITHIN partitions so stats
+    * skipping keeps buying file cuts BEYOND partition pruning (the
+    * date-partitioned, key-sorted lakehouse default). Pruning needs no
+    * new read verb: a partition file's footer records min==max for the
+    * partition columns, so [[readPruned]] composes partition pruning ×
+    * range skipping in its existing one-pass decision.
+    */
+  def commitPartitioned(spark: SparkSession, table: String, df: DataFrame,
+      partCols: Seq[String], sortCols: Seq[String] = Seq.empty,
+      numFiles: Int = 0, overwrite: Boolean = false): Long = {
+    require(partCols.nonEmpty, "commitPartitioned needs partition columns")
+    import org.apache.spark.sql.functions.col
+    val keys = (partCols ++ sortCols).map(col)
+    val arranged =
+      if (sortCols.isEmpty) df
+      else if (numFiles > 0)
+        df.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
+      else df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    val parentV = latestVersion(spark, table)
+    parentV.map(pv => readManifest(spark, table, pv)).foreach { m =>
+      require(m.partCols.isEmpty || m.partCols == partCols || overwrite,
+        s"table is partitioned by ${m.partCols.mkString(",")}; an append " +
+          s"cannot repartition it by ${partCols.mkString(",")} (overwrite can)")
+    }
+    commitAt(spark, table, arranged, parentV.getOrElse(0L) + 1, parentV,
+      overwrite, declaredPartCols = Some(partCols))
+  }
+
   /** Append with a bounded CAS-retry loop — the verb for MAPPED tables
     * (column-mapping feature), where [[appendRebase]]'s stage-once
     * discipline cannot apply: physical column names are minted per
@@ -537,6 +585,59 @@ object Versioned {
       .collectFirst { case Some(b) => b }
   }
 
+  /** Stage one data dir. Partitioned tables take the HIVE layout: files
+    * land under `__p_<col>=<value>` subdirs (VERDICT r13 item 3). The
+    * REAL columns stay in the files (the `__p_` duplicates exist only
+    * as path segments), so every read path — snapshot, pruned, CDF, dv
+    * coordinates — keeps working unchanged, and each file's footer
+    * records min==max for its partition columns: partition pruning IS a
+    * stats decision, composing with range skipping in one
+    * decisionRelation pass. A per-file stats manifest (partition values
+    * in `parts`, min/max for every primitive column) makes each
+    * appended dir prunable with zero footer opens.
+    */
+  private def stageDataDir(spark: SparkSession, table: String,
+      dirName: String, physDf: DataFrame,
+      writerOptions: Map[String, String], partCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (partCols.isEmpty)
+      physDf.write.options(writerOptions).mode("errorifexists")
+        .parquet(s"${dataRoot(spark, table)}/$dirName")
+    else {
+      val dup = partCols.foldLeft(physDf)((d, c) =>
+        d.withColumn(s"__p_$c", col(c)))
+      val dir = s"${dataRoot(spark, table)}/$dirName"
+      dup.write.options(writerOptions).mode("errorifexists")
+        .partitionBy(partCols.map(c => s"__p_$c"): _*)
+        .parquet(dir)
+      // an EMPTY frame under partitionBy produces no files at all (there
+      // is no partition dir to put the schema-bearing empty file in) —
+      // restage flat so the dir carries the schema like every empty
+      // commit does
+      val dirPath = new Path(dir)
+      val f = fs(spark, dirPath)
+      val it = f.listFiles(dirPath, true)
+      var anyFile = false
+      while (!anyFile && it.hasNext)
+        anyFile = it.next().getPath.getName.endsWith(".parquet")
+      if (!anyFile) {
+        f.delete(dirPath, true)
+        physDf.write.options(writerOptions).mode("errorifexists").parquet(dir)
+        return
+      }
+      val statCols = physDf.schema.fields.filter(f => f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.BinaryType => false
+        case _ => true
+      }).map(_.name).toSeq
+      if (statCols.nonEmpty)
+        Layout.writeStatsManifest(spark,
+          s"${dataRoot(spark, table)}/$dirName", statCols)
+    }
+  }
+
   /** The commit body with the target version made explicit — what a
     * racing writer actually holds is a STALE view (its computed `v` and
     * parent), so the CAS law is deterministic to test from here:
@@ -548,7 +649,8 @@ object Versioned {
       df: DataFrame, v: Long, parentV: Option[Long],
       overwrite: Boolean,
       writerOptions: Map[String, String] = Map.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      declaredPartCols: Option[Seq[String]] = None): Long = {
     val parent = parentV.map(pv => readManifest(spark, table, pv))
     if (!overwrite) parent.foreach { m =>
       val parentSchema = m.schemaJson
@@ -590,11 +692,17 @@ object Versioned {
       else df.select(df.columns.toSeq.map(c =>
         org.apache.spark.sql.functions.col(c)
           .as(mapping.getOrElse(c, c))): _*)
+    // Partition columns: a declaration (first commit) or the parent's
+    // recorded set, carried forward by every append — an OVERWRITE may
+    // re-declare or drop them (it replaces the table's layout truth).
+    val partCols: Seq[String] = declaredPartCols.getOrElse(
+      if (overwrite) Seq.empty else parent.map(_.partCols).getOrElse(Seq.empty))
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c is not in the frame: ${df.columns.mkString(",")}"))
     // Unique dir name: racing writers can never collide on the data path,
     // and a crashed writer's orphan can never block a later commit.
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    physDf.write.options(writerOptions).mode("errorifexists")
-      .parquet(s"${dataRoot(spark, table)}/$dirName")
+    stageDataDir(spark, table, dirName, physDf, writerOptions, partCols)
     // CHECK constraints are table metadata: they survive overwrites and
     // are enforced on every row-adding commit. Validation scans the
     // WRITTEN dir (one extra pass over the DELTA, never the table, and
@@ -628,7 +736,7 @@ object Versioned {
     if (!writeManifest(spark, table, v,
         if (overwrite) "overwrite" else "append", parentRefs :+ dirName,
         Some(pubSchema.json), parentDvs, inherited, txns = txn.toSeq,
-        features = parentFeatures, colmap = mapping)) {
+        features = parentFeatures, colmap = mapping, partCols = partCols)) {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
@@ -691,11 +799,15 @@ object Versioned {
       require(conflicts.isEmpty,
         s"incompatible schema change on append to $table: ${conflicts.mkString("; ")}")
     }
-    // stage ONCE — the whole point of the verb
+    // stage ONCE — the whole point of the verb; a partitioned parent's
+    // layout declaration applies to the staged dir too
+    val stagePartCols = parent.map(_.partCols).getOrElse(Seq.empty)
+    stagePartCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c is not in the appended frame: " +
+        df.columns.mkString(",")))
     val v0 = parentV.getOrElse(0L) + 1
     val dirName = s"v${"%06d".format(v0)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.options(writerOptions).mode("errorifexists")
-      .parquet(s"${dataRoot(spark, table)}/$dirName")
+    stageDataDir(spark, table, dirName, df, writerOptions, stagePartCols)
     def dropDir(): Unit =
       fs(spark, new Path(table)).delete(
         new Path(s"${dataRoot(spark, table)}/$dirName"), true)
@@ -758,7 +870,8 @@ object Versioned {
         case None => df.schema
       }
       if (writeManifest(spark, table, v, "append", refs,
-          Some(pubSchema.json), dvs, cons))
+          Some(pubSchema.json), dvs, cons,
+          partCols = head.map(_.partCols).getOrElse(stagePartCols)))
         return (v, attempt)
       // lost the race: loop — the staged dir survives untouched
     }
@@ -778,7 +891,8 @@ object Versioned {
       mapping: Map[String, String] = Map.empty): Unit =
     if (constraints.nonEmpty) {
       import org.apache.spark.sql.functions.{col, expr, sum, when}
-      val raw = spark.read.parquet(s"${dataRoot(spark, table)}/$dirName")
+      val raw = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"${dataRoot(spark, table)}/$dirName")
       // surface logical names to the constraint expressions
       val written =
         if (mapping.isEmpty) raw
@@ -869,7 +983,7 @@ object Versioned {
     requireNoFeatures(m, table, "rollback")
     val v = latestVersion(spark, table).get + 1
     if (!writeManifest(spark, table, v, "rollback", m.refs, m.schemaJson,
-        m.dvs, m.constraints))
+        m.dvs, m.constraints, partCols = m.partCols))
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     v
@@ -900,7 +1014,7 @@ object Versioned {
         s"existing data violates it (${bad.getLong(0)} rows)")
     val v = parentV + 1
     if (!writeManifest(spark, table, v, "constraint", m.refs, m.schemaJson,
-        m.dvs, m.constraints :+ (name -> sqlExpr)))
+        m.dvs, m.constraints :+ (name -> sqlExpr), partCols = m.partCols))
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     v
@@ -916,7 +1030,7 @@ object Versioned {
       s"no constraint named '$name' on $table")
     val v = parentV + 1
     if (!writeManifest(spark, table, v, "constraint", m.refs, m.schemaJson,
-        m.dvs, m.constraints.filterNot(_._1 == name)))
+        m.dvs, m.constraints.filterNot(_._1 == name), partCols = m.partCols))
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     v
@@ -1017,7 +1131,8 @@ object Versioned {
       p.toString
     }
     val scanned = applyDvs(spark, table,
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*), m.dvs)
+      spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(dirs: _*), m.dvs)
     projectLogical(scanned, m, table)
   }
 
@@ -1092,7 +1207,8 @@ object Versioned {
       if (m.features.contains("column-mapping")) m.colmap + (name -> s"${name}_a$v")
       else m.colmap
     if (!writeManifest(spark, table, v, "addcol", m.refs, Some(newSchema.json),
-        m.dvs, m.constraints, features = m.features, colmap = colmap)) {
+        m.dvs, m.constraints, features = m.features, colmap = colmap,
+        partCols = m.partCols)) {
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     }
@@ -1132,7 +1248,7 @@ object Versioned {
     val v = parentV + 1
     if (!writeManifest(spark, table, v, "rename", m.refs, Some(newSchema.json),
         m.dvs, m.constraints, features = m.features + "column-mapping",
-        colmap = newMap)) {
+        colmap = newMap, partCols = m.partCols)) {
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     }
@@ -1165,23 +1281,42 @@ object Versioned {
     val v = parentV + 1
     if (!writeManifest(spark, table, v, "drop", m.refs, Some(newSchema.json),
         m.dvs, m.constraints, features = m.features + "column-mapping",
-        colmap = m.colmap - name)) {
+        colmap = m.colmap - name, partCols = m.partCols)) {
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
     }
     v
   }
 
+  /** dataRoot-relative ref of an absolute data file path:
+    * `topdir[/partition=.../]file.parquet` — every data path lives under
+    * `<root>/data/`, partition segments carry '=' so none can be named
+    * plain `data`, and the LAST `/data/` anchors the cut.
+    */
+  private def relRef(abs: String): String = {
+    val i = abs.lastIndexOf("/data/")
+    require(i >= 0, s"not a data path: $abs")
+    abs.substring(i + "/data/".length)
+  }
+
+  /** (top-level dir, within-dir suffix) of a relative ref. */
+  private def splitRef(ref: String): (String, String) = {
+    val i = ref.indexOf('/')
+    if (i < 0) (ref, "") else (ref.substring(0, i), ref.substring(i + 1))
+  }
+
   /** Manifest refs are dir names (whole dir referenced) or — after a
-    * [[mergePruned]] commit — file-granular `dir/file.parquet` entries.
-    * Group by top-level dir: `None` = every file, `Some(names)` = only
-    * those. A dir referenced both ways collapses to whole-dir.
+    * [[mergePruned]] commit — file-granular `dir/[partition=.../]file`
+    * entries. Group by top-level dir: `None` = every file,
+    * `Some(withinSuffixes)` = only those (the suffix keeps any hive
+    * partition segments so nested refs round-trip). A dir referenced
+    * both ways collapses to whole-dir.
     */
   private def groupRefsByDir(refs: Seq[String])
       : Map[String, Option[Set[String]]] =
     refs.groupBy(_.takeWhile(_ != '/')).map { case (d, rs) =>
       d -> (if (rs.exists(!_.contains('/'))) None
-            else Some(rs.map(_.split('/').last).toSet))
+            else Some(rs.map(r => splitRef(r)._2).toSet))
     }
 
   /** Stats-manifest keep/drop decision for a snapshot's referenced files
@@ -1209,8 +1344,8 @@ object Versioned {
           statted.map(_._2 + "/_stats"), column, lo, hi)
         val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
         all.filter { case (abs, _) =>
-          val p = new Path(abs)
-          restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+          val (d, within) = splitRef(relRef(abs))
+          restrict.get(d).forall(_.forall(_.contains(within)))
         }
       }
     val conservative = dirInfo.filterNot(_._4).flatMap {
@@ -1222,7 +1357,7 @@ object Versioned {
     }
     val kept = (decided.filter(_._2).map(_._1) ++ conservative).sorted
     val dropped = decided.filterNot(_._2).map { case (abs, _) =>
-      val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
+      relRef(abs)
     }.sorted
     (kept, dropped, decided.length + conservative.size)
   }
@@ -1282,7 +1417,8 @@ object Versioned {
     val touchedDf =
       if (touched.isEmpty) batch.limit(0)
       else applyDvs(spark, table,
-        spark.read.option("mergeSchema", "true").parquet(touched: _*), m.dvs)
+        spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(touched: _*), m.dvs)
     // Two merge disciplines:
     //  - LAST-WRITER-WINS (versionCol=None): the batch unconditionally
     //    replaces matching target rows — a broadcast anti-join, the
@@ -1314,7 +1450,8 @@ object Versioned {
       s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
     validateConstraints(spark, table, dirName, m.constraints)
     if (!writeManifest(spark, table, v, "merge", untouchedRefs :+ dirName,
-        Some(batch.schema.json), m.dvs, m.constraints)) {
+        Some(batch.schema.json), m.dvs, m.constraints,
+        partCols = m.partCols)) {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
@@ -1383,6 +1520,7 @@ object Versioned {
     requireNoFeatures(m, table, "deleteWhere")
     val v = parentV + 1
     val scan = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
       .parquet(m.refs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
@@ -1398,7 +1536,7 @@ object Versioned {
     // parallel and only the (small) coordinate set moves
     dels.repartition(1).write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dvDir")
     if (!writeManifest(spark, table, v, "delete", m.refs, m.schemaJson,
-        m.dvs :+ dvDir, m.constraints)) {
+        m.dvs :+ dvDir, m.constraints, partCols = m.partCols)) {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
@@ -1439,7 +1577,8 @@ object Versioned {
       if (scanFiles.isEmpty)
         spark.range(0).select(lit("").as("file"), lit(0L).as("pos")).limit(0)
       else {
-        val scan = spark.read.option("mergeSchema", "true").parquet(scanFiles: _*)
+        val scan = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(scanFiles: _*)
           .withColumn("__file", col("_metadata.file_path"))
           .withColumn("__pos", col("_metadata.row_index"))
         val dt = scan.schema(column).dataType
@@ -1451,7 +1590,7 @@ object Versioned {
       }
     dels.repartition(1).write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dvDir")
     if (!writeManifest(spark, table, v, "delete", m.refs, m.schemaJson,
-        m.dvs :+ dvDir, m.constraints)) {
+        m.dvs :+ dvDir, m.constraints, partCols = m.partCols)) {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
@@ -1492,12 +1631,14 @@ object Versioned {
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq)
       .getOrElse(spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
         .parquet(m.refs.map(d => s"${dataRoot(spark, table)}/$d"): _*).columns.toSeq)
     set.keys.foreach { c =>
       require(schemaCols.contains(c),
         s"UPDATE SET column '$c' does not exist in $table (${schemaCols.mkString(",")})")
     }
     val scan = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
       .parquet(m.refs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
@@ -1539,7 +1680,8 @@ object Versioned {
     if (statsCols.nonEmpty)
       Layout.writeStatsManifest(spark, s"${dataRoot(spark, table)}/$dirName", statsCols)
     if (!writeManifest(spark, table, v, "update", m.refs :+ dirName,
-        m.schemaJson, m.dvs :+ dvDir, m.constraints)) {
+        m.schemaJson, m.dvs :+ dvDir, m.constraints,
+        partCols = m.partCols)) {
       cleanup()
       throw new java.util.ConcurrentModificationException(
         s"version $v of $table was committed by another writer; re-read and retry")
@@ -1690,7 +1832,8 @@ object Versioned {
           .withColumn("__file", lit("")).withColumn("__pos", lit(0L))
           .alias("tgt")
       else {
-        val scan = spark.read.option("mergeSchema", "true").parquet(touched: _*)
+        val scan = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(touched: _*)
           .withColumn("__file", col("_metadata.file_path"))
           .withColumn("__pos", col("_metadata.row_index"))
         padToUnion(subtractDvs(spark, table, scan, m.dvs, "__file", "__pos"))
@@ -1768,6 +1911,7 @@ object Versioned {
           (dvRows.limit(0), updated.limit(0))
         else {
         val fullScan = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
           .parquet(allFiles: _*)
           .withColumn("__file", col("_metadata.file_path"))
           .withColumn("__pos", col("_metadata.row_index"))
@@ -1847,7 +1991,8 @@ object Versioned {
       }
       if (writeManifest(spark, table, targetV, "merge", baseM.refs :+ dirName,
           Some(if (schemaEvolution) unionSchema.json else batch0.schema.json),
-          baseM.dvs :+ dvDir, baseM.constraints)) {
+          baseM.dvs :+ dvDir, baseM.constraints,
+          partCols = baseM.partCols)) {
         publishedV = targetV
       } else {
         val headV = latestVersion(spark, table).get
@@ -1912,8 +2057,8 @@ object Versioned {
     val (verdict, _) = Layout.decisionRelation(spark,
       infos.map(_._2 + "/_stats"), column, Layout.rangeKeepExpr(_, lo, hi))
     val withKeys = verdict
-      .withColumn("__dir", regexp_extract(col("file"), "([^/]+)/[^/]+$", 1))
-      .withColumn("__sfx", regexp_extract(col("file"), "([^/]+/[^/]+)$", 1))
+      .withColumn("__dir", regexp_extract(col("file"), ".*/data/([^/]+)/.+$", 1))
+      .withColumn("__sfx", regexp_extract(col("file"), ".*/data/([^/]+/.+)$", 1))
     val dirAll = infos.collect { case (d, _, None, _) => d }
     val fileRefs = infos.flatMap { case (d, _, files, _) =>
       files.toSeq.flatten.map(n => s"$d/$n") }
@@ -1982,8 +2127,8 @@ object Versioned {
           statted.map(_._2 + "/_stats"), column, value, value)
         val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
         (all.filter { case (abs, _) =>
-          val p = new Path(abs)
-          restrict.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+          val (d, within) = splitRef(relRef(abs))
+          restrict.get(d).forall(_.forall(_.contains(within)))
         }, t)
       }
     val rangeKept = decided.filter(_._2).map(_._1)
@@ -1999,7 +2144,8 @@ object Versioned {
     val base =
       if (scanFiles.isEmpty) read(spark, table, Some(v)).limit(0)
       else applyDvs(spark, table,
-        spark.read.option("mergeSchema", "true").parquet(scanFiles: _*), m.dvs)
+        spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(scanFiles: _*), m.dvs)
     val dt = base.schema(column).dataType
     (base.filter(col(column) === lit(value).cast(dt)),
       scanFiles.size, rangeKept.size + conservative.size,
@@ -2106,8 +2252,8 @@ object Versioned {
         val verdict0 = joined.select(col("file"), col("__b0").as("n_bytes"),
           preds.indices.map(i => col(s"__k$i")).reduce(_ && _).as("keep"))
         val withKeys = verdict0
-          .withColumn("__dir", regexp_extract(col("file"), "([^/]+)/[^/]+$", 1))
-          .withColumn("__sfx", regexp_extract(col("file"), "([^/]+/[^/]+)$", 1))
+          .withColumn("__dir", regexp_extract(col("file"), ".*/data/([^/]+)/.+$", 1))
+          .withColumn("__sfx", regexp_extract(col("file"), ".*/data/([^/]+/.+)$", 1))
         val dirAll = statted.collect { case (dir, None, _) =>
           new Path(dir).getName }
         val fileRefs = statted.flatMap { case (dir, files, _) =>
@@ -2139,11 +2285,13 @@ object Versioned {
     val frames =
       (if (keptStatted.nonEmpty)
         Seq(applyDvs(spark, table,
-          spark.read.option("mergeSchema", "true").parquet(keptStatted: _*), m.dvs))
+          spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(keptStatted: _*), m.dvs))
       else Seq.empty) ++
       (if (conservative.nonEmpty)
         Seq(applyDvs(spark, table,
-          spark.read.option("mergeSchema", "true").parquet(conservative: _*), m.dvs))
+          spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(conservative: _*), m.dvs))
       else Seq.empty)
     val base = frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(read(spark, table, Some(v)).limit(0))
@@ -2153,8 +2301,10 @@ object Versioned {
       totalStatted + nConservative)
   }
 
-  /** Expand a ref list to file granularity: `dir/file.parquet` relative
-    * paths (dir refs list their parquet files).
+  /** Expand a ref list to file granularity: `dir/...` relative paths
+    * (dir refs list their parquet files RECURSIVELY — a partitioned
+    * dir's files live under `key=value` subdirs; hidden subtrees like
+    * `_stats` are skipped).
     */
   private def expandRefFiles(spark: SparkSession, table: String,
       refs: Seq[String]): Set[String] =
@@ -2162,10 +2312,22 @@ object Versioned {
       if (r.contains('/')) Seq(r)
       else {
         val dir = new Path(s"${dataRoot(spark, table)}/$r")
-        require(fs(spark, dir).exists(dir),
+        val f = fs(spark, dir)
+        require(f.exists(dir),
           s"referenced data dir $r was vacuumed — change feed past retention")
-        fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
-          .filter(_.endsWith(".parquet")).map(n => s"$r/$n")
+        val rootUri = f.makeQualified(dir).toString.stripSuffix("/")
+        val it = f.listFiles(dir, true)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toString.stripPrefix(rootUri).stripPrefix("/")
+          // Spark's hidden rule: '_'-prefixed names hide UNLESS they
+          // carry '=' (hive partition segments like `__p_c=F` are data)
+          val hidden = rel.split('/').exists(s =>
+            (s.startsWith("_") && !s.contains('=')) || s.startsWith("."))
+          if (!hidden && rel.endsWith(".parquet")) out += s"$r/$rel"
+        }
+        out.toSeq
       }
     }.toSet
 
@@ -2226,9 +2388,11 @@ object Versioned {
     // (the round-11 q_cdf_replica finding). Legacy schema-less manifests
     // keep the mergeSchema + align path.
     def rd(paths: Seq[String]): DataFrame = physSchema match {
-      case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+      case Some(sch) => spark.read.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(paths: _*)
       case None =>
-        align(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+        align(spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(paths: _*))
     }
     // physical frame -> the version's logical view (identity when
     // unmapped: physical names ARE the logical names)
@@ -2286,10 +2450,7 @@ object Versioned {
           removedDvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
         val dvFiles = dv.select(col("file")).distinct().collect()
           .map(_.getString(0))
-          .filter { abs =>
-            val p = new Path(abs)
-            common.contains(s"${p.getParent.getName}/${p.getName}")
-          }.toSeq.sorted
+          .filter(abs => common.contains(relRef(abs))).toSeq.sorted
         if (dvFiles.isEmpty) empty
         else {
           val scan = rd(dvFiles)
@@ -2343,8 +2504,8 @@ object Versioned {
         byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_stats"): _*)
       val perFile = man.groupBy(col("file"))
         .agg(org.apache.spark.sql.functions.max(col("n_rows")).as("n"))
-        .withColumn("__dir", regexp_extract(col("file"), "([^/]+)/[^/]+$", 1))
-        .withColumn("__sfx", regexp_extract(col("file"), "([^/]+/[^/]+)$", 1))
+        .withColumn("__dir", regexp_extract(col("file"), ".*/data/([^/]+)/.+$", 1))
+        .withColumn("__sfx", regexp_extract(col("file"), ".*/data/([^/]+/.+)$", 1))
       val dirAll = byDir.collect { case (d, None) => d }.toSeq
       val fileRefs = byDir.toSeq.flatMap { case (d, fo) =>
         fo.toSeq.flatMap(_.toSeq.map(n => s"$d/$n")) }
@@ -2363,7 +2524,7 @@ object Versioned {
         if (m.dvs.isEmpty) 0L
         else
           spark.read.parquet(m.dvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
-            .select(regexp_extract(col("file"), "([^/]+/[^/]+)$", 1).as("ref_sfx"))
+            .select(regexp_extract(col("file"), ".*/data/([^/]+/.+)$", 1).as("ref_sfx"))
             .join(broadcast(referenced.select(col("__sfx").as("ref_sfx"))),
               Seq("ref_sfx"), "left_semi")
             .count()
@@ -2403,7 +2564,7 @@ object Versioned {
     }
     if (missing) return None
     def sfx(abs: String): String = {
-      val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
+      relRef(abs)
     }
     val man = spark.read.parquet(
         byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_stats"): _*)
@@ -2415,8 +2576,8 @@ object Versioned {
         Option(r.getString(2)), Option(r.getString(3)),
         r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
     val referenced = man.filter { case (abs, _, _, _, _, _) =>
-      val p = new Path(abs)
-      byDir.get(p.getParent.getName).forall(_.forall(_.contains(p.getName)))
+      val (d, within) = splitRef(relRef(abs))
+      byDir.get(d).forall(_.forall(_.contains(within)))
     }
     val typs = referenced.map(_._2).distinct
     if (typs.length != 1 || typs.head.isEmpty) return None
@@ -2454,7 +2615,8 @@ object Versioned {
     val scanDf =
       if (scanFiles.isEmpty) cleanDf.limit(0)
       else {
-        val scan = spark.read.option("mergeSchema", "true").parquet(scanFiles: _*)
+        val scan = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(scanFiles: _*)
           .withColumn("__file", col("_metadata.file_path"))
           .withColumn("__pos", col("_metadata.row_index"))
         subtractDvs(spark, table, scan, m.dvs, "__file", "__pos")
@@ -2519,7 +2681,7 @@ object Versioned {
       // rowCount suffix discipline — file-granular refs after a merge)
       val refs = expandRefFiles(spark, table, m.refs).toSeq.sorted.toDF("ref_sfx")
       val est = man
-        .withColumn("ref_sfx", regexp_extract(col("file"), "([^/]+/[^/]+)$", 1))
+        .withColumn("ref_sfx", regexp_extract(col("file"), ".*/data/([^/]+/.+)$", 1))
         .join(broadcast(refs), Seq("ref_sfx"), "left_semi")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head()
       Some(if (est.isNullAt(0)) 0L else est.getLong(0))
@@ -2717,9 +2879,10 @@ object Versioned {
               addedByV(v).map(r => (r.takeWhile(_ != '/'), v)))
             import spark.implicits._
             Some(endView(
-              spark.read.schema(physSch).parquet(files: _*)
+              spark.read.schema(physSch)
+                .option("recursiveFileLookup", "true").parquet(files: _*)
                 .withColumn("__dir",
-                  regexp_extract(col("_metadata.file_path"), "([^/]+)/[^/]+$", 1))
+                  regexp_extract(col("_metadata.file_path"), ".*/data/([^/]+)/.+$", 1))
                 .join(broadcast(dirVer.toDF("__dir", "version")), Seq("__dir"))
                 .drop("__dir")
                 .withColumn("change_type", lit("insert"))
@@ -2853,13 +3016,15 @@ object Versioned {
       val smallPaths = smalls.map { case (rel, _) =>
         s"${dataRoot(spark, table)}/$rel" }
       val folded = applyDvs(spark, table,
-        spark.read.option("mergeSchema", "true").parquet(smallPaths: _*), m.dvs)
+        spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(smallPaths: _*), m.dvs)
       val v = pv + 1
       val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
       Layout.writeSorted(folded, sortCols, numFiles,
         s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
       if (!writeManifest(spark, table, v, "optimize",
-          bigs.map(_._1) :+ dirName, m.schemaJson, m.dvs, m.constraints)) {
+          bigs.map(_._1) :+ dirName, m.schemaJson, m.dvs, m.constraints,
+          partCols = m.partCols)) {
         fs(spark, new Path(table))
           .delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
         throw new java.util.ConcurrentModificationException(
@@ -3008,7 +3173,7 @@ object Versioned {
     // same logical view; per-verb feature gates still apply on both sides
     require(writeManifest(spark, bt, 1L, "clone", m.refs, m.schemaJson,
       m.dvs, m.constraints, base = Some(v), features = m.features,
-      colmap = m.colmap),
+      colmap = m.colmap, partCols = m.partCols),
       s"branch $name raced another creator")
     bt
   }
@@ -3046,7 +3211,8 @@ object Versioned {
     // the same metadata-only rename; round-11 verdict #7)
     if (!writeManifest(spark, root, rootLatest + 1, "promote", head.refs,
         head.schemaJson, head.dvs, head.constraints,
-        features = head.features, colmap = head.colmap)) {
+        features = head.features, colmap = head.colmap,
+        partCols = head.partCols)) {
       throw new java.util.ConcurrentModificationException(
         s"version ${rootLatest + 1} of $root was committed during the promote; " +
           "the fork base no longer holds")
@@ -3122,7 +3288,7 @@ object Versioned {
     val branchF = expandRefFiles(spark, branchTable, branchM.refs)
 
     def sfx(abs: String): String = {
-      val p = new Path(abs); s"${p.getParent.getName}/${p.getName}"
+      relRef(abs)
     }
     // files a dv set coordinates into — bounded driver materialization:
     // dv sidecars are kilobyte-scale by design (a table whose dvs grew
@@ -3264,7 +3430,8 @@ object Versioned {
 
     if (!writeManifest(spark, root, rootLatest + 1, "merge3", mergedRefs,
         mergedSchema, mergedDvs, mergedConstraints,
-        features = featsUnion, colmap = mergedColmap)) {
+        features = featsUnion, colmap = mergedColmap,
+        partCols = rootM.partCols)) {
       throw new java.util.ConcurrentModificationException(
         s"version ${rootLatest + 1} of $root was committed during the merge; " +
           "re-read and retry")

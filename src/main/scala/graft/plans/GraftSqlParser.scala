@@ -98,6 +98,16 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         cols.map(c => stripCharVarchar(delegate.parseTableSchema(c))),
         loc,
         asQuery.map(q => delegate.parseQuery(q)))
+    // CREATE TABLE ... USING graft-table PARTITIONED BY (p, ...): vanilla
+    // Spark hands v1 providers no partitioning, so the declaration is
+    // implemented natively — a seeded (or CTAS) commit whose manifest
+    // records `partcols=`, which every later append honors with
+    // hive-layout staging + per-file stats (VERDICT r13 item 3).
+    case CreatePartitionedStmt(name, cols, partCols, loc, asQuery) =>
+      Versioned.markCatalogChanged()
+      GraftCreatePartitionedTableCommand(name.trim,
+        cols.map(c => stripCharVarchar(delegate.parseTableSchema(c))),
+        partCols, loc, asQuery.map(q => delegate.parseQuery(q)))
     // CREATE TABLE over the graft provider: wrap the delegated plan so
     // its EXECUTION runs inside the DDL seed scope — the only context
     // where resolving an empty location is allowed to write the v1
@@ -205,6 +215,40 @@ object GraftSqlParser {
       : org.apache.spark.sql.types.StructType =
     stripCharVarchar(s: org.apache.spark.sql.types.DataType)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private val CreatePartitionedHeadRe =
+    """(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+([\w.`]+)\s*""".r
+  private val CreatePartitionedTailRe =
+    ("""(?is)^\s*USING\s+`?graft-table`?\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*""" +
+     """(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.+?))?\s*;?\s*$""").r
+
+  /** Structural matcher for `CREATE TABLE ... USING graft-table
+    * PARTITIONED BY (...)`: (name, columnList, partCols, location,
+    * asQuery). Same paren-balanced column list as [[ReplaceTableStmt]];
+    * the partition list is names-only so a flat group suffices.
+    */
+  private object CreatePartitionedStmt {
+    def unapply(sqlText: String)
+        : Option[(String, Option[String], Seq[String], Option[String],
+            Option[String])] =
+      CreatePartitionedHeadRe.findFirstMatchIn(sqlText).flatMap { m =>
+        val afterName = sqlText.substring(m.end)
+        val (cols, rest) =
+          if (afterName.startsWith("(")) balancedParen(afterName) match {
+            case Some((inner, tail)) => (Some(inner), tail)
+            case None => (None, afterName)
+          }
+          else (None, afterName)
+        rest match {
+          case CreatePartitionedTailRe(pcols, loc, asQuery) =>
+            Some((m.group(1), cols,
+              pcols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+                .filter(_.nonEmpty).toSeq,
+              Option(loc), Option(asQuery)))
+          case _ => None
+        }
+      }
+  }
 
   /** Structural matcher for `CREATE OR REPLACE TABLE ... USING
     * graft-table`: (name, columnList, location, asQuery). The column
@@ -490,6 +534,61 @@ final case class GraftReplaceTableCommand(name: String,
           storage = storage, schema = df.schema,
           provider = Some("graft-table")), ignoreIfExists = false)
     }
+    Versioned.markCatalogChanged()
+    Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE name [(cols)] USING graft-table PARTITIONED BY (p, ...)
+  * [LOCATION path] [AS query]` — the partitioned-table declaration
+  * (VERDICT r13 item 3). The declaration is a `partcols=` line in the
+  * seed commit's manifest: every later append — plain commits, SQL
+  * INSERT, the streaming sink — stages hive-layout dirs with per-file
+  * stats manifests automatically, so partition pruning composes with
+  * range skipping on every snapshot ([[Versioned.commitPartitioned]]).
+  */
+final case class GraftCreatePartitionedTableCommand(name: String,
+    declared: Option[StructType], partCols: Seq[String],
+    location: Option[String], asQuery: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    require(declared.isEmpty || asQuery.isEmpty,
+      "CREATE TABLE takes a column list OR an AS query, not both")
+    require(declared.nonEmpty || asQuery.nonEmpty,
+      "CREATE TABLE needs a column list or an AS query")
+    require(partCols.nonEmpty, "PARTITIONED BY needs at least one column")
+    val parts = name.split('.').map(_.trim.stripPrefix("`").stripSuffix("`"))
+    val ident = parts match {
+      case Array(t) => TableIdentifier(t)
+      case Array(db, t) => TableIdentifier(t, Some(db))
+      case _ => throw new IllegalArgumentException(
+        s"CREATE TABLE target must be a table name: $name")
+    }
+    val cat = spark.sessionState.catalog
+    require(!cat.tableExists(ident), s"table $name already exists")
+    val path = location.getOrElse(
+      cat.defaultTablePath(ident).toString)
+    val df = asQuery match {
+      case Some(q) =>
+        org.apache.spark.sql.graftshim.StreamingFrameShim.frameOf(spark, q)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared.get)
+    }
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"PARTITIONED BY column $c is not in the table schema " +
+        s"(${df.columns.mkString(",")})"))
+    val v = Versioned.commitPartitioned(spark, path, df, partCols)
+    val storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat(
+      locationUri = Some(new org.apache.hadoop.fs.Path(path).toUri),
+      inputFormat = None, outputFormat = None, serde = None,
+      compressed = false, properties = Map("path" -> path))
+    cat.createTable(org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = ident,
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = storage, schema = df.schema,
+      provider = Some("graft-table")), ignoreIfExists = false)
     Versioned.markCatalogChanged()
     Seq(Row(v))
   }

@@ -286,6 +286,75 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // PRODUCTION dHash path (VERDICT r13 item 7): larger-than-8×8 inputs
+    // go through the EXACT integer area-average downscale FIRST — 32×32
+    // fixtures (4 variants per group; variants bump one whole 4×4 block
+    // so the perturbation survives averaging) → downscaleImages(8,8) →
+    // the same dHash + pigeonhole join. REQUIRED in-query: the resized
+    // payloads really are 8×8. The oracle recomputes the block-mean
+    // (integer division) luminance arithmetic from the pixel formula —
+    // no codec, no resizer — so only an exact decode → area-average →
+    // re-encode → decode → hash chain can match.
+    "q_image_neardup_scaled" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Tables(s, dir, "documents").filter($"doc_id" % 50 === 0)
+        .select(explode(array((0 until 4).map(k => lit(k)): _*)).as("k"),
+          $"doc_id")
+        .select(($"doc_id" * 4 + $"k").as("img_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val gid = id / 4
+          def v(x: Int, y: Int): Int = {
+            val bump =
+              if (id % 4 != 0 && x / 4 == (id % 4).toInt + 2 &&
+                y / 4 == (id % 8).toInt) 97L
+              else 0L
+            (((gid * 31 + x * 7 + y * 13) * 97 +
+              gid * x * 53 + gid * y * 29 + bump) % 251).toInt
+          }
+          (id, Multimodal.encodeImage(32, 32, "bmp",
+            (x, y) => { val g = v(x, y); (g << 16) | (g << 8) | g }))
+        }).toDF("img_id", "content")
+      val small = Multimodal.downscaleImages(packed, "img_id", 8, 8, "bmp")
+      require(small.filter($"width" =!= 8 || $"height" =!= 8).isEmpty,
+        "the production downscale must land exactly 8×8 payloads")
+      val hashes = Multimodal.imageDHash(small, "id")
+      graft.llm.Dedup.hammingPairs(hashes, "id", "dhash",
+          bits = 56, maxHamming = 4)
+        .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // AUDIO NEAR-DUP (VERDICT r13 item 6) — the multimodal dedup
+    // matrix's third leg (text/image/audio): deterministic 256-sample
+    // 16-bit PCM WAV fixtures (4 variants per group; variants nudge one
+    // sample) → REAL javax.sound container decode → the 56-bit
+    // Haitsma-Kalker-shaped band-energy sign fingerprint → the SAME
+    // width-generic Hamming pigeonhole join as images. The oracle
+    // rebuilds the fingerprint from the sample FORMULA (lag-difference
+    // energies, window deltas) with no decoder — only an exact WAV
+    // roundtrip + integer energy walk can match.
+    "q_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Tables(s, dir, "documents").filter($"doc_id" % 25 === 0)
+        .select(explode(array((0 until 4).map(k => lit(k)): _*)).as("k"),
+          $"doc_id")
+        .select(($"doc_id" * 4 + $"k").as("clip_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val gid = id / 4
+          val samples = Array.tabulate(256) { i =>
+            val bump = if (id % 4 != 0 && i == 40 + (id % 4).toInt) 3L else 0L
+            ((((gid * 31 + i * 7) * 97 + gid * i * 53) % 4001) - 2000L
+              + bump).toShort
+          }
+          (id, Multimodal.encodeWavPcm16(8000, samples))
+        }).toDF("clip_id", "content")
+      val fps = Multimodal.audioFingerprint(packed, "clip_id")
+      graft.llm.Dedup.hammingPairs(fps, "id", "fp",
+          bits = 56, maxHamming = 4)
+        .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Multimodal: REAL image decode. The fixture encodes one 8×8 RGB
     // image per sampled document through javax.imageio (png when doc_id %
     // 50 == 0, bmp otherwise — two distinct JDK codec paths),
@@ -498,6 +567,73 @@ object SimilarityQueries extends graft.QueryModule {
         |),
         |hashes AS (
         |  SELECT id, CAST(SUM(bit * (1::BIGINT << CAST(i AS INT))) AS BIGINT) AS h
+        |  FROM bits GROUP BY id
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // 32×32 pixels → 4×4 block means (integer division) → dHash —
+    // the production downscale arithmetic recomputed with no codec
+    "q_image_neardup_scaled" ->
+      """WITH ids AS (
+        |  SELECT doc_id * 4 + k AS id, doc_id AS gid
+        |  FROM documents, range(0,4) r(k) WHERE doc_id % 50 = 0
+        |),
+        |px AS (
+        |  SELECT id, x, y,
+        |    ((gid*31 + x*7 + y*13) * 97 + gid*x*53 + gid*y*29 +
+        |     CASE WHEN id % 4 <> 0 AND x // 4 = id % 4 + 2 AND y // 4 = id % 8
+        |          THEN 97 ELSE 0 END) % 251 AS v
+        |  FROM ids, range(0,32) rx(x), range(0,32) ry(y)
+        |),
+        |cell AS (
+        |  SELECT id, x // 4 AS cx, y // 4 AS cy,
+        |    CAST(SUM(v) // 16 AS BIGINT) AS v
+        |  FROM px GROUP BY id, x // 4, y // 4
+        |),
+        |bits AS (
+        |  SELECT a.id, a.cy*7 + a.cx AS i,
+        |    CASE WHEN b.v > a.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM cell a JOIN cell b ON a.id = b.id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 7
+        |),
+        |hashes AS (
+        |  SELECT id, CAST(SUM(bit * (1::BIGINT << CAST(i AS INT))) AS BIGINT) AS h
+        |  FROM bits GROUP BY id
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hashes a JOIN hashes b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // sample formula → in-window lag-difference energies → window-delta
+    // sign bits → Hamming pairs, with no decoder anywhere
+    "q_audio_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id * 4 + k AS id, doc_id AS gid
+        |  FROM documents, range(0,4) r(k) WHERE doc_id % 25 = 0
+        |),
+        |smp AS (
+        |  SELECT id, i,
+        |    ((gid*31 + i*7) * 97 + gid*i*53) % 4001 - 2000 +
+        |    CASE WHEN id % 4 <> 0 AND i = 40 + id % 4 THEN 3 ELSE 0 END AS s
+        |  FROM ids, range(0,256) ri(i)
+        |),
+        |eng AS (
+        |  SELECT a.id, a.i // 32 AS w, lag AS b, SUM(ABS(a.s - p.s)) AS e
+        |  FROM smp a, range(1,9) l(lag), smp p
+        |  WHERE p.id = a.id AND p.i = a.i - lag AND (a.i - lag) // 32 = a.i // 32
+        |  GROUP BY a.id, a.i // 32, lag
+        |),
+        |bits AS (
+        |  SELECT c.id, (c.w - 1)*8 + (c.b - 1) AS bi,
+        |    CASE WHEN c.e > p.e THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM eng c JOIN eng p ON p.id = c.id AND p.b = c.b AND p.w = c.w - 1
+        |),
+        |hashes AS (
+        |  SELECT id, CAST(SUM(bit * (1::BIGINT << CAST(bi AS INT))) AS BIGINT) AS h
         |  FROM bits GROUP BY id
         |)
         |SELECT a.id AS id_a, b.id AS id_b,

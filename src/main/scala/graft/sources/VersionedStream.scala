@@ -336,7 +336,8 @@ final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
           align(Versioned.read(spark, o.table, Some(v)).limit(0),
             Seq(lit(v).as("_commit_version")))
         else
-          align(spark.read.option("mergeSchema", "true").parquet(
+          align(spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(
               added.map(d => s"${Versioned.dataRoot(spark, o.table)}/$d"): _*),
             Seq(lit(v).as("_commit_version")))
       }

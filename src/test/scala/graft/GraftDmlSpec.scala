@@ -484,6 +484,53 @@ class GraftDmlSpec extends SparkSpec {
     spark.catalog.dropTempView("g_rep_seed")
   }
 
+  test("PARTITIONED BY graft table: sticky hive layout on every append; " +
+      "reads, pruning, dv deletes, CDF and time travel all compose") {
+    val t = tmpDir("dml-part") + "/t"
+    spark.sql("DROP TABLE IF EXISTS g_part_t")
+    spark.sql(s"CREATE TABLE g_part_t (id BIGINT, grp STRING, v DOUBLE) " +
+      s"USING `graft-table` PARTITIONED BY (grp) LOCATION '$t'")
+    try {
+      spark.sql(
+        "INSERT INTO g_part_t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)")
+      // the SQL INSERT's dir physically carries the hive layout
+      val dirs = new java.io.File(s"$t/data").listFiles().filter(_.isDirectory)
+      assert(dirs.exists(_.listFiles().exists(f =>
+        f.isDirectory && f.getName.startsWith("__p_grp="))),
+        s"INSERT must stage hive-layout dirs: ${dirs.map(_.getName).toSeq}")
+      // reads: real columns, no layout pollution
+      val head = spark.sql("SELECT * FROM g_part_t ORDER BY id")
+      assert(head.columns.toSeq == Seq("id", "grp", "v"))
+      assert(head.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "a")))
+      // a DataFrame append honors the sticky layout too
+      Seq((4L, "c", 4.0)).toDF("id", "grp", "v")
+        .write.format("graft-table").mode("append").save(t)
+      assert(spark.sql("SELECT COUNT(1) AS c FROM g_part_t")
+        .head().getLong(0) == 4L)
+      // partition pruning through the ordinary stats decision
+      val (pruned, kept, total) = Versioned.readPruned(spark, t, None,
+        Seq(Versioned.ScanPredicate.Bounds("grp", Some("a"), Some("a"))))
+      assert(kept > 0 && kept < total,
+        s"the partition predicate must prune files: $kept/$total")
+      assert(pruned.filter($"grp" === "a").count() == 2L)
+      // dv delete + CDF + time travel on the partitioned layout
+      Versioned.deleteWhere(spark, t, $"id" === 3L)
+      assert(spark.sql("SELECT COUNT(1) AS c FROM g_part_t")
+        .head().getLong(0) == 3L)
+      val ch = Versioned.changes(spark, t,
+        Versioned.latestVersion(spark, t).get)
+      assert(ch.collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[String]("change_type"))).toSet ==
+        Set((3L, "delete")))
+      assert(spark.sql("SELECT COUNT(1) AS c FROM g_part_t VERSION AS OF 3")
+        .head().getLong(0) == 4L)
+      // the declared layout cannot be silently re-partitioned by appends
+      intercept[IllegalArgumentException](Versioned.commitPartitioned(spark,
+        t, Seq((9L, "z", 9.0)).toDF("id", "grp", "v"), Seq("v")))
+    } finally spark.sql("DROP TABLE IF EXISTS g_part_t")
+  }
+
   test("ALTER TABLE ADD COLUMN: metadata-only field-union commit — typed " +
       "NULLs before the first write, no table feature tripped") {
     val t = tmpDir("dml-addcol") + "/t"
