@@ -638,6 +638,38 @@ object Versioned {
     }
   }
 
+  /** Distinct partition-value tuples of a snapshot — METADATA-ONLY (the
+    * per-dir stats manifests record every file's partition path values,
+    * so the listing costs a manifest scan, zero data IO — the Delta
+    * SHOW PARTITIONS answer-from-the-log shape). Rows are
+    * `c1=v1[/c2=v2…]` strings in declared order, Spark's SHOW
+    * PARTITIONS shape; file-granular refs restrict the listing to the
+    * snapshot's referenced files. Refuses unpartitioned tables loudly.
+    */
+  def partitionValues(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
+      concat_ws, element_at, lit, regexp_extract}
+    import spark.implicits._
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, v)
+    require(m.partCols.nonEmpty,
+      s"SHOW PARTITIONS: $table is not a partitioned table")
+    val statsPaths = m.refs.map(r => r.takeWhile(_ != '/')).distinct
+      .map(d => s"${dataRoot(spark, table)}/$d/_stats")
+      .filter(p => fs(spark, new Path(p)).exists(new Path(p)))
+    if (statsPaths.isEmpty) return Seq.empty[String].toDF("partition")
+    val refDf = expandRefFiles(spark, table, m.refs).toSeq.toDF("__ref")
+    spark.read.parquet(statsPaths: _*)
+      .withColumn("__ref", regexp_extract(col("file"), ".*/data/(.+)$", 1))
+      .join(broadcast(refDf), Seq("__ref"), "left_semi")
+      .select(concat_ws("/", m.partCols.map(c =>
+        concat(lit(c + "="), coalesce(element_at(col("parts"), s"__p_$c"),
+          lit("__HIVE_DEFAULT_PARTITION__")))): _*).as("partition"))
+      .distinct().orderBy(col("partition"))
+  }
+
   /** The commit body with the target version made explicit — what a
     * racing writer actually holds is a STALE view (its computed `v` and
     * parent), so the CAS law is deterministic to test from here:

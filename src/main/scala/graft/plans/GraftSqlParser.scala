@@ -64,6 +64,10 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       GraftHistoryCommand(target.trim)
     case DetailRe(target) if isGraftTarget(spark, target.trim) =>
       GraftDescribeDetailCommand(target.trim)
+    // SHOW PARTITIONS is vanilla grammar for hive tables — intercept
+    // only when the target resolves to a graft table
+    case ShowPartitionsRe(target) if isGraftTarget(spark, target.trim) =>
+      GraftShowPartitionsCommand(target.trim)
     case RestoreRe(target, ver) =>
       GraftRestoreCommand(target.trim, ver.toLong)
     // ALTER TABLE is vanilla grammar — intercept only when the target
@@ -150,6 +154,8 @@ object GraftSqlParser {
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val DetailRe =
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
+  private val ShowPartitionsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   // any statement that names the provider — catalog-memo invalidation
@@ -643,6 +649,19 @@ final case class GraftDescribeDetailCommand(target: String)
     val m = Versioned.readManifest(spark, p, v)
     Seq(Row("graft-table", p, v, m.op,
       m.refs.size, m.dvs.size, m.constraints.size, m.features.size))
+  }
+}
+
+/** `SHOW PARTITIONS target` — metadata-only distinct partition values
+  * of the head snapshot ([[Versioned.partitionValues]]; zero data IO).
+  */
+final case class GraftShowPartitionsCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    val p = GraftSqlParser.resolveTarget(spark, target)
+    Versioned.partitionValues(spark, p).collect().toSeq
   }
 }
 

@@ -1785,6 +1785,32 @@ object OpsQueries extends graft.QueryModule {
       out
     }),
 
+    // SHOW PARTITIONS — the metadata-only partition listing every
+    // Delta/Iceberg user types right after PARTITIONED BY: answered
+    // from the per-dir stats manifests' recorded partition values
+    // (zero data IO), restricted to the snapshot's referenced files.
+    // The oracle lists the distinct partition values straight from
+    // `orders`.
+    "q_sql_show_partitions" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_showpart_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      s.sql("DROP TABLE IF EXISTS graft_qsp")
+      Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("status"),
+          $"o_totalprice".as("pr"))
+        .createOrReplaceTempView("qsp_seed")
+      s.sql(s"""CREATE TABLE graft_qsp (k BIGINT, status STRING, pr DOUBLE)
+        USING `graft-table` PARTITIONED BY (status) LOCATION '$t'""")
+      s.sql("INSERT INTO graft_qsp SELECT k, status, pr FROM qsp_seed")
+      s.catalog.dropTempView("qsp_seed")
+      val out = s.sql("SHOW PARTITIONS graft_qsp").orderBy($"partition")
+      out.collect()
+      s.sql("DROP TABLE IF EXISTS graft_qsp")
+      out
+    }),
+
     // CATALYST FILTER PUSHDOWN INTO MANIFEST FILE SKIPPING (the
     // graft-table PrunedFilteredScan): the user writes a PLAIN
     // DataFrame filter — no skipRead call, no hints — and Catalyst
@@ -3387,6 +3413,9 @@ object OpsQueries extends graft.QueryModule {
         |  CAST(SUM(o_custkey) AS bigint) AS sum_cust,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM v2""".stripMargin,
+    "q_sql_show_partitions" ->
+      """SELECT DISTINCT 'status=' || o_orderstatus AS partition
+        |FROM orders ORDER BY partition""".stripMargin,
     "q_versioned_partitioned" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
         |SELECT COUNT(1) AS n,

@@ -528,6 +528,20 @@ class GraftDmlSpec extends SparkSpec {
       // the declared layout cannot be silently re-partitioned by appends
       intercept[IllegalArgumentException](Versioned.commitPartitioned(spark,
         t, Seq((9L, "z", 9.0)).toDF("id", "grp", "v"), Seq("v")))
+      // SHOW PARTITIONS: metadata-only listing, path and name targets
+      assert(spark.sql(s"SHOW PARTITIONS graft.`$t`")
+        .collect().map(_.getString(0)).toSet ==
+        Set("grp=a", "grp=b", "grp=c"))
+      assert(spark.sql("SHOW PARTITIONS g_part_t")
+        .collect().map(_.getString(0)).toSet ==
+        Set("grp=a", "grp=b", "grp=c"))
+      // an unpartitioned graft table refuses loudly
+      val t2 = tmpDir("dml-part-flat") + "/t"
+      Versioned.commit(spark, t2, Seq((1L, "x")).toDF("id", "s"))
+      val e = intercept[Exception](spark.sql(s"SHOW PARTITIONS graft.`$t2`"))
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(5).exists(x => Option(x.getMessage)
+          .exists(_.contains("not a partitioned table"))))
     } finally spark.sql("DROP TABLE IF EXISTS g_part_t")
   }
 
