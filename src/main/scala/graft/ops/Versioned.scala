@@ -260,9 +260,32 @@ object Versioned {
       val out = f.create(tmp, true)
       try out.write(bytes) finally out.close()
       if (f.exists(dest)) { f.delete(tmp, false); false }
-      else if (f.rename(tmp, dest)) true
-      else if (f.exists(dest)) { f.delete(tmp, false); false }
-      else throw new java.io.IOException(s"commit rename failed for $dest")
+      else {
+        val scheme = Option(f.getUri.getScheme).getOrElse("file")
+        if (scheme == "file")
+          // LOCAL FS: POSIX rename(2) silently REPLACES an existing dest,
+          // so exists-check-then-rename has a lost-update window two
+          // racing writers can BOTH fall through (observed in the wild as
+          // a concurrent-rename spec flake: both manifests "published",
+          // one vanished). link(2) is the true local CAS — hard-link
+          // creation is atomic and fails EEXIST when dest appears between
+          // the check and the claim.
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath),
+              java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+            f.delete(tmp, false)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              f.delete(tmp, false); false
+          }
+        // HDFS rename refuses an existing destination atomically — the
+        // historical path stays correct there
+        else if (f.rename(tmp, dest)) true
+        else if (f.exists(dest)) { f.delete(tmp, false); false }
+        else throw new java.io.IOException(s"commit rename failed for $dest")
+      }
     }
   }
 
@@ -278,7 +301,9 @@ object Versioned {
     *    it (S3 `If-None-Match: *`, GCS generation-match, HDFS create).
     *    `RawLocalFileSystem` emulates it as exists-then-create, so two
     *    local racers can both "win" — local/HDFS deployments keep
-    *    [[RenameCommitStore]] (the default) whose rename IS atomic;
+    *    [[RenameCommitStore]] (the default), whose claim is a no-replace
+    *    HDFS rename or, on local FS, an atomic link(2) (POSIX rename
+    *    would silently replace — r14);
     *  - a real conditional PUT is all-or-nothing, but the Hadoop
     *    emulation can crash between create and write, leaving a claimed
     *    EMPTY manifest that would brick the version. `publish` therefore
@@ -2989,7 +3014,11 @@ object Versioned {
     val pv = latestVersion(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val snap = relayout(read(spark, table, Some(pv)))
-    val v = commitAt(spark, table, snap, pv + 1, Some(pv), overwrite = true)
+    // an OPTIMIZE is an overwrite COMMIT but not a re-declaration: a
+    // partitioned table keeps its partcols (and the compacted dir takes
+    // the partitioned layout), exactly Delta's OPTIMIZE semantics
+    val v = commitAt(spark, table, snap, pv + 1, Some(pv), overwrite = true,
+      declaredPartCols = Some(readManifest(spark, table, pv).partCols))
     if (statsCols.nonEmpty) {
       val newDir = readManifest(spark, table, v).refs.last
       Layout.writeStatsManifest(spark, s"${dataRoot(spark, table)}/$newDir", statsCols)

@@ -528,6 +528,20 @@ class GraftDmlSpec extends SparkSpec {
       // the declared layout cannot be silently re-partitioned by appends
       intercept[IllegalArgumentException](Versioned.commitPartitioned(spark,
         t, Seq((9L, "z", 9.0)).toDF("id", "grp", "v"), Seq("v")))
+      // OPTIMIZE keeps the declaration AND the layout: content identical,
+      // partcols survive, and the NEXT append still stages partitioned
+      val before = spark.sql("SELECT * FROM g_part_t").collect()
+        .map(_.toSeq).toSet
+      Versioned.compact(spark, t, numFiles = 2)
+      assert(spark.sql("SELECT * FROM g_part_t").collect()
+        .map(_.toSeq).toSet == before, "OPTIMIZE must be content-invisible")
+      Seq((5L, "a", 5.0)).toDF("id", "grp", "v")
+        .write.format("graft-table").mode("append").save(t)
+      val postDirs = new java.io.File(s"$t/data").listFiles()
+        .filter(_.isDirectory).sortBy(_.getName)
+      assert(postDirs.last.listFiles().exists(f =>
+        f.isDirectory && f.getName.startsWith("__p_grp=")),
+        "appends after OPTIMIZE must still stage the declared layout")
       // SHOW PARTITIONS: metadata-only listing, path and name targets
       assert(spark.sql(s"SHOW PARTITIONS graft.`$t`")
         .collect().map(_.getString(0)).toSet ==

@@ -1360,6 +1360,45 @@ class VersionedSpec extends SparkSpec {
     } finally Versioned.commitStore = prior
   }
 
+  test("RenameCommitStore: simultaneous publishes of one destination are " +
+      "exactly-one-wins and the loser never REPLACES the winner") {
+    // the sequential race test above cannot see the µs window where two
+    // writers both pass the exists() check: POSIX rename(2) silently
+    // replaces an existing dest, so exists-then-rename let both racers
+    // "win" with one manifest vanishing (observed as a rare
+    // concurrent-rename flake, r14). The local claim is now link(2).
+    val dir = tmpDir("versioned-store-race")
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nThreads = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      (1 to 200).foreach { i =>
+        val dest = new org.apache.hadoop.fs.Path(
+          s"$dir/${"%06d".format(i)}.manifest")
+        val barrier = new java.util.concurrent.CyclicBarrier(nThreads)
+        val results = (0 until nThreads).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+            def call(): Option[Int] = {
+              barrier.await()
+              if (Versioned.RenameCommitStore.publish(fsys, dest,
+                  s"writer=$t".getBytes("UTF-8"))) Some(t) else None
+            }
+          })
+        }
+        val winners = results.flatMap(_.get())
+        assert(winners.size == 1,
+          s"round $i: ${winners.size} writers won (${winners.mkString(",")})")
+        val in = fsys.open(dest)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        assert(content == s"writer=${winners.head}",
+          s"round $i: winner ${winners.head} but content '$content' — " +
+            "a losing rename replaced the winner's manifest")
+      }
+    } finally pool.shutdown()
+  }
+
   test("ConditionalPutCommitStore: second publish of the same destination loses") {
     val dir = tmpDir("versioned-condput")
     val dest = new org.apache.hadoop.fs.Path(s"$dir/x.manifest")
