@@ -213,8 +213,18 @@ final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
     def sizeOfRef(r: String): Long = {
       val p = new org.apache.hadoop.fs.Path(s"$root/$r")
       if (r.contains('/')) fs.getFileStatus(p).getLen
-      else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen).sum
+      else {
+        // recursive: a PARTITIONED dir's files live under key=value
+        // subdirs — a flat listing would admit it as zero bytes and
+        // defeat maxBytesPerTrigger
+        val it = fs.listFiles(p, true)
+        var sum = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) sum += st.getLen
+        }
+        sum
+      }
     }
     val added = m.refs.filterNot(prevRefs).map(sizeOfRef).sum
     val dvs = if (o.cdf) m.dvs.filterNot(prevDvs).map(sizeOfRef).sum else 0L
