@@ -468,14 +468,45 @@ object Layout {
     * later range query plans from the manifest alone.
     */
   def writeStatsManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, columns: Seq[String]): Unit = {
-    val stats = harvestStats(spark, path, columns).localCheckpoint(true)
+      path: String, columns: Seq[String],
+      derivedFromParts: Seq[(String, String, String)] = Nil): Unit = {
+    val harvested = harvestStats(spark, path, columns).localCheckpoint(true)
+    // Partition-TRANSFORM columns ([[graft.ops.PartSpec]]) exist only as
+    // hive path segments — no footer carries them — so their stats rows
+    // are SYNTHESIZED from the harvested `parts` map: one typed
+    // min==max row per (file, derived column). A `__HIVE_DEFAULT_
+    // PARTITION__` dir (null source values under a null-preserving
+    // transform) records as all-null (n_nulls == n_rows), which the keep
+    // expressions already treat exactly right (range-unsatisfiable,
+    // IS NULL-keepable); a file with no parts entry (a flat pre-
+    // transform dir) records unknown — conservatively kept.
+    val stats =
+      if (derivedFromParts.isEmpty) harvested
+      else {
+        val perFile = harvested.groupBy(col("file")).agg(
+          first(col("n_rows")).as("n_rows"),
+          first(col("n_bytes")).as("n_bytes"),
+          first(col("parts")).as("parts"))
+        val synth = derivedFromParts.map { case (pkey, cname, typ) =>
+          val pv = element_at(col("parts"), pkey)
+          val known = pv.isNotNull &&
+            pv =!= lit("__HIVE_DEFAULT_PARTITION__")
+          val value = when(known, pv)
+          perFile.select(col("file"), lit(cname).as("column"),
+            lit(typ).as("typ"), value.as("min_v"), value.as("max_v"),
+            col("n_rows"),
+            when(pv === lit("__HIVE_DEFAULT_PARTITION__"), col("n_rows"))
+              .when(pv.isNotNull, lit(0L)).as("n_nulls"),
+            col("n_bytes"), col("parts"))
+        }
+        synth.foldLeft(harvested)(_ unionByName _)
+      }
     // An empty manifest would make skipScanManifest prune EVERYTHING —
     // silently wrong results. The harvest is recursive, so both flat
     // sorted layouts and hive-partitioned (`key=value` subdir) layouts
     // are covered; partitioned files carry their partition values in the
     // manifest's `parts` map ([[skipScanManifestHive]] composes them).
-    require(stats.count() > 0,
+    require(harvested.count() > 0,
       s"no parquet files found under $path — nothing to harvest stats from")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
   }
@@ -667,6 +698,39 @@ object Layout {
     (buf.toSeq, typ)
   }
 
+  /** Per-FILE keep verdicts for a CONJUNCTION of per-column predicates —
+    * [[manifestFileDecisions]] generalized the same way [[graft.ops
+    * .Versioned.readPruned]] composes decisions: one decision relation
+    * per (column, keep-expression) pair, ANDed by equi-join on file.
+    * Bucket-transform MERGE planning needs this (key-range cut × bucket
+    * IN-set cut in one verdict).
+    */
+  private[graft] def manifestFileDecisionsMulti(
+      spark: org.apache.spark.sql.SparkSession, statsPaths: Seq[String],
+      preds: Seq[(String, String => Column)])
+      : (Seq[(String, Boolean)], Seq[String]) = {
+    require(preds.nonEmpty, "manifestFileDecisionsMulti needs predicates")
+    val typs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rels = preds.zipWithIndex.map { case ((column, keepFor), i) =>
+      val (rel, typ) = decisionRelation(spark, statsPaths, column, keepFor)
+      typs += typ
+      rel.select(col("file"), col("keep").as(s"__k$i"))
+    }
+    val joined = rels.reduce(_.join(_, Seq("file")))
+    val verdict = joined.select(col("file"),
+      preds.indices.map(i => col(s"__k$i")).reduce(_ && _).as("keep"))
+    import scala.jdk.CollectionConverters._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val it = verdict.toLocalIterator().asScala
+    for (r <- it) {
+      require(buf.size < MaxDriverKeptFiles,
+        s"manifest decision spans more than $MaxDriverKeptFiles files — " +
+        "refusing to materialize the verdict list on the driver")
+      buf += ((r.getString(0), r.getBoolean(1)))
+    }
+    (buf.toSeq, typs.toSeq)
+  }
+
   /** Hard ceiling on KEPT files materialized driver-side by
     * [[scanFromDecisions]]. Spark's split planning is driver-side (as in
     * Delta: the scan ultimately needs the kept files' statuses in the
@@ -758,6 +822,21 @@ object Layout {
         .getOrElse(lit(true))
       !allNull && (col("min_v").isNull || (loOk && hiOk))
     }
+  }
+
+  /** IN-set keep expression over a manifest row: keep when ANY candidate
+    * value falls inside the file's [min,max] — the disjunction of point
+    * [[boundKeepExpr]]s. The currency of bucket-transform planning
+    * ([[graft.ops.PartSpec]]): a MERGE batch's distinct key buckets or a
+    * pushed `IN (...)` list prunes files per-value instead of by the
+    * (useless, domain-spanning) min/max of the whole set.
+    */
+  private[graft] def inSetKeepExpr(typ: String, values: Seq[String]): Column = {
+    val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("n_rows")
+    if (typ.isEmpty || values.isEmpty) lit(true)
+    else !allNull && (col("min_v").isNull || values.map(v =>
+      col("max_v").cast(typ) >= lit(v).cast(typ) &&
+        col("min_v").cast(typ) <= lit(v).cast(typ)).reduce(_ || _))
   }
 
   /** Null-predicate keep expression over a manifest row: `IS NULL` keeps

@@ -567,7 +567,14 @@ object Versioned {
       numFiles: Int = 0, overwrite: Boolean = false): Long = {
     require(partCols.nonEmpty, "commitPartitioned needs partition columns")
     import org.apache.spark.sql.functions.col
-    val keys = (partCols ++ sortCols).map(col)
+    // declarations may be plain columns OR transform calls —
+    // `bucket(8, k)` / `days(ts)` / `trunc(4, c)` ([[PartSpec]]);
+    // normalize to the comma-free manifest spec form before anything
+    // compares or records them
+    val normCols = partCols.map(PartSpec.normalize)
+    val specs = normCols.map(PartSpec.parse)
+    PartSpec.validate(specs, df.schema)
+    val keys = specs.map(t => t.derive(col(t.srcCol))) ++ sortCols.map(col)
     val arranged =
       if (sortCols.isEmpty) df
       else if (numFiles > 0)
@@ -575,12 +582,12 @@ object Versioned {
       else df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
     val parentV = latestVersion(spark, table)
     parentV.map(pv => readManifest(spark, table, pv)).foreach { m =>
-      require(m.partCols.isEmpty || m.partCols == partCols || overwrite,
+      require(m.partCols.isEmpty || m.partCols == normCols || overwrite,
         s"table is partitioned by ${m.partCols.mkString(",")}; an append " +
-          s"cannot repartition it by ${partCols.mkString(",")} (overwrite can)")
+          s"cannot repartition it by ${normCols.mkString(",")} (overwrite can)")
     }
     commitAt(spark, table, arranged, parentV.getOrElse(0L) + 1, parentV,
-      overwrite, declaredPartCols = Some(partCols))
+      overwrite, declaredPartCols = Some(normCols))
   }
 
   /** Append with a bounded CAS-retry loop — the verb for MAPPED tables
@@ -629,11 +636,15 @@ object Versioned {
       physDf.write.options(writerOptions).mode("errorifexists")
         .parquet(s"${dataRoot(spark, table)}/$dirName")
     else {
-      val dup = partCols.foldLeft(physDf)((d, c) =>
-        d.withColumn(s"__p_$c", col(c)))
+      // partCols entries may be TRANSFORM specs (`bucket:8:k`) — the
+      // path column is the DERIVED value then ([[PartSpec]]); identity
+      // entries keep the exact `__p_<col> = col` duplication as before
+      val specs = partCols.map(PartSpec.parse)
+      val dup = specs.foldLeft(physDf)((d, t) =>
+        d.withColumn(PartSpec.pathCol(t), t.derive(col(t.srcCol))))
       val dir = s"${dataRoot(spark, table)}/$dirName"
       dup.write.options(writerOptions).mode("errorifexists")
-        .partitionBy(partCols.map(c => s"__p_$c"): _*)
+        .partitionBy(specs.map(PartSpec.pathCol): _*)
         .parquet(dir)
       // an EMPTY frame under partitionBy produces no files at all (there
       // is no partition dir to put the schema-bearing empty file in) —
@@ -659,7 +670,8 @@ object Versioned {
       }).map(_.name).toSeq
       if (statCols.nonEmpty)
         Layout.writeStatsManifest(spark,
-          s"${dataRoot(spark, table)}/$dirName", statCols)
+          s"${dataRoot(spark, table)}/$dirName", statCols,
+          derivedFromParts = PartSpec.synthesized(specs))
     }
   }
 
@@ -689,9 +701,10 @@ object Versioned {
     spark.read.parquet(statsPaths: _*)
       .withColumn("__ref", regexp_extract(col("file"), ".*/data/(.+)$", 1))
       .join(broadcast(refDf), Seq("__ref"), "left_semi")
-      .select(concat_ws("/", m.partCols.map(c =>
-        concat(lit(c + "="), coalesce(element_at(col("parts"), s"__p_$c"),
-          lit("__HIVE_DEFAULT_PARTITION__")))): _*).as("partition"))
+      .select(concat_ws("/", m.partCols.map(PartSpec.parse).map(t =>
+        concat(lit(t.name + "="),
+          coalesce(element_at(col("parts"), PartSpec.pathCol(t)),
+            lit("__HIVE_DEFAULT_PARTITION__")))): _*).as("partition"))
       .distinct().orderBy(col("partition"))
   }
 
@@ -754,8 +767,10 @@ object Versioned {
     // re-declare or drop them (it replaces the table's layout truth).
     val partCols: Seq[String] = declaredPartCols.getOrElse(
       if (overwrite) Seq.empty else parent.map(_.partCols).getOrElse(Seq.empty))
-    partCols.foreach(c => require(df.columns.contains(c),
-      s"partition column $c is not in the frame: ${df.columns.mkString(",")}"))
+    partCols.map(PartSpec.parse).foreach(t =>
+      require(df.columns.contains(t.srcCol),
+        s"partition column ${t.srcCol} is not in the frame: " +
+          df.columns.mkString(",")))
     // Unique dir name: racing writers can never collide on the data path,
     // and a crashed writer's orphan can never block a later commit.
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -859,9 +874,10 @@ object Versioned {
     // stage ONCE — the whole point of the verb; a partitioned parent's
     // layout declaration applies to the staged dir too
     val stagePartCols = parent.map(_.partCols).getOrElse(Seq.empty)
-    stagePartCols.foreach(c => require(df.columns.contains(c),
-      s"partition column $c is not in the appended frame: " +
-        df.columns.mkString(",")))
+    stagePartCols.map(PartSpec.parse).foreach(t =>
+      require(df.columns.contains(t.srcCol),
+        s"partition column ${t.srcCol} is not in the appended frame: " +
+          df.columns.mkString(",")))
     val v0 = parentV.getOrElse(0L) + 1
     val dirName = s"v${"%06d".format(v0)}-${java.util.UUID.randomUUID().toString.take(8)}"
     stageDataDir(spark, table, dirName, df, writerOptions, stagePartCols)
@@ -1387,7 +1403,37 @@ object Versioned {
     */
   private def pruneRefs(spark: SparkSession, table: String, m: Manifest,
       column: String, lo: String, hi: String)
+      : (Seq[String], Seq[String], Int) =
+    pruneRefsPreds(spark, table, m,
+      Seq(ScanPredicate.Bounds(column, Some(lo), Some(hi))))
+
+  /** [[pruneRefs]] generalized to a CONJUNCTION of predicates, with the
+    * partition-transform derivation ([[derivedPartPreds]]) applied
+    * inside — so every write-path planner (MERGE, ranged DELETE) prunes
+    * through `days`/`trunc`/`bucket` declarations exactly like the read
+    * path does, without the callers knowing transforms exist.
+    */
+  /** The batch's distinct bucket set as an IN-set predicate, when the
+    * table declares `bucket(n, key)` on the MERGE key — None when the
+    * batch touches every bucket (no cut to be had) or the table has no
+    * bucket transform on this key. One delta-bounded distinct job.
+    */
+  private def bucketSetPred(spark: SparkSession, m: Manifest, key: String,
+      batch: DataFrame): Option[ScanPredicate] = {
+    import org.apache.spark.sql.functions.col
+    m.partCols.map(PartSpec.parse).collectFirst {
+      case b: PartSpec.Bucket if b.srcCol == key => b
+    }.flatMap { b =>
+      val vals = batch.select(b.derive(col(key)).cast("string").as("b"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      if (vals.size >= b.n) None else Some(ScanPredicate.InSet(b.name, vals))
+    }
+  }
+
+  private def pruneRefsPreds(spark: SparkSession, table: String, m: Manifest,
+      preds0: Seq[ScanPredicate])
       : (Seq[String], Seq[String], Int) = {
+    val preds = preds0 ++ derivedPartPreds(spark, m, preds0)
     val byDir = groupRefsByDir(m.refs)
     val dirInfo = byDir.toSeq.map { case (d, files) =>
       val dir = s"${dataRoot(spark, table)}/$d"
@@ -1397,8 +1443,15 @@ object Versioned {
     val decided: Seq[(String, Boolean)] =
       if (statted.isEmpty) Seq.empty
       else {
-        val (all, _) = Layout.manifestFileDecisions(spark,
-          statted.map(_._2 + "/_stats"), column, lo, hi)
+        val (all, _) = Layout.manifestFileDecisionsMulti(spark,
+          statted.map(_._2 + "/_stats"), preds.map {
+            case ScanPredicate.Bounds(c, lo, hi) =>
+              (c, (typ: String) => Layout.boundKeepExpr(typ, lo, hi))
+            case ScanPredicate.NullCheck(c, isNull) =>
+              (c, (_: String) => Layout.nullKeepExpr(isNull))
+            case ScanPredicate.InSet(c, values) =>
+              (c, (typ: String) => Layout.inSetKeepExpr(typ, values))
+          })
         val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
         all.filter { case (abs, _) =>
           val (d, within) = splitRef(relRef(abs))
@@ -1469,8 +1522,14 @@ object Versioned {
         "null keys have no consistent merge semantics — filter or fill them first")
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
     // touched = stats overlap with the batch's key range, plus every
-    // file of a manifest-less dir (conservative: might hold any key)
-    val (touched, untouchedRefs, _) = pruneRefs(spark, table, m, key, lo, hi)
+    // file of a manifest-less dir (conservative: might hold any key).
+    // On a bucket(n, key)-partitioned table the batch's DISTINCT bucket
+    // set composes in — the cut min/max can never make on hash-
+    // distributed keys: a 100-key delta touches ≤100 buckets' files no
+    // matter how the key domain spans.
+    val (touched, untouchedRefs, _) = pruneRefsPreds(spark, table, m,
+      ScanPredicate.Bounds(key, Some(lo), Some(hi)) +:
+        bucketSetPred(spark, m, key, batch).toSeq)
     val touchedDf =
       if (touched.isEmpty) batch.limit(0)
       else applyDvs(spark, table,
@@ -1503,8 +1562,21 @@ object Versioned {
     }
     val v = parentV + 1
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    Layout.writeSorted(merged, Seq(col(key)), numFiles,
-      s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
+    if (m.partCols.isEmpty)
+      Layout.writeSorted(merged, Seq(col(key)), numFiles,
+        s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
+    else {
+      // a partitioned table's merge rewrite KEEPS the declared layout —
+      // derived + hive-staged exactly like any append (stats manifest
+      // included), range-arranged so each partition's files still cover
+      // disjoint key slices
+      val specs = m.partCols.map(PartSpec.parse)
+      val keys = specs.map(t => t.derive(col(t.srcCol))) :+ col(key)
+      val arranged = merged
+        .repartitionByRange(math.max(1, numFiles), keys: _*)
+        .sortWithinPartitions(keys: _*)
+      stageDataDir(spark, table, dirName, arranged, Map.empty, m.partCols)
+    }
     validateConstraints(spark, table, dirName, m.constraints)
     if (!writeManifest(spark, table, v, "merge", untouchedRefs :+ dirName,
         Some(batch.schema.json), m.dvs, m.constraints,
@@ -1722,7 +1794,13 @@ object Versioned {
     matched.select(col("__file").as("file"), col("__pos").as("pos"))
       .repartition(1).write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dvDir")
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    newImages.write.mode("errorifexists").parquet(s"${dataRoot(spark, table)}/$dirName")
+    // a partitioned table's update delta keeps the declared layout (the
+    // mergeApply/mergePruned rewrite discipline) so pruning keeps biting
+    // on updated rows
+    if (m.partCols.isEmpty)
+      newImages.write.mode("errorifexists")
+        .parquet(s"${dataRoot(spark, table)}/$dirName")
+    else stageDataDir(spark, table, dirName, newImages, Map.empty, m.partCols)
     def cleanup(): Unit = {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
@@ -1873,7 +1951,9 @@ object Versioned {
     val v = parentV + 1
     // files provably outside the batch's key span hold no matched row
     // AND no key a not-matched check needs — only the kept files scan
-    val (touched, _, nTotal) = pruneRefs(spark, table, m, key, lo, hi)
+    val (touched, _, nTotal) = pruneRefsPreds(spark, table, m,
+      ScanPredicate.Bounds(key, Some(lo), Some(hi)) +:
+        bucketSetPred(spark, m, key, batch).toSeq)
     val src = broadcast(batch).alias("src")
     // pad the target slice with evolution-added columns as typed nulls
     // (old files do not carry them; mergeSchema cannot conjure them)
@@ -2008,8 +2088,19 @@ object Versioned {
     dvRows.unionByName(nmbsDv).repartition(1).write.mode("errorifexists")
       .parquet(s"${dataRoot(spark, table)}/$dvDir")
     val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-    Layout.writeSorted(newRows, Seq(col(key)), numFiles,
-      s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
+    if (m.partCols.isEmpty)
+      Layout.writeSorted(newRows, Seq(col(key)), numFiles,
+        s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
+    else {
+      // the MoR delta dir keeps the declared layout (hive-staged, stats-
+      // carrying) so partition/transform pruning keeps biting on rows a
+      // MERGE touched — exactly the mergePruned rewrite discipline
+      val specs = m.partCols.map(PartSpec.parse)
+      val keys = specs.map(t => t.derive(col(t.srcCol))) :+ col(key)
+      stageDataDir(spark, table, dirName,
+        newRows.repartitionByRange(math.max(1, numFiles), keys: _*)
+          .sortWithinPartitions(keys: _*), Map.empty, m.partCols)
+    }
     def cleanup(): Unit = {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
@@ -2180,13 +2271,27 @@ object Versioned {
     val (decided, typ) =
       if (statted.isEmpty) (Seq.empty[(String, Boolean)], "")
       else {
-        val (all, t) = Layout.manifestFileDecisions(spark,
-          statted.map(_._2 + "/_stats"), column, value, value)
+        // the equality cut composes with every declared partition
+        // transform ([[derivedPartPreds]]): on a bucket(n, column) table
+        // the bucket decision prunes to ~1/n of the files BEFORE the
+        // blooms open — min/max alone keeps ~everything for a mid-domain
+        // probe on a hash-distributed key
+        val basePred = ScanPredicate.Bounds(column, Some(value), Some(value))
+        val allPreds = basePred +: derivedPartPreds(spark, m, Seq(basePred))
+        val (all, typs) = Layout.manifestFileDecisionsMulti(spark,
+          statted.map(_._2 + "/_stats"), allPreds.map {
+            case ScanPredicate.Bounds(c, plo, phi) =>
+              (c, (t: String) => Layout.boundKeepExpr(t, plo, phi))
+            case ScanPredicate.NullCheck(c, isNull) =>
+              (c, (_: String) => Layout.nullKeepExpr(isNull))
+            case ScanPredicate.InSet(c, values) =>
+              (c, (t: String) => Layout.inSetKeepExpr(t, values))
+          })
         val restrict = statted.map { case (d, _, files, _) => d -> files }.toMap
         (all.filter { case (abs, _) =>
           val (d, within) = splitRef(relRef(abs))
           restrict.get(d).forall(_.forall(_.contains(within)))
-        }, t)
+        }, typs.head)
       }
     val rangeKept = decided.filter(_._2).map(_._1)
     val bloomKept = Layout.bloomKeepFiles(spark, rangeKept, column, value, typ)
@@ -2244,6 +2349,73 @@ object Versioned {
     /** `column IS [NOT] NULL`, answered from the manifests' null counts. */
     final case class NullCheck(column: String, isNull: Boolean)
         extends ScanPredicate
+    /** `column IN (values)` — keep a file when ANY value fits its
+      * [min,max]. The bucket-transform planning currency: a point set's
+      * per-value decision prunes where the set's min/max span would not.
+      */
+    final case class InSet(column: String, values: Seq[String])
+        extends ScanPredicate
+  }
+
+  /** Rewrite source-column predicates into DERIVED-column predicates for
+    * every partition TRANSFORM the manifest declares ([[PartSpec]] — the
+    * Iceberg hidden-partitioning planning step). Each derived predicate
+    * is ADDED to the conjunction (never replaces the original: a kept
+    * file still row-filters), and every underivable case simply derives
+    * nothing — planning degrades to the source predicate alone, never to
+    * an unsound cut. Bucket derives equality/IN only (hash destroys
+    * order) with the literal cast to the source column's exact type;
+    * monotone transforms (days/trunc) map range bounds side-by-side and
+    * carry null-checks (they preserve null).
+    */
+  private def derivedPartPreds(spark: SparkSession, m: Manifest,
+      preds: Seq[ScanPredicate]): Seq[ScanPredicate] = {
+    val specs = m.partCols.map(PartSpec.parse).filterNot(_.isIdentity)
+    if (specs.isEmpty) return Seq.empty
+    val schema = m.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(return Seq.empty)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    specs.flatMap { t =>
+      if (!schema.fieldNames.contains(t.srcCol)) Seq.empty
+      // belt-and-braces: a spec whose source type fails the declaration
+      // guard (legacy/hand-edited manifest) derives NOTHING — the type
+      // contracts above each guard are what make derivation sound
+      else if (scala.util.Try(PartSpec.validate(Seq(t), schema)).isFailure)
+        Seq.empty
+      else {
+        val srcType = schema(t.srcCol).dataType
+        def point(v: String): Option[String] = t.mapPoint(v, srcType, zone)
+        preds.flatMap {
+          case ScanPredicate.Bounds(c, lo, hi) if c == t.srcCol =>
+            if (t.monotone) {
+              val dLo = lo.flatMap(point)
+              val dHi = hi.flatMap(point)
+              // a bound that fails to map leaves that side unconstrained
+              if (dLo.isEmpty && dHi.isEmpty) None
+              else Some(ScanPredicate.Bounds(t.name,
+                if (lo.isDefined && dLo.isEmpty) None else dLo,
+                if (hi.isDefined && dHi.isEmpty) None else dHi))
+            } else (lo, hi) match {
+              // bucket: equality only
+              case (Some(l), Some(h)) if l == h =>
+                point(l).map(b => ScanPredicate.Bounds(t.name, Some(b), Some(b)))
+              case _ => None
+            }
+          case ScanPredicate.InSet(c, vs) if c == t.srcCol && vs.nonEmpty =>
+            val mapped = vs.map(point)
+            // one unmappable value poisons the whole set (its rows could
+            // be anywhere) — derive nothing then
+            if (mapped.exists(_.isEmpty)) None
+            else Some(ScanPredicate.InSet(t.name, mapped.flatten.distinct))
+          case ScanPredicate.NullCheck(c, isNull)
+              if c == t.srcCol && t.preservesNull =>
+            Some(ScanPredicate.NullCheck(t.name, isNull))
+          case _ => None
+        }
+      }
+    }
   }
 
   /** Snapshot read pruned by a CONJUNCTION of per-column predicates —
@@ -2258,14 +2430,19 @@ object Versioned {
     * hold no matching row, and the caller owns the row predicate.
     */
   def readPruned(spark: SparkSession, table: String, version: Option[Long],
-      preds: Seq[ScanPredicate]): (DataFrame, Int, Int) = {
+      preds0: Seq[ScanPredicate]): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.col
-    require(preds.nonEmpty,
+    require(preds0.nonEmpty,
       "readPruned needs at least one predicate — use read() for a full scan")
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
     requireNoFeatures(m, table, "readPruned")
+    // hidden-partitioning: source-column predicates gain derived-column
+    // companions for every declared transform (bucket/days/trunc) — the
+    // caller (and the Catalyst relation's pushed filters) keep speaking
+    // raw columns, the plan prunes on partitions they never see
+    val preds = preds0 ++ derivedPartPreds(spark, m, preds0)
     val byDir = groupRefsByDir(m.refs)
     val (statted, unstatted) = byDir.toSeq.map { case (d, files) =>
       val dir = s"${dataRoot(spark, table)}/$d"
@@ -2299,6 +2476,8 @@ object Versioned {
               typ => Layout.boundKeepExpr(typ, lo, hi)
             case ScanPredicate.NullCheck(_, isNull) =>
               _ => Layout.nullKeepExpr(isNull)
+            case ScanPredicate.InSet(_, values) =>
+              typ => Layout.inSetKeepExpr(typ, values)
           }
           val (rel, _) = Layout.decisionRelation(spark, statsPaths,
             pr.column, keepFor)

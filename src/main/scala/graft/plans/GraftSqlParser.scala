@@ -224,14 +224,18 @@ object GraftSqlParser {
 
   private val CreatePartitionedHeadRe =
     """(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+([\w.`]+)\s*""".r
-  private val CreatePartitionedTailRe =
-    ("""(?is)^\s*USING\s+`?graft-table`?\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*""" +
-     """(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.+?))?\s*;?\s*$""").r
+  private val CreatePartitionedUsingRe =
+    """(?is)^\s*USING\s+`?graft-table`?\s+PARTITIONED\s+BY\s*""".r
+  private val CreatePartitionedEndRe =
+    """(?is)^\s*(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.+?))?\s*;?\s*$""".r
 
   /** Structural matcher for `CREATE TABLE ... USING graft-table
     * PARTITIONED BY (...)`: (name, columnList, partCols, location,
-    * asQuery). Same paren-balanced column list as [[ReplaceTableStmt]];
-    * the partition list is names-only so a flat group suffices.
+    * asQuery). Both the column list and the PARTITION list are
+    * extracted by PAREN BALANCE and split on TOP-LEVEL commas — the
+    * partition list may hold transform calls (`bucket(8, k)`,
+    * `days(ts)`, `trunc(4, c)` — [[graft.ops.PartSpec]]) whose own
+    * parens and commas a flat regex group would sever.
     */
   private object CreatePartitionedStmt {
     def unapply(sqlText: String)
@@ -245,15 +249,38 @@ object GraftSqlParser {
             case None => (None, afterName)
           }
           else (None, afterName)
-        rest match {
-          case CreatePartitionedTailRe(pcols, loc, asQuery) =>
-            Some((m.group(1), cols,
-              pcols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
-                .filter(_.nonEmpty).toSeq,
-              Option(loc), Option(asQuery)))
-          case _ => None
+        CreatePartitionedUsingRe.findFirstMatchIn(rest).flatMap { u =>
+          val afterBy = rest.substring(u.end).dropWhile(_.isWhitespace)
+          if (!afterBy.startsWith("(")) None
+          else balancedParen(afterBy).flatMap { case (plist, end) =>
+            end match {
+              case CreatePartitionedEndRe(loc, asQuery) =>
+                Some((m.group(1), cols,
+                  splitTopLevel(plist)
+                    .map(_.stripPrefix("`").stripSuffix("`")),
+                  Option(loc), Option(asQuery)))
+              case _ => None
+            }
+          }
         }
       }
+  }
+
+  /** Split on commas OUTSIDE any paren nesting (`bucket(8, k), days(t)`
+    * → two entries).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur.append(c)
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** Structural matcher for `CREATE OR REPLACE TABLE ... USING
@@ -582,9 +609,10 @@ final case class GraftCreatePartitionedTableCommand(name: String,
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared.get)
     }
-    partCols.foreach(c => require(df.columns.contains(c),
-      s"PARTITIONED BY column $c is not in the table schema " +
-        s"(${df.columns.mkString(",")})"))
+    partCols.map(c => graft.ops.PartSpec.parse(graft.ops.PartSpec.normalize(c)))
+      .foreach(t => require(df.columns.contains(t.srcCol),
+        s"PARTITIONED BY column ${t.srcCol} is not in the table schema " +
+          s"(${df.columns.mkString(",")})"))
     val v = Versioned.commitPartitioned(spark, path, df, partCols)
     val storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat(
       locationUri = Some(new org.apache.hadoop.fs.Path(path).toUri),

@@ -1785,6 +1785,101 @@ object OpsQueries extends graft.QueryModule {
       out
     }),
 
+    // PARTITION TRANSFORMS I — bucket(n, key) hidden partitioning (the
+    // Iceberg bucket transform, graft.ops.PartSpec): the table declares
+    // `bucket(64, k)`, every write derives the bucket, and point/MERGE
+    // planning prunes to the probe's bucket set — the cut min/max stats
+    // can NEVER make on hash-distributed keys (every file's [min,max]
+    // spans the domain). REQUIRED in-query: the MERGE keeps untouched
+    // buckets' files as-is, and the equality lookup's cut keeps fewer
+    // files than referenced. The batch is SF-independent (25 smallest
+    // keys + 10 inserts past the domain: ≤35 of 64 buckets), so the cut
+    // bites at every scale. The oracle rebuilds the merge algebra in
+    // plain SQL — bucketing must be invisible in the answer.
+    "q_versioned_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_vbucket_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      s.sql("DROP TABLE IF EXISTS graft_qvb")
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_custkey".as("ck"),
+          $"o_totalprice".as("pr"))
+      s.sql(s"""CREATE TABLE graft_qvb (k BIGINT, ck BIGINT, pr DOUBLE)
+        USING `graft-table` PARTITIONED BY (bucket(64, k)) LOCATION '$t'""")
+      graft.ops.Versioned.commitPartitioned(s, t, base,
+        Seq("bucket(64, k)"), Seq("k"), numFiles = 64)
+      val mk = base.agg(max($"k")).head().getLong(0)
+      val updates = base.orderBy($"k").limit(25)
+        .select($"k", $"ck", ($"pr" * 2).as("pr"))
+      val inserts = s.range(1, 11)
+        .select(($"id" + mk).as("k"), $"id".as("ck"),
+          ($"id".cast("double") + 1000.0).as("pr"))
+      val (_, rewrote, keptAsIs) = graft.ops.Versioned.mergePruned(
+        s, t, updates.unionByName(inserts), "k", Seq("k", "pr"))
+      require(keptAsIs > 0,
+        s"bucket cut must keep untouched buckets as-is: " +
+          s"rewrote $rewrote, kept $keptAsIs")
+      // point lookup: equality cut through the bucket keeps fewer files
+      // than referenced, and reads the MERGED value
+      val k0 = base.agg(min($"k")).head().getLong(0)
+      val pr0 = base.filter($"k" === k0).head().getDouble(2)
+      val (hit, _, rangeKept, totalRef) =
+        graft.ops.Versioned.lookupEq(s, t, "k", k0.toString)
+      require(rangeKept < totalRef,
+        s"bucket equality cut must prune: $rangeKept of $totalRef")
+      val hitPr = hit.select($"pr").head().getDouble(0)
+      require(math.abs(hitPr - pr0 * 2) < 1e-6,
+        s"lookup must read the merged row: $hitPr vs ${pr0 * 2}")
+      val out = graft.ops.Versioned.read(s, t, None)
+        .filter($"k" % 17 === 3)
+        .agg(count(lit(1)).as("n"),
+          sum($"pr".cast("decimal(30,2)")).cast("double").as("sum_pr"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+      out.collect()
+      s.sql("DROP TABLE IF EXISTS graft_qvb")
+      out
+    }),
+
+    // PARTITION TRANSFORMS II — days(ts) hidden partitioning (Iceberg's
+    // flagship example): no date column exists ANYWHERE in the schema,
+    // yet a raw-timestamp range query prunes to the overlapping day
+    // partitions because planning rewrites the ts predicate into a
+    // derived ts_day cut (monotone transform, bounds map side-by-side).
+    // REQUIRED in-query: the day cut keeps fewer files than referenced
+    // and SHOW PARTITIONS lists the derived day partitions from
+    // metadata alone. Oracle: the same range filter straight off
+    // `events`.
+    "q_versioned_days" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_vdays_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      s.sql("DROP TABLE IF EXISTS graft_qvd")
+      Tables(s, dir, "events").select($"event_id", $"ts", $"value")
+        .createOrReplaceTempView("qvd_seed")
+      s.sql(s"""CREATE TABLE graft_qvd
+        USING `graft-table` PARTITIONED BY (days(ts)) LOCATION '$t'
+        AS SELECT event_id, ts, value FROM qvd_seed""")
+      s.catalog.dropTempView("qvd_seed")
+      import graft.ops.Versioned.ScanPredicate.Bounds
+      val (frame, kept, total) = graft.ops.Versioned.readPruned(s, t, None,
+        Seq(Bounds("ts", Some("2024-01-10 00:00:00"),
+          Some("2024-01-12 23:59:59.999999"))))
+      require(kept < total, s"day cut must prune: kept $kept of $total")
+      val nParts = s.sql("SHOW PARTITIONS graft_qvd").count()
+      require(nParts >= 20,
+        s"a month of events must land in day partitions: $nParts")
+      val out = frame
+        .filter($"ts" >= "2024-01-10 00:00:00" && $"ts" < "2024-01-13 00:00:00")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_v"),
+          min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      out.collect()
+      s.sql("DROP TABLE IF EXISTS graft_qvd")
+      out
+    }),
+
     // SHOW PARTITIONS — the metadata-only partition listing every
     // Delta/Iceberg user types right after PARTITIONED BY: answered
     // from the per-dir stats manifests' recorded partition values
@@ -3416,6 +3511,29 @@ object OpsQueries extends graft.QueryModule {
     "q_sql_show_partitions" ->
       """SELECT DISTINCT 'status=' || o_orderstatus AS partition
         |FROM orders ORDER BY partition""".stripMargin,
+    "q_versioned_bucketed" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |upd AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 25),
+        |t AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upd)
+        |         THEN o_totalprice * 2 ELSE o_totalprice END AS pr
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT (SELECT mk FROM mx) + range AS k, 1000.0 + range AS pr
+        |  FROM range(1, 11)
+        |)
+        |SELECT COUNT(1) AS n,
+        |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM t WHERE k % 17 = 3""".stripMargin,
+    "q_versioned_days" ->
+      """SELECT COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_v,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
     "q_versioned_partitioned" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
         |SELECT COUNT(1) AS n,

@@ -293,10 +293,19 @@ object VersionedRelation {
       case In(a, vs) if top(a) && vs.nonEmpty && vs.forall(_ != null) &&
           vs.map(_.getClass).distinct.length == 1 &&
           vs.head.isInstanceOf[Comparable[_]] =>
-        val sorted = vs.sortWith((x, y) =>
-          x.asInstanceOf[Comparable[Any]].compareTo(y) < 0)
-        for (lo <- strVal(sorted.head); hi <- strVal(sorted.last))
-          yield ScanPredicate.Bounds(a, Some(lo), Some(hi))
+        // a small list keeps its per-VALUE decision (tighter than the
+        // span, and the form bucket-transform derivation needs); a big
+        // one degrades to the [min,max] span so the keep expression
+        // stays cheap
+        val strs = vs.toSeq.map(strVal)
+        if (strs.forall(_.isDefined) && strs.length <= 64)
+          Some(ScanPredicate.InSet(a, strs.flatten.distinct))
+        else {
+          val sorted = vs.sortWith((x, y) =>
+            x.asInstanceOf[Comparable[Any]].compareTo(y) < 0)
+          for (lo <- strVal(sorted.head); hi <- strVal(sorted.last))
+            yield ScanPredicate.Bounds(a, Some(lo), Some(hi))
+        }
       case IsNull(a) if top(a) =>
         Some(ScanPredicate.NullCheck(a, isNull = true))
       case IsNotNull(a) if top(a) =>

@@ -1,0 +1,312 @@
+package graft
+
+import graft.ops.{PartSpec, Versioned}
+import graft.ops.Versioned.ScanPredicate
+import org.apache.spark.sql.functions._
+
+/** Partition-transform laws (hidden partitioning — [[graft.ops.PartSpec]]):
+  * staging derives path values that agree with driver-side literal
+  * mapping, predicate derivation prunes without changing results, nulls
+  * land where each transform's null contract says, transforms stick to
+  * every later append/merge/OPTIMIZE, and the SQL surface round-trips.
+  */
+class PartTransformSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def listParquet(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_stats"))
+      .map(_.toString).toSeq
+  }
+
+  test("spec strings normalize, parse, and round-trip") {
+    assert(PartSpec.normalize("bucket(8, k)") == "bucket:8:k")
+    assert(PartSpec.normalize("BUCKET( 16 , `key` )") == "bucket:16:key")
+    assert(PartSpec.normalize("days(ts)") == "days::ts")
+    assert(PartSpec.normalize("trunc(4, lang)") == "trunc:4:lang")
+    assert(PartSpec.normalize("plain_col") == "plain_col")
+    assert(PartSpec.parse("bucket:8:k") == PartSpec.Bucket(8, "k"))
+    assert(PartSpec.parse("days::ts") == PartSpec.Days("ts"))
+    assert(PartSpec.parse("trunc:4:lang") == PartSpec.Trunc(4, "lang"))
+    assert(PartSpec.parse("k").isIdentity)
+  }
+
+  test("bucket staging: path values equal the driver-side literal mapping") {
+    val t = tmpDir("ptb") + "/t"
+    val df = (1L to 200L).map(i => (i, s"s$i")).toDF("k", "s")
+    Versioned.commitPartitioned(spark, t, df, Seq("bucket(8, k)"))
+    // every staged dir segment __p_k_bucket=<b> must agree with
+    // PartSpec.Bucket.mapPoint of the keys inside it
+    val spec = PartSpec.Bucket(8, "k")
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val staged = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$t/data").withColumn("f", input_file_name())
+      .select(col("k"), col("f")).collect()
+    assert(staged.length == 200)
+    staged.foreach { r =>
+      val k = r.getLong(0)
+      val b = "__p_k_bucket=(\\d+)".r.findFirstMatchIn(r.getString(1))
+        .map(_.group(1)).get
+      assert(spec.mapPoint(k.toString,
+        org.apache.spark.sql.types.LongType, zone).contains(b),
+        s"key $k staged under bucket $b")
+    }
+  }
+
+  test("bucket point lookup prunes to one bucket, exact rows") {
+    val t = tmpDir("ptb2") + "/t"
+    val df = (1L to 400L).map(i => (i, i % 7)).toDF("k", "v")
+    Versioned.commitPartitioned(spark, t, df, Seq("bucket:8:k"))
+    val (frame, kept, total) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("k", Some("123"), Some("123"))))
+    assert(total > kept, s"bucket cut must prune: kept $kept of $total")
+    val got = frame.filter(col("k") === 123L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(123L))
+    // IN-set derives through the bucket too
+    val (f2, kept2, total2) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.InSet("k", Seq("5", "123"))))
+    assert(total2 > kept2)
+    assert(f2.filter(col("k").isin(5L, 123L)).count() == 2)
+    // a RANGE on the source column derives nothing through a bucket —
+    // every file scans, every row arrives
+    val (f3, kept3, total3) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("k", Some("1"), Some("400"))))
+    assert(kept3 == total3)
+    assert(f3.count() == 400)
+  }
+
+  test("days hidden partitioning: raw-timestamp range prunes by day; nulls") {
+    val t = tmpDir("ptd") + "/t"
+    val rows = (0 until 96).map { h =>
+      (java.sql.Timestamp.valueOf(f"2024-03-${1 + h / 24}%02d ${h % 24}%02d:30:00"),
+        h.toLong)
+    } :+ ((null: java.sql.Timestamp), -1L)
+    val df = rows.toDF("ts", "v")
+    Versioned.commitPartitioned(spark, t, df, Seq("days(ts)"))
+    // 4 day dirs + the null dir
+    val parts = Versioned.partitionValues(spark, t).collect().map(_.getString(0))
+    assert(parts.toSet == Set(
+      "ts_day=2024-03-01", "ts_day=2024-03-02", "ts_day=2024-03-03",
+      "ts_day=2024-03-04", "ts_day=__HIVE_DEFAULT_PARTITION__"))
+    // a range inside one day keeps strictly fewer files than referenced
+    val (frame, kept, total) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("ts",
+        Some("2024-03-02 00:00:00"), Some("2024-03-02 23:59:59"))))
+    assert(kept < total, s"day cut must prune: kept $kept of $total")
+    val vs = frame.filter(col("ts").between("2024-03-02 00:00:00",
+      "2024-03-02 23:59:59")).select("v").as[Long].collect().toSet
+    assert(vs == (24L until 48L).toSet)
+    // IS NULL keeps the default partition; IS NOT NULL drops it
+    val (fn, keptN, totalN) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.NullCheck("ts", isNull = true)))
+    assert(keptN < totalN)
+    assert(fn.filter(col("ts").isNull).select("v").as[Long].collect().toSeq
+      == Seq(-1L))
+    val (fnn, _, _) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.NullCheck("ts", isNull = false)))
+    assert(fnn.filter(col("ts").isNotNull).count() == 96)
+  }
+
+  test("trunc prefix partitioning: monotone range derivation") {
+    val t = tmpDir("ptt") + "/t"
+    val df = Seq("alpha", "amber", "bravo", "breeze", "cedar", "crisp")
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("w", "v")
+    Versioned.commitPartitioned(spark, t, df, Seq("trunc(1, w)"))
+    val (frame, kept, total) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("w", Some("b"), Some("bz"))))
+    assert(kept < total)
+    assert(frame.filter(col("w") >= "b" && col("w") <= "bz")
+      .select("w").as[String].collect().toSet == Set("bravo", "breeze"))
+  }
+
+  test("transforms are sticky: plain append and OPTIMIZE keep deriving") {
+    val t = tmpDir("pts") + "/t"
+    Versioned.commitPartitioned(spark, t,
+      (1L to 50L).map(i => (i, "a")).toDF("k", "s"), Seq("bucket(4, k)"))
+    // a PLAIN commit (no declaration) must stage hive dirs derived the
+    // same way
+    Versioned.commit(spark, t, (51L to 80L).map(i => (i, "b")).toDF("k", "s"))
+    val afterAppend = listParquet(s"$t/data")
+    assert(afterAppend.forall(_.contains("__p_k_bucket=")),
+      "append lost the transform staging")
+    // OPTIMIZE rewrites everything — layout must survive
+    Versioned.compact(spark, t)
+    val m = Versioned.latestVersion(spark, t).map(v =>
+      Versioned.read(spark, t, Some(v))).get
+    assert(m.count() == 80)
+    val afterCompact = listParquet(s"$t/data")
+    assert(afterCompact.forall(_.contains("__p_k_bucket=")),
+      "OPTIMIZE lost the transform staging")
+    // and pruning still bites post-compact
+    val (_, kept, total) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("k", Some("42"), Some("42"))))
+    assert(kept < total)
+  }
+
+  test("mergePruned on a bucketed table: bucket cut + layout preserved") {
+    val t = tmpDir("ptm") + "/t"
+    val base = (1L to 300L).map(i => (i, 1L)).toDF("k", "v")
+    Versioned.commitPartitioned(spark, t, base, Seq("bucket:8:k"))
+    val batch = Seq((7L, 99L), (123L, 99L), (301L, 99L)).toDF("k", "v")
+    val (v, rewrote, keptAsIs) =
+      Versioned.mergePruned(spark, t, batch, "k", Seq("k", "v"))
+    assert(rewrote > 0 && keptAsIs > 0,
+      s"bucket cut must keep files as-is: rewrote $rewrote kept $keptAsIs")
+    val after = Versioned.read(spark, t, Some(v))
+    assert(after.count() == 301)
+    assert(after.filter(col("v") === 99L).select("k").as[Long]
+      .collect().toSet == Set(7L, 123L, 301L))
+    // the merge rewrite dir keeps the hive layout
+    assert(listParquet(s"$t/data").forall(_.contains("__p_k_bucket=")))
+    // and a follow-up point lookup still prunes
+    val (_, kept, total) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("k", Some("301"), Some("301"))))
+    assert(kept < total)
+  }
+
+  test("lookupEq composes the bucket cut with blooms") {
+    val t = tmpDir("ptl") + "/t"
+    // commitPartitioned + bucket; values hash-scattered so min/max alone
+    // keeps everything
+    val df = (1L to 500L).map(i => (i * 7919L % 10007L, i)).toDF("k", "v")
+    Versioned.commitPartitioned(spark, t, df, Seq("bucket:8:k"))
+    val probe = (250L * 7919L % 10007L).toString
+    val (frame, read, rangeKept, total) =
+      Versioned.lookupEq(spark, t, "k", probe)
+    assert(rangeKept < total,
+      s"bucket cut must prune the equality lookup: $rangeKept of $total")
+    assert(frame.select("v").as[Long].collect().toSeq == Seq(250L))
+  }
+
+  test("SQL surface: CREATE PARTITIONED BY (bucket(...)) + pushed filters prune") {
+    val dir = tmpDir("ptsql")
+    val loc = s"$dir/t"
+    spark.sql(s"DROP TABLE IF EXISTS pt_sql_bucketed")
+    spark.sql(
+      s"""CREATE TABLE pt_sql_bucketed
+         |USING graft-table PARTITIONED BY (bucket(8, k), days(ts))
+         |LOCATION '$loc'
+         |AS SELECT id AS k,
+         |  TIMESTAMP '2024-05-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts,
+         |  id * 2 AS v
+         |FROM range(96)""".stripMargin).collect()
+    // SHOW PARTITIONS lists derived names
+    val parts = spark.sql("SHOW PARTITIONS pt_sql_bucketed")
+      .collect().map(_.getString(0))
+    assert(parts.nonEmpty && parts.forall(p =>
+      p.contains("k_bucket=") && p.contains("ts_day=")))
+    assert(parts.exists(_.contains("ts_day=2024-05-02")))
+    // a pushed equality on the RAW key prunes through the bucket: rows
+    // still exact
+    val got = spark.sql("SELECT v FROM pt_sql_bucketed WHERE k = 37")
+      .as[Long].collect()
+    assert(got.toSeq == Seq(74L))
+    // raw-timestamp range still answers exactly
+    val cnt = spark.sql(
+      """SELECT count(*) FROM pt_sql_bucketed
+        |WHERE ts >= TIMESTAMP '2024-05-02 00:00:00'
+        |  AND ts < TIMESTAMP '2024-05-03 00:00:00'""".stripMargin)
+      .as[Long].head()
+    assert(cnt == 24L)
+    // INSERT INTO keeps deriving (sticky through the SQL write path)
+    spark.sql("INSERT INTO pt_sql_bucketed SELECT 1000 AS k, " +
+      "TIMESTAMP '2024-06-01 12:00:00' AS ts, 1 AS v").collect()
+    assert(listParquet(s"$loc/data").forall(_.contains("__p_k_bucket=")))
+    assert(spark.sql("SELECT count(*) FROM pt_sql_bucketed").as[Long].head()
+      == 97L)
+    spark.sql("DROP TABLE pt_sql_bucketed")
+  }
+
+  test("years/months/hours transforms prune at their granularity") {
+    import java.sql.Timestamp
+    def check(t: String, decl: String, lo: String, hi: String): Unit = {
+      val (frame, kept, total) = Versioned.readPruned(spark, t, None,
+        Seq(ScanPredicate.Bounds("ts", Some(lo), Some(hi))))
+      assert(kept < total, s"$decl must prune: kept $kept of $total")
+      val expect = Versioned.read(spark, t, None)
+        .filter(col("ts").between(lo, hi)).count()
+      assert(frame.filter(col("ts").between(lo, hi)).count() == expect)
+      assert(expect > 0)
+    }
+    val tm = tmpDir("ptmon") + "/t"
+    val mrows = (0 until 60).map(i => (i.toLong,
+      Timestamp.valueOf(f"2024-${1 + i % 6}%02d-${1 + i % 28}%02d 08:00:00")))
+    Versioned.commitPartitioned(spark, tm, mrows.toDF("id", "ts"),
+      Seq("months(ts)"))
+    check(tm, "months", "2024-03-01 00:00:00", "2024-03-31 23:59:59")
+    assert(Versioned.partitionValues(spark, tm).collect()
+      .map(_.getString(0)).forall(_.startsWith("ts_month=")))
+    val ty = tmpDir("ptyr") + "/t"
+    val yrows = (0 until 40).map(i => (i.toLong,
+      Timestamp.valueOf(f"${2021 + i % 4}%d-06-15 12:00:00")))
+    Versioned.commitPartitioned(spark, ty, yrows.toDF("id", "ts"),
+      Seq("years(ts)"))
+    check(ty, "years", "2022-01-01 00:00:00", "2022-12-31 23:59:59")
+    val th = tmpDir("pthr") + "/t"
+    val hrows = (0 until 48).map(i => (i.toLong,
+      Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00")))
+    Versioned.commitPartitioned(spark, th, hrows.toDF("id", "ts"),
+      Seq("hours(ts)"))
+    check(th, "hours", "2024-01-01 05:00:00", "2024-01-01 06:59:59")
+    // colons in the hour path value round-trip through the hive escape
+    assert(Versioned.partitionValues(spark, th).collect()
+      .map(_.getString(0)).exists(_ == "ts_hour=2024-01-01 05:00:00"))
+  }
+
+  test("mergeApply (MoR) on a days table keeps the layout") {
+    val t = tmpDir("ptma") + "/t"
+    val rows = (0 until 48).map(h => (h.toLong,
+      java.sql.Timestamp.valueOf(f"2024-03-${1 + h / 24}%02d ${h % 24}%02d:00:00"),
+      1L))
+    Versioned.commitPartitioned(spark, t, rows.toDF("id", "ts", "v"),
+      Seq("days(ts)"))
+    val batch = Seq(
+      (5L, java.sql.Timestamp.valueOf("2024-03-01 05:00:00"), 99L),
+      (100L, java.sql.Timestamp.valueOf("2024-03-05 01:00:00"), 7L))
+      .toDF("id", "ts", "v")
+    Versioned.mergeApply(spark, t, batch, "id",
+      whenMatchedUpdate = Some(Map("v" -> lit(99L))))
+    val after = Versioned.read(spark, t, None)
+    assert(after.count() == 49)
+    assert(after.filter(col("id") === 5L).select("v").as[Long].head() == 99L)
+    assert(after.filter(col("id") === 100L).select("v").as[Long].head() == 7L)
+    // dv dirs are coordinate lists, not data — they stay flat by design
+    assert(listParquet(s"$t/data").filterNot(_.contains("/dv"))
+      .forall(_.contains("__p_ts_day=")),
+      "MoR merge delta dir lost the transform staging")
+    // the new day partition the insert opened still prunes
+    val (_, kept, total) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("ts",
+        Some("2024-03-05 00:00:00"), Some("2024-03-05 23:59:59"))))
+    assert(kept < total)
+  }
+
+  test("type guards: days needs date/timestamp, trunc needs string") {
+    val t = tmpDir("ptguard") + "/t"
+    val df = Seq((1L, "alpha")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Versioned.commitPartitioned(spark, t, df, Seq("days(name)"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commitPartitioned(spark, t, df, Seq("trunc(2, id)"))
+    }
+  }
+
+  test("declaration guards: float bucket, name collisions, bad source") {
+    val t = tmpDir("ptg") + "/t"
+    val df = Seq((1.5, 1L, 2L)).toDF("f", "k", "k_bucket")
+    intercept[IllegalArgumentException] {
+      Versioned.commitPartitioned(spark, t, df, Seq("bucket(4, f)"))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commitPartitioned(spark, t, df, Seq("bucket(4, k)"))
+    } // derived name k_bucket collides with a real column
+    intercept[IllegalArgumentException] {
+      Versioned.commitPartitioned(spark, t, df, Seq("bucket(4, nope)"))
+    }
+  }
+}
