@@ -148,7 +148,7 @@ class GraftTableSpec extends SparkSpec {
       ScanPredicate.Bounds("a", Some("5"), Some("5")),
       ScanPredicate.Bounds("b", Some("10"), None),
       ScanPredicate.Bounds("b", None, Some("20")),
-      ScanPredicate.Bounds("c", Some("1"), Some("3")),
+      ScanPredicate.InSet("c", Seq("3", "1", "2")),
       ScanPredicate.NullCheck("d", isNull = true),
       ScanPredicate.NullCheck("e", isNull = false),
       ScanPredicate.NullCheck("f", isNull = true)))
