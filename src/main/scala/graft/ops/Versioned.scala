@@ -2240,6 +2240,63 @@ object Versioned {
     v
   }
 
+  /** ANALYZE — backfill per-dir stats manifests (and optionally NDV
+    * sketches) onto the CURRENT snapshot's referenced dirs that lack
+    * them. Plain [[commit]] dirs carry no `_stats`, so every skip
+    * planner treats them conservatively forever; one ANALYZE retrofits
+    * the write-time discipline (delta-bounded per dir, executor-side
+    * footer harvest — [[Layout.harvestStats]]) and file skipping starts
+    * biting on historical data with ZERO rewrites. Partition-transform
+    * synthesis rides along, so a transformed table whose early dirs
+    * predate stats gains the derived cuts too. Idempotent: dirs that
+    * already have a manifest are untouched. Returns
+    * (dirs analyzed, dirs referenced).
+    *
+    * Columns default to the snapshot schema's primitive fields; a file
+    * missing a newer column (pre-evolution) simply records no row for
+    * it — the decision relation's left join keeps it conservatively for
+    * predicates on that column.
+    */
+  def analyze(spark: SparkSession, table: String,
+      columns: Seq[String] = Seq.empty, withNdv: Boolean = false,
+      version: Option[Long] = None): (Int, Int) = {
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, v)
+    requireNoFeatures(m, table, "analyze")
+    val cols =
+      if (columns.nonEmpty) columns
+      else m.schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .map(_.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.BinaryType => false
+          case _ => true
+        }).map(_.name).toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table records no schema — pass explicit columns to analyze"))
+    require(cols.nonEmpty, "analyze needs at least one primitive column")
+    val synth = PartSpec.synthesized(m.partCols.map(PartSpec.parse))
+    val dirs = m.refs.map(r => r.takeWhile(_ != '/')).distinct
+    var wrote = 0
+    dirs.foreach { d =>
+      val dir = s"${dataRoot(spark, table)}/$d"
+      val f = fs(spark, new Path(dir))
+      require(f.exists(new Path(dir)),
+        s"version $v references vacuumed data dir $d — time travel past retention")
+      if (!f.exists(new Path(s"$dir/_stats"))) {
+        Layout.writeStatsManifest(spark, dir, cols, derivedFromParts = synth)
+        wrote += 1
+      }
+      if (withNdv && !f.exists(new Path(s"$dir/_ndv")))
+        Layout.writeNdvSketch(spark, dir, cols)
+    }
+    (wrote, dirs.size)
+  }
+
   /** POINT LOOKUP through the snapshot's metadata: `column = value`
     * planned as the per-dir stats-manifest equality cut composed with
     * the write-time parquet blooms ([[Layout.skipScanBloomEq]] lifted to

@@ -70,6 +70,15 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       GraftShowPartitionsCommand(target.trim)
     case RestoreRe(target, ver) =>
       GraftRestoreCommand(target.trim, ver.toLong)
+    // ANALYZE TABLE is vanilla grammar for catalog tables — intercept
+    // only graft targets; `FOR COLUMNS a, b` restricts the harvest and
+    // `WITH NDV` adds per-file distinct-count sketches
+    case AnalyzeRe(target, colList) if isGraftTarget(spark, target.trim) =>
+      GraftAnalyzeCommand(target.trim,
+        Option(colList).map(_.split(',').map(
+          _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty),
+        AnalyzeNdvRe.findFirstIn(sqlText).nonEmpty)
     // ALTER TABLE is vanilla grammar — intercept only when the target
     // resolves to a graft table (the column-mapping / CHECK-constraint
     // verbs vanilla Spark refuses on v1 relations); everything else
@@ -96,12 +105,12 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     // providers — implement it natively as an OVERWRITE COMMIT on the
     // table (history intact: the replace is one more version, exactly
     // Delta's CREATE OR REPLACE) plus a catalog upsert.
-    case ReplaceTableStmt(name, cols, loc, asQuery) =>
+    case ReplaceTableStmt(name, cols, pcols, loc, asQuery) =>
       Versioned.markCatalogChanged()
       GraftReplaceTableCommand(name.trim,
         cols.map(c => stripCharVarchar(delegate.parseTableSchema(c))),
         loc,
-        asQuery.map(q => delegate.parseQuery(q)))
+        asQuery.map(q => delegate.parseQuery(q)), pcols)
     // CREATE TABLE ... USING graft-table PARTITIONED BY (p, ...): vanilla
     // Spark hands v1 providers no partitioning, so the declaration is
     // implemented natively — a seeded (or CTAS) commit whose manifest
@@ -158,6 +167,10 @@ object GraftSqlParser {
     """(?is)^\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val AnalyzeRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS""" +
+     """(?:\s+FOR\s+COLUMNS\s+([\w,\s`]+?))?(?:\s+WITH\s+NDV)?\s*;?\s*$""").r
+  private val AnalyzeNdvRe = """(?is)\s+WITH\s+NDV\s*;?\s*$""".r
   // any statement that names the provider — catalog-memo invalidation
   private val GraftProviderDdlRe = """(?is)USING\s+`?graft-table`?""".r
   private val AlterRenameColRe =
@@ -174,9 +187,11 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
   private val ReplaceTableHeadRe =
     """(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.`]+)\s*""".r
-  private val ReplaceTableTailRe =
-    ("""(?is)^\s*USING\s+`?graft-table`?\s*""" +
-     """(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.+?))?\s*;?\s*$""").r
+  private val ReplaceUsingRe =
+    """(?is)^\s*USING\s+`?graft-table`?\s*""".r
+  private val PartitionedByRe = """(?is)^PARTITIONED\s+BY\s*""".r
+  private val ReplaceTableEndRe =
+    """(?is)^\s*(?:LOCATION\s+'([^']+)'\s*)?(?:AS\s+(.+?))?\s*;?\s*$""".r
 
   /** The leading balanced-paren group of `s` (which must start with
     * '('): (inner, rest-after-close). Quote-aware — parens inside
@@ -292,7 +307,8 @@ object GraftSqlParser {
     */
   private object ReplaceTableStmt {
     def unapply(sqlText: String)
-        : Option[(String, Option[String], Option[String], Option[String])] =
+        : Option[(String, Option[String], Seq[String], Option[String],
+            Option[String])] =
       ReplaceTableHeadRe.findFirstMatchIn(sqlText).flatMap { m =>
         val afterName = sqlText.substring(m.end)
         val (cols, rest) =
@@ -301,10 +317,28 @@ object GraftSqlParser {
             case None => (None, afterName)
           }
           else (None, afterName)
-        rest match {
-          case ReplaceTableTailRe(loc, asQuery) =>
-            Some((m.group(1), cols, Option(loc), Option(asQuery)))
-          case _ => None
+        ReplaceUsingRe.findFirstMatchIn(rest).flatMap { u =>
+          val afterUsing = rest.substring(u.end)
+          // optional PARTITIONED BY (...) — a REPLACE may re-declare the
+          // table's layout (the overwrite owns layout truth); transform
+          // calls parse paren-balanced like CREATE PARTITIONED BY
+          val (pcols, end) = PartitionedByRe.findFirstMatchIn(afterUsing) match {
+            case Some(p) =>
+              val afterBy = afterUsing.substring(p.end).dropWhile(_.isWhitespace)
+              if (!afterBy.startsWith("(")) (Seq.empty[String], afterUsing)
+              else balancedParen(afterBy) match {
+                case Some((plist, tail)) =>
+                  (splitTopLevel(plist)
+                    .map(_.stripPrefix("`").stripSuffix("`")), tail)
+                case None => (Seq.empty[String], afterUsing)
+              }
+            case None => (Seq.empty[String], afterUsing)
+          }
+          end match {
+            case ReplaceTableEndRe(loc, asQuery) =>
+              Some((m.group(1), cols, pcols, Option(loc), Option(asQuery)))
+            case _ => None
+          }
         }
       }
   }
@@ -379,6 +413,24 @@ final case class GraftVacuumCommand(target: String, retainLast: Int)
   override def run(spark: SS): Seq[Row] = {
     val p = GraftSqlParser.resolveTarget(spark, target)
     Versioned.vacuum(spark, p, retainLast).map(Row(_))
+  }
+}
+
+/** `ANALYZE TABLE target COMPUTE STATISTICS [FOR COLUMNS a, b] [WITH
+  * NDV]` → [[Versioned.analyze]]: retrofit per-dir stats manifests
+  * (and optional NDV sketches) onto referenced dirs that lack them, so
+  * file skipping starts biting on plain-commit history with zero data
+  * rewrites. Returns (dirs analyzed, dirs referenced).
+  */
+final case class GraftAnalyzeCommand(target: String, columns: Seq[String],
+    withNdv: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("analyzed_dirs", LongType, nullable = false)(),
+    AttributeReference("referenced_dirs", LongType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    val p = GraftSqlParser.resolveTarget(spark, target)
+    val (wrote, total) = Versioned.analyze(spark, p, columns, withNdv)
+    Seq(Row(wrote.toLong, total.toLong))
   }
 }
 
@@ -491,7 +543,8 @@ final case class GraftAlterCommand(target: String, action: GraftAlterAction)
 final case class GraftReplaceTableCommand(name: String,
     declared: Option[StructType],
     location: Option[String],
-    asQuery: Option[LogicalPlan]) extends LeafRunnableCommand {
+    asQuery: Option[LogicalPlan],
+    partCols: Seq[String] = Seq.empty) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SS): Seq[Row] = {
@@ -535,7 +588,11 @@ final case class GraftReplaceTableCommand(name: String,
       var attempt = 0
       var res = -1L
       while (res < 0) {
-        try res = Versioned.commit(spark, path, df, overwrite = true)
+        try res =
+          if (partCols.isEmpty)
+            Versioned.commit(spark, path, df, overwrite = true)
+          else Versioned.commitPartitioned(spark, path, df, partCols,
+            overwrite = true)
         catch {
           case e: java.util.ConcurrentModificationException =>
             attempt += 1

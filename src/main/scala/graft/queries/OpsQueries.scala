@@ -1880,6 +1880,43 @@ object OpsQueries extends graft.QueryModule {
       out
     }),
 
+    // ANALYZE TABLE — retrofit the write-time stats discipline onto
+    // PLAIN-commit history: three stats-less commits scan conservatively
+    // (kept == total REQUIRED in-query), one ANALYZE backfills per-dir
+    // manifests executor-side with ZERO data rewrites, and the same
+    // range then prunes (kept < total REQUIRED). At 100 TB this is how
+    // a table written before the stats discipline starts skipping files
+    // without rewriting a byte. Oracle: the range aggregate off orders.
+    "q_sql_analyze" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_analyze_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      val base = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("pr"))
+      val mk = base.agg(max($"k")).head().getLong(0)
+      Seq((0L, mk / 3), (mk / 3 + 1, 2 * mk / 3), (2 * mk / 3 + 1, mk))
+        .foreach { case (lo, hi) =>
+          graft.ops.Versioned.commit(s, t, base.filter($"k".between(lo, hi))
+            .repartitionByRange(4, $"k").sortWithinPartitions($"k"))
+        }
+      val (lo, hi) = (mk * 2L / 10L, mk * 3L / 10L)
+      val (_, k0, t0) = graft.ops.Versioned.skipRead(s, t, "k",
+        lo.toString, hi.toString)
+      require(k0 == t0, s"plain commits carry no stats — conservative: $k0/$t0")
+      val res = s.sql(s"ANALYZE TABLE graft.`$t` COMPUTE STATISTICS")
+        .collect().head
+      require(res.getLong(0) == 3L && res.getLong(1) == 3L,
+        s"ANALYZE must backfill all three dirs: $res")
+      val (frame, k1, t1) = graft.ops.Versioned.skipRead(s, t, "k",
+        lo.toString, hi.toString)
+      require(k1 < t1, s"post-ANALYZE the range must prune: $k1/$t1")
+      frame.filter($"k".between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          sum($"pr".cast("decimal(30,2)")).cast("double").as("sum_pr"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+    }),
+
     // SHOW PARTITIONS — the metadata-only partition listing every
     // Delta/Iceberg user types right after PARTITIONED BY: answered
     // from the per-dir stats manifests' recorded partition values
@@ -3527,6 +3564,14 @@ object OpsQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM t WHERE k % 17 = 3""".stripMargin,
+    "q_sql_analyze" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+        |SELECT COUNT(1) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_pr,
+        |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+        |FROM orders
+        |WHERE o_orderkey BETWEEN (SELECT mk * 2 // 10 FROM mx)
+        |                     AND (SELECT mk * 3 // 10 FROM mx)""".stripMargin,
     "q_versioned_days" ->
       """SELECT COUNT(1) AS n,
         |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_v,

@@ -665,6 +665,64 @@ class GraftDmlSpec extends SparkSpec {
       s"non-graft targets must get vanilla errors: ${e.getMessage.take(120)}")
   }
 
+  test("ANALYZE TABLE retrofits stats manifests: conservative scans " +
+      "become pruned, idempotent, NDV optional") {
+    import graft.ops.Versioned
+    val t = tmpDir("dml-analyze") + "/t"
+    // three PLAIN commits (no write-time stats), key-disjoint ranges
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      Versioned.commit(spark, t, spark.range(lo, hi)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("k"))
+        .sortWithinPartitions("k"))
+    }
+    val (_, k0, t0) = Versioned.skipRead(spark, t, "k", "110", "130")
+    assert(k0 == t0, s"no stats yet — every file scans: $k0/$t0")
+    val res = spark.sql(
+      s"ANALYZE TABLE graft.`$t` COMPUTE STATISTICS").collect().head
+    assert(res.getLong(0) == 3L && res.getLong(1) == 3L)
+    val (frame, k1, t1) = Versioned.skipRead(spark, t, "k", "110", "130")
+    assert(k1 < t1, s"post-ANALYZE the range must prune: $k1/$t1")
+    assert(frame.filter("k BETWEEN 110 AND 130").count() == 21L)
+    // idempotent: nothing re-analyzed
+    assert(spark.sql(s"ANALYZE TABLE graft.`$t` COMPUTE STATISTICS")
+      .collect().head.getLong(0) == 0L)
+    // FOR COLUMNS + WITH NDV
+    val t2 = tmpDir("dml-analyze2") + "/t"
+    Versioned.commit(spark, t2,
+      spark.range(0, 500).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS s"))
+    spark.sql(
+      s"ANALYZE TABLE graft.`$t2` COMPUTE STATISTICS FOR COLUMNS k WITH NDV")
+      .collect()
+    val ndv = Versioned.approxNdv(spark, t2, "k")
+    assert(ndv.exists(n => n > 450 && n < 550), s"NDV sketch off: $ndv")
+    // vanilla ANALYZE TABLE still reaches the vanilla engine
+    spark.sql("DROP TABLE IF EXISTS dml_van_analyze")
+    spark.sql("CREATE TABLE dml_van_analyze (c1 INT) USING parquet " +
+      s"LOCATION '${tmpDir("dml-van-analyze")}/t'")
+    try spark.sql("ANALYZE TABLE dml_van_analyze COMPUTE STATISTICS").collect()
+    finally spark.sql("DROP TABLE IF EXISTS dml_van_analyze")
+  }
+
+  test("CREATE OR REPLACE TABLE ... PARTITIONED BY re-declares the layout") {
+    val loc = tmpDir("dml-repl-part") + "/t"
+    spark.sql("DROP TABLE IF EXISTS gdml_rp")
+    spark.sql(s"CREATE TABLE gdml_rp (k BIGINT, s STRING) " +
+      s"USING `graft-table` LOCATION '$loc'")
+    spark.sql("INSERT INTO gdml_rp VALUES (1, 'a')")
+    spark.sql(s"""CREATE OR REPLACE TABLE gdml_rp
+      USING `graft-table` PARTITIONED BY (bucket(4, k)) LOCATION '$loc'
+      AS SELECT id AS k, CAST(id AS STRING) AS s FROM range(40)""")
+    assert(spark.sql("SELECT count(*) FROM gdml_rp").head().getLong(0) == 40L)
+    val parts = spark.sql("SHOW PARTITIONS gdml_rp").collect()
+    assert(parts.nonEmpty &&
+      parts.forall(_.getString(0).startsWith("k_bucket=")))
+    // the re-declared layout is sticky for later inserts
+    spark.sql("INSERT INTO gdml_rp VALUES (100, 'x')")
+    assert(spark.sql("SELECT count(*) FROM gdml_rp").head().getLong(0) == 41L)
+    spark.sql("DROP TABLE gdml_rp")
+  }
+
   test("DESCRIBE over a vanilla table named 'history' delegates instead of " +
       "being shadowed by DESCRIBE HISTORY interception (ADVICE r12)") {
     spark.sql("DROP TABLE IF EXISTS history")
