@@ -414,7 +414,13 @@ object Layout {
           val footer = reader.getFooter
           val leaves = footer.getFileMetaData.getSchema.getColumns.asScala
             .map(cd => cd.getPath.mkString(".") -> cd.getPrimitiveType).toMap
-          wanted.flatMap { c =>
+          // a file whose footer carries NONE of the wanted columns must
+          // still appear in the manifest — planning keys every decision
+          // off the manifest's file set, so an absent file would be
+          // silently DROPPED from scans (not conservatively kept). One
+          // sentinel row (empty column) puts it in the per-file relation;
+          // the left join keeps it for every predicate.
+          val harvested = wanted.flatMap { c =>
             leaves.get(c).map { pt =>
               val (typ, enc) = statCodec(pt)
               val blocks = footer.getBlocks.asScala.map { b =>
@@ -454,6 +460,12 @@ object Layout {
                 }
               }
             }
+          }
+          if (harvested.nonEmpty) harvested
+          else {
+            val nRows = footer.getBlocks.asScala.map(_.getRowCount).sum
+            Seq((f, "", "", null: String, null: String, nRows,
+              Option.empty[Long], fLen, parts))
           }
         } finally reader.close()
       }

@@ -575,9 +575,14 @@ object Versioned {
     val specs = normCols.map(PartSpec.parse)
     PartSpec.validate(specs, df.schema)
     val keys = specs.map(t => t.derive(col(t.srcCol))) ++ sortCols.map(col)
+    // ALWAYS cluster by the (derived) partition values before the
+    // partitioned write: without it every input task writes a file into
+    // every partition value it holds — a CTAS with 1000 input partitions
+    // over 365 days would stage ~365k files. The range shuffle bounds
+    // files at ~max(tasks, partition values); explicit sortCols
+    // additionally make each partition's files cover disjoint key slices.
     val arranged =
-      if (sortCols.isEmpty) df
-      else if (numFiles > 0)
+      if (numFiles > 0)
         df.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
       else df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
     val parentV = latestVersion(spark, table)
@@ -1426,7 +1431,11 @@ object Versioned {
     }.flatMap { b =>
       val vals = batch.select(b.derive(col(key)).cast("string").as("b"))
         .distinct().collect().map(_.getString(0)).toSeq
-      if (vals.size >= b.n) None else Some(ScanPredicate.InSet(b.name, vals))
+      // no cut when every bucket is touched, and a ceiling on the keep
+      // expression's OR-chain (a 4096-way typed disjunction per manifest
+      // row is worse than the scan it would save)
+      if (vals.size >= b.n || vals.size > 256) None
+      else Some(ScanPredicate.InSet(b.name, vals))
     }
   }
 
@@ -1800,7 +1809,13 @@ object Versioned {
     if (m.partCols.isEmpty)
       newImages.write.mode("errorifexists")
         .parquet(s"${dataRoot(spark, table)}/$dirName")
-    else stageDataDir(spark, table, dirName, newImages, Map.empty, m.partCols)
+    else {
+      val specs = m.partCols.map(PartSpec.parse)
+      stageDataDir(spark, table, dirName,
+        newImages.repartitionByRange(4,
+          specs.map(t => t.derive(col(t.srcCol))): _*),
+        Map.empty, m.partCols)
+    }
     def cleanup(): Unit = {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dvDir"), true)
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)

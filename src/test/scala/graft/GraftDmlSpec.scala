@@ -704,6 +704,26 @@ class GraftDmlSpec extends SparkSpec {
     finally spark.sql("DROP TABLE IF EXISTS dml_van_analyze")
   }
 
+  test("ANALYZE FOR COLUMNS on an evolved table: files lacking the column " +
+      "stay scanned (manifest sentinel row)") {
+    import graft.ops.Versioned
+    val t = tmpDir("dml-analyze-evo") + "/t"
+    Versioned.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    Versioned.commit(spark, t, Seq((2L, "b", 10L)).toDF("id", "s", "extra"))
+    spark.sql(
+      s"ANALYZE TABLE graft.`$t` COMPUTE STATISTICS FOR COLUMNS extra")
+      .collect()
+    // the v1 file carries NO stats row for `extra`; without the sentinel
+    // it would vanish from the kept set (silently dropped, not
+    // conservatively kept) and the pre-evolution row would be lost
+    val (frame, kept, total) = Versioned.readPruned(spark, t, None,
+      Seq(Versioned.ScanPredicate.Bounds("extra", Some("10"), Some("10"))))
+    assert(kept == total,
+      s"the stat-less file must be conservatively kept: $kept/$total")
+    assert(frame.count() == 2,
+      "the pre-evolution row must survive planning on the evolved column")
+  }
+
   test("CREATE OR REPLACE TABLE ... PARTITIONED BY re-declares the layout") {
     val loc = tmpDir("dml-repl-part") + "/t"
     spark.sql("DROP TABLE IF EXISTS gdml_rp")
