@@ -3346,6 +3346,68 @@ object Versioned {
     }
   }
 
+  /** PARTIAL OPTIMIZE — fold ONLY the files matching `preds` (the Delta
+    * `OPTIMIZE ... WHERE` shape): nightly maintenance on a petabyte
+    * table compacts YESTERDAY's partition, not the table. Predicates
+    * select FILES through the same planning as every read —
+    * [[pruneRefsPreds]], so partition transforms derive and identity
+    * partition/stats cuts compose — and are NEVER applied to rows: a
+    * conservatively-kept file folds in whole, so content identity holds
+    * exactly as [[compact]] (spec-pinned). The rewrite takes the
+    * declared layout on partitioned tables (hive-staged, stats + synth);
+    * deletion vectors materialize into the folded dir and carry forward
+    * for the untouched files (coordinates naming folded files go inert,
+    * the [[compactSmall]] rule). Returns (version, files folded, refs
+    * carried as-is); ≤1 matching file is a no-op.
+    */
+  def compactWhere(spark: SparkSession, table: String,
+      preds: Seq[ScanPredicate], numFiles: Int = 8,
+      statsCols: Seq[String] = Nil, maxAttempts: Int = 5): (Long, Int, Int) =
+      retryOnConflict(maxAttempts) {
+    import org.apache.spark.sql.functions.col
+    require(preds.nonEmpty,
+      "compactWhere needs predicates — use compact() for the whole table")
+    val pv = latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, pv)
+    requireNoFeatures(m, table, "compactWhere")
+    val (touched, untouchedRefs, _) = pruneRefsPreds(spark, table, m, preds)
+    if (touched.length <= 1) (pv, 0, untouchedRefs.length)
+    else {
+      val folded = applyDvs(spark, table,
+        spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true").parquet(touched: _*), m.dvs)
+      val v = pv + 1
+      val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
+      if (m.partCols.isEmpty) {
+        val arranged =
+          if (statsCols.isEmpty) folded.repartition(numFiles)
+          else Layout.sortedByRange(folded, statsCols.map(col), numFiles)
+        arranged.write.mode("errorifexists")
+          .parquet(s"${dataRoot(spark, table)}/$dirName")
+        if (statsCols.nonEmpty)
+          Layout.writeStatsManifest(spark,
+            s"${dataRoot(spark, table)}/$dirName", statsCols)
+      } else {
+        val specs = m.partCols.map(PartSpec.parse)
+        val keys = specs.map(t => t.derive(col(t.srcCol))) ++
+          statsCols.map(col)
+        stageDataDir(spark, table, dirName,
+          folded.repartitionByRange(math.max(1, numFiles), keys: _*)
+            .sortWithinPartitions(keys: _*), Map.empty, m.partCols)
+      }
+      if (!writeManifest(spark, table, v, "optimize",
+          untouchedRefs :+ dirName, m.schemaJson, m.dvs, m.constraints,
+          partCols = m.partCols)) {
+        fs(spark, new Path(table))
+          .delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"version $v of $table was committed by another writer; re-read and retry")
+      }
+      (v, touched.length, untouchedRefs.length)
+    }
+  }
+
   /** Erase rows matching `predicate` from the table — the
     * right-to-be-forgotten operation, which a commit-log design makes
     * SUBTLE: a plain overwrite hides the rows from the latest snapshot

@@ -53,10 +53,11 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     case VacuumRe(target, retain) =>
       GraftVacuumCommand(target.trim,
         Option(retain).map(_.toInt).getOrElse(1))
-    case OptimizeRe(target, zcols) =>
+    case OptimizeRe(target, whereCond, zcols) =>
       GraftOptimizeCommand(target.trim,
         Option(zcols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Seq.empty))
+          .getOrElse(Seq.empty),
+        Option(whereCond).map(_.trim))
     // DESCRIBE shadows a legal vanilla statement (`DESCRIBE t history`
     // describes a COLUMN named history) — only intercept when the target
     // actually resolves to a graft table; otherwise delegate (ADVICE r12).
@@ -158,7 +159,8 @@ object GraftSqlParser {
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?""" +
+     """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val DetailRe =
@@ -434,20 +436,86 @@ final case class GraftAnalyzeCommand(target: String, columns: Seq[String],
   }
 }
 
-/** `OPTIMIZE target [ZORDER BY (cols)]` → [[Versioned.compact]] /
-  * [[Versioned.compactSorted]]; returns the new version.
+/** `OPTIMIZE target [WHERE cond] [ZORDER BY (cols)]` →
+  * [[Versioned.compact]] / [[Versioned.compactSorted]] /
+  * [[Versioned.compactWhere]] (partial OPTIMIZE — fold only the files
+  * the predicate's planning cut selects; partition transforms derive);
+  * returns the new version. The WHERE condition must be a conjunction
+  * of simple column-vs-literal comparisons — it selects FILES, never
+  * filters rows, so anything richer refuses loudly rather than
+  * pretending to.
   */
-final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
-    extends LeafRunnableCommand {
+final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String],
+    whereCond: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+
+  private def toPreds(spark: SS,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[Versioned.ScanPredicate] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import Versioned.ScanPredicate._
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    def nameOf(a: Expression): String = a match {
+      case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+        u.nameParts.head
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE WHERE needs a plain column reference, got: ${other.sql}")
+    }
+    def litStr(l: Literal): String =
+      Option(Cast(l, org.apache.spark.sql.types.StringType, Option(zone))
+        .eval(null)).map(_.toString).getOrElse(throw
+        new IllegalArgumentException(
+          s"OPTIMIZE WHERE literal does not stringify: ${l.sql}"))
+    e match {
+      case And(l, r) => toPreds(spark, l) ++ toPreds(spark, r)
+      case EqualTo(a, l: Literal) =>
+        Seq(Bounds(nameOf(a), Some(litStr(l)), Some(litStr(l))))
+      case EqualTo(l: Literal, a) =>
+        Seq(Bounds(nameOf(a), Some(litStr(l)), Some(litStr(l))))
+      case GreaterThan(a, l: Literal) =>
+        Seq(Bounds(nameOf(a), Some(litStr(l)), None))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        Seq(Bounds(nameOf(a), Some(litStr(l)), None))
+      case LessThan(a, l: Literal) =>
+        Seq(Bounds(nameOf(a), None, Some(litStr(l))))
+      case LessThanOrEqual(a, l: Literal) =>
+        Seq(Bounds(nameOf(a), None, Some(litStr(l))))
+      case GreaterThan(l: Literal, a) =>
+        Seq(Bounds(nameOf(a), None, Some(litStr(l))))
+      case GreaterThanOrEqual(l: Literal, a) =>
+        Seq(Bounds(nameOf(a), None, Some(litStr(l))))
+      case LessThan(l: Literal, a) =>
+        Seq(Bounds(nameOf(a), Some(litStr(l)), None))
+      case LessThanOrEqual(l: Literal, a) =>
+        Seq(Bounds(nameOf(a), Some(litStr(l)), None))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        Seq(Versioned.ScanPredicate.InSet(nameOf(a),
+          vs.map(v => litStr(v.asInstanceOf[Literal])).distinct))
+      case IsNull(a) => Seq(NullCheck(nameOf(a), isNull = true))
+      case IsNotNull(a) => Seq(NullCheck(nameOf(a), isNull = false))
+      case other => throw new IllegalArgumentException(
+        "OPTIMIZE WHERE supports conjunctions of column-vs-literal " +
+          s"comparisons (=, <, <=, >, >=, IN, IS [NOT] NULL); got: ${other.sql}")
+    }
+  }
+
   override def run(spark: SS): Seq[Row] = {
     import org.apache.spark.sql.functions.col
     val p = GraftSqlParser.resolveTarget(spark, target)
-    val v =
-      if (zorderBy.isEmpty) Versioned.compact(spark, p)
-      else Versioned.compactSorted(spark, p, zorderBy.map(col),
+    val v = whereCond match {
+      case Some(cond) =>
+        require(zorderBy.isEmpty,
+          "OPTIMIZE WHERE and ZORDER BY do not combine — z-order the " +
+            "whole table, or fold the slice first")
+        val preds = toPreds(spark,
+          spark.sessionState.sqlParser.parseExpression(cond))
+        Versioned.compactWhere(spark, p, preds, numFiles = 32)._1
+      case None if zorderBy.isEmpty => Versioned.compact(spark, p)
+      case None => Versioned.compactSorted(spark, p, zorderBy.map(col),
         numFiles = 32, statsCols = zorderBy)
+    }
     Seq(Row(v))
   }
 }

@@ -1880,6 +1880,55 @@ object OpsQueries extends graft.QueryModule {
       out
     }),
 
+    // PARTIAL OPTIMIZE — `OPTIMIZE t WHERE <pred>` folds ONLY the files
+    // the predicate's planning cut selects (the Delta OPTIMIZE WHERE
+    // shape): nightly maintenance on a petabyte table compacts
+    // yesterday's partition, not the table. The WHERE speaks the RAW
+    // timestamp; the days(ts) transform derives the partition cut.
+    // REQUIRED in-query: a programmatic fold reports BOTH folded and
+    // carried-as-is files, a dv delete materializes through the fold,
+    // and day pruning still bites afterwards. Oracle: events minus the
+    // deleted row — maintenance must be invisible in the answer.
+    "q_optimize_partial" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_optpart_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      s.sql("DROP TABLE IF EXISTS graft_qop")
+      Tables(s, dir, "events").select($"event_id", $"ts", $"value")
+        .createOrReplaceTempView("qop_seed")
+      s.sql(s"""CREATE TABLE graft_qop
+        USING `graft-table` PARTITIONED BY (days(ts)) LOCATION '$t'
+        AS SELECT event_id, ts, value FROM qop_seed""")
+      s.catalog.dropTempView("qop_seed")
+      val minId = graft.ops.Versioned.read(s, t, None)
+        .agg(min($"event_id")).head().getLong(0)
+      graft.ops.Versioned.deleteWhere(s, t, $"event_id" === minId)
+      // SQL surface: fold week 2 through the RAW-timestamp WHERE
+      s.sql(s"""OPTIMIZE graft.`$t`
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-14 23:59:59'""").collect()
+      // programmatic fold of week 1 reports the partial shape
+      val (_, folded, carried) = graft.ops.Versioned.compactWhere(s, t,
+        Seq(graft.ops.Versioned.ScanPredicate.Bounds("ts",
+          Some("2024-01-01 00:00:00"), Some("2024-01-07 23:59:59"))),
+        numFiles = 4)
+      require(folded > 0 && carried > 0,
+        s"partial OPTIMIZE must fold SOME files and carry the rest: " +
+          s"folded $folded carried $carried")
+      val (_, kept, total) = graft.ops.Versioned.readPruned(s, t, None,
+        Seq(graft.ops.Versioned.ScanPredicate.Bounds("ts",
+          Some("2024-01-10 00:00:00"), Some("2024-01-10 23:59:59"))))
+      require(kept < total, s"day pruning must survive the fold: $kept/$total")
+      val out = graft.ops.Versioned.read(s, t, None)
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_v"),
+          min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      out.collect()
+      s.sql("DROP TABLE IF EXISTS graft_qop")
+      out
+    }),
+
     // ANALYZE TABLE — retrofit the write-time stats discipline onto
     // PLAIN-commit history: three stats-less commits scan conservatively
     // (kept == total REQUIRED in-query), one ANALYZE backfills per-dir
@@ -3564,6 +3613,12 @@ object OpsQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM t WHERE k % 17 = 3""".stripMargin,
+    "q_optimize_partial" ->
+      """SELECT COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_v,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events
+        |WHERE event_id > (SELECT MIN(event_id) FROM events)""".stripMargin,
     "q_sql_analyze" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders)
         |SELECT COUNT(1) AS n,

@@ -285,6 +285,60 @@ class PartTransformSpec extends SparkSpec {
     assert(kept < total)
   }
 
+  test("compactWhere: partial OPTIMIZE folds only the matching day, " +
+      "content-identical, dvs carried, untouched bytes intact") {
+    import java.sql.Timestamp
+    val t = tmpDir("ptcw") + "/t"
+    // one dir per day via three separate partitioned appends
+    (1 to 3).foreach { d =>
+      val rows = (0 until 24).map(h => ((d * 100 + h).toLong,
+        Timestamp.valueOf(f"2024-03-0$d%d ${h}%02d:00:00"), 1L))
+      if (d == 1)
+        Versioned.commitPartitioned(spark, t, rows.toDF("id", "ts", "v"),
+          Seq("days(ts)"), numFiles = 4)
+      else Versioned.commit(spark, t, rows.toDF("id", "ts", "v"))
+    }
+    // a dv delete in the target day must MATERIALIZE through the fold
+    Versioned.deleteWhere(spark, t, col("id") === 205L)
+    val before = Versioned.read(spark, t, None).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val untouchedBefore = listParquet(s"$t/data")
+      .filterNot(_.contains("/dv")).filter(_.contains("2024-03-01"))
+      .map(p => (p, new java.io.File(p).length)).toSet
+    val (v, folded, carried) = Versioned.compactWhere(spark, t,
+      Seq(ScanPredicate.Bounds("ts",
+        Some("2024-03-02 00:00:00"), Some("2024-03-03 23:59:59"))),
+      numFiles = 2)
+    assert(folded > 0 && carried > 0,
+      s"partial fold must keep day-1 files as-is: folded $folded carried $carried")
+    val after = Versioned.read(spark, t, Some(v)).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "OPTIMIZE WHERE must be invisible to readers")
+    // untouched day-1 files byte-identical (same paths, same lengths)
+    val untouchedAfter = listParquet(s"$t/data")
+      .filterNot(_.contains("/dv")).filter(_.contains("2024-03-01"))
+      .map(p => (p, new java.io.File(p).length)).toSet
+    assert(untouchedBefore.subsetOf(untouchedAfter))
+    // folded dir keeps the declared layout and the day pruning still bites
+    val (_, kept, total) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("ts",
+        Some("2024-03-02 00:00:00"), Some("2024-03-02 23:59:59"))))
+    assert(kept < total)
+    // SQL form over a raw-timestamp WHERE (derives through days(ts))
+    val v2 = spark.sql(s"OPTIMIZE graft.`$t` " +
+      "WHERE ts >= TIMESTAMP '2024-03-01 00:00:00' " +
+      "AND ts <= TIMESTAMP '2024-03-01 23:59:59'").collect().head.getLong(0)
+    assert(Versioned.read(spark, t, Some(v2)).orderBy("id")
+      .collect().map(_.toSeq).toSeq == before)
+    // refusals: row-level predicates and WHERE+ZORDER
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`$t` WHERE id + 1 = 2").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`$t` WHERE id = 1 ZORDER BY (id)").collect()
+    }
+  }
+
   test("type guards: days needs date/timestamp, trunc needs string") {
     val t = tmpDir("ptguard") + "/t"
     val df = Seq((1L, "alpha")).toDF("id", "name")
