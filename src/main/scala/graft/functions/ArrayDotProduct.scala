@@ -151,5 +151,28 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           .reduce(_.unionByName(_, allowMissingColumns = true))
         feed.queryExecution.analyzed
       }))
+    // the Iceberg `table$files` metadata-table shape: per-file refs,
+    // partition strings, row counts and byte sizes as a first-class
+    // FROM source — `SELECT * FROM graft_files(path[, version])`.
+    // Answered from the stats manifests (zero data IO); manifest-less
+    // dirs report null row counts, never guesses.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_files"),
+      new ExpressionInfo("graft.ops.Versioned", "graft_files"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "graft_files(path[, version]) takes 1 or 2 arguments, " +
+            s"got ${children.length}")
+        def evalLit(e: Expression, what: String): Any = {
+          require(e.foldable, s"graft_files $what must be a literal")
+          e.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow)
+        }
+        val path = String.valueOf(evalLit(children(0), "path"))
+        val version = children.lift(1).map(e =>
+          String.valueOf(evalLit(e, "version")).toLong)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.ops.Versioned.filesMeta(spark, path, version)
+          .queryExecution.analyzed
+      }))
   }
 }

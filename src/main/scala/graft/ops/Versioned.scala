@@ -2255,6 +2255,74 @@ object Versioned {
     v
   }
 
+  /** Per-FILE metadata of a snapshot — the Iceberg `table$files` /
+    * Delta `DESCRIBE DETAIL`-at-file-granularity inspection surface:
+    * one row per referenced file with its relative ref, partition
+    * string (derived names, SHOW PARTITIONS vocabulary; null on
+    * unpartitioned files), recorded row count and byte size. Answered
+    * from the stats manifests where they exist (zero data IO); files in
+    * manifest-less dirs list driver-side with their length and a null
+    * row count — honest unknowns, never guesses.
+    */
+  def filesMeta(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat,
+      concat_ws, element_at, first, lit, max, regexp_extract}
+    import spark.implicits._
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, v)
+    val byDir = groupRefsByDir(m.refs)
+    val dirInfo = byDir.toSeq.map { case (d, files) =>
+      val dir = s"${dataRoot(spark, table)}/$d"
+      require(fs(spark, new Path(dir)).exists(new Path(dir)),
+        s"version $v references vacuumed data dir $d — time travel past retention")
+      (d, dir, files, fs(spark, new Path(dir)).exists(new Path(s"$dir/_stats")))
+    }
+    val (statted, unstatted) = dirInfo.partition(_._4)
+    val specs = m.partCols.map(PartSpec.parse)
+    def partExpr(parts: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      if (specs.isEmpty) lit(null).cast("string")
+      else concat_ws("/", specs.map(t =>
+        concat(lit(t.name + "="),
+          coalesce(element_at(parts, PartSpec.pathCol(t)),
+            lit("__HIVE_DEFAULT_PARTITION__")))): _*)
+    val refFiles = expandRefFiles(spark, table, m.refs)
+    val refDf = refFiles.toSeq.toDF("file")
+    val fromStats =
+      if (statted.isEmpty) None
+      else Some(spark.read.parquet(statted.map(_._2 + "/_stats"): _*)
+        .groupBy(col("file").as("abs"))
+        .agg(max(col("n_rows")).as("n_rows"), max(col("n_bytes")).as("n_bytes"),
+          first(col("parts")).as("parts"))
+        .withColumn("file", regexp_extract(col("abs"), ".*/data/(.+)$", 1))
+        .join(broadcast(refDf), Seq("file"), "left_semi")
+        .select(col("file"), partExpr(col("parts")).as("partition"),
+          col("n_rows"), col("n_bytes")))
+    val plainRefs = unstatted.flatMap { case (d, dir, files, _) =>
+      files match {
+        case Some(names) => names.toSeq.map(n => s"$d/$n")
+        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .map(n => s"$d/$n")
+      }
+    }
+    val fromListing =
+      if (plainRefs.isEmpty) None
+      else {
+        val lens = refFileLengths(spark, table, plainRefs)
+        Some(lens.toDF("file", "n_bytes")
+          .select(col("file"), lit(null).cast("string").as("partition"),
+            lit(null).cast("long").as("n_rows"), col("n_bytes")))
+      }
+    (fromStats.toSeq ++ fromListing.toSeq)
+      .reduceOption(_ unionByName _)
+      .map(_.orderBy(col("file")))
+      .getOrElse(Seq.empty[(String, String, java.lang.Long, java.lang.Long)]
+        .toDF("file", "partition", "n_rows", "n_bytes"))
+  }
+
   /** ANALYZE — backfill per-dir stats manifests (and optionally NDV
     * sketches) onto the CURRENT snapshot's referenced dirs that lack
     * them. Plain [[commit]] dirs carry no `_stats`, so every skip

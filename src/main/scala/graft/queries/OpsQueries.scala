@@ -1880,6 +1880,42 @@ object OpsQueries extends graft.QueryModule {
       out
     }),
 
+    // FILES METADATA TABLE — `SELECT ... FROM graft_files(path)` (the
+    // Iceberg `table$files` shape): per-file refs, partition strings,
+    // row counts, byte sizes, straight from the stats manifests (zero
+    // data IO). File NAMES are writer-nondeterministic, so the entry
+    // aggregates: per-PARTITION recorded row sums must equal the data's
+    // own per-day counts — the oracle recomputes them from raw events.
+    // REQUIRED in-query: more files than partitions (the listing is
+    // file-granular) and every recorded byte size positive.
+    "q_sql_files" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_files_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      s.sql("DROP TABLE IF EXISTS graft_qgf")
+      Tables(s, dir, "events").select($"event_id", $"ts", $"value")
+        .createOrReplaceTempView("qgf_seed")
+      s.sql(s"""CREATE TABLE graft_qgf
+        USING `graft-table` PARTITIONED BY (days(ts)) LOCATION '$t'
+        AS SELECT event_id, ts, value FROM qgf_seed""")
+      s.catalog.dropTempView("qgf_seed")
+      val meta = s.sql(s"SELECT * FROM graft_files('$t')")
+      val nFiles = meta.count()
+      val nParts = meta.select($"partition").distinct().count()
+      require(nFiles >= nParts && nParts >= 20,
+        s"file-granular listing over day partitions: $nFiles files / $nParts parts")
+      require(meta.filter($"n_bytes".isNull || $"n_bytes" <= 0).count() == 0,
+        "every staged file must record a positive byte size")
+      val out = s.sql(
+        s"""SELECT partition, CAST(SUM(n_rows) AS bigint) AS n_rows
+           |FROM graft_files('$t') GROUP BY partition
+           |ORDER BY partition""".stripMargin)
+      out.collect()
+      s.sql("DROP TABLE IF EXISTS graft_qgf")
+      out
+    }),
+
     // PARTIAL OPTIMIZE — `OPTIMIZE t WHERE <pred>` folds ONLY the files
     // the predicate's planning cut selects (the Delta OPTIMIZE WHERE
     // shape): nightly maintenance on a petabyte table compacts
@@ -3613,6 +3649,10 @@ object OpsQueries extends graft.QueryModule {
         |  CAST(SUM(CAST(pr AS decimal(30,2))) AS double) AS sum_pr,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM t WHERE k % 17 = 3""".stripMargin,
+    "q_sql_files" ->
+      """SELECT 'ts_day=' || CAST(CAST(ts AS DATE) AS VARCHAR) AS partition,
+        |  CAST(COUNT(1) AS bigint) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_optimize_partial" ->
       """SELECT COUNT(1) AS n,
         |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_v,

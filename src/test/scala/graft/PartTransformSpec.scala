@@ -350,6 +350,40 @@ class PartTransformSpec extends SparkSpec {
     }
   }
 
+  test("graft_files: stats-backed rows, honest nulls for manifest-less " +
+      "dirs, version pinning") {
+    val t = tmpDir("ptgf") + "/t"
+    Versioned.commitPartitioned(spark, t,
+      (1L to 40L).map(i => (i, s"s$i")).toDF("k", "s"), Seq("bucket(4, k)"))
+    // a sticky append is hive-staged WITH stats — every file statted
+    Versioned.commit(spark, t,
+      (41L to 50L).map(i => (i, s"s$i")).toDF("k", "s"))
+    val meta = spark.sql(s"SELECT * FROM graft_files('$t')").collect()
+    assert(meta.nonEmpty)
+    assert(meta.map(_.getLong(2)).sum == 50L)
+    assert(meta.forall(_.getString(1).startsWith("k_bucket=")))
+    assert(meta.forall(_.getLong(3) > 0L))
+    // version pinning sees only v1's files
+    val v1 = spark.sql(s"SELECT * FROM graft_files('$t', 1)").collect()
+    assert(v1.map(_.getLong(2)).sum == 40L)
+    // a PLAIN unpartitioned commit has no manifest: honest nulls for
+    // partition AND row count, real byte sizes
+    val t2 = tmpDir("ptgf2") + "/t"
+    Versioned.commit(spark, t2, (1L to 10L).map(i => (i, i)).toDF("a", "b"))
+    graft.ops.Versioned.commitWithStats(spark, t2,
+      (11L to 20L).map(i => (i, i)).toDF("a", "b"), Seq("a"))
+    val meta2 = spark.sql(s"SELECT * FROM graft_files('$t2')").collect()
+    val plain = meta2.filter(_.isNullAt(2))
+    val statted2 = meta2.filter(r => !r.isNullAt(2))
+    assert(plain.nonEmpty && statted2.nonEmpty)
+    assert(statted2.map(_.getLong(2)).sum == 10L)
+    assert(meta2.forall(_.getLong(3) > 0L))
+    assert(meta2.forall(_.isNullAt(1)), "unpartitioned files: null partition")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_files('$t', 1, 2, 3)").collect()
+    }
+  }
+
   test("declaration guards: float bucket, name collisions, bad source") {
     val t = tmpDir("ptg") + "/t"
     val df = Seq((1.5, 1L, 2L)).toDF("f", "k", "k_bucket")
