@@ -3075,12 +3075,29 @@ object Versioned {
       refs: Seq[String]): Seq[(String, Long)] =
     groupRefsByDir(refs).toSeq.sortBy(_._1).flatMap { case (d, files) =>
       val dir = new Path(s"${dataRoot(spark, table)}/$d")
-      require(fs(spark, dir).exists(dir),
+      val f = fs(spark, dir)
+      require(f.exists(dir),
         s"referenced data dir $d was vacuumed — time travel past retention")
-      fs(spark, dir).listStatus(dir).toSeq
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .filter(st => files.forall(_.contains(st.getPath.getName)))
-        .map(st => (s"$d/${st.getPath.getName}", st.getLen))
+      // RECURSIVE: a partitioned dir's files live under `__p_c=v`
+      // subdirs — a flat listing would report an empty dir, which made
+      // sizeOf (the broadcast statistic) read ~0 for partitioned tables
+      // and compactSmall skip their tails entirely. Hidden subtrees
+      // (`_stats`, `.staging`) skip by the Spark rule: '_'-prefixed
+      // segments hide unless they carry '='.
+      val dirUri = f.makeQualified(dir).toString.stripSuffix("/")
+      val it = f.listFiles(dir, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(dirUri).stripPrefix("/")
+        val segs = rel.split('/')
+        val hidden = segs.exists(n =>
+          (n.startsWith("_") && !n.contains('=')) || n.startsWith("."))
+        if (!hidden && rel.endsWith(".parquet") &&
+            files.forall(_.contains(rel)))
+          out += ((s"$d/$rel", st.getLen))
+      }
+      out.toSeq
     }
 
   /** Metadata-only SIZE of a snapshot in bytes — Σ referenced data-file
@@ -3400,8 +3417,20 @@ object Versioned {
       .option("recursiveFileLookup", "true").parquet(smallPaths: _*), m.dvs)
       val v = pv + 1
       val dirName = s"v${"%06d".format(v)}-${java.util.UUID.randomUUID().toString.take(8)}"
-      Layout.writeSorted(folded, sortCols, numFiles,
-        s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
+      if (m.partCols.isEmpty)
+        Layout.writeSorted(folded, sortCols, numFiles,
+          s"${dataRoot(spark, table)}/$dirName", statsCols = statsCols)
+      else {
+        // a partitioned table's small-file fold keeps the declared
+        // layout — a flat dir would degrade the folded files to
+        // conservative scans and lie to SHOW PARTITIONS
+        import org.apache.spark.sql.functions.col
+        val specs = m.partCols.map(PartSpec.parse)
+        val keys = specs.map(t => t.derive(col(t.srcCol))) ++ sortCols
+        stageDataDir(spark, table, dirName,
+          folded.repartitionByRange(math.max(1, numFiles), keys: _*)
+            .sortWithinPartitions(keys: _*), Map.empty, m.partCols)
+      }
       if (!writeManifest(spark, table, v, "optimize",
           bigs.map(_._1) :+ dirName, m.schemaJson, m.dvs, m.constraints,
           partCols = m.partCols)) {
@@ -3497,7 +3526,14 @@ object Versioned {
     val kept = read(spark, table).filter(
       org.apache.spark.sql.functions.coalesce(!predicate,
         org.apache.spark.sql.functions.lit(true)))
-    commit(spark, table, kept, overwrite = true)
+    // an erasure rewrite is an overwrite COMMIT but not a layout
+    // re-declaration: the table keeps its partition columns/transforms
+    // (a plain overwrite would silently UNDECLARE them)
+    val pv = latestVersion(spark, table)
+    val partCols = pv.map(v => readManifest(spark, table, v).partCols)
+      .getOrElse(Seq.empty)
+    commitAt(spark, table, kept, pv.getOrElse(0L) + 1, pv, overwrite = true,
+      declaredPartCols = Some(partCols))
   }
 
   /** Delete data dirs none of the last `retainLast` snapshots reference

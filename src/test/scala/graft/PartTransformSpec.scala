@@ -384,6 +384,35 @@ class PartTransformSpec extends SparkSpec {
     }
   }
 
+  test("compactSmall and purge keep the declared layout") {
+    val t = tmpDir("ptcsp") + "/t"
+    Versioned.commitPartitioned(spark, t,
+      (1L to 60L).map(i => (i, i % 5)).toDF("k", "g"), Seq("bucket(4, k)"))
+    (61L to 63L).foreach(i =>
+      Versioned.commit(spark, t, Seq((i, i % 5)).toDF("k", "g")))
+    // sizeOf must see through the hive layout (the broadcast statistic —
+    // a flat listing reported ~0 bytes for partitioned tables)
+    assert(Versioned.sizeOf(spark, t) > 0L)
+    val (_, foldedN, _) = Versioned.compactSmall(spark, t,
+      smallBytes = 1L << 20, sortCols = Seq(col("k")), numFiles = 2,
+      statsCols = Seq("k"))
+    assert(foldedN > 1)
+    assert(Versioned.read(spark, t, None).count() == 63)
+    assert(listParquet(s"$t/data").filterNot(_.contains("/dv"))
+      .forall(_.contains("__p_k_bucket=")),
+      "compactSmall fold lost the transform staging")
+    // purge keeps the declaration: later appends still derive, SHOW
+    // PARTITIONS still answers
+    Versioned.purge(spark, t, col("k") <= 3L)
+    Versioned.commit(spark, t, Seq((100L, 0L)).toDF("k", "g"))
+    assert(Versioned.read(spark, t, None).count() == 61)
+    assert(Versioned.partitionValues(spark, t).collect()
+      .forall(_.getString(0).startsWith("k_bucket=")))
+    assert(listParquet(s"$t/data").filterNot(_.contains("/dv"))
+      .forall(_.contains("__p_k_bucket=")),
+      "purge must not undeclare partitioning")
+  }
+
   test("declaration guards: float bucket, name collisions, bad source") {
     val t = tmpDir("ptg") + "/t"
     val df = Seq((1.5, 1L, 2L)).toDF("f", "k", "k_bucket")
