@@ -549,6 +549,55 @@ object Layout {
     all.coalesce(1).write.mode("overwrite").parquet(s"$path/_ndv")
   }
 
+  /** Per-FILE KLL quantile sketches persisted at `<path>/_qtl` — the
+    * quantile complement to [[writeNdvSketch]] (Iceberg puffin shape):
+    * one Apache DataSketches KLL(200) per (file, column), binary-
+    * MERGEABLE, so percentile estimates over any snapshot, partition
+    * subset, or file-granular ref set cost a kilobyte-scale metadata
+    * read with ~1.7% normalized rank error — never a table scan.
+    * Built per-PARTITION on the scan's own layout (rows of one file are
+    * co-located in its read tasks, so the shuffle carries SKETCHES, not
+    * values — `reduceByKey` on ~bytes-per-file). Null values contribute
+    * nothing (rank semantics over present values); an all-null file
+    * records no row.
+    */
+  def writeQuantileSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, columns: Seq[String]): Unit = {
+    require(columns.nonEmpty, "writeQuantileSketch needs at least one column")
+    import spark.implicits._
+    val base = spark.read.parquet(path)
+      .withColumn("__file", col("_metadata.file_path"))
+    val perCol = columns.map { c =>
+      val pairs = base
+        .select(col("__file").as("f"), col(c).cast("double").as("v"))
+        .filter(col("v").isNotNull && !col("v").isNaN)
+        .as[(String, Double)].rdd
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap
+            .empty[String, org.apache.datasketches.kll.KllDoublesSketch]
+          it.foreach { case (f, v) =>
+            m.getOrElseUpdate(f, org.apache.datasketches.kll
+              .KllDoublesSketch.newHeapInstance(200)).update(v)
+          }
+          m.iterator.map { case (f, s) => (f, s.toByteArray) }
+        }
+        .reduceByKey(mergeKll)
+      pairs.toDF("file", "sk").withColumn("column", lit(c))
+    }
+    val all = perCol.reduce(_.unionByName(_)).localCheckpoint(true)
+    require(all.count() > 0,
+      s"no non-null values found under $path — nothing to sketch")
+    all.coalesce(1).write.mode("overwrite").parquet(s"$path/_qtl")
+  }
+
+  private[graft] def mergeKll(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(a))
+    sa.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(b)))
+    sa.toByteArray
+  }
+
   /** Hive-partitioned layout writer with within-partition range sort —
     * the date-partitioned + z-ordered-within-partition table every real
     * lakehouse converges on: `partitionBy(partCols)` gives directory-

@@ -3017,6 +3017,67 @@ object Versioned {
     v
   }
 
+  /** [[commitWithStats]] + a per-file KLL quantile-sketch manifest on
+    * the new dir ([[Layout.writeQuantileSketch]]) — write-time cost
+    * bounded by the DELTA, like every sketch discipline here.
+    */
+  def commitWithQuantiles(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String], qtlCols: Seq[String],
+      overwrite: Boolean = false): Long = {
+    val v = commitWithStats(spark, table, df, statsCols, overwrite)
+    val newDir = readManifest(spark, table, v).refs.last
+    Layout.writeQuantileSketch(spark,
+      s"${dataRoot(spark, table)}/$newDir", qtlCols)
+    v
+  }
+
+  /** Metadata-only approximate QUANTILES of `column` at `probs` — the
+    * percentile statistic (p50/p95/p99 of a latency or price column)
+    * answered from the per-file KLL sketches with ZERO data IO: merge
+    * the referenced files' sketches (file-granular refs restrict the
+    * merge — a distributed reduce ships one ~KB sketch to the driver,
+    * never values) and read the quantiles, each within KLL(200)'s
+    * ~1.7% normalized RANK error. Returns None when any referenced dir
+    * lacks a `_qtl` manifest, or when no referenced file recorded a
+    * sketch (all-null column). DV-insensitive like [[approxNdv]]
+    * (sketches cannot subtract; re-tightens at the next compact).
+    */
+  def approxQuantiles(spark: SparkSession, table: String, column: String,
+      probs: Seq[Double], version: Option[Long] = None)
+      : Option[Seq[Double]] = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0, 1]: ${probs.mkString(",")}")
+    val v = version.orElse(latestVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
+    val m = readManifest(spark, table, v)
+    requireNoFeatures(m, table, "approxQuantiles")
+    val byDir = groupRefsByDir(m.refs)
+    val missing = byDir.keys.exists { d =>
+      !fs(spark, new Path(s"${dataRoot(spark, table)}/$d"))
+        .exists(new Path(s"${dataRoot(spark, table)}/$d/_qtl"))
+    }
+    if (missing) None
+    else {
+      import spark.implicits._
+      val refs = expandRefFiles(spark, table, m.refs).toSeq.sorted.toDF("ref_sfx")
+      val sks = spark.read.parquet(
+          byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_qtl"): _*)
+        .filter(col("column") === column)
+        .withColumn("ref_sfx",
+          regexp_extract(col("file"), ".*/data/([^/]+/.+)$", 1))
+        .join(broadcast(refs), Seq("ref_sfx"), "left_semi")
+        .select(col("sk")).as[Array[Byte]].rdd
+      if (sks.isEmpty()) None
+      else {
+        val merged = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(
+            sks.reduce(Layout.mergeKll)))
+        Some(probs.map(merged.getQuantile))
+      }
+    }
+  }
+
   /** Metadata-only approximate COUNT(DISTINCT column) — the ANALYZE
     * statistic a join planner wants, answered from the per-file HLL
     * sketches with zero data IO: union the referenced files' sketches

