@@ -2342,7 +2342,8 @@ object Versioned {
     */
   def analyze(spark: SparkSession, table: String,
       columns: Seq[String] = Seq.empty, withNdv: Boolean = false,
-      version: Option[Long] = None): (Int, Int) = {
+      version: Option[Long] = None,
+      withQuantiles: Boolean = false): (Int, Int) = {
     val v = version.orElse(latestVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(s"no commits under $table"))
     val m = readManifest(spark, table, v)
@@ -2376,6 +2377,20 @@ object Versioned {
       }
       if (withNdv && !f.exists(new Path(s"$dir/_ndv")))
         Layout.writeNdvSketch(spark, dir, cols)
+      // quantile sketches take NUMERIC columns only (rank semantics over
+      // doubles); non-numeric requested columns are skipped, not errors
+      if (withQuantiles && !f.exists(new Path(s"$dir/_qtl"))) {
+        val numeric = m.schemaJson.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .map(sch => cols.filter(c => sch.fieldNames.contains(c) &&
+            (sch(c).dataType match {
+              case _: org.apache.spark.sql.types.NumericType => true
+              case _ => false
+            })))
+          .getOrElse(Seq.empty)
+        if (numeric.nonEmpty) Layout.writeQuantileSketch(spark, dir, numeric)
+      }
     }
     (wrote, dirs.size)
   }

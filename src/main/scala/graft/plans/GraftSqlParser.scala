@@ -79,7 +79,8 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         Option(colList).map(_.split(',').map(
           _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty),
-        AnalyzeNdvRe.findFirstIn(sqlText).nonEmpty)
+        AnalyzeNdvRe.findFirstIn(sqlText).nonEmpty,
+        AnalyzeSketchesRe.findFirstIn(sqlText).nonEmpty)
     // ALTER TABLE is vanilla grammar — intercept only when the target
     // resolves to a graft table (the column-mapping / CHECK-constraint
     // verbs vanilla Spark refuses on v1 relations); everything else
@@ -171,8 +172,10 @@ object GraftSqlParser {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val AnalyzeRe =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS""" +
-     """(?:\s+FOR\s+COLUMNS\s+([\w,\s`]+?))?(?:\s+WITH\s+NDV)?\s*;?\s*$""").r
-  private val AnalyzeNdvRe = """(?is)\s+WITH\s+NDV\s*;?\s*$""".r
+     """(?:\s+FOR\s+COLUMNS\s+([\w,\s`]+?))?""" +
+     """(?:\s+WITH\s+(?:NDV|SKETCHES))*\s*;?\s*$""").r
+  private val AnalyzeNdvRe = """(?is)\s+WITH\s+NDV\b""".r
+  private val AnalyzeSketchesRe = """(?is)\s+WITH\s+SKETCHES\b""".r
   // any statement that names the provider — catalog-memo invalidation
   private val GraftProviderDdlRe = """(?is)USING\s+`?graft-table`?""".r
   private val AlterRenameColRe =
@@ -425,13 +428,15 @@ final case class GraftVacuumCommand(target: String, retainLast: Int)
   * rewrites. Returns (dirs analyzed, dirs referenced).
   */
 final case class GraftAnalyzeCommand(target: String, columns: Seq[String],
-    withNdv: Boolean) extends LeafRunnableCommand {
+    withNdv: Boolean, withQuantiles: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("analyzed_dirs", LongType, nullable = false)(),
     AttributeReference("referenced_dirs", LongType, nullable = false)())
   override def run(spark: SS): Seq[Row] = {
     val p = GraftSqlParser.resolveTarget(spark, target)
-    val (wrote, total) = Versioned.analyze(spark, p, columns, withNdv)
+    val (wrote, total) = Versioned.analyze(spark, p, columns, withNdv,
+      withQuantiles = withQuantiles)
     Seq(Row(wrote.toLong, total.toLong))
   }
 }

@@ -696,6 +696,15 @@ class GraftDmlSpec extends SparkSpec {
       .collect()
     val ndv = Versioned.approxNdv(spark, t2, "k")
     assert(ndv.exists(n => n > 450 && n < 550), s"NDV sketch off: $ndv")
+    // WITH SKETCHES backfills quantile sketches on numeric columns
+    val t3 = tmpDir("dml-analyze3") + "/t"
+    Versioned.commit(spark, t3,
+      spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS x",
+        "CAST(id AS STRING) AS s"))
+    spark.sql(s"ANALYZE TABLE graft.`$t3` COMPUTE STATISTICS WITH SKETCHES")
+      .collect()
+    val med = Versioned.approxQuantiles(spark, t3, "x", Seq(0.5)).get.head
+    assert(math.abs(med - 500.0) <= 30.0, s"median sketch off: $med")
     // vanilla ANALYZE TABLE still reaches the vanilla engine
     spark.sql("DROP TABLE IF EXISTS dml_van_analyze")
     spark.sql("CREATE TABLE dml_van_analyze (c1 INT) USING parquet " +
