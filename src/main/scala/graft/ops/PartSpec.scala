@@ -76,6 +76,19 @@ sealed trait PartSpec {
     * derived domain; None = underivable (planning stays conservative).
     */
   def mapPoint(v: String, srcType: DataType, zoneId: String): Option[String]
+
+  /** User-facing SQL call form (`bucket(8, k)`; the plain column name
+    * for identity) — what SHOW CREATE TABLE / DESCRIBE DETAIL print.
+    */
+  def display: String = this match {
+    case PartSpec.Identity(c) => c
+    case PartSpec.Bucket(n, c) => s"bucket($n, $c)"
+    case PartSpec.Days(c) => s"days($c)"
+    case PartSpec.Years(c) => s"years($c)"
+    case PartSpec.Months(c) => s"months($c)"
+    case PartSpec.Hours(c) => s"hours($c)"
+    case PartSpec.Trunc(n, c) => s"trunc($n, $c)"
+  }
 }
 
 object PartSpec {

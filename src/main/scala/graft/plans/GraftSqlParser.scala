@@ -69,6 +69,10 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     // only when the target resolves to a graft table
     case ShowPartitionsRe(target) if isGraftTarget(spark, target.trim) =>
       GraftShowPartitionsCommand(target.trim)
+    // SHOW CREATE TABLE is vanilla grammar — intercept only graft
+    // targets (v1 relations would otherwise print a lying vanilla DDL)
+    case ShowCreateRe(target) if isGraftTarget(spark, target.trim) =>
+      GraftShowCreateCommand(target.trim)
     case RestoreRe(target, ver) =>
       GraftRestoreCommand(target.trim, ver.toLong)
     // ANALYZE TABLE is vanilla grammar for catalog tables — intercept
@@ -168,6 +172,8 @@ object GraftSqlParser {
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   private val ShowPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*$""".r
+  private val ShowCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val AnalyzeRe =
@@ -799,14 +805,52 @@ final case class GraftDescribeDetailCommand(target: String)
     AttributeReference("n_refs", IntegerType, nullable = false)(),
     AttributeReference("n_dvs", IntegerType, nullable = false)(),
     AttributeReference("n_constraints", IntegerType, nullable = false)(),
-    AttributeReference("n_features", IntegerType, nullable = false)())
+    AttributeReference("n_features", IntegerType, nullable = false)(),
+    AttributeReference("partitioning", StringType, nullable = false)())
   override def run(spark: SS): Seq[Row] = {
     val p = GraftSqlParser.resolveTarget(spark, target)
     val v = Versioned.latestVersion(spark, p)
       .getOrElse(throw new IllegalArgumentException(s"no commits under $p"))
     val m = Versioned.readManifest(spark, p, v)
     Seq(Row("graft-table", p, v, m.op,
-      m.refs.size, m.dvs.size, m.constraints.size, m.features.size))
+      m.refs.size, m.dvs.size, m.constraints.size, m.features.size,
+      m.partCols.map(c => graft.ops.PartSpec.parse(c).display)
+        .mkString(", ")))
+  }
+}
+
+/** `SHOW CREATE TABLE target` — reconstruct runnable DDL from the head
+  * manifest: the CREATE statement (recorded logical schema, partition
+  * transforms in SQL call form, location) plus one `ALTER TABLE … ADD
+  * CONSTRAINT` row per CHECK constraint. The emitted statements
+  * round-trip through this same parser (spec-pinned by executing them
+  * against a fresh location).
+  */
+final case class GraftShowCreateCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    val p = GraftSqlParser.resolveTarget(spark, target)
+    val v = Versioned.latestVersion(spark, p)
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $p"))
+    val m = Versioned.readManifest(spark, p, v)
+    val schema = m.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"$p records no schema — nothing to reconstruct"))
+    val cols = schema.fields
+      .map(f => s"  `${f.name}` ${f.dataType.sql}").mkString(",\n")
+    val partClause =
+      if (m.partCols.isEmpty) ""
+      else "\nPARTITIONED BY (" + m.partCols
+        .map(c => graft.ops.PartSpec.parse(c).display).mkString(", ") + ")"
+    val create = s"CREATE TABLE $target (\n$cols\n)\n" +
+      s"USING `graft-table`$partClause\nLOCATION '$p'"
+    Row(create) +: m.constraints.map { case (n, e) =>
+      Row(s"ALTER TABLE $target ADD CONSTRAINT $n CHECK ($e)")
+    }
   }
 }
 

@@ -752,6 +752,53 @@ class GraftDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml_rp")
   }
 
+  test("SHOW CREATE TABLE reconstructs runnable DDL; vanilla targets delegate") {
+    val loc = tmpDir("dml-showcreate") + "/t"
+    spark.sql("DROP TABLE IF EXISTS gdml_sc")
+    spark.sql(s"""CREATE TABLE gdml_sc (k BIGINT, ts TIMESTAMP, v DOUBLE)
+      USING `graft-table` PARTITIONED BY (bucket(4, k), days(ts))
+      LOCATION '$loc'""")
+    spark.sql("ALTER TABLE gdml_sc ADD CONSTRAINT pos CHECK (v >= 0)")
+    val stmts = spark.sql("SHOW CREATE TABLE gdml_sc").collect()
+      .map(_.getString(0))
+    assert(stmts.length == 2)
+    assert(stmts.head.contains("PARTITIONED BY (bucket(4, k), days(ts))"),
+      stmts.head)
+    assert(stmts(1).contains("ADD CONSTRAINT pos CHECK"))
+    // ROUND-TRIP: the emitted statements run against a fresh
+    // name+location and rebuild the same table shape
+    val loc2 = tmpDir("dml-showcreate2") + "/t"
+    spark.sql("DROP TABLE IF EXISTS gdml_sc2")
+    val emittedLoc = "LOCATION '([^']+)'".r
+      .findFirstMatchIn(stmts.head).get.group(1)
+    stmts.map(_.replace("gdml_sc", "gdml_sc2")
+        .replace(s"LOCATION '$emittedLoc'", s"LOCATION '$loc2'"))
+      .foreach(s0 => spark.sql(s0).collect())
+    spark.sql("INSERT INTO gdml_sc2 VALUES " +
+      "(1, TIMESTAMP '2024-01-01 00:00:00', 2.0)")
+    assert(spark.sql("SHOW PARTITIONS gdml_sc2").collect()
+      .map(_.getString(0))
+      .exists(p => p.contains("k_bucket=") && p.contains("ts_day=2024-01-01")))
+    intercept[Exception] {
+      spark.sql("INSERT INTO gdml_sc2 VALUES " +
+        "(2, TIMESTAMP '2024-01-01 00:00:00', -5.0)")
+    } // the CHECK constraint round-tripped
+    // DESCRIBE DETAIL prints the transforms in call form
+    assert(spark.sql("DESCRIBE DETAIL gdml_sc").collect().head
+      .getAs[String]("partitioning") == "bucket(4, k), days(ts)")
+    // vanilla targets reach the vanilla SHOW CREATE TABLE
+    spark.sql("DROP TABLE IF EXISTS dml_van_sc")
+    spark.sql("CREATE TABLE dml_van_sc (c1 INT) USING parquet " +
+      s"LOCATION '${tmpDir("dml-van-sc")}/t'")
+    try assert(spark.sql("SHOW CREATE TABLE dml_van_sc").collect()
+      .map(_.getString(0)).mkString.toLowerCase.contains("parquet"))
+    finally {
+      spark.sql("DROP TABLE IF EXISTS dml_van_sc")
+      spark.sql("DROP TABLE IF EXISTS gdml_sc")
+      spark.sql("DROP TABLE IF EXISTS gdml_sc2")
+    }
+  }
+
   test("DESCRIBE over a vanilla table named 'history' delegates instead of " +
       "being shadowed by DESCRIBE HISTORY interception (ADVICE r12)") {
     spark.sql("DROP TABLE IF EXISTS history")

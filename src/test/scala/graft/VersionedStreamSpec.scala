@@ -266,4 +266,18 @@ class VersionedStreamSpec extends SparkSpec {
       (1 to 4).map(c => (c.toLong, c.toLong)).toSet,
       s"restart must replay nothing and append only the new version: $rows")
   }
+
+  test("streaming source over a TRANSFORMED (bucketed) table: hive-staged " +
+      "versions stream whole, derived path columns stay invisible") {
+    val t = tmpDir("vstream-bucket") + "/t"
+    Versioned.commitPartitioned(spark, t,
+      (1L to 20L).map(i => (i, s"a$i")).toDF("id", "s"), Seq("bucket(4, id)"))
+    Versioned.commit(spark, t,
+      (21L to 30L).map(i => (i, s"b$i")).toDF("id", "s"))
+    val got = runOnce(t, "vs_bucketed", tmpDir("vstream-bucket-ck"))
+    assert(got.columns.toSeq == Seq("id", "s", "_commit_version"),
+      s"derived __p_ columns must not leak: ${got.columns.mkString(",")}")
+    assert(got.count() == 30)
+    assert(got.select("id").as[Long].collect().toSet == (1L to 30L).toSet)
+  }
 }
