@@ -3645,7 +3645,7 @@ object Versioned {
     * maintenance within the horizon.
     */
   def vacuum(spark: SparkSession, table: String, retainLast: Int = 1,
-      graceMs: Long = 0L): Seq[String] = {
+      graceMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
     val marker = new Path(s"$table/_dataroot")
@@ -3680,7 +3680,12 @@ object Versioned {
         .filter(st => graceMs == 0L || st.getModificationTime < horizon)
         .map(_.getPath.getName)
         .filterNot(live.contains)
-        .map { d => f.delete(new Path(s"$table/data/$d"), true); d }
+        .map { d =>
+          // DRY RUN reports exactly what a real run would delete —
+          // the pre-flight every destructive maintenance verb owes
+          if (!dryRun) f.delete(new Path(s"$table/data/$d"), true)
+          d
+        }
         .sorted
     }
   }

@@ -50,9 +50,9 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case VacuumRe(target, retain) =>
+    case VacuumRe(target, retain, dry) =>
       GraftVacuumCommand(target.trim,
-        Option(retain).map(_.toInt).getOrElse(1))
+        Option(retain).map(_.toInt).getOrElse(1), dry != null)
     case OptimizeRe(target, whereCond, zcols) =>
       GraftOptimizeCommand(target.trim,
         Option(zcols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -75,6 +75,8 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       GraftShowCreateCommand(target.trim)
     case RestoreRe(target, ver) =>
       GraftRestoreCommand(target.trim, ver.toLong)
+    case RestoreTsRe(target, ts) =>
+      GraftRestoreTimestampCommand(target.trim, ts)
     // ANALYZE TABLE is vanilla grammar for catalog tables — intercept
     // only graft targets; `FOR COLUMNS a, b` restricts the harvest and
     // `WITH NDV` adds per-file distinct-count sketches
@@ -162,7 +164,8 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
 object GraftSqlParser {
   // (?s) so trailing newlines inside a multi-line statement still match
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+     """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?""" +
      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
@@ -176,6 +179,9 @@ object GraftSqlParser {
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTsRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+(?:TO\s+)?TIMESTAMP\s+AS""" +
+     """\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)'\s*;?\s*$""").r
   private val AnalyzeRe =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS""" +
      """(?:\s+FOR\s+COLUMNS\s+([\w,\s`]+?))?""" +
@@ -417,13 +423,13 @@ object GraftSqlParser {
 /** `VACUUM target [RETAIN n VERSIONS]` → [[Versioned.vacuum]]; returns
   * the deleted data-dir names.
   */
-final case class GraftVacuumCommand(target: String, retainLast: Int)
-    extends LeafRunnableCommand {
+final case class GraftVacuumCommand(target: String, retainLast: Int,
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_dir", StringType, nullable = false)())
   override def run(spark: SS): Seq[Row] = {
     val p = GraftSqlParser.resolveTarget(spark, target)
-    Versioned.vacuum(spark, p, retainLast).map(Row(_))
+    Versioned.vacuum(spark, p, retainLast, dryRun = dryRun).map(Row(_))
   }
 }
 
@@ -543,6 +549,22 @@ final case class GraftRestoreCommand(target: String, toVersion: Long)
   override def run(spark: SS): Seq[Row] = {
     val p = GraftSqlParser.resolveTarget(spark, target)
     Seq(Row(Versioned.rollback(spark, p, toVersion)))
+  }
+}
+
+/** `RESTORE [TABLE] target [TO] TIMESTAMP AS OF 'ts'` — timestamp-
+  * resolved [[GraftRestoreCommand]]: the timestamp binds through
+  * [[Versioned.versionAsOf]] (binary-searched on monotone logs), then
+  * the same metadata-only rollback commit.
+  */
+final case class GraftRestoreTimestampCommand(target: String, ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    val p = GraftSqlParser.resolveTarget(spark, target)
+    val ms = java.sql.Timestamp.valueOf(ts).getTime
+    Seq(Row(Versioned.rollback(spark, p, Versioned.versionAsOf(spark, p, ms))))
   }
 }
 

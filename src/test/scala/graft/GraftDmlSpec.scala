@@ -752,6 +752,36 @@ class GraftDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml_rp")
   }
 
+  test("VACUUM DRY RUN previews without deleting; RESTORE TIMESTAMP AS OF") {
+    val t = tmpDir("dml-vacdry") + "/t"
+    seed(t)
+    Versioned.commit(spark, t, Seq((9L, "z")).toDF("id", "s"),
+      overwrite = true)
+    val preview = spark.sql(s"VACUUM graft.`$t` DRY RUN").collect()
+      .map(_.getString(0)).toSeq
+    assert(preview.nonEmpty)
+    // the preview deleted NOTHING: the superseded snapshot still reads
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1").count() == 4)
+    val deleted = spark.sql(s"VACUUM graft.`$t`").collect()
+      .map(_.getString(0)).toSeq
+    assert(deleted == preview, "a real run must delete exactly the preview")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1").collect()
+    }
+    // RESTORE TIMESTAMP AS OF: binds through versionAsOf, then the same
+    // metadata-only rollback
+    val t2 = tmpDir("dml-rts") + "/t"
+    seed(t2)
+    Thread.sleep(5)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    Versioned.commit(spark, t2, Seq((9L, "z")).toDF("id", "s"))
+    spark.sql(s"RESTORE TABLE graft.`$t2` TO TIMESTAMP AS OF '$mid'")
+      .collect()
+    assert(spark.sql(s"SELECT * FROM graft.`$t2`").count() == 4,
+      "restore must land on the pre-append snapshot")
+  }
+
   test("SHOW CREATE TABLE reconstructs runnable DDL; vanilla targets delegate") {
     val loc = tmpDir("dml-showcreate") + "/t"
     spark.sql("DROP TABLE IF EXISTS gdml_sc")
