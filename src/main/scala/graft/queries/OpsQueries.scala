@@ -2028,6 +2028,40 @@ object OpsQueries extends graft.QueryModule {
       out
     }),
 
+    // PARTITION TRANSFORMS III — trunc(len, c) prefix partitioning on
+    // the documents corpus (the curation-pipeline layout: language
+    // families as partitions without materializing a family column).
+    // A RANGE predicate on the raw lang column derives prefix bounds
+    // (monotone under lexicographic order) and prunes whole partitions;
+    // REQUIRED in-query: kept < total. Oracle: the same range filter
+    // straight off documents.
+    "q_versioned_trunc" -> ((s, dir) => {
+      import s.implicits._
+      val t = sys.props("java.io.tmpdir") +
+        s"/graft_vtrunc_${ProcessHandle.current().pid()}/t"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      s.sql("DROP TABLE IF EXISTS graft_qvt")
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .createOrReplaceTempView("qvt_seed")
+      s.sql(s"""CREATE TABLE graft_qvt
+        USING `graft-table` PARTITIONED BY (trunc(1, lang)) LOCATION '$t'
+        AS SELECT doc_id, lang, source, n_chars FROM qvt_seed""")
+      s.catalog.dropTempView("qvt_seed")
+      val (frame, kept, total) = graft.ops.Versioned.readPruned(s, t, None,
+        Seq(graft.ops.Versioned.ScanPredicate.Bounds("lang",
+          Some("de"), Some("en"))))
+      require(kept < total,
+        s"the prefix cut must drop whole language partitions: $kept/$total")
+      val out = frame.filter($"lang" >= "de" && $"lang" <= "en")
+        .agg(count(lit(1)).as("n"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      out.collect()
+      s.sql("DROP TABLE IF EXISTS graft_qvt")
+      out
+    }),
+
     // ANALYZE TABLE — retrofit the write-time stats discipline onto
     // PLAIN-commit history: three stats-less commits scan conservatively
     // (kept == total REQUIRED in-query), one ANALYZE backfills per-dir
@@ -3733,6 +3767,12 @@ object OpsQueries extends graft.QueryModule {
         |FROM orders
         |WHERE o_orderkey BETWEEN (SELECT mk * 2 // 10 FROM mx)
         |                     AND (SELECT mk * 3 // 10 FROM mx)""".stripMargin,
+    "q_versioned_trunc" ->
+      """SELECT COUNT(1) AS n,
+        |  CAST(SUM(n_chars) AS bigint) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents
+        |WHERE lang >= 'de' AND lang <= 'en'""".stripMargin,
     "q_versioned_days" ->
       """SELECT COUNT(1) AS n,
         |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_v,
