@@ -585,8 +585,11 @@ object Layout {
       pairs.toDF("file", "sk").withColumn("column", lit(c))
     }
     val all = perCol.reduce(_.unionByName(_)).localCheckpoint(true)
-    require(all.count() > 0,
-      s"no non-null values found under $path — nothing to sketch")
+    // a dir whose requested columns hold only nulls records an EMPTY
+    // (schema-bearing) manifest — such files contribute no values to a
+    // quantile by definition, and an abort here would leave a multi-dir
+    // ANALYZE backfill permanently half-applied (the offending dir can
+    // never satisfy a non-empty requirement)
     all.coalesce(1).write.mode("overwrite").parquet(s"$path/_qtl")
   }
 
@@ -771,9 +774,15 @@ object Layout {
       preds: Seq[(String, String => Column)])
       : (Seq[(String, Boolean)], Seq[String]) = {
     require(preds.nonEmpty, "manifestFileDecisionsMulti needs predicates")
+    // ONE stats read + ONE per-dir listing probe for the whole
+    // conjunction — k predicates over the same manifests must not pay
+    // k× the metadata RPCs
+    val all = spark.read.parquet(statsPaths: _*)
+    val listingKey = listingKeyOf(spark, statsPaths)
     val typs = scala.collection.mutable.ArrayBuffer.empty[String]
     val rels = preds.zipWithIndex.map { case ((column, keepFor), i) =>
-      val (rel, typ) = decisionRelation(spark, statsPaths, column, keepFor)
+      val (rel, typ) =
+        decisionRelationOver(spark, all, listingKey, column, keepFor)
       typs += typ
       rel.select(col("file"), col("keep").as(s"__k$i"))
     }
@@ -823,8 +832,35 @@ object Layout {
     */
   private[graft] def decisionRelation(spark: org.apache.spark.sql.SparkSession,
       statsPaths: Seq[String], column: String,
+      keepFor: String => Column): (DataFrame, String) =
+    decisionRelationOver(spark, spark.read.parquet(statsPaths: _*),
+      listingKeyOf(spark, statsPaths), column, keepFor)
+
+  /** The typ-memo key's listing half, computable ONCE for a whole
+    * predicate conjunction — k predicates over the same manifests must
+    * not pay k× the per-dir listStatus probes ([[decisionRelationOver]]).
+    */
+  private[graft] def listingKeyOf(spark: org.apache.spark.sql.SparkSession,
+      statsPaths: Seq[String]): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    statsPaths.sorted.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val listing = try hp.getFileSystem(hconf).listStatus(hp)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+      catch { case _: java.io.IOException => "?" }
+      s"$p@$listing"
+    }.mkString("|")
+  }
+
+  /** [[decisionRelation]] over a PRE-LOADED manifest frame + listing key
+    * — the per-predicate body, shared so a conjunction loads the stats
+    * parquet and probes the dirs exactly once.
+    */
+  private[graft] def decisionRelationOver(
+      spark: org.apache.spark.sql.SparkSession, all: DataFrame,
+      listingKey: String, column: String,
       keepFor: String => Column): (DataFrame, String) = {
-    val all = spark.read.parquet(statsPaths: _*)
     val man = all.filter(col("column") === column)
     // typ is uniform per column (one writer): a bounded collect — at most
     // one row per distinct recorded type, never per file. MEMOIZED per
@@ -839,15 +875,7 @@ object Layout {
     // carry real mtimes everywhere. One driver listStatus per dir, the
     // same O(dirs) metadata cost class as the exists() probes callers
     // already pay (stats dirs hold a handful of files).
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val memoKey = (statsPaths.sorted.map { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val listing = try hp.getFileSystem(hconf).listStatus(hp)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted.mkString(",")
-      catch { case _: java.io.IOException => "?" }
-      s"$p@$listing"
-    }.mkString("|"), column)
+    val memoKey = (listingKey, column)
     val typ = Option(typMemo.get(memoKey)).getOrElse {
       val typs = man.select(col("typ")).distinct().collect().map(_.getString(0))
       require(typs.length <= 1,

@@ -202,8 +202,15 @@ object PartSpec {
     val statTyp: String = "string"
     val monotone: Boolean = true
     val preservesNull: Boolean = true
+    // CODE POINTS, not UTF-16 units: Spark's substring counts code
+    // points, and a String.take through an astral pair would leave a
+    // lone surrogate whose UTF-8 encoding ('?') sorts BELOW the real
+    // prefix — an upper bound mapped that way prunes matching files
     def mapPoint(v: String, srcType: DataType, zoneId: String): Option[String] =
-      Some(v.take(len))
+      Some {
+        val cps = v.codePointCount(0, v.length)
+        v.substring(0, v.offsetByCodePoints(0, math.min(len, cps)))
+      }
   }
 
   private val BucketSpecRe = """^bucket:(\d+):(.+)$""".r

@@ -1470,8 +1470,7 @@ object Versioned {
     val conservative = dirInfo.filterNot(_._4).flatMap {
       case (_, dir, files, _) => files match {
         case Some(names) => names.toSeq.map(n => s"$dir/$n")
-        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
-          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+        case None => listDirDataFiles(spark, dir)
       }
     }
     val kept = (decided.filter(_._2).map(_._1) ++ conservative).sorted
@@ -1810,10 +1809,15 @@ object Versioned {
       newImages.write.mode("errorifexists")
         .parquet(s"${dataRoot(spark, table)}/$dirName")
     else {
+      // the MoR delta is small by this verb's contract (matched rows
+      // only) — 4 range partitions bound its file count while the
+      // within-partition sort keeps per-file stats tight, mirroring the
+      // sibling rewrite paths
       val specs = m.partCols.map(PartSpec.parse)
+      val keys = specs.map(t => t.derive(col(t.srcCol)))
       stageDataDir(spark, table, dirName,
-        newImages.repartitionByRange(4,
-          specs.map(t => t.derive(col(t.srcCol))): _*),
+        newImages.repartitionByRange(4, keys: _*)
+          .sortWithinPartitions(keys: _*),
         Map.empty, m.partCols)
     }
     def cleanup(): Unit = {
@@ -2303,9 +2307,8 @@ object Versioned {
     val plainRefs = unstatted.flatMap { case (d, dir, files, _) =>
       files match {
         case Some(names) => names.toSeq.map(n => s"$d/$n")
-        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
-          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-          .map(n => s"$d/$n")
+        case None => listDirDataFiles(spark, dir)
+          .map(abs => s"$d/" + abs.stripPrefix(dir).stripPrefix("/"))
       }
     }
     val fromListing =
@@ -2453,8 +2456,7 @@ object Versioned {
     val conservative = dirInfo.filterNot(_._4).flatMap {
       case (_, dir, files, _) => files match {
         case Some(names) => names.toSeq.map(n => s"$dir/$n")
-        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
-          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+        case None => listDirDataFiles(spark, dir)
       }
     }
     val scanFiles = (bloomKept ++ conservative).sorted
@@ -2624,7 +2626,10 @@ object Versioned {
         import spark.implicits._
         val statsPaths = statted.map(_._1 + "/_stats")
         // one decision relation per predicate, ANDed by equi-join on
-        // file (the skipScanManifestPreds conjunction shape)
+        // file (the skipScanManifestPreds conjunction shape) — over ONE
+        // stats read and ONE per-dir listing probe for the conjunction
+        val allStats = spark.read.parquet(statsPaths: _*)
+        val listingKey = Layout.listingKeyOf(spark, statsPaths)
         val rels = preds.zipWithIndex.map { case (pr, i) =>
           val keepFor: String => org.apache.spark.sql.Column = pr match {
             case ScanPredicate.Bounds(_, lo, hi) =>
@@ -2634,8 +2639,8 @@ object Versioned {
             case ScanPredicate.InSet(_, values) =>
               typ => Layout.inSetKeepExpr(typ, values)
           }
-          val (rel, _) = Layout.decisionRelation(spark, statsPaths,
-            pr.column, keepFor)
+          val (rel, _) = Layout.decisionRelationOver(spark, allStats,
+            listingKey, pr.column, keepFor)
           rel.select(col("file"), col("n_bytes").as(s"__b$i"),
             col("keep").as(s"__k$i"))
         }
@@ -2664,8 +2669,7 @@ object Versioned {
     val conservativeFiles = unstatted.flatMap { case (dir, files, _) =>
       files match {
         case Some(names) => names.toSeq.map(n => s"$dir/$n")
-        case None => fs(spark, new Path(dir)).listStatus(new Path(dir)).toSeq
-          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+        case None => listDirDataFiles(spark, dir)
       }
     }
     val conservative = conservativeFiles
@@ -3147,6 +3151,30 @@ object Versioned {
     * pay O(files) round-trips twice). File-granular refs restrict the
     * listing's rows, whole-dir refs take them all.
     */
+  /** ABSOLUTE data-file paths of one dir, RECURSIVE with the hidden-
+    * segment rule — the conservative-branch listing for manifest-less
+    * dirs. A flat `listStatus` would report a PARTITIONED dir (files
+    * under `__p_c=v` subdirs) as empty, which in the planners means
+    * rows silently vanish from reads and merge manifests — dropped, not
+    * conservatively scanned (the refFileLengths bug class, closed at
+    * every site through this one helper).
+    */
+  private def listDirDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    val dirUri = f.makeQualified(p).toString.stripSuffix("/")
+    val it = f.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(dirUri).stripPrefix("/")
+      val hidden = rel.split('/').exists(n =>
+        (n.startsWith("_") && !n.contains('=')) || n.startsWith("."))
+      if (!hidden && rel.endsWith(".parquet")) out += s"$dir/$rel"
+    }
+    out.toSeq
+  }
+
   private def refFileLengths(spark: SparkSession, table: String,
       refs: Seq[String]): Seq[(String, Long)] =
     groupRefsByDir(refs).toSeq.sortBy(_._1).flatMap { case (d, files) =>
@@ -3604,12 +3632,23 @@ object Versioned {
         org.apache.spark.sql.functions.lit(true)))
     // an erasure rewrite is an overwrite COMMIT but not a layout
     // re-declaration: the table keeps its partition columns/transforms
-    // (a plain overwrite would silently UNDECLARE them)
+    // (a plain overwrite would silently UNDECLARE them), and the
+    // rewrite CLUSTERS by the derived partition values first — a
+    // full-table rewrite across P partition values and T tasks would
+    // otherwise stage up to T×P files
     val pv = latestVersion(spark, table)
     val partCols = pv.map(v => readManifest(spark, table, v).partCols)
       .getOrElse(Seq.empty)
-    commitAt(spark, table, kept, pv.getOrElse(0L) + 1, pv, overwrite = true,
-      declaredPartCols = Some(partCols))
+    val arranged =
+      if (partCols.isEmpty) kept
+      else {
+        import org.apache.spark.sql.functions.col
+        val keys = partCols.map(PartSpec.parse)
+          .map(t => t.derive(col(t.srcCol)))
+        kept.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      }
+    commitAt(spark, table, arranged, pv.getOrElse(0L) + 1, pv,
+      overwrite = true, declaredPartCols = Some(partCols))
   }
 
   /** Delete data dirs none of the last `retainLast` snapshots reference

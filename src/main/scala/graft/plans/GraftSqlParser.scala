@@ -563,7 +563,17 @@ final case class GraftRestoreTimestampCommand(target: String, ts: String)
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SS): Seq[Row] = {
     val p = GraftSqlParser.resolveTarget(spark, target)
-    val ms = java.sql.Timestamp.valueOf(ts).getTime
+    // SESSION-zone semantics, like every other TIMESTAMP literal the
+    // user writes (Timestamp.valueOf would bind the JVM default zone —
+    // a silent up-to-whole-hours skew — and rejects date-only literals)
+    val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+    val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+      .getOrElse(throw new IllegalArgumentException(
+        s"RESTORE TIMESTAMP AS OF: cannot parse timestamp '$ts'"))
+    val ms = Math.floorDiv(micros, 1000L)
     Seq(Row(Versioned.rollback(spark, p, Versioned.versionAsOf(spark, p, ms))))
   }
 }

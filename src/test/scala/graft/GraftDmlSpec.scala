@@ -780,6 +780,11 @@ class GraftDmlSpec extends SparkSpec {
       .collect()
     assert(spark.sql(s"SELECT * FROM graft.`$t2`").count() == 4,
       "restore must land on the pre-append snapshot")
+    // date-only literals parse (session-zone semantics, like every other
+    // TIMESTAMP literal — Timestamp.valueOf would reject this form)
+    spark.sql(s"RESTORE TABLE graft.`$t2` TO TIMESTAMP AS OF '2999-01-01'")
+      .collect()
+    assert(spark.sql(s"SELECT * FROM graft.`$t2`").count() == 4)
   }
 
   test("SHOW CREATE TABLE reconstructs runnable DDL; vanilla targets delegate") {

@@ -413,6 +413,59 @@ class PartTransformSpec extends SparkSpec {
       "purge must not undeclare partitioning")
   }
 
+  test("manifest-less PARTITIONED dirs scan conservatively — rows never " +
+      "vanish from reads, merges, or graft_files") {
+    val t = tmpDir("ptnostat") + "/t"
+    Versioned.commitPartitioned(spark, t,
+      (1L to 30L).map(i => (i, i)).toDF("k", "v"), Seq("bucket(4, k)"))
+    // simulate a legacy/degraded dir: remove its stats manifest
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data"))
+      .iterator().asScala.toSeq.reverse
+      .filter(_.toString.contains("_stats"))
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    // the planner must fall to a conservative RECURSIVE listing — a flat
+    // one reports a hive-partitioned dir as empty and rows silently
+    // VANISH rather than scan
+    val (frame, kept, total) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("k", Some("5"), Some("5"))))
+    assert(kept == total && total > 0)
+    assert(frame.count() == 30, "conservative scan must keep every row")
+    // graft_files lists the files with honest null row counts
+    val meta = spark.sql(s"SELECT * FROM graft_files('$t')").collect()
+    assert(meta.nonEmpty && meta.forall(_.isNullAt(2)))
+    assert(meta.forall(_.getLong(3) > 0L))
+    // a merge keeps the dir's rows referenced
+    val (v, _, _) = Versioned.mergePruned(spark, t,
+      Seq((5L, 99L)).toDF("k", "v"), "k", Seq("k", "v"))
+    val after = Versioned.read(spark, t, Some(v))
+    assert(after.count() == 30, "merge must not drop the stat-less dir's rows")
+    assert(after.filter(col("k") === 5L).select("v").as[Long].head() == 99L)
+  }
+
+  test("trunc mapPoint counts CODE POINTS like Spark substring") {
+    import org.apache.spark.sql.types.StringType
+    val s2 = "😀z" // astral emoji + 'z'
+    val mp = PartSpec.Trunc(1, "c").mapPoint(s2, StringType, "UTC").get
+    val viaSpark = spark.range(1)
+      .select(substring(lit(s2), 1, 1)).head().getString(0)
+    assert(mp == viaSpark, s"mapPoint '$mp' vs Spark substring '$viaSpark'")
+    assert(mp == "😀", "one code point, not one UTF-16 unit")
+  }
+
+  test("ANALYZE WITH SKETCHES tolerates an all-null dir; quantiles still " +
+      "answer from the others") {
+    val t = tmpDir("ptnulq") + "/t"
+    Versioned.commit(spark, t,
+      (1L to 100L).map(i => (i, Option(i.toDouble))).toDF("k", "x"))
+    Versioned.commit(spark, t,
+      (101L to 110L).map(i => (i, Option.empty[Double])).toDF("k", "x"))
+    spark.sql(s"ANALYZE TABLE graft.`$t` COMPUTE STATISTICS " +
+      "FOR COLUMNS x WITH SKETCHES").collect()
+    val med = Versioned.approxQuantiles(spark, t, "x", Seq(0.5)).get.head
+    assert(math.abs(med - 50.0) <= 10.0, s"median off: $med")
+  }
+
   test("declaration guards: float bucket, name collisions, bad source") {
     val t = tmpDir("ptg") + "/t"
     val df = Seq((1.5, 1L, 2L)).toDF("f", "k", "k_bucket")
