@@ -520,7 +520,44 @@ object Layout {
     // manifest's `parts` map ([[skipScanManifestHive]] composes them).
     require(harvested.count() > 0,
       s"no parquet files found under $path — nothing to harvest stats from")
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    replaceDirAtomic(spark, s"$path/_stats")(tmp =>
+      stats.coalesce(1).write.mode("overwrite").parquet(tmp))
+  }
+
+  /** Land a manifest dir ATOMICALLY next to live data (ADVICE r14):
+    * ANALYZE backfills `_stats`/`_ndv`/`_qtl` into dirs that are
+    * REFERENCED by the current snapshot, and a bare `mode("overwrite")`
+    * deletes the live manifest for the entire duration of the write job
+    * — a concurrent planner sees an existing-but-EMPTY dir and dies on
+    * schema inference, and a crash leaves it that way forever (the
+    * bare-exists idempotency guard then skips the broken dir on every
+    * re-run). Stage the full bytes into `<dest>.tmp-<uuid>` (the
+    * underscore prefix keeps it invisible to data scans), then swap via
+    * two renames. The only remaining window is between the renames,
+    * where the manifest is MISSING — which every planner already treats
+    * conservatively (scan the dir unstatted); a crash in that window
+    * self-heals on the next ANALYZE. A failed landing restores the
+    * previous manifest.
+    */
+  private[graft] def replaceDirAtomic(
+      spark: org.apache.spark.sql.SparkSession, dest: String)(
+      write: String => Unit): Unit = {
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val f = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dest.tmp-$tag")
+    try {
+      write(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$dest.old-$tag")
+      val had = f.exists(destP)
+      if (had) require(f.rename(destP, old),
+        s"could not move the live manifest aside: $dest")
+      if (!f.rename(tmp, destP)) {
+        if (had) f.rename(old, destP)
+        throw new java.io.IOException(s"atomic manifest swap failed: $dest")
+      }
+      if (had) f.delete(old, true)
+    } finally { try f.delete(tmp, true) catch { case _: Throwable => () } }
   }
 
   /** Per-FILE NDV sketches persisted next to the data (the Iceberg
@@ -546,7 +583,8 @@ object Layout {
     val all = perCol.reduce(_.unionByName(_)).localCheckpoint(true)
     require(all.count() > 0,
       s"no parquet files found under $path — nothing to sketch")
-    all.coalesce(1).write.mode("overwrite").parquet(s"$path/_ndv")
+    replaceDirAtomic(spark, s"$path/_ndv")(tmp =>
+      all.coalesce(1).write.mode("overwrite").parquet(tmp))
   }
 
   /** Per-FILE KLL quantile sketches persisted at `<path>/_qtl` — the
@@ -590,7 +628,8 @@ object Layout {
     // quantile by definition, and an abort here would leave a multi-dir
     // ANALYZE backfill permanently half-applied (the offending dir can
     // never satisfy a non-empty requirement)
-    all.coalesce(1).write.mode("overwrite").parquet(s"$path/_qtl")
+    replaceDirAtomic(spark, s"$path/_qtl")(tmp =>
+      all.coalesce(1).write.mode("overwrite").parquet(tmp))
   }
 
   private[graft] def mergeKll(a: Array[Byte], b: Array[Byte]): Array[Byte] = {

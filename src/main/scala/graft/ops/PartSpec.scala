@@ -1,9 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{col, hash, lit, pmod, substring, to_date}
-import org.apache.spark.sql.types.{DataType, DateType, DoubleType, FloatType,
-  StructType}
+import org.apache.spark.sql.functions.{col, concat, date_add, date_format,
+  floor, hash, lit, lpad, pmod, substring, to_date, unix_micros}
+import org.apache.spark.sql.types.{DataType, DateType, DecimalType, DoubleType,
+  FloatType, IntegerType, StructType, TimestampType}
 
 /** Partition TRANSFORMS for the versioned table — the Iceberg hidden-
   * partitioning idea (Iceberg spec §Partition Transforms): the table
@@ -60,8 +61,16 @@ sealed trait PartSpec {
 
   def isIdentity: Boolean = false
 
-  /** Derivation expression over the source column. */
-  def derive(src: Column): Column
+  /** Derivation expression over the source column. Temporal transforms
+    * need the source TYPE: a TimestampType (instant) derives over UTC
+    * with exact integer math — never the session zone (ADVICE r14: a
+    * session-zoned `to_date` made the derived value depend on the
+    * WRITER's zone while the reader mapped literals in ITS zone, so a
+    * zone mismatch pruned files containing matching rows; Iceberg pins
+    * transform evaluation to UTC for exactly this reason). Date /
+    * timestamp_ntz sources are zone-free wall clocks already.
+    */
+  def derive(src: Column, srcType: DataType): Column
 
   /** Stats-manifest `typ` for synthesized rows ("" = none synthesized). */
   def statTyp: String
@@ -97,7 +106,7 @@ object PartSpec {
     override def isIdentity: Boolean = true
     val name: String = srcCol
     val spec: String = srcCol
-    def derive(src: Column): Column = src
+    def derive(src: Column, srcType: DataType): Column = src
     val statTyp: String = ""
     val monotone: Boolean = true
     val preservesNull: Boolean = true
@@ -110,7 +119,8 @@ object PartSpec {
     require(n > 0, s"bucket($n, $srcCol): bucket count must be positive")
     val name: String = s"${srcCol}_bucket"
     val spec: String = s"bucket:$n:$srcCol"
-    def derive(src: Column): Column = pmod(hash(src), lit(n))
+    def derive(src: Column, srcType: DataType): Column =
+      pmod(hash(src), lit(n))
     val statTyp: String = "long"
     val monotone: Boolean = false
     val preservesNull: Boolean = false
@@ -130,64 +140,136 @@ object PartSpec {
     }
   }
 
-  /** `days(c)` — calendar-day truncation (`to_date`), monotone. */
+  private val DayMicros = 86400000000L
+  private val HourMicros = 3600000000L
+  private val EpochDate = java.sql.Date.valueOf("1970-01-01")
+
+  /** Zone-free calendar day of the source: a TimestampType instant
+    * floors its unix micros to a UTC day with EXACT arithmetic (decimal
+    * floor-division — double division would round at the 2^53 boundary,
+    * and `div` truncates toward zero for pre-1970 instants); date /
+    * timestamp_ntz sources are wall clocks, where `to_date` never
+    * consults the zone.
+    */
+  private def utcDay(src: Column, srcType: DataType): Column =
+    srcType match {
+      case TimestampType =>
+        date_add(lit(EpochDate),
+          floor(unix_micros(src).cast(DecimalType(28, 0)) / lit(DayMicros))
+            .cast(IntegerType))
+      case _ => to_date(src)
+    }
+
+  /** `days(c)` — calendar-day truncation, monotone, pinned to UTC for
+    * instant sources (ADVICE r14 / Iceberg spec).
+    */
   final case class Days(srcCol: String) extends PartSpec {
     val name: String = s"${srcCol}_day"
     val spec: String = s"days::$srcCol"
-    def derive(src: Column): Column = to_date(src)
+    def derive(src: Column, srcType: DataType): Column = utcDay(src, srcType)
     val statTyp: String = "date"
     val monotone: Boolean = true
     val preservesNull: Boolean = true
     private val DayPrefix = """^(\d{4}-\d{2}-\d{2})""".r
     def mapPoint(v: String, srcType: DataType, zoneId: String): Option[String] =
-      DayPrefix.findFirstMatchIn(v).map(_.group(1))
+      srcType match {
+        case TimestampType => utcLiteral(v, zoneId).map(_.toLocalDate.toString)
+        case _ => DayPrefix.findFirstMatchIn(v).map(_.group(1))
+      }
   }
 
   /** `years(c)` / `months(c)` — calendar truncation to the period's
-    * first day (`functions.trunc`), monotone, date-typed stats.
+    * first day, monotone, date-typed stats, UTC-pinned for instants
+    * (`functions.trunc` over the zone-free day is itself zone-free).
     */
   final case class Years(srcCol: String) extends PartSpec {
     val name: String = s"${srcCol}_year"
     val spec: String = s"years::$srcCol"
-    def derive(src: Column): Column =
-      org.apache.spark.sql.functions.trunc(src, "year")
+    def derive(src: Column, srcType: DataType): Column =
+      org.apache.spark.sql.functions.trunc(utcDay(src, srcType), "year")
     val statTyp: String = "date"
     val monotone: Boolean = true
     val preservesNull: Boolean = true
     private val YearPrefix = """^(\d{4})-\d{2}-\d{2}""".r
     def mapPoint(v: String, srcType: DataType, zoneId: String): Option[String] =
-      YearPrefix.findFirstMatchIn(v).map(_.group(1) + "-01-01")
+      srcType match {
+        case TimestampType =>
+          utcLiteral(v, zoneId).map(_.toLocalDate.getYear)
+            .map(y => f"$y%04d-01-01")
+        case _ => YearPrefix.findFirstMatchIn(v).map(_.group(1) + "-01-01")
+      }
   }
 
   final case class Months(srcCol: String) extends PartSpec {
     val name: String = s"${srcCol}_month"
     val spec: String = s"months::$srcCol"
-    def derive(src: Column): Column =
-      org.apache.spark.sql.functions.trunc(src, "month")
+    def derive(src: Column, srcType: DataType): Column =
+      org.apache.spark.sql.functions.trunc(utcDay(src, srcType), "month")
     val statTyp: String = "date"
     val monotone: Boolean = true
     val preservesNull: Boolean = true
     private val MonthPrefix = """^(\d{4}-\d{2})-\d{2}""".r
     def mapPoint(v: String, srcType: DataType, zoneId: String): Option[String] =
-      MonthPrefix.findFirstMatchIn(v).map(_.group(1) + "-01")
+      srcType match {
+        case TimestampType =>
+          utcLiteral(v, zoneId).map(d =>
+            f"${d.toLocalDate.getYear}%04d-${d.toLocalDate.getMonthValue}%02d-01")
+        case _ => MonthPrefix.findFirstMatchIn(v).map(_.group(1) + "-01")
+      }
   }
 
-  /** `hours(c)` — `date_trunc('hour')`, timestamp-typed stats (the path
-    * value's escaped colons round-trip through the hive unescape).
+  /** `hours(c)` — hour truncation as a ZONE-FREE STRING `yyyy-MM-dd HH`
+    * (UTC for instant sources): lexicographic order on the string equals
+    * instant order, so string-typed stats compare monotonically in any
+    * session zone — a timestamp-typed derived value would re-enter the
+    * zone at every path-string render and literal cast.
     */
   final case class Hours(srcCol: String) extends PartSpec {
     val name: String = s"${srcCol}_hour"
     val spec: String = s"hours::$srcCol"
-    def derive(src: Column): Column =
-      org.apache.spark.sql.functions.date_trunc("hour", src)
-    val statTyp: String = "timestamp"
+    def derive(src: Column, srcType: DataType): Column = srcType match {
+      case TimestampType =>
+        val hourIdx = floor(
+          unix_micros(src).cast(DecimalType(28, 0)) / lit(HourMicros))
+          .cast("long")
+        val dayIdx = floor(hourIdx.cast(DecimalType(28, 0)) / lit(24L))
+          .cast(IntegerType)
+        val hod = hourIdx - dayIdx.cast("long") * lit(24L)
+        concat(
+          date_format(date_add(lit(EpochDate), dayIdx), "yyyy-MM-dd"),
+          lit(" "), lpad(hod.cast("string"), 2, "0"))
+      case _ => date_format(src, "yyyy-MM-dd HH")
+    }
+    val statTyp: String = "string"
     val monotone: Boolean = true
     val preservesNull: Boolean = true
     private val HourPrefix = """^(\d{4}-\d{2}-\d{2})[ T](\d{2})""".r
     def mapPoint(v: String, srcType: DataType, zoneId: String): Option[String] =
-      HourPrefix.findFirstMatchIn(v).map(m =>
-        s"${m.group(1)} ${m.group(2)}:00:00")
+      srcType match {
+        case TimestampType => utcLiteral(v, zoneId).map(d =>
+          d.toLocalDate.toString + " " + f"${d.getHour}%02d")
+        case _ => HourPrefix.findFirstMatchIn(v).map(m =>
+          s"${m.group(1)} ${m.group(2)}")
+      }
   }
+
+  /** Parse a reader-side literal EXACTLY as the row-filter cast will
+    * (Spark's own string→timestamp parser, bound to the reader's session
+    * zone — honoring any explicit zone suffix in the literal), then
+    * present the instant as a UTC wall clock for the derived-domain
+    * comparison. None = unparseable literal → derivation stays
+    * conservative.
+    */
+  private def utcLiteral(v: String,
+      zoneId: String): Option[java.time.LocalDateTime] =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        java.time.ZoneId.of(zoneId))
+      .map(micros => java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
 
   /** `trunc(len, c)` — string prefix, monotone under lexicographic order
     * (if s <= t then s.take(L) <= t.take(L): either s is a prefix of t,
@@ -198,7 +280,7 @@ object PartSpec {
     require(len > 0, s"trunc($len, $srcCol): length must be positive")
     val name: String = s"${srcCol}_trunc"
     val spec: String = s"trunc:$len:$srcCol"
-    def derive(src: Column): Column = substring(src, 1, len)
+    def derive(src: Column, srcType: DataType): Column = substring(src, 1, len)
     val statTyp: String = "string"
     val monotone: Boolean = true
     val preservesNull: Boolean = true
@@ -302,6 +384,13 @@ object PartSpec {
 
   /** Derived-column expressions for staging: `__p_<name>` per spec. */
   def pathCol(t: PartSpec): String = s"__p_${t.name}"
+
+  /** Derivation bound to a frame's schema (resolves the source type so
+    * temporal transforms know instant vs wall-clock — see [[PartSpec
+    * .derive]]).
+    */
+  def deriveCol(df: org.apache.spark.sql.Dataset[_], t: PartSpec): Column =
+    t.derive(col(t.srcCol), df.schema(t.srcCol).dataType)
 
   /** Stats-manifest synthesis descriptors for the NON-identity specs:
     * (parts key, stats column name, typ) triples [[graft.ops.Layout

@@ -162,10 +162,28 @@ object Versioned {
     val p = manifestPath(table, v)
     val f = fs(spark, p)
     require(f.exists(p), s"version $v does not exist under $table")
-    val in = f.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = text.linesIterator.toSeq.filter(_.nonEmpty)
+    // A zero-line manifest is a TRANSIENT CLAIM, not content: a commit
+    // store whose claim and content land in two steps (a torn
+    // conditional PUT, or any future impl with the same window) shows
+    // the file before its bytes. No store implementation may crash
+    // readers — retry briefly for the writer to finish, then refuse
+    // LOUDLY with the diagnosis (a dead writer's empty claim needs a
+    // human, not an UnsupportedOperationException from lines.tail).
+    var lines: Seq[String] = Seq.empty
+    var attempt = 0
+    while ({
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      lines = text.linesIterator.toSeq.filter(_.nonEmpty)
+      lines.isEmpty && attempt < 20
+    }) { attempt += 1; Thread.sleep(25) }
+    if (lines.isEmpty)
+      throw new IllegalStateException(
+        s"manifest for version $v of $table exists but is EMPTY after " +
+          s"${attempt * 25} ms of retries — a writer claimed the version " +
+          "but never published content (torn conditional PUT or dead " +
+          "writer). Delete the empty manifest to release the claim.")
     val schema = lines.tail.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
     val dvs = lines.tail.filter(_.startsWith("dv=")).map(_.stripPrefix("dv="))
     val ts = lines.tail.find(_.startsWith("ts="))
@@ -294,40 +312,66 @@ object Versioned {
     * whose success/already-exists answer IS the CAS — the store itself
     * refuses the overwrite, no rename semantics required. Implemented
     * here over Hadoop `create(dest, overwrite=false)` (exclusive-create
-    * on local/HDFS), which is semantically faithful to the conditional
-    * PUT — with TWO caveats the deployment must respect (ADVICE r11):
-    *
-    *  - the exclusive create is a TRUE atom only on stores that provide
-    *    it (S3 `If-None-Match: *`, GCS generation-match, HDFS create).
-    *    `RawLocalFileSystem` emulates it as exists-then-create, so two
-    *    local racers can both "win" — local/HDFS deployments keep
-    *    [[RenameCommitStore]] (the default), whose claim is a no-replace
-    *    HDFS rename or, on local FS, an atomic link(2) (POSIX rename
-    *    would silently replace — r14);
-    *  - a real conditional PUT is all-or-nothing, but the Hadoop
-    *    emulation can crash between create and write, leaving a claimed
-    *    EMPTY manifest that would brick the version. `publish` therefore
-    *    best-effort deletes the destination when the write/close fails,
-    *    so the failed attempt releases its claim instead of wedging
-    *    every future reader of that version.
+    * on HDFS) — EXCEPT on local FS, where `RawLocalFileSystem` emulates
+    * exclusive-create as exists-then-create (two racers can both "win")
+    * AND create-then-write shows the manifest visible-and-empty in the
+    * window (VERDICT r14: a racing reader's parse crashed, and a dead
+    * writer's empty claim would brick the version). A real conditional
+    * PUT is all-or-nothing, so the local emulation is made faithfully
+    * content-atomic: stage the full bytes to a tmp sibling, claim via
+    * link(2) — the same atom [[RenameCommitStore]] uses locally. On
+    * remote stores the server-side PUT is the atom; `publish` releases
+    * its claim (best-effort delete) if the write fails, and
+    * [[readManifest]] tolerates any store's transient empty window with
+    * a bounded retry before refusing loudly.
     */
   object ConditionalPutCommitStore extends CommitStore {
     def publish(f: FileSystem, dest: Path, bytes: Array[Byte]): Boolean = {
       if (f.exists(dest)) return false
-      val out =
-        try f.create(dest, false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-          case _: java.io.IOException if f.exists(dest) => return false
+      val scheme = Option(f.getUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        // LOCAL EMULATION must be content-atomic like the real thing:
+        // create-then-write shows the manifest VISIBLE AND EMPTY between
+        // the claim and the bytes — a racing reader's exists-probe
+        // counts it as head and its parse dies, and a writer that DIES
+        // in the window leaves the empty claim forever (VERDICT r14).
+        // A real conditional PUT is all-or-nothing, so the faithful
+        // simulation stages the bytes fully and claims via link(2) —
+        // the exact atom [[RenameCommitStore]] uses on local FS.
+        val tmp = new Path(dest.toString +
+          s".cput-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = f.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath),
+            java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+          f.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(tmp, false); false
         }
-      try { try out.write(bytes) finally out.close() }
-      catch { case e: Throwable =>
-        // release the claim: a truncated manifest must not survive —
-        // readManifest would throw on it forever (no cleanup path)
-        try f.delete(dest, false) catch { case _: Throwable => () }
-        throw e
+      } else {
+        // Non-local store: the exclusive create IS the conditional PUT
+        // (S3 If-None-Match, GCS generation-match are server-side
+        // all-or-nothing). Release the claim on a failed write so a
+        // truncated manifest cannot survive; readers additionally
+        // tolerate the transient empty window via [[readManifest]]'s
+        // bounded retry.
+        val out =
+          try f.create(dest, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+            case _: java.io.IOException if f.exists(dest) => return false
+          }
+        try { try out.write(bytes) finally out.close() }
+        catch { case e: Throwable =>
+          try f.delete(dest, false) catch { case _: Throwable => () }
+          throw e
+        }
+        true
       }
-      true
     }
   }
 
@@ -574,7 +618,7 @@ object Versioned {
     val normCols = partCols.map(PartSpec.normalize)
     val specs = normCols.map(PartSpec.parse)
     PartSpec.validate(specs, df.schema)
-    val keys = specs.map(t => t.derive(col(t.srcCol))) ++ sortCols.map(col)
+    val keys = specs.map(t => PartSpec.deriveCol(df, t)) ++ sortCols.map(col)
     // ALWAYS cluster by the (derived) partition values before the
     // partitioned write: without it every input task writes a file into
     // every partition value it holds — a CTAS with 1000 input partitions
@@ -646,7 +690,7 @@ object Versioned {
       // entries keep the exact `__p_<col> = col` duplication as before
       val specs = partCols.map(PartSpec.parse)
       val dup = specs.foldLeft(physDf)((d, t) =>
-        d.withColumn(PartSpec.pathCol(t), t.derive(col(t.srcCol))))
+        d.withColumn(PartSpec.pathCol(t), PartSpec.deriveCol(physDf, t)))
       val dir = s"${dataRoot(spark, table)}/$dirName"
       dup.write.options(writerOptions).mode("errorifexists")
         .partitionBy(specs.map(PartSpec.pathCol): _*)
@@ -1429,8 +1473,13 @@ object Versioned {
     m.partCols.map(PartSpec.parse).collectFirst {
       case b: PartSpec.Bucket if b.srcCol == key => b
     }.flatMap { b =>
-      val vals = batch.select(b.derive(col(key)).cast("string").as("b"))
-        .distinct().collect().map(_.getString(0)).toSeq
+      // the >256 ceiling is pushed INTO the job (ADVICE r14: a
+      // bucket(1000000, k) table with a wide batch would otherwise
+      // materialize up to n driver-side rows only to return None) —
+      // 257 rows back means "over the ceiling", and the driver never
+      // holds more than 257 strings
+      val vals = batch.select(PartSpec.deriveCol(batch, b).cast("string").as("b"))
+        .distinct().limit(257).collect().map(_.getString(0)).toSeq
       // no cut when every bucket is touched, and a ceiling on the keep
       // expression's OR-chain (a 4096-way typed disjunction per manifest
       // row is worse than the scan it would save)
@@ -1579,7 +1628,7 @@ object Versioned {
       // included), range-arranged so each partition's files still cover
       // disjoint key slices
       val specs = m.partCols.map(PartSpec.parse)
-      val keys = specs.map(t => t.derive(col(t.srcCol))) :+ col(key)
+      val keys = specs.map(t => PartSpec.deriveCol(merged, t)) :+ col(key)
       val arranged = merged
         .repartitionByRange(math.max(1, numFiles), keys: _*)
         .sortWithinPartitions(keys: _*)
@@ -1814,7 +1863,7 @@ object Versioned {
       // within-partition sort keeps per-file stats tight, mirroring the
       // sibling rewrite paths
       val specs = m.partCols.map(PartSpec.parse)
-      val keys = specs.map(t => t.derive(col(t.srcCol)))
+      val keys = specs.map(t => PartSpec.deriveCol(newImages, t))
       stageDataDir(spark, table, dirName,
         newImages.repartitionByRange(4, keys: _*)
           .sortWithinPartitions(keys: _*),
@@ -2115,7 +2164,7 @@ object Versioned {
       // carrying) so partition/transform pruning keeps biting on rows a
       // MERGE touched — exactly the mergePruned rewrite discipline
       val specs = m.partCols.map(PartSpec.parse)
-      val keys = specs.map(t => t.derive(col(t.srcCol))) :+ col(key)
+      val keys = specs.map(t => PartSpec.deriveCol(newRows, t)) :+ col(key)
       stageDataDir(spark, table, dirName,
         newRows.repartitionByRange(math.max(1, numFiles), keys: _*)
           .sortWithinPartitions(keys: _*), Map.empty, m.partCols)
@@ -2311,10 +2360,22 @@ object Versioned {
           .map(abs => s"$d/" + abs.stripPrefix(dir).stripPrefix("/"))
       }
     }
+    // A referenced file whose dir HAS a stats manifest but which has NO
+    // row in it (manifests written before the harvest-sentinel fix)
+    // reaches neither branch above — anti-join the refs against the
+    // manifest rows and route the remainder through the listing fallback
+    // so the inspection surface reports EVERY referenced file (ADVICE
+    // r14; honest null n_rows, never a silent omission).
+    val stattedCovered: Set[String] = fromStats
+      .map(df => df.select("file").as[String].collect().toSet)
+      .getOrElse(Set.empty)
+    val orphanRefs =
+      (refFiles.toSet -- plainRefs.toSet -- stattedCovered).toSeq.sorted
+    val listingRefs = plainRefs ++ orphanRefs
     val fromListing =
-      if (plainRefs.isEmpty) None
+      if (listingRefs.isEmpty) None
       else {
-        val lens = refFileLengths(spark, table, plainRefs)
+        val lens = refFileLengths(spark, table, listingRefs)
         Some(lens.toDF("file", "n_bytes")
           .select(col("file"), lit(null).cast("string").as("partition"),
             lit(null).cast("long").as("n_rows"), col("n_bytes")))
@@ -2368,21 +2429,32 @@ object Versioned {
     require(cols.nonEmpty, "analyze needs at least one primitive column")
     val synth = PartSpec.synthesized(m.partCols.map(PartSpec.parse))
     val dirs = m.refs.map(r => r.takeWhile(_ != '/')).distinct
+    // Idempotency keys on a USABLE manifest, not bare exists() (ADVICE
+    // r14): a manifest dir left empty by a pre-atomic-swap crash would
+    // otherwise be skipped on every re-run — permanently broken with no
+    // self-heal path. An existing-but-parquet-less dir re-harvests (the
+    // atomic swap moves the husk aside).
+    def usable(f: FileSystem, dir: String, name: String): Boolean = {
+      val p = new Path(s"$dir/$name")
+      try f.exists(p) &&
+        f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+      catch { case _: Exception => false }
+    }
     var wrote = 0
     dirs.foreach { d =>
       val dir = s"${dataRoot(spark, table)}/$d"
       val f = fs(spark, new Path(dir))
       require(f.exists(new Path(dir)),
         s"version $v references vacuumed data dir $d — time travel past retention")
-      if (!f.exists(new Path(s"$dir/_stats"))) {
+      if (!usable(f, dir, "_stats")) {
         Layout.writeStatsManifest(spark, dir, cols, derivedFromParts = synth)
         wrote += 1
       }
-      if (withNdv && !f.exists(new Path(s"$dir/_ndv")))
+      if (withNdv && !usable(f, dir, "_ndv"))
         Layout.writeNdvSketch(spark, dir, cols)
       // quantile sketches take NUMERIC columns only (rank semantics over
       // doubles); non-numeric requested columns are skipped, not errors
-      if (withQuantiles && !f.exists(new Path(s"$dir/_qtl"))) {
+      if (withQuantiles && !usable(f, dir, "_qtl")) {
         val numeric = m.schemaJson.map(j =>
           org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -3530,7 +3602,7 @@ object Versioned {
         // conservative scans and lie to SHOW PARTITIONS
         import org.apache.spark.sql.functions.col
         val specs = m.partCols.map(PartSpec.parse)
-        val keys = specs.map(t => t.derive(col(t.srcCol))) ++ sortCols
+        val keys = specs.map(t => PartSpec.deriveCol(folded, t)) ++ sortCols
         stageDataDir(spark, table, dirName,
           folded.repartitionByRange(math.max(1, numFiles), keys: _*)
             .sortWithinPartitions(keys: _*), Map.empty, m.partCols)
@@ -3591,7 +3663,7 @@ object Versioned {
             s"${dataRoot(spark, table)}/$dirName", statsCols)
       } else {
         val specs = m.partCols.map(PartSpec.parse)
-        val keys = specs.map(t => t.derive(col(t.srcCol))) ++
+        val keys = specs.map(t => PartSpec.deriveCol(folded, t)) ++
           statsCols.map(col)
         stageDataDir(spark, table, dirName,
           folded.repartitionByRange(math.max(1, numFiles), keys: _*)
@@ -3644,7 +3716,7 @@ object Versioned {
       else {
         import org.apache.spark.sql.functions.col
         val keys = partCols.map(PartSpec.parse)
-          .map(t => t.derive(col(t.srcCol)))
+          .map(t => PartSpec.deriveCol(kept, t))
         kept.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
       }
     commitAt(spark, table, arranged, pv.getOrElse(0L) + 1, pv,

@@ -713,6 +713,40 @@ class GraftDmlSpec extends SparkSpec {
     finally spark.sql("DROP TABLE IF EXISTS dml_van_analyze")
   }
 
+  test("ANALYZE self-heals a broken stats manifest: an empty _stats husk " +
+      "re-harvests instead of being skipped forever") {
+    import graft.ops.Versioned
+    // ADVICE r14 medium: pre-atomic-swap, a crash mid-backfill left an
+    // existing-but-EMPTY _stats dir that bare-exists idempotency skipped
+    // on every re-run — permanently broken. Idempotency now keys on a
+    // USABLE manifest (>=1 parquet file) and the atomic swap moves the
+    // husk aside.
+    val t = tmpDir("dml-analyze-heal") + "/t"
+    Versioned.commit(spark, t, spark.range(0, 100)
+      .selectExpr("id AS k", "id * 2 AS v")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("k"))
+      .sortWithinPartitions("k"))
+    spark.sql(s"ANALYZE TABLE graft.`$t` COMPUTE STATISTICS").collect()
+    val (_, k1, t1) = Versioned.skipRead(spark, t, "k", "10", "20")
+    assert(k1 < t1, s"sanity: stats prune after ANALYZE: $k1/$t1")
+    // simulate the crash artifact: smash _stats to an empty husk
+    val dataDir = new java.io.File(s"$t/data").listFiles().head
+    val statsDir = new java.io.File(dataDir, "_stats")
+    statsDir.listFiles().foreach(_.delete())
+    assert(statsDir.exists() && statsDir.listFiles().isEmpty)
+    // re-run heals: the husk re-harvests (counts as analyzed work)
+    val healed = spark.sql(s"ANALYZE TABLE graft.`$t` COMPUTE STATISTICS")
+      .collect().head
+    assert(healed.getLong(0) == 1L,
+      s"an empty _stats husk must re-harvest, got ${healed.getLong(0)}")
+    val (frame, k2, t2) = Versioned.skipRead(spark, t, "k", "10", "20")
+    assert(k2 < t2, s"post-heal the range must prune again: $k2/$t2")
+    assert(frame.filter("k BETWEEN 10 AND 20").count() == 11L)
+    // and a fully-healthy table stays idempotent (nothing re-analyzed)
+    assert(spark.sql(s"ANALYZE TABLE graft.`$t` COMPUTE STATISTICS")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("ANALYZE FOR COLUMNS on an evolved table: files lacking the column " +
       "stay scanned (manifest sentinel row)") {
     import graft.ops.Versioned

@@ -252,9 +252,67 @@ class PartTransformSpec extends SparkSpec {
     Versioned.commitPartitioned(spark, th, hrows.toDF("id", "ts"),
       Seq("hours(ts)"))
     check(th, "hours", "2024-01-01 05:00:00", "2024-01-01 06:59:59")
-    // colons in the hour path value round-trip through the hive escape
+    // the hour value is a zone-free `yyyy-MM-dd HH` string (UTC for
+    // instants): lexicographic order == instant order in ANY session zone
     assert(Versioned.partitionValues(spark, th).collect()
-      .map(_.getString(0)).exists(_ == "ts_hour=2024-01-01 05:00:00"))
+      .map(_.getString(0)).exists(_ == "ts_hour=2024-01-01 05"))
+  }
+
+  test("temporal transforms are zone-pinned to UTC: a reader/writer session-" +
+      "zone mismatch never prunes files containing matching rows") {
+    import java.sql.Timestamp
+    // ADVICE r14 medium: derive() used the WRITER's session zone while
+    // mapPoint prefixed the READER's literal — e.g. writer UTC stages
+    // ts=2024-01-10T23:30Z under ts_day=2024-01-10; a UTC+2 reader's
+    // `ts >= '2024-01-11 00:00:00'` (= 22:00Z) derived ts_day >=
+    // 2024-01-11 and DROPPED that file. Both sides now evaluate in UTC
+    // (the Iceberg rule); literals parse in the reader's zone exactly
+    // as the row-filter cast will, then map to the UTC day.
+    def ts(s: String): Timestamp = // an INSTANT, zone-explicit
+      Timestamp.from(java.time.Instant.parse(s))
+    val zoneKey = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(zoneKey)
+    try {
+      // writer in UTC
+      spark.conf.set(zoneKey, "UTC")
+      val t = tmpDir("ptzone") + "/t"
+      val rows = Seq(
+        (0L, ts("2024-01-09T12:00:00Z")),
+        (1L, ts("2024-01-10T23:30:00Z")), // the ADVICE row
+        (2L, ts("2024-01-11T01:00:00Z")),
+        (3L, ts("2024-01-12T05:00:00Z")))
+      Versioned.commitPartitioned(spark, t, rows.toDF("id", "ts"),
+        Seq("days(ts)"))
+      // reader at UTC+2: the literal means instant 2024-01-10T22:00Z
+      spark.conf.set(zoneKey, "Etc/GMT-2")
+      val lo = "2024-01-11 00:00:00"
+      val (frame, _, _) = Versioned.readPruned(spark, t, None,
+        Seq(ScanPredicate.Bounds("ts", Some(lo), None)))
+      val got = frame.filter(col("ts") >= lo).select("id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 3L),
+        s"zone-shifted reader lost rows: $got (row 1 is the ADVICE case)")
+      // and pruning still bites in the shifted zone (soundness didn't
+      // come from giving up derivation)
+      val (_, kept, total) = Versioned.readPruned(spark, t, None,
+        Seq(ScanPredicate.Bounds("ts", None, Some("2024-01-10 00:00:00"))))
+      assert(kept < total, s"derived cut must still prune: $kept/$total")
+      // writer in a non-UTC zone: derived days are UTC regardless
+      spark.conf.set(zoneKey, "Etc/GMT+8") // UTC-8
+      val t2 = tmpDir("ptzone2") + "/t"
+      Versioned.commitPartitioned(spark, t2, rows.toDF("id", "ts"),
+        Seq("days(ts)"))
+      assert(Versioned.partitionValues(spark, t2).collect()
+        .map(_.getString(0)).toSet.contains("ts_day=2024-01-10"),
+        "a UTC-8 writer must still stage the 23:30Z row under its UTC day")
+      spark.conf.set(zoneKey, "UTC")
+      val (frame2, _, _) = Versioned.readPruned(spark, t2, None,
+        Seq(ScanPredicate.Bounds("ts", Some("2024-01-10 00:00:00"),
+          Some("2024-01-10 23:59:59"))))
+      assert(frame2.filter(col("ts").between("2024-01-10 00:00:00",
+        "2024-01-10 23:59:59")).select("id").as[Long].collect().toSet ==
+        Set(1L))
+    } finally spark.conf.set(zoneKey, prior)
   }
 
   test("mergeApply (MoR) on a days table keeps the layout") {
@@ -382,6 +440,32 @@ class PartTransformSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_files('$t', 1, 2, 3)").collect()
     }
+    // ADVICE r14 low: a referenced file whose dir HAS a _stats manifest
+    // but which has NO row in it (pre-sentinel-fix manifests) must still
+    // get a row via the listing fallback — honest nulls, not a silent
+    // omission from the inspection surface
+    val t3 = tmpDir("ptgf3") + "/t"
+    Versioned.commitWithStats(spark, t3,
+      (1L to 30L).map(i => (i, i)).toDF("a", "b"), Seq("a"))
+    val dataDir3 = new java.io.File(s"$t3/data").listFiles().head
+    // drop every manifest ROW while keeping the _stats dir present:
+    // overwrite with a filtered (empty-matching) copy of itself
+    val statsPath = new java.io.File(dataDir3, "_stats").toString
+    val gutted = spark.read.parquet(statsPath).filter("file = 'nope'")
+      .collect()
+    assert(gutted.isEmpty)
+    val full = spark.read.parquet(statsPath)
+    val one = full.orderBy("file").limit(0) // schema-bearing empty
+    val tmpStats = statsPath + ".respec"
+    one.coalesce(1).write.parquet(tmpStats)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(statsPath))
+    new java.io.File(tmpStats).renameTo(new java.io.File(statsPath))
+    val meta3 = spark.sql(s"SELECT * FROM graft_files('$t3')").collect()
+    assert(meta3.nonEmpty,
+      "row-less manifests must not hide the dir's files")
+    assert(meta3.forall(r => r.isNullAt(2) && r.getLong(3) > 0L),
+      "fallback rows report honest null n_rows with real byte sizes")
   }
 
   test("compactSmall and purge keep the declared layout") {

@@ -156,20 +156,15 @@ class VersionedChaosSpec extends SparkSpec {
     // + conflict retry), and deleteWhere (retryOnConflict) — so every
     // conflict path exercises for real. Ownership makes the expected
     // final state the union of each writer's serial model, independent
-    // of interleaving. ConditionalPutCommitStore races under a
-    // synchronized wrapper modeling a REAL object store's atomic
-    // conditional PUT (the local-FS emulation is exists-then-create and
-    // honestly non-atomic — see its scaladoc).
-    object AtomicCondPut extends Versioned.CommitStore {
-      private val lock = new Object
-      def publish(f: org.apache.hadoop.fs.FileSystem,
-          dest: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean =
-        lock.synchronized(
-          Versioned.ConditionalPutCommitStore.publish(f, dest, bytes))
-    }
+    // of interleaving. ConditionalPutCommitStore races BARE: its local
+    // emulation stages bytes fully and claims via link(2) (content-
+    // atomic, like a real conditional PUT), so no synchronization
+    // wrapper is needed — the r14 torn-manifest reader race (a racing
+    // reader parsing the visible-and-empty claim) is exactly what this
+    // exercises.
     for ((storeName, store) <- Seq(
         "rename" -> Versioned.RenameCommitStore,
-        "condput" -> AtomicCondPut)) {
+        "condput" -> Versioned.ConditionalPutCommitStore)) {
       val t = tmpDir(s"versioned-race-$storeName") + "/t"
       val prev = Versioned.commitStore
       Versioned.commitStore = store
