@@ -257,6 +257,23 @@ object Bench {
           { jobCounter.incrementAndGet(); () }
       })
 
+    // START-OF-SUITE SETTLE (VERDICT r14 item 8): the r14 driver run's
+    // alphabetical head block (`q_archive_move` … `q_bpe_*`) timed under
+    // a ~10× machine-load burst that had decayed by mid-suite — the
+    // local probes absorbed it per the dual-ratio rule, but baseline
+    // comparisons should not depend on alphabetical position at all.
+    // Run a few DISCARDED timed entries through the exact suite
+    // procedure first, so boot-adjacent load decays before the first
+    // REAL timing and the head block's local probes land within the
+    // suite's normal band.
+    {
+      val settleErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+      timeSuite(names.filterNot(errors.contains).take(4),
+        materialize, () => probeOnce(), 1, settleErrors,
+        preQuery = () => sweep(spark))
+      ()
+    }
+
     val timings = timeSuite(names.filterNot(errors.contains),
       materialize, () => probeOnce(), N, errors,
       preQuery = () => sweep(spark),

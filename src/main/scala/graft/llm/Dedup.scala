@@ -196,6 +196,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** [[hammingPairs]] with an ALIGNMENT group: candidates must agree on
+    * `groupCol` as well as a chunk — the multi-fingerprint-per-item
+    * shape (video near-dup: one dHash per sampled frame, matched only
+    * against the SAME sample slot of other videos; slot i of a 2-hour
+    * clip never joins slot j of another). Returns one row per
+    * (group, id_a, id_b) qualifying pair. Scale shape unchanged:
+    * Σ bucket² per (group, chunk) bucket, never corpus².
+    */
+  def hammingPairsGrouped(hashes: DataFrame, idCol: String, hashCol: String,
+      groupCol: String, bits: Int, maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits), got $maxHamming")
+    val nChunks = maxHamming + 1
+    val chunks = array((0 until nChunks).map { i =>
+      val lo = i * bits / nChunks
+      val hi = (i + 1) * bits / nChunks
+      struct(lit(i).as("ck"),
+        shiftright(col(hashCol), lo)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("cv"))
+    }: _*)
+    val ch = hashes.filter(col(hashCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(hashCol), explode(chunks).as("c"))
+      .select(col(idCol), col(groupCol), col(hashCol),
+        col("c.ck").as("ck"), col("c.cv").as("cv"))
+    val a = ch.select(col(idCol).as("id_a"), col(groupCol).as("grp"),
+      col(hashCol).as("h_a"), col("ck"), col("cv"))
+    val b = ch.select(col(idCol).as("id_b"), col(groupCol).as("grp"),
+      col(hashCol).as("h_b"), col("ck"), col("cv"))
+    a.join(b, Seq("grp", "ck", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("grp"), col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("grp"), col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** VIDEO NEAR-DUP's pair half: aligned per-sample hash pairs
+    * ([[hammingPairsGrouped]] keyed on the sample slot) aggregated per
+    * video pair — near-dups are pairs whose matched-slot count clears
+    * `minMatched` (a clip with one re-edited scene still matches on the
+    * other slots; a coincidental single-frame collision does not).
+    * Returns (id_a, id_b, matched, ham_sum).
+    */
+  def alignedNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      groupCol: String, bits: Int, maxHamming: Int,
+      minMatched: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{count, sum}
+    hammingPairsGrouped(hashes, idCol, hashCol, groupCol, bits, maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("matched"), sum(col("hamming")).as("ham_sum"))
+      .filter(col("matched") >= minMatched)
+  }
+
   /** Connected components over an undirected pair graph — resolves
     * near-dup PAIRS into duplicate CLUSTERS, which is what a dedup
     * pipeline actually deletes against: keep ONE representative per

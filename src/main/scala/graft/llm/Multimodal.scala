@@ -449,6 +449,93 @@ object Multimodal {
     }(enc)
   }
 
+  /** VIDEO NEAR-DUP's hash half (VERDICT r14 item 4 — the fourth leg of
+    * the multimodal dedup matrix): one 56-bit difference hash PER
+    * SAMPLED FRAME over the REAL Y4M container walk ([[videoFrames]]'
+    * parse: header geometry, exact frame arithmetic, every `FRAME\n`
+    * marker verified). Sampled frames are the `nSamples` evenly-spaced
+    * indices `i·n_frames/nSamples`; each hashes its decoded LUMA plane
+    * exactly like [[imageDHash]] (bit `y*7+x` = `L(x+1,y) > L(x,y)`
+    * over the top-left min(w,8)×min(h,8) grid — larger frames compose
+    * the [[downscaleImages]] area-average upstream). Rows are
+    * (id, sample_idx, dhash); corrupt / non-Y4M / torn payloads emit
+    * ONE null-hash row, never a failed stage. Pairs come from
+    * [[graft.llm.Dedup.hammingPairsGrouped]] keyed on sample_idx, so
+    * two videos match only where ALIGNED samples agree — Σ bucket² per
+    * sample slot, never corpus².
+    */
+  def videoDHash(df: DataFrame, idCol: String, nSamples: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    require(nSamples >= 1, s"nSamples must be positive, got $nSamples")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sample_idx", IntegerType),
+      StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val nullRow = (id: Long) => Row(id, null, null)
+    df.select(col(idCol).cast("long"), col("content")).mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(0)) Iterator.empty
+        else if (r.isNullAt(1)) Iterator.single(nullRow(r.getLong(0)))
+        else {
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val parsed = try {
+            val nl = b.indexOf('\n'.toByte)
+            if (nl < 0) None
+            else {
+              val fields = new String(b, 0, nl, "US-ASCII").split(" ")
+              if (fields.headOption.contains("YUV4MPEG2")) {
+                def num(p: String) = fields.collectFirst {
+                  case f if f.startsWith(p) => f.drop(p.length) }
+                for {
+                  w <- num("W").map(_.toInt)
+                  h <- num("H").map(_.toInt)
+                  if w > 1 && h > 0
+                } yield (w, h, nl + 1)
+              } else None
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+          val rows = parsed.flatMap { case (w, h, hdr) =>
+            val frameSizeL = 6L + w.toLong * h + 2L * (w / 2) * (h / 2)
+            val body = (b.length - hdr).toLong
+            if (body <= 0 || frameSizeL > body || body % frameSizeL != 0) None
+            else try {
+              val frameSize = frameSizeL.toInt
+              val marker = "FRAME\n".getBytes("US-ASCII")
+              val nFrames = (body / frameSize).toInt
+              val torn = (0 until nFrames).exists { f =>
+                val off = hdr + f * frameSize
+                !marker.indices.forall(i => b(off + i) == marker(i))
+              }
+              if (torn) None
+              else Some((0 until nSamples).map { i =>
+                val f = i * nFrames / nSamples
+                val off = hdr + f * frameSize + 6
+                val gw = math.min(w, 8)
+                val gh = math.min(h, 8)
+                def lum(x: Int, y: Int): Int = b(off + y * w + x) & 0xFF
+                var hash = 0L
+                var y = 0
+                while (y < gh) {
+                  var x = 0
+                  while (x < gw - 1) {
+                    if (lum(x + 1, y) > lum(x, y))
+                      hash |= 1L << (y * (gw - 1) + x)
+                    x += 1
+                  }
+                  y += 1
+                }
+                Row(id, i, hash)
+              })
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+          rows.map(_.iterator).getOrElse(Iterator.single(nullRow(id)))
+        }
+      }
+    }(enc)
+  }
+
   /** JPEG-encode a w×h RGB image at an explicit quality (executor-side;
     * fixture path for [[encodeAviMjpeg]] — explicit quality keeps the
     * quantization error bound small enough for the in-query decode

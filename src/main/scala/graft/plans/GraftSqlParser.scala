@@ -91,6 +91,16 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     // resolves to a graft table (the column-mapping / CHECK-constraint
     // verbs vanilla Spark refuses on v1 relations); everything else
     // delegates untouched.
+    // ALTER TABLE t SET PARTITIONED BY (bucket(8, k), days(ts)) —
+    // partition-spec EVOLUTION (Iceberg-style): one metadata commit
+    // re-declares the layout going forward; old dirs keep theirs. The
+    // column list parses paren-balanced (transform calls nest parens).
+    case AlterSetPartRe(target, rest)
+        if isGraftTarget(spark, target.trim) &&
+          balancedParen(rest.trim).exists(_._2.trim.stripSuffix(";")
+            .trim.isEmpty) =>
+      GraftAlterCommand(target.trim, GraftAlterAction.SetPartitionSpec(
+        splitTopLevel(balancedParen(rest.trim).get._1)))
     case AlterRenameColRe(target, from, to)
         if isGraftTarget(spark, target.trim) =>
       GraftAlterCommand(target.trim, GraftAlterAction.RenameColumn(from, to))
@@ -190,6 +200,8 @@ object GraftSqlParser {
   private val AnalyzeSketchesRe = """(?is)\s+WITH\s+SKETCHES\b""".r
   // any statement that names the provider — catalog-memo invalidation
   private val GraftProviderDdlRe = """(?is)USING\s+`?graft-table`?""".r
+  private val AlterSetPartRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+SET\s+PARTITIONED\s+BY\s*(\(.*)$""".r
   private val AlterRenameColRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+RENAME\s+COLUMN\s+`?([^\s`]+)`?\s+TO\s+`?([^\s`;]+)`?\s*;?\s*$""".r
   private val AlterDropColRe =
@@ -603,6 +615,7 @@ object GraftAlterAction {
       dataType: org.apache.spark.sql.types.DataType) extends GraftAlterAction
   final case class AddCheck(name: String, expr: String) extends GraftAlterAction
   final case class DropCheck(name: String) extends GraftAlterAction
+  final case class SetPartitionSpec(cols: Seq[String]) extends GraftAlterAction
 }
 
 final case class GraftAlterCommand(target: String, action: GraftAlterAction)
@@ -620,6 +633,8 @@ final case class GraftAlterCommand(target: String, action: GraftAlterAction)
       case GraftAlterAction.AddCheck(n, e) =>
         Versioned.addConstraint(spark, p, n, e)
       case GraftAlterAction.DropCheck(n) => Versioned.dropConstraint(spark, p, n)
+      case GraftAlterAction.SetPartitionSpec(cols) =>
+        Versioned.setPartitionSpec(spark, p, cols)
     }
     val schemaChanged = action match {
       case _: GraftAlterAction.RenameColumn | _: GraftAlterAction.DropColumn |

@@ -355,6 +355,49 @@ object SimilarityQueries extends graft.QueryModule {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // VIDEO NEAR-DUP (VERDICT r14 item 4) — the FOURTH leg of the
+    // multimodal dedup matrix (text/image/audio/video): deterministic
+    // Y4M fixtures (4 variants per group, 4 frames each; variants
+    // perturb one luma pixel on every frame) → REAL container walk →
+    // one 56-bit frame dHash per sampled frame (Multimodal.videoDHash)
+    // → the ALIGNED Hamming pigeonhole join (Dedup.alignedNearDupPairs:
+    // slot i only joins slot i — Σ bucket² per slot, never corpus²) →
+    // pairs whose BOTH sampled frames land ≤4 bits apart. The oracle
+    // rebuilds the per-frame hashes from the luma FORMULA (no
+    // container, no codec) through the same bits — only an exact
+    // header/plane/offset walk + hash + aligned join can match. A
+    // corrupt payload rides along as a null-hash row, never a failed
+    // stage and never a pair.
+    "q_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val packed = Tables(s, dir, "documents").filter($"doc_id" % 50 === 0)
+        .select(explode(array((0 until 4).map(k => lit(k)): _*)).as("k"),
+          $"doc_id")
+        .select(($"doc_id" * 4 + $"k").as("vid_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val gid = id / 4
+          (id, Multimodal.encodeY4m(8, 8, 25, 1, 4, (f, x, y) => {
+            val bump =
+              if (id % 4 != 0 && x == (id % 4).toInt + 2 &&
+                y == (id % 8).toInt) 97L
+              else 0L
+            (((gid * 31 + f * 19 + x * 7 + y * 13) * 97 +
+              gid * x * 53 + gid * y * 29 + f * x * 17 + f * y * 23 +
+              bump) % 251).toInt
+          }))
+        }).toDF("vid_id", "content")
+        .unionByName(Seq((-1L, "not a video".getBytes("UTF-8")))
+          .toDF("vid_id", "content"))
+      val fps = Multimodal.videoDHash(packed, "vid_id", nSamples = 2)
+      require(fps.filter($"id" === -1L && $"dhash".isNull).count() == 1L,
+        "the corrupt payload must emit exactly one null-hash row")
+      graft.llm.Dedup.alignedNearDupPairs(fps, "id", "dhash", "sample_idx",
+          bits = 56, maxHamming = 4, minMatched = 2)
+        .select($"id_a", $"id_b", $"matched".cast("long").as("matched"),
+          $"ham_sum".cast("long").as("ham_sum"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Multimodal: REAL image decode. The fixture encodes one 8×8 RGB
     // image per sampled document through javax.imageio (png when doc_id %
     // 50 == 0, bmp otherwise — two distinct JDK codec paths),
@@ -640,6 +683,45 @@ object SimilarityQueries extends graft.QueryModule {
         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM hashes a JOIN hashes b ON a.id < b.id
         |WHERE bit_count(xor(a.h, b.h)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // luma formula → per-sampled-frame dHash bits → ALIGNED (same
+    // sample slot) Hamming pairs → per-video-pair matched count, with
+    // no container walk or codec anywhere
+    "q_video_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id * 4 + k AS id, doc_id AS gid
+        |  FROM documents, range(0,4) r(k) WHERE doc_id % 50 = 0
+        |),
+        |px AS (
+        |  SELECT id, f, x, y,
+        |    ((gid*31 + f*19 + x*7 + y*13) * 97 + gid*x*53 + gid*y*29 +
+        |     f*x*17 + f*y*23 +
+        |     CASE WHEN id % 4 <> 0 AND x = id % 4 + 2 AND y = id % 8
+        |          THEN 97 ELSE 0 END) % 251 AS v
+        |  FROM ids, (SELECT 0 AS f UNION ALL SELECT 2) rf,
+        |    range(0,8) rx(x), range(0,8) ry(y)
+        |),
+        |bits AS (
+        |  SELECT a.id, a.f, a.y*7 + a.x AS i,
+        |    CASE WHEN b.v > a.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM px a JOIN px b
+        |    ON a.id = b.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 7
+        |),
+        |hashes AS (
+        |  SELECT id, f,
+        |    CAST(SUM(bit * (1::BIGINT << CAST(i AS INT))) AS BIGINT) AS h
+        |  FROM bits GROUP BY id, f
+        |),
+        |fpairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    bit_count(xor(a.h, b.h)) AS hamming
+        |  FROM hashes a JOIN hashes b ON a.id < b.id AND a.f = b.f
+        |  WHERE bit_count(xor(a.h, b.h)) <= 4
+        |)
+        |SELECT id_a, id_b, CAST(COUNT(1) AS BIGINT) AS matched,
+        |  CAST(SUM(hamming) AS BIGINT) AS ham_sum
+        |FROM fpairs GROUP BY id_a, id_b HAVING COUNT(1) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
     // exact top-5 over original ∪ drifted corpus (DuckDB's indexed
     // lambda is 1-based — (i-1) matches Spark's 0-based transform);

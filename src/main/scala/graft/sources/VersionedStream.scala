@@ -268,10 +268,27 @@ final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
     * unmapped tables — the historical behavior), evolved-away columns
     * null-fill, order is the manifest's.
     */
+  /** A batch column strictly WIDER than its pinned field means the
+    * table was TYPE-WIDENED after this stream pinned its schema — the
+    * cast below would silently NARROW live values (long→int wraps with
+    * ANSI off). Fail loudly like Delta does on non-additive schema
+    * change: the restarted stream pins the wide schema and flows.
+    */
+  private def refuseWidenedBatch(df: DataFrame, f: StructField,
+      physName: String): Unit =
+    if (df.columns.contains(physName) &&
+        Versioned.widens(f.dataType, df.schema(physName).dataType))
+      throw new IllegalStateException(
+        s"column ${f.name} of ${o.table} widened from " +
+          s"${f.dataType.simpleString} to " +
+          s"${df.schema(physName).dataType.simpleString} after this stream " +
+          "started — restart the stream to pick up the widened schema")
+
   private def align(df: DataFrame, metaCols: Seq[org.apache.spark.sql.Column])
       : DataFrame =
     df.select(rowFields.map { f =>
       val p = pinnedPhys.getOrElse(f.name, f.name)
+      refuseWidenedBatch(df, f, p)
       if (df.columns.contains(p)) col(p).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     } ++ metaCols: _*)
@@ -297,7 +314,9 @@ final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
       // field must null-fill, never alias a namesake)
       val g = if (endNameOfPhys.isEmpty) Some(f.name) else endNameOfPhys.get(p)
       g.filter(df.columns.contains) match {
-        case Some(c) => col(c).cast(f.dataType).as(f.name)
+        case Some(c) =>
+          refuseWidenedBatch(df, f, c)
+          col(c).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     } ++ metaCols: _*)

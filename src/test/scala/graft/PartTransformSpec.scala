@@ -408,6 +408,62 @@ class PartTransformSpec extends SparkSpec {
     }
   }
 
+  test("partition-spec evolution: SET PARTITIONED BY re-declares forward, " +
+      "old dirs compose, empty spec reverts to flat, bad specs refuse") {
+    import java.sql.Timestamp
+    val t = tmpDir("ptevolspec") + "/t"
+    val rows = (0 until 48).map(h => (h.toLong,
+      Timestamp.valueOf(f"2024-03-${1 + h / 24}%02d ${h % 24}%02d:00:00"),
+      h.toLong))
+    Versioned.commitPartitioned(spark, t, rows.toDF("id", "ts", "v"),
+      Seq("days(ts)"))
+    val v2 = Versioned.setPartitionSpec(spark, t, Seq("bucket(4, id)"))
+    assert(v2 == 2L, "the evolution is one metadata commit")
+    assert(Versioned.read(spark, t, Some(2L)).count() == 48L,
+      "the metadata commit must not touch data")
+    // the next append stages the NEW layout; old dirs keep theirs
+    val more = (100 until 120).map(i => (i.toLong,
+      Timestamp.valueOf("2024-03-05 12:00:00"), i.toLong))
+    Versioned.commit(spark, t, more.toDF("id", "ts", "v"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val v3dir = new java.io.File(s"$t/data").listFiles()
+      .filter(_.getName.startsWith("v000003")).head
+    assert(walk(v3dir).exists(_.getPath.contains("__p_id_bucket=")),
+      "post-evolution appends must stage the new bucket layout")
+    assert(walk(new java.io.File(s"$t/data"))
+      .exists(_.getPath.contains("__p_ts_day=")),
+      "pre-evolution day dirs keep their physical layout")
+    assert(Versioned.read(spark, t).count() == 68L)
+    // planning composes: a point lookup prunes through the new bucket
+    // layout (old dirs conservative), a ts range prunes the old dirs
+    val (f1, kept1, total1) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("id", Some("105"), Some("105"))))
+    assert(kept1 < total1, s"bucket cut on the new dirs: $kept1/$total1")
+    assert(f1.filter(col("id") === 105L).count() == 1L)
+    val (f2, kept2, total2) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("ts", Some("2024-03-01 00:00:00"),
+        Some("2024-03-01 23:59:59"))))
+    assert(kept2 < total2, s"old day dirs still prune: $kept2/$total2")
+    assert(f2.filter(col("ts") < "2024-03-02 00:00:00").count() == 24L)
+    // empty spec reverts to FLAT staging going forward
+    val v4 = Versioned.setPartitionSpec(spark, t, Seq.empty)
+    assert(v4 == 4L)
+    Versioned.commit(spark, t,
+      Seq((200L, Timestamp.valueOf("2024-03-06 01:00:00"), 200L))
+        .toDF("id", "ts", "v"))
+    val v5dir = new java.io.File(s"$t/data").listFiles()
+      .filter(_.getName.startsWith("v000005")).head
+    assert(!walk(v5dir).exists(_.getPath.contains("__p_")),
+      "an empty spec must stage flat")
+    assert(Versioned.read(spark, t).count() == 69L)
+    // refusals: unknown source column; derived-name collision
+    intercept[IllegalArgumentException](
+      Versioned.setPartitionSpec(spark, t, Seq("bucket(4, nope)")))
+    intercept[IllegalArgumentException](
+      Versioned.setPartitionSpec(spark, t, Seq("days(v)"))) // v is long
+  }
+
   test("graft_files: stats-backed rows, honest nulls for manifest-less " +
       "dirs, version pinning") {
     val t = tmpDir("ptgf") + "/t"

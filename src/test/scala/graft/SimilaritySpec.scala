@@ -201,6 +201,59 @@ class SimilaritySpec extends SparkSpec {
       "overflowing W*H geometry must yield the null row, not a failed stage")
   }
 
+  test("videoDHash + alignedNearDupPairs: per-frame hashes match the formula, " +
+      "aligned slots only, corrupt -> null row") {
+    import spark.implicits._
+    // group 0: videos 0 (rep), 1 (one-pixel bump on every frame);
+    // group 1: video 4 (different gradient). 4 frames, sample 2 ({0,2}).
+    def luma(vid: Long)(f: Int, x: Int, y: Int): Int = {
+      val gid = vid / 4
+      val bump = if (vid % 4 != 0 && x == 3 && y == 2) 97L else 0L
+      (((gid * 31 + f * 19 + x * 7 + y * 13) * 97 +
+        gid * x * 53 + gid * y * 29 + f * x * 17 + f * y * 23 +
+        bump) % 251).toInt
+    }
+    val packed = Seq(4L, 5L, 8L)
+      .map(v => (v, Multimodal.encodeY4m(8, 8, 25, 1, 4, luma(v))))
+      .toDF("vid_id", "content")
+      .unionByName(Seq((9L, "junk".getBytes("UTF-8")))
+        .toDF("vid_id", "content"))
+    val fps = Multimodal.videoDHash(packed, "vid_id", nSamples = 2)
+    val rows = fps.collect().groupBy(_.getLong(0))
+    assert(rows(4L).length == 2 && rows(4L).forall(!_.isNullAt(2)))
+    assert(rows(9L).length == 1 && rows(9L).head.isNullAt(2),
+      "corrupt payload -> one null-hash row")
+    // hash of (vid 4, sample 0) rebuilt from the formula: bit y*7+x =
+    // L(x+1,y) > L(x,y) over frame 0
+    val expect0 = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (luma(4L)(0, x + 1, y) > luma(4L)(0, x, y)) h |= 1L << (y * 7 + x)
+      h
+    }
+    val got0 = rows(4L).find(_.getInt(1) == 0).get.getLong(2)
+    assert(got0 == expect0, s"frame-0 dHash must match the formula: " +
+      s"got $got0 expect $expect0")
+    // in-group pair (4,5) matches on BOTH aligned samples; cross-group
+    // pairs do not survive minMatched=2 at maxHamming=4
+    val pairs = graft.llm.Dedup.alignedNearDupPairs(fps, "id", "dhash",
+      "sample_idx", bits = 56, maxHamming = 4, minMatched = 2).collect()
+    assert(pairs.length == 1 &&
+      pairs.head.getLong(0) == 4L && pairs.head.getLong(1) == 5L,
+      s"exactly the in-group pair must qualify: ${pairs.mkString(",")}")
+    assert(pairs.head.getLong(2) == 2L, "both sampled slots must match")
+    // alignment law: the same hashes with DISTINCT slot values per video
+    // (slot 0 vs slot 1 holding identical hashes) must NOT pair across
+    // slots — rotate video 5's slots and the pair disappears
+    val rotated = fps.withColumn("sample_idx",
+      org.apache.spark.sql.functions.when($"id" === 5L,
+        ($"sample_idx" + 1) % 2).otherwise($"sample_idx"))
+    val rpairs = graft.llm.Dedup.alignedNearDupPairs(rotated, "id", "dhash",
+      "sample_idx", bits = 56, maxHamming = 4, minMatched = 2).collect()
+    assert(rpairs.isEmpty,
+      "slot-rotated hashes must not match — the join is alignment-keyed")
+  }
+
   test("aviMjpegFrames: container facts exact, solid-color decode within DC-quant bound, corruption -> null row") {
     import spark.implicits._
     // solid color per frame: every 8x8 DCT block is DC-only, so JPEG

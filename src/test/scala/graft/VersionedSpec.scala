@@ -1333,6 +1333,64 @@ class VersionedSpec extends SparkSpec {
     assert(e.getMessage.contains("schemas conflict"))
   }
 
+  test("type widening: int->long / float->double / decimal precision growth " +
+      "are metadata-only; verbs compose over mixed-width files; narrowing " +
+      "and scale changes refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val t = tmpDir("versioned-widen") + "/t"
+    def slice(a: Long, b: Long, narrow: Boolean) =
+      spark.range(a, b).selectExpr(
+        s"CAST(id AS ${if (narrow) "INT" else "LONG"}) AS k",
+        s"CAST(id AS ${if (narrow) "FLOAT" else "DOUBLE"}) AS c",
+        s"CAST(id AS ${if (narrow) "DECIMAL(10,2)" else "DECIMAL(20,2)"}) AS p")
+    Versioned.commit(spark, t, slice(1, 41, narrow = true))
+    Versioned.commit(spark, t, slice(41, 61, narrow = false)) // widen
+    def types(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Seq("k", "c", "p").map(n => df.schema(n).dataType.simpleString)
+    val head = Versioned.read(spark, t)
+    assert(types(head) == Seq("bigint", "double", "decimal(20,2)"),
+      s"the widen must be live at head: ${types(head)}")
+    assert(head.count() == 60L &&
+      head.agg(sum($"k")).head().getLong(0) == 1830L,
+      "old int32 files must upcast under the wide schema — values intact")
+    // a narrow batch AFTER the widen is legal (files stay narrow under
+    // the wide record — old writers keep working)
+    Versioned.commit(spark, t, slice(61, 71, narrow = true))
+    assert(types(Versioned.read(spark, t)) ==
+      Seq("bigint", "double", "decimal(20,2)") &&
+      Versioned.read(spark, t).count() == 70L,
+      "a narrow late batch must not narrow the schema record")
+    // time travel reads the NARROW declared types
+    val v1 = Versioned.read(spark, t, Some(1L))
+    assert(types(v1) == Seq("int", "float", "decimal(10,2)") &&
+      v1.count() == 40L)
+    // CDF straddling the widen presents toV's wide view
+    val cdf = Versioned.changesRange(spark, t, 1L, 3L)
+    assert(Seq("k", "c", "p").map(n => cdf.schema(n).dataType.simpleString) ==
+      Seq("bigint", "double", "decimal(20,2)") && cdf.count() == 70L,
+      "the straddling feed must cast every version into the wide view")
+    // rewrite verbs scan mixed-width snapshots (the explicit-schema scan)
+    Versioned.deleteWhere(spark, t, $"k" % 10 === 0L)
+    assert(Versioned.read(spark, t).count() == 63L)
+    Versioned.compact(spark, t, numFiles = 2)
+    val afterCompact = Versioned.read(spark, t)
+    assert(afterCompact.count() == 63L &&
+      types(afterCompact) == Seq("bigint", "double", "decimal(20,2)"))
+    // refusal taxonomy
+    val e1 = intercept[IllegalArgumentException](Versioned.commit(spark, t,
+      spark.range(100, 101).selectExpr("CAST(id AS STRING) AS k",
+        "CAST(id AS DOUBLE) AS c", "CAST(id AS DECIMAL(20,2)) AS p")))
+    assert(e1.getMessage.contains("incompatible schema change") &&
+      e1.getMessage.contains("only widening"),
+      s"string change must refuse with the taxonomy: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException](Versioned.commit(spark, t,
+      spark.range(100, 101).selectExpr("CAST(id AS LONG) AS k",
+        "CAST(id AS DOUBLE) AS c", "CAST(id AS DECIMAL(20,4)) AS p")))
+    assert(e2.getMessage.contains("incompatible schema change"),
+      s"a decimal SCALE change must refuse: ${e2.getMessage}")
+  }
+
   test("commit race: exactly one writer wins under every CommitStore impl") {
     val stores = Seq(
       "rename" -> Versioned.RenameCommitStore,

@@ -200,6 +200,47 @@ class VersionedStreamSpec extends SparkSpec {
       s"mid-run rename must keep values flowing under the pinned name: $got")
   }
 
+  test("a TYPE WIDENING after the stream pins its schema fails the batch " +
+      "loudly (no silent downcast); a restarted stream pins wide and flows") {
+    val t = tmpDir("vstream-widen") + "/t"
+    Versioned.commit(spark, t, (1 to 3).map(i => (i, i * 2))
+      .toDF("k", "v").selectExpr("CAST(k AS INT) AS k", "CAST(v AS INT) AS v"))
+    val name = "vs_widen"
+    val q = spark.readStream.format("graft-versioned")
+      .option("table", t).option("mode", "cdf").load()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 3L)
+    // the widening append lands AFTER the pin: draining it must refuse
+    // (the pinned int cast would silently wrap the wide values)
+    Versioned.commit(spark, t,
+      Seq((Int.MaxValue.toLong + 7L, 10L)).toDF("k", "v"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+      ()
+    }
+    def rootMsg(x: Throwable): String =
+      Option(x.getCause).map(rootMsg).getOrElse(Option(x.getMessage).getOrElse(""))
+    assert((e.getMessage + rootMsg(e)).contains("restart the stream"),
+      s"the refusal must name the remedy: ${e.getMessage}")
+    try q.stop() catch { case _: Throwable => () }
+    // a FRESH stream pins the WIDE schema and reads everything
+    val name2 = "vs_widen2"
+    val q2 = spark.readStream.format("graft-versioned")
+      .option("table", t).option("mode", "cdf").load()
+      .writeStream.format("memory").queryName(name2).outputMode("append")
+      .start()
+    q2.processAllAvailable()
+    val got = spark.table(name2)
+    assert(got.schema("k").dataType.simpleString == "bigint")
+    assert(got.count() == 4L &&
+      got.filter($"k" === (Int.MaxValue.toLong + 7L)).count() == 1L,
+      "the restarted stream must carry the wide value intact")
+    q2.stop()
+  }
+
   test("maxVersionsPerBatch: a multi-commit backlog drains in bounded " +
       "batches whose union equals the unlimited run") {
     val t = tmpDir("vstream-rate") + "/t"
