@@ -29,6 +29,15 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // INT64 micros, not the INT96 legacy default: INT96 footers carry
+      // NO usable min/max (deprecated, undefined ordering), so every
+      // timestamp column harvested into a stats manifest recorded the
+      // opaque null row and raw-timestamp range predicates NEVER pruned
+      // a file (r15 partition-evolution debugging exposed it: days-
+      // partitioned dirs pruned only via their synthesized day column).
+      // Micros stats make ts min/max prune like any other column —
+      // Delta/Iceberg write micros for exactly this reason.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Long-suite driver-heap hygiene (round-10 verdict: per-query cost
       // grew with suite size while isolated runs stayed clean). The
       // status stores retain execution/job/stage graphs — including the

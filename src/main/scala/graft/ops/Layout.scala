@@ -934,6 +934,36 @@ object Layout {
     (verdict, typ)
   }
 
+  /** The comparison FRAME for stats-vs-literal decisions. Recorded
+    * `min_v`/`max_v` strings for TIMESTAMP columns are UTC wall clocks
+    * (the harvest encodes instants via `LocalDateTime` at UTC —
+    * [[statCodec]]); a bare `cast("timestamp")` would re-enter the
+    * SESSION zone on both the recorded string and the literal, and the
+    * two sides sit in DIFFERENT frames (recorded = UTC wall, literal =
+    * session wall) — a non-UTC session would prune files containing
+    * matching rows. Compare as `timestamp_ntz` (zone-free parse) with
+    * the literal converted to the UTC wall via Spark's own
+    * string→timestamp parser in the session zone. An unparseable
+    * literal keeps conservatively (None → the caller emits `true`).
+    */
+  private def statSide(c: Column, typ: String): Column =
+    if (typ == "timestamp") c.cast("timestamp_ntz") else c.cast(typ)
+
+  private def litSide(v: String, typ: String): Option[Column] =
+    if (typ != "timestamp") Some(lit(v).cast(typ))
+    else org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      .map { micros =>
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString.replace('T', ' '))
+          .cast("timestamp_ntz")
+      }
+
   /** One-sided/two-sided bound keep expression over a manifest row —
     * [[rangeKeepExpr]] generalized so Catalyst-pushed `>`/`<`/`=`
     * predicates (the graft-table relation) can each prune on the side
@@ -944,9 +974,11 @@ object Layout {
     val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("n_rows")
     if (typ.isEmpty) lit(true) // opaque type: conservative, scan all
     else {
-      val loOk = lo.map(l => col("max_v").cast(typ) >= lit(l).cast(typ))
+      val loOk = lo.map(l => litSide(l, typ)
+          .map(statSide(col("max_v"), typ) >= _).getOrElse(lit(true)))
         .getOrElse(lit(true))
-      val hiOk = hi.map(h => col("min_v").cast(typ) <= lit(h).cast(typ))
+      val hiOk = hi.map(h => litSide(h, typ)
+          .map(statSide(col("min_v"), typ) <= _).getOrElse(lit(true)))
         .getOrElse(lit(true))
       !allNull && (col("min_v").isNull || (loOk && hiOk))
     }
@@ -963,8 +995,9 @@ object Layout {
     val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("n_rows")
     if (typ.isEmpty || values.isEmpty) lit(true)
     else !allNull && (col("min_v").isNull || values.map(v =>
-      col("max_v").cast(typ) >= lit(v).cast(typ) &&
-        col("min_v").cast(typ) <= lit(v).cast(typ)).reduce(_ || _))
+      litSide(v, typ).map(l =>
+        statSide(col("max_v"), typ) >= l && statSide(col("min_v"), typ) <= l)
+        .getOrElse(lit(true))).reduce(_ || _))
   }
 
   /** Null-predicate keep expression over a manifest row: `IS NULL` keeps
@@ -979,15 +1012,8 @@ object Layout {
   /** Range keep expression over a manifest row, in the column's domain
     * (shared by the collect-based and relation-based planners).
     */
-  private[graft] def rangeKeepExpr(typ: String, lo: String, hi: String): Column = {
-    // an ALL-NULL file can never satisfy a range predicate (NULL compares
-    // to nothing) — prunable even though it carries no min/max
-    val allNull = col("n_nulls").isNotNull && col("n_nulls") === col("n_rows")
-    if (typ.isEmpty) lit(true) // opaque type: conservative, scan all
-    else !allNull && (col("min_v").isNull ||
-      (col("max_v").cast(typ) >= lit(lo).cast(typ) &&
-       col("min_v").cast(typ) <= lit(hi).cast(typ)))
-  }
+  private[graft] def rangeKeepExpr(typ: String, lo: String, hi: String): Column =
+    boundKeepExpr(typ, Some(lo), Some(hi))
 
   /** Stream the KEPT file paths (+ lengths) out of a decision relation,
     * bounded by `maxDriverFiles` — `toLocalIterator` fetches one

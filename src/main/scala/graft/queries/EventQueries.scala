@@ -40,8 +40,10 @@ object EventQueries extends graft.QueryModule {
       sessions
         .groupBy($"user_id", $"session_idx")
         .agg(
-          min($"ts").as("session_start"),
-          max($"ts").as("session_end"),
+          // ntz: the INT64-micros parquet dump would otherwise read back
+          // tz-AWARE in pandas while the DuckDB oracle is naive (r15)
+          min($"ts").cast("timestamp_ntz").as("session_start"),
+          max($"ts").cast("timestamp_ntz").as("session_end"),
           count(lit(1)).as("n_events"),
           sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
         .filter($"user_id" % 10 === 0)

@@ -2047,6 +2047,35 @@ object OpsQueries extends graft.QueryModule {
       out
     }),
 
+    // RAW-TIMESTAMP FILE SKIPPING (r15 — activated by the INT64-micros
+    // parquet default): a time-sorted UNPARTITIONED table prunes files
+    // on a raw ts range straight from its stats manifest — no day
+    // transform, no hive layout. REQUIRED in-query: kept < total (the
+    // cut really bites; INT96 footers recorded nothing and this was a
+    // full scan). The oracle is the plain range answer. At 100 TB:
+    // file-level skipping for every time-range query on tables nobody
+    // bothered to partition.
+    "q_ts_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_tsskip_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val t = s"$base/t"
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(
+          Tables(s, dir, "events").select($"event_id", $"ts", $"value"),
+          Seq($"ts"), 8), Seq("ts", "event_id"))
+      val (frame, kept, total) = graft.ops.Versioned.skipRead(s, t, "ts",
+        "2024-01-10 00:00:00", "2024-01-12 23:59:59.999999")
+      require(kept < total,
+        s"raw ts range must prune a time-sorted table: kept $kept of $total")
+      frame
+        .filter($"ts" >= "2024-01-10 00:00:00" && $"ts" < "2024-01-13 00:00:00")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(30,6)")).cast("double").as("sum_v"),
+          min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+    }),
+
     // PARTITION-SPEC EVOLUTION (VERDICT r14 missing #4 — the Iceberg
     // per-commit partition-evolution idea): a days(ts) table re-declares
     // `PARTITIONED BY (bucket(8, event_id))` with ONE metadata commit;
@@ -3963,6 +3992,13 @@ object OpsQueries extends graft.QueryModule {
         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents
         |WHERE lang >= 'de' AND lang <= 'en'""".stripMargin,
+    "q_ts_skipping" ->
+      """SELECT COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS decimal(30,6))) AS double) AS sum_v,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
     "q_part_evolution" ->
       """WITH arms AS (
         |  SELECT 'point' AS arm, COUNT(1) AS n,

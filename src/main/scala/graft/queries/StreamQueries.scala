@@ -125,7 +125,8 @@ object StreamQueries extends graft.QueryModule {
       val stream = Streams.eventsFileStream(s, Streams.stageAsDir(s"$dir/events.parquet"))
       Streams.runToTable(s, Streams.windowedCounts(stream),
           fresh("win_counts"), "complete")
-        .select($"win_start", $"event_type", $"n",
+        .select($"win_start".cast("timestamp_ntz").as("win_start"),
+          $"event_type", $"n",
           $"sum_value".cast("double").as("sum_value"))
         .orderBy($"win_start", $"event_type")
     }),
@@ -269,7 +270,8 @@ object StreamQueries extends graft.QueryModule {
         .select($"c_custkey".as("user_id"), $"c_mktsegment")
       Streams.runToTable(s, Streams.enrichedSegmentCounts(stream, dim),
           fresh("enrich"), "complete")
-        .select($"win_start", $"c_mktsegment", $"n",
+        .select($"win_start".cast("timestamp_ntz").as("win_start"),
+          $"c_mktsegment", $"n",
           $"sum_value".cast("double").as("sum_value"))
         .orderBy($"win_start", $"c_mktsegment")
     }),

@@ -258,6 +258,45 @@ class PartTransformSpec extends SparkSpec {
       .map(_.getString(0)).exists(_ == "ts_hour=2024-01-01 05"))
   }
 
+  test("raw TIMESTAMP min/max stats prune with no transform declared — and " +
+      "the comparison frame stays sound across session zones") {
+    import java.sql.Timestamp
+    // INT64-micros parquet (Engine pins outputTimestampType) carries real
+    // footer stats; INT96 (the old default) recorded the opaque null row
+    // and raw-ts ranges NEVER pruned. The stats strings are UTC wall
+    // clocks — the keep expressions compare as timestamp_ntz with the
+    // literal converted from the READER's session zone, so a non-UTC
+    // session cannot prune files holding matching rows.
+    def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+    val t = tmpDir("tsstats") + "/t"
+    val rows = Seq(
+      (0L, ts("2024-01-09T12:00:00Z")),
+      (1L, ts("2024-01-10T23:30:00Z")),
+      (2L, ts("2024-01-11T01:00:00Z")),
+      (3L, ts("2024-01-12T05:00:00Z")))
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(rows.toDF("id", "ts"),
+        Seq(col("ts")), 4), Seq("id", "ts"))
+    val (f0, k0, t0) = Versioned.skipRead(spark, t, "ts",
+      "2024-01-10 00:00:00", "2024-01-10 23:59:59")
+    assert(k0 < t0, s"raw ts range must prune day-disjoint files: $k0/$t0")
+    assert(f0.filter(col("ts").between("2024-01-10 00:00:00",
+      "2024-01-10 23:59:59")).count() == 1L)
+    // zone soundness: a UTC+2 reader's lo literal means 22:00Z the
+    // PREVIOUS UTC day — the 23:30Z file must survive the cut
+    val zoneKey = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(zoneKey)
+    try {
+      spark.conf.set(zoneKey, "Etc/GMT-2")
+      val (f1, k1, t1) = Versioned.skipRead(spark, t, "ts",
+        "2024-01-11 00:00:00", "2024-01-13 00:00:00")
+      assert(f1.filter(col("ts") >= "2024-01-11 00:00:00")
+        .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+        "the UTC-frame comparison must keep the 23:30Z file")
+      assert(k1 < t1, s"and still prune the out-of-range file: $k1/$t1")
+    } finally spark.conf.set(zoneKey, prior)
+  }
+
   test("temporal transforms are zone-pinned to UTC: a reader/writer session-" +
       "zone mismatch never prunes files containing matching rows") {
     import java.sql.Timestamp
