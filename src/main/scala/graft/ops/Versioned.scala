@@ -905,15 +905,6 @@ object Versioned {
       val conflicts = typeConflicts(parentSchema, df.schema)
       require(conflicts.isEmpty,
         s"incompatible schema change on append to $table: ${conflicts.mkString("; ")}")
-      // widening needs explicit-schema reads keyed purely off the
-      // manifest schema; the column-mapping read path projects physical
-      // names through mergeSchema and is not widening-aware yet
-      if (parent.exists(_.features.contains("column-mapping")))
-        require(parentSchema.fields.forall(pf =>
-          df.schema.fields.find(_.name == pf.name)
-            .forall(_.dataType == pf.dataType)),
-          s"type widening on column-mapped table $table is not supported — " +
-            "materialize via read+commit")
     }
     // Column mapping: incoming frames speak LOGICAL names; data dirs are
     // written under the PHYSICAL names so every dir — pre- and post-
@@ -987,9 +978,11 @@ object Versioned {
       else parent.flatMap(_.schemaJson).map { j =>
         val ps = org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        org.apache.spark.sql.types.StructType(
-          ps.fields ++ df.schema.fields.filterNot(f =>
-            ps.fieldNames.contains(f.name)))
+        // widen-union here too: a mapped table's explicit-schema scan
+        // ([[scanRefs]] — physical names, logical types) upcasts old
+        // narrow physical files under the widened field exactly like
+        // the unmapped path
+        unionWiden(ps, df.schema)
       }.getOrElse(df.schema)
     if (!writeManifest(spark, table, v,
         if (overwrite) "overwrite" else "append", parentRefs :+ dirName,

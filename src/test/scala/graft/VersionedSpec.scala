@@ -1391,6 +1391,31 @@ class VersionedSpec extends SparkSpec {
       s"a decimal SCALE change must refuse: ${e2.getMessage}")
   }
 
+  test("type widening composes with column mapping: a renamed column widens " +
+      "metadata-only, time travel and the straddling CDF stay faithful") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val t = tmpDir("versioned-widen-map") + "/t"
+    Versioned.commit(spark, t, spark.range(1, 21)
+      .selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS s"))
+    Versioned.renameColumn(spark, t, "k", "key") // v2 — mapping on
+    Versioned.commit(spark, t, spark.range(21, 31)
+      .selectExpr("CAST(id AS LONG) AS key", "CAST(id AS STRING) AS s")) // widen
+    val head = Versioned.read(spark, t)
+    assert(head.schema("key").dataType.simpleString == "bigint",
+      s"mapped widen must be live at head: ${head.schema("key").dataType}")
+    assert(head.count() == 30L &&
+      head.agg(sum($"key")).head().getLong(0) == 465L,
+      "old narrow physical files must upcast under the mapped wide field")
+    val v1 = Versioned.read(spark, t, Some(1L))
+    assert(v1.schema("k").dataType.simpleString == "int" && v1.count() == 20L,
+      "pre-rename travel reads the narrow type under the OLD name")
+    val cdf = Versioned.changesRange(spark, t, 1L, 3L)
+    assert(cdf.schema("key").dataType.simpleString == "bigint" &&
+      cdf.count() == 30L,
+      "a feed straddling rename AND widen presents toV's wide view")
+  }
+
   test("commit race: exactly one writer wins under every CommitStore impl") {
     val stores = Seq(
       "rename" -> Versioned.RenameCommitStore,
