@@ -916,10 +916,31 @@ object Layout {
     // already pay (stats dirs hold a handful of files).
     val memoKey = (listingKey, column)
     val typ = Option(typMemo.get(memoKey)).getOrElse {
-      val typs = man.select(col("typ")).distinct().collect().map(_.getString(0))
-      require(typs.length <= 1,
-        s"mixed stat types for $column: ${typs.mkString(",")}")
-      val t = typs.headOption.getOrElse("string")
+      val typs = man.select(col("typ")).distinct().collect()
+        .map(_.getString(0)).toSeq
+      // Opaque rows ("" typ, null min/max) are conservative under ANY
+      // chosen type (their null min_v keeps the file), so they never
+      // constrain the choice. GENUINELY mixed types happen after a
+      // DECIMAL-PRECISION WIDENING (old dirs record decimal(12,2), new
+      // ones decimal(22,2)): resolve to the widest precision at the
+      // common scale — the recorded strings cast losslessly into it.
+      // Anything irreconcilable degrades to the opaque type (scan all,
+      // never a planner crash on a readable table).
+      val named = typs.filter(_.nonEmpty)
+      val DecRe = """decimal\((\d+),(\d+)\)""".r
+      val t =
+        if (named.isEmpty) typs.headOption.getOrElse("string")
+        else if (named.length == 1) named.head
+        else {
+          val decs = named.map {
+            case DecRe(p, sc) => Some((p.toInt, sc.toInt))
+            case _ => None
+          }
+          if (decs.forall(_.isDefined) &&
+              decs.flatten.map(_._2).distinct.length == 1)
+            s"decimal(${decs.flatten.map(_._1).max},${decs.flatten.head._2})"
+          else ""
+        }
       if (typMemo.size > 4096) typMemo.clear()
       typMemo.put(memoKey, t)
       t

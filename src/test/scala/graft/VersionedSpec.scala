@@ -1377,6 +1377,23 @@ class VersionedSpec extends SparkSpec {
     val afterCompact = Versioned.read(spark, t)
     assert(afterCompact.count() == 63L &&
       types(afterCompact) == Seq("bigint", "double", "decimal(20,2)"))
+    // pruning still works over MIXED stat types: the old dirs' stats
+    // record decimal(10,2), the widened ones decimal(20,2) — the
+    // decision relation resolves to the widest precision at the common
+    // scale instead of crashing, and the range cut keeps biting
+    val statsT = tmpDir("versioned-widen-stats") + "/t"
+    Versioned.commitWithStats(spark, statsT,
+      graft.ops.Layout.sortedByRange(slice(1, 41, narrow = true),
+        Seq($"p"), 2), Seq("p"))
+    Versioned.commitWithStats(spark, statsT,
+      graft.ops.Layout.sortedByRange(slice(41, 81, narrow = false),
+        Seq($"p"), 2), Seq("p"))
+    val (sFrame, sKept, sTotal) =
+      Versioned.skipRead(spark, statsT, "p", "10.00", "20.00")
+    assert(sKept < sTotal,
+      s"mixed decimal(10,2)/decimal(20,2) stats must still prune: " +
+        s"$sKept/$sTotal")
+    assert(sFrame.filter($"p".between("10.00", "20.00")).count() == 11L)
     // refusal taxonomy
     val e1 = intercept[IllegalArgumentException](Versioned.commit(spark, t,
       spark.range(100, 101).selectExpr("CAST(id AS STRING) AS k",
