@@ -485,9 +485,22 @@ class PartTransformSpec extends SparkSpec {
         Some("2024-03-01 23:59:59"))))
     assert(kept2 < total2, s"old day dirs still prune: $kept2/$total2")
     assert(f2.filter(col("ts") < "2024-03-02 00:00:00").count() == 24L)
+    // SHOW PARTITIONS speaks the CURRENT spec: new dirs list real bucket
+    // values; pre-evolution files (no bucket key in their paths) report
+    // the default-partition placeholder — defined, never a crash
+    val pvs = Versioned.partitionValues(spark, t).collect()
+      .map(_.getString(0))
+    assert(pvs.exists(p => p.startsWith("id_bucket=") &&
+      p != "id_bucket=__HIVE_DEFAULT_PARTITION__"),
+      s"new dirs must list real bucket values: ${pvs.mkString(",")}")
+    assert(pvs.contains("id_bucket=__HIVE_DEFAULT_PARTITION__"),
+      "pre-evolution files report the placeholder under the current spec")
     // empty spec reverts to FLAT staging going forward
     val v4 = Versioned.setPartitionSpec(spark, t, Seq.empty)
     assert(v4 == 4L)
+    // and an unpartitioned head refuses SHOW PARTITIONS loudly
+    intercept[IllegalArgumentException](
+      Versioned.partitionValues(spark, t).collect())
     Versioned.commit(spark, t,
       Seq((200L, Timestamp.valueOf("2024-03-06 01:00:00"), 200L))
         .toDF("id", "ts", "v"))
