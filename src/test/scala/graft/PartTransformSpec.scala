@@ -516,6 +516,42 @@ class PartTransformSpec extends SparkSpec {
       Versioned.setPartitionSpec(spark, t, Seq("days(v)"))) // v is long
   }
 
+  test("an append staged BEFORE a concurrent SET PARTITIONED BY grafts " +
+      "soundly: the dir keeps its old layout, the manifest carries the new " +
+      "spec + past, reads and pruning stay exact") {
+    import java.sql.Timestamp
+    val t = tmpDir("ptevolrace") + "/t"
+    val rows = (0 until 24).map(h => (h.toLong,
+      Timestamp.valueOf(f"2024-03-01 $h%02d:00:00"), h.toLong))
+    Versioned.commitPartitioned(spark, t, rows.toDF("id", "ts", "v"),
+      Seq("days(ts)"))
+    val more = (100 until 110).map(i => (i.toLong,
+      Timestamp.valueOf("2024-03-02 06:00:00"), i.toLong))
+    // the evolution lands INSIDE the rebase race seam: the staged dir
+    // was laid out under days(ts), the head it grafts onto declares
+    // bucket(4, id)
+    val (v, attempts) = Versioned.appendRebase(spark, t,
+      more.toDF("id", "ts", "v"),
+      onStaged = () =>
+        { Versioned.setPartitionSpec(spark, t, Seq("bucket(4, id)")); () })
+    assert(v == 3L && attempts == 2,
+      s"the staged race must cost exactly one lost CAS: v=$v a=$attempts")
+    val m = Versioned.readManifest(spark, t, v)
+    assert(m.partCols == Seq("bucket:4:id") &&
+      m.pastPartCols.contains("days::ts"),
+      s"the graft must carry the NEW spec + past: ${m.partCols} / " +
+        s"${m.pastPartCols}")
+    assert(Versioned.read(spark, t).count() == 34L,
+      "both writers' rows must survive the graft")
+    // the old-layout staged dir plans conservatively for bucket preds
+    // but its own day synthesis (now a PAST spec) still prunes it
+    val (f1, k1, t1) = Versioned.readPruned(spark, t, None,
+      Seq(ScanPredicate.Bounds("ts", Some("2024-03-01 00:00:00"),
+        Some("2024-03-01 23:59:59"))))
+    assert(k1 < t1, s"day pruning must survive the race: $k1/$t1")
+    assert(f1.filter(col("ts") < "2024-03-02 00:00:00").count() == 24L)
+  }
+
   test("graft_files: stats-backed rows, honest nulls for manifest-less " +
       "dirs, version pinning") {
     val t = tmpDir("ptgf") + "/t"
