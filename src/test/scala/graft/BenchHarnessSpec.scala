@@ -131,4 +131,75 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(timings.map(_._1) == Seq("ok", "ok2"))
     assert(errors.keySet == Set("boom") && errors("boom").contains("kaput"))
   }
+
+  // ---- budget governor + partial evidence (VERDICT r15 item 1) --------
+
+  test("planRuns law: full N when comfortable, downshift to 3 then 1, skip before blowing the budget") {
+    // warm=2s, probe=0.2s → estimate(N=5) = 0.5 + 3*0.2 + 5*2 = 11.1
+    val warm = Some(2.0)
+    assert(Bench.planRuns(remainSec = 60.0, warm, 1.0, 0.2, 5) == 5)
+    assert(Bench.planRuns(remainSec = 14.43, warm, 1.0, 0.2, 5) == 5) // 11.1*1.3
+    // below the full-N fence but above the 3-run fence (est3=7.1 → 8.52)
+    assert(Bench.planRuns(remainSec = 10.0, warm, 1.0, 0.2, 5) == 3)
+    // above the 1-run fence (est1=3.1 → 3.41) but below 3-run
+    assert(Bench.planRuns(remainSec = 4.0, warm, 1.0, 0.2, 5) == 1)
+    // nothing fits: skip
+    assert(Bench.planRuns(remainSec = 2.0, warm, 1.0, 0.2, 5) == 0)
+    assert(Bench.planRuns(remainSec = -5.0, warm, 1.0, 0.2, 5) == 0)
+    // unwarmed entry estimates from the fallback median
+    assert(Bench.planRuns(remainSec = 60.0, None, 2.0, 0.2, 5) == 5)
+    assert(Bench.planRuns(remainSec = 2.0, None, 2.0, 0.2, 5) == 0)
+  }
+
+  test("timeSuite skips entries the governor zeroes — recorded in skipped, never run, never errors") {
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    val timings = Bench.timeSuite(Seq("a", "b", "c", "d"),
+      n => { ran += n; () }, () => 0.001, n = 5, errors,
+      nFor = qn => if (qn == "b" || qn == "d") 0 else 2,
+      skipped = skipped)
+    assert(timings.map(_._1) == Seq("a", "c"))
+    assert(skipped.toSeq == Seq("b", "d"))
+    assert(!ran.contains("b") && !ran.contains("d"))
+    assert(errors.isEmpty)
+    // a downshifted entry records its actual run count
+    assert(timings.forall(_._2.nRuns == 2))
+  }
+
+  test("onTimed fires after every completed entry — the incremental flush seam") {
+    val flushed = scala.collection.mutable.ArrayBuffer[Int]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    var count = 0
+    Bench.timeSuite(Seq("a", "boom", "c"),
+      n => if (n == "boom") sys.error("kaput"),
+      () => 0.001, n = 1, errors,
+      onTimed = (_, _) => { count += 1; flushed += count })
+    // fired for a and c; boom failed before its onTimed
+    assert(flushed.toSeq == Seq(1, 2))
+  }
+
+  test("headline with a near-total skip list stays driver-parseable (count + head, not the full list)") {
+    val timings = (1 to 5).map(i => f"q_done_$i%02d" -> Bench.Timing(1.0, 0.1))
+    val skipped = (1 to 240).map(i => f"q_some_quite_long_query_name_$i%03d")
+    val line = Bench.renderHeadline(timings, Map.empty[String, String],
+      0.15, 5, "bench_detail.json", "/sf", skipped, partial = true, nTotal = 247)
+    assert(line.getBytes("UTF-8").length < 2000,
+      s"headline with skips must stay short, got ${line.length} chars")
+    assert(line.contains("\"n_skipped\":240"))
+    assert(line.contains("\"partial\":true"))
+    assert(!line.contains('\n'))
+    assert(line.head == '{' && line.last == '}')
+  }
+
+  test("detail sidecar carries the full skipped list, partial flag, and per-entry run counts") {
+    val timings = Seq(
+      "q_full" -> Bench.Timing(1.0, 0.1, 7L, 5),
+      "q_shifted" -> Bench.Timing(2.0, 0.1, 9L, 3))
+    val detail = Bench.renderDetail(timings, Map.empty[String, String], 0.15, 5,
+      "/sf", skipped = Seq("q_a", "q_b"), partial = true)
+    assert(detail.contains(""""partial":true"""))
+    assert(detail.contains(""""skipped":["q_a","q_b"]"""))
+    assert(detail.contains(""""n_timed_runs":{"q_full":5,"q_shifted":3}"""))
+  }
 }
