@@ -86,6 +86,21 @@ sealed trait PartSpec {
     */
   def mapPoint(v: String, srcType: DataType, zoneId: String): Option[String]
 
+  /** UPPER-bound companion of [[mapPoint]] for monotone range mapping —
+    * defaults to the point value. [[Hours]] overrides to cover BOTH its
+    * derived-value vintages (see the format note there).
+    */
+  def mapPointHi(v: String, srcType: DataType, zoneId: String): Option[String] =
+    mapPoint(v, srcType, zoneId)
+
+  /** Whether point-EQUALITY semantics on the derived values are exact
+    * across every vintage of this transform's recorded values (IN-set
+    * derivation and bucket equality need it). [[Hours]] answers false —
+    * its pre-r15 recorded form differs — so IN-set predicates skip
+    * derivation there (conservative, never mispruning).
+    */
+  def pointExact: Boolean = true
+
   /** User-facing SQL call form (`bucket(8, k)`; the plain column name
     * for identity) — what SHOW CREATE TABLE / DESCRIBE DETAIL print.
     */
@@ -223,6 +238,24 @@ object PartSpec {
     * instant order, so string-typed stats compare monotonically in any
     * session zone — a timestamp-typed derived value would re-enter the
     * zone at every path-string render and literal cast.
+    *
+    * FORMAT NOTE (ADVICE r15 low — the v2 break, stated explicitly):
+    * pre-r15 builds derived hour values as timestamp-typed
+    * `yyyy-MM-dd HH:00:00`; hours() tables written by those builds carry
+    * that form in hive paths and harvested stats rows. The two forms
+    * differ as strings, so this vintage handles them WITHOUT mispruning:
+    *
+    *  - RANGE/point bounds: [[mapPointHi]] caps the upper bound at
+    *    `v + ";"` — `;` is `:` + 1 in ASCII, so the cap sits strictly
+    *    above both `yyyy-MM-dd HH` (v2) and any legacy
+    *    `yyyy-MM-dd HH:mm:ss` of the SAME hour, and strictly below the
+    *    next hour's values in either form. Both vintages prune exactly.
+    *  - IN-set / point-equality derivation: [[pointExact]] = false —
+    *    equality against a legacy recorded value would miss, so the
+    *    derivation is skipped (conservative; the RAW column's own stats
+    *    still prune).
+    *  - SHOW PARTITIONS prints each dir's recorded form verbatim — a
+    *    mixed-vintage table shows both shapes until an OPTIMIZE rewrite.
     */
   final case class Hours(srcCol: String) extends PartSpec {
     val name: String = s"${srcCol}_hour"
@@ -251,6 +284,13 @@ object PartSpec {
         case _ => HourPrefix.findFirstMatchIn(v).map(m =>
           s"${m.group(1)} ${m.group(2)}")
       }
+    // ';' = ':'+1: caps above this hour's values in BOTH vintages
+    // ("2024-01-01 05" and "2024-01-01 05:00:00" are both <= "…05;"),
+    // below the next hour's in either — see the class format note
+    override def mapPointHi(v: String, srcType: DataType,
+        zoneId: String): Option[String] =
+      mapPoint(v, srcType, zoneId).map(_ + ";")
+    override def pointExact: Boolean = false
   }
 
   /** Parse a reader-side literal EXACTLY as the row-filter cast will

@@ -282,34 +282,41 @@ object Versioned {
     def publish(f: FileSystem, dest: Path, bytes: Array[Byte]): Boolean = {
       val tmp = new Path(dest.toString +
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = f.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      if (f.exists(dest)) { f.delete(tmp, false); false }
-      else {
-        val scheme = Option(f.getUri.getScheme).getOrElse("file")
-        if (scheme == "file")
-          // LOCAL FS: POSIX rename(2) silently REPLACES an existing dest,
-          // so exists-check-then-rename has a lost-update window two
-          // racing writers can BOTH fall through (observed in the wild as
-          // a concurrent-rename spec flake: both manifests "published",
-          // one vanished). link(2) is the true local CAS — hard-link
-          // creation is atomic and fails EEXIST when dest appears between
-          // the check and the claim.
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath),
-              java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
-            f.delete(tmp, false)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              f.delete(tmp, false); false
-          }
-        // HDFS rename refuses an existing destination atomically — the
-        // historical path stays correct there
-        else if (f.rename(tmp, dest)) true
-        else if (f.exists(dest)) { f.delete(tmp, false); false }
-        else throw new java.io.IOException(s"commit rename failed for $dest")
+      // Claim-release discipline (ADVICE r15 low): the staged tmp (and
+      // its Hadoop .crc sidecar) must not leak into _commits/ on ANY
+      // exit — disk-full mid-write, a mount without hard links, a lost
+      // race. The finally delete is a harmless no-op after a successful
+      // rename (tmp already moved).
+      try {
+        val out = f.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        if (f.exists(dest)) false
+        else {
+          val scheme = Option(f.getUri.getScheme).getOrElse("file")
+          if (scheme == "file")
+            // LOCAL FS: POSIX rename(2) silently REPLACES an existing dest,
+            // so exists-check-then-rename has a lost-update window two
+            // racing writers can BOTH fall through (observed in the wild as
+            // a concurrent-rename spec flake: both manifests "published",
+            // one vanished). link(2) is the true local CAS — hard-link
+            // creation is atomic and fails EEXIST when dest appears between
+            // the check and the claim.
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath),
+                java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          // HDFS rename refuses an existing destination atomically — the
+          // historical path stays correct there
+          else if (f.rename(tmp, dest)) true
+          else if (f.exists(dest)) false
+          else throw new java.io.IOException(s"commit rename failed for $dest")
+        }
+      } finally {
+        try { f.delete(tmp, false); () } catch { case _: Throwable => () }
       }
     }
   }
@@ -347,17 +354,24 @@ object Versioned {
         // the exact atom [[RenameCommitStore]] uses on local FS.
         val tmp = new Path(dest.toString +
           s".cput-${java.util.UUID.randomUUID().toString.take(8)}")
-        val out = f.create(tmp, true)
-        try out.write(bytes) finally out.close()
+        // try/finally claim-release (ADVICE r15 low): a tmp-write or
+        // link failure of ANY kind (disk full, a mount without hard
+        // links) must not leak the partially-staged `.cput-*` file and
+        // its .crc sidecar into _commits/ forever — mirror the remote
+        // branch's release discipline.
         try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath),
-            java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
-          f.delete(tmp, false)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            f.delete(tmp, false); false
+          val out = f.create(tmp, true)
+          try out.write(bytes) finally out.close()
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(f.makeQualified(dest).toUri.getPath),
+              java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } finally {
+          try { f.delete(tmp, false); () } catch { case _: Throwable => () }
         }
       } else {
         // Non-local store: the exclusive create IS the conditional PUT
@@ -638,6 +652,42 @@ object Versioned {
       widened ++ child.fields.filterNot(f => parent.fieldNames.contains(f.name)))
   }
 
+  /** Refuse a type widen on a column that is a `bucket(n, col)` SOURCE
+    * in the CURRENT or any PAST partition spec (ADVICE r15 high).
+    * Spark's Murmur3 `hash()` is type-sensitive — `hash(77: int) !=
+    * hash(77L)`, and a decimal crossing precision 18 switches its hash
+    * encoding — so after a widen [[PartSpec.Bucket.mapPoint]] would hash
+    * point literals at the WIDE manifest type while pre-widen dirs'
+    * staged paths and synthesized stats rows carry NARROW-type bucket
+    * values: point lookups would silently prune files holding matching
+    * rows. A widen on a bucketed column therefore requires a layout
+    * rewrite first (overwrite, or [[setPartitionSpec]] off the bucket
+    * then OPTIMIZE), mirroring the setPartitionSpec same-name-different-
+    * semantics refusal.
+    */
+  private def requireWidenKeepsBuckets(partCols: Seq[String],
+      pastPartCols: Seq[String],
+      parent: org.apache.spark.sql.types.StructType,
+      child: org.apache.spark.sql.types.StructType, table: String): Unit = {
+    val bucketSrcs = (partCols ++ pastPartCols).distinct.map(PartSpec.parse)
+      .collect { case b: PartSpec.Bucket => b.srcCol }.toSet
+    if (bucketSrcs.nonEmpty) {
+      val widened = parent.fields.flatMap { pf =>
+        child.fields.find(_.name == pf.name).collect {
+          case cf if widens(pf.dataType, cf.dataType) => pf.name
+        }
+      }.filter(bucketSrcs.contains).toSeq
+      require(widened.isEmpty,
+        s"cannot widen bucket-partition source column(s) " +
+          s"${widened.mkString(", ")} on $table: murmur3 bucket hashing " +
+          "is type-sensitive (hash of the same value at a different width " +
+          "is a different bucket), so pre-widen dirs' recorded bucket " +
+          "values would misprune point lookups after the widen — rewrite " +
+          "the table layout first (overwrite, or evolve the partition " +
+          "spec off the bucket and OPTIMIZE)")
+    }
+  }
+
   /** Write `df` as the next version. `overwrite=false` (append) keeps the
     * parent's data dirs in the new snapshot; `overwrite=true` references
     * only the new dir. Returns the committed version number. Throws
@@ -905,6 +955,8 @@ object Versioned {
       val conflicts = typeConflicts(parentSchema, df.schema)
       require(conflicts.isEmpty,
         s"incompatible schema change on append to $table: ${conflicts.mkString("; ")}")
+      parent.foreach(m => requireWidenKeepsBuckets(m.partCols, m.pastPartCols,
+        parentSchema, df.schema, table))
     }
     // Column mapping: incoming frames speak LOGICAL names; data dirs are
     // written under the PHYSICAL names so every dir — pre- and post-
@@ -1052,6 +1104,8 @@ object Versioned {
       val conflicts = typeConflicts(ps, df.schema)
       require(conflicts.isEmpty,
         s"incompatible schema change on append to $table: ${conflicts.mkString("; ")}")
+      parent.foreach(m => requireWidenKeepsBuckets(m.partCols, m.pastPartCols,
+        ps, df.schema, table))
     }
     // stage ONCE — the whole point of the verb; a partitioned parent's
     // layout declaration applies to the staged dir too
@@ -1098,6 +1152,9 @@ object Versioned {
               s"concurrent schema change on $table conflicts with the staged " +
                 s"append: ${conflicts.mkString("; ")}")
           }
+          try requireWidenKeepsBuckets(hm.partCols, hm.pastPartCols,
+            s0, df.schema, table)
+          catch { case e: IllegalArgumentException => dropDir(); throw e }
         }
         val newConstraints = hm.constraints.filterNot(validated.contains)
         if (newConstraints.nonEmpty) {
@@ -1725,6 +1782,7 @@ object Versioned {
       val conflicts = typeConflicts(ps, batch.schema)
       require(conflicts.isEmpty,
         s"incompatible merge batch schema: ${conflicts.mkString("; ")}")
+      requireWidenKeepsBuckets(m.partCols, m.pastPartCols, ps, batch.schema, table)
     }
     // NULL merge keys are rejected outright: the two disciplines would
     // disagree on them (anti-join never matches null → duplicates;
@@ -1796,8 +1854,17 @@ object Versioned {
       stageDataDir(spark, table, dirName, arranged, Map.empty, m.partCols)
     }
     validateConstraints(spark, table, dirName, m.constraints)
+    // Record the WIDEN-UNION, never the bare batch schema (ADVICE r15
+    // high): a narrower batch onto a widened table (parent-wider — legal
+    // under typeConflicts) must not rewrite the manifest schema back to
+    // the narrow types while untouched refs hold wide-encoded pages —
+    // every later explicit-schema scan would fail (the vectorized reader
+    // cannot NARROW int64 pages under an int field). Mirrors the append
+    // path's pubSchema discipline.
+    val mergedSchema = parentSchema
+      .map(ps => unionWiden(ps, batch.schema)).getOrElse(batch.schema)
     if (!writeManifest(spark, table, v, "merge", untouchedRefs :+ dirName,
-        Some(batch.schema.json), m.dvs, m.constraints,
+        Some(mergedSchema.json), m.dvs, m.constraints,
         partCols = m.partCols, pastPartCols = m.pastPartCols)) {
       fs(spark, new Path(table)).delete(new Path(s"${dataRoot(spark, table)}/$dirName"), true)
       throw new java.util.ConcurrentModificationException(
@@ -1997,6 +2064,8 @@ object Versioned {
         val conflicts = typeConflicts(ps, newImages.schema)
         require(conflicts.isEmpty,
           s"UPDATE SET changes column types on $table: ${conflicts.mkString("; ")}")
+        requireWidenKeepsBuckets(m.partCols, m.pastPartCols,
+          ps, newImages.schema, table)
       }
     // old images leave via a dv; new images land as an append — one scan
     // feeds both writes (two jobs over the same lineage, each bounded by
@@ -2036,8 +2105,17 @@ object Versioned {
     }
     if (statsCols.nonEmpty)
       Layout.writeStatsManifest(spark, s"${dataRoot(spark, table)}/$dirName", statsCols)
+    // widen-union (ADVICE r15 high, the mergePruned argument): a SET that
+    // widened a column writes WIDE pages into the new-images dir — the
+    // recorded schema must widen with them or later explicit-schema
+    // scans fail reading int64 pages under an int field
+    val updSchema = m.schemaJson.map { j =>
+      val ps = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      unionWiden(ps, newImages.schema).json
+    }
     if (!writeManifest(spark, table, v, "update", m.refs :+ dirName,
-        m.schemaJson, m.dvs :+ dvDir, m.constraints,
+        updSchema, m.dvs :+ dvDir, m.constraints,
         partCols = m.partCols, pastPartCols = m.pastPartCols)) {
       cleanup()
       throw new java.util.ConcurrentModificationException(
@@ -2128,10 +2206,15 @@ object Versioned {
       val conflicts = typeConflicts(ps, batch0.schema)
       require(conflicts.isEmpty,
         s"incompatible merge batch schema: ${conflicts.mkString("; ")}")
+      requireWidenKeepsBuckets(m.partCols, m.pastPartCols, ps, batch0.schema, table)
     }
     // SCHEMA EVOLUTION (the Delta `mergeSchema`/autoMerge rule): the
     // evolved schema is parent fields (parent order) + batch-only
-    // fields (batch order). Both sides pad their missing columns with
+    // fields (batch order), with the WIDER type kept for common fields
+    // ([[unionWiden]] — ADVICE r15 high: a wider batch must widen the
+    // recorded schema, a narrower batch must not narrow it back, or a
+    // later explicit-schema scan reads wide-encoded pages under a
+    // narrow field and fails). Both sides pad their missing columns with
     // TYPED nulls so every clause speaks the union: rows in untouched
     // old files read the new columns as NULL via mergeSchema, updated
     // images take the source's new-column values, inserts take NULL for
@@ -2140,10 +2223,7 @@ object Versioned {
       s"merge batch must carry the merge key '$key'")
     val unionFields: Seq[org.apache.spark.sql.types.StructField] =
       parentSchema match {
-        case Some(ps) if schemaEvolution =>
-          ps.fields.toSeq ++
-            batch0.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
-        case Some(ps) => ps.fields.toSeq
+        case Some(ps) => unionWiden(ps, batch0.schema).fields.toSeq
         case None => batch0.schema.fields.toSeq
       }
     val unionSchema = org.apache.spark.sql.types.StructType(unionFields)
@@ -2229,6 +2309,8 @@ object Versioned {
       val conflicts = typeConflicts(ps, updated.schema)
       require(conflicts.isEmpty,
         s"MERGE SET changes column types on $table: ${conflicts.mkString("; ")}")
+      requireWidenKeepsBuckets(m.partCols, m.pastPartCols,
+        ps, updated.schema, table)
     }
     // not-matched inserts: batch keys absent from the LIVE touched slice
     // (a key in an untouched file is impossible — pruning is a superset
@@ -2356,8 +2438,15 @@ object Versioned {
           s"mergeApply on $table lost the commit race $maxAttempts times; " +
             "staged dirs dropped — retry under lighter contention")
       }
+      // Record the WIDEN-union of the union schema and what ACTUALLY
+      // landed in the new-images dir (ADVICE r15 high): recording the
+      // bare batch schema would narrow a widened table's manifest back,
+      // and a SET expression that widened a column (int + 1L) writes
+      // wide pages unionSchema alone does not know about — either way a
+      // later explicit-schema scan would read wide pages under a narrow
+      // field and fail.
       if (writeManifest(spark, table, targetV, "merge", baseM.refs :+ dirName,
-          Some(if (schemaEvolution) unionSchema.json else batch0.schema.json),
+          Some(unionWiden(unionSchema, newRows.schema).json),
           baseM.dvs :+ dvDir, baseM.constraints,
           partCols = baseM.partCols, pastPartCols = baseM.pastPartCols)) {
         publishedV = targetV
@@ -2782,7 +2871,10 @@ object Versioned {
           case ScanPredicate.Bounds(c, lo, hi) if c == t.srcCol =>
             if (t.monotone) {
               val dLo = lo.flatMap(point)
-              val dHi = hi.flatMap(point)
+              // the UPPER bound maps through the transform's hi-companion
+              // (Hours caps at v+";" to cover both recorded vintages —
+              // PartSpec format note); identical to point() elsewhere
+              val dHi = hi.flatMap(v => t.mapPointHi(v, srcType, zone))
               // a bound that fails to map leaves that side unconstrained
               if (dLo.isEmpty && dHi.isEmpty) None
               else Some(ScanPredicate.Bounds(t.name,
@@ -2794,7 +2886,11 @@ object Versioned {
                 point(l).map(b => ScanPredicate.Bounds(t.name, Some(b), Some(b)))
               case _ => None
             }
-          case ScanPredicate.InSet(c, vs) if c == t.srcCol && vs.nonEmpty =>
+          case ScanPredicate.InSet(c, vs)
+              if c == t.srcCol && vs.nonEmpty && t.pointExact =>
+            // !pointExact transforms (Hours) skip IN-set derivation:
+            // per-value equality against a legacy-vintage recorded value
+            // would misprune — conservative beats wrong
             val mapped = vs.map(point)
             // one unmappable value poisons the whole set (its rows could
             // be anywhere) — derive nothing then
@@ -4175,6 +4271,12 @@ object Versioned {
             val conflicts = typeConflicts(schemas(0), schemas(1))
             require(conflicts.isEmpty,
               s"merge3 refused: root and branch schemas conflict: ${conflicts.mkString("; ")}")
+            // a branch-side widen of a bucket-source column is the same
+            // murmur3 type-sensitivity hazard as on a linear history
+            requireWidenKeepsBuckets(
+              (rootM.partCols ++ branchM.partCols).distinct,
+              (rootM.pastPartCols ++ branchM.pastPartCols).distinct,
+              schemas(0), schemas(1), branchTable)
             Some(unionWiden(schemas(0), schemas(1)).json)
           }
         (s0, Map.empty[String, String])

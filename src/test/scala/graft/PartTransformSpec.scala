@@ -258,6 +258,55 @@ class PartTransformSpec extends SparkSpec {
       .map(_.getString(0)).exists(_ == "ts_hour=2024-01-01 05"))
   }
 
+  test("hours() legacy vintage: pre-r15 'HH:00:00' recorded stats never " +
+      "misprune — the hi-cap covers both forms, IN-sets stay conservative") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    // an hours() table whose stats rows are then REWRITTEN into the
+    // legacy derived form ('yyyy-MM-dd HH:00:00') — simulating a table
+    // written by a pre-r15 build (ADVICE r15 low / PartSpec format note)
+    val t = tmpDir("pthr-legacy") + "/t"
+    val rows = (0 until 48).map(i => (i.toLong,
+      Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00")))
+    Versioned.commitPartitioned(spark, t, rows.toDF("id", "ts"),
+      Seq("hours(ts)"))
+    // rewrite every dir's _stats: ts_hour min/max gain the legacy suffix
+    val dataDir = new java.io.File(s"$t/data")
+    dataDir.listFiles().filter(_.isDirectory).foreach { d =>
+      val statsPath = s"${d.getAbsolutePath}/_stats"
+      if (new java.io.File(statsPath).exists()) {
+        val legacy = spark.read.parquet(statsPath)
+          .withColumn("min_v", when(col("column") === "ts_hour",
+            concat(col("min_v"), lit(":00:00"))).otherwise(col("min_v")))
+          .withColumn("max_v", when(col("column") === "ts_hour",
+            concat(col("max_v"), lit(":00:00"))).otherwise(col("max_v")))
+          .collect()
+        val schema = spark.read.parquet(statsPath).schema
+        spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(legacy: _*)), schema)
+          .repartition(1).write.mode("overwrite").parquet(statsPath + ".new")
+        val fsys = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        fsys.delete(new org.apache.hadoop.fs.Path(statsPath), true)
+        fsys.rename(new org.apache.hadoop.fs.Path(statsPath + ".new"),
+          new org.apache.hadoop.fs.Path(statsPath))
+      }
+    }
+    // a raw-ts range inside hour 05 must KEEP the legacy-stats hour-05
+    // files (pre-fix, the derived hi '2024-01-01 05' lexicographically
+    // excluded '2024-01-01 05:00:00' and the rows vanished) and still
+    // PRUNE other hours
+    val (frame, kept, total) = Versioned.skipRead(spark, t, "ts",
+      "2024-01-01 05:00:00", "2024-01-01 05:59:59")
+    val got = frame.filter(col("ts").between(
+      "2024-01-01 05:00:00", "2024-01-01 05:59:59")).count()
+    val expect = Versioned.read(spark, t, None).filter(col("ts").between(
+      "2024-01-01 05:00:00", "2024-01-01 05:59:59")).count()
+    assert(expect > 0 && got == expect,
+      s"legacy-vintage hour stats mispruned: got $got want $expect")
+    assert(kept < total, s"other hours must still prune: $kept/$total")
+  }
+
   test("raw TIMESTAMP min/max stats prune with no transform declared — and " +
       "the comparison frame stays sound across session zones") {
     import java.sql.Timestamp
