@@ -920,17 +920,31 @@ object Layout {
         .map(_.getString(0)).toSeq
       // Opaque rows ("" typ, null min/max) are conservative under ANY
       // chosen type (their null min_v keeps the file), so they never
-      // constrain the choice. GENUINELY mixed types happen after a
-      // DECIMAL-PRECISION WIDENING (old dirs record decimal(12,2), new
-      // ones decimal(22,2)): resolve to the widest precision at the
-      // common scale — the recorded strings cast losslessly into it.
+      // constrain the choice. TYPE WIDENING rarely mixes recorded types
+      // at all: the harvest canonicalizes every integral parquet width
+      // to "long" and float/double to "double" ([[statCodec]] — INT32
+      // and INT64 pages both record "long" strings), so an int→long or
+      // float→double widen leaves every dir's recorded type IDENTICAL
+      // and pruning survives the widen untouched (pinned by
+      // `LayoutSpec`/`q_schema_widening`'s in-query kept<total).
+      // GENUINELY mixed types happen after a DECIMAL-PRECISION WIDENING
+      // (old dirs record decimal(12,2), new ones decimal(22,2)):
+      // resolve to the widest precision at the common scale — the
+      // recorded strings cast losslessly into it. Defensively, the same
+      // widest-type resolution applies to exact-width integral mixes
+      // ({tinyint,smallint,int,bigint} → long) and {float,double} →
+      // double, in case a manifest vintage ever records exact widths.
       // Anything irreconcilable degrades to the opaque type (scan all,
       // never a planner crash on a readable table).
       val named = typs.filter(_.nonEmpty)
       val DecRe = """decimal\((\d+),(\d+)\)""".r
+      val Integrals = Set("tinyint", "smallint", "int", "bigint", "long")
+      val Floats = Set("float", "double")
       val t =
         if (named.isEmpty) typs.headOption.getOrElse("string")
         else if (named.length == 1) named.head
+        else if (named.forall(Integrals.contains)) "long"
+        else if (named.forall(Floats.contains)) "double"
         else {
           val decs = named.map {
             case DecRe(p, sc) => Some((p.toInt, sc.toInt))

@@ -729,8 +729,13 @@ object OpsQueries extends graft.QueryModule {
         .select($"o_orderkey".as("k"),
           $"o_custkey".cast("double").as("c"),
           $"o_totalprice".cast("decimal(22,2)").as("p"))
-      graft.ops.Versioned.commit(s, t, narrow)
-      graft.ops.Versioned.commit(s, t, wide) // the widening append
+      // p-sorted WITHIN each commit (the commits already split the k
+      // domain in half): k ranges prune across commits, p ranges prune
+      // within them — both skipping axes stay testable post-widen
+      graft.ops.Versioned.commitWithStats(s, t,
+        graft.ops.Layout.sortedByRange(narrow, Seq($"p"), 3), Seq("k", "p"))
+      graft.ops.Versioned.commitWithStats(s, t, // the widening append
+        graft.ops.Layout.sortedByRange(wide, Seq($"p"), 3), Seq("k", "p"))
       def types(df: org.apache.spark.sql.DataFrame): Seq[String] =
         Seq("k", "c", "p").map(n => df.schema(n).dataType.simpleString)
       val head = graft.ops.Versioned.read(s, t)
@@ -755,6 +760,28 @@ object OpsQueries extends graft.QueryModule {
       require(refuses(wide.limit(1).select($"k", $"c",
           $"p".cast("decimal(22,4)").as("p"))),
         "a decimal SCALE change must refuse")
+      // POST-WIDEN FILE SKIPPING (VERDICT r15 item 2): a range scan on
+      // the WIDENED column must still prune files across BOTH vintages —
+      // the harvest records width-canonical stat types ("long" for every
+      // integral width), so the widen costs ZERO skipping power; mixed
+      // decimal precisions resolve to the widest at the common scale.
+      // Without this, the widened feature's own headline use case (range
+      // scans on the id column that outgrew int32) would scan-all.
+      val loK = maxk / 8; val hiK = maxk / 4 // narrow-vintage span
+      val (_, keptN, totalN) = graft.ops.Versioned.skipRead(s, t, "k",
+        loK.toString, hiK.toString)
+      require(keptN < totalN,
+        s"post-widen range on the NARROW vintage must prune: $keptN/$totalN")
+      val (_, keptW, totalW) = graft.ops.Versioned.skipRead(s, t, "k",
+        (maxk / 2 + maxk / 8).toString, (maxk / 2 + maxk / 4).toString)
+      require(keptW < totalW,
+        s"post-widen range on the WIDE vintage must prune: $keptW/$totalW")
+      val pMid = head.agg(avg($"p".cast("decimal(30,2)"))).head()
+        .getDecimal(0).setScale(2, java.math.RoundingMode.HALF_UP)
+      val (_, keptP, totalP) = graft.ops.Versioned.skipRead(s, t, "p",
+        "0.00", pMid.toPlainString)
+      require(keptP < totalP,
+        s"mixed decimal(12,2)/decimal(22,2) stats must resolve wide and prune: $keptP/$totalP")
       def arm(tag: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n"),
           sum($"k").as("sum_k"),

@@ -1433,6 +1433,70 @@ class VersionedSpec extends SparkSpec {
       "a feed straddling rename AND widen presents toV's wide view")
   }
 
+  test("file skipping SURVIVES a type widen: recorded stat types are " +
+      "width-canonical, exact-width mixes resolve to the widest, pruning " +
+      "keeps biting across narrow and wide dirs") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // VERDICT r15 item 2 / `weak` #2. Two layers of defense, both pinned:
+    // (1) the harvest canonicalizes INT32 and INT64 pages to "long" and
+    //     FLOAT/DOUBLE to "double" (Layout.statCodec), so an int->long or
+    //     float->double widen produces NO stat-type mix at all;
+    // (2) if a manifest vintage ever records exact widths, the decision
+    //     relation resolves {tinyint,smallint,int,bigint} -> long and
+    //     {float,double} -> double instead of degrading to scan-all.
+    val t = tmpDir("versioned-widen-skip") + "/t"
+    def slice(a: Long, b: Long, narrow: Boolean) = spark.range(a, b)
+      .selectExpr(s"CAST(id AS ${if (narrow) "INT" else "LONG"}) AS k",
+        s"CAST(id AS ${if (narrow) "FLOAT" else "DOUBLE"}) AS c")
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(slice(1, 41, narrow = true),
+        Seq(col("k")), 2), Seq("k", "c"))
+    Versioned.commitWithStats(spark, t,
+      graft.ops.Layout.sortedByRange(slice(41, 81, narrow = false),
+        Seq(col("k")), 2), Seq("k", "c"))
+    // layer 1: recorded types are IDENTICAL across the widen
+    val dirs = new java.io.File(s"$t/data").listFiles().filter(_.isDirectory)
+    dirs.foreach { d =>
+      val typs = spark.read.parquet(s"${d.getAbsolutePath}/_stats")
+        .select("column", "typ").distinct().collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(typs.get("k").contains("long") && typs.get("c").contains("double"),
+        s"harvest must canonicalize widths: $typs in ${d.getName}")
+    }
+    // pruning works on the widened columns, both dirs' vintages
+    val (f1, kept1, total1) = Versioned.skipRead(spark, t, "k", "10", "20")
+    assert(kept1 < total1, s"int-vintage range must prune: $kept1/$total1")
+    assert(f1.filter(col("k").between(10, 20)).count() == 11L)
+    val (f2, kept2, total2) = Versioned.skipRead(spark, t, "k", "50", "60")
+    assert(kept2 < total2, s"long-vintage range must prune: $kept2/$total2")
+    assert(f2.filter(col("k").between(50, 60)).count() == 11L)
+    val (f3, kept3, total3) = Versioned.skipRead(spark, t, "c", "70.0", "80.0")
+    assert(kept3 < total3 &&
+      f3.filter(col("c").between(70.0, 80.0)).count() == 11L)
+    // layer 2: FORGE an exact-width vintage — rewrite one dir's k rows to
+    // typ="int" — and the mixed {int, long} set must resolve to long and
+    // keep pruning, not degrade to scan-all
+    val forged = dirs.head.getAbsolutePath + "/_stats"
+    val rows = spark.read.parquet(forged)
+      .withColumn("typ", when(col("column") === "k", lit("int"))
+        .otherwise(col("typ"))).collect()
+    val schema = spark.read.parquet(forged).schema
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+      .repartition(1).write.mode("overwrite").parquet(forged + ".new")
+    val fsys = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(forged), true)
+    fsys.rename(new org.apache.hadoop.fs.Path(forged + ".new"),
+      new org.apache.hadoop.fs.Path(forged))
+    // (no memo invalidation needed: the typ memo key carries the stats
+    // dir's file listing, which the rewrite changed)
+    val (f4, kept4, total4) = Versioned.skipRead(spark, t, "k", "10", "20")
+    assert(kept4 < total4,
+      s"a forged {int,long} stat-type mix must resolve wide and still prune: $kept4/$total4")
+    assert(f4.filter(col("k").between(10, 20)).count() == 11L)
+  }
+
   test("widening a bucket-source column refuses on every verb; merge and " +
       "update record the widen-union, never the narrow batch schema") {
     import spark.implicits._
