@@ -111,6 +111,15 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         if isGraftTarget(spark, target.trim) =>
       GraftAlterCommand(target.trim, GraftAlterAction.AddColumn(colName,
         stripCharVarchar(delegate.parseDataType(typeSql))))
+    // ALTER TABLE t ALTER COLUMN c TYPE bigint — PROACTIVE type widening
+    // (one metadata-only commit, no accompanying data; VERDICT r15 #3):
+    // widen the id column BEFORE it overflows int32, through the same
+    // unionWiden discipline wide appends use. Non-widening changes
+    // refuse with the taxonomy message.
+    case AlterColTypeRe(target, colName, typeSql)
+        if isGraftTarget(spark, target.trim) =>
+      GraftAlterCommand(target.trim, GraftAlterAction.WidenColumn(colName,
+        stripCharVarchar(delegate.parseDataType(typeSql))))
     case AlterAddCheckRe(target, name, check)
         if isGraftTarget(spark, target.trim) =>
       GraftAlterCommand(target.trim,
@@ -210,6 +219,9 @@ object GraftSqlParser {
   // to end of statement
   private val AlterAddColRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+`?([^\s`(]+)`?\s+(.+?)\s*;?\s*$""".r
+  // proactive type widening — the tail is a type (parens allowed)
+  private val AlterColTypeRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ALTER\s+COLUMN\s+`?([^\s`(]+)`?\s+TYPE\s+(.+?)\s*;?\s*$""".r
   private val AlterAddCheckRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
   private val AlterDropCheckRe =
@@ -596,6 +608,7 @@ final case class GraftRestoreTimestampCommand(target: String, ts: String)
   * {{{
   *   ALTER TABLE t RENAME COLUMN a TO b   -- Versioned.renameColumn
   *   ALTER TABLE t DROP COLUMN a          -- Versioned.dropColumn
+  *   ALTER TABLE t ALTER COLUMN c TYPE bigint -- Versioned.widenColumn
   *   ALTER TABLE t ADD CONSTRAINT n CHECK (expr)  -- addConstraint
   *   ALTER TABLE t DROP CONSTRAINT n      -- dropConstraint
   * }}}
@@ -612,6 +625,8 @@ object GraftAlterAction {
   final case class RenameColumn(from: String, to: String) extends GraftAlterAction
   final case class DropColumn(name: String) extends GraftAlterAction
   final case class AddColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType) extends GraftAlterAction
+  final case class WidenColumn(name: String,
       dataType: org.apache.spark.sql.types.DataType) extends GraftAlterAction
   final case class AddCheck(name: String, expr: String) extends GraftAlterAction
   final case class DropCheck(name: String) extends GraftAlterAction
@@ -630,6 +645,8 @@ final case class GraftAlterCommand(target: String, action: GraftAlterAction)
       case GraftAlterAction.DropColumn(c) => Versioned.dropColumn(spark, p, c)
       case GraftAlterAction.AddColumn(c, dt) =>
         Versioned.addColumn(spark, p, c, dt)
+      case GraftAlterAction.WidenColumn(c, dt) =>
+        Versioned.widenColumn(spark, p, c, dt)
       case GraftAlterAction.AddCheck(n, e) =>
         Versioned.addConstraint(spark, p, n, e)
       case GraftAlterAction.DropCheck(n) => Versioned.dropConstraint(spark, p, n)
@@ -638,7 +655,7 @@ final case class GraftAlterCommand(target: String, action: GraftAlterAction)
     }
     val schemaChanged = action match {
       case _: GraftAlterAction.RenameColumn | _: GraftAlterAction.DropColumn |
-           _: GraftAlterAction.AddColumn => true
+           _: GraftAlterAction.AddColumn | _: GraftAlterAction.WidenColumn => true
       case _ => false
     }
     if (schemaChanged) GraftSqlParser.catalogIdent(spark, target).foreach { id =>

@@ -1856,15 +1856,21 @@ object OpsQueries extends graft.QueryModule {
     // ADD COLUMN (VERDICT r13 item 4) then lands a field-union metadata
     // commit: pre-write rows read as typed NULLs, the next INSERT
     // speaks the new column, and VERSION AS OF 6 answers without it.
-    // Eight commits, every one driven by a SQL statement. The oracle
-    // reconstructs all three snapshots from `orders`.
+    // ALTER COLUMN TYPE (VERDICT r15 item 3) then widens the int id
+    // column to bigint PROACTIVELY — one metadata-only commit, narrow
+    // time travel, refusal taxonomy, and a post-widen narrow batch all
+    // REQUIRED in-query. Eleven commits. The oracle reconstructs all
+    // three snapshots from `orders`.
     "q_sql_alter" -> ((s, dir) => {
       import s.implicits._
       val t = sys.props("java.io.tmpdir") +
         s"/graft_sqlalter_${ProcessHandle.current().pid()}/t"
       graft.ops.FileOps.resetWorkDirs(s, Seq(t))
+      // o_orderkey declared NARROW (int) so the proactive SQL widen
+      // below has something real to widen
       val orders = Tables(s, dir, "orders")
-        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .select($"o_orderkey".cast("int").as("o_orderkey"),
+          $"o_orderstatus", $"o_totalprice")
       graft.ops.Versioned.commit(s, t, orders) // v1
       s.sql(s"ALTER TABLE graft.`$t` ADD CONSTRAINT pos_price " +
         "CHECK (o_totalprice > 0)") // v2
@@ -1883,9 +1889,9 @@ object OpsQueries extends graft.QueryModule {
       require(new java.io.File(s"$t/data").list().toSet == dirsBefore,
         "SQL RENAME/DROP COLUMN must be metadata-only — zero data dirs written")
       orders.createOrReplaceTempView("q_sql_alter_seed")
-      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val maxk = orders.agg(max($"o_orderkey".cast("long"))).head().getLong(0)
       s.sql(s"""INSERT INTO graft.`$t`
-        SELECT o_orderkey + $maxk, o_totalprice * 2
+        SELECT CAST(o_orderkey + $maxk AS INT), o_totalprice * 2
         FROM q_sql_alter_seed WHERE o_orderkey % 5 = 1""") // v6
       s.catalog.dropTempView("q_sql_alter_seed")
       require(graft.ops.Versioned.latestVersion(s, t) == Some(6L),
@@ -1902,6 +1908,39 @@ object OpsQueries extends graft.QueryModule {
         .head().getLong(0) == 0L,
         "pre-write rows must read the added column as typed NULLs")
       s.sql(s"INSERT INTO graft.`$t` VALUES (${2 * maxk + 1}, 0.5, 'tagged')") // v8
+      // PROACTIVE TYPE WIDENING via SQL (VERDICT r15 item 3 — the Delta
+      // type-widening ALTER): `ALTER COLUMN c TYPE bigint` lands ONE
+      // metadata-only commit with no accompanying data, so the id column
+      // widens BEFORE it overflows int32. REQUIRED in-query: zero data
+      // dirs written, the head reads WIDE, VERSION AS OF pre-widen reads
+      // the NARROW declared type, a non-widening ALTER refuses with the
+      // taxonomy, a post-widen INSERT lands, and a NARROW Scala batch
+      // still lands afterwards (parent-wider is legal) without
+      // narrowing the record back.
+      val dirsBeforeWiden = new java.io.File(s"$t/data").list().toSet
+      s.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN o_orderkey TYPE BIGINT") // v9
+      require(new java.io.File(s"$t/data").list().toSet == dirsBeforeWiden,
+        "SQL ALTER COLUMN TYPE must be metadata-only — zero data dirs written")
+      require(s.sql(s"SELECT * FROM graft.`$t`")
+          .schema("o_orderkey").dataType.simpleString == "bigint",
+        "the head must read the WIDENED type")
+      require(s.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 8")
+          .schema("o_orderkey").dataType.simpleString == "int",
+        "pre-widen time travel must read the NARROW declared type")
+      val narrowRefused =
+        try { s.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN o_orderkey TYPE INT")
+          false }
+        catch { case e: Exception =>
+          Option(e.getMessage).exists(_.contains("only widening")) }
+      require(narrowRefused,
+        "a NARROWING alter must refuse with the widening taxonomy")
+      s.sql(s"INSERT INTO graft.`$t` VALUES (${3L * maxk + 7}, 0.25, 'wide')") // v10
+      graft.ops.Versioned.commit(s, t, s.range(1, 2).select( // v11: narrow batch
+        lit((4 * maxk + 9).toInt).cast("int").as("o_orderkey"),
+        lit(0.12).as("price"), lit("narrow").as("note")))
+      require(s.sql(s"SELECT * FROM graft.`$t`")
+          .schema("o_orderkey").dataType.simpleString == "bigint",
+        "a narrow late batch must not narrow the widened record back")
       val v1 = s.sql(s"""SELECT CAST(1 AS bigint) AS step, COUNT(1) AS n,
         CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_v,
         COUNT(DISTINCT o_orderstatus) AS n_status
@@ -1914,6 +1953,7 @@ object OpsQueries extends graft.QueryModule {
         CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_v,
         COUNT(note) AS n_status
         FROM graft.`$t`""")
+      // (head now carries the tagged + wide + narrow rows: n+3, +0.87)
       v1.unionByName(v6).unionByName(head).orderBy($"step")
     }),
 
@@ -3614,10 +3654,10 @@ object OpsQueries extends graft.QueryModule {
         |  FROM (SELECT o_totalprice AS v FROM orders
         |        UNION ALL SELECT v FROM appended)
         |  UNION ALL
-        |  SELECT CAST(3 AS bigint), CAST(COUNT(1) + 1 AS bigint),
+        |  SELECT CAST(3 AS bigint), CAST(COUNT(1) + 3 AS bigint),
         |    CAST(SUM(CAST(v AS decimal(30,2)))
-        |      + CAST(0.5 AS decimal(30,2)) AS double),
-        |    CAST(1 AS bigint)
+        |      + CAST(0.87 AS decimal(30,2)) AS double),
+        |    CAST(3 AS bigint)
         |  FROM (SELECT o_totalprice AS v FROM orders
         |        UNION ALL SELECT v FROM appended)
         |)

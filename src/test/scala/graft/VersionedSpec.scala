@@ -1497,6 +1497,53 @@ class VersionedSpec extends SparkSpec {
     assert(f4.filter(col("k").between(10, 20)).count() == 11L)
   }
 
+  test("widenColumn: proactive metadata-only SQL widen — narrow time travel, " +
+      "refusal taxonomy, bucket-source guard, narrow appends keep landing") {
+    import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+    val t = tmpDir("versioned-widencol") + "/t"
+    Versioned.commit(spark, t, spark.range(1, 21).selectExpr(
+      "CAST(id AS INT) AS k", "CAST(id AS DECIMAL(10,2)) AS p"))
+    val dirs0 = new java.io.File(s"$t/data").list().toSet
+    assert(Versioned.widenColumn(spark, t, "k", LongType) == 2L)
+    assert(Versioned.widenColumn(spark, t, "p", DecimalType(20, 2)) == 3L)
+    assert(new java.io.File(s"$t/data").list().toSet == dirs0,
+      "widenColumn must be metadata-only — zero data dirs written")
+    val head = Versioned.read(spark, t)
+    assert(head.schema("k").dataType.simpleString == "bigint" &&
+      head.schema("p").dataType.simpleString == "decimal(20,2)" &&
+      head.count() == 20L,
+      "the head must read the proactively widened types over narrow pages")
+    val v1 = Versioned.read(spark, t, Some(1L))
+    assert(v1.schema("k").dataType.simpleString == "int" &&
+      v1.schema("p").dataType.simpleString == "decimal(10,2)",
+      "pre-widen travel must read the narrow declared types")
+    // refusal taxonomy
+    val eNarrow = intercept[IllegalArgumentException](
+      Versioned.widenColumn(spark, t, "k", IntegerType))
+    assert(eNarrow.getMessage.contains("only widening"), eNarrow.getMessage)
+    val eScale = intercept[IllegalArgumentException](
+      Versioned.widenColumn(spark, t, "p", DecimalType(22, 4)))
+    assert(eScale.getMessage.contains("only widening"), eScale.getMessage)
+    intercept[IllegalArgumentException](
+      Versioned.widenColumn(spark, t, "zzz", LongType))
+    // a NARROW append after the proactive widen lands and must not
+    // narrow the record back (parent-wider is legal)
+    Versioned.commit(spark, t, spark.range(21, 31).selectExpr(
+      "CAST(id AS INT) AS k", "CAST(id AS DECIMAL(10,2)) AS p"))
+    val after = Versioned.read(spark, t)
+    assert(after.schema("k").dataType.simpleString == "bigint" &&
+      after.count() == 30L)
+    // bucket-source columns refuse the proactive widen too
+    val bt = tmpDir("versioned-widencol-bucket") + "/t"
+    Versioned.commitPartitioned(spark, bt,
+      spark.range(1, 21).selectExpr("CAST(id AS INT) AS k", "id AS v"),
+      Seq("bucket:4:k"))
+    val eBucket = intercept[IllegalArgumentException](
+      Versioned.widenColumn(spark, bt, "k", LongType))
+    assert(eBucket.getMessage.contains("bucket-partition source"),
+      eBucket.getMessage)
+  }
+
   test("widening a bucket-source column refuses on every verb; merge and " +
       "update record the widen-union, never the narrow batch schema") {
     import spark.implicits._
