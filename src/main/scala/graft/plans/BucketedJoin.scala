@@ -1,0 +1,207 @@
+package graft.plans
+
+import graft.ops.{PartSpec, Versioned}
+import graft.sources.VersionedRelation
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning}
+import org.apache.spark.sql.execution.{FilterExec, LeafExecNode, ProjectExec, SparkPlan}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** STORAGE-PARTITIONED JOIN over co-bucketed graft tables (VERDICT r15
+  * missing #4): two tables both declared `bucket(n, k)` joined on `k`
+  * without EITHER side shuffling.
+  *
+  * Why it is sound: [[PartSpec.Bucket]] derives its partition value as
+  * `pmod(hash(k), n)` — Spark's own `hash` (Murmur3, seed 42) — which is
+  * BIT-IDENTICAL to the row→partition law of Catalyst's
+  * `HashPartitioning(k, n)` (`Pmod(Murmur3Hash(keys, 42), n)`). So a
+  * scan that emits bucket i's files as RDD partition i truthfully
+  * reports `outputPartitioning = HashPartitioning(k, n)`; with both join
+  * children reporting the same partitioning over their join keys,
+  * `EnsureRequirements` adds only the local sorts a merge join needs —
+  * ZERO Exchange on a key join between two co-bucketed tables. (Null
+  * keys agree too — both laws send the null row to `pmod(seed, n)` —
+  * and an inner equi-join discards them regardless.)
+  *
+  * The v1 `PrunedFilteredScan` relation cannot express this (no
+  * partitioning report seam), hence this planner-strategy seam: the
+  * strategy matches an INNER equi-join whose both sides are bare (or
+  * column-pruning-projected) graft relations over eligible tables and
+  * plans the bucketed scans + merge join directly. Anything outside the
+  * eligible shape falls through to the normal path (`Nil`).
+  *
+  * Eligibility (checked per side, driver metadata only):
+  *  - the snapshot's CURRENT spec is exactly one `bucket(n, k)` with no
+  *    past specs (evolved layouts mix dirs of different laws);
+  *  - no deletion vectors, no table features, dir-granular refs (a
+  *    file-restricted ref set means a rewrite verb owns the layout);
+  *  - both sides share the same `n`, and each side's join key IS its
+  *    bucket source column;
+  *  - both sides exceed the auto-broadcast threshold (a dim that fits a
+  *    broadcast should broadcast — that plan beats any shuffle-free
+  *    merge join) and `spark.graft.bucketedJoin.enabled` is not false.
+  *
+  * At 100 TB: the join's parallelism is `n` (one task per co-located
+  * bucket pair) and the only data movement is the scan itself — the two
+  * Exchanges a plain key join pays (each a full rewrite of its side
+  * over the network) vanish. Declare `bucket(512, k)` at CTAS time and
+  * fact-to-fact joins on `k` become local merges.
+  */
+object BucketedJoin {
+
+  /** One eligible side's resolved layout: bucket count, source column,
+    * manifest schema, and each bucket's hive subdir paths.
+    */
+  final case class BucketLayout(n: Int, key: String, schema: StructType,
+      dirsByBucket: Map[Int, Seq[String]])
+
+  /** Probe a table snapshot's eligibility — `None` = fall through. One
+    * manifest read + one listing per referenced dir (the same driver
+    * metadata cost class planning already pays).
+    */
+  def layoutOf(spark: SparkSession, table: String, version: Long)
+      : Option[BucketLayout] = try {
+    val m = Versioned.readManifest(spark, table, version)
+    if (m.features.nonEmpty || m.dvs.nonEmpty || m.pastPartCols.nonEmpty ||
+        m.partCols.length != 1 || m.refs.exists(_.contains('/')) ||
+        m.schemaJson.isEmpty) return None
+    PartSpec.parse(m.partCols.head) match {
+      case b: PartSpec.Bucket =>
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.schemaJson.get).asInstanceOf[StructType]
+        val root = Versioned.dataRoot(spark, table)
+        val prefix = s"${PartSpec.pathCol(b)}="
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val byBucket = scala.collection.mutable.Map[Int, Vector[String]]()
+        m.refs.foreach { d =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$d")).foreach { st =>
+            val nm = st.getPath.getName
+            if (st.isDirectory && nm.startsWith(prefix)) {
+              val bucket = nm.stripPrefix(prefix).toInt
+              byBucket(bucket) = byBucket.getOrElse(bucket, Vector.empty) :+
+                st.getPath.toString
+            } else if (!nm.startsWith("_") &&
+                (st.isDirectory || nm.endsWith(".parquet")))
+              // a non-bucket subdir or a loose data file means this dir
+              // does not follow the expected layout — ineligible
+              // (underscore entries — _stats/_ndv/_qtl manifests — are
+              // metadata sidecars, invisible to data scans)
+              return None
+          }
+        }
+        Some(BucketLayout(b.n, b.srcCol, schema, byBucket.toMap))
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+}
+
+/** Leaf scan of one co-bucketed graft table: `n` RDD partitions,
+  * partition i = bucket i's parquet files read under the explicit
+  * manifest schema, projected to `output` — truthfully partitioned as
+  * `HashPartitioning(key, n)` (see [[BucketedJoin]]'s soundness note).
+  */
+case class GraftBucketedScanExec(output: Seq[Attribute], table: String,
+    layout: BucketedJoin.BucketLayout) extends LeafExecNode {
+
+  private def keyAttr: Attribute = output.find(_.name == layout.key)
+    .getOrElse(throw new IllegalStateException(
+      s"bucketed scan output lost the bucket key ${layout.key}"))
+
+  override def outputPartitioning: Partitioning =
+    HashPartitioning(Seq(keyAttr), layout.n)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val spark = SparkSession.active
+    val rdds = (0 until layout.n).map { i =>
+      layout.dirsByBucket.get(i) match {
+        case None | Some(Seq()) =>
+          spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
+        case Some(paths) =>
+          spark.read.schema(layout.schema).parquet(paths: _*)
+            .select(output.map(a => col(a.name)): _*)
+            .queryExecution.toRdd.coalesce(1)
+      }
+    }
+    spark.sparkContext.union(rdds)
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftBucketedScan $table bucket(${layout.n}, ${layout.key}) " +
+      s"[${output.map(_.name).mkString(",")}]"
+}
+
+/** The planner strategy — injected via `GraftExtensions`, runs BEFORE
+  * the built-in JoinSelection. Matches the eligible shape, plans the
+  * bucketed scans + SortMergeJoin directly; everything else returns
+  * `Nil` (normal planning).
+  */
+class GraftBucketedJoinStrategy(spark: SparkSession)
+    extends org.apache.spark.sql.execution.SparkStrategy {
+
+  /** A join side this strategy can scan directly: a graft relation,
+    * optionally under a row Filter (the optimizer's inferred
+    * `isnotnull(k)` lands here) and/or a pure column-pruning Project.
+    * Returns (relation, SIDE output attrs, scan output attrs, wrapper) —
+    * the wrapper stacks FilterExec/ProjectExec over the bucketed scan;
+    * both preserve `outputPartitioning`, so the no-Exchange property
+    * survives. Row filters run post-scan (FilterExec) rather than as
+    * parquet pushdown — acceptable: this strategy trades one in-memory
+    * filter pass for two full network Exchanges.
+    */
+  private object Side {
+    def unapply(p: LogicalPlan): Option[(VersionedRelation, Seq[Attribute],
+        Seq[Attribute], SparkPlan => SparkPlan)] = p match {
+      case LogicalRelation(vr: VersionedRelation, out, _, _, _) =>
+        Some((vr, out, out, identity))
+      case Filter(cond, LogicalRelation(vr: VersionedRelation, out, _, _, _)) =>
+        Some((vr, out, out, (scan: SparkPlan) => FilterExec(cond, scan)))
+      case Project(pl, LogicalRelation(vr: VersionedRelation, out, _, _, _))
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        Some((vr, pl.map(_.asInstanceOf[AttributeReference]),
+          pl.map(_.asInstanceOf[AttributeReference]), identity))
+      case Project(pl,
+          Filter(cond, LogicalRelation(vr: VersionedRelation, out, _, _, _)))
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        Some((vr, pl.map(_.asInstanceOf[AttributeReference]), out,
+          (scan: SparkPlan) => ProjectExec(pl, FilterExec(cond, scan))))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left @ Side(lvr, lout, lscan, lwrap),
+        right @ Side(rvr, rout, rscan, rwrap), Inner,
+        Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)
+        if spark.conf.get("spark.graft.bucketedJoin.enabled", "true") != "false" =>
+      val (lk, rk) =
+        if (lout.exists(_.exprId == a.exprId)) (a, b) else (b, a)
+      if (!lout.exists(_.exprId == lk.exprId) ||
+          !rout.exists(_.exprId == rk.exprId)) return Nil
+      // a side small enough to broadcast should broadcast instead
+      val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+      if (threshold >= 0 && (left.stats.sizeInBytes <= threshold ||
+          right.stats.sizeInBytes <= threshold)) return Nil
+      (BucketedJoin.layoutOf(spark, lvr.table, lvr.version),
+        BucketedJoin.layoutOf(spark, rvr.table, rvr.version)) match {
+        case (Some(ll), Some(rl))
+            if ll.n == rl.n && ll.key == lk.name && rl.key == rk.name &&
+              // the murmur3 hash is type-sensitive: both bucket laws
+              // must have hashed the same key type
+              ll.schema(ll.key).dataType == rl.schema(rl.key).dataType =>
+          SortMergeJoinExec(Seq(lk), Seq(rk), Inner, None,
+            lwrap(GraftBucketedScanExec(lscan, lvr.table, ll)),
+            rwrap(GraftBucketedScanExec(rscan, rvr.table, rl))) :: Nil
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+}
