@@ -184,22 +184,24 @@ object SimilarityQueries extends graft.QueryModule {
     // drifted batch (3× magnitude + deterministic per-(id,dim) jitter —
     // its direction structure no longer matches the frozen quantizer's
     // Euclidean cells, so cosine-neighbors split across un-probed
-    // cells) is indexed two ways. Under the FROZEN centroids
-    // (init(A)+addBatch(B)) recall degrades BELOW the 0.8 floor
-    // (REQUIRED in-query; measured 0.68 frozen at both sf0.01/sf0.1 —
-    // prototype + RecallLab discipline). Through maintain(B), the KS
-    // statistic over the postings' stored norms detects the drift
-    // (REQUIRED: ks > threshold, refreeze taken) and the re-frozen
-    // index meets the floor again (measured ~0.9+). The oracle is the
-    // exact brute-force top-5 over A ∪ B plus literal TRUE — a recall
-    // regression on the re-frozen index is a hash mismatch.
+    // cells) arrives through maintain(B): the KS statistic over the
+    // postings' stored norms detects the drift (REQUIRED in-query:
+    // ks > threshold, refreeze taken) and the RE-FROZEN index meets the
+    // 0.8 recall floor (measured ~0.9+; the floor is recallChecked —
+    // part of the OUTPUT, so a regression is a hash mismatch). The
+    // oracle is the exact brute-force top-5 over A ∪ B plus literal
+    // TRUE. The counterfactual half of the evidence — FROZEN centroids
+    // (init(A)+addBatch(B)) degrade below the same floor on this drift
+    // (measured 0.68 at both sf0.01/sf0.1) — is spec-pinned in
+    // `IncrementalAnnSpec` ("FROZEN centroids degrade recall...") and
+    // no longer re-proven inside the timed body (VERDICT r15 item 7:
+    // it cost a third quantizer training + a second index + search per
+    // run while contributing nothing to the output).
     "q_ann_refreeze" -> ((s, dir) => {
       import s.implicits._
-      val stFrozen = sys.props("java.io.tmpdir") +
-        s"/graft_annrf_frozen_${ProcessHandle.current().pid()}"
       val stMaint = sys.props("java.io.tmpdir") +
         s"/graft_annrf_maint_${ProcessHandle.current().pid()}"
-      graft.ops.FileOps.resetWorkDirs(s, Seq(stFrozen, stMaint))
+      graft.ops.FileOps.resetWorkDirs(s, Seq(stMaint))
       val embA = Tables(s, dir, "embeddings")
         .select($"vec_id",
           transform($"embedding", x => x.cast("double")).as("embedding"))
@@ -218,17 +220,6 @@ object SimilarityQueries extends graft.QueryModule {
       val corpus = embA.unionByName(embB)
       val queries = embB.filter(($"vec_id" - offset) % 20 === 5)
       val exact = Similarity.bruteTopK(corpus, queries, "embedding", "vec_id", 5)
-      def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
-        val pairs = exact.select($"id_a", $"id_b")
-        pairs.join(ann.select($"id_a", $"id_b"),
-            Seq("id_a", "id_b"), "left_semi").count().toDouble /
-          pairs.count().toDouble
-      }
-      // frozen path: centroids from A only, B merely appended
-      graft.llm.IncrementalAnn.init(s, stFrozen, embA, "embedding", "vec_id")
-      graft.llm.IncrementalAnn.addBatch(s, stFrozen, embB, "embedding", "vec_id")
-      val annFrozen = graft.llm.IncrementalAnn.search(
-        s, stFrozen, queries, "embedding", "vec_id", 5)
       // maintenance path: the drifted batch arrives through maintain
       graft.llm.IncrementalAnn.init(s, stMaint, embA, "embedding", "vec_id")
       val (refrozen, ks) = graft.llm.IncrementalAnn.maintain(
@@ -237,11 +228,7 @@ object SimilarityQueries extends graft.QueryModule {
         s"the drifted batch must trigger the re-freeze: refrozen=$refrozen ks=$ks")
       val annRe = graft.llm.IncrementalAnn.search(
         s, stMaint, queries, "embedding", "vec_id", 5)
-      val floor = 0.8
-      val before = recallOf(annFrozen)
-      require(before < floor,
-        s"frozen-centroid recall must degrade below $floor on drift: $before")
-      Similarity.recallChecked(exact, annRe, floor)
+      Similarity.recallChecked(exact, annRe, 0.8)
         .orderBy($"id_a", $"rk")
     }),
 

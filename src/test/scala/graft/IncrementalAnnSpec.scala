@@ -116,6 +116,57 @@ class IncrementalAnnSpec extends SparkSpec {
       "probing every cell of the rebuilt index must reproduce brute force")
   }
 
+  test("FROZEN centroids degrade recall on drifted data below the re-freeze " +
+      "floor — the cell structure, not the postings, is what breaks") {
+    // The q_ann_refreeze degradation claim, moved here from the entry's
+    // timed body (VERDICT r15 item 7 — the entry keeps the maintain path
+    // + recallChecked output; this spec keeps the frozen-path half of
+    // the evidence). Fixture: A holds two MAGNITUDE clusters of one
+    // direction (norm 5 and norm 50 along e0) → frozen Euclidean cells
+    // split by magnitude. The drifted batch B is cosine-twin PAIRS
+    // (u_j = 5·d_j, w_j = 50·d_j, distinct directions d_j off e0):
+    // Euclid assigns u to the norm-5 cell and w to the norm-50 cell, so
+    // an nprobe=1 search from u NEVER sees its exact cosine twin —
+    // recall 0 under the frozen cells, 1.0 when probing exhaustively.
+    val dims = 8
+    def vec(scale: Double, theta: Double): Array[Float] =
+      Array.tabulate(dims)(d =>
+        if (d == 0) (scale * math.cos(theta)).toFloat
+        else if (d == 1) (scale * math.sin(theta)).toFloat
+        else 0f)
+    val a = ((1L to 30L).map(i => (i, vec(5.0, 0.001 * i))) ++
+      (31L to 60L).map(i => (i, vec(50.0, 0.001 * i)))).toDF("vec_id", "embedding")
+    val pairs = (0 until 10).map(j => 0.6 + 0.05 * j)
+    val b = pairs.zipWithIndex.flatMap { case (th, j) =>
+      Seq((100L + j, vec(5.0, th)), (200L + j, vec(50.0, th)))
+    }.toDF("vec_id", "embedding")
+    val s1 = tmpDir("ann-frozen-degrade")
+    IncrementalAnn.init(spark, s1, a, "embedding", "vec_id", numCells = 2)
+    IncrementalAnn.addBatch(spark, s1, b, "embedding", "vec_id")
+    val queries = b.filter($"vec_id" < 200L) // the u_j twins
+    val corpus = a.unionByName(b)
+    val exact = Similarity.bruteTopK(corpus, queries, "embedding", "vec_id", 1)
+    def recallOf(ann: DataFrame): Double = {
+      val want = exact.select($"id_a", $"id_b")
+      want.join(ann.select($"id_a", $"id_b"),
+        Seq("id_a", "id_b"), "left_semi").count().toDouble / want.count()
+    }
+    // sanity: each u's exact nearest neighbor IS its scalar twin w
+    val twins = exact.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert((0 until 10).forall(j => twins(100L + j) == 200L + j),
+      s"fixture: exact top-1 must be the cosine twin: $twins")
+    val frozen = recallOf(IncrementalAnn.search(spark, s1, queries,
+      "embedding", "vec_id", 1, nprobe = 1))
+    assert(frozen < 0.8,
+      s"frozen-cell recall must degrade below the 0.8 floor on drift: $frozen")
+    // exhaustive probing restores recall — the postings are complete,
+    // the FROZEN CELL STRUCTURE is what the drift broke
+    val exhaustive = recallOf(IncrementalAnn.search(spark, s1, queries,
+      "embedding", "vec_id", 1, nprobe = 2))
+    assert(exhaustive == 1.0,
+      s"exhaustive probe must find every twin: $exhaustive")
+  }
+
   test("a crash between staging and publish leaves the OLD index fully " +
       "live, and the retried maintain completes the re-freeze") {
     val s1 = tmpDir("ann-crash")
