@@ -44,21 +44,26 @@ object Dsir {
 
   /** The fixed-point per-bucket log-likelihood ratios λ_b for ALL `b`
     * buckets (unseen buckets get the smoothed default by the same
-    * formula). Two vocab-bounded aggs + one ≤`b`-row join — the corpus
-    * passes once each, map-side combined.
+    * formula). EXACTLY one tokenize+hash pass per side: the totals
+    * T_t/T_r are the SUMS of the ≤`b`-row count tables, never a second
+    * corpus aggregation (the bigram walk — regex split + md5 per gram —
+    * is the dominant cost at scale).
     */
   def logRatios(target: DataFrame, raw: DataFrame, textCol: String,
       b: Int): DataFrame = {
     require(b > 0 && b <= (1 << 20), s"bucket count out of range: $b")
     val spark = target.sparkSession
-    def occ(df: DataFrame): DataFrame = df
-      .select(explode(bucketsOf(TextOps.tokens(col(textCol)), b)).as("bucket"))
-    def counts(df: DataFrame, as: String): DataFrame =
-      occ(df).groupBy(col("bucket")).agg(count(lit(1)).as(as))
-    val tc = counts(target, "ct")
-    val rc = counts(raw, "cr")
-    val totals = occ(target).agg(count(lit(1)).as("tt"))
-      .crossJoin(occ(raw).agg(count(lit(1)).as("tr")))
+    // tokens BOUND once per row before the bigram lambda references them
+    // (TextOps perf contract: an inlined tokenize tree re-evaluates the
+    // regex split per array element — a measured 30× on shingle shapes)
+    def counts(df: DataFrame, as: String): DataFrame = df
+      .select(TextOps.tokens(col(textCol)).as("__toks"))
+      .select(explode(bucketsOf(col("__toks"), b)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val tc = counts(target, "ct").localCheckpoint(true)
+    val rc = counts(raw, "cr").localCheckpoint(true)
+    val totals = tc.agg(sum(col("ct")).as("tt"))
+      .crossJoin(rc.agg(sum(col("cr")).as("tr")))
     spark.range(0, b).select(col("id").as("bucket"))
       .join(tc, Seq("bucket"), "left")
       .join(rc, Seq("bucket"), "left")
@@ -82,11 +87,13 @@ object Dsir {
     require(budget > 0, s"budget must be positive: $budget")
     require(lambdas.size <= b, s"λ table exceeds the bucket count: ${lambdas.size}")
     val lam = typedlit(lambdas)
+    // same tokens-bound-first discipline as [[logRatios]]
     val weight = aggregate(
-      bucketsOf(TextOps.tokens(col(textCol)), b),
+      bucketsOf(col("__toks"), b),
       lit(0L),
       (acc, bk) => acc + coalesce(element_at(lam, bk), lit(0L)))
     corpus
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), weight.as("dsir_weight"))
       .orderBy(col("dsir_weight").desc,
         TextOps.hash32(col(idCol).cast("string")).asc, col(idCol).asc)
