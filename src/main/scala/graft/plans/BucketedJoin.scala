@@ -177,11 +177,25 @@ class GraftBucketedJoinStrategy(spark: SparkSession)
     }
   }
 
+  /** Join types a merge join over the aligned buckets answers directly.
+    * Outer joins are equally sound: null keys follow the SAME law on
+    * both sides (bucket derivation and HashPartitioning both send the
+    * null row to pmod(murmur3-seed, n)), and preserved-side rows simply
+    * null-pad — no row ever needs a partner outside its own bucket pair.
+    */
+  private val MergeableTypes: Set[org.apache.spark.sql.catalyst.plans.JoinType] =
+    Set(Inner, org.apache.spark.sql.catalyst.plans.LeftOuter,
+      org.apache.spark.sql.catalyst.plans.RightOuter,
+      org.apache.spark.sql.catalyst.plans.FullOuter,
+      org.apache.spark.sql.catalyst.plans.LeftSemi,
+      org.apache.spark.sql.catalyst.plans.LeftAnti)
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(left @ Side(lvr, lout, lscan, lwrap),
-        right @ Side(rvr, rout, rscan, rwrap), Inner,
+        right @ Side(rvr, rout, rscan, rwrap), joinType,
         Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)
-        if spark.conf.get("spark.graft.bucketedJoin.enabled", "true") != "false" =>
+        if MergeableTypes.contains(joinType) &&
+          spark.conf.get("spark.graft.bucketedJoin.enabled", "true") != "false" =>
       val (lk, rk) =
         if (lout.exists(_.exprId == a.exprId)) (a, b) else (b, a)
       if (!lout.exists(_.exprId == lk.exprId) ||
@@ -197,7 +211,7 @@ class GraftBucketedJoinStrategy(spark: SparkSession)
               // the murmur3 hash is type-sensitive: both bucket laws
               // must have hashed the same key type
               ll.schema(ll.key).dataType == rl.schema(rl.key).dataType =>
-          SortMergeJoinExec(Seq(lk), Seq(rk), Inner, None,
+          SortMergeJoinExec(Seq(lk), Seq(rk), joinType, None,
             lwrap(GraftBucketedScanExec(lscan, lvr.table, ll)),
             rwrap(GraftBucketedScanExec(rscan, rvr.table, rl))) :: Nil
         case _ => Nil

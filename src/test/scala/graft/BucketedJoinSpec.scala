@@ -57,6 +57,42 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("outer / semi / anti co-bucketed joins merge with zero Exchange and agree with vanilla") {
+    val root = tmpDir("spj-outer")
+    val (ta, tb) = (s"$root/a", s"$root/b")
+    mkBucketed(ta, 3000, 8)
+    mkBucketed(tb, 3000, 8, shift = 1000L) // b covers 1001..4000
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      def rel(p: String) = spark.read.format("graft-table").option("path", p).load()
+      def check(mk: (org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+          tag: String): Unit = {
+        val fast = mk(rel(ta), rel(tb))
+        val plan = fast.queryExecution.executedPlan.toString
+        assert(plan.contains("GraftBucketedScan") && !plan.contains("Exchange"),
+          s"$tag must take the zero-Exchange path:\n$plan")
+        val got = fast.agg(count(lit(1)), sum($"k")).head()
+        spark.conf.set("spark.graft.bucketedJoin.enabled", "false")
+        val want = mk(rel(ta), rel(tb)).agg(count(lit(1)), sum($"k")).head()
+        spark.conf.set("spark.graft.bucketedJoin.enabled", "true")
+        assert(got == want, s"$tag results must agree: $got vs $want")
+      }
+      check((a, b) => a.as("a").join(b.as("b"), col("a.k") === col("b.k"),
+        "left_outer").select(col("a.k"), col("b.v").as("w")), "LEFT OUTER")
+      check((a, b) => a.as("a").join(b.as("b"), col("a.k") === col("b.k"),
+        "full_outer").select(coalesce(col("a.k"), col("b.k")).as("k")), "FULL OUTER")
+      check((a, b) => a.as("a").join(b.as("b"), col("a.k") === col("b.k"),
+        "left_semi"), "LEFT SEMI")
+      check((a, b) => a.as("a").join(b.as("b"), col("a.k") === col("b.k"),
+        "left_anti"), "LEFT ANTI")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.conf.set("spark.graft.bucketedJoin.enabled", "true")
+    }
+  }
+
   test("strategy declines ineligible shapes: mismatched n, non-key join, broadcastable side, dv-bearing table") {
     val root = tmpDir("spj-decline")
     val (ta, tb, tc, td) = (s"$root/a", s"$root/b", s"$root/c", s"$root/d")
