@@ -99,4 +99,37 @@ object Dsir {
         TextOps.hash32(col(idCol).cast("string")).asc, col(idCol).asc)
       .limit(budget)
   }
+
+  /** Importance RESAMPLING — the R in DSIR: draw `k` docs WITHOUT
+    * replacement with probability ∝ exp(importance weight) via the
+    * Gumbel-top-k identity (top-k of λ + G_i samples ∝ exp(λ) — Vieira
+    * 2014's Gumbel-max lemma extended to k draws), with the samplers'
+    * DETERMINISTIC md5-derived uniform (content-stable: reruns,
+    * re-shards, and cluster resizes draw the same sample; different
+    * salts give independent samples). Both terms live in MICRO fixed
+    * point — key = weight_micro + round(−ln(−ln(u))·1e6) as BIGINT —
+    * so the ordering is oracle-exact (the weightedSample quantization
+    * argument). Same zero-shuffle scoring map + TakeOrdered shape as
+    * [[select]]. Returns (idCol, dsir_weight, gumbel_key).
+    */
+  def resample(corpus: DataFrame, lambdas: Map[Long, Long], textCol: String,
+      idCol: String, b: Int, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val lam = typedlit(lambdas)
+    val weight = aggregate(
+      bucketsOf(col("__toks"), b),
+      lit(0L),
+      (acc, bk) => acc + coalesce(element_at(lam, bk), lit(0L)))
+    val u = (TextOps.hash32(concat(lit(s"$salt:"), col(idCol).cast("string")))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val gumbel = round(-log(-log(u)) * lit(1000000d)).cast("long")
+    corpus
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), weight.as("dsir_weight"),
+        gumbel.as("__g"))
+      .select(col(idCol), col("dsir_weight"),
+        (col("dsir_weight") + col("__g")).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -457,6 +457,26 @@ object TextQueries extends graft.QueryModule {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       graft.llm.Dsir.select(docs, lambdas, "text", "doc_id", b, budget = 200)
         .orderBy($"doc_id")
+    }),
+
+    // DSIR importance RESAMPLING — the R in the recipe: draw k docs
+    // WITHOUT replacement with probability ∝ exp(importance weight) via
+    // the Gumbel-top-k identity, the perturbation derived from the
+    // samplers' deterministic md5 uniform (content-stable, no RNG
+    // state). Both terms are MICRO fixed point (weight_micro +
+    // round(−ln(−ln(u))·1e6) as BIGINT), so the drawn set is hash-exact
+    // against DuckDB replaying the identical integer keys. Same
+    // zero-shuffle scoring + TakeOrdered shape as q_dsir_select.
+    "q_dsir_resample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val b = 1024
+      val lambdas = graft.llm.Dsir.logRatios(
+        docs.filter($"lang" === "en"), docs, "text", b)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.llm.Dsir.resample(docs, lambdas, "text", "doc_id", b,
+          k = 150, salt = "s16")
+        .orderBy($"doc_id")
     }))
 
   private val stopAll = TextOps.StopWords.values.flatten.toSeq
@@ -696,6 +716,54 @@ object TextQueries extends graft.QueryModule {
          |  LIMIT 200
          |)
          |SELECT doc_id, dsir_weight FROM sel ORDER BY doc_id""".stripMargin,
+    "q_dsir_resample" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $duckToks AS tk FROM documents
+         |),
+         |grams AS (
+         |  SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS g
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+         |  WHERE len(tk) >= 2
+         |),
+         |bk AS (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(g), 1, 8)) AS bigint) % 1024 AS bucket
+         |  FROM grams
+         |),
+         |tot AS (SELECT
+         |  (SELECT COUNT(1) FROM bk WHERE lang = 'en') AS tt,
+         |  (SELECT COUNT(1) FROM bk) AS tr),
+         |tc AS (SELECT bucket, COUNT(1) AS ct FROM bk WHERE lang = 'en' GROUP BY 1),
+         |rc AS (SELECT bucket, COUNT(1) AS cr FROM bk GROUP BY 1),
+         |lam AS (
+         |  SELECT r.range AS bucket,
+         |    CAST(round(ln(
+         |      (COALESCE(ct, 0) + 1)::double * (tot.tr + 1024)::double /
+         |      ((COALESCE(cr, 0) + 1)::double * (tot.tt + 1024)::double)
+         |    ) * 1000000) AS bigint) AS lambda
+         |  FROM range(0, 1024) r
+         |  LEFT JOIN tc ON tc.bucket = r.range
+         |  LEFT JOIN rc ON rc.bucket = r.range
+         |  CROSS JOIN tot
+         |),
+         |w AS (
+         |  SELECT b.doc_id, CAST(SUM(l.lambda) AS bigint) AS dsir_weight
+         |  FROM bk b JOIN lam l USING (bucket) GROUP BY 1
+         |),
+         |keyed AS (
+         |  SELECT d.doc_id, COALESCE(w.dsir_weight, 0) AS dsir_weight,
+         |    COALESCE(w.dsir_weight, 0) + CAST(round(-ln(-ln(
+         |      (CAST(('0x' || substr(md5('s16:' || CAST(d.doc_id AS varchar)), 1, 8)) AS bigint) + 0.5)
+         |        / 4294967296.0
+         |    )) * 1000000) AS bigint) AS gumbel_key
+         |  FROM documents d LEFT JOIN w USING (doc_id)
+         |),
+         |sel AS (
+         |  SELECT doc_id, dsir_weight, gumbel_key FROM keyed
+         |  ORDER BY gumbel_key DESC, doc_id ASC
+         |  LIMIT 150
+         |)
+         |SELECT doc_id, dsir_weight, gumbel_key FROM sel ORDER BY doc_id""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -90,6 +90,46 @@ class DsirSpec extends SparkSpec {
     assert(again.sorted == sel.sorted)
   }
 
+  test("resample: Gumbel-top-k keys equal a hand recomputation; draws are " +
+      "content-stable per salt and independent across salts") {
+    val b = 16
+    val docs = (1L to 40L).map(i => (i, s"doc $i body words here")).toDF("id", "text")
+    val lam = Dsir.logRatios(docs.filter($"id" <= 10), docs, "text", b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def buckets(text: String): Seq[Long] =
+      text.trim.toLowerCase.split("\\s+").toSeq.sliding(2)
+        .filter(_.size == 2).map(p => h32(p.mkString(" ")) % b).toSeq
+    def handKey(id: Long, text: String, salt: String): (Long, Long) = {
+      val w = buckets(text).map(lam).sum
+      val u = (h32(s"$salt:$id").toDouble + 0.5) / 4294967296.0
+      (w, w + math.round(-math.log(-math.log(u)) * 1e6))
+    }
+    val got = Dsir.resample(docs, lam, "text", "id", b, k = 8, salt = "sA")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // keys match the hand formula exactly
+    got.foreach { case (id, w, key) =>
+      val (hw, hk) = handKey(id, s"doc $id body words here", "sA")
+      assert(w == hw && key == hk, s"doc $id: ($w,$key) != hand ($hw,$hk)")
+    }
+    // the drawn set IS the top-8 hand keys
+    val wantTop = (1L to 40L)
+      .map(i => i -> handKey(i, s"doc $i body words here", "sA")._2)
+      .sortBy { case (i, k) => (-k, i) }.take(8).map(_._1).toSet
+    assert(got.map(_._1).toSet == wantTop)
+    // content-stable: a rerun draws the identical set
+    val again = Dsir.resample(docs, lam, "text", "id", b, k = 8, salt = "sA")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got.map(_._1).toSet)
+    // a different salt draws an independent (here: different) set
+    val other = Dsir.resample(docs, lam, "text", "id", b, k = 8, salt = "sB")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != got.map(_._1).toSet,
+      s"different salts should draw different sets: $other")
+  }
+
   test("scoring plan shape: zero-shuffle map over the corpus, TakeOrdered selection") {
     val docs = (1L to 100L).map(i => (i, s"doc number $i words here")).toDF("id", "text")
     val lam = Dsir.logRatios(docs.filter($"id" <= 20), docs, "text", 32)
