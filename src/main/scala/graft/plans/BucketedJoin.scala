@@ -120,7 +120,13 @@ case class GraftBucketedScanExec(output: Seq[Attribute], table: String,
     HashPartitioning(Seq(keyAttr), layout.n)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val spark = SparkSession.active
+    // `session` is the plan's own bound session (never
+    // SparkSession.active — a racing second session must not donate its
+    // conf). Each bucket builds one sub-plan at execute time, driver-
+    // side: O(n) plan compilations — fine at the declared bucket counts
+    // (16–1024); a table bucketed far wider should prefer the plain
+    // relation path anyway (its per-bucket files stop being IO-bound).
+    val spark = session
     val rdds = (0 until layout.n).map { i =>
       layout.dirsByBucket.get(i) match {
         case None | Some(Seq()) =>
