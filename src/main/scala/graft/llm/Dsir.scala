@@ -51,7 +51,12 @@ object Dsir {
     */
   def logRatios(target: DataFrame, raw: DataFrame, textCol: String,
       b: Int): DataFrame = {
-    require(b > 0 && b <= (1 << 20), s"bucket count out of range: $b")
+    // upper bound = what the scoring verbs' typedlit map LITERAL
+    // tolerates: a λ map is inlined into the plan tree (the zero-shuffle
+    // scoring contract), and past ~64k entries the literal is plan-size/
+    // codegen blowup territory — refuse loudly here, at fit time, rather
+    // than hand select/resample a table they cannot inline
+    require(b > 0 && b <= (1 << 16), s"bucket count out of range: $b")
     val spark = target.sparkSession
     // tokens BOUND once per row before the bigram lambda references them
     // (TextOps perf contract: an inlined tokenize tree re-evaluates the
@@ -62,8 +67,11 @@ object Dsir {
       .groupBy(col("bucket")).agg(count(lit(1)).as(as))
     val tc = counts(target, "ct").localCheckpoint(true)
     val rc = counts(raw, "cr").localCheckpoint(true)
-    val totals = tc.agg(sum(col("ct")).as("tt"))
-      .crossJoin(rc.agg(sum(col("cr")).as("tr")))
+    // sum() over an EMPTY count table is null — an empty target or raw
+    // corpus must yield the all-smoothed λ table, not null-propagated
+    // lambdas that NPE the callers' collect
+    val totals = tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+      .crossJoin(rc.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
     spark.range(0, b).select(col("id").as("bucket"))
       .join(tc, Seq("bucket"), "left")
       .join(rc, Seq("bucket"), "left")
@@ -85,6 +93,7 @@ object Dsir {
   def select(corpus: DataFrame, lambdas: Map[Long, Long], textCol: String,
       idCol: String, b: Int, budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(b > 0 && b <= (1 << 16), s"bucket count out of range: $b")
     require(lambdas.size <= b, s"λ table exceeds the bucket count: ${lambdas.size}")
     val lam = typedlit(lambdas)
     // same tokens-bound-first discipline as [[logRatios]]
@@ -115,6 +124,8 @@ object Dsir {
   def resample(corpus: DataFrame, lambdas: Map[Long, Long], textCol: String,
       idCol: String, b: Int, k: Int, salt: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    require(b > 0 && b <= (1 << 16), s"bucket count out of range: $b")
+    require(lambdas.size <= b, s"λ table exceeds the bucket count: ${lambdas.size}")
     val lam = typedlit(lambdas)
     val weight = aggregate(
       bucketsOf(col("__toks"), b),

@@ -932,19 +932,23 @@ object Layout {
       // resolve to the widest precision at the common scale — the
       // recorded strings cast losslessly into it. Defensively, the same
       // widest-type resolution applies to exact-width integral mixes
-      // ({tinyint,smallint,int,bigint} → long) and {float,double} →
-      // double, in case a manifest vintage ever records exact widths.
-      // Anything irreconcilable degrades to the opaque type (scan all,
-      // never a planner crash on a readable table).
+      // ({tinyint,smallint,int,bigint} → long), in case a manifest
+      // vintage ever records exact widths — integer decimal strings
+      // cast into long losslessly. A {float,double} mix does NOT get
+      // the same treatment: a float vintage's shortest-roundtrip string
+      // ("0.3" for 0.3f = 0.30000001192f) casts to a double BELOW the
+      // true file max, so resolving the mix to "double" could DROP a
+      // file holding matching rows under an upper-range predicate
+      // (ADVICE r16). Float mixes degrade to the opaque type instead —
+      // scan all, never misprune. Anything else irreconcilable degrades
+      // the same way (never a planner crash on a readable table).
       val named = typs.filter(_.nonEmpty)
       val DecRe = """decimal\((\d+),(\d+)\)""".r
       val Integrals = Set("tinyint", "smallint", "int", "bigint", "long")
-      val Floats = Set("float", "double")
       val t =
         if (named.isEmpty) typs.headOption.getOrElse("string")
         else if (named.length == 1) named.head
         else if (named.forall(Integrals.contains)) "long"
-        else if (named.forall(Floats.contains)) "double"
         else {
           val decs = named.map {
             case DecRe(p, sc) => Some((p.toInt, sc.toInt))

@@ -132,9 +132,19 @@ case class GraftBucketedScanExec(output: Seq[Attribute], table: String,
         case None | Some(Seq()) =>
           spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
         case Some(paths) =>
-          spark.read.schema(layout.schema).parquet(paths: _*)
+          val r = spark.read.schema(layout.schema).parquet(paths: _*)
             .select(output.map(a => col(a.name)): _*)
             .queryExecution.toRdd.coalesce(1)
+          // bucket-to-RDD-partition alignment invariant: every sub-RDD
+          // must contribute EXACTLY one partition, or every later bucket
+          // shifts one slot while outputPartitioning still claims
+          // HashPartitioning — silently wrong join rows. coalesce(1) on
+          // a 0-partition parent STAYS at 0 (unreachable via current
+          // writers — bucket dirs only exist with files — but guarded:
+          // a 0-partition scan of listed paths has no rows, so the
+          // empty 1-partition stand-in aligns instead of shifting).
+          if (r.getNumPartitions == 1) r
+          else spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
       }
     }
     spark.sparkContext.union(rdds)

@@ -141,4 +141,36 @@ class DsirSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"scoring must not shuffle the corpus:\n$plan")
   }
+
+  test("empty corpora fit to the all-smoothed table, never null lambdas") {
+    // sum() over an empty count table is null; the totals must coalesce
+    // to 0 or the collected λ rows NPE (ADVICE r16)
+    val docs = Seq((1L, "big cats purr here")).toDF("id", "text")
+    val empty = docs.limit(0)
+    val b = 16
+    for ((t, r) <- Seq((empty, docs), (docs, empty), (empty, empty))) {
+      val lam = Dsir.logRatios(t, r, "text", b)
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(lam.size == b, s"λ must still cover all $b buckets: ${lam.size}")
+    }
+    // empty target vs empty raw: the ratio is (1·b)/(1·b) = 1 → λ = 0
+    val zero = Dsir.logRatios(empty, empty, "text", b)
+      .collect().map(_.getLong(1)).toSet
+    assert(zero == Set(0L), s"empty-vs-empty λ must be all zero: $zero")
+  }
+
+  test("bucket count is bounded by what the λ map literal tolerates (64k)") {
+    val docs = Seq((1L, "big cats purr here")).toDF("id", "text")
+    val bMax = 1 << 16
+    // boundary accepted: the fit covers all 65536 buckets
+    val atMax = Dsir.logRatios(docs, docs, "text", bMax)
+    assert(atMax.count() == bMax.toLong)
+    // one past refused, at fit time and at both scoring verbs
+    intercept[IllegalArgumentException](
+      Dsir.logRatios(docs, docs, "text", bMax + 1))
+    intercept[IllegalArgumentException](
+      Dsir.select(docs, Map(0L -> 1L), "text", "id", bMax + 1, budget = 1))
+    intercept[IllegalArgumentException](
+      Dsir.resample(docs, Map(0L -> 1L), "text", "id", bMax + 1, k = 1, salt = "s"))
+  }
 }

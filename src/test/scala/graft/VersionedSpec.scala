@@ -1442,8 +1442,12 @@ class VersionedSpec extends SparkSpec {
     //     FLOAT/DOUBLE to "double" (Layout.statCodec), so an int->long or
     //     float->double widen produces NO stat-type mix at all;
     // (2) if a manifest vintage ever records exact widths, the decision
-    //     relation resolves {tinyint,smallint,int,bigint} -> long and
-    //     {float,double} -> double instead of degrading to scan-all.
+    //     relation resolves {tinyint,smallint,int,bigint} -> long (integer
+    //     decimal strings cast into long losslessly); a {float,double}
+    //     mix instead degrades to scan-all — a float vintage's
+    //     shortest-roundtrip max string can cast BELOW the true file max
+    //     and misprune (ADVICE r16), so only the provably lossless
+    //     integral resolution prunes.
     val t = tmpDir("versioned-widen-skip") + "/t"
     def slice(a: Long, b: Long, narrow: Boolean) = spark.range(a, b)
       .selectExpr(s"CAST(id AS ${if (narrow) "INT" else "LONG"}) AS k",
@@ -1495,6 +1499,25 @@ class VersionedSpec extends SparkSpec {
     assert(kept4 < total4,
       s"a forged {int,long} stat-type mix must resolve wide and still prune: $kept4/$total4")
     assert(f4.filter(col("k").between(10, 20)).count() == 11L)
+    // layer 2b: a forged {float,double} mix on c must DEGRADE to
+    // scan-all (keep everything), never resolve to "double" — a float
+    // vintage's shortest-roundtrip stat string can cast below the true
+    // file max and drop a matching file (ADVICE r16)
+    val forged2 = dirs.last.getAbsolutePath + "/_stats"
+    val rows2 = spark.read.parquet(forged2)
+      .withColumn("typ", when(col("column") === "c", lit("float"))
+        .otherwise(col("typ"))).collect()
+    val schema2 = spark.read.parquet(forged2).schema
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows2: _*)), schema2)
+      .repartition(1).write.mode("overwrite").parquet(forged2 + ".new")
+    fsys.delete(new org.apache.hadoop.fs.Path(forged2), true)
+    fsys.rename(new org.apache.hadoop.fs.Path(forged2 + ".new"),
+      new org.apache.hadoop.fs.Path(forged2))
+    val (f5, kept5, total5) = Versioned.skipRead(spark, t, "c", "70.0", "80.0")
+    assert(kept5 == total5,
+      s"a forged {float,double} stat-type mix must scan all, not misprune: $kept5/$total5")
+    assert(f5.filter(col("c").between(70.0, 80.0)).count() == 11L)
   }
 
   test("widenColumn: proactive metadata-only SQL widen — narrow time travel, " +
