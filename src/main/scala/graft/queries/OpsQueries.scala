@@ -1113,6 +1113,71 @@ object OpsQueries extends graft.QueryModule {
         .orderBy($"phase")
     }),
 
+    // METADATA-ONLY AGGREGATES REACH SQL (plans/GraftStatsAggRule — the
+    // OptimizeMetadataOnlyQuery shape, VERDICT r16 item 1): a plain
+    // `SELECT count(*), min(k), max(k) FROM graft.t` — the single most
+    // common query against a big table — substitutes a one-row
+    // LocalRelation answered from the stats manifests. Phase "meta"
+    // SMASHES every data file after two stats commits and the SQL still
+    // answers — REQUIRED in-query: the optimized plan holds NO relation
+    // scan, and the rule's recorder shows scanned == 0 data files.
+    // Phase "dv" deletes the global-min rows via a deletion vector:
+    // exactly their files' stats are stale, the substitution rescans
+    // ONLY those (0 < scanned < referenced REQUIRED) and the deleted
+    // extreme must not survive. The oracle recomputes both phases from
+    // `orders`. At 100 TB: three numbers for one tiny-parquet manifest
+    // read instead of a full scan.
+    "q_sql_stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_sqlstats_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val tA = s"$base/ta"; val tB = s"$base/tb"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val maxk = orders.agg(max($"o_orderkey")).head().getLong(0)
+      val mid = maxk / 2L
+      graft.ops.Versioned.commitWithStats(s, tA,
+        graft.ops.Layout.sortedByRange(
+          orders.filter($"o_orderkey" <= mid), Seq($"o_orderkey"), 8),
+        Seq("o_orderkey"))
+      graft.ops.Versioned.commitWithStats(s, tA,
+        graft.ops.Layout.sortedByRange(
+          orders.filter($"o_orderkey" > mid), Seq($"o_orderkey"), 8),
+        Seq("o_orderkey"))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$tA/data"))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("_stats"))
+        .foreach { f =>
+          val out = new java.io.FileOutputStream(f)
+          try out.write("not parquet".getBytes) finally out.close()
+        }
+      val dfA = s.sql(s"SELECT count(*) AS n, min(o_orderkey) AS min_k, " +
+        s"max(o_orderkey) AS max_k FROM graft.`$tA`")
+      require(dfA.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+        }.isEmpty,
+        "meta phase must optimize to a scan-free plan:\n" +
+          dfA.queryExecution.optimizedPlan)
+      val ansA = graft.plans.GraftStatsAggRule.lastAnswer(tA).get
+      require(ansA.scanned == 0 && ansA.referenced > 0,
+        s"meta phase must read zero data files: $ansA")
+      graft.ops.Versioned.commitWithStats(s, tB,
+        graft.ops.Layout.sortedByRange(orders, Seq($"o_orderkey"), 16),
+        Seq("o_orderkey"))
+      graft.ops.Versioned.deleteWhere(s, tB, $"o_orderkey" <= maxk / 10L)
+      val dfB = s.sql(s"SELECT count(*) AS n, min(o_orderkey) AS min_k, " +
+        s"max(o_orderkey) AS max_k FROM graft.`$tB`")
+      dfB.first() // force optimization so the recorder reflects THIS query
+      val ansB = graft.plans.GraftStatsAggRule.lastAnswer(tB).get
+      require(ansB.scanned > 0 && ansB.scanned < ansB.referenced,
+        s"dv phase must rescan only the touched files: $ansB")
+      dfA.select(lit("meta").as("phase"), $"n", $"min_k", $"max_k")
+        .unionByName(dfB.select(lit("dv").as("phase"), $"n", $"min_k", $"max_k"))
+        .orderBy($"phase")
+    }),
+
     // MERGE-ON-READ UPDATE (Versioned.updateWhere — the Delta DV-update
     // shape): matching rows leave via a deletion vector AND their new
     // images land in one fresh dir, one commit. REQUIRED in-query: every
@@ -3586,6 +3651,21 @@ object OpsQueries extends graft.QueryModule {
         |  FROM orders WHERE o_orderkey > (SELECT mk // 10 FROM mx)
         |)
         |SELECT phase, min_k, max_k, n FROM (
+        |  SELECT * FROM meta UNION ALL SELECT * FROM dv
+        |) ORDER BY phase""".stripMargin,
+    "q_sql_stats_agg" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |meta AS (
+        |  SELECT 'meta' AS phase, CAST(COUNT(1) AS bigint) AS n,
+        |    MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+        |  FROM orders
+        |),
+        |dv AS (
+        |  SELECT 'dv' AS phase, CAST(COUNT(1) AS bigint),
+        |    MIN(o_orderkey), MAX(o_orderkey)
+        |  FROM orders WHERE o_orderkey > (SELECT mk // 10 FROM mx)
+        |)
+        |SELECT phase, n, min_k, max_k FROM (
         |  SELECT * FROM meta UNION ALL SELECT * FROM dv
         |) ORDER BY phase""".stripMargin,
     "q_mv_incremental" ->
