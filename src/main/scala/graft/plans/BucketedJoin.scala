@@ -5,7 +5,7 @@ import graft.sources.VersionedRelation
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning}
@@ -206,16 +206,16 @@ class GraftBucketedJoinStrategy(spark: SparkSession)
       org.apache.spark.sql.catalyst.plans.LeftSemi,
       org.apache.spark.sql.catalyst.plans.LeftAnti)
 
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(left @ Side(lvr, lout, lscan, lwrap),
-        right @ Side(rvr, rout, rscan, rwrap), joinType,
-        Some(EqualTo(a: AttributeReference, b: AttributeReference)), _)
+        right @ Side(rvr, rout, rscan, rwrap), joinType, Some(cond), _)
         if MergeableTypes.contains(joinType) &&
           spark.conf.get("spark.graft.bucketedJoin.enabled", "true") != "false" =>
-      val (lk, rk) =
-        if (lout.exists(_.exprId == a.exprId)) (a, b) else (b, a)
-      if (!lout.exists(_.exprId == lk.exprId) ||
-          !rout.exists(_.exprId == rk.exprId)) return Nil
       // a side small enough to broadcast should broadcast instead
       val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
       if (threshold >= 0 && (left.stats.sizeInBytes <= threshold ||
@@ -223,11 +223,35 @@ class GraftBucketedJoinStrategy(spark: SparkSession)
       (BucketedJoin.layoutOf(spark, lvr.table, lvr.version),
         BucketedJoin.layoutOf(spark, rvr.table, rvr.version)) match {
         case (Some(ll), Some(rl))
-            if ll.n == rl.n && ll.key == lk.name && rl.key == rk.name &&
+            if ll.n == rl.n &&
               // the murmur3 hash is type-sensitive: both bucket laws
               // must have hashed the same key type
               ll.schema(ll.key).dataType == rl.schema(rl.key).dataType =>
-          SortMergeJoinExec(Seq(lk), Seq(rk), joinType, None,
+          // a real fact-to-fact join is rarely a bare `k = k`: extract
+          // the BUCKET-KEY equi-conjunct from a conjunction and pass
+          // everything else (ranges, second equi-pairs, null checks) as
+          // the merge join's residual `condition` — evaluated per
+          // matched pair, exactly what vanilla planning does with its
+          // non-equi leftovers, so results match the Exchange-bearing
+          // plan for every mergeable join type (BucketedJoinSpec pins).
+          val cs = conjunctsOf(cond)
+          val keyIdx = cs.indexWhere {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              val (lk, rk) =
+                if (lout.exists(_.exprId == a.exprId)) (a, b) else (b, a)
+              lout.exists(_.exprId == lk.exprId) &&
+                rout.exists(_.exprId == rk.exprId) &&
+                ll.key == lk.name && rl.key == rk.name
+            case _ => false
+          }
+          if (keyIdx < 0) return Nil
+          val (lk, rk) = cs(keyIdx) match {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              if (lout.exists(_.exprId == a.exprId)) (a, b) else (b, a)
+            case _ => return Nil // unreachable — indexWhere matched
+          }
+          val residual = cs.patch(keyIdx, Nil, 1).reduceOption(And)
+          SortMergeJoinExec(Seq(lk), Seq(rk), joinType, residual,
             lwrap(GraftBucketedScanExec(lscan, lvr.table, ll)),
             rwrap(GraftBucketedScanExec(rscan, rvr.table, rl))) :: Nil
         case _ => Nil

@@ -2067,6 +2067,55 @@ object OpsQueries extends graft.QueryModule {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     }),
 
+    // SPJ WITH A RESIDUAL CONDITION (VERDICT r16 item 3): a real
+    // fact-to-fact join is `a.k = b.k AND <range>` — the strategy
+    // extracts the bucket-key EqualTo from the conjunction and passes
+    // the leftovers as SortMergeJoin's residual `condition`, evaluated
+    // per matched pair exactly like vanilla planning's non-equi
+    // leftovers. REQUIRED in-query: BOTH the inner and the left-outer
+    // residual joins plan through GraftBucketedScan + SortMergeJoin
+    // with ZERO Exchange. The oracle replays both joins over `orders`.
+    "q_spj_residual" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_spjres_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val orders = Tables(s, dir, "orders")
+      graft.ops.Versioned.commitPartitioned(s, s"$base/a",
+        orders.select($"o_orderkey".as("k"), $"o_totalprice".as("price")),
+        Seq("bucket:16:k"))
+      graft.ops.Versioned.commitPartitioned(s, s"$base/b",
+        orders.filter($"o_orderkey" % 3 === 1)
+          .select($"o_orderkey".as("k"), $"o_custkey".as("cust")),
+        Seq("bucket:16:k"))
+      val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        val a = s.read.format("graft-table").option("path", s"$base/a").load()
+        val b = s.read.format("graft-table").option("path", s"$base/b").load()
+        def cond = col("a.k") === col("b.k") &&
+          col("a.price") > col("b.cust").cast("double") * 10d
+        def checkPlan(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+          val plan = df.queryExecution.executedPlan.toString
+          require(plan.contains("GraftBucketedScan") &&
+            plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+            s"$tag residual join must stay zero-Exchange:\n$plan")
+        }
+        val ji = a.as("a").join(b.as("b"), cond)
+          .select(col("a.k"), col("a.price"), col("b.cust"))
+        checkPlan(ji, "inner")
+        val jl = a.as("a").join(b.as("b"), cond, "left_outer")
+          .select(col("a.k"), col("a.price"), col("b.cust"))
+        checkPlan(jl, "left_outer")
+        def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+          df.agg(count(lit(1)).as("n"),
+            sum($"price".cast("decimal(30,2)")).cast("double").as("sum_price"),
+            count($"cust").as("n_cust"))
+            .select(lit(phase).as("phase"), $"n", $"sum_price", $"n_cust")
+        agg(ji, "inner").unionByName(agg(jl, "left_outer")).orderBy($"phase")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }),
+
     // PARTITIONED GRAFT TABLE (VERDICT r13 item 3): `CREATE TABLE ...
     // PARTITIONED BY` declares a sticky hive layout — every append (SQL
     // INSERT included) stages `key=value` dirs with per-file stats
@@ -3769,6 +3818,33 @@ object OpsQueries extends graft.QueryModule {
         |SELECT CAST(cust % 97 AS bigint) AS g, COUNT(1) AS n,
         |  CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_price
         |FROM j GROUP BY 1 ORDER BY g""".stripMargin,
+    "q_spj_residual" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        |),
+        |b AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust FROM orders
+        |  WHERE o_orderkey % 3 = 1
+        |),
+        |ji AS (
+        |  SELECT a.price, b.cust FROM a JOIN b
+        |  ON a.k = b.k AND a.price > CAST(b.cust AS double) * 10
+        |),
+        |jl AS (
+        |  SELECT a.price, b.cust FROM a LEFT JOIN b
+        |  ON a.k = b.k AND a.price > CAST(b.cust AS double) * 10
+        |)
+        |SELECT phase, n, sum_price, n_cust FROM (
+        |  SELECT 'inner' AS phase, CAST(COUNT(1) AS bigint) AS n,
+        |    CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(COUNT(cust) AS bigint) AS n_cust
+        |  FROM ji
+        |  UNION ALL
+        |  SELECT 'left_outer', CAST(COUNT(1) AS bigint),
+        |    CAST(SUM(CAST(price AS decimal(30,2))) AS double),
+        |    CAST(COUNT(cust) AS bigint)
+        |  FROM jl
+        |) ORDER BY phase""".stripMargin,
     "q_sql_alter" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |appended AS (

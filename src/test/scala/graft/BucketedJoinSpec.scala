@@ -93,6 +93,64 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("key + residual conditions merge with zero Exchange for every join type " +
+      "and agree with the vanilla plan") {
+    // VERDICT r16 item 3: a real fact-to-fact join is `a.k = b.k AND
+    // a.ts > b.ts` — the bucket-key EqualTo is extracted from the
+    // conjunction and the leftovers ride as SortMergeJoin's residual
+    // `condition`, still zero Exchange.
+    val root = tmpDir("spj-residual")
+    val (ta, tb) = (s"$root/a", s"$root/b")
+    mkBucketed(ta, 3000, 8)
+    mkBucketed(tb, 3000, 8, shift = 1000L)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      def rel(p: String) = spark.read.format("graft-table").option("path", p).load()
+      def check(joinType: String, agg: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Row): Unit = {
+        def mk() = rel(ta).as("a").join(rel(tb).as("b"),
+          col("a.k") === col("b.k") && col("a.v") % 7L > col("b.v") % 5L,
+          joinType)
+        val fast = mk()
+        val plan = fast.queryExecution.executedPlan.toString
+        assert(plan.contains("GraftBucketedScan") && !plan.contains("Exchange"),
+          s"$joinType with residual must stay zero-Exchange:\n$plan")
+        assert(plan.contains("SortMergeJoin"), s"merge join expected:\n$plan")
+        val got = agg(fast)
+        spark.conf.set("spark.graft.bucketedJoin.enabled", "false")
+        val want = agg(mk())
+        spark.conf.set("spark.graft.bucketedJoin.enabled", "true")
+        assert(got == want, s"$joinType residual results must agree: $got vs $want")
+      }
+      val byAk = (df: org.apache.spark.sql.DataFrame) =>
+        df.agg(count(lit(1)), sum(col("a.k")), sum(col("b.v"))).head()
+      val byK = (df: org.apache.spark.sql.DataFrame) =>
+        df.agg(count(lit(1)), sum($"k"), sum($"v")).head()
+      check("inner", byAk)
+      check("left_outer", byAk)
+      check("right_outer", byAk)
+      check("full_outer", byAk)
+      check("left_semi", byK)
+      check("left_anti", byK)
+      // a second equi-pair beyond the bucket key rides as residual too
+      val multi = rel(ta).as("a").join(rel(tb).as("b"),
+        col("a.k") === col("b.k") && col("a.v") === col("b.v"))
+      val mplan = multi.queryExecution.executedPlan.toString
+      assert(mplan.contains("GraftBucketedScan") && !mplan.contains("Exchange"),
+        s"key + second equi-pair must stay zero-Exchange:\n$mplan")
+      // a condition with NO bucket-key equi conjunct declines entirely
+      val none = rel(ta).as("a").join(rel(tb).as("b"),
+        col("a.k") > col("b.k") && col("a.v") === col("b.v"))
+      assert(!none.queryExecution.executedPlan.toString
+        .contains("GraftBucketedScan"),
+        "no bucket-key EqualTo conjunct -> normal planning")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.conf.set("spark.graft.bucketedJoin.enabled", "true")
+    }
+  }
+
   test("strategy declines ineligible shapes: mismatched n, non-key join, broadcastable side, dv-bearing table") {
     val root = tmpDir("spj-decline")
     val (ta, tb, tc, td) = (s"$root/a", s"$root/b", s"$root/c", s"$root/d")
