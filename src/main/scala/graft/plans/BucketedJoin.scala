@@ -102,6 +102,37 @@ object BucketedJoin {
       case _ => None
     }
   } catch { case _: Exception => None }
+
+  /** A plan this strategy family can scan directly: a graft relation,
+    * optionally under a row Filter (the optimizer's inferred
+    * `isnotnull(k)` lands here) and/or a pure column-pruning Project.
+    * Returns (relation, OPERATOR-side output attrs, scan output attrs,
+    * wrapper) — the wrapper stacks FilterExec/ProjectExec over the
+    * bucketed scan; both preserve `outputPartitioning`, so the
+    * no-Exchange property survives. Row filters run post-scan
+    * (FilterExec) rather than as parquet pushdown — acceptable: the
+    * strategies trade one in-memory filter pass for the Exchange(s)
+    * they remove.
+    */
+  private[plans] object Side {
+    def unapply(p: LogicalPlan): Option[(VersionedRelation, Seq[Attribute],
+        Seq[Attribute], SparkPlan => SparkPlan)] = p match {
+      case LogicalRelation(vr: VersionedRelation, out, _, _, _) =>
+        Some((vr, out, out, identity))
+      case Filter(cond, LogicalRelation(vr: VersionedRelation, out, _, _, _)) =>
+        Some((vr, out, out, (scan: SparkPlan) => FilterExec(cond, scan)))
+      case Project(pl, LogicalRelation(vr: VersionedRelation, out, _, _, _))
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        Some((vr, pl.map(_.asInstanceOf[AttributeReference]),
+          pl.map(_.asInstanceOf[AttributeReference]), identity))
+      case Project(pl,
+          Filter(cond, LogicalRelation(vr: VersionedRelation, out, _, _, _)))
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        Some((vr, pl.map(_.asInstanceOf[AttributeReference]), out,
+          (scan: SparkPlan) => ProjectExec(pl, FilterExec(cond, scan))))
+      case _ => None
+    }
+  }
 }
 
 /** Leaf scan of one co-bucketed graft table: `n` RDD partitions,
@@ -163,35 +194,7 @@ case class GraftBucketedScanExec(output: Seq[Attribute], table: String,
 class GraftBucketedJoinStrategy(spark: SparkSession)
     extends org.apache.spark.sql.execution.SparkStrategy {
 
-  /** A join side this strategy can scan directly: a graft relation,
-    * optionally under a row Filter (the optimizer's inferred
-    * `isnotnull(k)` lands here) and/or a pure column-pruning Project.
-    * Returns (relation, SIDE output attrs, scan output attrs, wrapper) —
-    * the wrapper stacks FilterExec/ProjectExec over the bucketed scan;
-    * both preserve `outputPartitioning`, so the no-Exchange property
-    * survives. Row filters run post-scan (FilterExec) rather than as
-    * parquet pushdown — acceptable: this strategy trades one in-memory
-    * filter pass for two full network Exchanges.
-    */
-  private object Side {
-    def unapply(p: LogicalPlan): Option[(VersionedRelation, Seq[Attribute],
-        Seq[Attribute], SparkPlan => SparkPlan)] = p match {
-      case LogicalRelation(vr: VersionedRelation, out, _, _, _) =>
-        Some((vr, out, out, identity))
-      case Filter(cond, LogicalRelation(vr: VersionedRelation, out, _, _, _)) =>
-        Some((vr, out, out, (scan: SparkPlan) => FilterExec(cond, scan)))
-      case Project(pl, LogicalRelation(vr: VersionedRelation, out, _, _, _))
-          if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        Some((vr, pl.map(_.asInstanceOf[AttributeReference]),
-          pl.map(_.asInstanceOf[AttributeReference]), identity))
-      case Project(pl,
-          Filter(cond, LogicalRelation(vr: VersionedRelation, out, _, _, _)))
-          if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        Some((vr, pl.map(_.asInstanceOf[AttributeReference]), out,
-          (scan: SparkPlan) => ProjectExec(pl, FilterExec(cond, scan))))
-      case _ => None
-    }
-  }
+  import BucketedJoin.Side
 
   /** Join types a merge join over the aligned buckets answers directly.
     * Outer joins are equally sound: null keys follow the SAME law on
