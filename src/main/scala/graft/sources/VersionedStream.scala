@@ -61,7 +61,8 @@ object VersionedStream {
 
   final case class Opts(table: String, cdf: Boolean, startingVersion: Long,
       maxVersionsPerBatch: Option[Long] = None,
-      maxBytesPerTrigger: Option[Long] = None)
+      maxBytesPerTrigger: Option[Long] = None,
+      availableNow: Boolean = false)
 
   def parse(params: Map[String, String]): Opts = {
     val table = params.getOrElse("table",
@@ -78,7 +79,8 @@ object VersionedStream {
     maxB.foreach(b => require(b >= 1, s"maxBytesPerTrigger must be >= 1: $b"))
     Opts(table, mode == "cdf",
       opt("startingVersion").map(_.toLong).getOrElse(0L),
-      maxV, maxB)
+      maxV, maxB,
+      opt("availableNow").exists(_.equalsIgnoreCase("true")))
   }
 
   /** Row columns from the latest manifest's recorded schema, plus the
@@ -195,6 +197,26 @@ final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
     */
   @volatile private var engineFloor: Long = o.startingVersion
 
+  /** AVAILABLE-NOW BACKFILL (VERDICT r16 item 5): `availableNow=true`
+    * pins the table head at SOURCE CREATION (= query start). `getOffset`
+    * never offers past the pin, so the drain is a FIXED target even
+    * under concurrent writers — `processAllAvailable()` converges, and
+    * [[graft.streaming.Streams.drainNow]] is the one-call
+    * drain-everything-then-STOP gesture. Composes with both rate limits
+    * (the backlog replays in bounded batches up to the pin) and the
+    * exactly-once sink marks; a LATER run (same checkpoint) re-pins the
+    * new head and drains only the commits in between. Spark's own
+    * `Trigger.AvailableNow` wrapper
+    * (`spark.sql.streaming.triggerAvailableNowWrapper.enabled`) also
+    * self-terminates, but it pins whatever the v1 source's FIRST
+    * `getOffset` returns — under a rate limit that is the first CAPPED
+    * offer, and the drain stops there, INCOMPLETE (measured in
+    * VersionedStreamSpec; the conf's own "extreme care" warning). This
+    * option is the complete-AND-bounded path.
+    */
+  private val pinnedHead: Option[Long] =
+    if (o.availableNow) Versioned.latestVersion(spark, o.table) else None
+
   /** Admitted bytes of one version, for `maxBytesPerTrigger`: the added
     * dirs' file lengths (append mode) plus its dv sidecars (cdf mode —
     * churn cost rides with the dv). One driver listing per version,
@@ -232,10 +254,15 @@ final class VersionedSource(spark: SparkSession, o: VersionedStream.Opts)
   })
 
   override def getOffset: Option[Offset] = {
-    val latest = Versioned.latestVersion(spark, o.table) match {
+    val latestLive = Versioned.latestVersion(spark, o.table) match {
       case None => return None
       case Some(l) => l
     }
+    // availableNow: never offer past the creation-time pin (a table
+    // that had no commits at pin time offers nothing this run)
+    val latest =
+      if (!o.availableNow) latestLive
+      else pinnedHead.fold(return None)(math.min(latestLive, _))
     val base = math.max(o.startingVersion, engineFloor)
     val cappedV = o.maxVersionsPerBatch
       .fold(latest)(mv => math.min(latest, base + mv))

@@ -727,4 +727,21 @@ object Streams {
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** Drain-everything-then-STOP — the production backfill gesture
+    * (VERDICT r16 item 5): process every batch the sources currently
+    * offer, stop the query, wait for the stream thread to wind down.
+    * Pair with the versioned source's `availableNow=true` option so the
+    * drain target is PINNED at query start (a concurrent writer cannot
+    * turn `processAllAvailable` into a moving target) and the backlog
+    * replays under the source's own rate limits; the exactly-once sink
+    * marks make the whole gesture restart-safe — a later drainNow on
+    * the same checkpoint picks up only the commits landed since.
+    */
+  def drainNow(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    q.awaitTermination()
+  }
 }
