@@ -4081,7 +4081,26 @@ object Versioned {
       if (!bf.exists(branchRoot)) Seq.empty
       else bf.listStatus(branchRoot).toSeq.filter(_.isDirectory)
         .map(_.getPath.toString)
-    val live = liveRefs(table) ++ branches.flatMap(liveRefs)
+    // CLONE-AWARE (the [[shallowClone]] contract): every registered
+    // clone pins its retention window like a branch. An unreadable
+    // registered clone REFUSES the vacuum — deletion is unrecoverable,
+    // and "unreadable" cannot distinguish deleted-forever from
+    // temporarily-unreachable; dropClone() is the explicit opt-out.
+    val cloneReg = new Path(s"$table/_clones")
+    val cf = fs(spark, cloneReg)
+    val clones =
+      if (!cf.exists(cloneReg)) Seq.empty
+      else cf.listStatus(cloneReg).toSeq.filter(_.isFile).map { st =>
+        val in = cf.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+    clones.foreach { c =>
+      require(latestVersion(spark, c).isDefined,
+        s"registered shallow clone $c of $table is unreadable — restore " +
+          "it or dropClone() it before vacuuming")
+    }
+    val live = liveRefs(table) ++ (branches ++ clones).flatMap(liveRefs)
     val root = new Path(s"$table/data")
     val f = fs(spark, root)
     if (!f.exists(root)) Seq.empty
@@ -4146,6 +4165,81 @@ object Versioned {
       colmap = m.colmap, partCols = m.partCols, pastPartCols = m.pastPartCols),
       s"branch $name raced another creator")
     bt
+  }
+
+  private def cloneRegPath(root: String, cloneTable: String): Path = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(cloneTable.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new Path(s"$root/_clones/$digest")
+  }
+
+  /** SHALLOW CLONE — [[branch]]'s sibling for a NEW LOCATION (the Delta
+    * `CREATE TABLE ... SHALLOW CLONE src` gesture, VERDICT r16 item 6):
+    * `destTable` gets its OWN commit log whose version 1 references the
+    * source snapshot's data dirs and dvs verbatim, plus a `_dataroot`
+    * marker routing every data resolution to the source's shared
+    * `data/` root. Creation cost is one manifest write + one pointer
+    * file — ZERO data dirs copied regardless of table size. Thereafter
+    * the clone is a full [[Versioned]] table evolving independently of
+    * the source (and vice versa); like a branch, its NEW data dirs land
+    * in the shared source root under unique names — the clone's
+    * metadata lives at the new location, its data stays co-located with
+    * the source's (the `_dataroot` contract; a fully self-contained
+    * copy is `CREATE TABLE AS SELECT`, deliberately not this verb).
+    *
+    * Unlike Delta — whose shallow clones silently break when the source
+    * is vacuumed — the clone REGISTERS itself under the source root's
+    * `_clones/` dir, and [[vacuum]] pins every registered clone's
+    * retention window exactly as it pins branches. A registered clone
+    * that has become unreadable fails the vacuum LOUDLY (restore it or
+    * [[dropClone]] it — silently unpinning a temporarily-unreachable
+    * clone's refs is how clones break); dropping the registration
+    * restores Delta's documented caveat explicitly.
+    *
+    * 100 TB shape: a dev/test clone of a petabyte table costs two
+    * kilobyte-scale writes at CLONE time and zero at read time.
+    */
+  def shallowClone(spark: SparkSession, srcTable: String, destTable: String,
+      version: Option[Long] = None): String = {
+    val destPath = new Path(destTable)
+    val f = fs(spark, destPath)
+    require(!f.exists(commitsDir(destTable)) && !f.exists(destPath),
+      s"shallow clone destination already exists: $destTable")
+    val srcRoot = dataRoot(spark, srcTable)
+    require(srcRoot.endsWith("/data"),
+      s"unexpected data root layout for $srcTable: $srcRoot")
+    val root = srcRoot.stripSuffix("/data")
+    val v = version.orElse(latestVersion(spark, srcTable))
+      .getOrElse(throw new IllegalArgumentException(s"no commits under $srcTable"))
+    val m = readManifest(spark, srcTable, v)
+    f.mkdirs(destPath)
+    val markerOut = f.create(new Path(s"$destTable/_dataroot"), true)
+    try markerOut.write(srcRoot.getBytes("UTF-8")) finally markerOut.close()
+    dataRootCache.remove(destTable) // a stale pre-creation probe must not linger
+    // register BEFORE the manifest lands: a vacuum racing the clone must
+    // already see the pin when the clone becomes readable
+    val reg = cloneRegPath(root, destTable)
+    val rf = fs(spark, reg)
+    val regOut = rf.create(reg, true)
+    try regOut.write(destTable.getBytes("UTF-8")) finally regOut.close()
+    // features + colmap clone with the snapshot, the [[branch]] law
+    require(writeManifest(spark, destTable, 1L, "clone", m.refs, m.schemaJson,
+      m.dvs, m.constraints, base = Some(v), features = m.features,
+      colmap = m.colmap, partCols = m.partCols, pastPartCols = m.pastPartCols),
+      s"shallow clone to $destTable raced another creator")
+    destTable
+  }
+
+  /** Unregister a shallow clone from its source's vacuum pinning —
+    * the explicit opt-in to Delta's documented caveat: after this, a
+    * source vacuum may delete dirs the clone still references (its
+    * reads then fail loudly). Returns whether a registration existed.
+    */
+  def dropClone(spark: SparkSession, srcTable: String,
+      cloneTable: String): Boolean = {
+    val root = dataRoot(spark, srcTable).stripSuffix("/data")
+    val reg = cloneRegPath(root, cloneTable)
+    fs(spark, reg).delete(reg, false)
   }
 
   /** PROMOTE — fast-forward a branch's head back onto its root (the

@@ -2150,6 +2150,61 @@ object OpsQueries extends graft.QueryModule {
       a.orderBy($"cust")
     }),
 
+    // ZERO-COPY SHALLOW CLONE (Versioned.shallowClone — the Delta
+    // `CREATE TABLE ... SHALLOW CLONE` gesture, VERDICT r16 item 6): a
+    // clone at a NEW location is one manifest write + one registration
+    // pointer. REQUIRED in-query: the clone materializes ZERO data dirs
+    // of its own and the source's data-dir set is untouched by the
+    // clone; after the source is OVERWRITTEN and vacuumed, the vacuum
+    // deletes NOTHING (registered clones pin their refs — the
+    // anti-Delta-caveat) and the evolved clone still reads. Four
+    // phases, each recomputed by the oracle from `orders`. At 100 TB: a
+    // dev/test clone of a petabyte table costs two kilobyte writes.
+    "q_clone" -> ((s, dir) => {
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") +
+        s"/graft_clone_${ProcessHandle.current().pid()}"
+      graft.ops.FileOps.resetWorkDirs(s, Seq(base))
+      val src = s"$base/src"; val dst = s"$base/dst"
+      val orders = Tables(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("price"))
+      val maxk = orders.agg(max($"k")).head().getLong(0)
+      val mid = maxk / 2L
+      graft.ops.Versioned.commit(s, src, orders.filter($"k" <= mid))
+      graft.ops.Versioned.commit(s, src, orders.filter($"k" > mid))
+      val srcDirs = new java.io.File(s"$src/data").list().toSet
+      // clone the HEAD snapshot (v2 = both commits); a vacuum after the
+      // source moves on must then delete NOTHING — every dir is pinned
+      // by either the source's own head or the registered clone
+      graft.ops.Versioned.shallowClone(s, src, dst)
+      require(!new java.io.File(s"$dst/data").exists(),
+        "a shallow clone must materialize ZERO data dirs of its own")
+      require(new java.io.File(s"$src/data").list().toSet == srcDirs,
+        "cloning must not touch the source's data dirs")
+      def snap(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.agg(count(lit(1)).as("n"),
+          sum($"price".cast("decimal(30,2)")).cast("double").as("sum_price"),
+          sum($"k").as("sum_k"))
+          .select(lit(phase).as("phase"), $"n", $"sum_price", $"sum_k")
+      val p1 = snap(graft.ops.Versioned.read(s, dst), "p1_clone_head")
+      // the clone evolves independently: append shifted-key rows
+      graft.ops.Versioned.commit(s, dst, orders.filter($"k" % 5 === 1)
+        .select(($"k" + maxk).as("k"), $"price"))
+      val p2 = snap(graft.ops.Versioned.read(s, dst), "p2_clone_evolved")
+      // the source evolves independently: OVERWRITE drops v1's dirs
+      // from its own head...
+      graft.ops.Versioned.commit(s, src, orders.filter($"k" % 7 === 2),
+        overwrite = true)
+      val p3 = snap(graft.ops.Versioned.read(s, src), "p3_src_overwritten")
+      // ...and the vacuum must delete NOTHING: the registered clone
+      // pins the fork-point dirs (plus its own appended dir)
+      val vacuumed = graft.ops.Versioned.vacuum(s, src, retainLast = 1)
+      require(vacuumed.isEmpty,
+        s"vacuum must respect registered clone refs, deleted: $vacuumed")
+      val p4 = snap(graft.ops.Versioned.read(s, dst), "p4_post_vacuum")
+      p1.unionByName(p2).unionByName(p3).unionByName(p4).orderBy($"phase")
+    }),
+
     // PARTITIONED GRAFT TABLE (VERDICT r13 item 3): `CREATE TABLE ...
     // PARTITIONED BY` declares a sticky hive layout — every append (SQL
     // INSERT included) stages `key=value` dirs with per-file stats
@@ -3883,6 +3938,39 @@ object OpsQueries extends graft.QueryModule {
       """SELECT o_custkey AS cust, CAST(COUNT(1) AS bigint) AS n,
         |  CAST(SUM(CAST(o_totalprice AS decimal(30,2))) AS double) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY cust""".stripMargin,
+    "q_clone" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        |a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey <= (SELECT mk // 2 FROM mx)
+        |),
+        |c AS (
+        |  SELECT o_orderkey + (SELECT mk FROM mx) AS k, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 5 = 1
+        |),
+        |d AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 7 = 2
+        |),
+        |ab AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |ac AS (SELECT * FROM ab UNION ALL SELECT * FROM c)
+        |SELECT phase, n, sum_price, sum_k FROM (
+        |  SELECT 'p1_clone_head' AS phase, CAST(COUNT(1) AS bigint) AS n,
+        |    CAST(SUM(CAST(price AS decimal(30,2))) AS double) AS sum_price,
+        |    CAST(SUM(k) AS bigint) AS sum_k FROM ab
+        |  UNION ALL
+        |  SELECT 'p2_clone_evolved', CAST(COUNT(1) AS bigint),
+        |    CAST(SUM(CAST(price AS decimal(30,2))) AS double),
+        |    CAST(SUM(k) AS bigint) FROM ac
+        |  UNION ALL
+        |  SELECT 'p3_src_overwritten', CAST(COUNT(1) AS bigint),
+        |    CAST(SUM(CAST(price AS decimal(30,2))) AS double),
+        |    CAST(SUM(k) AS bigint) FROM d
+        |  UNION ALL
+        |  SELECT 'p4_post_vacuum', CAST(COUNT(1) AS bigint),
+        |    CAST(SUM(CAST(price AS decimal(30,2))) AS double),
+        |    CAST(SUM(k) AS bigint) FROM ac
+        |) ORDER BY phase""".stripMargin,
     "q_sql_alter" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         |appended AS (
