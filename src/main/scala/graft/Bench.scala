@@ -208,11 +208,29 @@ object Bench {
     * `BenchHarnessSpec` pins the length bound at full suite width so the
     * regression cannot recur.
     */
+  /** Deterministic per-round suite permutation (VERDICT r16 item 8): a
+    * fixed alphabetical order means the budget governor's skips starve
+    * the SAME tail entries on a consistently slow machine. Ordering by
+    * md5(seed:name) is a full pseudo-random permutation that changes
+    * with the seed and is stable within a run; seed 0 keeps the legacy
+    * alphabetical order so a filtered re-time reproduces old runs
+    * exactly. Pure — `BenchHarnessSpec` pins the law.
+    */
+  def suiteOrder(names: Seq[String], seed: Int): Seq[String] =
+    if (seed == 0) names.sorted
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      names.sortBy { n =>
+        val h = md.digest(s"$seed:$n".getBytes("UTF-8"))
+        (h.map("%02x".format(_)).mkString, n)
+      }
+    }
+
   def renderHeadline(timings: Seq[(String, Timing)],
       errors: collection.Map[String, String], probeMed: Double, n: Int,
       detailPath: String, sfDir: String,
       skipped: Seq[String] = Nil, partial: Boolean = false,
-      nTotal: Int = -1): String = {
+      nTotal: Int = -1, orderSeed: Int = -1): String = {
     val byName = timings.toMap
     val hq = Headline.flatMap(nm => byName.get(nm).map(t => s"${jstr(nm)}:${f3(t.median)}"))
       .mkString("{", ",", "}")
@@ -225,7 +243,8 @@ object Bench {
         math.max(0, nTotal - timings.size - errors.size - skipped.size)}"""
        else "") +
       (if (skipped.nonEmpty) s""","n_skipped":${skipped.size},"skipped":$skShort"""
-       else "")
+       else "") +
+      (if (orderSeed >= 0) s""","order_seed":$orderSeed""" else "")
     s"""{"metric":"total_median_sec","value":${f3(total)},"unit":"sec","n_runs":$n,"probe_sec":${f3(probeMed)},"n_queries":${timings.size},"n_errors":${errors.size}$extra,"queries":$hq,"errors":$esShort,"detail":${jstr(detailPath)},"sf":${jstr(sfDir)}}"""
   }
 
@@ -337,8 +356,22 @@ object Bench {
     def probeEst: Double = java.lang.Double.longBitsToDouble(lastProbe.get())
     def probeRuns(): Seq[Double] = { probeOnce(); (1 to N).map(_ => probeOnce()) }
 
-    val names = filter.fold(SparkEntry.queries.keys.toSeq)(f =>
-      SparkEntry.queries.keys.filter(f).toSeq).sorted
+    // per-round rotation seed: the count of BENCH_r*.json evidence files
+    // in the working dir advances once per round and is stable within
+    // one; SPARK_GRAFT_BENCH_SEED overrides (0 = legacy alphabetical,
+    // for reproducing old runs). A FILTERED re-time stays alphabetical —
+    // it is a reproduction tool.
+    val orderSeed =
+      if (filter.isDefined) 0
+      else sys.env.get("SPARK_GRAFT_BENCH_SEED")
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+        .getOrElse {
+          val fl = new java.io.File(".").listFiles()
+          if (fl == null) 0
+          else fl.count(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        }
+    val names = suiteOrder(filter.fold(SparkEntry.queries.keys.toSeq)(f =>
+      SparkEntry.queries.keys.filter(f).toSeq), orderSeed)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
     val probePre = probeRuns()
@@ -368,7 +401,7 @@ object Bench {
         flushDetail(partial = true, provisionalProbe)
         val line = try renderHeadline(snapshotSeq, errorsSnapshot,
           provisionalProbe, N, detailPath, sfDir, skipped.toList,
-          partial = true, nTotal = names.size)
+          partial = true, nTotal = names.size, orderSeed = orderSeed)
         catch { case _: Throwable =>
           s"""{"metric":"total_median_sec","value":0,"unit":"sec","partial":true,"n_done":${liveTimings.size()},"sf":${jstr(sfDir)}}"""
         }
@@ -457,7 +490,8 @@ object Bench {
     atomicWrite(detailPath, renderDetail(timings, errors, probeMed, N, sfDir,
       skipped.toList, partial = false))
     val headline = renderHeadline(timings, errors, probeMed, N, detailPath,
-      sfDir, skipped.toList, partial = false, nTotal = names.size)
+      sfDir, skipped.toList, partial = false, nTotal = names.size,
+      orderSeed = orderSeed)
     completed.set(true)
     // Stop Spark FIRST (its shutdown logs anything it wants to), then emit
     // the headline as the LAST line, straight onto the process's stdout

@@ -202,4 +202,25 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(detail.contains(""""skipped":["q_a","q_b"]"""))
     assert(detail.contains(""""n_timed_runs":{"q_full":5,"q_shifted":3}"""))
   }
+
+  test("suiteOrder law: seed 0 is alphabetical; other seeds are stable full " +
+      "permutations that rotate the tail; headline records the seed") {
+    val names = (1 to 40).map(i => f"q_entry_$i%02d")
+    assert(Bench.suiteOrder(names, 0) == names.sorted,
+      "seed 0 must reproduce the legacy alphabetical order")
+    val s17 = Bench.suiteOrder(names, 17)
+    assert(s17.sorted == names.sorted, "a permutation keeps every entry")
+    assert(s17 == Bench.suiteOrder(names, 17), "same seed -> same order")
+    assert(s17 != names.sorted, "a non-zero seed must actually rotate")
+    val s18 = Bench.suiteOrder(names, 18)
+    assert(s18 != s17, "consecutive seeds produce different orders")
+    // the governor skips the order's TAIL — rotation must change it
+    assert(s17.takeRight(5).toSet != s18.takeRight(5).toSet ||
+      s17.takeRight(5) != s18.takeRight(5),
+      "rotating seeds must not starve a fixed tail")
+    val line = Bench.renderHeadline(
+      Seq("q_a" -> Bench.Timing(1.0, 0.1, 3L, 5)),
+      Map.empty[String, String], 0.15, 5, "d.json", "/sf", orderSeed = 17)
+    assert(line.contains(""""order_seed":17"""), line)
+  }
 }
