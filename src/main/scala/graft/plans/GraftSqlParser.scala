@@ -127,6 +127,18 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     case AlterDropCheckRe(target, name)
         if isGraftTarget(spark, target.trim) =>
       GraftAlterCommand(target.trim, GraftAlterAction.DropCheck(name))
+    // CREATE TABLE dest SHALLOW CLONE src [VERSION AS OF n]
+    // [LOCATION '<path>'] — the Delta clone gesture over
+    // [[Versioned.shallowClone]]: one manifest write + a registration
+    // pointer, zero data copied. A graft.`path` dest clones to that
+    // path; a NAMED dest needs LOCATION and registers the catalog
+    // entry. Vanilla grammar has no SHALLOW CLONE, so interception is
+    // safe; a non-graft source refuses loudly at run time.
+    case ShallowCloneRe(dest, src, ver, loc)
+        if isGraftTarget(spark, src.trim) =>
+      GraftShallowCloneCommand(dest.trim, src.trim,
+        Option(ver).map(_.toLong), Option(loc))
+
     // CREATE OR REPLACE TABLE ... USING graft-table: vanilla Spark
     // routes REPLACE through the v2 catalog stack, which refuses v1
     // providers — implement it natively as an OVERWRITE COMMIT on the
@@ -386,7 +398,31 @@ object GraftSqlParser {
   private val CreateTableRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?TABLE\b""".r
 
+  private val ShallowCloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?""" +
+      """\s*;?\s*$""").r
+
   private val PathLit = """(?i)^graft\s*\.\s*`(.+)`$""".r
+
+  /** Destination of a `CREATE TABLE … SHALLOW CLONE`: a `graft.`path``
+    * literal clones to that path (no LOCATION allowed — the literal IS
+    * the location); a catalog NAME requires `LOCATION '<path>'` and the
+    * command registers the entry after the clone lands. Returns
+    * (clone path, catalog name to register).
+    */
+  private[plans] def cloneDest(raw: String,
+      location: Option[String]): (String, Option[String]) = raw match {
+    case PathLit(p) =>
+      require(location.isEmpty,
+        s"graft.`$p` clone target already carries its location — drop LOCATION")
+      (p, None)
+    case name =>
+      val loc = location.getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $name SHALLOW CLONE … needs LOCATION '<path>' " +
+          "for a named target (graft tables are path-backed)"))
+      (loc, Some(name))
+  }
 
   /** True when `raw` is a graft maintenance target — a `graft.`path``
     * literal or a catalog name whose provider is graft-table. Used at
@@ -558,6 +594,59 @@ final case class GraftOptimizeCommand(target: String, zorderBy: Seq[String],
         numFiles = 32, statsCols = zorderBy)
     }
     Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE dest SHALLOW CLONE src [VERSION AS OF n]
+  * [LOCATION '<path>']` → [[Versioned.shallowClone]]: the clone's own
+  * commit log at the destination references the source snapshot
+  * verbatim (zero data copied), its vacuum-pinning registration lands
+  * under the source root, and a NAMED destination registers in the
+  * session catalog with the cloned snapshot's schema. Returns the
+  * clone's path.
+  */
+final case class GraftShallowCloneCommand(dest: String, src: String,
+    version: Option[Long], location: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("clone_path", StringType, nullable = false)())
+  override def run(spark: SS): Seq[Row] = {
+    val srcPath = GraftSqlParser.resolveTarget(spark, src)
+    val (destPath, register) = GraftSqlParser.cloneDest(dest, location)
+    register.foreach { name =>
+      val parts = name.split('.').map(_.trim.stripPrefix("`").stripSuffix("`"))
+      val ident = parts match {
+        case Array(t) => TableIdentifier(t)
+        case Array(db, t) => TableIdentifier(t, Some(db))
+        case _ => throw new IllegalArgumentException(
+          s"SHALLOW CLONE target must be a table name or graft.`path`: $name")
+      }
+      require(!spark.sessionState.catalog.tableExists(ident),
+        s"SHALLOW CLONE target $name already exists in the catalog")
+    }
+    Versioned.shallowClone(spark, srcPath, destPath, version)
+    register.foreach { name =>
+      val parts = name.split('.').map(_.trim.stripPrefix("`").stripSuffix("`"))
+      val ident = parts match {
+        case Array(t) => TableIdentifier(t)
+        case Array(db, t) => TableIdentifier(t, Some(db))
+        case _ => throw new IllegalStateException("unreachable — checked above")
+      }
+      val storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat(
+        locationUri = Some(new org.apache.hadoop.fs.Path(destPath).toUri),
+        inputFormat = None, outputFormat = None, serde = None,
+        compressed = false, properties = Map("path" -> destPath))
+      spark.sessionState.catalog.createTable(
+        org.apache.spark.sql.catalyst.catalog.CatalogTable(
+          identifier = ident,
+          tableType =
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+          storage = storage,
+          schema = Versioned.read(spark, destPath).schema,
+          provider = Some("graft-table")), ignoreIfExists = false)
+      Versioned.markCatalogChanged()
+    }
+    Seq(Row(destPath))
   }
 }
 

@@ -87,6 +87,42 @@ class CloneSpec extends SparkSpec {
     intercept[Exception](Versioned.read(spark, dst).collect())
   }
 
+  test("SQL surface: CREATE TABLE ... SHALLOW CLONE with path, version, and named targets") {
+    val src = tmpDir("clone-sql") + "/t"
+    Versioned.commit(spark, src,
+      (1 to 10).map(i => (i.toLong, s"a$i")).toDF("id", "s"))
+    Versioned.commit(spark, src,
+      (11 to 15).map(i => (i.toLong, s"b$i")).toDF("id", "s"))
+    // path-literal destination, head snapshot
+    val d1 = tmpDir("clone-sql-d1") + "/c"
+    val out = spark.sql(s"CREATE TABLE graft.`$d1` SHALLOW CLONE graft.`$src`")
+      .collect()
+    assert(out.head.getString(0) == d1)
+    assert(Versioned.read(spark, d1).count() == 15L)
+    assert(!new java.io.File(s"$d1/data").exists(), "zero data dirs copied")
+    // pinned version
+    val d2 = tmpDir("clone-sql-d2") + "/c"
+    spark.sql(s"CREATE TABLE graft.`$d2` SHALLOW CLONE graft.`$src` VERSION AS OF 1")
+    assert(Versioned.read(spark, d2).count() == 10L)
+    // named destination registers the catalog entry
+    val d3 = tmpDir("clone-sql-d3") + "/c"
+    spark.sql("DROP TABLE IF EXISTS clone_sql_named")
+    spark.sql(s"CREATE TABLE clone_sql_named SHALLOW CLONE graft.`$src` " +
+      s"LOCATION '$d3'")
+    assert(spark.sql("SELECT count(*) FROM clone_sql_named")
+      .head().getLong(0) == 15L)
+    spark.sql("DROP TABLE clone_sql_named")
+    // refusals: named without LOCATION; path WITH LOCATION
+    val eNoLoc = intercept[Exception](
+      spark.sql(s"CREATE TABLE clone_sql_noloc SHALLOW CLONE graft.`$src`"))
+    assert(eNoLoc.getMessage.contains("LOCATION"), eNoLoc.getMessage)
+    val d4 = tmpDir("clone-sql-d4") + "/c"
+    val eLoc = intercept[Exception](
+      spark.sql(s"CREATE TABLE graft.`$d4` SHALLOW CLONE graft.`$src` " +
+        s"LOCATION '/tmp/elsewhere'"))
+    assert(eLoc.getMessage.contains("already carries"), eLoc.getMessage)
+  }
+
   test("vacuum refuses when a registered clone is unreadable") {
     val src = tmpDir("clone-unread") + "/t"
     val dst = tmpDir("clone-unread-dst") + "/c"
