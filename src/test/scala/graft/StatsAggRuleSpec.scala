@@ -112,6 +112,27 @@ class StatsAggRuleSpec extends SparkSpec {
     assert(a.scanned == 0, s"count() should answer from manifests: $a")
   }
 
+  test("the answer memo never serves a table rebuilt at the same path") {
+    // a deleted-and-recreated table REUSES version numbers — the memo
+    // key's manifest-stamp component must see the new manifest
+    val t = tmpDir("statsrule-rebuild") + "/t"
+    Versioned.commitWithStats(spark, t,
+      spark.range(1, 101).selectExpr("id AS k"), Seq("k"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .first().getLong(0) == 100L)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(t))
+    Versioned.commitWithStats(spark, t,
+      spark.range(1, 51).selectExpr("id AS k"), Seq("k"))
+    val r = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM graft.`$t`")
+      .first()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 50L,
+      s"the rebuilt table must answer from ITS manifests, not the memo: $r")
+  }
+
   test("time travel pins the substituted version") {
     val t = mk("statsrule-tt")
     Versioned.commitWithStats(spark, t,
