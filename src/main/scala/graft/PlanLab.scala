@@ -22,13 +22,22 @@ object PlanLab {
     // --jobs: count Spark jobs per run — the job-count audit for
     // protocol-heavy entries (driver-side per-job overhead is what
     // multiplies under suite pressure, so fewer jobs = less exposure).
+    // --trace additionally prints each job's callsite + description so
+    // the count decomposes into named per-verb passes (optimization-
+    // round diagnostic: WHICH pass pays the 80 jobs).
     val jobCount = new java.util.concurrent.atomic.AtomicLong(0L)
-    if (args.contains("--jobs"))
+    if (args.contains("--jobs") || args.contains("--trace"))
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
-              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-            { jobCount.incrementAndGet(): Unit }
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val n = jobCount.incrementAndGet()
+            if (args.contains("--trace")) {
+              val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+              val tasks = js.stageInfos.map(_.numTasks).sum
+              println(f"JOBTRACE #$n%-4d tasks=$tasks%-5d $site")
+            }
+          }
         })
 
     df.write.format("noop").mode("overwrite").save() // warmup

@@ -297,20 +297,26 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().transform(graft.ops.Checkpoints.stage)
-    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // LARGE-STAR over both orientations: per node u, m = min(Γ(u) ∪ u);
       // each neighbor v > u re-attaches as (v, m) — v > u ≥ m keeps the
-      // (hi, lo) canonical form with no re-ordering
+      // (hi, lo) canonical form with no re-ordering.
+      // afterLarge is NOT checkpointed (optimization r17): its two
+      // consumers (mSmall's groupBy and the small-star join) sit in the
+      // SAME job, where Spark's exchange reuse computes the shared
+      // distinct subtree once; the per-round afterSmall checkpoint below
+      // still truncates lineage, so plans never grow across rounds. This
+      // halves the loop's job count (was: 2 checkpoints + count + anti
+      // per round; now: 1 checkpoint + 1 probe).
       val dir = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val mLarge = dir.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
       val afterLarge = dir.join(mLarge, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct().transform(graft.ops.Checkpoints.stage)
+        .distinct()
       // SMALL-STAR on the canonical edges: per hi-node u, m = min of its
       // lo-neighbors; u and every lo-neighbor ≠ m re-attach to m
       val mSmall = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -319,19 +325,20 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mSmall.select(col("u"), col("m").as("v")))
         .distinct().transform(graft.ops.Checkpoints.stage)
-      // both sides distinct ⇒ set equality = equal counts + one-way anti
-      val nextCount = afterSmall.count()
-      converged = nextCount == edgeCount &&
-        afterSmall.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      // free the DEAD checkpoints (afterLarge, the superseded edges):
-      // afterSmall is eagerly materialized and the convergence anti-join
-      // has run, so nothing can read them again — without this, every
-      // round's blocks pin storage memory for the rest of the session
-      // (the round-9 mid-suite slowdown ghost)
-      graft.ops.Checkpoints.free(afterLarge)
+      // both sides distinct ⇒ set equality = no row unique to either
+      // side of a full-outer join — ONE probe job per round (replaces
+      // the count + one-way-anti pair; exact equality either way)
+      converged = afterSmall.withColumn("__s", lit(1))
+        .join(edges.withColumn("__e", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__s").isNull || col("__e").isNull)
+        .isEmpty
+      // free the DEAD checkpoint (the superseded edges): afterSmall is
+      // eagerly materialized and the convergence probe has run, so
+      // nothing can read it again — without this, every round's blocks
+      // pin storage memory for the rest of the session (the round-9
+      // mid-suite slowdown ghost)
       graft.ops.Checkpoints.free(edges)
       edges = afterSmall
-      edgeCount = nextCount
       iter += 1
     }
     if (!converged)

@@ -360,7 +360,24 @@ object Layout {
   }
 
   def harvestStats(spark: org.apache.spark.sql.SparkSession, path: String,
-      columns: Seq[String]): DataFrame = {
+      columns: Seq[String],
+      derivedFromParts: Seq[(String, String, String)] = Nil): DataFrame =
+    harvestStatsCounted(spark, path, columns, derivedFromParts)._2
+
+  /** [[harvestStats]] plus the listed file count — the count comes free
+    * from the driver-side listing the harvest already pays for, so
+    * callers that must refuse an empty dir ([[writeStatsManifest]]) need
+    * no extra Spark job to ask. `derivedFromParts` synthesizes the
+    * partition-TRANSFORM stat rows (one typed min==max row per (file,
+    * derived column), from the file's hive path values) INSIDE the same
+    * executor pass — previously a second DataFrame pass over the
+    * harvest, which forced a localCheckpoint materialization job.
+    */
+  private[ops] def harvestStatsCounted(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      columns: Seq[String],
+      derivedFromParts: Seq[(String, String, String)] = Nil)
+      : (Int, DataFrame) = {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val confSer = new org.apache.spark.SerializableWritable(
@@ -402,9 +419,10 @@ object Layout {
     }
     val files = listed.sortBy(_._1).toSeq
     val wanted = columns
+    val derived = derivedFromParts
     val slices = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
-    spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
+    val df = spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
       val conf = confSer.value
       it.flatMap { case (f, fLen, parts) =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -412,6 +430,21 @@ object Layout {
             .fromPath(new org.apache.hadoop.fs.Path(f), conf))
         try {
           val footer = reader.getFooter
+          val nRowsF = footer.getBlocks.asScala.map(_.getRowCount).sum
+          // partition-transform columns exist only as hive path segments
+          // (no footer carries them): synthesize one typed min==max row
+          // per derived column from this file's `parts` map, in the same
+          // pass. `__HIVE_DEFAULT_PARTITION__` (null source values)
+          // records all-null (n_nulls == n_rows) — range-unsatisfiable,
+          // IS NULL-keepable; a file with no parts entry (flat pre-
+          // transform dir) records unknown — conservatively kept.
+          val synthRows = derived.map { case (pkey, cname, typ) =>
+            val pv = parts.get(pkey)
+            val value = pv.filter(_ != "__HIVE_DEFAULT_PARTITION__").orNull
+            val nNulls: Option[Long] = pv.map(v =>
+              if (v == "__HIVE_DEFAULT_PARTITION__") nRowsF else 0L)
+            (f, cname, typ, value, value, nRowsF, nNulls, fLen, parts)
+          }
           val leaves = footer.getFileMetaData.getSchema.getColumns.asScala
             .map(cd => cd.getPath.mkString(".") -> cd.getPrimitiveType).toMap
           // a file whose footer carries NONE of the wanted columns must
@@ -461,16 +494,16 @@ object Layout {
               }
             }
           }
-          if (harvested.nonEmpty) harvested
-          else {
-            val nRows = footer.getBlocks.asScala.map(_.getRowCount).sum
-            Seq((f, "", "", null: String, null: String, nRows,
-              Option.empty[Long], fLen, parts))
-          }
+          // a file whose footer carries NO wanted column still appears
+          // via one sentinel row (empty column) — see the comment above
+          synthRows ++ (if (harvested.nonEmpty) harvested
+          else Seq((f, "", "", null: String, null: String, nRowsF,
+            Option.empty[Long], fLen, parts)))
         } finally reader.close()
       }
     }.toDF("file", "column", "typ", "min_v", "max_v", "n_rows", "n_nulls",
       "n_bytes", "parts")
+    (files.size, df)
   }
 
   /** Harvest + persist the stats manifest at `<path>/_stats` — one tiny
@@ -482,43 +515,20 @@ object Layout {
   def writeStatsManifest(spark: org.apache.spark.sql.SparkSession,
       path: String, columns: Seq[String],
       derivedFromParts: Seq[(String, String, String)] = Nil): Unit = {
-    val harvested = harvestStats(spark, path, columns).localCheckpoint(true)
-    // Partition-TRANSFORM columns ([[graft.ops.PartSpec]]) exist only as
-    // hive path segments — no footer carries them — so their stats rows
-    // are SYNTHESIZED from the harvested `parts` map: one typed
-    // min==max row per (file, derived column). A `__HIVE_DEFAULT_
-    // PARTITION__` dir (null source values under a null-preserving
-    // transform) records as all-null (n_nulls == n_rows), which the keep
-    // expressions already treat exactly right (range-unsatisfiable,
-    // IS NULL-keepable); a file with no parts entry (a flat pre-
-    // transform dir) records unknown — conservatively kept.
-    val stats =
-      if (derivedFromParts.isEmpty) harvested
-      else {
-        val perFile = harvested.groupBy(col("file")).agg(
-          first(col("n_rows")).as("n_rows"),
-          first(col("n_bytes")).as("n_bytes"),
-          first(col("parts")).as("parts"))
-        val synth = derivedFromParts.map { case (pkey, cname, typ) =>
-          val pv = element_at(col("parts"), pkey)
-          val known = pv.isNotNull &&
-            pv =!= lit("__HIVE_DEFAULT_PARTITION__")
-          val value = when(known, pv)
-          perFile.select(col("file"), lit(cname).as("column"),
-            lit(typ).as("typ"), value.as("min_v"), value.as("max_v"),
-            col("n_rows"),
-            when(pv === lit("__HIVE_DEFAULT_PARTITION__"), col("n_rows"))
-              .when(pv.isNotNull, lit(0L)).as("n_nulls"),
-            col("n_bytes"), col("parts"))
-        }
-        synth.foldLeft(harvested)(_ unionByName _)
-      }
+    // Partition-TRANSFORM stat rows are synthesized INSIDE the harvest
+    // pass ([[harvestStatsCounted]]), so the whole manifest is ONE Spark
+    // job: the coalesce(1) write below. (Previously: a localCheckpoint
+    // materialization + a count() + the write — three jobs per commit,
+    // and the checkpoint blocks lingered in the block manager.)
+    val (nFiles, stats) =
+      harvestStatsCounted(spark, path, columns, derivedFromParts)
     // An empty manifest would make skipScanManifest prune EVERYTHING —
     // silently wrong results. The harvest is recursive, so both flat
     // sorted layouts and hive-partitioned (`key=value` subdir) layouts
     // are covered; partitioned files carry their partition values in the
-    // manifest's `parts` map ([[skipScanManifestHive]] composes them).
-    require(harvested.count() > 0,
+    // manifest's `parts` map ([[skipScanManifestHive]] composes them);
+    // the file count comes free from the harvest's own driver listing.
+    require(nFiles > 0,
       s"no parquet files found under $path — nothing to harvest stats from")
     replaceDirAtomic(spark, s"$path/_stats")(tmp =>
       stats.coalesce(1).write.mode("overwrite").parquet(tmp))
@@ -580,9 +590,10 @@ object Layout {
         .agg(hll_sketch_agg(col(c)).as("sk"))
         .withColumn("column", lit(c))
     }
-    val all = perCol.reduce(_.unionByName(_)).localCheckpoint(true)
-    require(all.count() > 0,
-      s"no parquet files found under $path — nothing to sketch")
+    // single consumer (the write) — no checkpoint, no count job; the
+    // empty-dir refusal happens in spark.read.parquet above (schema
+    // inference fails loudly on a fileless dir)
+    val all = perCol.reduce(_.unionByName(_))
     replaceDirAtomic(spark, s"$path/_ndv")(tmp =>
       all.coalesce(1).write.mode("overwrite").parquet(tmp))
   }
@@ -622,12 +633,13 @@ object Layout {
         .reduceByKey(mergeKll)
       pairs.toDF("file", "sk").withColumn("column", lit(c))
     }
-    val all = perCol.reduce(_.unionByName(_)).localCheckpoint(true)
     // a dir whose requested columns hold only nulls records an EMPTY
     // (schema-bearing) manifest — such files contribute no values to a
     // quantile by definition, and an abort here would leave a multi-dir
     // ANALYZE backfill permanently half-applied (the offending dir can
-    // never satisfy a non-empty requirement)
+    // never satisfy a non-empty requirement). Single consumer (the
+    // write) — no checkpoint job.
+    val all = perCol.reduce(_.unionByName(_))
     replaceDirAtomic(spark, s"$path/_qtl")(tmp =>
       all.coalesce(1).write.mode("overwrite").parquet(tmp))
   }
@@ -684,7 +696,7 @@ object Layout {
       : (DataFrame, Int, Int, Int) = {
     require(partPreds.nonEmpty, "at least one partition predicate")
     val statsPath = s"$path/_stats"
-    val all = spark.read.parquet(statsPath)
+    val all = readStats(spark, Seq(statsPath))
     // partition decision: one verdict per file from its parts map; a
     // missing key or an uncastable value keeps the file conservatively.
     // min(bool) = AND over a file's rows (they share one parts map).
@@ -816,7 +828,7 @@ object Layout {
     // ONE stats read + ONE per-dir listing probe for the whole
     // conjunction — k predicates over the same manifests must not pay
     // k× the metadata RPCs
-    val all = spark.read.parquet(statsPaths: _*)
+    val all = readStats(spark, statsPaths)
     val listingKey = listingKeyOf(spark, statsPaths)
     val typs = scala.collection.mutable.ArrayBuffer.empty[String]
     val rels = preds.zipWithIndex.map { case ((column, keepFor), i) =>
@@ -857,6 +869,29 @@ object Layout {
   private val typMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  /** The fixed `_stats` manifest schema — every manifest read supplies
+    * it EXPLICITLY: schema inference on a tiny parquet costs ~80 ms of
+    * driver-side footer work per read (measured r17: 134 ms inferred vs
+    * 52 ms explicit for a one-row manifest), and the planners read
+    * manifests on every verb. Legacy manifests missing a column
+    * (`n_bytes` pre-r12) read it as null — exactly the degrade the
+    * decision logic already implements for inferred reads.
+    */
+  val StatsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file", StringType), StructField("column", StringType),
+      StructField("typ", StringType), StructField("min_v", StringType),
+      StructField("max_v", StringType), StructField("n_rows", LongType),
+      StructField("n_nulls", LongType), StructField("n_bytes", LongType),
+      StructField("parts", MapType(StringType, StringType))))
+  }
+
+  /** All `_stats` manifest reads route here (explicit [[StatsSchema]]). */
+  def readStats(spark: org.apache.spark.sql.SparkSession,
+      statsPaths: Seq[String]): DataFrame =
+    spark.read.schema(StatsSchema).parquet(statsPaths: _*)
+
   /** The skip decision as a RELATION — (file, n_bytes, keep), computed
     * entirely as a DataFrame over the `_stats` manifests (the round-10
     * verdict's O(files)-driver fix): the conservative-undecided rule
@@ -872,7 +907,7 @@ object Layout {
   private[graft] def decisionRelation(spark: org.apache.spark.sql.SparkSession,
       statsPaths: Seq[String], column: String,
       keepFor: String => Column): (DataFrame, String) =
-    decisionRelationOver(spark, spark.read.parquet(statsPaths: _*),
+    decisionRelationOver(spark, readStats(spark, statsPaths),
       listingKeyOf(spark, statsPaths), column, keepFor)
 
   /** The typ-memo key's listing half, computable ONCE for a whole
@@ -1166,7 +1201,7 @@ object Layout {
     */
   def manifestRowCount(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
-    val perCol = spark.read.parquet(s"$path/_stats")
+    val perCol = readStats(spark, Seq(s"$path/_stats"))
       .groupBy(col("column"))
       .agg(sum(col("n_rows")).as("n"))
       .select(col("n")).distinct().collect().map(_.getLong(0))

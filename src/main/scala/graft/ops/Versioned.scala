@@ -918,7 +918,7 @@ object Versioned {
       .filter(p => fs(spark, new Path(p)).exists(new Path(p)))
     if (statsPaths.isEmpty) return Seq.empty[String].toDF("partition")
     val refDf = expandRefFiles(spark, table, m.refs).toSeq.toDF("__ref")
-    spark.read.parquet(statsPaths: _*)
+    Layout.readStats(spark, statsPaths)
       .withColumn("__ref", regexp_extract(col("file"), ".*/data/(.+)$", 1))
       .join(broadcast(refDf), Seq("__ref"), "left_semi")
       .select(concat_ws("/", m.partCols.map(PartSpec.parse).map(t =>
@@ -1937,6 +1937,21 @@ object Versioned {
         .drop("__dv_file", "__dv_pos")
     }
 
+  /** The fixed dv-sidecar schema — dv reads supply it explicitly
+    * (schema inference on a tiny parquet costs ~80 ms of driver footer
+    * work per read; the Layout.StatsSchema discipline).
+    */
+  private val DvSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("file", StringType), StructField("pos", LongType)))
+  }
+
+  /** All dv-sidecar reads route here (explicit [[DvSchema]]). */
+  private def readDvs(spark: SparkSession, table: String,
+      dvs: Seq[String]): DataFrame =
+    spark.read.schema(DvSchema)
+      .parquet(dvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
+
   /** Broadcast anti-join of `(fileCol, posCol)` against the dv rows. */
   private def subtractDvs(spark: SparkSession, table: String,
       frame: DataFrame, dvs: Seq[String], fileCol: String,
@@ -1944,7 +1959,7 @@ object Versioned {
     if (dvs.isEmpty) frame
     else {
       import org.apache.spark.sql.functions.{broadcast, col}
-      val dv = spark.read.parquet(dvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
+      val dv = readDvs(spark, table, dvs)
         .select(col("file").as(fileCol), col("pos").as(posCol))
       frame.join(broadcast(dv), Seq(fileCol, posCol), "left_anti")
     }
@@ -2629,7 +2644,7 @@ object Versioned {
     val refDf = refFiles.toSeq.toDF("file")
     val fromStats =
       if (statted.isEmpty) None
-      else Some(spark.read.parquet(statted.map(_._2 + "/_stats"): _*)
+      else Some(Layout.readStats(spark, statted.map(_._2 + "/_stats"))
         .groupBy(col("file").as("abs"))
         .agg(max(col("n_rows")).as("n_rows"), max(col("n_bytes")).as("n_bytes"),
           first(col("parts")).as("parts"))
@@ -3002,7 +3017,7 @@ object Versioned {
         // one decision relation per predicate, ANDed by equi-join on
         // file (the skipScanManifestPreds conjunction shape) — over ONE
         // stats read and ONE per-dir listing probe for the conjunction
-        val allStats = spark.read.parquet(statsPaths: _*)
+        val allStats = Layout.readStats(spark, statsPaths)
         val listingKey = Layout.listingKeyOf(spark, statsPaths)
         val rels = preds.zipWithIndex.map { case (pr, i) =>
           val keepFor: String => org.apache.spark.sql.Column = pr match {
@@ -3188,7 +3203,7 @@ object Versioned {
     val dvDeleted =
       if (newDvs.isEmpty) empty
       else {
-        val dv = spark.read.parquet(newDvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
+        val dv = readDvs(spark, table, newDvs)
         val dvFiles = dv.select(col("file")).distinct().collect()
           .map(_.getString(0)).toSeq.sorted
         if (dvFiles.isEmpty) empty
@@ -3213,8 +3228,7 @@ object Versioned {
       if (removedDvs.isEmpty) empty
       else {
         val common = curF.intersect(prevF)
-        val dv = spark.read.parquet(
-          removedDvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
+        val dv = readDvs(spark, table, removedDvs)
         val dvFiles = dv.select(col("file")).distinct().collect()
           .map(_.getString(0))
           .filter(abs => common.contains(relRef(abs))).toSeq.sorted
@@ -3267,8 +3281,8 @@ object Versioned {
       // (file, n_rows) array (round-10 verdict's O(files)-driver fix)
       import spark.implicits._
       import org.apache.spark.sql.functions.{broadcast, regexp_extract}
-      val man = spark.read.parquet(
-        byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_stats"): _*)
+      val man = Layout.readStats(spark,
+        byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_stats"))
       val perFile = man.groupBy(col("file"))
         .agg(org.apache.spark.sql.functions.max(col("n_rows")).as("n"))
         .withColumn("__dir", regexp_extract(col("file"), ".*/data/([^/]+)/.+$", 1))
@@ -3290,7 +3304,7 @@ object Versioned {
       val dvRows =
         if (m.dvs.isEmpty) 0L
         else
-          spark.read.parquet(m.dvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
+          readDvs(spark, table, m.dvs)
             .select(regexp_extract(col("file"), ".*/data/([^/]+/.+)$", 1).as("ref_sfx"))
             .join(broadcast(referenced.select(col("__sfx").as("ref_sfx"))),
               Seq("ref_sfx"), "left_semi")
@@ -3333,8 +3347,8 @@ object Versioned {
     def sfx(abs: String): String = {
       relRef(abs)
     }
-    val man = spark.read.parquet(
-        byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_stats"): _*)
+    val man = Layout.readStats(spark,
+        byDir.keys.toSeq.sorted.map(d => s"${dataRoot(spark, table)}/$d/_stats"))
       .filter(col("column") === column)
       .select(col("file"), col("typ"), col("min_v"), col("max_v"),
         col("n_rows"), col("n_nulls"))
@@ -3354,7 +3368,7 @@ object Versioned {
     // manifest extreme may be a deleted row
     val dvTouched: Set[String] =
       if (m.dvs.isEmpty) Set.empty
-      else spark.read.parquet(m.dvs.map(d => s"${dataRoot(spark, table)}/$d"): _*)
+      else readDvs(spark, table, m.dvs)
         .select(col("file")).distinct().collect().map(r => sfx(r.getString(0))).toSet
     val (scanSide, cleanSide) = referenced.partition { case (abs, _, mn, _, nr, nn) =>
       dvTouched.contains(sfx(abs)) ||
@@ -4359,8 +4373,7 @@ object Versioned {
     // large wants compact, which materializes them away)
     def dvFiles(dvNames: Seq[String]): Set[String] =
       if (dvNames.isEmpty) Set.empty
-      else spark.read.parquet(
-          dvNames.map(d => s"${dataRoot(spark, root)}/$d"): _*)
+      else readDvs(spark, root, dvNames)
         .select(col("file")).distinct()
         .collect().map(r => sfx(r.getString(0))).toSet
 
