@@ -51,8 +51,22 @@ object Streams {
     * row (ADVICE r8).
     */
   def probeTsType(spark: SparkSession, path: String): DataType =
-    try spark.read.parquet(path).schema("ts").dataType
+    // memoized per file identity (Tables.tableSchema): a stream entry
+    // re-probes the same staged source on every bench run, and schema
+    // inference costs ~80 ms of driver footer work per probe
+    try {
+      val dirP = new org.apache.hadoop.fs.Path(path)
+      val f = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = f.listStatus(dirP).filter(_.getPath.getName.endsWith(".parquet"))
+      if (files.isEmpty) TimestampNTZType
+      else graft.Tables.tableSchema(spark,
+        files.map(_.getPath.toString).min)("ts").dataType
+    }
     catch {
+      // a missing directory means "stream may start empty" — default
+      // NTZ, exactly the old UNABLE_TO_INFER/PATH_NOT_FOUND handling;
+      // any other failure (corrupt footer, permissions) still rethrows
+      case _: java.io.FileNotFoundException => TimestampNTZType
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage != null &&
             (e.getMessage.contains("PATH_NOT_FOUND") ||
