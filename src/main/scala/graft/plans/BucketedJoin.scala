@@ -163,8 +163,12 @@ case class GraftBucketedScanExec(output: Seq[Attribute], table: String,
         case None | Some(Seq()) =>
           spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
         case Some(paths) =>
-          val r = spark.read.schema(layout.schema).parquet(paths: _*)
-            .select(output.map(a => col(a.name)): _*)
+          // read under the PRUNED schema directly (output columns in
+          // output order): the parquet reader returns exactly these
+          // columns, so the per-bucket select+analysis pass — and the
+          // unused columns' IO — disappear from each of the n sub-plans
+          val pruned = StructType(output.map(a => layout.schema(a.name)))
+          val r = spark.read.schema(pruned).parquet(paths: _*)
             .queryExecution.toRdd.coalesce(1)
           // bucket-to-RDD-partition alignment invariant: every sub-RDD
           // must contribute EXACTLY one partition, or every later bucket
