@@ -1185,7 +1185,11 @@ object Layout {
     val kept = Option(counts.get(1)).map(_.asInstanceOf[Long].toInt).getOrElse(0)
     if (kept == 0) return (emptyPlan, 0, total)
     val statuses = keptStatuses(spark, verdict, maxDriverFiles)
-    val dataSchema = spark.read.parquet(statuses.head.getPath.toString).schema
+    // schema via the file-identity memo (Tables.tableSchema): a protocol
+    // entry plans several pruned scans over the same immutable staged
+    // files, and each bare inference costs ~80 ms of driver footer work
+    val dataSchema = graft.Tables.tableSchema(spark,
+      statuses.head.getPath.toString)
     val idx = new KeptFileIndex(new org.apache.hadoop.fs.Path(root), statuses)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, org.apache.spark.sql.types.StructType(Nil), dataSchema, None,
